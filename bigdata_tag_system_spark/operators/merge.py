@@ -1,0 +1,78 @@
+"""Profile merge strategies: new tag profiles × previously-stored profiles.
+
+Reference semantics (SURVEY §2.5 D4, §3 step 9):
+
+- MEMORY_ONLY — new profiles overwrite (``advanced_tag_merger.py:153-160``).
+- MEMORY_THEN_DATABASE — array-union new tags with the stored set per user
+  (``src/merger/advanced_tag_merger.py:52-67``).
+- Spec's batch merge — FULL OUTER join + key coalesce
+  (`docs/标准需求文档.md` §4.3 ``merge_batch_user_tags``).
+
+The reference's two merge paths disagree on ordering (UDF sorts,
+``tag_merger.py:213``; native path doesn't, ``mysql_writer.py:178``). Here
+there is one canonical form: ``array_sort(array_distinct(array_union(...)))``
+— native expressions, no Python UDF, deterministic.
+
+Scale note: this is the one unavoidable shuffle in the pipeline (join on
+user_id). Both sides are pre-projected to (user_id, tag_ids[, details]) so
+the shuffle moves only key + small arrays, and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class MergeStrategy(str, Enum):
+    OVERWRITE = "overwrite"          # MEMORY_ONLY: new wins wholesale
+    UNION = "union"                  # MEMORY_THEN_DATABASE: set-union per user
+    FULL_OUTER_UNION = "full_outer"  # spec §4.3: keep users present on either side
+
+
+def _sorted_union(a, b):
+    return F.array_sort(
+        F.array_distinct(
+            F.array_union(
+                F.coalesce(a, F.array().cast("array<int>")),
+                F.coalesce(b, F.array().cast("array<int>")),
+            )
+        )
+    )
+
+
+def merge_profiles(
+    new: DataFrame,
+    existing: DataFrame | None,
+    strategy: MergeStrategy | str = MergeStrategy.UNION,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Merge new profile rows with previously stored ones.
+
+    ``new`` and ``existing`` both carry ``(user_col, tag_ids array<int>,
+    [tag_details map], computed_date)``; ``existing`` may be None/empty.
+    """
+    strategy = MergeStrategy(strategy)
+    if existing is None or strategy == MergeStrategy.OVERWRITE:
+        return new
+
+    old = existing.select(
+        F.col(user_col), F.col("tag_ids").alias("_old_tag_ids")
+    )
+
+    if strategy == MergeStrategy.UNION:
+        # Users only in `existing` keep their stored row untouched (the
+        # reference merges only users present in the new batch,
+        # advanced_tag_merger.py:52-67) → left join from new.
+        joined = new.join(old, on=user_col, how="left")
+    else:  # FULL_OUTER_UNION
+        joined = new.join(old, on=user_col, how="full_outer")
+
+    out_cols = [F.col(user_col)]
+    out_cols.append(_sorted_union(F.col("tag_ids"), F.col("_old_tag_ids")).alias("tag_ids"))
+    for c in new.columns:
+        if c not in (user_col, "tag_ids"):
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

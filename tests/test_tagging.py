@@ -1,0 +1,91 @@
+"""One-pass tag pipeline tests against the golden fixture (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.operators.merge import MergeStrategy, merge_profiles
+from bigdata_tag_system_spark.operators.tagging import TagEngine
+
+from .conftest import AS_OF, EXPECTED
+
+
+def test_golden_profiles(spark, users_df, golden_rules):
+    eng = TagEngine(golden_rules, as_of=AS_OF, run_ts="2024-07-13T00:00:00")
+    prof = eng.profiles(users_df, computed_date=AS_OF)
+    rows = {r["user_id"]: r for r in prof.collect()}
+
+    # invert EXPECTED into per-user tag sets
+    per_user: dict[str, set[int]] = {}
+    for tag, users in EXPECTED.items():
+        for u in users:
+            per_user.setdefault(u, set()).add(tag)
+
+    assert set(rows) == set(per_user)
+    for u, tags in per_user.items():
+        assert rows[u]["tag_ids"] == sorted(tags), u
+        # details keyed by str(tag_id), carrying name/category
+        assert set(rows[u]["tag_details"].keys()) == {str(t) for t in tags}
+        assert str(rows[u]["computed_date"]) == AS_OF
+
+
+def test_golden_assignments(spark, users_df, golden_rules):
+    eng = TagEngine(golden_rules, as_of=AS_OF, run_ts="2024-07-13T00:00:00")
+    asg = eng.assignments(users_df)
+    got: dict[int, set[str]] = {}
+    for r in asg.collect():
+        got.setdefault(r["tag_id"], set()).add(r["user_id"])
+        detail = json.loads(r["tag_detail"])
+        assert {"tag_name", "tag_category", "rule_id", "hit_time"} <= set(detail)
+    assert got == EXPECTED
+
+
+def test_single_pass_plan(spark, users_df, golden_rules):
+    """profiles() must be a single projection — no shuffle/exchange at all."""
+    eng = TagEngine(golden_rules, as_of=AS_OF)
+    plan = eng.profiles(users_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_enriched_assignments_broadcast(spark, users_df, golden_rules):
+    defs = spark.createDataFrame(
+        [(t, f"name_{t}") for t in range(1, 8)], "tag_id int, def_name string"
+    )
+    eng = TagEngine(golden_rules, as_of=AS_OF)
+    enriched = eng.enriched_assignments(users_df, defs)
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    row = enriched.where("user_id='user_002'").collect()
+    assert [r["def_name"] for r in row] == ["name_5"]
+
+
+def test_merge_union(spark, users_df, golden_rules):
+    eng = TagEngine(golden_rules, as_of=AS_OF)
+    new = eng.profiles(users_df, computed_date=AS_OF)
+    existing = spark.createDataFrame(
+        [("user_001", [99]), ("user_999", [1])], "user_id string, tag_ids array<int>"
+    )
+    merged = {r["user_id"]: r["tag_ids"] for r in
+              merge_profiles(new, existing, MergeStrategy.UNION).collect()}
+    assert merged["user_001"] == [1, 2, 3, 6, 7, 99]
+    assert "user_999" not in merged  # UNION keeps only new-batch users
+
+    full = {r["user_id"]: r["tag_ids"] for r in
+            merge_profiles(new, existing, MergeStrategy.FULL_OUTER_UNION).collect()}
+    assert full["user_999"] == [1]
+    assert full["user_001"] == [1, 2, 3, 6, 7, 99]
+
+    over = {r["user_id"]: r["tag_ids"] for r in
+            merge_profiles(new, existing, MergeStrategy.OVERWRITE).collect()}
+    assert over["user_001"] == [1, 2, 3, 6, 7]
+
+
+def test_column_pruning_fields(golden_rules):
+    eng = TagEngine(golden_rules)
+    assert "login_count_30d" in eng.fields()  # nested group field found
+    assert eng.fields() <= {
+        "total_asset_value", "user_level", "kyc_status", "trade_count_30d",
+        "cash_balance", "age", "last_login_date", "login_count_30d",
+    }
