@@ -1,0 +1,96 @@
+"""Table catalog: name → location/format, field→table routing, scan sharing.
+
+The reference hardcodes a field→table dict
+(``src/readers/rule_reader.py:151-170``) and punts on cross-table rules —
+the first matching table wins (``rule_reader.py:183-189``); its production
+read path even calls a method that doesn't exist
+(``scenario_scheduler.py:480``). Here the catalog is explicit and rules
+spanning tables become real ``user_id`` joins from the user universe
+(left join; null fields fail conditions — documented choice per SURVEY §7.3).
+
+Scale notes:
+- Each table is scanned **once** per run regardless of rule count (the
+  reference groups rules by table then caches; we additionally prune
+  columns to the union of rule fields before the join).
+- The cross-table join shuffles only pruned columns on ``user_id``; on a
+  real deployment fact tables bucketed by ``user_id`` make it shuffle-free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.rules.model import Rule, required_fields
+
+
+@dataclass
+class TableSpec:
+    name: str
+    path: str
+    format: str = "parquet"
+    key: str = "user_id"
+
+
+class TableCatalog:
+    """Registry of fact tables + rule→table routing + pruned unified scan."""
+
+    def __init__(self, spark: SparkSession, key: str = "user_id"):
+        self.spark = spark
+        self.key = key
+        self._tables: dict[str, TableSpec] = {}
+
+    def register(self, name: str, path: str, format: str = "parquet") -> "TableCatalog":
+        self._tables[name] = TableSpec(name=name, path=path, format=format, key=self.key)
+        return self
+
+    def table_names(self) -> list[str]:
+        return list(self._tables)
+
+    def load(self, name: str, columns: Sequence[str] | None = None) -> DataFrame:
+        spec = self._tables[name]
+        df = self.spark.read.format(spec.format).load(spec.path)
+        if columns:
+            cols = [self.key] + [c for c in columns if c != self.key and c in df.columns]
+            df = df.select(*cols)
+        return df
+
+    def columns_of(self, name: str) -> list[str]:
+        """Schema probe without reading data (parquet footer only)."""
+        return self.load(name).columns
+
+    # -- rule routing --------------------------------------------------------
+
+    def route_fields(self, fields: Iterable[str]) -> dict[str, list[str]]:
+        """Map each field to the table(s) that carry it; unknown → error."""
+        out: dict[str, list[str]] = {}
+        schemas = {n: set(self.columns_of(n)) for n in self._tables}
+        for f_ in set(fields):
+            hits = [n for n, cols in schemas.items() if f_ in cols]
+            if not hits:
+                raise KeyError(f"field {f_!r} not found in any registered table")
+            out.setdefault(hits[0], []).append(f_)
+        return out
+
+    def facts_for_rules(self, rules: Sequence[Rule]) -> DataFrame:
+        """One pruned, unified fact DataFrame covering all rule fields.
+
+        Reads each needed table once, projects the union of rule fields
+        (column pruning reaches the parquet scan), and left-joins the
+        extras onto the first table on ``user_id``. Missing users get
+        nulls → their conditions on those fields fail (3VL).
+        """
+        needed: set[str] = set()
+        for r in rules:
+            needed |= required_fields(r.conditions)
+        routing = self.route_fields(needed)
+        if not routing:
+            raise ValueError("rules reference no fields; nothing to scan")
+        names = sorted(routing, key=lambda n: -len(routing[n]))
+        base = self.load(names[0], routing[names[0]])
+        for n in names[1:]:
+            base = base.join(self.load(n, routing[n]), on=self.key, how="left")
+        return base

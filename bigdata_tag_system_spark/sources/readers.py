@@ -1,0 +1,97 @@
+"""Readers: fact tables (Parquet/S3A), rule catalogs (Parquet/JSON/JDBC).
+
+Reference equivalents: ``src/readers/hive_reader.py`` (S3A parquet per
+table, date-range partition filters, required-column select) and
+``src/readers/rule_reader.py`` (rules ⋈ definitions over JDBC, collected
+to driver). JDBC is import-gated — the engine works with a pure-Parquet
+catalog (driver testdata has no MySQL; SURVEY §7.3).
+
+Filters/projections are expressed declaratively so Catalyst pushes them
+into the scan (``PushedFilters`` / partition pruning) — the reference
+builds filter *strings* by hand (``hive_reader.py:87-95``); same result,
+but ours composes with the rest of the plan and is injection-safe.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.rules.model import Rule, load_rules
+
+
+def read_fact_table(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | None = None,
+    date_col: str | None = None,
+    start_date: str | _dt.date | None = None,
+    end_date: str | _dt.date | None = None,
+    key_col: str | None = None,
+    keys: Sequence[Any] | None = None,
+    format: str = "parquet",
+) -> DataFrame:
+    """Read a fact table with pushdown-friendly pruning.
+
+    Mirrors ``hive_reader.read_table_data`` (path scan + date-range filter
+    + required-field select, ``hive_reader.py:19-73``) and the key-list
+    filter (``hive_reader.py:102``) — all as Column expressions.
+    """
+    df = spark.read.format(format).load(path)
+    if date_col and start_date is not None:
+        df = df.where(F.col(date_col) >= F.lit(str(start_date)))
+    if date_col and end_date is not None:
+        df = df.where(F.col(date_col) <= F.lit(str(end_date)))
+    if key_col and keys is not None:
+        df = df.where(F.col(key_col).isin(list(keys)))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_rule_catalog(
+    spark: SparkSession,
+    rules_path: str,
+    definitions_path: str | None = None,
+    only_active: bool = True,
+    format: str = "parquet",
+) -> list[Rule]:
+    """Load the rule catalog from files; join definitions if separate.
+
+    Replaces the reference's JDBC pushdown subquery
+    (``rule_reader.py:48-67``): ``tag_rules ⋈ tag_definition`` becomes a
+    broadcast join of two catalog-sized tables, then a *single bounded
+    collect* (the catalog is tens-to-thousands of rows — driver-safe by
+    construction, unlike collecting fact data).
+    """
+    rules_df = spark.read.format(format).load(rules_path)
+    if definitions_path:
+        defs = spark.read.format(format).load(definitions_path)
+        keep = [c for c in ("tag_id", "tag_name", "tag_category") if c in defs.columns]
+        rules_df = rules_df.join(F.broadcast(defs.select(*keep)), "tag_id", "left")
+    rows = [r.asDict() for r in rules_df.collect()]
+    return load_rules(rows, only_active=only_active)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    predicates: list[str] | None = None,
+) -> DataFrame:
+    """JDBC scan (reference S2/S3, ``rule_reader.py:63-67``).
+
+    ``table`` may be a pushdown subquery: ``"(SELECT ...) t"``. Requires a
+    JDBC driver jar on the classpath; unavailable in this container, so
+    exercised only behind integration flags.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if predicates:
+        reader = reader.option("partitionColumn", predicates[0])
+    return reader.load()

@@ -1,0 +1,191 @@
+"""Catalog routing, readers, sinks (incl. real DBAPI upsert), scenarios."""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.plans.scenarios import ScenarioRunner
+from bigdata_tag_system_spark.rules.model import load_rules
+from bigdata_tag_system_spark.sources.catalog import TableCatalog
+from bigdata_tag_system_spark.sources.readers import read_fact_table, read_rule_catalog
+from bigdata_tag_system_spark.sources.writers import (
+    jdbc_upsert,
+    parquet_merge_upsert,
+    write_parquet,
+)
+
+from .conftest import AS_OF, RULES, USER_SCHEMA, USERS
+
+_DB_PATH = os.path.join(tempfile.gettempdir(), "tag_upsert_test.db")
+
+
+def _sqlite_conn():
+    # top-level so it pickles into executors
+    return sqlite3.connect(_DB_PATH, timeout=30)
+
+
+@pytest.fixture(scope="module")
+def tmpdir_mod():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+class TestCatalog:
+    def test_cross_table_routing_and_join(self, spark, tmpdir_mod):
+        basic = spark.createDataFrame(
+            [("u1", 30, "VIP2"), ("u2", 50, "VIP1")], "user_id string, age int, user_level string"
+        )
+        asset = spark.createDataFrame(
+            [("u1", 200000.0), ("u3", 5.0)], "user_id string, total_asset_value double"
+        )
+        write_parquet(basic, f"{tmpdir_mod}/basic")
+        write_parquet(asset, f"{tmpdir_mod}/asset")
+        cat = (
+            TableCatalog(spark)
+            .register("basic", f"{tmpdir_mod}/basic")
+            .register("asset", f"{tmpdir_mod}/asset")
+        )
+        rules = load_rules([
+            {"rule_id": 1, "tag_id": 1, "rule_conditions": json.dumps({"logic": "AND", "conditions": [
+                {"field": "age", "operator": "<", "value": 40, "type": "number"},
+                {"field": "total_asset_value", "operator": ">=", "value": 100000, "type": "number"},
+            ]})}])
+        facts = cat.facts_for_rules(rules)
+        assert set(facts.columns) == {"user_id", "age", "total_asset_value", "user_level"} - {"user_level"}
+        from bigdata_tag_system_spark.operators.tagging import TagEngine
+
+        prof = TagEngine(rules).profiles(facts)
+        assert [r["user_id"] for r in prof.collect()] == ["u1"]
+
+    def test_unknown_field_raises(self, spark, tmpdir_mod):
+        cat = TableCatalog(spark).register("basic", f"{tmpdir_mod}/basic")
+        with pytest.raises(KeyError):
+            cat.route_fields(["nope"])
+
+
+class TestReaders:
+    def test_fact_reader_pushdown(self, spark, sf_dir):
+        df = read_fact_table(
+            spark, f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"],
+            date_col="o_orderdate", start_date="1997-01-01", end_date="1997-03-31",
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "IsNotNull(o_orderdate)" in plan
+        assert df.columns == ["o_orderkey", "o_orderdate"]
+
+    def test_rule_catalog_roundtrip(self, spark, tmpdir_mod):
+        rules_rows = [(1, 10, json.dumps(RULES[0]["rule_conditions"]), True)]
+        rules_df = spark.createDataFrame(
+            rules_rows, "rule_id int, tag_id int, rule_conditions string, is_active boolean")
+        defs_df = spark.createDataFrame(
+            [(10, "ten", "cat")], "tag_id int, tag_name string, tag_category string")
+        write_parquet(rules_df, f"{tmpdir_mod}/rules")
+        write_parquet(defs_df, f"{tmpdir_mod}/defs")
+        rules = read_rule_catalog(spark, f"{tmpdir_mod}/rules", f"{tmpdir_mod}/defs")
+        assert rules[0].tag_name == "ten" and rules[0].tag_id == 10
+        assert rules[0].conditions["conditions"][0]["field"] == "total_asset_value"
+
+
+class TestUpsertSinks:
+    def test_sqlite_upsert_last_writer_wins(self, spark):
+        if os.path.exists(_DB_PATH):
+            os.remove(_DB_PATH)
+        conn = _sqlite_conn()
+        conn.execute("CREATE TABLE user_tags (user_id TEXT PRIMARY KEY, tag_ids TEXT, computed_date TEXT)")
+        conn.execute("INSERT INTO user_tags VALUES ('u1', '[9]', '2024-01-01')")
+        conn.commit(); conn.close()
+
+        df = spark.createDataFrame(
+            [("u1", "[1,2]", "2024-07-13"), ("u2", "[3]", "2024-07-13")],
+            "user_id string, tag_ids string, computed_date string")
+        jdbc_upsert(df, _sqlite_conn, "user_tags", ["user_id"], dialect="sqlite", batch_size=1)
+        # idempotency: run twice, same result
+        jdbc_upsert(df, _sqlite_conn, "user_tags", ["user_id"], dialect="sqlite")
+
+        conn = _sqlite_conn()
+        rows = dict((r[0], (r[1], r[2])) for r in conn.execute("SELECT * FROM user_tags"))
+        conn.close()
+        assert rows == {"u1": ("[1,2]", "2024-07-13"), "u2": ("[3]", "2024-07-13")}
+
+    def test_mysql_sql_shape(self):
+        from bigdata_tag_system_spark.sources.writers import _upsert_sql
+
+        sql = _upsert_sql("mysql", "user_tags", ["user_id", "tag_ids"], ["user_id"])
+        assert sql == ("INSERT INTO user_tags (user_id, tag_ids) VALUES (%s, %s) "
+                       "ON DUPLICATE KEY UPDATE tag_ids = VALUES(tag_ids)")
+
+    def test_parquet_merge_upsert(self, spark, tmpdir_mod):
+        store = f"{tmpdir_mod}/profiles"
+        old = spark.createDataFrame(
+            [("u1", [1, 9], "2024-01-01"), ("u3", [7], "2024-01-01")],
+            "user_id string, tag_ids array<int>, computed_date string")
+        write_parquet(old, store)
+        new = spark.createDataFrame(
+            [("u1", [2, 1], "2024-07-13"), ("u2", [5], "2024-07-13")],
+            "user_id string, tag_ids array<int>, computed_date string")
+        merged = parquet_merge_upsert(spark, new, store, ["user_id"], array_union_cols=["tag_ids"])
+        got = {r["user_id"]: (r["tag_ids"], r["computed_date"]) for r in merged.collect()}
+        assert got == {
+            "u1": ([1, 2, 9], "2024-07-13"),   # union + last-writer date
+            "u2": ([5], "2024-07-13"),          # insert
+            "u3": ([7], "2024-01-01"),          # untouched stored row
+        }
+
+    def test_parquet_merge_upsert_no_store(self, spark, tmpdir_mod):
+        new = spark.createDataFrame([("u1", [1])], "user_id string, tag_ids array<int>")
+        merged = parquet_merge_upsert(spark, new, f"{tmpdir_mod}/missing", ["user_id"])
+        assert merged.collect()[0]["tag_ids"] == [1]
+
+
+class TestScenarios:
+    @pytest.fixture(scope="class")
+    def runner(self, golden_rules):
+        return ScenarioRunner(golden_rules, as_of=AS_OF, run_ts="2024-07-13T00:00:00")
+
+    @pytest.fixture(scope="class")
+    def existing(self, spark):
+        return spark.createDataFrame(
+            [("user_001", [50]), ("user_999", [60])], "user_id string, tag_ids array<int>")
+
+    def test_scenario_1_full_overwrite(self, runner, users_df):
+        out = {r["user_id"]: r["tag_ids"] for r in runner.run(1, users_df).collect()}
+        assert out["user_001"] == [1, 2, 3, 6, 7]
+        assert "user_999" not in out
+
+    def test_scenario_2_new_users_only(self, runner, users_df, spark):
+        existing = spark.createDataFrame(
+            [("user_001", [50])], "user_id string, tag_ids array<int>")
+        out = {r["user_id"]: r["tag_ids"] for r in
+               runner.run(2, users_df, existing=existing).collect()}
+        assert "user_001" not in out          # not a new user
+        assert out["user_005"] == [1, 2, 3, 4, 6, 7]
+
+    def test_scenario_3_specific_tags_merge(self, runner, users_df, existing):
+        out = {r["user_id"]: r["tag_ids"] for r in
+               runner.run(3, users_df, existing=existing, tag_ids=[1, 4]).collect()}
+        assert out["user_001"] == [1, 50]     # tag 1 ∪ stored [50]
+        assert out["user_003"] == [1, 4]
+
+    def test_scenario_5_specific_users(self, runner, users_df):
+        out = {r["user_id"]: r["tag_ids"] for r in
+               runner.run(5, users_df, user_keys=["user_002"]).collect()}
+        assert out == {"user_002": [5]}
+
+    def test_scenario_6_specific_users_and_tags(self, runner, users_df, existing):
+        out = {r["user_id"]: r["tag_ids"] for r in
+               runner.run(6, users_df, existing=existing,
+                          tag_ids=[2], user_keys=["user_001", "user_002"]).collect()}
+        assert out == {"user_001": [2, 50]}   # user_002 doesn't hit tag 2
+
+    def test_scenario_missing_params_raise(self, runner, users_df):
+        with pytest.raises(ValueError):
+            runner.run(5, users_df)
+        with pytest.raises(ValueError):
+            runner.run(3, users_df)
