@@ -1,0 +1,54 @@
+"""Text expression helpers (all native Catalyst expressions).
+
+Building blocks for the text-analysis / dedup operators. No reference
+equivalent (the reference has no text processing); designed for the
+documents table of a training-data pipeline at 100 TB: every helper is a
+Column expression that stays JVM-side and vectorized — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace, trim — canonical form for dedup."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/null-ish text."""
+    t = normalize_text(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>) — dedup unit.
+
+    Pure expression: slide a window of ``n`` over the token array with
+    ``transform(sequence(...))``; shorter docs yield their whole text as
+    the single shingle.
+    """
+    toks = tokens(col)
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(sh)
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of normalized text (array<string>)."""
+    t = normalize_text(col)
+    ln = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))

@@ -1,0 +1,351 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Training-data pipeline surface (no reference equivalent). Scale design:
+
+- **Exact**: hash-groupBy on a normalized-text digest — one shuffle on the
+  16-byte digest, never on the document text.
+- **MinHash + LSH**: signatures are pure expressions
+  (``array_min(transform(shingles, xxhash64(seed)))`` per permutation —
+  JVM-side, no UDF). Banding explodes to (band_id, band_hash) keys and a
+  self-join *within buckets only* turns the O(n²) pair space into
+  O(sum bucket²); AQE handles hot buckets.
+- **SimHash**: 64-bit sketch packed from per-bit majority votes over token
+  hashes — again pure expressions; near-dup = small Hamming distance,
+  prefiltered by band equality on 16-bit chunks.
+- **n-gram Jaccard**: exact similarity on candidate pairs that share ≥1
+  shingle (explode + join on shingle, then count-based Jaccard) — the
+  SQL-expressible oracle-checkable baseline.
+- **Embedding cosine**: exact normalized-dot-product over pairs bucketed
+  by random-hyperplane signs (the LSH path); brute-force variant for
+  validation.
+
+Every candidate-pair generator verifies with the exact measure before
+declaring a duplicate — LSH only prunes the pair space, it never decides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.functions.text import normalize_text, word_shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized text.
+
+    Shuffles only (digest, id) — not the text — then rejoins winners.
+    """
+    digests = df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("_digest"))
+    winners = digests.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+    return df.join(winners.select(id_col), on=id_col, how="inner")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(digest, ids array, dup_count) for groups with >1 member."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"), F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _seeded_min_hash(sh: Column, seed: int) -> Column:
+    # factory keeps the transform lambda unary — pyspark treats a second
+    # lambda parameter as the array index, which would clobber the seed
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """array<bigint> MinHash signature — one xxhash64 seed per permutation."""
+    sh = word_shingles(col, shingle_n)
+    return F.array(*[_seeded_min_hash(sh, i) for i in range(num_hashes)])
+
+
+def _band_rows(df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature into (band_id, band_hash) LSH keys."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, "b.band_id", "b.band_hash"
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs sharing ≥1 LSH band bucket."""
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col), minhash_signature(text_col, num_hashes, shingle_n).alias("_sig")
+    )
+    banded = _band_rows(sigs, id_col, "_sig", bands, rows_per_band)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Attach exact shingle-set Jaccard to (id_a, id_b) pairs."""
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                / F.size(F.array_union("_sh_a", "_sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs at ≥ threshold exact Jaccard, found via MinHash-LSH.
+
+    LSH prunes candidates; the exact Jaccard verifies — no false positives
+    by construction, recall governed by (bands, rows) per the standard
+    S-curve.
+    """
+    cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return jaccard_on_pairs(cands, df, text_col, id_col, shingle_n).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (the oracle-checkable baseline).
+
+    Explode shingles → join on shingle (candidates share ≥1) → common
+    counts → |A∩B| / (|A|+|B|-|A∩B|). At ≥0.8 any qualifying pair shares
+    shingles, so this finds exactly the same pairs as a full O(n²) scan
+    while only joining on shingle buckets.
+    """
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
+    ex = sh.select(F.col(id_col), F.explode("_sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_n", "_na")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_n", "_nb")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column | str, shingle_n: int = 2) -> Column:
+    """64-bit SimHash as bigint, from per-bit majority votes of shingle hashes.
+
+    Pure expressions: for each bit b, sum(±1) over shingle xxhash64 bit b,
+    then pack sign bits. 64 aggregate expressions — heavy to *write*, but
+    they fuse into one codegen stage at runtime.
+    """
+    sh = word_shingles(col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def _vote(b: int) -> Column:
+        # factory keeps the merge lambda binary (see _seeded_min_hash note)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_votes = [_vote(b) for b in range(64)]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole prefilter: split the 64-bit sketch into 4 16-bit chunks —
+    any pair within Hamming ≤3 must agree on ≥1 chunk; join on
+    (chunk_id, chunk_value) buckets, then verify exact Hamming via
+    bit_count(xor).
+    """
+    sh = df.select(F.col(id_col), simhash(text_col, shingle_n).alias("_sim"))
+    chunk = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftrightunsigned(F.col("_sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sh.select(id_col, "_sim", F.explode(chunk).alias("c")).select(
+        id_col, "_sim", "c.chunk_id", "c.chunk_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_id") == F.col("b.chunk_id"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._sim").alias("_sa"),
+            F.col("b._sim").alias("_sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 8,
+    seed: int = 42,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.
+
+    Scale path: random-hyperplane LSH — sign-bit signature over ``planes``
+    fixed pseudo-random hyperplanes (seeded xxhash64 of dimension index →
+    deterministic ±1 plane entries), bucket by signature, exact cosine
+    within buckets. ``brute_force=True`` validates on small data.
+    """
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    norm = v.select(
+        F.col(id_col),
+        F.transform("_v", lambda x: x / _norm(F.col("_v"))).alias("_u"),
+    )
+    if not brute_force:
+        # ±1 hyperplanes: sign of xxhash64(dim_index, plane, seed)
+        def plane_bit(p: int) -> Column:
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("_u"),
+                    F.sequence(F.lit(0), F.size("_u") - 1),
+                    lambda x, i: x
+                    * F.when(F.xxhash64(i, F.lit(p), F.lit(seed)) % 2 == 0, 1.0).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+            return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+        sig = F.concat_ws("", *[plane_bit(p).cast("string") for p in range(planes)])
+        norm = norm.withColumn("_bucket", sig)
+        a, b = norm.alias("a"), norm.alias("b")
+        joined = a.join(
+            b,
+            on=[F.col("a._bucket") == F.col("b._bucket"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+        )
+    else:
+        a, b = norm.alias("a"), norm.alias("b")
+        joined = a.join(b, on=F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cos = _dot(F.col("a._u"), F.col("b._u"))
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cos.alias("cosine"),
+    ).where(F.col("cosine") >= threshold)

@@ -1,0 +1,88 @@
+"""Derived-feature operators over an event log (batch windowing).
+
+The reference's fact columns (``trade_count_30d``, ``login_count_30d``,
+``last_login_date`` …) presuppose an upstream aggregation pipeline that is
+out of its frame (SURVEY §2.8). These operators ARE that pipeline:
+event-log → per-user derived features, all with built-in window/agg
+functions, pinned to an as-of timestamp for determinism.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def recent_window_features(
+    events: DataFrame,
+    as_of: str | _dt.datetime,
+    days: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user aggregates over the trailing N days before ``as_of``.
+
+    Produces the reference-shaped derived columns: event_count_{N}d,
+    value_sum_{N}d, last_event_ts, distinct_event_types. One shuffle
+    (groupBy user) over a date-pruned scan.
+    """
+    as_of_lit = F.lit(str(as_of)).cast("timestamp")
+    lo = F.date_sub(as_of_lit.cast("date"), days)
+    filtered = events.where((F.col(ts_col) >= lo) & (F.col(ts_col) <= as_of_lit))
+    return filtered.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias(f"event_count_{days}d"),
+        F.sum(value_col).alias(f"value_sum_{days}d"),
+        F.max(ts_col).alias("last_event_ts"),
+        F.countDistinct(type_col).alias("distinct_event_types"),
+    )
+
+
+def latest_event_per_user(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most recent event row per user (row_number window dedup)."""
+    w = Window.partitionBy(user_col).orderBy(F.desc(ts_col), F.desc(id_col))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign session ids: a new session starts after a gap > N minutes.
+
+    Classic lag + cumulative-sum windowing; one shuffle on user.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn(
+        "session_id", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+
+def daily_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Day × event_type rollup (count + sum), the batch analogue of the
+    streaming tumbling-window aggregate."""
+    return (
+        events.groupBy(F.date_trunc("day", F.col(ts_col)).alias("day"), F.col(type_col))
+        .agg(F.count(F.lit(1)).alias("event_count"), F.sum(value_col).alias("value_sum"))
+    )

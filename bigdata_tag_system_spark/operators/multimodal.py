@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Training-data pipelines carry image/audio/video as ``binary`` columns with
+a metadata struct; decode/feature-extraction runs as Arrow-batched Pandas
+UDFs over ``mapInPandas``. The media libraries (PIL/ffmpeg/librosa) are
+NOT in this container, so the actual byte→pixels decode is stubbed —
+clearly marked — behind :func:`register_decoder`; everything Spark-side
+(schema contract, batch iteration, partition sizing, output shapes) is
+real and tested with the deterministic fake decoder.
+
+Scale notes: media rows are large — ``repartition`` by size budget before
+mapInPandas so a batch of payloads fits executor memory
+(``media_repartition``), and NEVER collect payloads to the driver. The
+Arrow batch size is governed by ``spark.sql.execution.arrow.
+maxRecordsPerBatch`` — set it small (e.g. 64) for multi-MB payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),       # image | audio | video
+        StructField("payload", BinaryType()),        # opaque encoded bytes
+        StructField("mime_type", StringType()),
+        StructField("width", IntegerType()),         # image/video
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),   # audio/video
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload_bytes", LongType()),
+        StructField("payload_digest", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+_DECODER: dict[str, Callable[[bytes], list[float]]] = {}
+
+
+def register_decoder(modality: str, fn: Callable[[bytes], list[float]]) -> None:
+    """Install a real decoder (e.g. PIL-based) for a modality."""
+    _DECODER[modality] = fn
+
+
+def _stub_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """DETERMINISTIC FAKE decode — stands in for the real media decoder.
+
+    Real deployments ``register_decoder("image", pil_decode)`` etc.; this
+    fake hashes bytes to a fixed-dim float vector so the Spark plumbing
+    (schema/batching/partitioning) is fully exercisable without media libs.
+    """
+    d = hashlib.sha256(payload or b"").digest()
+    return [int.from_bytes(d[4 * i : 4 * i + 4], "little") / 2**32 for i in range(dim)]
+
+
+def media_repartition(df: DataFrame, target_partition_bytes: int = 128 << 20,
+                      avg_payload_bytes: int = 1 << 20) -> DataFrame:
+    """Partition so ~target bytes of payload land per task."""
+    rows_per_part = max(1, target_partition_bytes // max(1, avg_payload_bytes))
+    n = df.rdd.getNumPartitions()
+    est_rows = n * rows_per_part  # cheap heuristic; callers may pass exact counts
+    return df.repartition(max(1, est_rows // rows_per_part))
+
+
+def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """payload → feature vector via Arrow-batched mapInPandas.
+
+    Uses the registered decoder per modality, else the deterministic stub.
+    The UDF sees pandas batches (zero-copy Arrow transfer for the binary
+    column); output is the narrow FEATURE_SCHEMA — payloads never travel
+    further down the pipeline.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, digests, sizes = [], [], []
+            for modality, payload in zip(pdf["modality"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                fn = _DECODER.get(modality)
+                feats.append(fn(raw) if fn else _stub_decode(raw))
+                digests.append(hashlib.md5(raw).hexdigest())
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload_bytes": sizes,
+                    "payload_digest": digests,
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled timestamp.
+
+    The *frame extraction itself* needs ffmpeg (not in container) — the
+    returned plan carries (media_id, frame_ts_ms) rows ready for a
+    registered ``video`` decoder; the expansion is pure Spark
+    (``sequence`` + ``explode``), which is the scale-relevant part.
+    """
+    return (
+        df.where(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def decode_or_raise(modality: str) -> Callable[[bytes], list[float]]:
+    """Fetch the real decoder; raise if only the stub is available."""
+    if modality not in _DECODER:
+        raise NotImplementedError(
+            f"no real decoder registered for {modality!r}; media libs are not "
+            "available in this environment — register_decoder() in deployment"
+        )
+    return _DECODER[modality]

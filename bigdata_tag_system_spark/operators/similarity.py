@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (array<float>).
+
+Training-data pipeline surface (no reference equivalent): brute-force
+cosine top-k as the exact baseline, and an IVF-style (centroid-bucketed)
+approximate variant as the scale path.
+
+Scale design: the query side is tiny (one vector or a small batch) —
+always broadcast it; the corpus side never shuffles for brute force (map +
+partial top-k via sort/limit handled by Spark's TakeOrderedAndProject).
+For IVF, corpus vectors are assigned once to the nearest of k seeded
+pseudo-random centroids (deterministic — no kmeans fit needed for the
+pruning guarantee to be useful), and a query probes only ``nprobe``
+nearest centroid buckets — at 100 TB this turns a full corpus scan into a
+partition-pruned read when the table is written partitioned by bucket id.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_to_query(vec_col: Column | str, query: Sequence[float]) -> Column:
+    """cosine(corpus_vec, query) as a pure expression (query folded to literals).
+
+    Vectors are cast to double so similarity math runs in f64 regardless of
+    the stored element type (float32 accumulation drifts enough to flip
+    rank order near ties).
+    """
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return _dot(v, q) / (_norm(v) * _norm(q))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity — the brute-force baseline.
+
+    orderBy+limit compiles to TakeOrderedAndProject: per-partition heap
+    top-k, no full sort, no shuffle of the corpus.
+    """
+    return (
+        df.select(F.col(id_col), cosine_to_query(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style bucketed ANN
+# ---------------------------------------------------------------------------
+
+def _centroid(dim: int, c: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit 'centroid' (hash-seeded)."""
+    import hashlib
+    import struct
+
+    vals = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}:{c}:{i}".encode()).digest()[:8]
+        (u,) = struct.unpack("<q", h)
+        vals.append((u % 2_000_001 - 1_000_000) / 1_000_000.0)
+    n = sum(x * x for x in vals) ** 0.5 or 1.0
+    return [x / n for x in vals]
+
+
+def assign_ivf_bucket(
+    vec_col: Column | str, dim: int, num_buckets: int = 16, seed: int = 42
+) -> Column:
+    """Nearest-centroid bucket id (argmax dot with fixed centroids)."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
+    dots = [
+        _dot(v, F.array(*[F.lit(x) for x in _centroid(dim, c, seed)])).alias(f"_d{c}")
+        for c in range(num_buckets)
+    ]
+    best = F.greatest(*dots)
+    return F.coalesce(*[F.when(dots[c] == best, F.lit(c)) for c in range(num_buckets)])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_buckets: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` buckets nearest the query.
+
+    Recall grows with nprobe (nprobe=num_buckets → exact). On a
+    bucket-partitioned corpus the non-probed buckets are never read.
+    """
+    dim = len(query)
+    centroids = [(c, _centroid(dim, c, seed)) for c in range(num_buckets)]
+    qnorm = sum(x * x for x in query) ** 0.5 or 1.0
+    qdots = sorted(
+        ((sum(q * x for q, x in zip(query, cen)) / qnorm, c) for c, cen in centroids),
+        reverse=True,
+    )
+    probe = [c for _, c in qdots[:nprobe]]
+    bucketed = df.withColumn("_bucket", assign_ivf_bucket(vec_col, dim, num_buckets, seed))
+    return (
+        bucketed.where(F.col("_bucket").isin(probe))
+        .select(F.col(id_col), cosine_to_query(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k corpus neighbors for EACH query row (broadcast the queries).
+
+    Window rank per query after a broadcast nested-loop — right shape when
+    |queries| is small; for large query sets, bucket both sides (IVF) first.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("_q"))
+    c = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("_c"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        q_id,
+        c_id,
+        (_dot(F.col("_q"), F.col("_c")) / (_norm(F.col("_q")) * _norm(F.col("_c")))).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -52,6 +52,9 @@ def get_spark(
         # Timestamps in testdata are TIMESTAMP_NTZ-ish parquet; keep session
         # TZ fixed for deterministic date arithmetic across engines.
         "spark.sql.session.timeZone": "UTC",
+        # Parquet TIMESTAMP(NANOS) (events.ts in testdata) is unreadable by
+        # default; read as long and convert at the loader (sources.readers).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "spark.ui.enabled": "false",
     }

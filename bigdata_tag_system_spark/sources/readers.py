@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from bigdata_tag_system_spark.rules.model import Rule, load_rules
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing awkward physical types.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) — read as long (see
+    session.py nanosAsLong) and converted back to a timestamp here so all
+    downstream operators see a real timestamp column.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f_ in df.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
 def read_fact_table(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,99 @@
+"""Structured Streaming rule evaluation (the reference's roadmap item).
+
+The reference defines ``trigger_type REALTIME`` only as a spec enum
+(`docs/标准需求文档.md:62`; roadmap `docs/标签架构演进方案.md:347-351`) —
+nothing implements it (SURVEY §2.9). Here it's real: the SAME compiled
+rule predicates run over ``readStream``; late data is handled with
+watermarks; sinks go through ``foreachBatch`` so the batch upsert writers
+are reused verbatim.
+
+Scale notes: stateful aggregation state is keyed by (user, window) —
+watermark bounds state size; ``dropDuplicates`` within watermark gives
+exactly-once-per-event tagging when the source replays.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.rules.model import Rule
+from bigdata_tag_system_spark.operators.tagging import TagEngine
+
+
+def streaming_tag_assignments(
+    stream: DataFrame,
+    rules: Sequence[Rule],
+    user_col: str = "user_id",
+    event_id_col: str | None = None,
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+    as_of: _dt.date | str | None = None,
+) -> DataFrame:
+    """Apply the one-pass tag evaluation to a streaming DataFrame.
+
+    Same ``TagEngine`` (the compiled predicates are plan fragments — they
+    don't care whether the scan is batch or stream). With ``event_id_col``
+    + ``ts_col``, duplicates within the watermark are dropped.
+    """
+    if ts_col:
+        stream = stream.withWatermark(ts_col, watermark)
+        if event_id_col:
+            stream = stream.dropDuplicates([event_id_col])
+    engine = TagEngine(list(rules), user_col=user_col, as_of=as_of)
+    return engine.assignments(stream)
+
+
+def windowed_event_aggregates(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user tumbling-window aggregates with late-data watermarking.
+
+    The upstream pipeline that produces the reference's ``*_30d`` derived
+    fact columns (SURVEY §2.8: absent there, standard here).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(value_col).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            user_col,
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    batch_writer: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """writeStream → foreachBatch(batch_writer), checkpointed.
+
+    ``batch_writer(batch_df, batch_id)`` typically wraps
+    :func:`bigdata_tag_system_spark.sources.writers.jdbc_upsert` — the
+    idempotent upsert makes foreachBatch's at-least-once delivery
+    effectively exactly-once.
+    """
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_writer)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
