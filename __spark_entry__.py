@@ -1,38 +1,906 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry routes through the engine package (`bigdata_tag_system_spark`)
+— rule-compiled predicates, the one-pass tag pipeline, merge/scenario
+semantics, and the training-data-pipeline operators — each paired with an
+ANSI-SQL oracle DuckDB runs on the same parquet views.
+
+Determinism rules (SURVEY §7.3): as-of dates pinned, collected arrays
+sorted, every multi-row output fully ORDER BY'd with tiebreaks, floats
+rounded, dates/timestamps emitted as strings.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+AS_OF = "1998-08-02"          # orders/lineitem date anchor (max o_orderdate ~2001-08-01)
+EV_AS_OF = "2024-01-31"       # events anchor (events span 2024-01)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _prep(spark: SparkSession) -> None:
+    """Session prep that must not depend on who built the session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # parquet TIMESTAMP(NANOS) arrives as long under nanosAsLong
+        for f_ in df.schema.fields:
+            if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _cond(field: str, op: str, value=None, type_=None) -> dict:
+    node: dict = {"field": field, "operator": op}
+    if value is not None:
+        node["value"] = value
+    if type_:
+        node["type"] = type_
+    return node
+
+
+def _rule(*conds, logic="AND") -> dict:
+    return {"logic": logic, "conditions": list(conds)}
+
+
+def _count_rule(table: str, rule: dict, as_of: str | None = None):
+    """Query factory: filter `table` by a compiled rule, count rows."""
+    from bigdata_tag_system_spark.rules.compiler import compile_rule
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _t(spark, sf_dir, table)
+        return df.where(compile_rule(rule, as_of=as_of)).agg(F.count(F.lit(1)).alias("cnt"))
+
+    return q
+
+
+def _tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a simple space-split token array (oracle-aligned)."""
+    return _t(spark, sf_dir, "documents").withColumn("toks", F.split(F.col("text"), " "))
+
+
+_FLAGSHIP_RULES = [
+    {"rule_id": 1, "tag_id": 1, "tag_name": "big_balance", "tag_category": "asset",
+     "rule_conditions": _rule(_cond("c_acctbal", ">=", 5000, "number"))},
+    {"rule_id": 2, "tag_id": 2, "tag_name": "builder", "tag_category": "segment",
+     "rule_conditions": _rule(_cond("c_mktsegment", "=", "BUILDING", "string"))},
+    {"rule_id": 3, "tag_id": 3, "tag_name": "nested", "tag_category": "composite",
+     "rule_conditions": _rule(
+         _rule(_cond("c_acctbal", "in_range", [0, 3000], "number"),
+               _cond("c_nationkey", "in", [1, 2, 3], "number"), logic="OR"),
+         _cond("c_name", "ends_with", "5", "string"))},
+]
+
+_FLAGSHIP_ORACLE_TAGS = (
+    "list_filter(["
+    "CASE WHEN c_acctbal >= 5000 THEN 1 END, "
+    "CASE WHEN c_mktsegment = 'BUILDING' THEN 2 END, "
+    "CASE WHEN ((c_acctbal BETWEEN 0 AND 3000) OR c_nationkey IN (1,2,3)) "
+    "AND c_name LIKE '%5' THEN 3 END"
+    "], x -> x IS NOT NULL)"
+)
+
+
+def _flagship_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_tag_system_spark.operators.tagging import TagEngine
+    from bigdata_tag_system_spark.rules.model import load_rules
+
+    facts = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
+    eng = TagEngine(load_rules(_FLAGSHIP_RULES), as_of=AS_OF, run_ts=f"{AS_OF}T00:00:00")
+    prof = eng.profiles(facts, computed_date=AS_OF, with_details=False)
+    return prof.select(
+        "user_id",
+        F.to_json("tag_ids").alias("tag_ids"),
+        F.col("computed_date").cast("string").alias("computed_date"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# entry (driver smoke check @ sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: one-pass multi-tag profile build over customer."""
+    return _flagship_profiles(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from bigdata_tag_system_spark.operators import dedup as D
+    from bigdata_tag_system_spark.operators import features as FE
+    from bigdata_tag_system_spark.operators import similarity as S
+    from bigdata_tag_system_spark.operators import text as T
+    from bigdata_tag_system_spark.operators.merge import merge_profiles
+    from bigdata_tag_system_spark.operators.tagging import TagEngine
+    from bigdata_tag_system_spark.plans.scenarios import ScenarioRunner
+    from bigdata_tag_system_spark.rules.compiler import compile_rule
+    from bigdata_tag_system_spark.rules.model import load_rules
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+    # ---- rule-compiled predicates (SURVEY §2.2 P1-P19 + array ops) ----
+    q["rule_cmp_number"] = _count_rule("lineitem", _rule(_cond("l_quantity", ">=", 30, "number")))
+    q["rule_cmp_string"] = _count_rule("customer", _rule(_cond("c_mktsegment", "=", "BUILDING", "string")))
+    q["rule_neq"] = _count_rule("lineitem", _rule(_cond("l_returnflag", "!=", "R", "string")))
+    q["rule_in_range"] = _count_rule("part", _rule(_cond("p_retailprice", "in_range", [900, 1100], "number")))
+    q["rule_not_in_range"] = _count_rule("part", _rule(_cond("p_retailprice", "not_in_range", [900, 1100], "number")))
+    q["rule_in_list"] = _count_rule("orders", _rule(_cond("o_orderpriority", "in", ["1-URGENT", "2-HIGH"], "string")))
+    q["rule_not_in"] = _count_rule("orders", _rule(_cond("o_orderpriority", "not_in", ["1-URGENT", "2-HIGH"], "string")))
+    q["rule_contains"] = _count_rule("part", _rule(_cond("p_name", "contains", "red", "string")))
+    q["rule_not_contains"] = _count_rule("part", _rule(_cond("p_name", "not_contains", "red", "string")))
+    q["rule_starts_with"] = _count_rule("part", _rule(_cond("p_name", "starts_with", "small", "string")))
+    q["rule_ends_with"] = _count_rule("customer", _rule(_cond("c_name", "ends_with", "5", "string")))
+    q["rule_recent_days"] = _count_rule("orders", _rule(_cond("o_orderdate", "recent_days", 30, "date")), as_of=AS_OF)
+    q["rule_days_ago"] = _count_rule("orders", _rule(_cond("o_orderdate", "days_ago", 365, "date")), as_of=AS_OF)
+    q["rule_days_ago_between"] = _count_rule(
+        "orders", _rule(_cond("o_orderdate", "days_ago_between", [30, 365], "date")), as_of=AS_OF)
+    q["rule_date_between"] = _count_rule(
+        "orders", _rule(_cond("o_orderdate", "date_between", ["1996-01-01", "1996-12-31"], "date")))
+    q["rule_and"] = _count_rule("lineitem", _rule(
+        _cond("l_quantity", ">", 45, "number"), _cond("l_discount", ">=", 0.05, "number")))
+    q["rule_or"] = _count_rule("lineitem", _rule(
+        _cond("l_quantity", ">", 45, "number"), _cond("l_discount", ">=", 0.05, "number"), logic="OR"))
+    q["rule_not_group"] = _count_rule("lineitem", _rule(
+        _cond("l_returnflag", "=", "R", "string"), _cond("l_linestatus", "=", "F", "string"), logic="NOT"))
+    q["rule_nested_groups"] = _count_rule("customer", _rule(
+        _cond("c_mktsegment", "=", "BUILDING", "string"),
+        _rule(_cond("c_acctbal", ">=", 5000, "number"),
+              _cond("c_nationkey", "=", 3, "number"), logic="OR")))
+    q["rule_empty_select_all"] = _count_rule("nation", {})
+
+    def rule_is_null(spark, sf_dir):
+        df = _t(spark, sf_dir, "orders").withColumn(
+            "maybe", F.expr("nullif(o_orderstatus, 'F')"))
+        both = df.agg(
+            F.count(F.when(compile_rule(_rule(_cond("maybe", "is_null"))), 1)).alias("null_cnt"),
+            F.count(F.when(compile_rule(_rule(_cond("maybe", "is_not_null"))), 1)).alias("not_null_cnt"),
+        )
+        return both
+
+    q["rule_is_null"] = rule_is_null
+
+    def _tok_rule(rule):
+        def fn(spark, sf_dir):
+            return _tokens_docs(spark, sf_dir).where(
+                compile_rule(rule)).agg(F.count(F.lit(1)).alias("cnt"))
+        return fn
+
+    q["rule_array_contains"] = _tok_rule(_rule(_cond("toks", "array_contains", "data", "string")))
+    q["rule_contains_any"] = _tok_rule(_rule(_cond("toks", "contains_any", ["data", "query"], "string")))
+    q["rule_contains_all"] = _tok_rule(_rule(_cond("toks", "contains_all", ["data", "query"], "string")))
+    q["rule_disjoint"] = _tok_rule(_rule(_cond("toks", "disjoint", ["data", "query"], "string")))
+
+    # rows-only: sampling is engine-specific (seeded, not portable)
+    def rule_sample(spark, sf_dir):
+        return _t(spark, sf_dir, "customer").sample(fraction=0.3, seed=42) \
+            .select("c_custkey").orderBy("c_custkey")
+
+    q["sample_seeded"] = rule_sample
+
+    # ---- tag pipeline (flagship + merge + scenarios) ----
+    q["tag_profiles"] = _flagship_profiles
+
+    def tag_assignments(spark, sf_dir):
+        facts = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
+        eng = TagEngine(load_rules(_FLAGSHIP_RULES), as_of=AS_OF, run_ts=f"{AS_OF}T00:00:00")
+        return eng.assignments(facts).select("user_id", "tag_id").orderBy("user_id", "tag_id")
+
+    q["tag_assignments"] = tag_assignments
+
+    def tag_merge_union(spark, sf_dir):
+        facts = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
+        eng = TagEngine(load_rules(_FLAGSHIP_RULES), as_of=AS_OF, run_ts=f"{AS_OF}T00:00:00")
+        new = eng.profiles(facts, computed_date=AS_OF, with_details=False)
+        existing = facts.where(F.col("user_id") < 50).select(
+            "user_id", F.array(F.lit(99)).alias("tag_ids"))
+        merged = merge_profiles(new, existing, "union")
+        return merged.select(
+            "user_id", F.to_json("tag_ids").alias("tag_ids")).orderBy("user_id")
+
+    q["tag_merge_union"] = tag_merge_union
+
+    def scenario_incremental(spark, sf_dir):
+        facts = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
+        existing = facts.where(F.col("user_id") < 100).select(
+            "user_id", F.array(F.lit(99)).alias("tag_ids"))
+        runner = ScenarioRunner(load_rules(_FLAGSHIP_RULES), as_of=AS_OF, run_ts=f"{AS_OF}T00:00:00")
+        out = runner.run(2, facts, existing=existing, computed_date=AS_OF)
+        return out.select("user_id", F.to_json("tag_ids").alias("tag_ids")).orderBy("user_id")
+
+    q["scenario_incremental"] = scenario_incremental
+
+    # ---- scans / joins (SURVEY §2.1, §2.3) ----
+    q["scan_count"] = lambda spark, sf_dir: _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+    def join_left_enrich(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+            .select("c_custkey", "n_name").orderBy("c_custkey").limit(100)
+        )
+
+    q["join_left_enrich"] = join_left_enrich
+
+    def join_left_orders(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey, "left")
+            .select("o_orderkey", "c_name").orderBy("o_orderkey").limit(100)
+        )
+
+    q["join_left_orders"] = join_left_orders
+
+    def join_anti(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+            F.count(F.lit(1)).alias("cnt"))
+
+    q["join_anti"] = join_anti
+
+    def join_semi(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+            F.count(F.lit(1)).alias("cnt"))
+
+    q["join_semi"] = join_semi
+
+    def join_inner_count(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        return c.join(o, c.c_custkey == o.o_custkey).agg(F.count(F.lit(1)).alias("cnt"))
+
+    q["join_inner_count"] = join_inner_count
+
+    def join_full_outer(spark, sf_dir):
+        big = _t(spark, sf_dir, "orders").where("o_totalprice > 400000") \
+            .select("o_custkey").distinct()
+        seg = _t(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'") \
+            .select("c_custkey")
+        j = big.join(seg, big.o_custkey == seg.c_custkey, "full_outer")
+        return j.select(
+            F.coalesce("o_custkey", "c_custkey").alias("k"),
+            F.col("o_custkey").isNotNull().alias("has_big"),
+            F.col("c_custkey").isNotNull().alias("is_building"),
+        ).orderBy("k")
+
+    q["join_full_outer"] = join_full_outer
+
+    # ---- aggregations (SURVEY §2.4) ----
+    def agg_collect_list(spark, sf_dir):
+        return (
+            _t(spark, sf_dir, "orders").groupBy("o_custkey")
+            .agg(F.to_json(F.array_sort(F.collect_list("o_orderkey"))).alias("orderkeys"))
+            .orderBy("o_custkey").limit(100)
+        )
+
+    q["agg_collect_list"] = agg_collect_list
+
+    def agg_collect_struct(spark, sf_dir):
+        return (
+            _t(spark, sf_dir, "orders").groupBy("o_custkey")
+            .agg(F.to_json(F.array_sort(F.collect_list(
+                F.struct(F.col("o_orderkey").alias("ok"),
+                         F.col("o_orderpriority").alias("op"))))).alias("orders_js"))
+            .orderBy("o_custkey").limit(100)
+        )
+
+    q["agg_collect_struct"] = agg_collect_struct
+
+    def agg_having(spark, sf_dir):
+        return (
+            _t(spark, sf_dir, "orders").groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("cnt")).where("cnt > 1")
+            .orderBy("o_custkey").limit(100)
+        )
+
+    q["agg_having"] = agg_having
+
+    q["agg_count_distinct"] = lambda spark, sf_dir: _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("cnt"))
+
+    q["agg_distinct_sorted"] = lambda spark, sf_dir: _t(spark, sf_dir, "customer") \
+        .select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+    def agg_stats(spark, sf_dir):
+        per = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        return per.agg(
+            F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+            F.max("cnt").alias("max_cnt"),
+            F.min("cnt").alias("min_cnt"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+
+    q["agg_stats"] = agg_stats
+
+    # ---- dedup / set ops (SURVEY §2.5) ----
+    def union_all_count(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        a = o.where("o_orderpriority = '1-URGENT'").select("o_orderkey")
+        b = o.where("o_totalprice > 300000").select("o_orderkey")
+        return a.unionByName(b).agg(F.count(F.lit(1)).alias("cnt"))
+
+    q["union_all_count"] = union_all_count
+
+    def dedup_pairs_distinct(spark, sf_dir):
+        return _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey") \
+            .distinct().agg(F.count(F.lit(1)).alias("cnt"))
+
+    q["dedup_pairs_distinct"] = dedup_pairs_distinct
+
+    def array_funcs_literal(spark, sf_dir):
+        return spark.range(1).select(
+            F.to_json(F.array_sort(F.array_distinct(
+                F.concat(F.array(F.lit(3), F.lit(1)), F.array(F.lit(2), F.lit(1)))
+            ))).alias("arr"))
+
+    q["array_funcs_literal"] = array_funcs_literal
+
+    def setop_intersect(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+        c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+        return o.intersect(c).agg(F.count(F.lit(1)).alias("cnt"))
+
+    q["setop_intersect"] = setop_intersect
+
+    def setop_except(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+        o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+        return c.exceptAll(o.distinct()).agg(F.count(F.lit(1)).alias("cnt"))
+
+    q["setop_except"] = setop_except
+
+    # ---- scalar functions (SURVEY §2.6) ----
+    def func_case_sum(spark, sf_dir):
+        return _t(spark, sf_dir, "lineitem").agg(
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("flagged"))
+
+    q["func_case_sum"] = func_case_sum
+
+    def func_json_roundtrip(spark, sf_dir):
+        return spark.range(1).select(
+            F.aggregate(F.from_json(F.lit("[1,2,3]"), "array<int>"),
+                        F.lit(0), lambda acc, x: acc + x).cast("long").alias("total"))
+
+    q["func_json_roundtrip"] = func_json_roundtrip
+
+    def func_map_json(spark, sf_dir):
+        return spark.range(1).select(
+            F.to_json(F.map_from_entries(F.array(
+                F.struct(F.lit("a").alias("k"), F.lit(1).alias("v"))))).alias("m"))
+
+    q["func_map_json"] = func_map_json
+
+    def func_coalesce_size(spark, sf_dir):
+        return spark.range(1).select(
+            F.coalesce(F.lit(None), F.lit(7)).alias("c"),
+            F.size(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("n"))
+
+    q["func_coalesce_size"] = func_coalesce_size
+
+    def func_date_arith(spark, sf_dir):
+        return spark.range(1).select(
+            F.date_sub(F.to_date(F.lit(AS_OF)), 7).cast("string").alias("d"))
+
+    q["func_date_arith"] = func_date_arith
+
+    def func_explode_count(spark, sf_dir):
+        return spark.range(1).select(
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("x")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    q["func_explode_count"] = func_explode_count
+
+    # ---- sorts / windows (SURVEY §2.7, §2.8) ----
+    def sort_topk(spark, sf_dir):
+        return (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(10)
+        )
+
+    q["sort_topk"] = sort_topk
+
+    def window_row_number(spark, sf_dir):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return (
+            _t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+            .orderBy("o_custkey", "rn").limit(100)
+        )
+
+    q["window_row_number"] = window_row_number
+
+    def window_lag(spark, sf_dir):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return (
+            _t(spark, sf_dir, "orders")
+            .select(
+                "o_custkey", "o_orderkey",
+                F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"))
+            .orderBy("o_custkey", "o_orderkey").limit(100)
+        )
+
+    q["window_lag"] = window_lag
+
+    # ---- events: derived features (SURVEY §2.8/§2.9 batch analogue) ----
+    def events_daily_rollup(spark, sf_dir):
+        out = FE.daily_rollup(_t(spark, sf_dir, "events"))
+        return out.select(
+            F.col("day").cast("string").alias("day"), "event_type", "event_count",
+            F.round("value_sum", 2).alias("value_sum")).orderBy("day", "event_type")
+
+    q["events_daily_rollup"] = events_daily_rollup
+
+    def events_recent_features(spark, sf_dir):
+        out = FE.recent_window_features(
+            _t(spark, sf_dir, "events"), as_of=f"{EV_AS_OF} 00:00:00", days=14)
+        return out.select(
+            "user_id", "event_count_14d", F.round("value_sum_14d", 2).alias("value_sum_14d"),
+            F.col("last_event_ts").cast("string").alias("last_event_ts"),
+            "distinct_event_types").orderBy("user_id")
+
+    q["events_recent_features"] = events_recent_features
+
+    def events_latest_per_user(spark, sf_dir):
+        out = FE.latest_event_per_user(_t(spark, sf_dir, "events"))
+        return out.select("user_id", "event_id", "event_type").orderBy("user_id").limit(200)
+
+    q["events_latest_per_user"] = events_latest_per_user
+
+    def events_sessionize(spark, sf_dir):
+        out = FE.sessionize(_t(spark, sf_dir, "events"), gap_minutes=60)
+        return out.groupBy("user_id").agg(F.max("session_id").alias("n_sessions")) \
+            .orderBy("user_id")
+
+    q["events_sessionize"] = events_sessionize
+
+    # ---- text analysis ----
+    def text_token_stats(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            T.token_count("text").alias("n_tokens"),
+            F.length("text").alias("text_len"),
+        ).orderBy("doc_id").limit(300)
+
+    q["text_token_stats"] = text_token_stats
+
+    def text_fingerprint(spark, sf_dir):
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id", T.fingerprint("text").alias("fp")).orderBy("doc_id").limit(300)
+
+    q["text_fingerprint"] = text_fingerprint
+
+    def text_quality(spark, sf_dir):
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id", F.round(T.quality_score("text"), 4).alias("quality")
+        ).orderBy("doc_id").limit(300)
+
+    q["text_quality"] = text_quality
+
+    def text_langid(spark, sf_dir):
+        # heuristic engine-specific scorer → rows-only check
+        return _t(spark, sf_dir, "documents").groupBy(
+            T.detect_language("text").alias("detected_lang")
+        ).agg(F.count(F.lit(1)).alias("cnt")).orderBy("detected_lang")
+
+    q["text_langid"] = text_langid
+
+    # ---- dedup operators ----
+    def dedup_exact_groups(spark, sf_dir):
+        out = D.exact_dup_groups(_t(spark, sf_dir, "documents"))
+        return out.select(
+            "digest", F.to_json("ids").alias("ids"), "dup_count").orderBy("digest")
+
+    q["dedup_exact_groups"] = dedup_exact_groups
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        out = D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+        return out.select(
+            "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).orderBy("id_a", "id_b")
+
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_minhash_lsh(spark, sf_dir):
+        # LSH prunes candidates; exact-Jaccard verification means output ==
+        # exact pairs whenever recall holds (validated in tests) → same oracle
+        out = D.minhash_dedup(_t(spark, sf_dir, "documents"),
+                              threshold=0.5, num_hashes=64, bands=16)
+        return out.select(
+            "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).orderBy("id_a", "id_b")
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf_dir):
+        # hash-function-specific sketch → rows-only check
+        out = D.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+        return out.orderBy("id_a", "id_b")
+
+    q["dedup_simhash"] = dedup_simhash
+
+    def dedup_cosine_pairs(spark, sf_dir):
+        out = D.cosine_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                                 threshold=0.3, brute_force=True)
+        return out.select(
+            "id_a", "id_b", F.round("cosine", 4).alias("cosine")).orderBy("id_a", "id_b")
+
+    q["dedup_cosine_pairs"] = dedup_cosine_pairs
+
+    # ---- similarity search ----
+    def sim_cosine_topk(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+        out = S.cosine_topk(emb, qv, k=10)
+        return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+    q["sim_cosine_topk"] = sim_cosine_topk
+
+    def sim_knn_join(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = emb.where("vec_id IN (1, 2, 3)").selectExpr(
+            "vec_id as q_id", "embedding as q_vec")
+        out = S.knn_join(queries_df, emb, k=3)
+        return out.select(
+            "q_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+        ).orderBy("q_id", "rank")
+
+    q["sim_knn_join"] = sim_knn_join
+
+    def sim_ivf_topk(spark, sf_dir):
+        # approximate (nprobe < buckets) → rows-only check
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+        out = S.ivf_topk(emb, qv, k=10, num_buckets=8, nprobe=4)
+        return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+    q["sim_ivf_topk"] = sim_ivf_topk
+
+    # ---- multimodal plumbing (payload digest/size via mapInPandas) ----
+    def mm_media_features(spark, sf_dir):
+        from bigdata_tag_system_spark.operators.multimodal import extract_features
+
+        media = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("modality"),
+            F.encode("text", "utf-8").alias("payload"),
+            F.lit("image/fake").alias("mime_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        )
+        out = extract_features(media)
+        return out.select("media_id", "payload_bytes", "payload_digest") \
+            .orderBy("media_id").limit(300)
+
+    q["mm_media_features"] = mm_media_features
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB, over pre-registered views)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["rule_cmp_number"] = "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity >= 30"
+    o["rule_cmp_string"] = "SELECT count(*) AS cnt FROM customer WHERE c_mktsegment = 'BUILDING'"
+    o["rule_neq"] = "SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag != 'R'"
+    o["rule_in_range"] = "SELECT count(*) AS cnt FROM part WHERE p_retailprice BETWEEN 900 AND 1100"
+    o["rule_not_in_range"] = "SELECT count(*) AS cnt FROM part WHERE p_retailprice NOT BETWEEN 900 AND 1100"
+    o["rule_in_list"] = "SELECT count(*) AS cnt FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')"
+    o["rule_not_in"] = "SELECT count(*) AS cnt FROM orders WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')"
+    o["rule_contains"] = "SELECT count(*) AS cnt FROM part WHERE p_name LIKE '%red%'"
+    o["rule_not_contains"] = "SELECT count(*) AS cnt FROM part WHERE p_name NOT LIKE '%red%'"
+    o["rule_starts_with"] = "SELECT count(*) AS cnt FROM part WHERE p_name LIKE 'small%'"
+    o["rule_ends_with"] = "SELECT count(*) AS cnt FROM customer WHERE c_name LIKE '%5'"
+    o["rule_recent_days"] = (
+        f"SELECT count(*) AS cnt FROM orders WHERE o_orderdate >= DATE '{AS_OF}' - INTERVAL 30 DAY")
+    o["rule_days_ago"] = (
+        f"SELECT count(*) AS cnt FROM orders WHERE o_orderdate <= DATE '{AS_OF}' - INTERVAL 365 DAY")
+    o["rule_days_ago_between"] = (
+        f"SELECT count(*) AS cnt FROM orders WHERE o_orderdate BETWEEN "
+        f"DATE '{AS_OF}' - INTERVAL 365 DAY AND DATE '{AS_OF}' - INTERVAL 30 DAY")
+    o["rule_date_between"] = (
+        "SELECT count(*) AS cnt FROM orders WHERE o_orderdate BETWEEN "
+        "DATE '1996-01-01' AND DATE '1996-12-31'")
+    o["rule_and"] = "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05"
+    o["rule_or"] = "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 45 OR l_discount >= 0.05"
+    o["rule_not_group"] = (
+        "SELECT count(*) AS cnt FROM lineitem WHERE NOT (l_returnflag = 'R' AND l_linestatus = 'F')")
+    o["rule_nested_groups"] = (
+        "SELECT count(*) AS cnt FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "AND (c_acctbal >= 5000 OR c_nationkey = 3)")
+    o["rule_empty_select_all"] = "SELECT count(*) AS cnt FROM nation WHERE 1=1"
+    o["rule_is_null"] = (
+        "SELECT count(*) FILTER (WHERE nullif(o_orderstatus,'F') IS NULL) AS null_cnt, "
+        "count(*) FILTER (WHERE nullif(o_orderstatus,'F') IS NOT NULL) AS not_null_cnt FROM orders")
+    o["rule_array_contains"] = (
+        "SELECT count(*) AS cnt FROM documents WHERE list_contains(string_split(text, ' '), 'data')")
+    o["rule_contains_any"] = (
+        "SELECT count(*) AS cnt FROM documents WHERE "
+        "list_has_any(string_split(text, ' '), ['data','query'])")
+    o["rule_contains_all"] = (
+        "SELECT count(*) AS cnt FROM documents WHERE "
+        "list_has_all(string_split(text, ' '), ['data','query'])")
+    o["rule_disjoint"] = (
+        "SELECT count(*) AS cnt FROM documents WHERE NOT "
+        "list_has_any(string_split(text, ' '), ['data','query'])")
+
+    o["tag_profiles"] = f"""
+        SELECT c_custkey AS user_id,
+               to_json(list_sort({_FLAGSHIP_ORACLE_TAGS})) AS tag_ids,
+               '{AS_OF}' AS computed_date
+        FROM customer
+        WHERE len({_FLAGSHIP_ORACLE_TAGS}) > 0
+        ORDER BY user_id
     """
-    return {}
+    o["tag_assignments"] = f"""
+        SELECT c_custkey AS user_id, unnest(list_sort({_FLAGSHIP_ORACLE_TAGS})) AS tag_id
+        FROM customer
+        ORDER BY user_id, tag_id
+    """
+    o["tag_merge_union"] = f"""
+        WITH newp AS (
+            SELECT c_custkey AS user_id, {_FLAGSHIP_ORACLE_TAGS} AS tags
+            FROM customer
+            WHERE len({_FLAGSHIP_ORACLE_TAGS}) > 0
+        )
+        SELECT n.user_id,
+               to_json(list_sort(list_distinct(n.tags ||
+                   CASE WHEN n.user_id < 50 THEN [99] ELSE [] END))) AS tag_ids
+        FROM newp n
+        ORDER BY n.user_id
+    """
+    o["scenario_incremental"] = f"""
+        SELECT c_custkey AS user_id, to_json(list_sort({_FLAGSHIP_ORACLE_TAGS})) AS tag_ids
+        FROM customer
+        WHERE c_custkey >= 100 AND len({_FLAGSHIP_ORACLE_TAGS}) > 0
+        ORDER BY user_id
+    """
+
+    o["scan_count"] = "SELECT count(*) AS cnt FROM lineitem"
+    o["join_left_enrich"] = (
+        "SELECT c_custkey, n_name FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey "
+        "ORDER BY c_custkey LIMIT 100")
+    o["join_left_orders"] = (
+        "SELECT o_orderkey, c_name FROM orders LEFT JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_orderkey LIMIT 100")
+    o["join_anti"] = (
+        "SELECT count(*) AS cnt FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)")
+    o["join_semi"] = (
+        "SELECT count(*) AS cnt FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)")
+    o["join_inner_count"] = (
+        "SELECT count(*) AS cnt FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey")
+    o["join_full_outer"] = """
+        WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000),
+             seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        SELECT coalesce(o_custkey, c_custkey) AS k,
+               o_custkey IS NOT NULL AS has_big,
+               c_custkey IS NOT NULL AS is_building
+        FROM big FULL OUTER JOIN seg ON o_custkey = c_custkey
+        ORDER BY k
+    """
+
+    o["agg_collect_list"] = (
+        "SELECT o_custkey, to_json(list_sort(list(o_orderkey))) AS orderkeys "
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100")
+    o["agg_collect_struct"] = (
+        "SELECT o_custkey, to_json(list_sort(list({'ok': o_orderkey, 'op': o_orderpriority}))) "
+        "AS orders_js FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100")
+    o["agg_having"] = (
+        "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey "
+        "HAVING count(*) > 1 ORDER BY o_custkey LIMIT 100")
+    o["agg_count_distinct"] = "SELECT count(DISTINCT o_custkey) AS cnt FROM orders"
+    o["agg_distinct_sorted"] = (
+        "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")
+    o["agg_stats"] = """
+        SELECT round(avg(cnt), 4) AS avg_cnt, max(cnt) AS max_cnt,
+               min(cnt) AS min_cnt, sum(cnt)::BIGINT AS sum_cnt
+        FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) t
+    """
+
+    o["union_all_count"] = """
+        SELECT count(*) AS cnt FROM (
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 300000) t
+    """
+    o["dedup_pairs_distinct"] = (
+        "SELECT count(*) AS cnt FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) t")
+    o["array_funcs_literal"] = "SELECT to_json(list_sort(list_distinct([3,1] || [2,1]))) AS arr"
+    o["setop_intersect"] = (
+        "SELECT count(*) AS cnt FROM "
+        "(SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey FROM customer) t")
+    o["setop_except"] = (
+        "SELECT count(*) AS cnt FROM "
+        "(SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders) t")
+
+    o["func_case_sum"] = (
+        "SELECT sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT AS flagged FROM lineitem")
+    o["func_json_roundtrip"] = "SELECT list_sum([1,2,3])::BIGINT AS total"
+    o["func_map_json"] = "SELECT to_json(map {'a': 1}) AS m"
+    o["func_coalesce_size"] = "SELECT coalesce(NULL, 7) AS c, len([1,2,3]) AS n"
+    o["func_date_arith"] = f"SELECT (DATE '{AS_OF}' - INTERVAL 7 DAY)::DATE::VARCHAR AS d"
+    o["func_explode_count"] = "SELECT count(*) AS cnt FROM (SELECT unnest([1,2,3])) t"
+
+    o["sort_topk"] = (
+        "SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")
+    o["window_row_number"] = """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders ORDER BY o_custkey, rn LIMIT 100
+    """
+    o["window_lag"] = """
+        SELECT o_custkey, o_orderkey, round(prev, 2) AS prev_price FROM (
+            SELECT o_custkey, o_orderkey,
+                   lag(o_totalprice) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+            FROM orders) t
+        ORDER BY o_custkey, o_orderkey LIMIT 100
+    """
+
+    o["events_daily_rollup"] = """
+        SELECT date_trunc('day', ts)::TIMESTAMP::VARCHAR AS day, event_type,
+               count(*) AS event_count, round(sum(value), 2) AS value_sum
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """
+    o["events_recent_features"] = f"""
+        SELECT user_id, count(*) AS event_count_14d,
+               round(sum(value), 2) AS value_sum_14d,
+               max(ts)::VARCHAR AS last_event_ts,
+               count(DISTINCT event_type) AS distinct_event_types
+        FROM events
+        WHERE ts >= DATE '{EV_AS_OF}' - INTERVAL 14 DAY
+          AND ts <= TIMESTAMP '{EV_AS_OF} 00:00:00'
+        GROUP BY user_id ORDER BY user_id
+    """
+    o["events_latest_per_user"] = """
+        SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+        WHERE rn = 1 ORDER BY user_id LIMIT 200
+    """
+    o["events_sessionize"] = """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, sum(new_s)::BIGINT AS n_sessions FROM g GROUP BY user_id ORDER BY user_id
+    """
+
+    _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    o["text_token_stats"] = f"""
+        SELECT doc_id,
+               CASE WHEN {_NORM} = '' THEN 0
+                    ELSE len(string_split({_NORM}, ' ')) END AS n_tokens,
+               length(text) AS text_len
+        FROM documents ORDER BY doc_id LIMIT 300
+    """
+    o["text_fingerprint"] = f"""
+        SELECT doc_id, md5({_NORM}) AS fp FROM documents ORDER BY doc_id LIMIT 300
+    """
+    o["text_quality"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_NORM} AS nt,
+                   string_split({_NORM}, ' ') AS toks
+            FROM documents
+        )
+        SELECT doc_id, round(
+            0.4 * least(len(toks) / 100.0, 1.0)
+          + 0.3 * (CASE WHEN len(toks) > 0
+                        THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0 END)
+          + 0.3 * (CASE WHEN length(nt) > 0
+                        THEN length(regexp_replace(nt, '[^a-z]', '', 'g')) * 1.0 / length(nt)
+                        ELSE 0 END), 4) AS quality
+        FROM t ORDER BY doc_id LIMIT 300
+    """
+
+    o["dedup_exact_groups"] = f"""
+        SELECT md5({_NORM}) AS digest,
+               to_json(list_sort(list(doc_id))) AS ids,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY digest
+    """
+
+    _SHINGLE_CTE = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM sh
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        ORDER BY id_a, id_b
+    """
+    o["dedup_ngram_jaccard"] = _SHINGLE_CTE
+    # minhash-LSH verifies candidates with exact Jaccard → same result set
+    o["dedup_minhash_lsh"] = _SHINGLE_CTE
+
+    o["dedup_cosine_pairs"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        ORDER BY id_a, id_b
+    """
+    o["sim_cosine_topk"] = """
+        SELECT b.vec_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                   AS cosine
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id = 0
+        ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                 b.vec_id
+        LIMIT 10
+    """
+    o["sim_knn_join"] = """
+        SELECT q_id, vec_id, round(cos, 4) AS cosine, rank FROM (
+            SELECT q.vec_id AS q_id, c.vec_id,
+                   list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                       c.embedding::DOUBLE[]) DESC,
+                                c.vec_id) AS rank
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id IN (1, 2, 3)) t
+        WHERE rank <= 3 ORDER BY q_id, rank
+    """
+
+    o["mm_media_features"] = """
+        SELECT doc_id AS media_id, octet_length(text::BLOB) AS payload_bytes,
+               md5(text) AS payload_digest
+        FROM documents ORDER BY media_id LIMIT 300
+    """
+
+    return o

@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each headline query is executed via its `__spark_entry__.queries()` entry
+(same code path the correctness gate checks) and timed wall-clock including
+the collect. Session startup is excluded; a warmup action primes the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import __spark_entry__ as entry
+    from bigdata_tag_system_spark import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry.queries()
+    headline = [
+        "tag_profiles",            # flagship: one-pass multi-tag profile build
+        "scenario_incremental",    # anti-join + tag + merge pipeline
+        "join_inner_count",        # shuffle join
+        "agg_collect_list",        # per-key array build
+        "agg_stats",               # two-level aggregation
+        "window_row_number",       # window function
+        "events_daily_rollup",     # events rollup (ns-timestamp path)
+        "events_sessionize",       # lag + cumulative window
+        "text_token_stats",        # text expressions
+        "dedup_exact_groups",      # digest groupBy
+        "dedup_minhash_lsh",       # minhash + LSH + verify
+        "dedup_ngram_jaccard",     # exact shingle-join Jaccard
+        "sim_cosine_topk",         # brute-force ANN baseline
+        "mm_media_features",       # Arrow mapInPandas plumbing
+    ]
+
+    # warmup: prime JVM/codegen on a small action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

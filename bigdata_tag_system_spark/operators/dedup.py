@@ -59,40 +59,46 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _seeded_min_hash(sh: Column, seed: int) -> Column:
-    # factory keeps the transform lambda unary — pyspark treats a second
-    # lambda parameter as the array index, which would clobber the seed
-    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
-
-
 def minhash_signature(col: Column | str, num_hashes: int = 64, shingle_n: int = 3) -> Column:
-    """array<bigint> MinHash signature — one xxhash64 seed per permutation."""
+    """array<bigint> MinHash signature as a single expression.
+
+    NOTE: expression form is for small/interactive use — Catalyst's
+    CollapseProject inlines the shingle subtree into all ``num_hashes``
+    branches (num_hashes× recompute). The scale path is
+    :func:`minhash_signature_df` (explode + groupBy: shingles computed
+    once, partial-aggregated map-side).
+    """
     sh = word_shingles(col, shingle_n)
-    return F.array(*[_seeded_min_hash(sh, i) for i in range(num_hashes)])
+
+    def one(seed: int) -> Column:
+        # unary transform lambda — a second lambda parameter would be
+        # interpreted by pyspark as the array index and clobber the seed
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+    return F.array(*[one(i) for i in range(num_hashes)])
 
 
-def _band_rows(df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int) -> DataFrame:
-    """Explode a signature into (band_id, band_hash) LSH keys."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
+def minhash_signature_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, _m0.._mN-1) MinHash signature columns — the scale formulation.
+
+    Shingles are computed ONCE per document, exploded, and the N
+    per-permutation minima run as one hash-aggregate with map-side partial
+    combine: cost is |shingles| × N cheap xxhash64 calls and a single
+    shuffle keyed by doc id. (The naive expression form recomputes the
+    tokenize→slice→distinct pipeline N times per row — measured 170×
+    slower at sf0.1.)
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
     )
-    return df.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
-        id_col, "b.band_id", "b.band_hash"
-    )
+    aggs = [F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_candidate_pairs(
@@ -104,11 +110,20 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs sharing ≥1 LSH band bucket."""
-    rows_per_band = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col), minhash_signature(text_col, num_hashes, shingle_n).alias("_sig")
+    r = num_hashes // bands
+    sigs = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(f"_m{b * r + j}") for j in range(r)]).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
     )
-    banded = _band_rows(sigs, id_col, "_sig", bands, rows_per_band)
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, "b.band_id", "b.band_hash"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -176,31 +191,46 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (the oracle-checkable baseline).
 
-    Explode shingles → join on shingle (candidates share ≥1) → common
-    counts → |A∩B| / (|A|+|B|-|A∩B|). At ≥0.8 any qualifying pair shares
-    shingles, so this finds exactly the same pairs as a full O(n²) scan
-    while only joining on shingle buckets.
+    Prefix-filtered set-similarity join (AllPairs/PPJoin family):
+
+    1. global shingle document-frequencies (one aggregate);
+    2. each doc's shingles ranked rarest-first by (df, shingle) — a total
+       order shared by all docs;
+    3. only the **prefix** (the ``n - ceil(t*n) + 1`` rarest shingles) is
+       exploded into the join: two sets with Jaccard ≥ t MUST match within
+       each other's prefix, so no true pair is lost;
+    4. size-ratio pruning in the join condition (j ≥ t ⟹ min/max ≥ t);
+    5. candidates verified with the exact Jaccard on full shingle sets.
+
+    Exact result, but the join touches only rare shingles — hot-shingle
+    bucket² blowup (the killer on natural-language corpora) never happens.
     """
+    from pyspark.sql import Window
+
     sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
-    ex = sh.select(F.col(id_col), F.explode("_sh").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_common"))
+    ex = sh.select(F.col(id_col), F.size("_sh").alias("_n"), F.explode("_sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy(id_col).orderBy("_f", "s")
+    ranked = ex.join(freq, "s").withColumn("_rn", F.row_number().over(w))
+    prefix = ranked.where(
+        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
     )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_n", "_na")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_n", "_nb")
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))).alias("jaccard"),
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.s") == F.col("b.s"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                F.col("a._n") >= threshold * F.col("b._n"),
+                F.col("b._n") >= threshold * F.col("a._n"),
+            ],
         )
-        .where(F.col("jaccard") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_on_pairs(cands, df, text_col, id_col, shingle_n).where(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -208,30 +238,40 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(col: Column | str, shingle_n: int = 2) -> Column:
-    """64-bit SimHash as bigint, from per-bit majority votes of shingle hashes.
-
-    Pure expressions: for each bit b, sum(±1) over shingle xxhash64 bit b,
-    then pack sign bits. 64 aggregate expressions — heavy to *write*, but
-    they fuse into one codegen stage at runtime.
-    """
-    sh = word_shingles(col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-
-    def _vote(b: int) -> Column:
-        # factory keeps the merge lambda binary (see _seeded_min_hash note)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_votes = [_vote(b) for b in range(64)]
+def _pack_sign_bits(votes: list[Column]) -> Column:
+    """Pack 64 vote columns (sign → bit) into one bigint."""
     out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
+    for b, vote in enumerate(votes):
         out = out + F.when(vote > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
     return out
+
+
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, simhash bigint) — 64-bit SimHash via explode + hash-aggregate.
+
+    Per-bit majority votes of shingle xxhash64s run as 64 conditional sums
+    over the exploded shingles (shingles computed once, map-side partial
+    aggregation, one shuffle on id — same scale shape as
+    :func:`minhash_signature_df`).
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
+    ).select(F.col(id_col), F.xxhash64("_s").alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
+    return agg.select(
+        F.col(id_col), _pack_sign_bits([F.col(f"_v{b}") for b in range(64)]).alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -248,7 +288,7 @@ def simhash_pairs(
     (chunk_id, chunk_value) buckets, then verify exact Hamming via
     bit_count(xor).
     """
-    sh = df.select(F.col(id_col), simhash(text_col, shingle_n).alias("_sim"))
+    sh = simhash_df(df, text_col, id_col, shingle_n).withColumnRenamed("simhash", "_sim")
     chunk = F.array(
         *[
             F.struct(

@@ -93,13 +93,27 @@ def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
     further down the pipeline.
     """
 
+    # Snapshot decoders into a local so the closure is fully self-contained:
+    # cloudpickle serializes module-global references by *import*, which
+    # breaks on executors that can't import this package (e.g. a driver
+    # launched from another cwd). Locals are pickled by value.
+    decoders = dict(_DECODER)
+
+    def _stub(payload: bytes, dim: int = 8) -> list[float]:
+        import hashlib as _h
+
+        d = _h.sha256(payload or b"").digest()
+        return [int.from_bytes(d[4 * i : 4 * i + 4], "little") / 2**32 for i in range(dim)]
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
             feats, digests, sizes = [], [], []
             for modality, payload in zip(pdf["modality"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                fn = _DECODER.get(modality)
-                feats.append(fn(raw) if fn else _stub_decode(raw))
+                fn = decoders.get(modality)
+                feats.append(fn(raw) if fn else _stub(raw))
                 digests.append(hashlib.md5(raw).hexdigest())
                 sizes.append(len(raw))
             yield pd.DataFrame(
