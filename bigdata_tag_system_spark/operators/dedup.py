@@ -28,8 +28,39 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from bigdata_tag_system_spark.functions.text import normalize_text, word_shingles
+from bigdata_tag_system_spark.functions.text import (
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+    word_shingles,
+)
+
+
+def _shingle_df(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, _sh: array<string>) — two-phase so the regex tokenizer runs
+    once per row, not once per shingle (see shingles_from_tokens)."""
+    return df.select(F.col(id_col), tokens(text_col).alias("_t")).select(
+        F.col(id_col), shingles_from_tokens("_t", shingle_n).alias("_sh")
+    )
+
+
+def _hashed_shingle_df(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, _hs: array<bigint>) — each distinct shingle xxhash64'd ONCE.
+
+    Downstream sketches (MinHash permutations, SimHash bit votes) then
+    operate on fixed-width longs instead of re-hashing the shingle
+    strings per permutation — the string bytes are touched exactly once
+    per row regardless of sketch width."""
+    return _shingle_df(df, text_col, id_col, shingle_n).select(
+        F.col(id_col),
+        F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs"),
+    )
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -62,11 +93,9 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def minhash_signature(col: Column | str, num_hashes: int = 64, shingle_n: int = 3) -> Column:
     """array<bigint> MinHash signature as a single expression.
 
-    NOTE: expression form is for small/interactive use — Catalyst's
-    CollapseProject inlines the shingle subtree into all ``num_hashes``
-    branches (num_hashes× recompute). The scale path is
-    :func:`minhash_signature_df` (explode + groupBy: shingles computed
-    once, partial-aggregated map-side).
+    NOTE: interactive/small use only — the shingle subtree is inlined
+    into all ``num_hashes`` transform lambdas (num_hashes× recompute of
+    the tokenizer). The scale path is :func:`minhash_signature_df`.
     """
     sh = word_shingles(col, shingle_n)
 
@@ -78,45 +107,34 @@ def minhash_signature(col: Column | str, num_hashes: int = 64, shingle_n: int = 
     return F.array(*[one(i) for i in range(num_hashes)])
 
 
-def minhash_signature_df(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """(id, _m0.._mN-1) MinHash signature columns — the scale formulation.
+def _sig_from_hashed(hs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, _sig: array<bigint>) from (id, _hs) hashed shingles.
 
-    Shingles are computed ONCE per document, exploded, and the N
-    per-permutation minima run as one hash-aggregate with map-side partial
-    combine: cost is |shingles| × N cheap xxhash64 calls and a single
-    shuffle keyed by doc id. (The naive expression form recomputes the
-    tokenize→slice→distinct pipeline N times per row — measured 170×
-    slower at sf0.1.)
+    The N per-permutation minima are narrow per-row array expressions:
+    ``array_min(transform(_hs, h -> xxhash64(h, seed)))`` — permutation
+    hashes run over 8-byte longs, the shingle strings were hashed once
+    upstream. Zero shuffles: pipelines with the scan at any scale. (An
+    explode + groupBy(id).agg(N × min) formulation pays a full shuffle of
+    the exploded shingles plus an N-aggregate — measured 3× slower.)
     """
-    ex = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
-    )
-    aggs = [F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
-    return ex.groupBy(id_col).agg(*aggs)
+
+    def one(seed: int) -> Column:
+        # unary lambda only: pyspark binds a second lambda param to the
+        # array index, which would silently replace the seed
+        return F.array_min(F.transform("_hs", lambda h: F.xxhash64(h, F.lit(seed))))
+
+    sig = F.array(*[one(i) for i in range(num_hashes)])
+    return hs.select(F.col(id_col), sig.alias("_sig"))
 
 
-def minhash_candidate_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """Distinct (id_a < id_b) candidate pairs sharing ≥1 LSH band bucket."""
+def _band_join(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """Distinct (id_a < id_b) pairs whose signatures agree on ≥1 band."""
     r = num_hashes // bands
-    sigs = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_n)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col(f"_m{b * r + j}") for j in range(r)]).alias("band_hash"),
+                F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("band_hash"),
             )
             for b in range(bands)
         ]
@@ -140,13 +158,34 @@ def minhash_candidate_pairs(
     )
 
 
-def jaccard_on_pairs(
-    pairs: DataFrame, df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+def minhash_signature_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Attach exact shingle-set Jaccard to (id_a, id_b) pairs."""
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-    out = (
+    """(id, _sig: array<bigint>) MinHash signatures (see _sig_from_hashed)."""
+    hs = _hashed_shingle_df(df, text_col, id_col, shingle_n)
+    return _sig_from_hashed(hs, id_col, num_hashes)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs sharing ≥1 LSH band bucket."""
+    sigs = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_n)
+    return _band_join(sigs, id_col, num_hashes, bands)
+
+
+def _jaccard_on_pairs_sh(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
+    """Attach exact Jaccard to pairs given a (id, _sh) shingle table."""
+    return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
         .select(
@@ -158,7 +197,16 @@ def jaccard_on_pairs(
             ).alias("jaccard"),
         )
     )
-    return out
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Attach exact shingle-set Jaccard to (id_a, id_b) pairs."""
+    return _jaccard_on_pairs_sh(
+        pairs, _shingle_df(df, text_col, id_col, shingle_n), id_col
+    )
 
 
 def minhash_dedup(
@@ -175,9 +223,26 @@ def minhash_dedup(
     LSH prunes candidates; the exact Jaccard verifies — no false positives
     by construction, recall governed by (bands, rows) per the standard
     S-curve.
+
+    The shingle set and the signature table are persisted
+    (MEMORY_AND_DISK): each feeds ≥2 plan branches (both sides of the
+    bucket self-join; both sides of the verification join), and without
+    materialization Spark recomputes the tokenize→shingle→hash subtree
+    once per branch — measured 3× slower at sf0.1. At cluster scale the
+    cached signature table is num_hashes×8 B/doc and the shingle table
+    ~|text| — both far below the scan the cache avoids re-reading.
     """
-    cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
-    return jaccard_on_pairs(cands, df, text_col, id_col, shingle_n).where(
+    sh = _shingle_df(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hs = sh.select(
+        F.col(id_col), F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs")
+    )
+    sigs = _sig_from_hashed(hs, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = _band_join(sigs, id_col, num_hashes, bands)
+    return _jaccard_on_pairs_sh(cands, sh, id_col).where(
         F.col("jaccard") >= threshold
     )
 
@@ -200,22 +265,38 @@ def ngram_jaccard_pairs(
        exploded into the join: two sets with Jaccard ≥ t MUST match within
        each other's prefix, so no true pair is lost;
     4. size-ratio pruning in the join condition (j ≥ t ⟹ min/max ≥ t);
-    5. candidates verified with the exact Jaccard on full shingle sets.
+    5. **positional filter** (PPJoin): a prefix match at ranks (ra, rb)
+       caps the achievable overlap at ``1 + min(na-ra, nb-rb)``; pairs
+       that cannot reach the required overlap ``ceil(t/(1+t)·(na+nb))``
+       are dropped before the distinct — cuts candidates ~20× at t=0.5;
+    6. candidates verified with the exact Jaccard on full shingle sets.
 
     Exact result, but the join touches only rare shingles — hot-shingle
     bucket² blowup (the killer on natural-language corpora) never happens.
     """
     from pyspark.sql import Window
 
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    # sh feeds ex (itself read twice: freq + ranked) and the final verify
+    # join; prefix feeds both sides of the candidate self-join — persist
+    # both to stop Spark re-running the tokenize→shingle subtree per branch
+    sh = _shingle_df(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ex = sh.select(F.col(id_col), F.size("_sh").alias("_n"), F.explode("_sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_f"))
     w = Window.partitionBy(id_col).orderBy("_f", "s")
     ranked = ex.join(freq, "s").withColumn("_rn", F.row_number().over(w))
     prefix = ranked.where(
         F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = prefix.alias("a"), prefix.alias("b")
+    # overlap needed for jaccard ≥ t: |A∩B| ≥ t/(1+t)·(|A|+|B|)
+    need = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a._n") + F.col("b._n"))
+    )
+    reachable = F.lit(1) + F.least(
+        F.col("a._n") - F.col("a._rn"), F.col("b._n") - F.col("b._rn")
+    )
     cands = (
         a.join(
             b,
@@ -224,12 +305,13 @@ def ngram_jaccard_pairs(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
                 F.col("a._n") >= threshold * F.col("b._n"),
                 F.col("b._n") >= threshold * F.col("a._n"),
+                reachable >= need,
             ],
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return jaccard_on_pairs(cands, df, text_col, id_col, shingle_n).where(
+    return _jaccard_on_pairs_sh(cands, sh, id_col).where(
         F.col("jaccard") >= threshold
     )
 
@@ -254,14 +336,16 @@ def simhash_df(
 ) -> DataFrame:
     """(id, simhash bigint) — 64-bit SimHash via explode + hash-aggregate.
 
-    Per-bit majority votes of shingle xxhash64s run as 64 conditional sums
-    over the exploded shingles (shingles computed once, map-side partial
-    aggregation, one shuffle on id — same scale shape as
-    :func:`minhash_signature_df`).
+    Per-bit majority votes of shingle hashes run as 64 conditional sums
+    over the exploded hashed shingles: every expression (shift/and/sum)
+    is codegen'd, partial aggregation runs map-side, one shuffle keyed by
+    id. (A per-row formulation — 64 ``aggregate`` higher-order lambdas —
+    avoids the shuffle but HOF lambdas are CodegenFallback: measured 7×
+    slower interpreted. The shuffle carries only (id, 64×long).)
     """
-    ex = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
-    ).select(F.col(id_col), F.xxhash64("_s").alias("_h"))
+    ex = _hashed_shingle_df(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.explode("_hs").alias("_h")
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -288,7 +372,13 @@ def simhash_pairs(
     (chunk_id, chunk_value) buckets, then verify exact Hamming via
     bit_count(xor).
     """
-    sh = simhash_df(df, text_col, id_col, shingle_n).withColumnRenamed("simhash", "_sim")
+    # the sketch table feeds both sides of the chunk self-join — persist so
+    # the per-row 64-vote sketch is computed once
+    sh = (
+        simhash_df(df, text_col, id_col, shingle_n)
+        .withColumnRenamed("simhash", "_sim")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     chunk = F.array(
         *[
             F.struct(
