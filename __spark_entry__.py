@@ -225,9 +225,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scenario_incremental"] = scenario_incremental
 
+    # ---- sink semantics (SURVEY §2.1 S8 upsert, S9 targeted delete) ----
+    def upsert_merge(spark, sf_dir):
+        # parquet_merge_upsert semantics driven in-plan: keys = new ∪ old,
+        # last-writer-wins on scalars, set-union on tag arrays — the
+        # Delta MERGE INTO analogue the S8 JDBC sink also implements
+        import tempfile
+
+        from bigdata_tag_system_spark.sources.writers import parquet_merge_upsert
+
+        c = _t(spark, sf_dir, "customer")
+        store = tempfile.mkdtemp(prefix="upsert_store_") + "/user_tags"
+        old = c.where("c_custkey % 3 = 0").select(
+            F.col("c_custkey").alias("user_id"), F.lit("old").alias("val"),
+            F.array(F.lit(99)).alias("tags"))
+        old.write.mode("overwrite").parquet(store)
+        new = c.where("c_mktsegment = 'BUILDING'").select(
+            F.col("c_custkey").alias("user_id"), F.lit("new").alias("val"),
+            F.array(F.lit(1)).alias("tags"))
+        merged = parquet_merge_upsert(
+            spark, new, store, key_cols=["user_id"], array_union_cols=["tags"])
+        return merged.select(
+            "user_id", "val", F.to_json("tags").alias("tags")).orderBy("user_id")
+
+    q["upsert_merge"] = upsert_merge
+
+    def delete_rewrite(spark, sf_dir):
+        # S9 targeted delete as the anti-join rewrite (Delta DELETE WHERE
+        # analogue): doomed keys resolved by predicate, then left_anti
+        o = _t(spark, sf_dir, "orders")
+        doomed = o.where("o_orderpriority = '1-URGENT'").select("o_orderkey")
+        kept = o.join(doomed, "o_orderkey", "left_anti")
+        return kept.agg(F.count(F.lit(1)).alias("cnt"))
+
+    q["delete_rewrite"] = delete_rewrite
+
     # ---- scans / joins (SURVEY §2.1, §2.3) ----
     q["scan_count"] = lambda spark, sf_dir: _t(spark, sf_dir, "lineitem").agg(
         F.count(F.lit(1)).alias("cnt"))
+
+    # S5 schema probe: limit(1) keeps the scan to a single row-group
+    q["schema_probe"] = lambda spark, sf_dir: _t(spark, sf_dir, "region") \
+        .orderBy("r_regionkey").limit(1)
+
+    # P15 projection/column pruning: ReadSchema must shrink to 2 columns
+    q["proj_prune"] = lambda spark, sf_dir: _t(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey").limit(10)
+
+    # P16 computed column
+    q["computed_column"] = lambda spark, sf_dir: _t(spark, sf_dir, "region") \
+        .select("r_regionkey", F.lit(42).alias("tag_id")).orderBy("r_regionkey")
+
+    # P17 row filter by key list
+    q["key_list_filter"] = lambda spark, sf_dir: _t(spark, sf_dir, "customer") \
+        .where(F.col("c_custkey").isin([1, 7, 22])).agg(
+            F.count(F.lit(1)).alias("cnt"))
 
     def join_left_enrich(spark, sf_dir):
         c = _t(spark, sf_dir, "customer")
@@ -491,6 +543,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_token_stats"] = text_token_stats
 
+    def text_bpe_tokens(spark, sf_dir):
+        from bigdata_tag_system_spark.functions.text import bpe_ish_token_count
+
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id", bpe_ish_token_count("text").alias("n_bpe")
+        ).orderBy("doc_id").limit(300)
+
+    q["text_bpe_tokens"] = text_bpe_tokens
+
     def text_fingerprint(spark, sf_dir):
         return _t(spark, sf_dir, "documents").select(
             "doc_id", T.fingerprint("text").alias("fp")).orderBy("doc_id").limit(300)
@@ -689,7 +750,31 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY user_id
     """
 
+    o["upsert_merge"] = """
+        WITH newp AS (SELECT c_custkey AS user_id, 'new' AS val, [1] AS tags
+                      FROM customer WHERE c_mktsegment = 'BUILDING'),
+             oldp AS (SELECT c_custkey AS user_id, 'old' AS val, [99] AS tags
+                      FROM customer WHERE c_custkey % 3 = 0)
+        SELECT coalesce(n.user_id, o.user_id) AS user_id,
+               coalesce(n.val, o.val) AS val,
+               to_json(CASE WHEN n.user_id IS NOT NULL AND o.user_id IS NOT NULL
+                            THEN list_sort(list_distinct(n.tags || o.tags))
+                            ELSE coalesce(n.tags, o.tags) END) AS tags
+        FROM newp n FULL OUTER JOIN oldp o ON n.user_id = o.user_id
+        ORDER BY user_id
+    """
+    o["delete_rewrite"] = (
+        "SELECT count(*) AS cnt FROM orders WHERE o_orderkey NOT IN "
+        "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')")
+
     o["scan_count"] = "SELECT count(*) AS cnt FROM lineitem"
+    o["schema_probe"] = "SELECT * FROM region ORDER BY r_regionkey LIMIT 1"
+    o["proj_prune"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10")
+    o["computed_column"] = (
+        "SELECT r_regionkey, 42 AS tag_id FROM region ORDER BY r_regionkey")
+    o["key_list_filter"] = (
+        "SELECT count(*) AS cnt FROM customer WHERE c_custkey IN (1, 7, 22)")
     o["join_left_enrich"] = (
         "SELECT c_custkey, n_name FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey "
         "ORDER BY c_custkey LIMIT 100")
@@ -813,6 +898,12 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN {_NORM} = '' THEN 0
                     ELSE len(string_split({_NORM}, ' ')) END AS n_tokens,
                length(text) AS text_len
+        FROM documents ORDER BY doc_id LIMIT 300
+    """
+    o["text_bpe_tokens"] = """
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))
+                   AS n_bpe
         FROM documents ORDER BY doc_id LIMIT 300
     """
     o["text_fingerprint"] = f"""

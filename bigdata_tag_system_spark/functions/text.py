@@ -64,6 +64,23 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
+# Pre-tokenization pattern of BPE-style tokenizers, simplified to the
+# lookahead-free subset shared by Java regex and RE2: letter runs, digit
+# runs, and punctuation runs each become one piece.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count over lowercased text.
+
+    Deterministic regex stand-in for a BPE tokenizer's pre-tokenization
+    pass — counts letter runs, digit runs, and punctuation runs. A real
+    BPE vocab merge step would slot in as a Pandas UDF downstream; this
+    JVM-side count is the scale-friendly budget/quality signal.
+    """
+    return F.regexp_count(F.lower(_c(col)), F.lit(BPE_ISH_PATTERN))
+
+
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Distinct character n-grams of normalized text (array<string>)."""
     t = normalize_text(col)
