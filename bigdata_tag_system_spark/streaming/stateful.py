@@ -1,0 +1,142 @@
+"""Custom stateful streaming operator: session aggregation with
+``applyInPandasWithState``.
+
+The reference has no streaming at all (SURVEY §2.9 — ``trigger_type
+REALTIME`` is an unimplemented spec enum, `docs/标准需求文档.md:62`); this
+is the engine-roadmap stateful piece: per-user sessionization over an
+event stream, the streaming analogue of
+:func:`bigdata_tag_system_spark.operators.features.sessionize`.
+
+Scale design:
+
+- State is keyed by ``user_id`` — Spark hash-partitions groups across
+  executors; per-key state is a single fixed-width tuple (4 longs /
+  doubles), so state size is O(active users), independent of event rate.
+- ``EventTimeTimeout`` + the input watermark bound both lateness and
+  state lifetime: a session with no events for ``gap`` closes when the
+  watermark passes its deadline, and its state is removed.
+- Arrow-batched pandas transfer (not row-at-a-time): each group's rows
+  arrive as pandas DataFrames.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("event_count", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+# (session_start_ms, last_event_ms, event_count, value_sum)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("count", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+
+def _session_fn_factory(gap_ms: int):
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+
+        def emit(start: int, end: int, cnt: int, vsum: float) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_ms": [start],
+                    "session_end_ms": [end],
+                    "event_count": [cnt],
+                    "value_sum": [vsum],
+                }
+            )
+
+        if state.hasTimedOut:
+            # watermark passed start of the idle gap → close the session
+            start, last, cnt, vsum = state.get
+            state.remove()
+            yield emit(start, last, cnt, vsum)
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_list()
+        vals = rows["value"].astype("float").to_list()
+
+        if state.exists:
+            start, last, cnt, vsum = state.get
+        else:
+            start, last, cnt, vsum = ts_ms[0], ts_ms[0], 0, 0.0
+
+        for t, v in zip(ts_ms, vals):
+            if t - last > gap_ms and cnt > 0:
+                yield emit(start, last, cnt, vsum)
+                start, cnt, vsum = t, 0, 0.0
+            last = max(last, t)
+            cnt += 1
+            vsum += v
+
+        state.update((start, last, cnt, vsum))
+        # close the open session once event time passes last + gap
+        state.setTimeoutTimestamp(last + gap_ms)
+
+    return fn
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_minutes: int = 60,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user session aggregates over a stream (append mode).
+
+    A session = maximal run of a user's events with inter-event gaps ≤
+    ``gap_minutes``. Sessions are emitted when (a) a later event opens the
+    next session, or (b) the event-time watermark passes the idle
+    deadline (``EventTimeTimeout``). Input must have event-time column
+    ``ts_col``; a watermark is applied here.
+    """
+    from pyspark.sql import functions as F
+
+    prepared = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).cast("string").alias("user_id"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn_factory(gap_minutes * 60_000),
+        SESSION_OUTPUT_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -217,3 +217,36 @@ class TestStreaming:
         q.awaitTermination(180)
         assert len(results) > 0
         assert {"window_start", "user_id", "event_count", "value_sum"} <= set(results[0].asDict())
+
+    def test_stateful_sessionize_stream(self, spark, tmp_path):
+        from bigdata_tag_system_spark.streaming import sessionize_stream
+
+        # u1: two sessions (gap 3h); u2: one session. availableNow runs a
+        # final empty microbatch with watermark = max_ts - 30min = 13:00,
+        # so u1's first session closes via successor event and u2's via
+        # EventTimeTimeout (deadline 10:00 < 13:00); u1's second session
+        # (deadline 14:30) stays open in state.
+        rows = [
+            ("u1", "2024-01-01 10:00:00", 1.0),
+            ("u1", "2024-01-01 10:20:00", 2.0),
+            ("u1", "2024-01-01 13:30:00", 4.0),
+            ("u2", "2024-01-01 09:00:00", 8.0),
+        ]
+        batch = spark.createDataFrame(rows, "user_id string, ts string, value double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        src = str(tmp_path / "sess_src")
+        batch.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+
+        sessions = sessionize_stream(stream, gap_minutes=60)
+        results = []
+        q = (sessions.writeStream.outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+             .foreachBatch(lambda df, bid: results.extend(df.collect()))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        closed = {(r["user_id"], r["event_count"], r["value_sum"]) for r in results}
+        assert ("u1", 2, 3.0) in closed          # closed by successor event
+        assert ("u2", 1, 8.0) in closed          # closed by event-time timeout
+        assert ("u1", 1, 4.0) not in closed      # still open in state
