@@ -566,7 +566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = text_quality
 
     def text_langid(spark, sf_dir):
-        # heuristic engine-specific scorer → rows-only check
         return _t(spark, sf_dir, "documents").groupBy(
             T.detect_language("text").alias("detected_lang")
         ).agg(F.count(F.lit(1)).alias("cnt")).orderBy("detected_lang")
@@ -900,6 +899,25 @@ def oracle_sql() -> dict[str, str]:
                length(text) AS text_len
         FROM documents ORDER BY doc_id LIMIT 300
     """
+    # stopword-vote language ID — same profiles, same tie-break order
+    from bigdata_tag_system_spark.operators.text import _STOPWORDS
+
+    _lang_scores = ", ".join(
+        f"len(list_intersect(toks, {words!r})) * 1.0 / greatest(len(toks), 1) AS s_{lang}"
+        for lang, words in _STOPWORDS.items()
+    )
+    _langs = list(_STOPWORDS)
+    _best = "greatest(" + ", ".join(f"s_{l}" for l in _langs) + ")"
+    _pick = " ".join(f"WHEN s_{l} = {_best} THEN '{l}'" for l in _langs)
+    o["text_langid"] = f"""
+        WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+             s AS (SELECT doc_id, {_lang_scores} FROM t)
+        SELECT CASE WHEN {_best} > 0 THEN CASE {_pick} END
+                    ELSE 'und' END AS detected_lang,
+               count(*) AS cnt
+        FROM s GROUP BY 1 ORDER BY 1
+    """
+
     o["text_bpe_tokens"] = """
         SELECT doc_id,
                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))

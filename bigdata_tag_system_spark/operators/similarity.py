@@ -18,6 +18,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,20 +45,52 @@ def cosine_to_query(vec_col: Column | str, query: Sequence[float]) -> Column:
     return _dot(v, q) / (_norm(v) * _norm(q))
 
 
+def cosine_to_query_arrow(vec_col: str, query: Sequence[float]) -> Column:
+    """cosine(corpus_vec, query) as a vectorized Pandas UDF.
+
+    The Arrow path for wide embeddings / big partitions: each batch
+    stacks to a (batch, dim) float64 matrix and the scores are one BLAS
+    matvec — ~dim× fewer interpreter steps than the expression form
+    (higher-order lambdas are CodegenFallback). Exact same math/result
+    as :func:`cosine_to_query`.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+
+    @pandas_udf("double")
+    def _cos(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        return pd.Series(m @ q / (norms * qn))
+
+    return _cos(F.col(vec_col))
+
+
 def cosine_topk(
     df: DataFrame,
     query: Sequence[float],
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact top-k by cosine similarity — the brute-force baseline.
 
     orderBy+limit compiles to TakeOrderedAndProject: per-partition heap
-    top-k, no full sort, no shuffle of the corpus.
+    top-k, no full sort, no shuffle of the corpus. ``impl="arrow"``
+    scores with the vectorized Pandas UDF instead of the expression —
+    same result, better throughput on wide vectors.
     """
+    score = (
+        cosine_to_query_arrow(vec_col, query)
+        if impl == "arrow"
+        else cosine_to_query(vec_col, query)
+    )
     return (
-        df.select(F.col(id_col), cosine_to_query(vec_col, query).alias("cosine"))
+        df.select(F.col(id_col), score.alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )

@@ -104,6 +104,14 @@ class TestSimilarity:
         assert top[0]["vec_id"] == 7 and top[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
         assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
 
+    def test_arrow_impl_matches_expr(self, emb):
+        q = emb.where("vec_id = 7").collect()[0]["embedding"]
+        expr = [(r["vec_id"], round(r["cosine"], 9))
+                for r in S.cosine_topk(emb, q, 10).collect()]
+        arrow = [(r["vec_id"], round(r["cosine"], 9))
+                 for r in S.cosine_topk(emb, q, 10, impl="arrow").collect()]
+        assert arrow == expr
+
     def test_ivf_probe_all_equals_exact(self, emb):
         q = emb.where("vec_id = 7").collect()[0]["embedding"]
         exact = [r["vec_id"] for r in S.cosine_topk(emb, q, 5).collect()]
