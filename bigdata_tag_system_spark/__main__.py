@@ -1,0 +1,4 @@
+from bigdata_tag_system_spark.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

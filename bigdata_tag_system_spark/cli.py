@@ -1,0 +1,176 @@
+"""CLI — drop-in surface for the reference's ``main.py`` modes.
+
+The reference exposes 13 modes (7 legacy + 6 "-parallel",
+``main.py:45-68``); the legacy/parallel split exists there because the
+legacy path runs one Spark job per rule while the parallel path batches
+them (``src/engine/tag_computer.py:99-151``). Here one-pass evaluation is
+the only path, so both spellings of a mode map to the same scenario:
+
+    full, full-parallel                        → scenario 1
+    incremental, incremental-parallel          → scenario 2
+    tags, tags-parallel                        → scenario 3
+    incremental-tags, incremental-tags-parallel→ scenario 4
+    users, users-parallel                      → scenario 5
+    user-tags, user-tags-parallel              → scenario 6
+    health                                     → session + storage probe
+
+Storage is file-based (parquet) by default — rule catalog from a parquet
+or JSON-lines file, fact tables from parquet paths, result store a
+parquet directory upserted via full-outer merge (the Delta ``MERGE
+INTO`` analogue; swap :func:`jdbc_upsert` in for a database store).
+
+Example::
+
+    python -m bigdata_tag_system_spark --mode tags-parallel \
+        --facts user=/data/user_basic_info \
+        --rules /data/rule_catalog --store /data/user_tags \
+        --tag-ids 1,3,5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+
+MODE_TO_SCENARIO = {
+    "full": 1, "full-parallel": 1,
+    "incremental": 2, "incremental-parallel": 2,
+    "tags": 3, "tags-parallel": 3,
+    "incremental-tags": 4, "incremental-tags-parallel": 4,
+    "users": 5, "users-parallel": 5,
+    "user-tags": 6, "user-tags-parallel": 6,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bigdata_tag_system_spark",
+        description="Rule-driven tag computation engine (PySpark)")
+    p.add_argument("--mode", required=True,
+                   choices=["health", *MODE_TO_SCENARIO])
+    p.add_argument("--facts", action="append", default=[],
+                   metavar="[NAME=]PATH",
+                   help="fact table parquet path; repeat for multi-table rules")
+    p.add_argument("--rules", help="rule catalog: parquet dir or .json/.jsonl file")
+    p.add_argument("--store", help="result-store parquet directory (read+upsert)")
+    p.add_argument("--output", help="write result here instead of --store")
+    p.add_argument("--tag-ids", help="comma-separated tag ids (tags/user-tags modes)")
+    p.add_argument("--user-ids", help="comma-separated user ids (users/user-tags modes)")
+    p.add_argument("--days", type=int, default=1,
+                   help="incremental lookback days (reserved, parity with reference)")
+    p.add_argument("--as-of", help="pin relative-date operators to this date (YYYY-MM-DD)")
+    p.add_argument("--computed-date", help="stamp profiles with this date")
+    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--dry-run", action="store_true",
+                   help="plan + row count only; no write")
+    p.add_argument("--log-level", default="WARN",
+                   choices=["DEBUG", "INFO", "WARN", "ERROR"])
+    return p
+
+
+def _load_rules(spark, path: str):
+    from bigdata_tag_system_spark.rules.model import load_rules
+    from bigdata_tag_system_spark.sources.readers import read_rule_catalog
+
+    if path.endswith((".json", ".jsonl")):
+        with open(path) as fh:
+            text = fh.read().strip()
+        rows = json.loads(text) if text.startswith("[") else [
+            json.loads(line) for line in text.splitlines() if line.strip()]
+        return load_rules(rows)
+    return read_rule_catalog(spark, path)
+
+
+def _load_facts(spark, specs: list[str], rules, user_col: str):
+    from bigdata_tag_system_spark.sources.catalog import TableCatalog
+
+    if not specs:
+        raise SystemExit("--facts is required for compute modes")
+    if len(specs) == 1 and "=" not in specs[0]:
+        return spark.read.parquet(specs[0])
+    cat = TableCatalog(spark, key=user_col)
+    for spec in specs:
+        name, _, path = spec.partition("=")
+        cat.register(name, path)
+    return cat.facts_for_rules(rules)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from bigdata_tag_system_spark.session import get_spark
+
+    spark = get_spark(app_name=f"tag-engine-{args.mode}")
+    spark.sparkContext.setLogLevel(args.log_level)
+
+    if args.mode == "health":
+        probe = spark.range(1).count()
+        ok = probe == 1
+        for spec in args.facts:
+            path = spec.partition("=")[2] or spec
+            try:
+                spark.read.parquet(path).limit(1).count()
+            except Exception as exc:  # noqa: BLE001 — report, don't crash
+                print(f"FAIL fact table {path}: {exc}")
+                ok = False
+        print("health: OK" if ok else "health: FAIL")
+        return 0 if ok else 1
+
+    from bigdata_tag_system_spark.plans.scenarios import ScenarioRunner
+    from bigdata_tag_system_spark.sources.writers import parquet_merge_upsert
+
+    rules = _load_rules(spark, args.rules) if args.rules else []
+    if not rules:
+        raise SystemExit("no active rules loaded (--rules)")
+    facts = _load_facts(spark, args.facts, rules, args.user_col)
+
+    existing = None
+    if args.store:
+        try:
+            existing = spark.read.parquet(args.store)
+        except Exception:
+            existing = None
+
+    tag_ids = [int(x) for x in args.tag_ids.split(",")] if args.tag_ids else None
+    user_keys = args.user_ids.split(",") if args.user_ids else None
+    if user_keys and dict(facts.dtypes).get(args.user_col, "").startswith(
+            ("int", "bigint", "long")):
+        user_keys = [int(x) for x in user_keys]
+
+    runner = ScenarioRunner(rules, user_col=args.user_col, as_of=args.as_of)
+    scenario = MODE_TO_SCENARIO[args.mode]
+    merged = runner.run(
+        scenario, facts, existing=existing, tag_ids=tag_ids,
+        user_keys=user_keys, computed_date=args.computed_date)
+
+    if args.store and existing is not None and scenario in (2, 3, 4, 6):
+        # union scenarios fold the full store back in (keys new ∪ old)
+        merged = parquet_merge_upsert(
+            spark, merged, args.store, key_cols=[args.user_col],
+            array_union_cols=[])
+
+    if args.dry_run:
+        merged.explain("formatted")
+        print(f"rows: {merged.count()}")
+        return 0
+
+    target = args.output or args.store
+    if not target:
+        raise SystemExit("--store or --output required (or use --dry-run)")
+    if target == args.store and existing is not None:
+        # parquet can't be rewritten while its scan is live: stage then swap
+        tmp = tempfile.mkdtemp(prefix="tag_store_") + "/stage"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.move(tmp, target)
+    else:
+        merged.write.mode("overwrite").parquet(target)
+    print(f"wrote scenario {scenario} result to {target}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

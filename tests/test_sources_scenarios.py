@@ -189,3 +189,62 @@ class TestScenarios:
             runner.run(5, users_df)
         with pytest.raises(ValueError):
             runner.run(3, users_df)
+
+
+class TestCLI:
+    @pytest.fixture()
+    def env(self, spark, tmp_path):
+        import json
+
+        from .conftest import RULES, USERS, USER_SCHEMA
+
+        facts = str(tmp_path / "facts")
+        spark.createDataFrame(USERS, schema=USER_SCHEMA).write.parquet(facts)
+        rules = str(tmp_path / "rules.json")
+        with open(rules, "w") as fh:
+            json.dump(RULES, fh)
+        return {"facts": facts, "rules": rules,
+                "store": str(tmp_path / "store")}
+
+    def test_full_then_incremental_roundtrip(self, spark, env):
+        from bigdata_tag_system_spark.cli import main
+
+        from .conftest import AS_OF, EXPECTED
+
+        rc = main(["--mode", "full", "--facts", env["facts"],
+                   "--rules", env["rules"], "--store", env["store"],
+                   "--as-of", AS_OF])
+        assert rc == 0
+        store = spark.read.parquet(env["store"])
+        got = {r["user_id"]: set(r["tag_ids"]) for r in store.collect()}
+        want = {}
+        for tag, users in EXPECTED.items():
+            for u in users:
+                want.setdefault(u, set()).add(tag)
+        assert got == want
+
+        # incremental run: no new users → store unchanged (keys survive)
+        rc = main(["--mode", "incremental-parallel", "--facts", env["facts"],
+                   "--rules", env["rules"], "--store", env["store"],
+                   "--as-of", AS_OF])
+        assert rc == 0
+        again = {r["user_id"]: set(r["tag_ids"])
+                 for r in spark.read.parquet(env["store"]).collect()}
+        assert again == want
+
+    def test_user_tags_mode_and_health(self, spark, env, capsys):
+        from bigdata_tag_system_spark.cli import main
+
+        from .conftest import AS_OF
+
+        rc = main(["--mode", "user-tags", "--facts", env["facts"],
+                   "--rules", env["rules"], "--store", env["store"],
+                   "--tag-ids", "1", "--user-ids", "user_001,user_003",
+                   "--as-of", AS_OF])
+        assert rc == 0
+        store = spark.read.parquet(env["store"])
+        got = {r["user_id"]: set(r["tag_ids"]) for r in store.collect()}
+        assert got == {"user_001": {1}, "user_003": {1}}
+
+        assert main(["--mode", "health", "--facts", env["facts"]]) == 0
+        assert "health: OK" in capsys.readouterr().out
