@@ -1,0 +1,88 @@
+"""Join strategy helpers for skewed and co-located workloads.
+
+The reference leaves all physical join strategy to Spark (SURVEY §2.3 —
+single-key equi-joins, no hints). At 100 TB that is not enough: a handful
+of hot user_ids (bots, service accounts) can put one shuffle partition
+hours behind. AQE's skew-join split handles moderate skew between
+similarly-sized sides; these helpers cover the cases it can't:
+
+- :func:`salted_join` — explicit key salting for a big⋈medium join where
+  the medium side is too large to broadcast but small enough to
+  replicate ``salt``× (classic replicate-the-build-side pattern).
+- :func:`write_bucketed` / :func:`bucketed_table` — persist fact tables
+  bucketed by the join key so repeated per-key joins/aggregations read
+  pre-shuffled data (SortMergeJoin with **zero Exchange**). This is the
+  storage-level answer for pipelines that join the same key every run —
+  e.g. user_id across fact tables, the exact shape of the tag engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    medium: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with the big side salted and the medium side replicated.
+
+    Each big-side row gets a random-but-deterministic salt in [0, salt)
+    (hash of the whole row via ``xxhash64`` — no RNG, replayable); the
+    medium side is exploded ``salt``× so every (key, salt) bucket finds
+    its match. Hot keys spread across ``salt`` tasks instead of one.
+
+    Use when: key skew is extreme, ``medium`` is over the broadcast
+    threshold, and AQE's skew split still leaves a straggler. Cost:
+    ``salt``× shuffle volume of the medium side — keep it for genuinely
+    medium tables.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (semantics of others differ under replication)")
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    b = big.withColumn("_salt", salt_col)
+    m = medium.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = b.join(m, on=[on, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str] | str,
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | str | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+
+    Bucketing pre-shuffles on disk: any later equi-join or groupBy on
+    ``bucket_cols`` between tables bucketed the same way runs with no
+    Exchange (assert-tested). ``num_buckets`` should be sized so one
+    bucket of the biggest table fits an executor core's working memory
+    at target scale; both join sides must use the SAME bucket count.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = (
+        df.write.mode(mode)
+        .format(format)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read back a bucketed table (bucket metadata comes from the catalog)."""
+    return spark.table(table)
