@@ -135,6 +135,42 @@ class TagEngine:
             out = out.where(F.size("tag_ids") > 0)
         return out
 
+    def observed_profiles(
+        self,
+        facts: DataFrame,
+        computed_date: _dt.date | str | None = None,
+        keep_empty: bool = False,
+        with_details: bool = True,
+        per_tag: bool = True,
+    ):
+        """(profiles, Observation) — run stats without extra jobs.
+
+        The reference fires 40+ eager ``count()`` actions for run stats
+        (SURVEY §4 anti-pattern); an ``Observation`` rides the single
+        write action instead: after the caller's action completes,
+        ``observation.get`` yields ``profiles`` (row count), ``tag_hits``
+        (total assignments), and per-tag hit counts — zero extra passes.
+        """
+        from pyspark.sql import Observation
+
+        prof = self.profiles(
+            facts, computed_date=computed_date, keep_empty=keep_empty,
+            with_details=with_details)
+        metrics = [
+            F.count(F.lit(1)).alias("profiles"),
+            F.coalesce(F.sum(F.size("tag_ids")), F.lit(0)).alias("tag_hits"),
+        ]
+        if per_tag:
+            metrics += [
+                F.coalesce(
+                    F.sum(F.array_contains("tag_ids", int(r.tag_id)).cast("int")),
+                    F.lit(0),
+                ).alias(f"tag_{r.tag_id}_hits")
+                for r in self.rules
+            ]
+        obs = Observation("tag_metrics")
+        return prof.observe(obs, *metrics), obs
+
     def assignments(self, facts: DataFrame) -> DataFrame:
         """Narrow ``(user_id, tag_id, tag_detail json-string)`` relation.
 

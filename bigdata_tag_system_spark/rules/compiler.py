@@ -83,7 +83,19 @@ def _typed_lit(value: Any, type_hint: str | None) -> Column:
             return F.to_date(F.lit(value))
         if isinstance(value, (_dt.date, _dt.datetime)):
             return F.lit(value)
-    if type_hint in ("number", "int", "integer", "long", "double", "decimal", "float"):
+    if type_hint == "decimal":
+        # spec mandates DECIMAL(20,8) for monetary fields
+        # (`docs/标准需求文档.md` §3.1; the reference substitutes double,
+        # ``src/scheduler/main_scheduler.py:303`` — a cited defect). A
+        # Decimal literal keeps the comparison exact at 8 fractional
+        # digits instead of round-tripping through float.
+        import decimal
+
+        try:
+            return F.lit(decimal.Decimal(str(value)))
+        except decimal.InvalidOperation as exc:
+            raise RuleCompileError(f"non-decimal value {value!r} for decimal condition") from exc
+    if type_hint in ("number", "int", "integer", "long", "double", "float"):
         if isinstance(value, str):
             # strict: a declared-number value must parse
             try:

@@ -89,3 +89,46 @@ def test_column_pruning_fields(golden_rules):
         "total_asset_value", "user_level", "kyc_status", "trade_count_30d",
         "cash_balance", "age", "last_login_date", "login_count_30d",
     }
+
+
+class TestObservedMetrics:
+    def test_observation_rides_the_write(self, spark, tmp_path, golden_rules):
+        from .conftest import AS_OF, EXPECTED, USERS, USER_SCHEMA
+        from bigdata_tag_system_spark.operators.tagging import TagEngine
+
+        facts = spark.createDataFrame(USERS, schema=USER_SCHEMA)
+        eng = TagEngine(golden_rules, as_of=AS_OF)
+        prof, obs = eng.observed_profiles(facts, computed_date=AS_OF)
+        prof.write.mode("overwrite").parquet(str(tmp_path / "out"))  # ONE action
+        m = obs.get
+        want_hits = sum(len(v) for v in EXPECTED.values())
+        want_users = len({u for v in EXPECTED.values() for u in v})
+        assert m["profiles"] == want_users
+        assert m["tag_hits"] == want_hits
+        for tag, users in EXPECTED.items():
+            assert m[f"tag_{tag}_hits"] == len(users)
+
+
+class TestDecimalRules:
+    def test_decimal_20_8_exact_comparison(self, spark):
+        from decimal import Decimal
+
+        from pyspark.sql.types import DecimalType, StructField, StructType, StringType
+        from bigdata_tag_system_spark.rules.compiler import compile_rule
+
+        schema = StructType([
+            StructField("user_id", StringType()),
+            StructField("bal", DecimalType(20, 8)),
+        ])
+        rows = [
+            ("u1", Decimal("100000.00000001")),
+            ("u2", Decimal("100000.00000000")),
+            ("u3", Decimal("99999.99999999")),
+        ]
+        df = spark.createDataFrame(rows, schema)
+        cond = {"field": "bal", "operator": ">", "value": "100000.00000000",
+                "type": "decimal"}
+        got = {r["user_id"] for r in df.where(compile_rule(cond)).collect()}
+        # exact at 8 fractional digits — a double literal would collapse
+        # u1/u2 onto the same value
+        assert got == {"u1"}
