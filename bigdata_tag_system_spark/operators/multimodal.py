@@ -75,13 +75,24 @@ def _stub_decode(payload: bytes, dim: int = 8) -> list[float]:
     return [int.from_bytes(d[4 * i : 4 * i + 4], "little") / 2**32 for i in range(dim)]
 
 
-def media_repartition(df: DataFrame, target_partition_bytes: int = 128 << 20,
-                      avg_payload_bytes: int = 1 << 20) -> DataFrame:
-    """Partition so ~target bytes of payload land per task."""
-    rows_per_part = max(1, target_partition_bytes // max(1, avg_payload_bytes))
-    n = df.rdd.getNumPartitions()
-    est_rows = n * rows_per_part  # cheap heuristic; callers may pass exact counts
-    return df.repartition(max(1, est_rows // rows_per_part))
+def media_repartition(
+    df: DataFrame,
+    target_partition_bytes: int = 128 << 20,
+    size_col: str | None = None,
+    total_bytes: int | None = None,
+) -> DataFrame:
+    """Partition so ~``target_partition_bytes`` of payload land per task.
+
+    Sizing source, cheapest first: ``total_bytes`` (caller knows, e.g.
+    from object-store listing), else ``size_col`` (a metadata byte-count
+    column — aggregating it never touches payloads), else
+    ``length(payload)`` (correct but scans the blobs; avoid at scale).
+    """
+    if total_bytes is None:
+        size_expr = F.col(size_col) if size_col else F.length("payload")
+        total_bytes = df.agg(F.sum(size_expr)).first()[0] or 0
+    parts = max(1, -(-int(total_bytes) // target_partition_bytes))
+    return df.repartition(parts)
 
 
 def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:

@@ -95,17 +95,39 @@ def read_jdbc_table(
     url: str,
     table: str,
     properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
     predicates: list[str] | None = None,
 ) -> DataFrame:
     """JDBC scan (reference S2/S3, ``rule_reader.py:63-67``).
 
-    ``table`` may be a pushdown subquery: ``"(SELECT ...) t"``. Requires a
-    JDBC driver jar on the classpath; unavailable in this container, so
-    exercised only behind integration flags.
+    ``table`` may be a pushdown subquery: ``"(SELECT ...) t"``. Two
+    parallel-read modes (the reference reads single-threaded):
+
+    - ``partition_column`` + bounds + ``num_partitions`` → Spark issues
+      one range-sliced query per partition (numeric/date column).
+    - ``predicates`` → one arbitrary WHERE clause per partition (e.g.
+      hash buckets: ``["mod(id,4)=0", …]``) for non-range keys.
+
+    Requires a JDBC driver jar on the classpath; unavailable in this
+    container, so exercised only behind integration flags.
     """
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
+    props = dict(properties or {})
     if predicates:
-        reader = reader.option("partitionColumn", predicates[0])
+        return spark.read.jdbc(url, table, predicates=predicates, properties=props)
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in props.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound, and num_partitions")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
     return reader.load()

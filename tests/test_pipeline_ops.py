@@ -306,3 +306,23 @@ class TestJoinStrategies:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
             spark.sql("DROP TABLE IF EXISTS bk_customer")
             spark.sql("DROP TABLE IF EXISTS bk_orders")
+
+
+class TestMediaPartitioning:
+    def test_media_repartition_by_metadata_and_payload(self, spark):
+        from bigdata_tag_system_spark.operators.multimodal import MEDIA_SCHEMA, media_repartition
+
+        rows = [(i, "image", b"x" * 1000, "image/png", 8, 8, None) for i in range(100)]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA).withColumn(
+            "payload_bytes", F.length("payload"))
+        # 100 KB total / 25 KB target → 4 partitions
+        out = media_repartition(df, target_partition_bytes=25_000,
+                                size_col="payload_bytes")
+        assert out.rdd.getNumPartitions() == 4
+        # caller-provided total avoids any job
+        out2 = media_repartition(df, target_partition_bytes=50_000,
+                                 total_bytes=100_000)
+        assert out2.rdd.getNumPartitions() == 2
+        # payload-length fallback
+        out3 = media_repartition(df, target_partition_bytes=1 << 20)
+        assert out3.rdd.getNumPartitions() == 1
