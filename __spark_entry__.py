@@ -423,6 +423,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["setop_except"] = setop_except
 
+    # ---- grouping sets (engine-roadmap; absent from reference §2.4) ----
+    def agg_rollup(spark, sf_dir):
+        return (
+            _t(spark, sf_dir, "orders")
+            .rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("o_orderpriority").asc_nulls_first(),
+                     F.col("o_orderstatus").asc_nulls_first())
+        )
+
+    q["agg_rollup"] = agg_rollup
+
+    def agg_cube(spark, sf_dir):
+        return (
+            _t(spark, sf_dir, "customer")
+            .cube("c_mktsegment", "c_nationkey")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("c_mktsegment").asc_nulls_first(),
+                     F.col("c_nationkey").asc_nulls_first())
+        )
+
+    q["agg_cube"] = agg_cube
+
+    def window_running_sum(spark, sf_dir):
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy("o_custkey")
+             .orderBy("o_orderdate", "o_orderkey")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return (
+            _t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+            .orderBy("o_custkey", "o_orderkey").limit(100)
+        )
+
+    q["window_running_sum"] = window_running_sum
+
     # ---- scalar functions (SURVEY §2.6) ----
     def func_case_sum(spark, sf_dir):
         return _t(spark, sf_dir, "lineitem").agg(
@@ -832,6 +870,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(*) AS cnt FROM "
         "(SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders) t")
 
+    o["agg_rollup"] = """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """
+    o["agg_cube"] = """
+        SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+        FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+        ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """
+    o["window_running_sum"] = """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_total
+        FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100
+    """
     o["func_case_sum"] = (
         "SELECT sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT AS flagged FROM lineitem")
     o["func_json_roundtrip"] = "SELECT list_sum([1,2,3])::BIGINT AS total"
