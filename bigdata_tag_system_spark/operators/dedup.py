@@ -184,7 +184,13 @@ def minhash_candidate_pairs(
 
 
 def _jaccard_on_pairs_sh(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
-    """Attach exact Jaccard to pairs given a (id, _sh) shingle table."""
+    """Attach exact Jaccard to pairs given a (id, _sh) shingle table.
+
+    ``_sh`` may be the string shingles or their xxhash64 longs — Jaccard
+    over hashed sets equals Jaccard over the strings (sets stay the same
+    size absent a 64-bit collision), and long intersections are much
+    cheaper than string intersections.
+    """
     return (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
@@ -232,19 +238,16 @@ def minhash_dedup(
     cached signature table is num_hashes×8 B/doc and the shingle table
     ~|text| — both far below the scan the cache avoids re-reading.
     """
-    sh = _shingle_df(df, text_col, id_col, shingle_n).persist(
+    hs = _hashed_shingle_df(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
-    )
-    hs = sh.select(
-        F.col(id_col), F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs")
     )
     sigs = _sig_from_hashed(hs, id_col, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cands = _band_join(sigs, id_col, num_hashes, bands)
-    return _jaccard_on_pairs_sh(cands, sh, id_col).where(
-        F.col("jaccard") >= threshold
-    )
+    return _jaccard_on_pairs_sh(
+        cands, hs.withColumnRenamed("_hs", "_sh"), id_col
+    ).where(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -276,13 +279,17 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    # sh feeds ex (itself read twice: freq + ranked) and the final verify
-    # join; prefix feeds both sides of the candidate self-join — persist
-    # both to stop Spark re-running the tokenize→shingle subtree per branch
-    sh = _shingle_df(df, text_col, id_col, shingle_n).persist(
+    # Everything downstream works on the hashed shingles: string bytes are
+    # touched once (tokenize+hash), then frequency ranking, the prefix
+    # self-join, and the exact-Jaccard verify all compare 8-byte longs.
+    # (Jaccard over hashed sets equals Jaccard over strings absent a
+    # 64-bit collision.) hs feeds ex (read twice: freq + ranked) and the
+    # verify join; prefix feeds both sides of the candidate self-join —
+    # persist both so no branch re-runs the tokenizer.
+    hs = _hashed_shingle_df(df, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    ex = sh.select(F.col(id_col), F.size("_sh").alias("_n"), F.explode("_sh").alias("s"))
+    ex = hs.select(F.col(id_col), F.size("_hs").alias("_n"), F.explode("_hs").alias("s"))
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_f"))
     w = Window.partitionBy(id_col).orderBy("_f", "s")
     ranked = ex.join(freq, "s").withColumn("_rn", F.row_number().over(w))
@@ -311,9 +318,9 @@ def ngram_jaccard_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return _jaccard_on_pairs_sh(cands, sh, id_col).where(
-        F.col("jaccard") >= threshold
-    )
+    return _jaccard_on_pairs_sh(
+        cands, hs.withColumnRenamed("_hs", "_sh"), id_col
+    ).where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
