@@ -570,6 +570,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessionize"] = events_sessionize
 
+    # ---- time-series joins (engine extension; no reference equivalent) ----
+    def ts_asof_join(spark, sf_dir):
+        from bigdata_tag_system_spark.operators.timeseries import asof_join
+
+        ev = _t(spark, sf_dir, "events")
+        clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+        purchases = ev.where("event_type = 'purchase'").select("user_id", "ts", "value")
+        out = asof_join(clicks, purchases, value_cols=["value"])
+        return out.select(
+            "event_id", F.round("value_asof", 2).alias("purchase_value")
+        ).orderBy("event_id").limit(500)
+
+    q["ts_asof_join"] = ts_asof_join
+
+    def ts_range_join(spark, sf_dir):
+        from bigdata_tag_system_spark.operators.timeseries import range_join
+
+        ev = _t(spark, sf_dir, "events")
+        clicks = ev.where("event_type = 'click'").select("user_id", "ts")
+        windows = ev.where("event_type = 'purchase'").select(
+            "user_id", F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"))
+        return range_join(clicks, windows, bucket="1 hour").agg(
+            F.count(F.lit(1)).alias("cnt"))
+
+    q["ts_range_join"] = ts_range_join
+
     # ---- text analysis ----
     def text_token_stats(spark, sf_dir):
         d = _t(spark, sf_dir, "documents")
@@ -945,6 +972,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         )
         SELECT user_id, sum(new_s)::BIGINT AS n_sessions FROM g GROUP BY user_id ORDER BY user_id
+    """
+
+    o["ts_asof_join"] = """
+        SELECT l.event_id, round(r.value, 2) AS purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id LIMIT 500
+    """
+    o["ts_range_join"] = """
+        SELECT count(*) AS cnt
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') l
+        JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id
+         AND r.ts <= l.ts AND l.ts < r.ts + INTERVAL 2 HOUR
     """
 
     _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"

@@ -1,0 +1,119 @@
+"""Time-series joins Spark lacks as primitives: as-of join and range join.
+
+No reference equivalent (SURVEY §2.3: the reference has only single-key
+equi-joins) — these are the standard time-series operators a
+training-data/feature pipeline needs, built as compositions of existing
+DataFrame ops per the Spark-first mandate (no custom physical operators).
+
+Scale design:
+
+- **As-of join** is O(n log n) via union + window — ONE shuffle/sort on
+  (key, ts), never a join explosion. The naive formulation (theta join on
+  ``l.ts >= r.ts`` + argmax) is a per-key cross product; this one ships
+  both sides to the same (key)-hash partitions and resolves the "latest
+  right ≤ left.ts" with ``last_value(ignorenulls)`` over the interleaved
+  ordering. Skewed keys behave like any window: AQE/salting upstream.
+- **Range join** (point-in-interval) buckets both sides on a time grid:
+  intervals explode to the buckets they overlap, points join on their
+  single bucket (equi-join → hash join, pruned), then the exact predicate
+  filters. Bucket width trades replication (long intervals → many
+  buckets) against candidate count — pick it near the median interval
+  length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    right_ts: str | None = None,
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right.ts <= left.ts`` for the same key (NULLs when none).
+
+    Equivalent to DuckDB/kdb ``ASOF LEFT JOIN`` — oracle-checked against
+    DuckDB's native implementation in the driver harness.
+    """
+    rts = right_ts or ts
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, rts)
+    ]
+
+    l_tagged = left.select(
+        F.col(on), F.col(ts).alias("_ts"), F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on), F.col(rts).alias("_ts"), F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+
+    from pyspark.sql import Window
+
+    # rights sort before lefts at equal ts (_is_left asc) so a tie counts
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+    ).where(F.col("_is_left") == 1)
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in value_cols]
+    return filled.select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to interval rows with ``start <= ts < end`` per key.
+
+    Bucketized: intervals explode to every grid bucket they overlap;
+    points carry their single bucket; the equi-join on (key, bucket)
+    prunes the candidate space before the exact range predicate. A plain
+    theta join degrades to per-key nested loops at scale; this stays a
+    hash join.
+    """
+    if how != "inner":
+        raise ValueError("range_join currently supports inner joins")
+    qty, _, unit = bucket.partition(" ")
+    secs = int(qty) * {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                       "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+
+    p = points.withColumn(
+        "_bucket", (F.unix_timestamp(F.col(ts)) / secs).cast("long"))
+    i = intervals.withColumn(
+        "_bstart", (F.unix_timestamp(F.col(start)) / secs).cast("long")
+    ).withColumn(
+        "_bend", (F.unix_timestamp(F.col(end)) / secs).cast("long")
+    ).withColumn(
+        "_bucket", F.explode(F.sequence("_bstart", "_bend"))
+    ).drop("_bstart", "_bend")
+
+    joined = p.join(i, on=[on, "_bucket"], how="inner").where(
+        (F.col(start) <= F.col(ts)) & (F.col(ts) < F.col(end))
+    )
+    return joined.drop("_bucket")

@@ -326,3 +326,42 @@ class TestMediaPartitioning:
         # payload-length fallback
         out3 = media_repartition(df, target_partition_bytes=1 << 20)
         assert out3.rdd.getNumPartitions() == 1
+
+
+class TestTimeseries:
+    def test_asof_join_crafted(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"),
+             (2, "2024-01-01 09:00:00")],
+            "user_id long, ts string").withColumn("ts", F.to_timestamp("ts"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 09:30:00", 10.0), (1, "2024-01-01 11:00:00", 20.0),
+             (1, "2024-01-01 12:00:00", 30.0), (2, "2024-01-01 09:30:00", 99.0)],
+            "user_id long, ts string, px double").withColumn("ts", F.to_timestamp("ts"))
+        out = {(r["user_id"], str(r["ts"])): r["px_asof"]
+               for r in asof_join(left, right, value_cols=["px"]).collect()}
+        assert out == {
+            (1, "2024-01-01 10:00:00"): 10.0,   # 09:30 state
+            (1, "2024-01-01 12:00:00"): 30.0,   # tie at 12:00 counts
+            (2, "2024-01-01 09:00:00"): None,   # nothing at-or-before
+        }
+
+    def test_range_join_crafted(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import range_join
+
+        pts = spark.createDataFrame(
+            [(1, "2024-01-01 10:30:00"), (1, "2024-01-01 13:00:00"),
+             (2, "2024-01-01 10:30:00")],
+            "user_id long, ts string").withColumn("ts", F.to_timestamp("ts"))
+        iv = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "2024-01-01 11:00:00", "s1"),
+             (2, "2024-01-01 00:00:00", "2024-01-02 00:00:00", "s2")],
+            "user_id long, start_ts string, end_ts string, label string") \
+            .withColumn("start_ts", F.to_timestamp("start_ts")) \
+            .withColumn("end_ts", F.to_timestamp("end_ts"))
+        got = {(r["user_id"], str(r["ts"]), r["label"])
+               for r in range_join(pts, iv).collect()}
+        assert got == {(1, "2024-01-01 10:30:00", "s1"),
+                       (2, "2024-01-01 10:30:00", "s2")}
