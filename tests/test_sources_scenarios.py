@@ -173,6 +173,13 @@ class TestScenarios:
         assert out["user_001"] == [1, 50]     # tag 1 ∪ stored [50]
         assert out["user_003"] == [1, 4]
 
+    def test_scenario_4_new_users_specific_tags(self, runner, users_df, existing):
+        out = {r["user_id"]: r["tag_ids"] for r in
+               runner.run(4, users_df, existing=existing, tag_ids=[1, 5]).collect()}
+        assert "user_001" not in out          # already stored → not new
+        assert out["user_002"] == [5]         # new user, tag subset only
+        assert out["user_003"] == [1]
+
     def test_scenario_5_specific_users(self, runner, users_df):
         out = {r["user_id"]: r["tag_ids"] for r in
                runner.run(5, users_df, user_keys=["user_002"]).collect()}
