@@ -159,6 +159,61 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus as bucket-partitioned parquet.
+
+    One-time build: assign every vector its nearest-centroid bucket and
+    write ``partitionBy("_bucket")``. Queries then read ONLY the probed
+    buckets — at 100 TB the non-probed ~(1 - nprobe/num_buckets) of the
+    corpus is pruned at the file-listing level, never scanned
+    (PartitionFilters, plan-asserted in tests).
+    """
+    bucketed = df.withColumn(
+        "_bucket", assign_ivf_bucket(vec_col, dim, num_buckets, seed))
+    bucketed.write.mode(mode).partitionBy("_bucket").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_buckets: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k over a :func:`write_ivf_index` store.
+
+    Same math as :func:`ivf_topk`, but the bucket filter lands on the
+    partition column, so Spark prunes non-probed directories before any
+    I/O happens.
+    """
+    dim = len(query)
+    centroids = [(c, _centroid(dim, c, seed)) for c in range(num_buckets)]
+    qnorm = sum(x * x for x in query) ** 0.5 or 1.0
+    qdots = sorted(
+        ((sum(q * x for q, x in zip(query, cen)) / qnorm, c) for c, cen in centroids),
+        reverse=True,
+    )
+    probe = [c for _, c in qdots[:nprobe]]
+    corpus = spark.read.parquet(path).where(F.col("_bucket").isin(probe))
+    return (
+        corpus.select(F.col(id_col), cosine_to_query(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -119,6 +119,20 @@ class TestSimilarity:
                S.ivf_topk(emb, q, 5, num_buckets=8, nprobe=8).collect()]
         assert ivf == exact
 
+    def test_ivf_index_prunes_partitions(self, spark, emb, tmp_path):
+        q = emb.where("vec_id = 7").collect()[0]["embedding"]
+        path = str(tmp_path / "ivf_store")
+        S.write_ivf_index(emb, path, dim=len(q), num_buckets=8)
+        out = S.ivf_topk_indexed(spark, path, q, k=5, num_buckets=8, nprobe=8)
+        exact = [r["vec_id"] for r in S.cosine_topk(emb, q, 5).collect()]
+        assert [r["vec_id"] for r in out.collect()] == exact  # nprobe=all → exact
+        # nprobe=2 must prune: partition filter reaches the scan
+        pruned = S.ivf_topk_indexed(spark, path, q, k=5, num_buckets=8, nprobe=2)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [_bucket" in plan.replace("\n", " "), plan
+        # pruned scan reads a strict subset of files
+        assert pruned.count() <= 5
+
     def test_knn_join(self, spark, emb):
         queries = emb.where("vec_id in (1, 2)").selectExpr("vec_id as q_id", "embedding as q_vec")
         out = S.knn_join(queries, emb, k=3)
