@@ -701,11 +701,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_knn_join"] = sim_knn_join
 
     def sim_ivf_topk(spark, sf_dir):
-        # approximate (nprobe < buckets) → rows-only check
+        # nprobe = num_buckets → provably exact (bucketing only prunes),
+        # so the brute-force SQL oracle applies; approximate recall at
+        # nprobe < buckets is covered in pytest
         emb = _t(spark, sf_dir, "embeddings")
         qv = emb.where("vec_id = 0").collect()[0]["embedding"]
-        out = S.ivf_topk(emb, qv, k=10, num_buckets=8, nprobe=4)
-        return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        out = S.ivf_topk(emb, qv, k=10, num_buckets=8, nprobe=8)
+        return out.select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        ).orderBy(F.desc("cosine"), "vec_id")
 
     q["sim_ivf_topk"] = sim_ivf_topk
 
@@ -1095,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
                  b.vec_id
         LIMIT 10
     """
+    o["sim_ivf_topk"] = o["sim_cosine_topk"]
     o["sim_knn_join"] = """
         SELECT q_id, vec_id, round(cos, 4) AS cosine, rank FROM (
             SELECT q.vec_id AS q_id, c.vec_id,
