@@ -225,6 +225,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scenario_incremental"] = scenario_incremental
 
+    def cross_table_rule(spark, sf_dir):
+        # multi-table rule routed through the catalog: n_chars lives in
+        # documents, label in embeddings — catalog left-joins on the key,
+        # missing keys get nulls, nulls fail conditions (3VL)
+        from bigdata_tag_system_spark.sources.catalog import TableCatalog
+
+        _prep(spark)
+        cat = TableCatalog(spark, key="doc_id")
+        cat.register("documents", f"{sf_dir}/documents.parquet")
+        # embeddings keyed vec_id → expose as doc_id via a staged view
+        import tempfile
+
+        emb_path = tempfile.mkdtemp(prefix="emb_keyed_") + "/emb"
+        _t(spark, sf_dir, "embeddings").withColumnRenamed(
+            "vec_id", "doc_id").write.mode("overwrite").parquet(emb_path)
+        cat.register("embeddings_keyed", emb_path)
+
+        rules = load_rules([{
+            "rule_id": 90, "tag_id": 90, "tag_name": "long_label1",
+            "rule_conditions": _rule(
+                _cond("n_chars", ">=", 300, "number"),
+                _cond("label", "=", 1, "number")),
+        }])
+        facts = cat.facts_for_rules(rules)
+        eng = TagEngine(rules, user_col="doc_id", as_of=AS_OF)
+        return eng.profiles(facts, computed_date=AS_OF, with_details=False) \
+            .select("doc_id").orderBy("doc_id")
+
+    q["cross_table_rule"] = cross_table_rule
+
     # ---- sink semantics (SURVEY §2.1 S8 upsert, S9 targeted delete) ----
     def upsert_merge(spark, sf_dir):
         # parquet_merge_upsert semantics driven in-plan: keys = new ∪ old,
@@ -818,6 +848,12 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY user_id
     """
 
+    o["cross_table_rule"] = """
+        SELECT d.doc_id
+        FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.n_chars >= 300 AND e.label = 1
+        ORDER BY d.doc_id
+    """
     o["upsert_merge"] = """
         WITH newp AS (SELECT c_custkey AS user_id, 'new' AS val, [1] AS tags
                       FROM customer WHERE c_mktsegment = 'BUILDING'),
