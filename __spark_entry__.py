@@ -600,6 +600,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessionize"] = events_sessionize
 
+    def events_props_json(spark, sf_dir):
+        # F4 on real data: parse the props JSON column, aggregate a field
+        ev = _t(spark, sf_dir, "events")
+        k = F.from_json("props", "k int")["k"]
+        return (
+            ev.groupBy("event_type")
+            .agg(F.sum(k).alias("k_sum"), F.count(k).alias("k_cnt"))
+            .orderBy("event_type")
+        )
+
+    q["events_props_json"] = events_props_json
+
     # ---- time-series joins (engine extension; no reference equivalent) ----
     def ts_asof_join(spark, sf_dir):
         from bigdata_tag_system_spark.operators.timeseries import asof_join
@@ -1014,6 +1026,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, sum(new_s)::BIGINT AS n_sessions FROM g GROUP BY user_id ORDER BY user_id
     """
 
+    o["events_props_json"] = """
+        SELECT event_type,
+               sum(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
+               count(json_extract(props, '$.k')) AS k_cnt
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
     o["ts_asof_join"] = """
         SELECT l.event_id, round(r.value, 2) AS purchase_value
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
