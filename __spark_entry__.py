@@ -600,6 +600,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessionize"] = events_sessionize
 
+    def events_hourly_rollup(spark, sf_dir):
+        out = FE.time_rollup(_t(spark, sf_dir, "events"), "1 hour")
+        return out.select(
+            F.col("bucket_start").cast("string").alias("bucket_start"),
+            "event_type", "event_count",
+            F.round("value_sum", 2).alias("value_sum"),
+        ).orderBy("bucket_start", "event_type")
+
+    q["events_hourly_rollup"] = events_hourly_rollup
+
+    def events_user_zscore(spark, sf_dir):
+        # grouped-map applyInPandas path; oracle is the window formulation
+        from bigdata_tag_system_spark.operators.features import normalize_per_user
+
+        out = normalize_per_user(_t(spark, sf_dir, "events"))
+        return out.select(
+            "event_id", F.round("value_z", 4).alias("value_z")
+        ).orderBy("event_id").limit(500)
+
+    q["events_user_zscore"] = events_user_zscore
+
     def events_props_json(spark, sf_dir):
         # F4 on real data: parse the props JSON column, aggregate a field
         ev = _t(spark, sf_dir, "events")
@@ -1026,6 +1047,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, sum(new_s)::BIGINT AS n_sessions FROM g GROUP BY user_id ORDER BY user_id
     """
 
+    o["events_hourly_rollup"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               event_type, count(*) AS event_count,
+               round(sum(value), 2) AS value_sum
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    o["events_user_zscore"] = """
+        SELECT event_id,
+               round((value - avg(value) OVER (PARTITION BY user_id))
+                     / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS value_z
+        FROM events ORDER BY event_id LIMIT 500
+    """
     o["events_props_json"] = """
         SELECT event_type,
                sum(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,

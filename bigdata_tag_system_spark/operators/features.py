@@ -86,3 +86,53 @@ def daily_rollup(
         events.groupBy(F.date_trunc("day", F.col(ts_col)).alias("day"), F.col(type_col))
         .agg(F.count(F.lit(1)).alias("event_count"), F.sum(value_col).alias("value_sum"))
     )
+
+
+def time_rollup(
+    events: DataFrame,
+    grain: str = "1 hour",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Arbitrary-grain tumbling rollup via ``F.window`` — the hypertable
+    continuous-aggregate shape. Coarser grains re-aggregate FROM a
+    materialized finer rollup instead of rescanning raw events (sum of
+    sums / sum of counts are exact)."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), grain).alias("w"), F.col(type_col))
+        .agg(F.count(F.lit(1)).alias("event_count"),
+             F.sum(value_col).alias("value_sum"))
+        .select(F.col("w.start").alias("bucket_start"), type_col,
+                "event_count", "value_sum")
+    )
+
+
+def normalize_per_user(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user z-score of ``value_col`` via grouped-map ``applyInPandas``.
+
+    The GROUPED_MAP Pandas-UDF surface (Arrow batch per group). NOTE:
+    z-scoring is expressible with window functions (zero Python) — that
+    formulation is the oracle; this exists to exercise and document the
+    applyInPandas path for group transforms that genuinely need Python
+    (model scoring, scipy). Groups ship whole to one task: partition-by
+    key must fit executor memory, same constraint as any grouped-map.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in events.schema.fields
+    ) + ", value_z double"
+
+    def _norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf[value_col]
+        std = v.std(ddof=1)
+        z = (v - v.mean()) / std if std and std == std else v * 0.0
+        return pdf.assign(value_z=z)
+
+    return events.groupBy(user_col).applyInPandas(_norm, schema=out_schema)

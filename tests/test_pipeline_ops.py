@@ -379,3 +379,39 @@ class TestTimeseries:
                for r in range_join(pts, iv).collect()}
         assert got == {(1, "2024-01-01 10:30:00", "s1"),
                        (2, "2024-01-01 10:30:00", "s2")}
+
+
+class TestGroupedMapFeatures:
+    def test_normalize_per_user_matches_window_formulation(self, spark, events):
+        from pyspark.sql import Window
+
+        from bigdata_tag_system_spark.operators.features import normalize_per_user
+
+        got = {r["event_id"]: r["value_z"]
+               for r in normalize_per_user(events).collect()}
+        w = Window.partitionBy("user_id")
+        want = {r["event_id"]: r["z"] for r in events.select(
+            "event_id",
+            ((F.col("value") - F.avg("value").over(w)) /
+             F.stddev_samp("value").over(w)).alias("z")).collect()}
+        assert len(got) == len(want)
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v, rel=1e-9, abs=1e-12)
+
+    def test_time_rollup_grains_consistent(self, events):
+        from bigdata_tag_system_spark.operators.features import time_rollup
+
+        hourly = time_rollup(events, "1 hour")
+        daily_from_hourly = (
+            hourly.groupBy(F.date_trunc("day", "bucket_start").alias("day"),
+                           "event_type")
+            .agg(F.sum("event_count").alias("event_count"),
+                 F.sum("value_sum").alias("value_sum")))
+        from bigdata_tag_system_spark.operators.features import daily_rollup
+
+        direct = daily_rollup(events)
+        a = {(str(r["day"]), r["event_type"]): (r["event_count"], round(r["value_sum"], 6))
+             for r in direct.collect()}
+        b = {(str(r["day"]), r["event_type"]): (r["event_count"], round(r["value_sum"], 6))
+             for r in daily_from_hourly.collect()}
+        assert a == b
