@@ -693,6 +693,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality"] = text_quality
 
+    def text_rolling_fp(spark, sf_dir):
+        # winnowing-style min-hash fingerprint: hash-function-specific
+        # (xxhash64) → rows-only check; semantics tested in pytest
+        d = _t(spark, sf_dir, "documents")
+        return d.groupBy(T.rolling_fingerprint("text").alias("fp")) \
+            .agg(F.count(F.lit(1)).alias("cnt")) \
+            .where(F.col("cnt") > 1).orderBy("fp")
+
+    q["text_rolling_fp"] = text_rolling_fp
+
     def text_langid(spark, sf_dir):
         return _t(spark, sf_dir, "documents").groupBy(
             T.detect_language("text").alias("detected_lang")

@@ -49,6 +49,22 @@ class TestText:
         got = [r[0] for r in df.select(T.detect_language("text")).collect()]
         assert got == ["en", "es", "und"]
 
+    def test_rolling_fingerprint_near_dup_stable(self, spark):
+        # docs differing only by tail text usually keep the min-hash window
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " trailing addition"),
+             (3, "completely different content with other words entirely " * 3)],
+            "doc_id long, text string")
+        fps = {r["doc_id"]: r["fp"] for r in df.select(
+            "doc_id", T.rolling_fingerprint("text", n=4).alias("fp")).collect()}
+        assert fps[1] == fps[2]          # near-dup: same winnowed min-hash
+        assert fps[1] != fps[3]
+        # deterministic across evaluations
+        again = {r["doc_id"]: r["fp"] for r in df.select(
+            "doc_id", T.rolling_fingerprint("text", n=4).alias("fp")).collect()}
+        assert fps == again
+
     def test_quality_score_bounds(self, docs):
         row = docs.select(
             F.min(T.quality_score("text")).alias("lo"),
