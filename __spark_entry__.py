@@ -294,6 +294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scan_count"] = lambda spark, sf_dir: _t(spark, sf_dir, "lineitem").agg(
         F.count(F.lit(1)).alias("cnt"))
 
+    # S4 in-memory rows → table (reference main_scheduler.py:372,415,510)
+    q["inline_rows"] = lambda spark, sf_dir: spark.createDataFrame(
+        [(1, "a"), (2, "b")], "x int, s string").orderBy("x")
+
     # S5 schema probe: limit(1) keeps the scan to a single row-group
     q["schema_probe"] = lambda spark, sf_dir: _t(spark, sf_dir, "region") \
         .orderBy("r_regionkey").limit(1)
@@ -915,6 +919,8 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')")
 
     o["scan_count"] = "SELECT count(*) AS cnt FROM lineitem"
+    o["inline_rows"] = (
+        "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS t(x, s) ORDER BY x")
     o["schema_probe"] = "SELECT * FROM region ORDER BY r_regionkey LIMIT 1"
     o["proj_prune"] = (
         "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10")
