@@ -697,6 +697,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality"] = text_quality
 
+    def text_top_tokens(spark, sf_dir):
+        # corpus document-frequency: tokens exploded once, counted, top-k
+        # (stopword mining / vocab building shape; partial agg map-side)
+        d = _t(spark, sf_dir, "documents")
+        from bigdata_tag_system_spark.functions.text import tokens
+
+        return (
+            d.select(F.explode(F.array_distinct(tokens("text"))).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), "token").limit(20)
+        )
+
+    q["text_top_tokens"] = text_top_tokens
+
     def text_rolling_fp(spark, sf_dir):
         # winnowing-style min-hash fingerprint: hash-function-specific
         # (xxhash64) → rows-only check; semantics tested in pytest
@@ -1124,6 +1138,12 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY 1 ORDER BY 1
     """
 
+    o["text_top_tokens"] = f"""
+        SELECT token, count(*) AS df FROM (
+            SELECT unnest(list_distinct(string_split({_NORM}, ' '))) AS token
+            FROM documents)
+        GROUP BY token ORDER BY df DESC, token LIMIT 20
+    """
     o["text_bpe_tokens"] = """
         SELECT doc_id,
                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))
