@@ -13,7 +13,15 @@ rounded, dates/timestamps emitted as strings.
 from __future__ import annotations
 
 import json
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make imports robust to the
+# caller's cwd/sys.path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
