@@ -127,12 +127,9 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit("no active rules loaded (--rules)")
     facts = _load_facts(spark, args.facts, rules, args.user_col)
 
-    existing = None
-    if args.store:
-        try:
-            existing = spark.read.parquet(args.store)
-        except Exception:
-            existing = None
+    from bigdata_tag_system_spark.sources.writers import read_store_if_exists
+
+    existing = read_store_if_exists(spark, args.store) if args.store else None
 
     tag_ids = [int(x) for x in args.tag_ids.split(",")] if args.tag_ids else None
     user_keys = args.user_ids.split(",") if args.user_ids else None
@@ -146,8 +143,11 @@ def main(argv: list[str] | None = None) -> int:
         scenario, facts, existing=existing, tag_ids=tag_ids,
         user_keys=user_keys, computed_date=args.computed_date)
 
-    if args.store and existing is not None and scenario in (2, 3, 4, 6):
-        # union scenarios fold the full store back in (keys new ∪ old)
+    if args.store and existing is not None and scenario != 1:
+        # every scenario except full-overwrite is a per-key upsert: fold
+        # the store back in (keys new ∪ old). Scenario 5 in particular
+        # overwrites ONLY the selected users' rows — without this fold it
+        # would wipe every other user's stored profile.
         merged = parquet_merge_upsert(
             spark, merged, args.store, key_cols=[args.user_col],
             array_union_cols=[])

@@ -374,11 +374,17 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole prefilter: split the 64-bit sketch into 4 16-bit chunks —
-    any pair within Hamming ≤3 must agree on ≥1 chunk; join on
+    Pigeonhole prefilter: split the 64-bit sketch into ``max_hamming + 1``
+    chunks — a pair within the Hamming budget must agree on ≥1 chunk
+    (it has fewer differing bits than chunks); join on
     (chunk_id, chunk_value) buckets, then verify exact Hamming via
-    bit_count(xor).
+    bit_count(xor). More chunks ⇒ shorter chunks ⇒ more candidates, so
+    large budgets trade recall-guarantee for join size.
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64 for a 64-bit sketch")
+    width = 64 // n_chunks
     # the sketch table feeds both sides of the chunk self-join — persist so
     # the per-row 64-vote sketch is computed once
     sh = (
@@ -386,13 +392,19 @@ def simhash_pairs(
         .withColumnRenamed("simhash", "_sim")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+    def chunk_val(i: int) -> Column:
+        # last chunk absorbs the remainder bits so all 64 are covered
+        w = 64 - width * (n_chunks - 1) if i == n_chunks - 1 else width
+        shifted = F.shiftrightunsigned(F.col("_sim"), width * i)
+        if w >= 64:
+            return shifted  # full sketch; a 64-bit mask overflows lit()
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     chunk = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("chunk_id"),
-                F.shiftrightunsigned(F.col("_sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"),
-            )
-            for i in range(4)
+            F.struct(F.lit(i).alias("chunk_id"), chunk_val(i).alias("chunk_val"))
+            for i in range(n_chunks)
         ]
     )
     banded = sh.select(id_col, "_sim", F.explode(chunk).alias("c")).select(

@@ -58,9 +58,11 @@ def merge_profiles(
     if existing is None or strategy == MergeStrategy.OVERWRITE:
         return new
 
-    old = existing.select(
-        F.col(user_col), F.col("tag_ids").alias("_old_tag_ids")
-    )
+    has_details = "tag_details" in new.columns and "tag_details" in existing.columns
+    old_cols = [F.col(user_col), F.col("tag_ids").alias("_old_tag_ids")]
+    if has_details:
+        old_cols.append(F.col("tag_details").alias("_old_tag_details"))
+    old = existing.select(*old_cols)
 
     if strategy == MergeStrategy.UNION:
         # Users only in `existing` keep their stored row untouched (the
@@ -73,6 +75,23 @@ def merge_profiles(
     out_cols = [F.col(user_col)]
     out_cols.append(_sorted_union(F.col("tag_ids"), F.col("_old_tag_ids")).alias("tag_ids"))
     for c in new.columns:
-        if c not in (user_col, "tag_ids"):
+        if c in (user_col, "tag_ids"):
+            continue
+        if c == "tag_details" and has_details:
+            # stored details survive for tags the new batch didn't re-hit,
+            # new details win per key — keeps tag_details consistent with
+            # the unioned tag_ids
+            new_d, old_d = F.col("tag_details"), F.col("_old_tag_details")
+            combined = F.map_concat(
+                F.map_filter(old_d, lambda k, _: ~F.map_contains_key(new_d, k)),
+                new_d,
+            )
+            merged_d = (
+                F.when(old_d.isNull(), new_d)
+                .when(new_d.isNull(), old_d)
+                .otherwise(combined)
+            )
+            out_cols.append(merged_d.alias("tag_details"))
+        else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)

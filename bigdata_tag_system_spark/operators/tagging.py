@@ -101,7 +101,11 @@ class TagEngine:
                 F.when(pred, F.struct(F.lit(str(rule.tag_id)).alias("key"), detail.alias("value")))
             )
         if not entries:
-            return F.lit(None)
+            # typed empty so map_from_entries/explode still resolve
+            return F.array().cast(
+                "array<struct<key:string,value:struct<tag_name:string,"
+                "tag_category:string,rule_id:int,hit_time:timestamp>>>"
+            )
         return F.array_compact(F.array(*entries))
 
     # -- public operators ----------------------------------------------------

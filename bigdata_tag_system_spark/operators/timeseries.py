@@ -47,15 +47,22 @@ def asof_join(
         c for c in right.columns if c not in (on, rts)
     ]
 
+    # Right-side values travel inside ONE struct: last(ignorenulls) must
+    # skip rows that aren't right rows, but a matching right row whose
+    # value column is legitimately NULL must still win (carrying bare
+    # value columns would make ignorenulls skip past it to an older row).
+    vstruct = F.struct(*[F.col(c) for c in value_cols])
     l_tagged = left.select(
         F.col(on), F.col(ts).alias("_ts"), F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(
+            right.select(vstruct.alias("_v")).schema["_v"].dataType
+        ).alias("_v"),
     )
     r_tagged = right.select(
         F.col(on), F.col(rts).alias("_ts"), F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        vstruct.alias("_v"),
     )
 
     from pyspark.sql import Window
@@ -68,14 +75,10 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_v", ignorenulls=True).over(w).alias("_f")
     ).where(F.col("_is_left") == 1)
     out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
-    out_cols += [F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in value_cols]
+    out_cols += [F.col(f"_f.{c}").alias(f"{c}{suffix}") for c in value_cols]
     return filled.select(*out_cols)
 
 

@@ -210,6 +210,8 @@ class RuleCompiler:
         if op in _RANGE_OPS:
             pair = _as_list(value)
             if len(pair) != 2:
+                if not self.strict:
+                    return F.lit(False)
                 raise RuleCompileError(f"{op} needs a [lo, hi] value, got {value!r}")
             lo, hi = pair
             if op == "in_range":
@@ -242,6 +244,8 @@ class RuleCompiler:
         if op in ("in", "not_in"):
             vals = _as_list(value)
             if not vals:
+                if not self.strict:
+                    return F.lit(False)
                 raise RuleCompileError(f"{op} needs a non-empty list value")
             pred = col.isin(vals)
             return pred if op == "in" else ~pred

@@ -75,13 +75,21 @@ class TableCatalog:
             out.setdefault(hits[0], []).append(f_)
         return out
 
-    def facts_for_rules(self, rules: Sequence[Rule]) -> DataFrame:
+    def facts_for_rules(
+        self, rules: Sequence[Rule], base_table: str | None = None
+    ) -> DataFrame:
         """One pruned, unified fact DataFrame covering all rule fields.
 
         Reads each needed table once, projects the union of rule fields
         (column pruning reaches the parquet scan), and left-joins the
-        extras onto the first table on ``user_id``. Missing users get
-        nulls → their conditions on those fields fail (3VL).
+        extras onto the base on ``user_id``. Missing users get nulls →
+        their conditions on those fields fail (3VL).
+
+        ``base_table`` defines the user universe (which keys are
+        evaluable at all). Default: the FIRST registered table —
+        registration order is an explicit caller decision, unlike a
+        rule-field-count heuristic that would silently flip the universe
+        when the rule set changes.
         """
         needed: set[str] = set()
         for r in rules:
@@ -89,8 +97,11 @@ class TableCatalog:
         routing = self.route_fields(needed)
         if not routing:
             raise ValueError("rules reference no fields; nothing to scan")
-        names = sorted(routing, key=lambda n: -len(routing[n]))
-        base = self.load(names[0], routing[names[0]])
-        for n in names[1:]:
+        if base_table is None:
+            base_table = next(iter(self._tables))
+        base = self.load(base_table, routing.get(base_table, []))
+        for n in routing:
+            if n == base_table:
+                continue
             base = base.join(self.load(n, routing[n]), on=self.key, how="left")
         return base

@@ -81,7 +81,10 @@ def jdbc_upsert(
 
     n = approx_rows if approx_rows is not None else df.count()
     parts = max(1, min(max_partitions, n // max(1, rows_per_partition) or 1))
-    out = df.repartition(parts, *key_cols) if parts > 1 else df.coalesce(1)
+    # always a real repartition: coalesce(1) would propagate up past the
+    # previous shuffle boundary and run the whole upstream pipeline in
+    # one task; the shuffle is negligible next to a DB-bound sink
+    out = df.repartition(parts, *key_cols)
 
     def _write_partition(rows: Iterable[Row]) -> None:
         conn = connection_factory()
@@ -101,6 +104,23 @@ def jdbc_upsert(
             conn.close()  # type: ignore[attr-defined]
 
     out.foreachPartition(_write_partition)
+
+
+def read_store_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet store; None ONLY when the path genuinely doesn't
+    exist. Any other read failure (corrupt footer, permissions, transient
+    object-store error) propagates — treating it as "empty store" would
+    make the next merge-rewrite silently drop every stored row.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        cond = getattr(exc, "getErrorClass", lambda: "")() or ""
+        if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 # ---------------------------------------------------------------------------
@@ -123,9 +143,8 @@ def parquet_merge_upsert(
     DataFrame; caller writes it (kept separate for testability — parquet
     can't be overwritten while being read).
     """
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
+    existing = read_store_if_exists(spark, path)
+    if existing is None:
         return new
 
     keys = list(key_cols)

@@ -42,7 +42,10 @@ def streaming_tag_assignments(
     if ts_col:
         stream = stream.withWatermark(ts_col, watermark)
         if event_id_col:
-            stream = stream.dropDuplicates([event_id_col])
+            # dropDuplicatesWithinWatermark: dedup state is purged once
+            # the watermark passes (a plain dropDuplicates([id]) keeps
+            # every id ever seen — unbounded state on a long stream)
+            stream = stream.dropDuplicatesWithinWatermark([event_id_col])
     engine = TagEngine(list(rules), user_col=user_col, as_of=as_of)
     return engine.assignments(stream)
 

@@ -431,3 +431,64 @@ class TestGroupedMapFeatures:
         b = {(str(r["day"]), r["event_type"]): (r["event_count"], round(r["value_sum"], 6))
              for r in daily_from_hourly.collect()}
         assert a == b
+
+
+class TestReviewRegressions:
+    def test_asof_join_null_value_in_matching_row(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 12:00:00")], "user_id long, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 5.0), (1, "2024-01-01 11:00:00", None)],
+            "user_id long, ts string, px double").withColumn("ts", F.to_timestamp("ts"))
+        out = asof_join(left, right, value_cols=["px"]).collect()
+        # latest at-or-before row has px=NULL → NULL, not the older 5.0
+        assert out[0]["px_asof"] is None
+
+    def test_zero_rules_profiles_and_assignments(self, spark):
+        from bigdata_tag_system_spark.operators.tagging import TagEngine
+
+        df = spark.createDataFrame([("u1", 1.0)], "user_id string, v double")
+        eng = TagEngine([])
+        assert eng.profiles(df).count() == 0
+        assert eng.assignments(df).count() == 0
+
+    def test_simhash_larger_hamming_budget(self, spark):
+        from bigdata_tag_system_spark.operators import dedup as D2
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "alpha beta gamma delta epsilon zeta eta iota")],
+            "doc_id long, text string")
+        loose = {(r["id_a"], r["id_b"]) for r in
+                 D2.simhash_pairs(df, max_hamming=16).collect()}
+        assert (1, 2) in loose
+        with pytest.raises(ValueError):
+            D2.simhash_pairs(df, max_hamming=64)
+
+    def test_lenient_compiler_returns_false(self, spark):
+        from bigdata_tag_system_spark.rules.compiler import RuleCompiler
+
+        c = RuleCompiler(strict=False)
+        df = spark.createDataFrame([(1,)], "x int")
+        for cond in (
+            {"field": "x", "operator": "in", "value": []},
+            {"field": "x", "operator": "in_range", "value": [1]},
+            {"field": "x", "operator": "wat"},
+        ):
+            assert df.where(c.compile(cond)).count() == 0
+
+    def test_merge_union_keeps_stored_details(self, spark):
+        from bigdata_tag_system_spark.operators.merge import merge_profiles
+
+        new = spark.createDataFrame(
+            [("u1", [1], {"1": "new1"})],
+            "user_id string, tag_ids array<int>, tag_details map<string,string>")
+        existing = spark.createDataFrame(
+            [("u1", [9], {"9": "old9", "1": "old1"})],
+            "user_id string, tag_ids array<int>, tag_details map<string,string>")
+        row = merge_profiles(new, existing, "union").collect()[0]
+        assert row["tag_ids"] == [1, 9]
+        assert dict(row["tag_details"]) == {"1": "new1", "9": "old9"}
