@@ -1,0 +1,82 @@
+"""Property-based validation of the exact n-gram-Jaccard join.
+
+The AllPairs/PPJoin prefix + size-ratio + positional filters must lose
+NO true pair (they only prune candidates that provably cannot reach the
+threshold). Hypothesis builds random small corpora with planted overlap;
+results are compared pair-for-pair (including the Jaccard value) against
+a brute-force pure-Python computation of the same shingle semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bigdata_tag_system_spark.operators.dedup import ngram_jaccard_pairs
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa", "lam", "mu"]
+
+SHINGLE_N = 3
+
+
+def _py_shingles(text: str) -> frozenset[str]:
+    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    if len(toks) <= SHINGLE_N:
+        return frozenset([" ".join(toks)])
+    return frozenset(
+        " ".join(toks[i:i + SHINGLE_N]) for i in range(len(toks) - SHINGLE_N + 1)
+    )
+
+
+def _py_pairs(docs: list[str], threshold: float) -> dict[tuple[int, int], float]:
+    sh = [_py_shingles(d) for d in docs]
+    out = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+# documents: random word sequences, with mutation-of-a-base docs mixed in
+# so near-duplicate pairs actually occur at every threshold
+@st.composite
+def _corpus(draw):
+    n_base = draw(st.integers(min_value=2, max_value=4))
+    bases = [
+        draw(st.lists(st.sampled_from(WORDS), min_size=5, max_size=12))
+        for _ in range(n_base)
+    ]
+    docs = [" ".join(b) for b in bases]
+    for b in bases:
+        n_mut = draw(st.integers(min_value=0, max_value=2))
+        for _ in range(n_mut):
+            mutated = list(b)
+            idx = draw(st.integers(min_value=0, max_value=len(mutated) - 1))
+            mutated[idx] = draw(st.sampled_from(WORDS))
+            if draw(st.booleans()):
+                mutated.append(draw(st.sampled_from(WORDS)))
+            docs.append(" ".join(mutated))
+    return docs
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=_corpus(), threshold=st.sampled_from([0.3, 0.5, 0.7, 0.9]))
+def test_ngram_jaccard_matches_brute_force(spark, docs, threshold):
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string").coalesce(1)
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(df, threshold=threshold,
+                                     shingle_n=SHINGLE_N).collect()
+    }
+    want = _py_pairs(docs, threshold)
+    assert got == want, f"threshold={threshold} docs={docs}"
