@@ -41,6 +41,10 @@ def main() -> None:
         "events_daily_rollup",     # events rollup (ns-timestamp path)
         "events_sessionize",       # lag + cumulative window
         "text_token_stats",        # text expressions
+        "text_top_tokens",         # corpus document-frequency top-k
+        "agg_rollup",              # grouping sets
+        "ts_asof_join",            # union+window as-of join
+        "events_user_zscore",      # grouped-map applyInPandas
         "dedup_exact_groups",      # digest groupBy
         "dedup_minhash_lsh",       # minhash + LSH + verify
         "dedup_ngram_jaccard",     # exact shingle-join Jaccard

@@ -255,3 +255,25 @@ class TestCLI:
 
         assert main(["--mode", "health", "--facts", env["facts"]]) == 0
         assert "health: OK" in capsys.readouterr().out
+
+
+class TestStoreReadSafety:
+    def test_missing_store_returns_none(self, spark, tmpdir_mod):
+        from bigdata_tag_system_spark.sources.writers import read_store_if_exists
+
+        assert read_store_if_exists(spark, f"{tmpdir_mod}/nope") is None
+
+    def test_corrupt_store_raises(self, spark, tmpdir_mod):
+        import os
+
+        from bigdata_tag_system_spark.sources.writers import read_store_if_exists
+
+        bad = f"{tmpdir_mod}/corrupt_store"
+        os.makedirs(bad, exist_ok=True)
+        with open(f"{bad}/part-00000.parquet", "wb") as fh:
+            fh.write(b"this is not parquet")
+        with pytest.raises(Exception):
+            # must propagate, never be treated as an empty store
+            df = read_store_if_exists(spark, bad)
+            assert df is not None
+            df.collect()
