@@ -79,6 +79,30 @@ def windowed_event_aggregates(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact-dedup a document stream at ingest.
+
+    The streaming half of :func:`operators.dedup.exact_dedup`: digest
+    the normalized text and keep the first arrival per digest within the
+    watermark horizon. State = one digest per distinct doc seen inside
+    the horizon, purged as the watermark advances — the shape that lets
+    a 100 TB/day ingest dedup without re-scanning the corpus.
+    """
+    from bigdata_tag_system_spark.functions.text import normalize_text
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("_digest", F.md5(normalize_text(text_col)))
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )
+
+
 def run_foreach_batch_upsert(
     stream_df: DataFrame,
     batch_writer: Callable[[DataFrame, int], None],

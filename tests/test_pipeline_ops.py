@@ -492,3 +492,28 @@ class TestReviewRegressions:
         row = merge_profiles(new, existing, "union").collect()[0]
         assert row["tag_ids"] == [1, 9]
         assert dict(row["tag_details"]) == {"1": "new1", "9": "old9"}
+
+
+class TestStreamingDedup:
+    def test_streaming_exact_dedup_availablenow(self, spark, tmp_path):
+        from bigdata_tag_system_spark.streaming import streaming_exact_dedup
+
+        rows = [
+            (1, "Hello  World", "2024-01-01 10:00:00"),
+            (2, "hello world", "2024-01-01 10:05:00"),    # dup of 1 (normalized)
+            (3, "different entirely", "2024-01-01 10:06:00"),
+        ]
+        batch = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        src = str(tmp_path / "dd_src")
+        batch.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = []
+        q = (streaming_exact_dedup(stream).writeStream.outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+             .foreachBatch(lambda df, bid: out.extend(df.collect()))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        kept = sorted(r["doc_id"] for r in out)
+        assert len(kept) == 2 and 3 in kept
+        assert len({1, 2} & set(kept)) == 1  # exactly one of the dup pair
