@@ -149,6 +149,33 @@ class TestSimilarity:
         # pruned scan reads a strict subset of files
         assert pruned.count() <= 5
 
+    def test_fitted_ivf_exact_at_full_probe_and_better_balance(self, emb):
+        q = emb.where("vec_id = 7").collect()[0]["embedding"]
+        cents = S.fit_centroids(emb, dim=len(q), num_buckets=8, sample_size=512)
+        assert len(cents) == 8 and len(cents[0]) == len(q)
+        # determinism
+        again = S.fit_centroids(emb, dim=len(q), num_buckets=8, sample_size=512)
+        assert cents == again
+        exact = [r["vec_id"] for r in S.cosine_topk(emb, q, 5).collect()]
+        fitted = [r["vec_id"] for r in
+                  S.ivf_topk_fitted(emb, q, cents, k=5, nprobe=8).collect()]
+        assert fitted == exact  # full probe → exact
+        # fitted buckets should be materially more balanced than the
+        # pseudo-random hyperplane centroids on real embeddings
+        import math
+
+        def imbalance(col):
+            counts = [r["count"] for r in
+                      emb.withColumn("_b", col).groupBy("_b").count().collect()]
+            mean = sum(counts) / 8  # absent buckets count as zero
+            var = (sum((c - mean) ** 2 for c in counts)
+                   + (8 - len(counts)) * mean ** 2) / 8
+            return math.sqrt(var) / mean
+
+        rand_cv = imbalance(S.assign_ivf_bucket("embedding", len(q), 8))
+        fit_cv = imbalance(S.assign_bucket_from_centroids("embedding", cents))
+        assert fit_cv <= rand_cv
+
     def test_knn_join(self, spark, emb):
         queries = emb.where("vec_id in (1, 2)").selectExpr("vec_id as q_id", "embedding as q_vec")
         out = S.knn_join(queries, emb, k=3)
