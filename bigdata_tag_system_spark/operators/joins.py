@@ -86,3 +86,22 @@ def write_bucketed(
 def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     """Read back a bucketed table (bucket metadata comes from the catalog)."""
     return spark.table(table)
+
+
+def skew_stats(
+    df: DataFrame, key: str, top_k: int = 10
+) -> tuple[float, list[tuple]]:
+    """(top-key share, top-k key counts) — decide whether to salt.
+
+    One aggregate job over (key, count). A top-key share ≫ 1/shuffle
+    partitions means one task owns that key's entire row set after any
+    key-partitioned operation; beyond AQE's in-flight splitting, that's
+    the signal to route the join through :func:`salted_join`.
+    """
+    counts = (
+        df.groupBy(key).count().orderBy(F.desc("count"), key).limit(top_k).collect()
+    )
+    total = df.count()
+    top = [(r[key], r["count"]) for r in counts]
+    share = (top[0][1] / total) if total and top else 0.0
+    return share, top

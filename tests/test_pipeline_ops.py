@@ -544,3 +544,14 @@ class TestStreamingDedup:
         kept = sorted(r["doc_id"] for r in out)
         assert len(kept) == 2 and 3 in kept
         assert len({1, 2} & set(kept)) == 1  # exactly one of the dup pair
+
+
+class TestSkewStats:
+    def test_skew_stats_flags_hot_key(self, spark):
+        from bigdata_tag_system_spark.operators.joins import skew_stats
+
+        rows = [(1, i) for i in range(90)] + [(k, 0) for k in range(2, 12)]
+        df = spark.createDataFrame(rows, "k int, v int")
+        share, top = skew_stats(df, "k")
+        assert top[0] == (1, 90)
+        assert share == pytest.approx(0.9)
