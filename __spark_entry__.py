@@ -623,10 +623,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_hourly_rollup"] = events_hourly_rollup
 
     def events_user_zscore(spark, sf_dir):
-        # grouped-map applyInPandas path; oracle is the window formulation
+        # grouped-map applyInPandas path; oracle is the window formulation.
+        # project BEFORE the grouped UDF: every column in the input schema
+        # crosses the Arrow boundary both ways
         from bigdata_tag_system_spark.operators.features import normalize_per_user
 
-        out = normalize_per_user(_t(spark, sf_dir, "events"))
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        out = normalize_per_user(ev)
         return out.select(
             "event_id", F.round("value_z", 4).alias("value_z")
         ).orderBy("event_id").limit(500)
