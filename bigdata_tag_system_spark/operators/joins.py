@@ -93,15 +93,21 @@ def skew_stats(
 ) -> tuple[float, list[tuple]]:
     """(top-key share, top-k key counts) — decide whether to salt.
 
-    One aggregate job over (key, count). A top-key share ≫ 1/shuffle
-    partitions means one task owns that key's entire row set after any
-    key-partitioned operation; beyond AQE's in-flight splitting, that's
-    the signal to route the join through :func:`salted_join`.
+    ``df`` is scanned ONCE: the grouped (key, count) table is persisted,
+    then both the top-k and the grand total read the cached counts. A
+    top-key share ≫ 1/shuffle partitions means one task owns that key's
+    entire row set after any key-partitioned operation; beyond AQE's
+    in-flight splitting, that's the signal to route the join through
+    :func:`salted_join`.
     """
-    counts = (
-        df.groupBy(key).count().orderBy(F.desc("count"), key).limit(top_k).collect()
-    )
-    total = df.count()
+    from pyspark.storagelevel import StorageLevel
+
+    grouped = df.groupBy(key).count().persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = grouped.orderBy(F.desc("count"), key).limit(top_k).collect()
+        total = grouped.agg(F.sum("count")).first()[0] or 0
+    finally:
+        grouped.unpersist()
     top = [(r[key], r["count"]) for r in counts]
     share = (top[0][1] / total) if total and top else 0.0
     return share, top

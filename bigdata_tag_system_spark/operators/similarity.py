@@ -114,17 +114,36 @@ def _centroid(dim: int, c: int, seed: int) -> list[float]:
     return [x / n for x in vals]
 
 
+def _probe_buckets(
+    query: Sequence[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Indices of the nprobe centroids nearest the query (by cosine)."""
+    qnorm = sum(x * x for x in query) ** 0.5 or 1.0
+    qdots = sorted(
+        ((sum(q * x for q, x in zip(query, cen)) / qnorm, c)
+         for c, cen in enumerate(centroids)),
+        reverse=True,
+    )
+    return [c for _, c in qdots[:nprobe]]
+
+
+def _scored_topk(
+    df: DataFrame, query: Sequence[float], k: int, vec_col: str, id_col: str
+) -> DataFrame:
+    return (
+        df.select(F.col(id_col), cosine_to_query(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def assign_ivf_bucket(
     vec_col: Column | str, dim: int, num_buckets: int = 16, seed: int = 42
 ) -> Column:
-    """Nearest-centroid bucket id (argmax dot with fixed centroids)."""
-    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
-    dots = [
-        _dot(v, F.array(*[F.lit(x) for x in _centroid(dim, c, seed)])).alias(f"_d{c}")
-        for c in range(num_buckets)
-    ]
-    best = F.greatest(*dots)
-    return F.coalesce(*[F.when(dots[c] == best, F.lit(c)) for c in range(num_buckets)])
+    """Nearest-centroid bucket id over the seeded pseudo-random centroids."""
+    return assign_bucket_from_centroids(
+        vec_col, [_centroid(dim, c, seed) for c in range(num_buckets)]
+    )
 
 
 def ivf_topk(
@@ -143,20 +162,12 @@ def ivf_topk(
     bucket-partitioned corpus the non-probed buckets are never read.
     """
     dim = len(query)
-    centroids = [(c, _centroid(dim, c, seed)) for c in range(num_buckets)]
-    qnorm = sum(x * x for x in query) ** 0.5 or 1.0
-    qdots = sorted(
-        ((sum(q * x for q, x in zip(query, cen)) / qnorm, c) for c, cen in centroids),
-        reverse=True,
-    )
-    probe = [c for _, c in qdots[:nprobe]]
-    bucketed = df.withColumn("_bucket", assign_ivf_bucket(vec_col, dim, num_buckets, seed))
-    return (
-        bucketed.where(F.col("_bucket").isin(probe))
-        .select(F.col(id_col), cosine_to_query(vec_col, query).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.col(id_col))
-        .limit(k)
-    )
+    centroids = [_centroid(dim, c, seed) for c in range(num_buckets)]
+    probe = _probe_buckets(query, centroids, nprobe)
+    bucketed = df.withColumn(
+        "_bucket", assign_bucket_from_centroids(vec_col, centroids))
+    return _scored_topk(
+        bucketed.where(F.col("_bucket").isin(probe)), query, k, vec_col, id_col)
 
 
 def fit_centroids(
@@ -180,15 +191,19 @@ def fit_centroids(
     real embedding distribution, so bucket sizes balance and nprobe
     recall rises for the same probe budget.
     """
-    import numpy as np
-
     sample = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
         .limit(sample_size)
         .collect()
     )
+    if len(sample) < num_buckets:
+        raise ValueError(
+            f"need ≥ {num_buckets} sample vectors to fit {num_buckets} "
+            f"centroids, got {len(sample)}")
     x = np.array([r["_v"] for r in sample], dtype=np.float64)
+    if x.shape[1] != dim:
+        raise ValueError(f"embedding dim {x.shape[1]} != declared dim {dim}")
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     x = x / norms
@@ -229,21 +244,11 @@ def ivf_topk_fitted(
     nprobe: int = 4,
 ) -> DataFrame:
     """Approximate top-k probing the nprobe nearest FITTED centroids."""
-    qnorm = sum(x * x for x in query) ** 0.5 or 1.0
-    qdots = sorted(
-        ((sum(q * x for q, x in zip(query, cen)) / qnorm, c)
-         for c, cen in enumerate(centroids)),
-        reverse=True,
-    )
-    probe = [c for _, c in qdots[:nprobe]]
+    probe = _probe_buckets(query, centroids, nprobe)
     bucketed = df.withColumn(
         "_bucket", assign_bucket_from_centroids(vec_col, centroids))
-    return (
-        bucketed.where(F.col("_bucket").isin(probe))
-        .select(F.col(id_col), cosine_to_query(vec_col, query).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.col(id_col))
-        .limit(k)
-    )
+    return _scored_topk(
+        bucketed.where(F.col("_bucket").isin(probe)), query, k, vec_col, id_col)
 
 
 def write_ivf_index(
@@ -286,19 +291,10 @@ def ivf_topk_indexed(
     I/O happens.
     """
     dim = len(query)
-    centroids = [(c, _centroid(dim, c, seed)) for c in range(num_buckets)]
-    qnorm = sum(x * x for x in query) ** 0.5 or 1.0
-    qdots = sorted(
-        ((sum(q * x for q, x in zip(query, cen)) / qnorm, c) for c, cen in centroids),
-        reverse=True,
-    )
-    probe = [c for _, c in qdots[:nprobe]]
+    centroids = [_centroid(dim, c, seed) for c in range(num_buckets)]
+    probe = _probe_buckets(query, centroids, nprobe)
     corpus = spark.read.parquet(path).where(F.col("_bucket").isin(probe))
-    return (
-        corpus.select(F.col(id_col), cosine_to_query(vec_col, query).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.col(id_col))
-        .limit(k)
-    )
+    return _scored_topk(corpus, query, k, vec_col, id_col)
 
 
 def knn_join(

@@ -95,9 +95,13 @@ def streaming_exact_dedup(
     """
     from bigdata_tag_system_spark.functions.text import normalize_text
 
+    # null text → null digest, and dropDuplicates* treats null keys as
+    # equal — which would collapse every text-less row into one. Give
+    # null-text rows a unique per-row key so they pass through untouched.
+    digest = F.coalesce(F.md5(normalize_text(text_col)), F.expr("uuid()"))
     return (
         stream.withWatermark(ts_col, watermark)
-        .withColumn("_digest", F.md5(normalize_text(text_col)))
+        .withColumn("_digest", digest)
         .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")
     )

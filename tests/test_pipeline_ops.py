@@ -540,7 +540,10 @@ class TestStreamingDedup:
              .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
              .foreachBatch(lambda df, bid: out.extend(df.collect()))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        try:
+            assert q.awaitTermination(120), "stream did not drain in time"
+        finally:
+            q.stop()
         kept = sorted(r["doc_id"] for r in out)
         assert len(kept) == 2 and 3 in kept
         assert len({1, 2} & set(kept)) == 1  # exactly one of the dup pair

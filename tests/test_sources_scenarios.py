@@ -272,8 +272,15 @@ class TestStoreReadSafety:
         os.makedirs(bad, exist_ok=True)
         with open(f"{bad}/part-00000.parquet", "wb") as fh:
             fh.write(b"this is not parquet")
-        with pytest.raises(Exception):
-            # must propagate, never be treated as an empty store
+        # must propagate, never be treated as an empty store; structured so
+        # a regression to "return None" fails the test rather than
+        # satisfying a blanket pytest.raises
+        raised = False
+        df = "unset"
+        try:
             df = read_store_if_exists(spark, bad)
-            assert df is not None
-            df.collect()
+            if df is not None:
+                df.collect()
+        except Exception:
+            raised = True
+        assert raised, f"corrupt store must raise, got {df!r}"
