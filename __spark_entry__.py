@@ -263,6 +263,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cross_table_rule"] = cross_table_rule
 
+    def tag_enriched(spark, sf_dir):
+        # J1 through the real operator: assignments broadcast-joined to a
+        # tag-definition dim
+        facts = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
+        eng = TagEngine(load_rules(_FLAGSHIP_RULES), as_of=AS_OF,
+                        run_ts=f"{AS_OF}T00:00:00")
+        defs = spark.createDataFrame(
+            [(r["tag_id"], r["tag_name"], r["tag_category"]) for r in _FLAGSHIP_RULES],
+            "tag_id int, tag_name string, tag_category string")
+        out = eng.enriched_assignments(facts, defs)
+        return out.select("user_id", "tag_id", "tag_name", "tag_category") \
+            .orderBy("user_id", "tag_id")
+
+    q["tag_enriched"] = tag_enriched
+
     # ---- sink semantics (SURVEY §2.1 S8 upsert, S9 targeted delete) ----
     def upsert_merge(spark, sf_dir):
         # parquet_merge_upsert semantics driven in-plan: keys = new ∪ old,
@@ -920,6 +935,16 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY user_id
     """
 
+    _DEFS_CTE = ", ".join(
+        f"({r['tag_id']}, '{r['tag_name']}', '{r['tag_category']}')"
+        for r in _FLAGSHIP_RULES)
+    o["tag_enriched"] = f"""
+        WITH defs(tag_id, tag_name, tag_category) AS (VALUES {_DEFS_CTE})
+        SELECT c_custkey AS user_id, t.tag_id, d.tag_name, d.tag_category
+        FROM customer, unnest({_FLAGSHIP_ORACLE_TAGS}) AS t(tag_id)
+        LEFT JOIN defs d ON d.tag_id = t.tag_id
+        ORDER BY user_id, t.tag_id
+    """
     o["cross_table_rule"] = """
         SELECT d.doc_id
         FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
