@@ -284,3 +284,35 @@ class TestStoreReadSafety:
         except Exception:
             raised = True
         assert raised, f"corrupt store must raise, got {df!r}"
+
+
+class TestCLIOutputs:
+    def test_dry_run_writes_nothing(self, spark, tmp_path, capsys):
+        import json as _json
+        import os
+
+        from bigdata_tag_system_spark.cli import main
+
+        from .conftest import AS_OF, RULES, USERS, USER_SCHEMA
+
+        facts = str(tmp_path / "facts")
+        spark.createDataFrame(USERS, schema=USER_SCHEMA).write.parquet(facts)
+        rules = str(tmp_path / "rules.json")
+        with open(rules, "w") as fh:
+            _json.dump(RULES, fh)
+        store = str(tmp_path / "store")
+
+        rc = main(["--mode", "full", "--facts", facts, "--rules", rules,
+                   "--store", store, "--as-of", AS_OF, "--dry-run"])
+        assert rc == 0
+        assert not os.path.exists(store)
+        out = capsys.readouterr().out
+        assert "rows:" in out and "Physical Plan" in out
+
+        # --output writes there, store untouched
+        target = str(tmp_path / "elsewhere")
+        rc = main(["--mode", "full", "--facts", facts, "--rules", rules,
+                   "--output", target, "--as-of", AS_OF])
+        assert rc == 0
+        assert not os.path.exists(store)
+        assert spark.read.parquet(target).count() > 0
