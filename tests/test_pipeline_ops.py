@@ -558,3 +558,76 @@ class TestSkewStats:
         share, top = skew_stats(df, "k")
         assert top[0] == (1, 90)
         assert share == pytest.approx(0.9)
+
+
+class TestStreamingLSH:
+    def test_streaming_minhash_candidates(self, spark, tmp_path):
+        from bigdata_tag_system_spark.streaming import streaming_minhash_candidates
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base, "2024-01-01 10:00:00"),
+            (2, base + " tail", "2024-01-01 10:05:00"),          # near-dup of 1
+            (3, "completely different text with other words entirely here",
+             "2024-01-01 10:06:00"),
+        ]
+        batch = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        src = str(tmp_path / "lsh_src")
+        batch.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+
+        out = []
+        q = (streaming_minhash_candidates(stream, num_hashes=32, bands=16)
+             .writeStream.outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "lsh_ckpt"))
+             .foreachBatch(lambda df, bid: out.extend(df.collect()))
+             .trigger(availableNow=True).start())
+        try:
+            assert q.awaitTermination(180), "stream did not drain in time"
+        finally:
+            q.stop()
+
+        cands = {(r["id_a"], r["id_b"]) for r in out if not r["overflow"]}
+        assert (1, 2) in cands           # near-dup pair surfaced
+        assert all(a < b for a, b in cands)
+        # verify with the batch exact-Jaccard: the true pair survives,
+        # and no pair involving doc 3 does at a high threshold
+        from bigdata_tag_system_spark.operators.dedup import jaccard_on_pairs
+
+        pair_df = spark.createDataFrame(sorted(cands), "id_a long, id_b long")
+        verified = {(r["id_a"], r["id_b"])
+                    for r in jaccard_on_pairs(pair_df, batch).collect()
+                    if r["jaccard"] >= 0.5}
+        assert verified == {(1, 2)}
+
+    def test_streaming_lsh_bucket_overflow_flag(self, spark, tmp_path):
+        from bigdata_tag_system_spark.streaming import streaming_minhash_candidates
+
+        # identical docs blow past a tiny bucket cap → overflow marker,
+        # no O(n²) pair emission
+        rows = [(i, "same exact text every time", f"2024-01-01 10:{i:02d}:00")
+                for i in range(10)]
+        batch = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        src = str(tmp_path / "ovf_src")
+        batch.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = []
+        q = (streaming_minhash_candidates(stream, num_hashes=32, bands=16,
+                                          max_bucket_size=4)
+             .writeStream.outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ovf_ckpt"))
+             .foreachBatch(lambda df, bid: out.extend(df.collect()))
+             .trigger(availableNow=True).start())
+        try:
+            assert q.awaitTermination(180), "stream did not drain in time"
+        finally:
+            q.stop()
+        # caps are per-bucket; identical docs share all buckets, so pair
+        # count stays bounded by cap choose 2 per band, not 10 choose 2
+        real = [r for r in out if not r["overflow"]]
+        per_band = {}
+        for r in real:
+            per_band.setdefault(r["band_id"], set()).add((r["id_a"], r["id_b"]))
+        assert all(len(p) <= 6 for p in per_band.values())  # C(4,2)=6
