@@ -107,6 +107,42 @@ def streaming_exact_dedup(
     )
 
 
+def tag_stream_with_rule_reload(
+    stream: DataFrame,
+    rules_path: str,
+    writer: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    as_of: _dt.date | str | None = None,
+    definitions_path: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Tag a stream with the rule catalog re-read EVERY micro-batch.
+
+    Rule edits (new tags, threshold changes, deactivations) take effect
+    on the next batch without restarting the query — the catalog read is
+    a bounded broadcast-sized load (see ``read_rule_catalog``), so the
+    per-batch cost is a driver round-trip, not a scan. ``writer(tagged,
+    batch_id)`` receives the batch's ``(user_id, tag_id, tag_detail)``
+    assignments; pair with an idempotent upsert for exactly-once effect.
+    """
+    from bigdata_tag_system_spark.sources.readers import read_rule_catalog
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rules = read_rule_catalog(spark, rules_path, definitions_path)
+        engine = TagEngine(rules, user_col=user_col, as_of=as_of)
+        writer(engine.assignments(batch_df), batch_id)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_process)
+        .trigger(availableNow=trigger_available_now)
+        .start()
+    )
+
+
 def run_foreach_batch_upsert(
     stream_df: DataFrame,
     batch_writer: Callable[[DataFrame, int], None],

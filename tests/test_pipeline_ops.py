@@ -631,3 +631,58 @@ class TestStreamingLSH:
         for r in real:
             per_band.setdefault(r["band_id"], set()).add((r["id_a"], r["id_b"]))
         assert all(len(p) <= 6 for p in per_band.values())  # C(4,2)=6
+
+
+class TestRuleHotReload:
+    def test_rules_reread_each_batch(self, spark, tmp_path):
+        import json as _json
+        import time
+
+        from bigdata_tag_system_spark.streaming import tag_stream_with_rule_reload
+
+        rules_path = str(tmp_path / "rules")
+        rule_v1 = [(1, 1, _json.dumps({"logic": "AND", "conditions": [
+            {"field": "v", "operator": ">=", "value": 100, "type": "number"}]}), True)]
+        spark.createDataFrame(
+            rule_v1, "rule_id int, tag_id int, rule_conditions string, is_active boolean"
+        ).write.mode("overwrite").parquet(rules_path)
+
+        src = str(tmp_path / "hr_src")
+        batch1 = spark.createDataFrame([("u1", 150), ("u2", 50)], "user_id string, v int")
+        batch1.write.mode("overwrite").parquet(src)
+
+        seen: dict[int, set] = {}
+
+        def writer(df, batch_id):
+            for r in df.collect():
+                seen.setdefault(r["tag_id"], set()).add(r["user_id"])
+
+        q = tag_stream_with_rule_reload(
+            spark.readStream.schema(batch1.schema).parquet(src),
+            rules_path, writer, str(tmp_path / "hr_ckpt"))
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        assert seen == {1: {"u1"}}
+
+        # catalog change: lower threshold + new tag 2; next run picks it up
+        rule_v2 = rule_v1 + [(2, 2, _json.dumps({"logic": "AND", "conditions": [
+            {"field": "v", "operator": "<", "value": 100, "type": "number"}]}), True)]
+        spark.createDataFrame(
+            rule_v2, "rule_id int, tag_id int, rule_conditions string, is_active boolean"
+        ).write.mode("overwrite").parquet(rules_path)
+        batch2 = spark.createDataFrame([("u3", 120), ("u4", 10)], "user_id string, v int")
+        batch2.write.mode("append").parquet(src)
+        time.sleep(0.2)
+
+        seen.clear()
+        q = tag_stream_with_rule_reload(
+            spark.readStream.schema(batch1.schema).parquet(src),
+            rules_path, writer, str(tmp_path / "hr_ckpt"))
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        # checkpoint resume: only NEW files processed, with NEW rules
+        assert seen == {1: {"u3"}, 2: {"u4"}}
