@@ -88,6 +88,30 @@ def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def adaptive_join(
+    big: DataFrame,
+    medium: DataFrame,
+    on: str,
+    how: str = "inner",
+    share_threshold: float = 0.05,
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join that measures key skew first and salts only if needed.
+
+    Probes ``big`` with :func:`skew_stats` (one scan); if the hottest
+    key exceeds ``share_threshold`` of all rows — i.e. one post-shuffle
+    task would own ≥ that fraction of the join's left side — the join
+    routes through :func:`salted_join`, otherwise through the planner's
+    normal strategy (broadcast/SMJ + AQE). The probe costs one extra
+    pass over ``big``: use for repeated production joins where the probe
+    amortizes, not for one-off interactive queries.
+    """
+    share, _ = skew_stats(big, on, top_k=1)
+    if share >= share_threshold:
+        return salted_join(big, medium, on, how=how, salt=salt)
+    return big.join(medium, on=on, how=how)
+
+
 def skew_stats(
     df: DataFrame, key: str, top_k: int = 10
 ) -> tuple[float, list[tuple]]:

@@ -686,3 +686,23 @@ class TestRuleHotReload:
             q.stop()
         # checkpoint resume: only NEW files processed, with NEW rules
         assert seen == {1: {"u3"}, 2: {"u4"}}
+
+
+class TestAdaptiveJoin:
+    def test_adaptive_join_routes_and_matches(self, spark):
+        from bigdata_tag_system_spark.operators.joins import adaptive_join
+
+        # skewed big side: key 1 owns 90% of rows
+        big_rows = [(1, i) for i in range(90)] + [(k, 0) for k in range(2, 12)]
+        big = spark.createDataFrame(big_rows, "k int, v int")
+        dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 12)],
+                                    "k int, d string")
+        plain = big.join(dim, "k").groupBy("d").count()
+        adaptive = adaptive_join(big, dim, "k", share_threshold=0.05) \
+            .groupBy("d").count()
+        assert sorted(map(tuple, plain.collect())) == \
+            sorted(map(tuple, adaptive.collect()))
+        # uniform big side stays on the plain path (same result either way)
+        uni = spark.createDataFrame([(k, k) for k in range(1, 12)], "k int, v int")
+        out = adaptive_join(uni, dim, "k", share_threshold=0.5)
+        assert out.count() == 11
