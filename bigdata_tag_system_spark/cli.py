@@ -33,7 +33,6 @@ import argparse
 import json
 import shutil
 import sys
-import tempfile
 
 MODE_TO_SCENARIO = {
     "full": 1, "full-parallel": 1,
@@ -96,6 +95,33 @@ def _load_facts(spark, specs: list[str], rules, user_col: str):
         name, _, path = spec.partition("=")
         cat.register(name, path)
     return cat.facts_for_rules(rules)
+
+
+def _swap_store(merged, target: str) -> None:
+    """Crash-safe in-place store rewrite.
+
+    Stage the new result as a SIBLING of the target (same filesystem, so
+    the swap is two atomic renames, never a copy), rename the old store
+    aside, rename the stage in, then drop the backup. A crash between the
+    renames leaves either the old store in place or the old store at
+    ``<target>.__old__`` with the stage complete — never zero copies
+    (the failure mode of rmtree-then-move). On object stores, writing
+    a fresh versioned directory + repointing beats any in-place rewrite;
+    this layout (complete-directory-then-rename) is the local-fs analogue.
+    """
+    import os
+
+    stage, backup = f"{target}.__stage__", f"{target}.__old__"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(stage)
+    os.rename(target, backup)
+    try:
+        os.rename(stage, target)
+    except OSError:
+        os.rename(backup, target)  # roll back: old store restored
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -162,10 +188,7 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit("--store or --output required (or use --dry-run)")
     if target == args.store and existing is not None:
         # parquet can't be rewritten while its scan is live: stage then swap
-        tmp = tempfile.mkdtemp(prefix="tag_store_") + "/stage"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target, ignore_errors=True)
-        shutil.move(tmp, target)
+        _swap_store(merged, target)
     else:
         merged.write.mode("overwrite").parquet(target)
     print(f"wrote scenario {scenario} result to {target}")

@@ -66,20 +66,35 @@ def _hashed_shingle_df(
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+def _row_digest(text_col: str, id_col: str) -> Column:
+    """md5 of normalized text, with NULL text mapped to a unique per-row
+    digest (keyed off the id) so null-text rows pass through
+    undeduplicated — mirrors the streaming guard
+    (streaming/rule_stream.py) instead of groupBy collapsing every
+    NULL digest into one group and silently dropping rows."""
+    return F.coalesce(
+        F.md5(normalize_text(text_col)),
+        F.concat(F.lit("null-text:"), F.col(id_col).cast("string")),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact normalized text.
 
     Shuffles only (digest, id) — not the text — then rejoins winners.
+    Null-text rows are all kept (unique per-row digest).
     """
-    digests = df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("_digest"))
+    digests = df.select(F.col(id_col), _row_digest(text_col, id_col).alias("_digest"))
     winners = digests.groupBy("_digest").agg(F.min(id_col).alias(id_col))
     return df.join(winners.select(id_col), on=id_col, how="inner")
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(digest, ids array, dup_count) for groups with >1 member."""
+    """(digest, ids array, dup_count) for groups with >1 member.
+
+    Null-text rows never form a group (unique per-row digest)."""
     return (
-        df.select(F.md5(normalize_text(text_col)).alias("digest"), F.col(id_col))
+        df.select(_row_digest(text_col, id_col).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"), F.count(F.lit(1)).alias("dup_count"))
         .where(F.col("dup_count") > 1)
@@ -127,8 +142,19 @@ def _sig_from_hashed(hs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     return hs.select(F.col(id_col), sig.alias("_sig"))
 
 
+def _check_bands(num_hashes: int, bands: int) -> None:
+    """bands must evenly partition the signature: bands > num_hashes makes
+    every band slice empty (all docs share one bucket → O(n²) self-join);
+    a non-divisor silently ignores the trailing hashes."""
+    if not 0 < bands <= num_hashes:
+        raise ValueError(f"bands must satisfy 0 < bands <= num_hashes, got bands={bands}, num_hashes={num_hashes}")
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands must divide num_hashes evenly, got bands={bands}, num_hashes={num_hashes}")
+
+
 def _band_join(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
     """Distinct (id_a < id_b) pairs whose signatures agree on ≥1 band."""
+    _check_bands(num_hashes, bands)
     r = num_hashes // bands
     band_structs = F.array(
         *[

@@ -62,6 +62,15 @@ def merge_profiles(
     old_cols = [F.col(user_col), F.col("tag_ids").alias("_old_tag_ids")]
     if has_details:
         old_cols.append(F.col("tag_details").alias("_old_tag_details"))
+    # non-tag attributes (computed_date, …) the store also carries: in the
+    # full-outer branch a user present only in `existing` must keep them,
+    # so project them in as _old_* for the coalesce below
+    extra_cols = [
+        c for c in new.columns
+        if c not in (user_col, "tag_ids", "tag_details") and c in existing.columns
+    ]
+    if strategy == MergeStrategy.FULL_OUTER_UNION:
+        old_cols.extend(F.col(c).alias(f"_old_{c}") for c in extra_cols)
     old = existing.select(*old_cols)
 
     if strategy == MergeStrategy.UNION:
@@ -92,6 +101,9 @@ def merge_profiles(
                 .otherwise(combined)
             )
             out_cols.append(merged_d.alias("tag_details"))
+        elif strategy == MergeStrategy.FULL_OUTER_UNION and c in extra_cols:
+            # new wins when present; stored-only users keep their stored value
+            out_cols.append(F.coalesce(F.col(c), F.col(f"_old_{c}")).alias(c))
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)

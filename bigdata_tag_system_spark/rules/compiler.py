@@ -266,14 +266,26 @@ class RuleCompiler:
 
         # ---- array-field operators (spec §3.6; no reference impl) ----
         if op == "array_contains":
+            if value is None:
+                if self.strict:
+                    raise RuleCompileError(f"{op} needs a non-null value")
+                return F.lit(False)
             return F.array_contains(col, _typed_lit(value, type_hint))
-        if op in ("contains_any", "intersects"):
-            return F.arrays_overlap(col, F.lit(_as_list(value)))
-        if op == "contains_all":
-            # every requested element present in the column's array
-            return F.size(F.array_except(F.lit(_as_list(value)), col)) == 0
-        if op == "disjoint":
-            return ~F.arrays_overlap(col, F.lit(_as_list(value)))
+        if op in ("contains_any", "intersects", "contains_all", "disjoint"):
+            vals = _as_list(value)
+            # match the `in` handling: an empty/None list would otherwise
+            # reach F.lit() as [None] or an untyped empty array — analysis
+            # error or an always-null predicate
+            if not vals or any(v is None for v in vals):
+                if self.strict:
+                    raise RuleCompileError(f"{op} needs a non-empty list of non-null values")
+                return F.lit(False)
+            if op in ("contains_any", "intersects"):
+                return F.arrays_overlap(col, F.lit(vals))
+            if op == "contains_all":
+                # every requested element present in the column's array
+                return F.size(F.array_except(F.lit(vals), col)) == 0
+            return ~F.arrays_overlap(col, F.lit(vals))
 
         raise RuleCompileError(f"unhandled operator: {op!r}")  # pragma: no cover
 

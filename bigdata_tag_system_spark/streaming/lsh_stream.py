@@ -131,7 +131,9 @@ def streaming_minhash_candidates(
     :func:`operators.dedup.jaccard_on_pairs`).
     """
     from bigdata_tag_system_spark.functions.text import shingles_from_tokens, tokens
+    from bigdata_tag_system_spark.operators.dedup import _check_bands
 
+    _check_bands(num_hashes, bands)
     r = num_hashes // bands
     prepared = (
         stream.withWatermark(ts_col, watermark)

@@ -425,21 +425,26 @@ class TestTimeseries:
 
 
 class TestGroupedMapFeatures:
-    def test_normalize_per_user_matches_window_formulation(self, spark, events):
-        from pyspark.sql import Window
+    def test_normalize_per_user_pandas_matches_window_default(self, spark, events):
+        from bigdata_tag_system_spark.operators.features import (
+            normalize_per_user,
+            normalize_per_user_pandas,
+        )
 
-        from bigdata_tag_system_spark.operators.features import normalize_per_user
-
+        want = {r["event_id"]: r["value_z"]
+                for r in normalize_per_user(events).collect()}
         got = {r["event_id"]: r["value_z"]
-               for r in normalize_per_user(events).collect()}
-        w = Window.partitionBy("user_id")
-        want = {r["event_id"]: r["z"] for r in events.select(
-            "event_id",
-            ((F.col("value") - F.avg("value").over(w)) /
-             F.stddev_samp("value").over(w)).alias("z")).collect()}
+               for r in normalize_per_user_pandas(events).collect()}
         assert len(got) == len(want)
         for k, v in want.items():
             assert got[k] == pytest.approx(v, rel=1e-9, abs=1e-12)
+
+    def test_normalize_per_user_single_row_group_is_zero(self, spark):
+        from bigdata_tag_system_spark.operators.features import normalize_per_user
+
+        one = spark.createDataFrame([(1, 10, 5.0)],
+                                    "user_id long, event_id long, value double")
+        assert normalize_per_user(one).collect()[0]["value_z"] == 0.0
 
     def test_time_rollup_grains_consistent(self, events):
         from bigdata_tag_system_spark.operators.features import time_rollup
@@ -706,3 +711,51 @@ class TestAdaptiveJoin:
         uni = spark.createDataFrame([(k, k) for k in range(1, 12)], "k int, v int")
         out = adaptive_join(uni, dim, "k", share_threshold=0.5)
         assert out.count() == 11
+
+
+class TestAdviceRegressions:
+    """Round-1 advisor findings (ADVICE.md): batch/streaming dedup parity
+    on null text, LSH band validation, full-outer merge attribute loss."""
+
+    def test_exact_dedup_null_text_rows_all_survive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, None)],
+            "doc_id long, text string")
+        kept = D.exact_dedup(df)
+        # dup pair collapses to min id; every null-text row passes through
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]
+        groups = D.exact_dup_groups(df).collect()
+        assert len(groups) == 1 and list(groups[0]["ids"]) == [1, 2]
+
+    def test_band_validation_raises(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="bands"):
+            D.minhash_candidate_pairs(df, num_hashes=8, bands=16).collect()
+        with pytest.raises(ValueError, match="divide"):
+            D.minhash_candidate_pairs(df, num_hashes=10, bands=4).collect()
+        with pytest.raises(ValueError, match="bands"):
+            from bigdata_tag_system_spark.streaming.lsh_stream import (
+                streaming_minhash_candidates,
+            )
+            streaming_minhash_candidates(
+                spark.readStream.format("rate").load()
+                .selectExpr("value as doc_id", "timestamp as ts",
+                            "'x' as text"),
+                num_hashes=8, bands=3)
+
+    def test_full_outer_merge_keeps_stored_attributes(self, spark):
+        from bigdata_tag_system_spark.operators.merge import merge_profiles
+
+        new = spark.createDataFrame(
+            [("u1", [1], "2024-02-01")],
+            "user_id string, tag_ids array<int>, computed_date string")
+        existing = spark.createDataFrame(
+            [("u1", [9], "2024-01-01"), ("u2", [7], "2024-01-01")],
+            "user_id string, tag_ids array<int>, computed_date string")
+        rows = {r["user_id"]: r for r in
+                merge_profiles(new, existing, "full_outer").collect()}
+        assert rows["u1"]["tag_ids"] == [1, 9]
+        assert rows["u1"]["computed_date"] == "2024-02-01"  # new wins
+        # stored-only user keeps BOTH its tags and its stored attributes
+        assert rows["u2"]["tag_ids"] == [7]
+        assert rows["u2"]["computed_date"] == "2024-01-01"
