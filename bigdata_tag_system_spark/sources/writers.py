@@ -38,6 +38,151 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
 
 
 # ---------------------------------------------------------------------------
+# Plain JDBC sink (reference S7)
+# ---------------------------------------------------------------------------
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batch_size: int = 2000,
+    num_partitions: int | None = 8,
+) -> None:
+    """Plain ``df.write.jdbc`` append/overwrite (reference
+    ``src/writers/mysql_writer.py:309-314``, its backup path).
+
+    Executor-parallel through Spark's JDBC datasource; ``num_partitions``
+    caps concurrent connections the same way the upsert sink does (the
+    database, not the cluster, is the bottleneck). Requires the JDBC
+    driver jar on the classpath — for driverless environments use
+    :func:`dbapi_write`, the same sink over a DBAPI connection factory.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    props = dict(properties or {})
+    props.setdefault("batchsize", str(batch_size))
+    out = df.repartition(num_partitions) if num_partitions else df
+    out.write.jdbc(url=url, table=table, mode=mode, properties=props)
+
+
+def dbapi_write(
+    df: DataFrame,
+    connection_factory: Callable[[], object],
+    table: str,
+    mode: str = "append",
+    batch_size: int = 2000,
+    max_partitions: int = 8,
+    dialect: str = "mysql",
+) -> None:
+    """S7 over a DBAPI factory (testable in-container via sqlite).
+
+    ``overwrite`` deletes the table contents once (driver-side, one
+    statement) then appends; ``append`` just inserts. Same
+    bounded-connections envelope as :func:`jdbc_upsert`.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    cols = list(df.columns)
+    ph = ", ".join(["%s" if dialect == "mysql" else "?"] * len(cols))
+    sql = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({ph})"
+
+    if mode == "overwrite":
+        conn = connection_factory()
+        try:
+            conn.cursor().execute(f"DELETE FROM {table}")
+            conn.commit()
+        finally:
+            conn.close()  # type: ignore[attr-defined]
+
+    out = df.repartition(max_partitions)
+
+    def _write_partition(rows: Iterable[Row]) -> None:
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            batch: list[tuple] = []
+            for row in rows:
+                batch.append(tuple(row[c] for c in cols))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    conn.commit()
+                    batch = []
+            if batch:
+                cur.executemany(sql, batch)
+                conn.commit()
+        finally:
+            conn.close()  # type: ignore[attr-defined]
+
+    out.foreachPartition(_write_partition)
+
+
+# ---------------------------------------------------------------------------
+# Write-path validation (reference mysql_writer.py:273-283, 335-400)
+# ---------------------------------------------------------------------------
+
+class DuplicateKeyError(ValueError):
+    """A batch headed for a keyed sink contains duplicate keys."""
+
+
+def resolve_duplicate_keys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    on_duplicates: str = "error",
+) -> DataFrame:
+    """Guard a keyed write against duplicate keys in the incoming batch.
+
+    With duplicates, ``executemany`` upserts resolve last-writer-wins in
+    partition-iteration order — nondeterministic across runs. Policies:
+
+    - ``error``   — raise :class:`DuplicateKeyError` with sample keys
+      (the reference's pre-write duplicate check).
+    - ``dedupe``  — keep one deterministic row per key: the
+      lexicographically greatest over all columns (``max_by`` hash
+      aggregate, map-side combined — no window sort shuffle).
+    - ``allow``   — pass through unchanged (caller guarantees unique).
+    """
+    keys = list(key_cols)
+    if on_duplicates == "allow":
+        return df
+    if on_duplicates not in ("error", "dedupe"):
+        raise ValueError(f"on_duplicates must be error|dedupe|allow, got {on_duplicates!r}")
+    if on_duplicates == "error":
+        dups = (
+            df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1).limit(5).collect()
+        )
+        if dups:
+            sample = [tuple(r[k] for k in keys) for r in dups]
+            raise DuplicateKeyError(
+                f"duplicate keys in write batch (sample): {sample}")
+        return df
+    row = F.struct(*[F.col(c) for c in df.columns])
+    agg = df.groupBy(*keys).agg(F.max(row).alias("_row"))
+    return agg.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
+
+
+def validate_store_contains(
+    written: DataFrame,
+    store: DataFrame,
+    key_cols: Sequence[str],
+) -> int:
+    """Post-write set-difference validation (reference
+    ``mysql_writer.py:335-400``): every key in the written batch must be
+    present in the store read back from the sink. Distributed left-anti
+    on pre-projected keys — no driver-side collect of fact rows. Returns
+    the number of MISSING keys (0 = valid).
+    """
+    keys = list(key_cols)
+    return (
+        written.select(*keys).distinct()
+        .join(store.select(*keys).distinct(), on=keys, how="left_anti")
+        .count()
+    )
+
+
+# ---------------------------------------------------------------------------
 # JDBC upsert (reference S8)
 # ---------------------------------------------------------------------------
 
@@ -67,6 +212,7 @@ def jdbc_upsert(
     rows_per_partition: int = 8000,
     dialect: str = "mysql",
     approx_rows: int | None = None,
+    on_duplicates: str = "error",
 ) -> None:
     """Idempotent per-partition batched upsert (last-writer-wins per key).
 
@@ -75,7 +221,14 @@ def jdbc_upsert(
     batch 2000 (``mysql_writer.py:211``), ≤8 partitions hashed by key
     (``mysql_writer.py:269-271``) so the database sees a bounded number of
     concurrent connections no matter the cluster size.
+
+    Duplicate keys WITHIN the batch would make the upsert outcome depend
+    on executemany order — guarded by :func:`resolve_duplicate_keys`
+    (reference pre-write check, ``mysql_writer.py:273-283``); pass
+    ``on_duplicates="allow"`` to skip the probe when uniqueness is
+    guaranteed upstream.
     """
+    df = resolve_duplicate_keys(df, key_cols, on_duplicates)
     cols = list(df.columns)
     sql = _upsert_sql(dialect, table, cols, list(key_cols))
 
@@ -133,6 +286,7 @@ def parquet_merge_upsert(
     path: str,
     key_cols: Sequence[str],
     array_union_cols: Sequence[str] = (),
+    on_duplicates: str = "error",
 ) -> DataFrame:
     """Upsert ``new`` into the parquet store at ``path``.
 
@@ -142,7 +296,12 @@ def parquet_merge_upsert(
     the scenario-2/6 merge semantics (SURVEY §7.3). Returns the merged
     DataFrame; caller writes it (kept separate for testability — parquet
     can't be overwritten while being read).
+
+    Duplicate keys in ``new`` would fan out through the full-outer join
+    (one output row per duplicate) — guarded by
+    :func:`resolve_duplicate_keys`, same policies as :func:`jdbc_upsert`.
     """
+    new = resolve_duplicate_keys(new, key_cols, on_duplicates)
     existing = read_store_if_exists(spark, path)
     if existing is None:
         return new

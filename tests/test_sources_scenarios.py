@@ -143,6 +143,66 @@ class TestUpsertSinks:
         merged = parquet_merge_upsert(spark, new, f"{tmpdir_mod}/missing", ["user_id"])
         assert merged.collect()[0]["tag_ids"] == [1]
 
+    def test_duplicate_key_batch_raises_then_dedupes(self, spark, tmpdir_mod):
+        from bigdata_tag_system_spark.sources.writers import (
+            DuplicateKeyError,
+            resolve_duplicate_keys,
+        )
+
+        dup = spark.createDataFrame(
+            [("u1", "a"), ("u1", "b"), ("u2", "c")], "user_id string, val string")
+        with pytest.raises(DuplicateKeyError, match="u1"):
+            parquet_merge_upsert(spark, dup, f"{tmpdir_mod}/missing2", ["user_id"])
+        # dedupe policy: deterministic winner (lexicographically greatest row)
+        got = {r["user_id"]: r["val"] for r in
+               resolve_duplicate_keys(dup, ["user_id"], "dedupe").collect()}
+        assert got == {"u1": "b", "u2": "c"}
+        # and the sqlite sink honors the same guard
+        if os.path.exists(_DB_PATH):
+            os.remove(_DB_PATH)
+        conn = _sqlite_conn()
+        conn.execute("CREATE TABLE t2 (user_id TEXT PRIMARY KEY, val TEXT)")
+        conn.commit(); conn.close()
+        with pytest.raises(DuplicateKeyError):
+            jdbc_upsert(dup, _sqlite_conn, "t2", ["user_id"], dialect="sqlite")
+        jdbc_upsert(dup, _sqlite_conn, "t2", ["user_id"], dialect="sqlite",
+                    on_duplicates="dedupe")
+        conn = _sqlite_conn()
+        rows = dict(conn.execute("SELECT * FROM t2"))
+        conn.close()
+        assert rows == {"u1": "b", "u2": "c"}
+
+    def test_dbapi_write_append_overwrite(self, spark):
+        from bigdata_tag_system_spark.sources.writers import dbapi_write
+
+        if os.path.exists(_DB_PATH):
+            os.remove(_DB_PATH)
+        conn = _sqlite_conn()
+        conn.execute("CREATE TABLE plain (user_id TEXT, val TEXT)")
+        conn.commit(); conn.close()
+        df = spark.createDataFrame([("u1", "a"), ("u2", "b")],
+                                   "user_id string, val string")
+        dbapi_write(df, _sqlite_conn, "plain", mode="append", dialect="sqlite")
+        dbapi_write(df, _sqlite_conn, "plain", mode="append", dialect="sqlite")
+        conn = _sqlite_conn()
+        assert conn.execute("SELECT count(*) FROM plain").fetchone()[0] == 4
+        conn.close()
+        dbapi_write(df, _sqlite_conn, "plain", mode="overwrite", dialect="sqlite")
+        conn = _sqlite_conn()
+        assert conn.execute("SELECT count(*) FROM plain").fetchone()[0] == 2
+        conn.close()
+        with pytest.raises(ValueError, match="mode"):
+            dbapi_write(df, _sqlite_conn, "plain", mode="replace", dialect="sqlite")
+
+    def test_validate_store_contains(self, spark, tmpdir_mod):
+        from bigdata_tag_system_spark.sources.writers import validate_store_contains
+
+        written = spark.createDataFrame([("u1",), ("u2",)], "user_id string")
+        store_ok = spark.createDataFrame([("u1",), ("u2",), ("u3",)], "user_id string")
+        store_missing = spark.createDataFrame([("u1",)], "user_id string")
+        assert validate_store_contains(written, store_ok, ["user_id"]) == 0
+        assert validate_store_contains(written, store_missing, ["user_id"]) == 1
+
 
 class TestScenarios:
     @pytest.fixture(scope="class")
