@@ -221,6 +221,71 @@ def fit_centroids(
     return [list(map(float, c)) for c in cents]
 
 
+def fit_centroids_distributed(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_buckets: int = 16,
+    iterations: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Cluster-resident k-means fit — the scale path past
+    :func:`fit_centroids`'s driver-side sample.
+
+    The corpus never leaves the executors: initialization takes the
+    ``num_buckets`` hash-least rows (deterministic under any partitioning
+    — a per-partition top-k, not a full sort), and each Lloyd iteration
+    is one job — nearest-centroid assignment as in-plan expressions
+    (current centroids folded to literals), ``posexplode`` to
+    (bucket, dimension) cells, map-side-combined ``avg`` — so only
+    ``num_buckets × dim`` aggregate cells ever reach the driver per
+    iteration. Same contract as :func:`fit_centroids`: returns
+    unit-normalized centroid lists usable with
+    :func:`ivf_topk_fitted` / :func:`knn_join_bucketed`.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    u = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        F.col(id_col),
+        F.transform("_v", lambda x: x / _norm(F.col("_v"))).alias("_u"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    init = u.orderBy(F.xxhash64(F.col(id_col), F.lit(seed))).limit(num_buckets).collect()
+    if len(init) < num_buckets:
+        u.unpersist()
+        raise ValueError(
+            f"need ≥ {num_buckets} corpus vectors to fit {num_buckets} "
+            f"centroids, got {len(init)}")
+    cents = [list(map(float, r["_u"])) for r in init]
+    if len(cents[0]) != dim:
+        u.unpersist()
+        raise ValueError(f"embedding dim {len(cents[0])} != declared dim {dim}")
+
+    for _ in range(iterations):
+        cells = (
+            u.select(
+                assign_bucket_from_centroids(F.col("_u"), cents).alias("_b"),
+                F.posexplode("_u"),
+            )
+            .groupBy("_b", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        for r in cells:
+            sums.setdefault(r["_b"], [0.0] * dim)[r["pos"]] = r["m"]
+        for c, mean in sums.items():
+            n = sum(x * x for x in mean) ** 0.5 or 1.0
+            cents[c] = [x / n for x in mean]
+        # empty buckets keep their previous centroid
+    u.unpersist()
+    return cents
+
+
 def assign_bucket_from_centroids(
     vec_col: Column | str, centroids: list[list[float]]
 ) -> Column:
@@ -316,6 +381,69 @@ def knn_join(
     q = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("_q"))
     c = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("_c"))
     scored = F.broadcast(q).crossJoin(c).select(
+        q_id,
+        c_id,
+        (_dot(F.col("_q"), F.col("_c")) / (_norm(F.col("_q")) * _norm(F.col("_c")))).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def knn_join_bucketed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors for each query — IVF-bucketed, for LARGE query sets.
+
+    :func:`knn_join` broadcasts the queries into a nested-loop cross join:
+    |Q| × |C| score evaluations, right only when |Q| is tiny. Here both
+    sides route through the shared centroid space instead:
+
+    - each corpus vector gets its single nearest-centroid bucket;
+    - each query expands to its ``nprobe`` nearest buckets (pure
+      expressions — centroid ranking runs in-plan, no driver round-trip
+      per query);
+    - queries ⋈ corpus on the bucket id is a plain hash join whose pair
+      space is |Q| × nprobe/num_buckets of the corpus, not |Q| × |C|;
+    - per-query top-k by window rank, exact cosine as the score.
+
+    A corpus row sits in exactly one bucket, so no (q, c) pair is scored
+    twice and ``nprobe = len(centroids)`` degrades gracefully to the
+    exact brute-force result (bucketing only prunes). Hot buckets are an
+    AQE skew-join case; at 100 TB pair the corpus side with
+    :func:`write_ivf_index` so non-probed buckets are partition-pruned.
+    """
+    from pyspark.sql import Window
+
+    if not 0 < nprobe <= len(centroids):
+        raise ValueError(f"nprobe must be in 1..{len(centroids)}, got {nprobe}")
+    q = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("_q"))
+    c = corpus.select(
+        F.col(c_id),
+        F.col(c_vec).cast("array<double>").alias("_c"),
+        assign_bucket_from_centroids(c_vec, centroids).alias("_bucket"),
+    )
+    # rank centroids per query in-plan: sort (−dot, bucket) structs asc —
+    # query norm is constant per row, so raw dot order == cosine order
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(
+                (-_dot(F.col("_q"), F.array(*[F.lit(x) for x in cen]))).alias("negdot"),
+                F.lit(b).alias("bucket"),
+            )
+            for b, cen in enumerate(centroids)
+        ])
+    )
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["bucket"])
+    qb = q.select(q_id, "_q", F.explode(probes).alias("_bucket"))
+    scored = qb.join(c, "_bucket").select(
         q_id,
         c_id,
         (_dot(F.col("_q"), F.col("_c")) / (_norm(F.col("_q")) * _norm(F.col("_c")))).alias("cosine"),

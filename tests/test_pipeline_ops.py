@@ -176,6 +176,40 @@ class TestSimilarity:
         fit_cv = imbalance(S.assign_bucket_from_centroids("embedding", cents))
         assert fit_cv <= rand_cv
 
+    def test_distributed_fit_matches_contract(self, spark, emb):
+        dim = len(emb.limit(1).collect()[0]["embedding"])
+        cents = S.fit_centroids_distributed(emb, dim=dim, num_buckets=4,
+                                            iterations=3)
+        assert len(cents) == 4 and len(cents[0]) == dim
+        for c in cents:  # unit-normalized
+            assert sum(x * x for x in c) == pytest.approx(1.0, abs=1e-9)
+        again = S.fit_centroids_distributed(emb, dim=dim, num_buckets=4,
+                                            iterations=3)
+        assert cents == again  # deterministic under re-run
+        q = emb.where("vec_id = 7").collect()[0]["embedding"]
+        exact = [r["vec_id"] for r in S.cosine_topk(emb, q, 5).collect()]
+        fitted = [r["vec_id"] for r in
+                  S.ivf_topk_fitted(emb, q, cents, k=5, nprobe=4).collect()]
+        assert fitted == exact  # full probe → exact, same as sampled fit
+
+    def test_knn_join_bucketed_full_probe_equals_broadcast(self, spark, emb):
+        dim = len(emb.limit(1).collect()[0]["embedding"])
+        cents = S.fit_centroids(emb, dim=dim, num_buckets=4, sample_size=256)
+        qs = emb.limit(5).selectExpr("vec_id as q_id", "embedding as q_vec")
+        brute = {(r["q_id"], r["rank"]): r["vec_id"]
+                 for r in S.knn_join(qs, emb, k=3).collect()}
+        full = {(r["q_id"], r["rank"]): r["vec_id"]
+                for r in S.knn_join_bucketed(qs, emb, cents, k=3, nprobe=4).collect()}
+        assert full == brute  # nprobe=all → exact
+        # partial probe: a query's own bucket is always probed first, so
+        # the self-hit (rank 1, cosine 1) must survive
+        part = S.knn_join_bucketed(qs, emb, cents, k=3, nprobe=1).collect()
+        self_hits = {r["q_id"] for r in part
+                     if r["rank"] == 1 and r["vec_id"] == r["q_id"]}
+        assert self_hits == {r["q_id"] for r in qs.collect()}
+        with pytest.raises(ValueError, match="nprobe"):
+            S.knn_join_bucketed(qs, emb, cents, k=3, nprobe=9)
+
     def test_knn_join(self, spark, emb):
         queries = emb.where("vec_id in (1, 2)").selectExpr("vec_id as q_id", "embedding as q_vec")
         out = S.knn_join(queries, emb, k=3)
