@@ -174,9 +174,12 @@ def main(argv: list[str] | None = None) -> int:
         # the store back in (keys new ∪ old). Scenario 5 in particular
         # overwrites ONLY the selected users' rows — without this fold it
         # would wipe every other user's stored profile.
+        # scenario output is one row per user by construction (profiles
+        # are a groupBy on the user key) → skip the duplicate-key probe,
+        # which would otherwise compute the whole scenario DAG twice
         merged = parquet_merge_upsert(
             spark, merged, args.store, key_cols=[args.user_col],
-            array_union_cols=[])
+            array_union_cols=[], on_duplicates="allow")
 
     if args.dry_run:
         merged.explain("formatted")

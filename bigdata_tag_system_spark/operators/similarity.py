@@ -246,12 +246,19 @@ def fit_centroids_distributed(
     """
     from pyspark.storagelevel import StorageLevel
 
+    # NULL / zero-norm guard (mirrors fit_centroids): drop NULL vectors,
+    # coalesce a zero norm to 1.0 — otherwise x/0 yields NULL elements,
+    # the row's bucket becomes NULL, and the driver fold crashes
     u = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
+    ).where(
+        F.col("_v").isNotNull() & ~F.exists("_v", lambda x: x.isNull())
+    ).withColumn(
+        "_n", F.when(_norm(F.col("_v")) == 0.0, F.lit(1.0)).otherwise(_norm(F.col("_v")))
     ).select(
         F.col(id_col),
-        F.transform("_v", lambda x: x / _norm(F.col("_v"))).alias("_u"),
+        F.transform("_v", lambda x: x / F.col("_n")).alias("_u"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     init = u.orderBy(F.xxhash64(F.col(id_col), F.lit(seed))).limit(num_buckets).collect()
@@ -277,6 +284,8 @@ def fit_centroids_distributed(
         )
         sums: dict[int, list[float]] = {}
         for r in cells:
+            if r["_b"] is None:  # defensive: unassignable row (shouldn't occur post-guard)
+                continue
             sums.setdefault(r["_b"], [0.0] * dim)[r["pos"]] = r["m"]
         for c, mean in sums.items():
             n = sum(x * x for x in mean) ** 0.5 or 1.0

@@ -279,6 +279,12 @@ class RuleCompiler:
             if not vals or any(v is None for v in vals):
                 if self.strict:
                     raise RuleCompileError(f"{op} needs a non-empty list of non-null values")
+                # vacuous truth for the empty list: every element of ∅ is
+                # present (contains_all), and ∅ is disjoint from anything
+                # (disjoint); only an empty contains_any/intersects is
+                # unsatisfiable. Lists containing None stay False.
+                if not vals and op in ("contains_all", "disjoint"):
+                    return F.lit(True)
                 return F.lit(False)
             if op in ("contains_any", "intersects"):
                 return F.arrays_overlap(col, F.lit(vals))

@@ -81,6 +81,16 @@ def dbapi_write(
     ``overwrite`` deletes the table contents once (driver-side, one
     statement) then appends; ``append`` just inserts. Same
     bounded-connections envelope as :func:`jdbc_upsert`.
+
+    .. warning:: **Not idempotent under Spark task retry.** Commits happen
+       per batch inside ``foreachPartition``; a task that fails after a
+       partial write is re-run from the start of its partition and
+       re-inserts the already-committed batches (plain ``INSERT`` has no
+       conflict target). Likewise ``overwrite`` (DELETE then append)
+       leaves a partially-loaded table if the job dies mid-write. For
+       retry-safe keyed loads use :func:`jdbc_upsert` — its per-key upsert
+       makes replays converge; reserve this sink for append-only staging
+       tables that a failed job truncates-and-reloads anyway.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -126,6 +136,20 @@ class DuplicateKeyError(ValueError):
     """A batch headed for a keyed sink contains duplicate keys."""
 
 
+def _orderable(dt) -> bool:
+    """Whether Spark can sort on this type (maps are unorderable, and
+    poison any array/struct that contains one)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def resolve_duplicate_keys(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -137,10 +161,18 @@ def resolve_duplicate_keys(
     partition-iteration order — nondeterministic across runs. Policies:
 
     - ``error``   — raise :class:`DuplicateKeyError` with sample keys
-      (the reference's pre-write duplicate check).
-    - ``dedupe``  — keep one deterministic row per key: the
-      lexicographically greatest over all columns (``max_by`` hash
-      aggregate, map-side combined — no window sort shuffle).
+      (the reference's pre-write duplicate check). The frame is persisted
+      before the probe so (a) the upstream DAG isn't computed twice —
+      once for the probe, once for the write — and (b) a nondeterministic
+      input can't pass the probe yet write different, duplicated rows.
+      The sinks here ``unpersist()`` after their write completes; pass
+      ``allow`` to skip probe+persist entirely when uniqueness is
+      guaranteed upstream (e.g. output of a groupBy on the key).
+    - ``dedupe``  — keep one deterministic row per key via ``max_by``
+      (hash aggregate, map-side combined — no window sort shuffle),
+      ordered by the *orderable* non-key columns only: map-typed columns
+      (e.g. profile ``tag_details``) are carried in the value struct but
+      excluded from the ordering, which Spark cannot sort on.
     - ``allow``   — pass through unchanged (caller guarantees unique).
     """
     keys = list(key_cols)
@@ -149,6 +181,10 @@ def resolve_duplicate_keys(
     if on_duplicates not in ("error", "dedupe"):
         raise ValueError(f"on_duplicates must be error|dedupe|allow, got {on_duplicates!r}")
     if on_duplicates == "error":
+        if not df.is_cached:
+            from pyspark.storagelevel import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
         dups = (
             df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > 1).limit(5).collect()
@@ -159,7 +195,10 @@ def resolve_duplicate_keys(
                 f"duplicate keys in write batch (sample): {sample}")
         return df
     row = F.struct(*[F.col(c) for c in df.columns])
-    agg = df.groupBy(*keys).agg(F.max(row).alias("_row"))
+    order_cols = [F.col(f.name) for f in df.schema.fields
+                  if f.name not in keys and _orderable(f.dataType)]
+    order = F.struct(*order_cols) if order_cols else F.lit(1)
+    agg = df.groupBy(*keys).agg(F.max_by(row, order).alias("_row"))
     return agg.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
 
 
@@ -228,10 +267,12 @@ def jdbc_upsert(
     ``on_duplicates="allow"`` to skip the probe when uniqueness is
     guaranteed upstream.
     """
+    was_cached = df.is_cached
     df = resolve_duplicate_keys(df, key_cols, on_duplicates)
     cols = list(df.columns)
     sql = _upsert_sql(dialect, table, cols, list(key_cols))
 
+    # the probe's persist (if any) also makes this count a cache read
     n = approx_rows if approx_rows is not None else df.count()
     parts = max(1, min(max_partitions, n // max(1, rows_per_partition) or 1))
     # always a real repartition: coalesce(1) would propagate up past the
@@ -256,7 +297,11 @@ def jdbc_upsert(
         finally:
             conn.close()  # type: ignore[attr-defined]
 
-    out.foreachPartition(_write_partition)
+    try:
+        out.foreachPartition(_write_partition)
+    finally:
+        if df.is_cached and not was_cached:
+            df.unpersist()
 
 
 def read_store_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
@@ -300,6 +345,11 @@ def parquet_merge_upsert(
     Duplicate keys in ``new`` would fan out through the full-outer join
     (one output row per duplicate) — guarded by
     :func:`resolve_duplicate_keys`, same policies as :func:`jdbc_upsert`.
+    Under ``error`` the probe persists ``new`` (one compute, probe + write
+    both read the cache); the caller owns the returned frame's lifecycle —
+    unpersist ``new`` after materializing, or pass ``allow`` when
+    uniqueness is guaranteed upstream (e.g. a groupBy-on-key output, as in
+    the CLI scenario path) to skip probe and persist entirely.
     """
     new = resolve_duplicate_keys(new, key_cols, on_duplicates)
     existing = read_store_if_exists(spark, path)

@@ -117,6 +117,23 @@ class TestArrays:
         # empty array IS disjoint with anything; NULL array is not counted
         assert _hits(tiny, c("arr", "disjoint", [1, 3])) == {"c"}
 
+    def test_empty_list_vacuous_truth_non_strict(self, tiny):
+        # strict mode (default) still rejects the empty list outright
+        with pytest.raises(RuleCompileError):
+            compile_rule(c("arr", "contains_all", []))
+
+        def hits(cond):
+            return {r[0] for r in tiny.where(
+                compile_rule(cond, strict=False)).select("k").collect()}
+
+        # every element of ∅ is present, and ∅ is disjoint from anything
+        # → vacuously TRUE for all rows; only an empty contains_any /
+        # intersects is unsatisfiable
+        assert hits(c("arr", "contains_all", [])) == {"a", "b", "c", "d"}
+        assert hits(c("arr", "disjoint", [])) == {"a", "b", "c", "d"}
+        assert hits(c("arr", "contains_any", [])) == set()
+        assert hits(c("arr", "intersects", [])) == set()
+
 
 class TestCombinators:
     def test_and_or(self, tiny):

@@ -192,6 +192,33 @@ class TestSimilarity:
                   S.ivf_topk_fitted(emb, q, cents, k=5, nprobe=4).collect()]
         assert fitted == exact  # full probe → exact, same as sampled fit
 
+    def test_distributed_fit_survives_null_and_zero_norm(self, spark, emb):
+        # degenerate rows — NULL vector, vector with a NULL element, and a
+        # zero-norm vector — must be dropped/guarded, not crash the fit
+        # with a NULL bucket reaching the driver fold
+        dim = len(emb.limit(1).collect()[0]["embedding"])
+        from pyspark.sql import functions as F
+
+        bad = spark.createDataFrame(
+            [(90001, None),
+             (90002, [None] + [1.0] * (dim - 1)),
+             (90003, [0.0] * dim)],
+            f"vec_id long, embedding array<double>")
+        poisoned = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                              .alias("embedding")).unionByName(bad)
+        cents = S.fit_centroids_distributed(poisoned, dim=dim, num_buckets=4,
+                                            iterations=2)
+        assert len(cents) == 4 and len(cents[0]) == dim
+        clean = S.fit_centroids_distributed(
+            emb.select("vec_id", F.col("embedding").cast("array<double>")
+                       .alias("embedding")), dim=dim, num_buckets=4, iterations=2)
+        # the zero-norm row is norm-coalesced (stays, contributes zeros);
+        # NULL rows are filtered — either way the fit completes and stays
+        # unit-normalized
+        for c in cents:
+            assert sum(x * x for x in c) == pytest.approx(1.0, abs=1e-9)
+        assert len(clean) == 4
+
     def test_knn_join_bucketed_full_probe_equals_broadcast(self, spark, emb):
         dim = len(emb.limit(1).collect()[0]["embedding"])
         cents = S.fit_centroids(emb, dim=dim, num_buckets=4, sample_size=256)

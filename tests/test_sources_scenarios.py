@@ -157,6 +157,20 @@ class TestUpsertSinks:
         got = {r["user_id"]: r["val"] for r in
                resolve_duplicate_keys(dup, ["user_id"], "dedupe").collect()}
         assert got == {"u1": "b", "u2": "c"}
+        # map-typed columns (profile tag_details) are unorderable — they must
+        # ride along in the value struct without poisoning the ordering
+        dup_map = spark.createDataFrame(
+            [("u1", "a", {"t": "1"}), ("u1", "b", {"t": "2"}), ("u2", "c", {"t": "3"})],
+            "user_id string, val string, tag_details map<string,string>")
+        got_map = {r["user_id"]: (r["val"], dict(r["tag_details"])) for r in
+                   resolve_duplicate_keys(dup_map, ["user_id"], "dedupe").collect()}
+        assert got_map == {"u1": ("b", {"t": "2"}), "u2": ("c", {"t": "3"})}
+        # the "error" probe persists the frame (probe + write read one
+        # compute; a nondeterministic input can't diverge between the two)
+        uniq = spark.createDataFrame([("u9", "z")], "user_id string, val string")
+        probed = resolve_duplicate_keys(uniq, ["user_id"], "error")
+        assert probed.is_cached
+        probed.unpersist()
         # and the sqlite sink honors the same guard
         if os.path.exists(_DB_PATH):
             os.remove(_DB_PATH)
