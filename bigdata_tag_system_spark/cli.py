@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fact table parquet path; repeat for multi-table rules")
     p.add_argument("--rules", help="rule catalog: parquet dir or .json/.jsonl file")
     p.add_argument("--store", help="result-store parquet directory (read+upsert)")
+    p.add_argument("--store-buckets", type=int, default=0, metavar="N",
+                   help="bucket the result store by the user key into N buckets "
+                        "(0 = plain parquet). Bucketing pre-shuffles the store "
+                        "on disk, so every incremental merge reads it with no "
+                        "Exchange; N is part of the on-disk layout — keep it "
+                        "constant for the life of a store directory")
     p.add_argument("--output", help="write result here instead of --store")
     p.add_argument("--tag-ids", help="comma-separated tag ids (tags/user-tags modes)")
     p.add_argument("--user-ids", help="comma-separated user ids (users/user-tags modes)")
@@ -155,7 +161,15 @@ def main(argv: list[str] | None = None) -> int:
 
     from bigdata_tag_system_spark.sources.writers import read_store_if_exists
 
-    existing = read_store_if_exists(spark, args.store) if args.store else None
+    if args.store and args.store_buckets:
+        from bigdata_tag_system_spark.sources.bucketed_store import read_bucketed_store
+
+        existing = read_bucketed_store(
+            spark, args.store, args.user_col, args.store_buckets)
+    elif args.store:
+        existing = read_store_if_exists(spark, args.store)
+    else:
+        existing = None
 
     tag_ids = [int(x) for x in args.tag_ids.split(",")] if args.tag_ids else None
     user_keys = args.user_ids.split(",") if args.user_ids else None
@@ -177,9 +191,17 @@ def main(argv: list[str] | None = None) -> int:
         # scenario output is one row per user by construction (profiles
         # are a groupBy on the user key) → skip the duplicate-key probe,
         # which would otherwise compute the whole scenario DAG twice
-        merged = parquet_merge_upsert(
-            spark, merged, args.store, key_cols=[args.user_col],
-            array_union_cols=[], on_duplicates="allow")
+        if args.store_buckets:
+            # bucketed store: merge against the registered table scan so
+            # the store side of the full-outer join runs Exchange-free
+            from bigdata_tag_system_spark.sources.writers import merge_upsert_frames
+
+            merged = merge_upsert_frames(
+                merged, existing, key_cols=[args.user_col], array_union_cols=[])
+        else:
+            merged = parquet_merge_upsert(
+                spark, merged, args.store, key_cols=[args.user_col],
+                array_union_cols=[], on_duplicates="allow")
 
     if args.dry_run:
         merged.explain("formatted")
@@ -189,7 +211,12 @@ def main(argv: list[str] | None = None) -> int:
     target = args.output or args.store
     if not target:
         raise SystemExit("--store or --output required (or use --dry-run)")
-    if target == args.store and existing is not None:
+    if target == args.store and args.store_buckets:
+        from bigdata_tag_system_spark.sources.bucketed_store import write_bucketed_store
+
+        write_bucketed_store(
+            spark, merged, target, args.user_col, args.store_buckets)
+    elif target == args.store and existing is not None:
         # parquet can't be rewritten while its scan is live: stage then swap
         _swap_store(merged, target)
     else:

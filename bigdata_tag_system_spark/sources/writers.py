@@ -355,7 +355,24 @@ def parquet_merge_upsert(
     existing = read_store_if_exists(spark, path)
     if existing is None:
         return new
+    return merge_upsert_frames(new, existing, key_cols, array_union_cols)
 
+
+def merge_upsert_frames(
+    new: DataFrame,
+    existing: DataFrame,
+    key_cols: Sequence[str],
+    array_union_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The merge half of :func:`parquet_merge_upsert`, store-agnostic.
+
+    Full-outer join on key: store-only rows survive, new-only rows
+    insert, conflicts resolve last-writer-wins except ``array_union_cols``
+    (sorted set-union). Exposed separately so callers holding the store
+    as a DataFrame — e.g. a bucketed store table, whose scan then feeds
+    the join with no Exchange — can merge without a path round-trip.
+    Callers own duplicate-key policy (:func:`resolve_duplicate_keys`).
+    """
     keys = list(key_cols)
     n = new.alias("n")
     e = existing.alias("e")

@@ -313,6 +313,32 @@ class TestCLI:
                  for r in spark.read.parquet(env["store"]).collect()}
         assert again == want
 
+    def test_full_then_incremental_roundtrip_bucketed(self, spark, env):
+        # same round-trip as above, but through the bucketed store path:
+        # results must be identical; the merge plan property is asserted
+        # in TestBucketedStore
+        from bigdata_tag_system_spark.cli import main
+
+        from .conftest import AS_OF, EXPECTED
+
+        common = ["--rules", env["rules"], "--store", env["store"],
+                  "--as-of", AS_OF, "--store-buckets", "4"]
+        rc = main(["--mode", "full", "--facts", env["facts"], *common])
+        assert rc == 0
+        want = {}
+        for tag, users in EXPECTED.items():
+            for u in users:
+                want.setdefault(u, set()).add(tag)
+        got = {r["user_id"]: set(r["tag_ids"])
+               for r in spark.read.parquet(env["store"]).collect()}
+        assert got == want
+
+        rc = main(["--mode", "incremental", "--facts", env["facts"], *common])
+        assert rc == 0
+        again = {r["user_id"]: set(r["tag_ids"])
+                 for r in spark.read.parquet(env["store"]).collect()}
+        assert again == want
+
     def test_user_tags_mode_and_health(self, spark, env, capsys):
         from bigdata_tag_system_spark.cli import main
 
@@ -329,6 +355,38 @@ class TestCLI:
 
         assert main(["--mode", "health", "--facts", env["facts"]]) == 0
         assert "health: OK" in capsys.readouterr().out
+
+
+class TestBucketedStore:
+    def test_merge_reads_store_exchange_free(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.bucketed_store import (
+            read_bucketed_store,
+            write_bucketed_store,
+        )
+        from bigdata_tag_system_spark.sources.writers import merge_upsert_frames
+
+        store = str(tmp_path / "bstore")
+        assert read_bucketed_store(spark, store, "user_id", 4) is None
+        prof1 = spark.createDataFrame(
+            [("u1", [1]), ("u2", [2])], "user_id string, tag_ids array<int>")
+        write_bucketed_store(spark, prof1, store, "user_id", 4)
+        existing = read_bucketed_store(spark, store, "user_id", 4)
+
+        new = spark.createDataFrame(
+            [("u2", [5]), ("u3", [3])], "user_id string, tag_ids array<int>")
+        merged = merge_upsert_frames(new, existing, ["user_id"], ["tag_ids"])
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        # the store side scans pre-bucketed data straight into the join:
+        # exactly ONE Exchange in the whole merge plan — the fresh side,
+        # which is new data and must be partitioned once regardless
+        assert plan.count("Exchange") == 1, plan
+        got = {r["user_id"]: r["tag_ids"] for r in merged.collect()}
+        assert got == {"u1": [1], "u2": [2, 5], "u3": [3]}
+
+        # swap-in-place: rewrite the live store from a plan that reads it
+        write_bucketed_store(spark, merged, store, "user_id", 4)
+        back = read_bucketed_store(spark, store, "user_id", 4)
+        assert {r["user_id"]: r["tag_ids"] for r in back.collect()} == got
 
 
 class TestStoreReadSafety:
