@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 
@@ -50,12 +51,17 @@ def build_parser() -> argparse.ArgumentParser:
         description="Rule-driven tag computation engine (PySpark)")
     p.add_argument("--mode", required=True,
                    choices=["health", *MODE_TO_SCENARIO])
+    p.add_argument("--env", metavar="NAME|FILE.json",
+                   help="environment profile (built-in name, registered name, "
+                        "or JSON file) supplying session conf and store/rules "
+                        "defaults; explicit flags override "
+                        "(see bigdata_tag_system_spark.config)")
     p.add_argument("--facts", action="append", default=[],
                    metavar="[NAME=]PATH",
                    help="fact table parquet path; repeat for multi-table rules")
     p.add_argument("--rules", help="rule catalog: parquet dir or .json/.jsonl file")
     p.add_argument("--store", help="result-store parquet directory (read+upsert)")
-    p.add_argument("--store-buckets", type=int, default=0, metavar="N",
+    p.add_argument("--store-buckets", type=int, default=None, metavar="N",
                    help="bucket the result store by the user key into N buckets "
                         "(0 = plain parquet). Bucketing pre-shuffles the store "
                         "on disk, so every incremental merge reads it with no "
@@ -68,10 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="incremental lookback days (reserved, parity with reference)")
     p.add_argument("--as-of", help="pin relative-date operators to this date (YYYY-MM-DD)")
     p.add_argument("--computed-date", help="stamp profiles with this date")
-    p.add_argument("--user-col", default="user_id")
+    p.add_argument("--user-col", default=None)
     p.add_argument("--dry-run", action="store_true",
                    help="plan + row count only; no write")
-    p.add_argument("--log-level", default="WARN",
+    p.add_argument("--log-level", default=None,
                    choices=["DEBUG", "INFO", "WARN", "ERROR"])
     return p
 
@@ -133,9 +139,29 @@ def _swap_store(merged, target: str) -> None:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
-    from bigdata_tag_system_spark.session import get_spark
+    # env profile supplies session conf + store/rules defaults; explicit
+    # flags always win (reference precedence: env config < CLI args)
+    env_cfg = None
+    if args.env or "SPARK_GRAFT_ENV" in os.environ:
+        from bigdata_tag_system_spark.config import load_env
 
-    spark = get_spark(app_name=f"tag-engine-{args.mode}")
+        env_cfg = load_env(args.env)
+        args.store = args.store or env_cfg.store.path
+        args.rules = args.rules or env_cfg.store.rules_path
+        args.user_col = args.user_col or env_cfg.store.user_col
+        args.log_level = args.log_level or env_cfg.log_level
+        if args.store_buckets is None:
+            args.store_buckets = env_cfg.store.buckets
+    args.user_col = args.user_col or "user_id"
+    args.log_level = args.log_level or "WARN"
+    args.store_buckets = args.store_buckets or 0
+
+    if env_cfg is not None:
+        spark = env_cfg.session(app_name=f"tag-engine-{args.mode}")
+    else:
+        from bigdata_tag_system_spark.session import get_spark
+
+        spark = get_spark(app_name=f"tag-engine-{args.mode}")
     spark.sparkContext.setLogLevel(args.log_level)
 
     if args.mode == "health":
