@@ -221,6 +221,109 @@ def fit_centroids(
     return [list(map(float, c)) for c in cents]
 
 
+def _best_dot(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """max over centroids of dot(vec, centroid) — centroids folded to
+    literals (same envelope as :func:`assign_bucket_from_centroids`)."""
+    dots = [
+        _dot(vec_col, F.array(*[F.lit(x) for x in cen])) for cen in centroids
+    ]
+    return F.greatest(*dots) if len(dots) > 1 else dots[0]
+
+
+def _kmeans_parallel_init(
+    u: DataFrame,
+    dim: int,
+    k: int,
+    id_col: str,
+    seed: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+) -> list[list[float]]:
+    """k-means‖ initialization (Bahmani et al., VLDB 2012) over unit
+    vectors in ``u`` (columns: id, ``_u``).
+
+    Each round samples every corpus row with probability
+    ``l · d²(x, C) / φ`` — far-from-current-candidates rows are likelier
+    — using a deterministic per-row hash draw (replayable, no RNG state
+    on executors). After ``rounds`` rounds the candidate sketch has
+    O(l·rounds) rows; each candidate is weighted by how many corpus rows
+    it is nearest to (one map-side-combined count job), and the weighted
+    sketch is Lloyd-reclustered to ``k`` centers on the driver. Only
+    candidates and (candidate, weight) cells ever reach the driver —
+    never corpus-sized data. Cosine distance d² = 1 − max-dot since all
+    vectors are unit-normalized.
+    """
+    l = oversample or 2 * k
+
+    # first center: hash-least row (deterministic under any partitioning)
+    first = u.orderBy(F.xxhash64(F.col(id_col), F.lit(seed))).limit(1).collect()
+    if not first:
+        raise ValueError("cannot fit centroids over an empty corpus")
+    if len(first[0]["_u"]) != dim:
+        raise ValueError(
+            f"embedding dim {len(first[0]['_u'])} != declared dim {dim}")
+    cands: list[list[float]] = [list(map(float, first[0]["_u"]))]
+    seen_ids = {first[0][id_col]}
+
+    for r in range(rounds):
+        d2 = F.lit(1.0) - _best_dot(F.col("_u"), cands)
+        phi = u.agg(F.sum(d2).alias("phi")).first()["phi"] or 0.0
+        if phi <= 0.0:  # every row coincides with a candidate
+            break
+        draw = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1 + r)),
+                      F.lit(1_000_000)) / F.lit(1_000_000.0)
+        picked = (
+            u.where(draw < F.lit(float(l)) * d2 / F.lit(float(phi)))
+            .select(id_col, "_u")
+            .limit(8 * l)   # degenerate-φ backstop; expected count is l
+            .collect()
+        )
+        for row in picked:
+            if row[id_col] not in seen_ids:
+                seen_ids.add(row[id_col])
+                cands.append(list(map(float, row["_u"])))
+
+    if len(cands) < k:
+        # tiny/degenerate corpus: top up from hash order (dedup by id)
+        extra = u.orderBy(F.xxhash64(F.col(id_col), F.lit(seed))) \
+            .limit(k + len(seen_ids)).collect()
+        for row in extra:
+            if row[id_col] not in seen_ids:
+                seen_ids.add(row[id_col])
+                cands.append(list(map(float, row["_u"])))
+            if len(cands) >= k:
+                break
+    if len(cands) < k:
+        raise ValueError(
+            f"need ≥ {k} distinct corpus vectors to fit {k} centroids, "
+            f"got {len(cands)}")
+
+    # weight candidates by nearest-assignment counts (one corpus pass)
+    counts = {
+        r2["_b"]: r2["n"]
+        for r2 in u.select(
+            assign_bucket_from_centroids(F.col("_u"), cands).alias("_b"))
+        .groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r2["_b"] is not None
+    }
+    x = np.array(cands, dtype=np.float64)
+    w = np.array([counts.get(i, 0) for i in range(len(cands))], dtype=np.float64)
+
+    # driver-side weighted Lloyd on the sketch (O(l·rounds) rows)
+    order = np.lexsort((np.arange(len(cands)), -w))
+    cents = x[order[:k]].copy()
+    for _ in range(10):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(k):
+            mask = assign == c
+            tot = w[mask].sum()
+            if tot > 0:
+                m = (x[mask] * w[mask, None]).sum(axis=0) / tot
+                n = np.linalg.norm(m) or 1.0
+                cents[c] = m / n
+    return [list(map(float, c)) for c in cents]
+
+
 def fit_centroids_distributed(
     df: DataFrame,
     dim: int,
@@ -233,12 +336,14 @@ def fit_centroids_distributed(
     """Cluster-resident k-means fit — the scale path past
     :func:`fit_centroids`'s driver-side sample.
 
-    The corpus never leaves the executors: initialization takes the
-    ``num_buckets`` hash-least rows (deterministic under any partitioning
-    — a per-partition top-k, not a full sort), and each Lloyd iteration
-    is one job — nearest-centroid assignment as in-plan expressions
-    (current centroids folded to literals), ``posexplode`` to
-    (bucket, dimension) cells, map-side-combined ``avg`` — so only
+    The corpus never leaves the executors: initialization is k-means‖
+    (:func:`_kmeans_parallel_init` — oversampled distance-weighted
+    sampling rounds on executors, weighted driver re-cluster of the
+    O(k·rounds) sketch; a hash-ordered ``limit(k)`` pick would seed
+    whatever cluster structure the hash happens to land on), and each
+    Lloyd iteration is one job — nearest-centroid assignment as in-plan
+    expressions (current centroids folded to literals), ``posexplode``
+    to (bucket, dimension) cells, map-side-combined ``avg`` — so only
     ``num_buckets × dim`` aggregate cells ever reach the driver per
     iteration. Same contract as :func:`fit_centroids`: returns
     unit-normalized centroid lists usable with
@@ -261,13 +366,11 @@ def fit_centroids_distributed(
         F.transform("_v", lambda x: x / F.col("_n")).alias("_u"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    init = u.orderBy(F.xxhash64(F.col(id_col), F.lit(seed))).limit(num_buckets).collect()
-    if len(init) < num_buckets:
+    try:
+        cents = _kmeans_parallel_init(u, dim, num_buckets, id_col, seed)
+    except ValueError:
         u.unpersist()
-        raise ValueError(
-            f"need ≥ {num_buckets} corpus vectors to fit {num_buckets} "
-            f"centroids, got {len(init)}")
-    cents = [list(map(float, r["_u"])) for r in init]
+        raise
     if len(cents[0]) != dim:
         u.unpersist()
         raise ValueError(f"embedding dim {len(cents[0])} != declared dim {dim}")

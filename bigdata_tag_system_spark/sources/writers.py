@@ -322,6 +322,124 @@ def read_store_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 # ---------------------------------------------------------------------------
+# Delta-aware store adapter (MERGE INTO / DELETE WHERE when available)
+# ---------------------------------------------------------------------------
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when the Delta Lake runtime is importable AND wired into the
+    session (``spark.sql.extensions`` carries the Delta extension). Both
+    checks matter: the package may be installed without the session
+    having been built with the extension, in which case MERGE INTO would
+    fail at parse time."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    try:
+        ext = spark.conf.get("spark.sql.extensions") or ""
+    except Exception:  # noqa: BLE001 — conf key absent
+        ext = ""
+    return "DeltaSparkSessionExtension" in ext
+
+
+def _is_delta_store(path: str) -> bool:
+    import os
+
+    return os.path.isdir(os.path.join(path, "_delta_log"))
+
+
+def _rewrite_store(df: DataFrame, path: str) -> None:
+    """Crash-safe parquet rewrite (stage as sibling, two atomic renames —
+    same envelope as the CLI store swap)."""
+    import os
+    import shutil
+
+    stage, backup = f"{path}.__stage__", f"{path}.__old__"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+    df.write.mode("overwrite").parquet(stage)
+    os.rename(path, backup)
+    try:
+        os.rename(stage, path)
+    except OSError:
+        os.rename(backup, path)
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def upsert_into_store(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    array_union_cols: Sequence[str] = (),
+    on_duplicates: str = "error",
+) -> DataFrame:
+    """S8 upsert against a file store, format-aware.
+
+    On a Delta store under a Delta-capable session this executes a real
+    transactional ``MERGE INTO`` — matched rows update last-writer-wins
+    (``array_union_cols`` set-union), unmatched rows insert, store-only
+    rows survive untouched; no stage-and-swap rewrite, readers see the
+    commit atomically. Everywhere else it falls back to
+    :func:`parquet_merge_upsert`, whose returned frame the caller
+    persists. Returns the post-merge store content either way, so both
+    paths compose identically (only the Delta path has already written).
+
+    The store's on-disk format decides the route — a parquet directory
+    is never silently converted to Delta or vice versa.
+    """
+    if delta_available(spark) and _is_delta_store(path):
+        from delta.tables import DeltaTable
+
+        new = resolve_duplicate_keys(new, key_cols, on_duplicates)
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
+        updates = {}
+        for c in new.columns:
+            if c in key_cols:
+                continue
+            if c in array_union_cols:
+                updates[c] = (
+                    f"CASE WHEN s.`{c}` IS NOT NULL AND t.`{c}` IS NOT NULL "
+                    f"THEN array_sort(array_distinct(array_union(s.`{c}`, t.`{c}`))) "
+                    f"ELSE coalesce(s.`{c}`, t.`{c}`) END"
+                )
+            else:
+                updates[c] = f"s.`{c}`"  # last-writer-wins: new beats stored
+        (
+            DeltaTable.forPath(spark, path).alias("t")
+            .merge(new.alias("s"), cond)
+            .whenMatchedUpdate(set=updates)
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        if new.is_cached:
+            new.unpersist()
+        return spark.read.format("delta").load(path)
+    return parquet_merge_upsert(
+        spark, new, path, key_cols, array_union_cols, on_duplicates)
+
+
+def delete_from_store(spark: SparkSession, path: str, condition: str) -> None:
+    """S9 targeted delete against a file store, format-aware.
+
+    Delta route: transactional ``DELETE WHERE`` (row-level, no rewrite of
+    untouched files beyond the touched ones). Parquet fallback: the
+    anti-filter rewrite — keep rows where the condition is false or NULL
+    (matching DELETE's semantics: only rows that evaluate TRUE die) and
+    stage-and-swap the directory.
+    """
+    if delta_available(spark) and _is_delta_store(path):
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, path).delete(condition)
+        return
+    df = spark.read.parquet(path)
+    kept = df.where(~F.coalesce(F.expr(condition), F.lit(False)))
+    _rewrite_store(kept, path)
+
+
+# ---------------------------------------------------------------------------
 # Parquet merge-upsert (file-based result store; Delta MERGE INTO analogue)
 # ---------------------------------------------------------------------------
 

@@ -389,6 +389,46 @@ class TestBucketedStore:
         assert {r["user_id"]: r["tag_ids"] for r in back.collect()} == got
 
 
+class TestDeltaAdapter:
+    # Delta isn't installed in this container; the adapter's routing and
+    # the parquet fallbacks are what these cover. The Delta branch is
+    # format-gated (``_delta_log`` on disk + extension on the session),
+    # same pattern as the JDBC-jar gate.
+    def test_upsert_falls_back_without_delta(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.writers import (
+            delta_available,
+            upsert_into_store,
+        )
+
+        assert delta_available(spark) is False
+        store = str(tmp_path / "ustore")
+        spark.createDataFrame(
+            [("u1", "old", [9]), ("u3", "keep", [7])],
+            "user_id string, val string, tags array<int>").write.parquet(store)
+        new = spark.createDataFrame(
+            [("u1", "new", [1]), ("u2", "ins", [2])],
+            "user_id string, val string, tags array<int>")
+        merged = upsert_into_store(
+            spark, new, store, ["user_id"], array_union_cols=["tags"],
+            on_duplicates="allow")
+        got = {r["user_id"]: (r["val"], r["tags"]) for r in merged.collect()}
+        assert got == {"u1": ("new", [1, 9]), "u2": ("ins", [2]),
+                       "u3": ("keep", [7])}
+
+    def test_parquet_delete_where_semantics(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.writers import delete_from_store
+
+        store = str(tmp_path / "dstore")
+        spark.createDataFrame(
+            [("u1", "x"), ("u2", "y"), ("u3", None)],
+            "user_id string, val string").write.parquet(store)
+        delete_from_store(spark, store, "val = 'x'")
+        got = {r["user_id"] for r in spark.read.parquet(store).collect()}
+        # DELETE kills only rows where the condition is TRUE: the
+        # NULL-valued row survives, matching Delta's semantics
+        assert got == {"u2", "u3"}
+
+
 class TestStoreReadSafety:
     def test_missing_store_returns_none(self, spark, tmpdir_mod):
         from bigdata_tag_system_spark.sources.writers import read_store_if_exists
