@@ -152,6 +152,11 @@ _DRIVER_FIRST = [
     "text_quality", "text_top_tokens", "text_rolling_fp", "text_langid",
     # multimodal plumbing
     "mm_media_features",
+    # sampling / splits / sketches / tf-idf (new this round; the driver
+    # window holds exactly 50 — these four strongest new checks fit, the
+    # other three land right after and rotate in next round)
+    "sample_stratified_hash", "split_train_test",
+    "sketch_distinct_check", "text_tfidf_top_terms",
     # set ops / grouping sets / sorts / scalar functions
     "agg_distinct_sorted", "agg_stats", "union_all_count",
     "dedup_pairs_distinct", "array_funcs_literal",
@@ -162,6 +167,8 @@ _DRIVER_FIRST = [
     "rule_cmp_decimal",
     # flagship stays in the driver window as the pipeline anchor
     "tag_profiles",
+    # positions 51+ — locally checked this round, driver-window next
+    "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
 ]
 
 
@@ -893,6 +900,88 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivf_topk"] = sim_ivf_topk
 
+    # ---- sampling / splits (key-hash deterministic; portable Knuth
+    # hash variant so DuckDB reproduces the exact row set) ----
+    def sample_stratified_hash(spark, sf_dir):
+        from bigdata_tag_system_spark.operators.sampling import stratified_sample
+
+        c = _t(spark, sf_dir, "customer")
+        out = stratified_sample(
+            c, "c_mktsegment", {"BUILDING": 0.5, "MACHINERY": 0.25},
+            key_col="c_custkey", salt=7, portable=True)
+        return out.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("cnt")).orderBy("c_mktsegment")
+
+    q["sample_stratified_hash"] = sample_stratified_hash
+
+    def split_train_test(spark, sf_dir):
+        from bigdata_tag_system_spark.operators.sampling import train_test_split
+
+        c = _t(spark, sf_dir, "customer")
+        # binary-exact weights (0.75/0.125/0.125) so the oracle's
+        # threshold arithmetic can't drift a float ulp
+        out = train_test_split(c, "c_custkey", weights=(0.75, 0.125, 0.125),
+                               salt=3, portable=True)
+        return out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("cnt")).orderBy("split")
+
+    q["split_train_test"] = split_train_test
+
+    def sample_topk_per_stratum(spark, sf_dir):
+        from bigdata_tag_system_spark.operators.sampling import topk_per_stratum
+
+        c = _t(spark, sf_dir, "customer")
+        out = topk_per_stratum(c, "c_mktsegment", n=5,
+                               key_col="c_custkey", salt=11, portable=True)
+        return out.select("c_mktsegment", "c_custkey") \
+            .orderBy("c_mktsegment", "c_custkey")
+
+    q["sample_topk_per_stratum"] = sample_topk_per_stratum
+
+    # ---- sketches: the estimate must land within tolerance of the
+    # exact value, which the oracle recomputes independently ----
+    def sketch_distinct_check(spark, sf_dir):
+        from bigdata_tag_system_spark.operators.sketches import distinct_count_check
+
+        return distinct_count_check(
+            _t(spark, sf_dir, "orders"), "o_custkey", rsd=0.02, tolerance=0.05)
+
+    q["sketch_distinct_check"] = sketch_distinct_check
+
+    def sketch_quantile_check(spark, sf_dir):
+        from bigdata_tag_system_spark.operators.sketches import quantile_check
+
+        return quantile_check(
+            _t(spark, sf_dir, "lineitem"), "l_extendedprice",
+            probabilities=(0.5, 0.9, 0.99), relative_tolerance=0.01)
+
+    q["sketch_quantile_check"] = sketch_quantile_check
+
+    def text_tfidf_top_terms(spark, sf_dir):
+        out = T.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+        return out.select(
+            "doc_id", "term", F.round("tfidf", 4).alias("tfidf"),
+            F.col("rank").alias("trank"),
+        ).orderBy("doc_id", "trank").limit(300)
+
+    q["text_tfidf_top_terms"] = text_tfidf_top_terms
+
+    def pack_token_budget(spark, sf_dir):
+        # greedy packing is sequential per group → no portable SQL
+        # oracle (rows-only); invariants are property-tested in pytest
+        from bigdata_tag_system_spark.operators.features import pack_by_token_budget
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", T.token_count("text").alias("n_toks"))
+        out = pack_by_token_budget(d, budget=200, token_col="n_toks",
+                                   num_groups=8)
+        return out.groupBy("pack_group", "pack_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("tok_sum"),
+        ).orderBy("pack_group", "pack_id")
+
+    q["pack_token_budget"] = pack_token_budget
+
     # ---- multimodal plumbing (payload digest/size via mapInPandas) ----
     def mm_media_features(spark, sf_dir):
         from bigdata_tag_system_spark.operators.multimodal import extract_features
@@ -1345,6 +1434,78 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings q CROSS JOIN embeddings c
             WHERE q.vec_id IN (1, 2, 3)) t
         WHERE rank <= 3 ORDER BY q_id, rank
+    """
+
+    # Knuth multiplicative hash — identical 64-bit integer arithmetic in
+    # both engines, so the sampled row SETS (not just counts) agree
+    def _kh(key: str, salt: int) -> str:
+        return f"(({key} + {salt}) * 2654435761) % 4294967296"
+
+    _M = 4294967296
+    o["sample_stratified_hash"] = f"""
+        SELECT c_mktsegment, count(*) AS cnt FROM customer
+        WHERE {_kh('c_custkey', 7)} <
+              CASE c_mktsegment
+                   WHEN 'BUILDING' THEN {int(0.5 * _M)}
+                   WHEN 'MACHINERY' THEN {int(0.25 * _M)}
+                   ELSE 0 END
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+    o["split_train_test"] = f"""
+        SELECT CASE WHEN {_kh('c_custkey', 3)} < {int(0.75 * _M)} THEN 'train'
+                    WHEN {_kh('c_custkey', 3)} < {int(0.875 * _M)} THEN 'validation'
+                    ELSE 'test' END AS split,
+               count(*) AS cnt
+        FROM customer GROUP BY 1 ORDER BY split
+    """
+    o["sample_topk_per_stratum"] = f"""
+        SELECT c_mktsegment, c_custkey FROM (
+            SELECT c_mktsegment, c_custkey,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY {_kh('c_custkey', 11)}, c_custkey) AS rn
+            FROM customer) t
+        WHERE rn <= 5 ORDER BY c_mktsegment, c_custkey
+    """
+
+    # sketch checks: the oracle recomputes the EXACT value; the flag from
+    # the Spark side asserts the sketch landed within tolerance of its
+    # own exact computation — a drifting HLL/quantile sketch flips the
+    # flag and fails the hash compare against the oracle's literal TRUE
+    o["sketch_distinct_check"] = (
+        "SELECT count(DISTINCT o_custkey) AS exact_cnt, "
+        "TRUE AS within_tolerance FROM orders")
+    o["sketch_quantile_check"] = """
+        WITH q AS (SELECT
+            round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+            round(quantile_cont(l_extendedprice, 0.9), 4) AS q90,
+            round(quantile_cont(l_extendedprice, 0.99), 4) AS q99
+          FROM lineitem)
+        SELECT 0.5::DOUBLE AS p, q50 AS exact_value, TRUE AS within_tolerance FROM q
+        UNION ALL SELECT 0.9::DOUBLE, q90, TRUE FROM q
+        UNION ALL SELECT 0.99::DOUBLE, q99, TRUE FROM q
+        ORDER BY p
+    """
+
+    o["text_tfidf_top_terms"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), ranked AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln(n.n_docs * 1.0 / dfq.df) AS tfidf,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(n.n_docs * 1.0 / dfq.df) DESC,
+                                tf.term) AS trank
+            FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+        )
+        SELECT doc_id, term, round(tfidf, 4) AS tfidf, trank
+        FROM ranked WHERE trank <= 3 ORDER BY doc_id, trank LIMIT 300
     """
 
     o["mm_media_features"] = """

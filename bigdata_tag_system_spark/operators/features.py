@@ -161,3 +161,61 @@ def normalize_per_user_pandas(
         return pdf.assign(value_z=z)
 
     return events.groupBy(user_col).applyInPandas(_norm, schema=out_schema)
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_groups: int = 32,
+) -> DataFrame:
+    """Assign documents to training packs of ≤ ``budget`` total tokens.
+
+    Sequence packing for LLM training: documents are first sharded into
+    ``num_groups`` deterministic groups (key mod — each group packs
+    independently, so the window sort is per-group, never a global
+    single-partition sort), then packed first-fit-in-key-order within
+    the group via a budget-aware running total: a document starts a new
+    pack when adding it would exceed ``budget``. Documents longer than
+    the budget get a pack of their own.
+
+    Output: input columns + ``pack_group``, ``pack_id`` (unique within
+    group). Pack quality (fill ratio) trades off against ``num_groups``:
+    more groups = more parallelism, slightly more padding waste at the
+    tail of each group. At 100 TB set ``num_groups`` so one group's rows
+    fit an executor's memory (each group ships whole to one task).
+
+    Greedy packing carries state across rows (a boundary depends on
+    every earlier boundary), which window running-sums cannot express
+    exactly — a closed-form floor(cumsum/budget) split can break packs
+    where greedy wouldn't. So the scan is a grouped-map ``applyInPandas``
+    (the engine's documented escape hatch for genuinely sequential
+    per-group logic): one Arrow batch per group, one O(rows) pass.
+    """
+    t = F.col(token_col).cast("long")
+    # cap oversize docs at the budget so each claims exactly one pack
+    capped = F.least(t, F.lit(budget))
+    g = F.pmod(F.col(id_col).cast("long"), F.lit(num_groups))
+
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", pack_group int, pack_id int"
+
+    budget_ = int(budget)
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        packs, cur, used = [], 0, 0
+        for tok in pdf["_capped"]:
+            if used + tok > budget_ and used > 0:
+                cur += 1
+                used = 0
+            used += tok
+            packs.append(cur)
+        return pdf.assign(pack_id=packs).drop(columns=["_capped"])
+
+    staged = df.withColumn("pack_group", g.cast("int")).withColumn("_capped", capped)
+    return staged.groupBy("pack_group").applyInPandas(_pack, schema=out_schema)

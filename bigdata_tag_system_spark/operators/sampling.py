@@ -1,0 +1,141 @@
+"""Deterministic sampling and dataset-splitting operators.
+
+Training-data pipelines need samples and splits that are (a) stable
+under re-runs and repartitioning — a row's fate must depend on its KEY,
+never on partition position or RNG state — and (b) stratifiable, so
+minority slices keep representation. ``df.sample`` gives neither across
+engines/plans; these operators derive every decision from a
+deterministic per-key hash.
+
+Two hash flavors:
+
+- :func:`key_hash` (default ``xxhash64``) — best mixing, engine-specific.
+- :func:`knuth_hash` — Fibonacci multiplicative hashing
+  (``key · 2654435761 mod 2³²``, Knuth TAOCP vol. 3 §6.4). Weaker
+  mixing but exactly computable in ANY engine with 64-bit integer
+  arithmetic, which makes sampling queries cross-engine verifiable —
+  the oracle harness runs the same expression in DuckDB.
+
+At scale every operator here is a narrow map (filter on a hash
+expression) or a per-stratum window over the stratum's own partition —
+no global sort, no driver-side state, no RNG.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_KNUTH_A = 2654435761          # 2^32 / golden ratio, Knuth's multiplier
+_MOD = 4294967296              # 2^32
+
+
+def knuth_hash(key: Column | str, salt: int = 0) -> Column:
+    """Portable multiplicative hash of an integer key into [0, 2³²).
+
+    Sequential keys map to a low-discrepancy (golden-ratio step)
+    sequence — equidistributed, so threshold sampling hits fractions
+    accurately even on dense id ranges. Exactly reproducible in any
+    SQL engine: ``((key + salt) * 2654435761) % 4294967296``.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod((k.cast("long") + F.lit(salt)) * F.lit(_KNUTH_A), F.lit(_MOD))
+
+
+def key_hash(key: Column | str, salt: int = 0) -> Column:
+    """Default sampling hash: xxhash64 folded into [0, 2³²)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(k, F.lit(salt)), F.lit(_MOD))
+
+
+def sample_fraction(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    salt: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per key — stable under
+    re-runs, repartitioning, and incremental growth (a key once kept is
+    always kept, the property plain ``df.sample`` lacks)."""
+    h = (knuth_hash if portable else key_hash)(key_col, salt)
+    return df.where(h < F.lit(int(fraction * _MOD)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    salt: int = 0,
+    default_fraction: float = 0.0,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-stratum keep-fractions (e.g. upweight rare languages in a
+    corpus sample). A narrow filter — no shuffle, no per-stratum jobs
+    (contrast ``sampleBy``'s RNG draw, which is not key-stable)."""
+    h = (knuth_hash if portable else key_hash)(key_col, salt)
+    thresh = F.lit(int(default_fraction * _MOD))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(frac * _MOD))
+        ).otherwise(thresh)
+    return df.where(h < thresh)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "validation", "test"),
+    salt: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Add a ``split`` column assigning each KEY to exactly one split.
+
+    Keyed assignment is the leakage guard: every row of a key (all
+    chunks of a document, all events of a user) lands in the same split,
+    and the assignment never changes as the dataset grows. Weights
+    normalize to 1; boundaries are half-open hash ranges.
+    """
+    if len(weights) != len(names):
+        raise ValueError(f"{len(weights)} weights for {len(names)} names")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum > 0")
+    h = (knuth_hash if portable else key_hash)(key_col, salt)
+    expr = None
+    acc = 0.0
+    for w, name in zip(weights, names):
+        acc += w / total
+        bound = F.lit(min(int(acc * _MOD), _MOD))
+        cond = h < bound
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float edge: guarantee total coverage
+    return df.withColumn("split", expr.otherwise(F.lit(names[-1])))
+
+
+def topk_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    key_col: str,
+    salt: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic pseudo-random ``n`` rows per stratum.
+
+    Rank within each stratum by the key hash (tiebreak on the key) and
+    keep rank ≤ n — the distributed replacement for per-stratum
+    reservoir sampling: one shuffle on the stratum column, map-side
+    partial top-k via the window's rank pushdown, no driver state.
+    """
+    h = (knuth_hash if portable else key_hash)(key_col, salt)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )

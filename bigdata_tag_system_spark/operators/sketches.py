@@ -1,0 +1,93 @@
+"""Approximate aggregate sketches with built-in accuracy checks.
+
+At 100 TB, exact ``count(DISTINCT)`` and exact percentiles are shuffle-
+heavy (distinct re-shuffles the fact table; exact percentile needs a
+sort or a full value multiset per group). Spark ships mergeable sketches
+— HyperLogLog++ (``approx_count_distinct``) and a Greenwald-Khanna /
+KLL-style quantile sketch (``percentile_approx``) — that aggregate
+map-side in O(1) memory per partition and merge associatively, the
+pattern that scales.
+
+Each helper here returns BOTH the sketch estimate and an exactness
+check against the exact computation, so accuracy is a first-class,
+testable property instead of a hope: at small scale the harness
+cross-checks the exact value against DuckDB while asserting the sketch
+landed within tolerance; at production scale callers drop the exact
+column and keep the sketch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_count_check(
+    df: DataFrame,
+    col: str,
+    rsd: float = 0.05,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """One row: exact distinct count, HLL++ estimate, and whether the
+    estimate landed within ``tolerance`` (relative).
+
+    ``rsd`` is the HLL++ target relative standard deviation (drives
+    sketch width: ~1.04/√m). The exact branch is the expensive one —
+    it exists for verification; production pipelines keep only
+    ``approx_cnt``.
+    """
+    return df.agg(
+        F.countDistinct(col).alias("exact_cnt"),
+        F.approx_count_distinct(col, rsd=rsd).alias("approx_cnt"),
+    ).select(
+        "exact_cnt",
+        (
+            F.abs(F.col("approx_cnt") - F.col("exact_cnt"))
+            <= F.lit(tolerance) * F.col("exact_cnt")
+        ).alias("within_tolerance"),
+    )
+
+
+def quantile_check(
+    df: DataFrame,
+    col: str,
+    probabilities: Sequence[float] = (0.5, 0.9, 0.99),
+    relative_tolerance: float = 0.05,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """One row per probability: exact percentile (interpolated,
+    ``percentile`` — matches ANSI ``percentile_cont``), the sketch
+    estimate (``percentile_approx``), and a within-tolerance flag.
+
+    The sketch guarantees RANK error ≤ 1/accuracy, not value error; the
+    value-space tolerance here is the property downstream feature
+    binning actually cares about.
+    """
+    probs = list(probabilities)
+    agg = df.agg(
+        *[
+            F.expr(f"percentile({col}, {p})").alias(f"_e{i}")
+            for i, p in enumerate(probs)
+        ],
+        *[
+            F.percentile_approx(col, p, accuracy).alias(f"_a{i}")
+            for i, p in enumerate(probs)
+        ],
+    )
+    # single aggregation job; the one result row unrolls to one row per
+    # probability via inline (no re-aggregation per quantile)
+    rows = F.array(*[
+        F.struct(
+            F.lit(p).alias("p"),
+            F.round(F.col(f"_e{i}"), 4).alias("exact_value"),
+            (
+                F.abs(F.col(f"_a{i}") - F.col(f"_e{i}"))
+                <= F.lit(relative_tolerance)
+                * F.greatest(F.abs(F.col(f"_e{i}")), F.lit(1e-9))
+            ).alias("within_tolerance"),
+        )
+        for i, p in enumerate(probs)
+    ])
+    return agg.select(F.inline(rows))

@@ -127,3 +127,46 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _c_raw(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: (id, term, tfidf, rank).
+
+    tf = term count within the document; idf = ln(N / df) over the
+    corpus (natural log, df = number of documents containing the term) —
+    the classic raw-tf formulation, chosen because it is exactly
+    reproducible in any SQL engine for cross-checking. Ties break on the
+    term string so the top-k is deterministic.
+
+    Plan shape at scale: one explode → two map-side-combined hash
+    aggregations (per-(doc, term) tf; per-term df) → broadcast-joinable
+    df table only if small, else a shuffle join keyed by term → one
+    window partitioned by document for the top-k. No driver-side vocab,
+    no collect; the corpus document count is a scalar agg folded in via
+    a cross join of a 1-row frame (Spark broadcasts it).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .select(
+            F.col(id_col),
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

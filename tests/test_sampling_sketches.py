@@ -1,0 +1,167 @@
+"""Sampling/split determinism, sketch tolerance, TF-IDF, and packing
+invariants. These back the oracle rows (`sample_*`, `sketch_*`,
+`text_tfidf_top_terms`) and carry the full verification burden for the
+oracle-less greedy packer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.operators.sampling import (
+    knuth_hash,
+    sample_fraction,
+    stratified_sample,
+    topk_per_stratum,
+    train_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(1, 2001)],
+        "id long, segment string",
+    ).cache()
+
+
+class TestSampling:
+    def test_fraction_accuracy_and_key_stability(self, people):
+        s = sample_fraction(people, 0.3, "id", salt=1)
+        n = s.count()
+        assert abs(n - 600) < 60  # ±10% at n=2000
+        # key-stable: same rows kept on re-run and after repartitioning
+        again = set(r["id"] for r in
+                    sample_fraction(people.repartition(7), 0.3, "id", salt=1)
+                    .select("id").collect())
+        assert set(r["id"] for r in s.select("id").collect()) == again
+        # different salt → different (but same-sized-ish) sample
+        other = set(r["id"] for r in
+                    sample_fraction(people, 0.3, "id", salt=2)
+                    .select("id").collect())
+        assert other != again
+
+    def test_stratified_rates(self, people):
+        out = stratified_sample(
+            people, "segment", {"a": 0.6, "b": 0.1}, key_col="id", salt=5)
+        counts = {r["segment"]: r["n"] for r in
+                  out.groupBy("segment").agg(F.count("*").alias("n")).collect()}
+        assert abs(counts["a"] - 0.6 * 667) < 70
+        assert abs(counts["b"] - 0.1 * 667) < 35
+        assert "c" not in counts  # default fraction 0
+
+    def test_split_partitions_everything_disjointly(self, people):
+        out = train_test_split(people, "id", weights=(0.75, 0.125, 0.125),
+                               salt=9).cache()
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 2000  # total coverage
+        assert set(counts) == {"train", "validation", "test"}
+        assert abs(counts["train"] - 1500) < 100
+        # a key appears in exactly one split (no leakage)
+        assert out.select("id", "split").distinct().count() == 2000
+        out.unpersist()
+
+    def test_portable_hash_matches_duckdb(self, people):
+        import duckdb
+
+        rows = [(r["id"],) for r in people.select("id").collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (id BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", rows)
+        want = {r[0] for r in con.execute(
+            "SELECT id FROM t WHERE ((id + 4) * 2654435761) % 4294967296 "
+            "< 1288490188").fetchall()}  # int(0.3 * 2^32)
+        got = {r["id"] for r in
+               people.where(knuth_hash("id", 4) < 1288490188).collect()}
+        assert got == want
+
+    def test_topk_per_stratum_exact_n(self, people):
+        out = topk_per_stratum(people, "segment", n=7, key_col="id")
+        counts = {r["segment"]: r["n"] for r in
+                  out.groupBy("segment").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"a": 7, "b": 7, "c": 7}
+
+    def test_split_weight_validation(self, people):
+        with pytest.raises(ValueError, match="weights"):
+            train_test_split(people, "id", weights=(1.0,), names=("a", "b"))
+
+
+class TestSketches:
+    def test_distinct_and_quantiles_within_tolerance(self, spark, people):
+        from bigdata_tag_system_spark.operators.sketches import (
+            distinct_count_check,
+            quantile_check,
+        )
+
+        row = distinct_count_check(people, "id", rsd=0.02).collect()[0]
+        assert row["exact_cnt"] == 2000 and row["within_tolerance"]
+
+        vals = people.select((F.col("id") * 1.5).alias("v"))
+        rows = quantile_check(vals, "v", (0.5, 0.9), 0.01).collect()
+        assert [r["p"] for r in rows] == [0.5, 0.9]
+        assert all(r["within_tolerance"] for r in rows)
+        # interpolated median of 1.5 * (1..2000) = 1.5 * 1000.5
+        assert rows[0]["exact_value"] == pytest.approx(1500.75)
+
+
+class TestTfidf:
+    def test_hand_computed_example(self, spark):
+        import math
+
+        from bigdata_tag_system_spark.operators.text import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+            "doc_id long, text string")
+        out = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+               for r in tfidf_top_terms(docs, k=2).collect()}
+        # doc 1: apple tf=2 df=1 → 2·ln3 ; banana tf=1 df=2 → ln1.5
+        assert out[(1, 1)][0] == "apple"
+        assert out[(1, 1)][1] == pytest.approx(2 * math.log(3.0))
+        assert out[(1, 2)][0] == "banana"
+        assert out[(1, 2)][1] == pytest.approx(math.log(1.5))
+        # doc 3: date is rarer (df=1) than cherry (df=2) → ranks first
+        assert out[(3, 1)][0] == "date"
+        assert out[(3, 1)][1] == pytest.approx(math.log(3.0))
+        assert out[(3, 2)][0] == "cherry"
+        # doc 2 is a true tie (both tf=1, df=2) → term-order tiebreak
+        assert out[(2, 1)][0] == "banana" and out[(2, 2)][0] == "cherry"
+
+
+class TestPacking:
+    def test_greedy_invariants(self, spark):
+        from bigdata_tag_system_spark.operators.features import pack_by_token_budget
+
+        docs = spark.createDataFrame(
+            [(i, (i * 37) % 90 + 10) for i in range(1, 301)] + [(999, 500)],
+            "doc_id long, n_tokens int")
+        out = pack_by_token_budget(docs, budget=120, num_groups=4).collect()
+        by_pack: dict[tuple, list] = {}
+        for r in out:
+            by_pack.setdefault((r["pack_group"], r["pack_id"]), []).append(r)
+        for (grp, _pid), rows in by_pack.items():
+            tot = sum(min(r["n_tokens"], 120) for r in rows)
+            # budget respected (oversize doc counts as capped=budget,
+            # so it sits alone in its pack)
+            assert tot <= 120, (grp, _pid, tot)
+            for r in rows:
+                assert r["pack_group"] == r["doc_id"] % 4 or r["doc_id"] == 999
+        # every doc packed exactly once
+        assert len(out) == 301
+        # oversize doc is alone
+        lone = [rows for rows in by_pack.values()
+                if any(r["doc_id"] == 999 for r in rows)]
+        assert len(lone) == 1 and len(lone[0]) == 1
+        # greedy maximality within one group: sort group 1 rows by id,
+        # walking them reproduces the same boundaries
+        g1 = sorted((r for r in out if r["pack_group"] == 1),
+                    key=lambda r: r["doc_id"])
+        used, cur = 0, 0
+        for r in g1:
+            tok = min(r["n_tokens"], 120)
+            if used + tok > 120 and used > 0:
+                cur += 1
+                used = 0
+            used += tok
+            assert r["pack_id"] == cur, r
