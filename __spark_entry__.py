@@ -169,6 +169,7 @@ _DRIVER_FIRST = [
     "tag_profiles",
     # positions 51+ — locally checked this round, driver-window next
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
+    "events_funnel", "events_retention",
 ]
 
 
@@ -725,6 +726,22 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_props_json"] = events_props_json
+
+    def events_funnel(spark, sf_dir):
+        out = FE.funnel(_t(spark, sf_dir, "events"),
+                        ["view", "click", "purchase"])
+        return out.orderBy("step")
+
+    q["events_funnel"] = events_funnel
+
+    def events_retention(spark, sf_dir):
+        out = FE.cohort_retention(_t(spark, sf_dir, "events"))
+        return out.select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset", "users",
+        ).orderBy("cohort_day", "day_offset")
+
+    q["events_retention"] = events_retention
 
     # ---- time-series joins (engine extension; no reference equivalent) ----
     def ts_asof_join(spark, sf_dir):
@@ -1285,6 +1302,32 @@ def oracle_sql() -> dict[str, str]:
                sum(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
                count(json_extract(props, '$.k')) AS k_cnt
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+    o["events_funnel"] = """
+        WITH s1 AS (SELECT user_id, min(ts) AS t0 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+                    JOIN s1 USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > s1.t0 GROUP BY 1),
+             s3 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                    JOIN s2 USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > s2.t1 GROUP BY 1)
+        SELECT 'step_1' AS step, 'view' AS event_type, count(*)::BIGINT AS users FROM s1
+        UNION ALL SELECT 'step_2', 'click', count(*)::BIGINT FROM s2
+        UNION ALL SELECT 'step_3', 'purchase', count(*)::BIGINT FROM s3
+        ORDER BY step
+    """
+    o["events_retention"] = """
+        WITH first AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+                       FROM events GROUP BY 1),
+             act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                     FROM events)
+        SELECT cohort::TIMESTAMP::VARCHAR AS cohort_day,
+               date_diff('day', cohort, day) AS day_offset,
+               count(*)::BIGINT AS users
+        FROM act JOIN first USING (user_id)
+        GROUP BY cohort, date_diff('day', cohort, day)
+        ORDER BY cohort_day, day_offset
     """
     o["ts_asof_join"] = """
         SELECT l.event_id, round(r.value, 2) AS purchase_value

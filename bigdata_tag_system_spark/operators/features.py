@@ -219,3 +219,83 @@ def pack_by_token_budget(
 
     staged = df.withColumn("pack_group", g.cast("int")).withColumn("_capped", capped)
     return staged.groupBy("pack_group").applyInPandas(_pack, schema=out_schema)
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel completion: one row per step with the number of
+    users who reached it IN ORDER (each step strictly after the
+    previous one for that user).
+
+    Sequential semantics need the previous step's timestamp before the
+    next can be resolved, so the plan is a chain of ``len(steps)``
+    per-user min-aggregations, each a map-side-combined hash agg joined
+    back on the user key — no window over raw per-user event lists and
+    no per-user state. All joins share the user-key partitioning, so
+    with AQE the chain reuses one shuffle layout. Scale note: cost is
+    O(steps) aggregations over the (filtered) event types, not over the
+    whole table — the type filter pushes into each scan.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = events.select(F.col(user_col), F.col(ts_col), F.col(type_col))
+
+    def _count_of(df, i: int, step: str):
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(f"step_{i}").alias("step"),
+            F.lit(step).alias("event_type"),
+            "users",
+        )
+
+    # step 1: first occurrence per user
+    prev = (
+        ev.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    out = _count_of(prev, 1, steps[0])
+    for i, step in enumerate(steps[1:], start=2):
+        prev = (
+            ev.where(F.col(type_col) == step)
+            .join(prev, on=user_col)
+            .where(F.col(ts_col) > F.col(f"_t{i - 2}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"_t{i - 1}"))
+        )
+        out = out.unionByName(_count_of(prev, i, step))
+    # one lazy plan, one action for the caller; shared step subtrees
+    # dedupe at the physical level via exchange reuse
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-activity
+    day, counted on each later activity day as a day offset.
+
+    (cohort_day, day_offset, users): two map-side-combined aggregations
+    and one join on the user key — first-activity table and distinct
+    (user, day) activity table — no windows, no per-user collections.
+    At 100 TB both inputs shrink drastically before the join (distinct
+    per user/day), and the join key is the user — the same partitioning
+    every other per-user operator uses.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    active = events.select(F.col(user_col), day.alias("_day")).distinct()
+    return (
+        active.join(first, on=user_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("_day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("users"))
+    )

@@ -293,6 +293,30 @@ class TestFeatures:
         got = [r["session_id"] for r in FE.sessionize(df, 30).orderBy("ts").collect()]
         assert got == [1, 1, 2]
 
+    def test_funnel_order_matters(self, spark):
+        # u1 completes view→click in order; u2 clicked BEFORE viewing —
+        # must count for step 1 only; u3 never clicked
+        df = spark.createDataFrame(
+            [(1, "view", "2024-01-01 10:00:00"), (1, "click", "2024-01-01 11:00:00"),
+             (2, "click", "2024-01-01 09:00:00"), (2, "view", "2024-01-01 10:00:00"),
+             (3, "view", "2024-01-01 08:00:00")],
+            "user_id long, event_type string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {r["step"]: r["users"] for r in
+               FE.funnel(df, ["view", "click"]).collect()}
+        assert got == {"step_1": 3, "step_2": 1}
+
+    def test_cohort_retention_offsets(self, spark):
+        # u1 first active day 1, returns day 2; u2 only day 2
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"),
+             (1, "2024-01-02 10:00:00"), (2, "2024-01-02 09:00:00")],
+            "user_id long, ts string").withColumn("ts", F.to_timestamp("ts"))
+        got = {(str(r["cohort_day"])[:10], r["day_offset"]): r["users"]
+               for r in FE.cohort_retention(df).collect()}
+        assert got == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+                       ("2024-01-02", 0): 1}
+
 
 class TestStreaming:
     def test_streaming_rule_eval_availablenow(self, spark, tmp_path, golden_rules):
