@@ -984,12 +984,13 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_tfidf_top_terms"] = text_tfidf_top_terms
 
     def pack_token_budget(spark, sf_dir):
-        # greedy packing is sequential per group → no portable SQL
-        # oracle (rows-only); invariants are property-tested in pytest
+        # greedy packing is sequential per group; the oracle replays the
+        # same walk as a DuckDB recursive CTE (one step per row rank)
         from bigdata_tag_system_spark.operators.features import pack_by_token_budget
 
         d = _t(spark, sf_dir, "documents").select(
-            "doc_id", T.token_count("text").alias("n_toks"))
+            "doc_id",
+            F.coalesce(T.token_count("text"), F.lit(0)).alias("n_toks"))
         out = pack_by_token_budget(d, budget=200, token_col="n_toks",
                                    num_groups=8)
         return out.groupBy("pack_group", "pack_id").agg(
@@ -1527,6 +1528,35 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 0.9::DOUBLE, q90, TRUE FROM q
         UNION ALL SELECT 0.99::DOUBLE, q99, TRUE FROM q
         ORDER BY p
+    """
+
+    # greedy packing replayed exactly: recursion advances every group one
+    # row-rank per step, carrying (pack_id, used) — the same walk the
+    # engine's grouped-map scan performs per shard
+    _TOKS = (f"coalesce(CASE WHEN {_NORM} = '' THEN 0 "
+             f"ELSE len(string_split({_NORM}, ' ')) END, 0)")
+    o["pack_token_budget"] = f"""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id, {_TOKS} AS n_toks, doc_id % 8 AS g,
+                   row_number() OVER (PARTITION BY doc_id % 8
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ), walk AS (
+            SELECT g, rn, n_toks, least(n_toks, 200) AS capped,
+                   0 AS pack_id, least(n_toks, 200) AS used
+            FROM docs WHERE rn = 1
+            UNION ALL
+            SELECT d.g, d.rn, d.n_toks, least(d.n_toks, 200),
+                   CASE WHEN w.used + least(d.n_toks, 200) > 200 AND w.used > 0
+                        THEN w.pack_id + 1 ELSE w.pack_id END,
+                   CASE WHEN w.used + least(d.n_toks, 200) > 200 AND w.used > 0
+                        THEN least(d.n_toks, 200)
+                        ELSE w.used + least(d.n_toks, 200) END
+            FROM docs d JOIN walk w ON d.g = w.g AND d.rn = w.rn + 1
+        )
+        SELECT g::INT AS pack_group, pack_id, count(*) AS n_docs,
+               sum(n_toks)::BIGINT AS tok_sum
+        FROM walk GROUP BY g, pack_id ORDER BY pack_group, pack_id
     """
 
     o["text_tfidf_top_terms"] = f"""
