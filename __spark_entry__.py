@@ -169,7 +169,7 @@ _DRIVER_FIRST = [
     "tag_profiles",
     # positions 51+ — locally checked this round, driver-window next
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
-    "events_funnel", "events_retention",
+    "events_funnel", "events_retention", "dedup_incremental",
 ]
 
 
@@ -876,6 +876,25 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_incremental(spark, sf_dir):
+        # batch-incremental dedup: corpus sketched once into an on-disk
+        # index, then a "new batch" (re-keyed copies of the 100 lowest
+        # doc_ids — guaranteed matches at every sf) dedups against it
+        # without touching corpus text
+        import tempfile
+
+        d = _t(spark, sf_dir, "documents")
+        idx = tempfile.mkdtemp(prefix="mh_idx_") + "/idx"
+        D.write_minhash_index(d, idx, num_hashes=32, bands=16)
+        new = d.where("doc_id < 100 AND text IS NOT NULL") \
+            .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        out = D.minhash_dedup_incremental(spark, new, idx, threshold=0.5)
+        return out.select(
+            "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+        ).orderBy("id_a", "id_b")
+
+    q["dedup_incremental"] = dedup_incremental
+
     def dedup_cosine_pairs(spark, sf_dir):
         out = D.cosine_dup_pairs(_t(spark, sf_dir, "embeddings"),
                                  threshold=0.3, brute_force=True)
@@ -1420,6 +1439,33 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1 HAVING count(*) > 1 ORDER BY digest
     """
 
+    def _shingle_pairs_sql(src: str, extra_pred: str = "") -> str:
+        return f"""
+        WITH docs AS ({src}),
+        toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM docs
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM sh
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5 {extra_pred}
+        ORDER BY id_a, id_b
+        """
+
     _SHINGLE_CTE = f"""
         WITH toks AS (
             SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
@@ -1447,6 +1493,15 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_ngram_jaccard"] = _SHINGLE_CTE
     # minhash-LSH verifies candidates with exact Jaccard → same result set
     o["dedup_minhash_lsh"] = _SHINGLE_CTE
+    # incremental: same exact pair set, restricted to pairs touching the
+    # "new batch" (the re-keyed copies) — corpus×corpus pairs are the
+    # responsibility of earlier batches
+    o["dedup_incremental"] = _shingle_pairs_sql(
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id < 100 AND text IS NOT NULL",
+        extra_pred="AND (id_a >= 1000000 OR id_b >= 1000000)",
+    )
 
     o["dedup_cosine_pairs"] = """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

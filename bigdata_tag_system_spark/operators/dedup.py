@@ -524,3 +524,119 @@ def cosine_dup_pairs(
         F.col(f"b.{id_col}").alias("id_b"),
         cos.alias("cosine"),
     ).where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Persistent MinHash index — incremental dedup without re-sketching
+# ---------------------------------------------------------------------------
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus sketch table — (id, signature, hashed shingles)
+    — so later batches dedup against it WITHOUT re-reading or
+    re-sketching the corpus text.
+
+    This is the batch-incremental counterpart of the streaming LSH state
+    store (``streaming/lsh_stream.py``): at 100 TB the corpus text is
+    scanned once ever; each arriving batch joins its bands against the
+    index (a fraction of corpus bytes: ``num_hashes×8 B`` signature +
+    hashed shingles per doc, no text). The sketch parameters are stored
+    in a sidecar and validated on read — mixing shingle sizes or band
+    layouts would silently produce garbage candidates.
+
+    ``mode="append"`` adds a new batch's rows (after it has been deduped
+    via :func:`minhash_dedup_incremental`).
+    """
+    import json
+    import os
+
+    _check_bands(num_hashes, bands)
+    hs = _hashed_shingle_df(df, text_col, id_col, shingle_n)
+    sigs = _sig_from_hashed(hs, id_col, num_hashes)
+    sigs.join(hs, id_col).write.mode(mode).parquet(path)
+    meta = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
+            "id_col": id_col}
+    with open(os.path.join(path, "_sketch_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """(sketch table, sketch meta) for an index written by
+    :func:`write_minhash_index`."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_sketch_meta.json")) as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(path), meta
+
+
+def minhash_dedup_incremental(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (exact Jaccard ≥ threshold) that involve at least
+    one NEW document — against the indexed corpus and among the new
+    batch itself — without touching corpus text.
+
+    Sketches the new batch with the INDEX's parameters (validated match
+    by construction), unions its sketch rows with the stored ones, and
+    band-joins only buckets containing ≥1 new doc: the candidate space
+    is new-batch-sized, not corpus-sized. Candidates verify with exact
+    Jaccard over the hashed shingle sets, same contract as
+    :func:`minhash_dedup` — output pairs are a subset of the full-corpus
+    result restricted to pairs touching the new batch (pytest-asserted).
+    """
+    idx, meta = read_minhash_index(spark, index_path)
+    id_col = meta["id_col"]
+    num_hashes, bands = meta["num_hashes"], meta["bands"]
+
+    new_hs = _hashed_shingle_df(new_docs, text_col, id_col, meta["shingle_n"])
+    new_sk = (
+        _sig_from_hashed(new_hs, id_col, num_hashes)
+        .join(new_hs, id_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    full = idx.withColumn("_new", F.lit(False)).unionByName(
+        new_sk.withColumn("_new", F.lit(True)))
+
+    r = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    banded = full.select(
+        F.col(id_col), "_new", F.explode(band_structs).alias("b")
+    ).select(id_col, "_new", "b.band_id", "b.band_hash")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, on=[
+            F.col("a.band_id") == F.col("b.band_id"),
+            F.col("a.band_hash") == F.col("b.band_hash"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            # at least one side is new: corpus×corpus pairs were handled
+            # when THEY were the arriving batch
+            F.col("a._new") | F.col("b._new"),
+        ])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = full.select(F.col(id_col), F.col("_hs").alias("_sh"))
+    return _jaccard_on_pairs_sh(cands, sh, id_col) \
+        .where(F.col("jaccard") >= threshold)

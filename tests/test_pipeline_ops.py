@@ -96,6 +96,25 @@ class TestDedup:
               D.minhash_dedup(docs, threshold=0.5, num_hashes=32, bands=8).collect()}
         assert mh == exact  # verification makes precision exact; recall observed 100%
 
+    def test_incremental_equals_full_restricted_to_new(self, spark, docs, tmp_path):
+        # index the first 80% of docs, arrive with the remaining 20%:
+        # incremental pairs == full-corpus pairs that touch a new doc
+        ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+        cut = ids[int(len(ids) * 0.8)]
+        old, new = docs.where(F.col("doc_id") < cut), docs.where(F.col("doc_id") >= cut)
+        idx = str(tmp_path / "idx")
+        D.write_minhash_index(old, idx, num_hashes=32, bands=8)
+        inc = {(r["id_a"], r["id_b"]) for r in
+               D.minhash_dedup_incremental(spark, new, idx, threshold=0.5).collect()}
+        full = {(r["id_a"], r["id_b"]) for r in
+                D.minhash_dedup(docs, threshold=0.5, num_hashes=32, bands=8).collect()}
+        want = {(a, b) for a, b in full if a >= cut or b >= cut}
+        assert inc == want
+        # meta round-trips and guards band layout
+        _, meta = D.read_minhash_index(spark, idx)
+        assert meta == {"num_hashes": 32, "bands": 8, "shingle_n": 3,
+                        "id_col": "doc_id"}
+
     def test_simhash_identical_docs(self, spark):
         df = spark.createDataFrame(
             [(1, "alpha beta gamma delta epsilon zeta"),
