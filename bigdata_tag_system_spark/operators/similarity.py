@@ -450,6 +450,59 @@ def write_ivf_index(
     bucketed.write.mode(mode).partitionBy("_bucket").parquet(path)
 
 
+def write_ivf_index_fitted(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Bucket-partitioned corpus store under FITTED centroids.
+
+    Same partition-pruning contract as :func:`write_ivf_index` but with
+    k-means centroids (:func:`fit_centroids` /
+    :func:`fit_centroids_distributed`) — measurably better bucket
+    balance than the seeded hyperplanes, so probe selectivity is more
+    uniform. The centroid set is persisted in a sidecar so readers and
+    later appends can't drift from the layout on disk.
+
+    ``mode="append"`` adds new vectors into the existing bucket
+    directories — bucketing is a pure function of the stored centroids,
+    so incremental corpus growth never requires re-indexing (re-FIT,
+    when drift warrants it, is a rebuild).
+    """
+    import json
+    import os
+
+    bucketed = df.withColumn(
+        "_bucket", assign_bucket_from_centroids(vec_col, centroids))
+    bucketed.write.mode(mode).partitionBy("_bucket").parquet(path)
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
+        json.dump({"centroids": centroids}, fh)
+
+
+def ivf_topk_indexed_fitted(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k over a :func:`write_ivf_index_fitted` store —
+    probed buckets prune at the file listing, centroids come from the
+    index's own sidecar (no caller-side centroid bookkeeping)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as fh:
+        centroids = json.load(fh)["centroids"]
+    probe = _probe_buckets(query, centroids, nprobe)
+    corpus = spark.read.parquet(path).where(F.col("_bucket").isin(probe))
+    return _scored_topk(corpus, query, k, vec_col, id_col)
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -168,6 +168,23 @@ class TestSimilarity:
         # pruned scan reads a strict subset of files
         assert pruned.count() <= 5
 
+    def test_fitted_ivf_index_appends_and_prunes(self, spark, emb, tmp_path):
+        q = emb.where("vec_id = 7").collect()[0]["embedding"]
+        cents = S.fit_centroids(emb, dim=len(q), num_buckets=8, sample_size=512)
+        path = str(tmp_path / "ivf_fitted")
+        # build on the first half, append the second — bucketing is a
+        # pure function of the sidecar centroids, so append ≡ rebuild
+        half = emb.approxQuantile("vec_id", [0.5], 0.0)[0]
+        S.write_ivf_index_fitted(emb.where(F.col("vec_id") < half), path, cents)
+        S.write_ivf_index_fitted(emb.where(F.col("vec_id") >= half), path, cents,
+                                 mode="append")
+        out = S.ivf_topk_indexed_fitted(spark, path, q, k=5, nprobe=8)
+        exact = [r["vec_id"] for r in S.cosine_topk(emb, q, 5).collect()]
+        assert [r["vec_id"] for r in out.collect()] == exact  # full probe → exact
+        pruned = S.ivf_topk_indexed_fitted(spark, path, q, k=5, nprobe=2)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [_bucket" in plan.replace("\n", " "), plan
+
     def test_fitted_ivf_exact_at_full_probe_and_better_balance(self, emb):
         q = emb.where("vec_id = 7").collect()[0]["embedding"]
         cents = S.fit_centroids(emb, dim=len(q), num_buckets=8, sample_size=512)
