@@ -170,6 +170,7 @@ _DRIVER_FIRST = [
     # positions 51+ — locally checked this round, driver-window next
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
+    "text_quality_filter",
 ]
 
 
@@ -834,6 +835,22 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_langid"] = text_langid
 
+    def text_quality_filter(spark, sf_dir):
+        # the composition a training-data pipeline actually runs: derived
+        # text features (quality, token count, language) filtered by a
+        # JSON rule through the SAME compiler the tag engine uses
+        from bigdata_tag_system_spark.operators.text import analyze_documents
+
+        d = analyze_documents(_t(spark, sf_dir, "documents"))
+        rule = _rule(
+            _cond("quality_score", ">=", 0.5, "number"),
+            _cond("n_tokens", "in_range", [20, 1000], "number"),
+            _cond("detected_lang", "=", "en", "string"),
+        )
+        return d.where(compile_rule(rule)).select("doc_id").orderBy("doc_id")
+
+    q["text_quality_filter"] = text_quality_filter
+
     # ---- dedup operators ----
     def dedup_exact_groups(spark, sf_dir):
         # the raw documents table has no exact duplicates at small sf, which
@@ -1390,6 +1407,29 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'und' END AS detected_lang,
                count(*) AS cnt
         FROM s GROUP BY 1 ORDER BY 1
+    """
+
+    o["text_quality_filter"] = f"""
+        WITH t AS (SELECT doc_id, {_NORM} AS nt,
+                          string_split({_NORM}, ' ') AS toks
+                   FROM documents),
+             s AS (SELECT doc_id, nt, toks, {_lang_scores} FROM t),
+             feat AS (SELECT doc_id,
+                 CASE WHEN nt = '' THEN 0 ELSE len(toks) END AS n_tokens,
+                 0.4 * least(len(toks) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN len(toks) > 0
+                             THEN len(list_distinct(toks)) * 1.0 / len(toks)
+                             ELSE 0 END)
+               + 0.3 * (CASE WHEN length(nt) > 0
+                             THEN length(regexp_replace(nt, '[^a-z]', '', 'g'))
+                                  * 1.0 / length(nt)
+                             ELSE 0 END) AS quality,
+                 CASE WHEN {_best} > 0 THEN CASE {_pick} END
+                      ELSE 'und' END AS lang
+               FROM s)
+        SELECT doc_id FROM feat
+        WHERE quality >= 0.5 AND n_tokens BETWEEN 20 AND 1000 AND lang = 'en'
+        ORDER BY doc_id
     """
 
     o["text_top_tokens"] = f"""
