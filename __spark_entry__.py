@@ -996,8 +996,11 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sketch_distinct_check(spark, sf_dir):
         from bigdata_tag_system_spark.operators.sketches import distinct_count_check
 
-        return distinct_count_check(
+        out = distinct_count_check(
             _t(spark, sf_dir, "orders"), "o_custkey", rsd=0.02, tolerance=0.05)
+        # the sketch VALUE is engine-specific — project it away for the
+        # oracle compare; the tolerance flag carries its verification
+        return out.select("exact_cnt", "within_tolerance")
 
     q["sketch_distinct_check"] = sketch_distinct_check
 
@@ -1576,9 +1579,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # Knuth multiplicative hash — identical 64-bit integer arithmetic in
-    # both engines, so the sampled row SETS (not just counts) agree
+    # both engines, so the sampled row SETS (not just counts) agree; the
+    # pre-reduction mod 2^31 keeps the product under int64 max
     def _kh(key: str, salt: int) -> str:
-        return f"(({key} + {salt}) * 2654435761) % 4294967296"
+        return (f"((({key} + {salt}) % 2147483648) * 2654435761) "
+                f"% 4294967296")
 
     _M = 4294967296
     o["sample_stratified_hash"] = f"""

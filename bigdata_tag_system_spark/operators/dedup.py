@@ -152,8 +152,19 @@ def _check_bands(num_hashes: int, bands: int) -> None:
         raise ValueError(f"bands must divide num_hashes evenly, got bands={bands}, num_hashes={num_hashes}")
 
 
-def _band_join(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
-    """Distinct (id_a < id_b) pairs whose signatures agree on ≥1 band."""
+def _band_join(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    carry_cols: tuple[str, ...] = (),
+    extra_pred: Column | None = None,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs whose signatures agree on ≥1 band.
+
+    ``carry_cols`` ride through the band explode so ``extra_pred`` (built
+    against the ``a.``/``b.`` aliases) can constrain the pair space —
+    e.g. the incremental path's "≥1 side is new" filter."""
     _check_bands(num_hashes, bands)
     r = num_hashes // bands
     band_structs = F.array(
@@ -165,20 +176,21 @@ def _band_join(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> Dat
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
-        id_col, "b.band_id", "b.band_hash"
-    )
+    banded = sigs.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols],
+        F.explode(band_structs).alias("b"),
+    ).select(id_col, *carry_cols, "b.band_id", "b.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
+    on = [
+        F.col("a.band_id") == F.col("b.band_id"),
+        F.col("a.band_hash") == F.col("b.band_hash"),
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+    ]
+    if extra_pred is not None:
+        on.append(extra_pred)
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
+        a.join(b, on=on)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
@@ -559,12 +571,24 @@ def write_minhash_index(
     import os
 
     _check_bands(num_hashes, bands)
+    meta = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
+            "id_col": id_col}
+    meta_path = os.path.join(path, "_sketch_meta.json")
+    if mode == "append" and os.path.exists(meta_path):
+        # appending under different sketch parameters would mix
+        # incompatible signatures/shingle sets in one directory and
+        # silently produce garbage candidates — refuse
+        with open(meta_path) as fh:
+            existing = json.load(fh)
+        if existing != meta:
+            raise ValueError(
+                f"index at {path} was built with {existing}, append "
+                f"called with {meta} — sketch parameters are part of "
+                f"the on-disk layout (rebuild to change them)")
     hs = _hashed_shingle_df(df, text_col, id_col, shingle_n)
     sigs = _sig_from_hashed(hs, id_col, num_hashes)
     sigs.join(hs, id_col).write.mode(mode).parquet(path)
-    meta = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
-            "id_col": id_col}
-    with open(os.path.join(path, "_sketch_meta.json"), "w") as fh:
+    with open(meta_path, "w") as fh:
         json.dump(meta, fh)
 
 
@@ -576,6 +600,7 @@ def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
 
     with open(os.path.join(path, "_sketch_meta.json")) as fh:
         meta = json.load(fh)
+    _check_bands(meta["num_hashes"], meta["bands"])  # reject corrupt sidecars
     return spark.read.parquet(path), meta
 
 
@@ -611,32 +636,11 @@ def minhash_dedup_incremental(
     full = idx.withColumn("_new", F.lit(False)).unionByName(
         new_sk.withColumn("_new", F.lit(True)))
 
-    r = num_hashes // bands
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("band_hash"),
-        )
-        for b in range(bands)
-    ])
-    banded = full.select(
-        F.col(id_col), "_new", F.explode(band_structs).alias("b")
-    ).select(id_col, "_new", "b.band_id", "b.band_hash")
-
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(b, on=[
-            F.col("a.band_id") == F.col("b.band_id"),
-            F.col("a.band_hash") == F.col("b.band_hash"),
-            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            # at least one side is new: corpus×corpus pairs were handled
-            # when THEY were the arriving batch
-            F.col("a._new") | F.col("b._new"),
-        ])
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    # at least one side is new: corpus×corpus pairs were handled when
+    # THEY were the arriving batch
+    cands = _band_join(
+        full, id_col, num_hashes, bands, carry_cols=("_new",),
+        extra_pred=F.col("a._new") | F.col("b._new"))
     sh = full.select(F.col(id_col), F.col("_hs").alias("_sh"))
     return _jaccard_on_pairs_sh(cands, sh, id_col) \
         .where(F.col("jaccard") >= threshold)

@@ -196,7 +196,14 @@ def pack_by_token_budget(
     t = F.col(token_col).cast("long")
     # cap oversize docs at the budget so each claims exactly one pack
     capped = F.least(t, F.lit(budget))
-    g = F.pmod(F.col(id_col).cast("long"), F.lit(num_groups))
+    # integral ids shard by plain mod (portable, oracle-checkable);
+    # string/UUID ids hash first — cast('long') would NULL them all into
+    # ONE group and ship the whole dataset to a single task
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        g = F.pmod(F.col(id_col).cast("long"), F.lit(num_groups))
+    else:
+        g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_groups))
 
     import pandas as pd
 

@@ -33,21 +33,48 @@ _MOD = 4294967296              # 2^32
 
 
 def knuth_hash(key: Column | str, salt: int = 0) -> Column:
-    """Portable multiplicative hash of an integer key into [0, 2³²).
+    """Portable multiplicative hash of a non-negative integer key into
+    [0, 2³²).
 
     Sequential keys map to a low-discrepancy (golden-ratio step)
     sequence — equidistributed, so threshold sampling hits fractions
     accurately even on dense id ranges. Exactly reproducible in any
-    SQL engine: ``((key + salt) * 2654435761) % 4294967296``.
+    SQL engine with 64-bit integers:
+    ``(((key + salt) % 2147483648) * 2654435761) % 4294967296``.
+    The pre-reduction mod 2³¹ bounds the product at ~5.7e18 (< int64
+    max), so snowflake-scale ids can't overflow — without it the
+    multiply wraps silently in Spark but errors in DuckDB, breaking
+    cross-engine reproducibility. Non-integer key columns are rejected
+    by the operators (a silent ``cast('long') → NULL`` would route
+    every row to the default branch); use :func:`key_hash` for them.
     """
     k = F.col(key) if isinstance(key, str) else key
-    return F.pmod((k.cast("long") + F.lit(salt)) * F.lit(_KNUTH_A), F.lit(_MOD))
+    k2 = F.pmod(k.cast("long") + F.lit(salt), F.lit(_MOD // 2))
+    return F.pmod(k2 * F.lit(_KNUTH_A), F.lit(_MOD))
 
 
 def key_hash(key: Column | str, salt: int = 0) -> Column:
     """Default sampling hash: xxhash64 folded into [0, 2³²)."""
     k = F.col(key) if isinstance(key, str) else key
     return F.pmod(F.xxhash64(k, F.lit(salt)), F.lit(_MOD))
+
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _pick_hash(df: DataFrame, key_col: str, portable: bool):
+    """The portable (Knuth) hash silently NULLs out non-integer keys
+    (``cast('long')``), which would route every row to one branch —
+    reject those up front; the default xxhash64 hashes any type."""
+    if not portable:
+        return key_hash
+    dt = dict(df.dtypes).get(key_col)
+    if dt not in _INTEGRAL_TYPES:
+        raise ValueError(
+            f"portable=True needs an integral key column, got "
+            f"{key_col}={dt!r}; use portable=False (xxhash64) for "
+            f"non-integer keys")
+    return knuth_hash
 
 
 def sample_fraction(
@@ -60,7 +87,7 @@ def sample_fraction(
     """Keep ~``fraction`` of rows, decided per key — stable under
     re-runs, repartitioning, and incremental growth (a key once kept is
     always kept, the property plain ``df.sample`` lacks)."""
-    h = (knuth_hash if portable else key_hash)(key_col, salt)
+    h = _pick_hash(df, key_col, portable)(key_col, salt)
     return df.where(h < F.lit(int(fraction * _MOD)))
 
 
@@ -76,7 +103,7 @@ def stratified_sample(
     """Per-stratum keep-fractions (e.g. upweight rare languages in a
     corpus sample). A narrow filter — no shuffle, no per-stratum jobs
     (contrast ``sampleBy``'s RNG draw, which is not key-stable)."""
-    h = (knuth_hash if portable else key_hash)(key_col, salt)
+    h = _pick_hash(df, key_col, portable)(key_col, salt)
     thresh = F.lit(int(default_fraction * _MOD))
     for value, frac in sorted(fractions.items()):
         thresh = F.when(
@@ -105,7 +132,7 @@ def train_test_split(
     total = float(sum(weights))
     if total <= 0:
         raise ValueError("weights must sum > 0")
-    h = (knuth_hash if portable else key_hash)(key_col, salt)
+    h = _pick_hash(df, key_col, portable)(key_col, salt)
     expr = None
     acc = 0.0
     for w, name in zip(weights, names):
@@ -132,7 +159,7 @@ def topk_per_stratum(
     reservoir sampling: one shuffle on the stratum column, map-side
     partial top-k via the window's rank pushdown, no driver state.
     """
-    h = (knuth_hash if portable else key_hash)(key_col, salt)
+    h = _pick_hash(df, key_col, portable)(key_col, salt)
     w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -552,10 +552,21 @@ def write_ivf_index_fitted(
     import json
     import os
 
+    meta_path = os.path.join(path, "_ivf_meta.json")
+    if mode == "append" and os.path.exists(meta_path):
+        # appending under different centroids would leave old files in
+        # buckets the new layout never probes — silent recall loss
+        with open(meta_path) as fh:
+            existing = json.load(fh)["centroids"]
+        if existing != [list(map(float, c)) for c in centroids]:
+            raise ValueError(
+                f"IVF index at {path} was built with different centroids "
+                f"— appends must use the sidecar's centroid set "
+                f"(re-fitting requires a rebuild)")
     bucketed = df.withColumn(
         "_bucket", assign_bucket_from_centroids(vec_col, centroids))
     bucketed.write.mode(mode).partitionBy("_bucket").parquet(path)
-    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
+    with open(meta_path, "w") as fh:
         json.dump({"centroids": centroids}, fh)
 
 

@@ -43,6 +43,7 @@ def distinct_count_check(
         F.approx_count_distinct(col, rsd=rsd).alias("approx_cnt"),
     ).select(
         "exact_cnt",
+        "approx_cnt",
         (
             F.abs(F.col("approx_cnt") - F.col("exact_cnt"))
             <= F.lit(tolerance) * F.col("exact_cnt")

@@ -44,8 +44,33 @@ def _schema_ddl(schema) -> str:
     return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
 
 
+def _meta_path(path: str) -> str:
+    return os.path.join(os.path.abspath(path), "_bucket_meta.json")
+
+
+def _validate_layout(path: str, key: str, num_buckets: int) -> None:
+    """The bucket spec is part of the ON-DISK layout: registering a
+    4-bucket directory as INTO 256 BUCKETS makes Spark skip the Exchange
+    and hash rows into the wrong SortMergeJoin partitions — the merge
+    silently drops/duplicates matches. Refuse any mismatch with the
+    sidecar written at store creation."""
+    import json
+
+    mp = _meta_path(path)
+    if not os.path.exists(mp):  # pre-sidecar store: trust the caller
+        return
+    with open(mp) as fh:
+        meta = json.load(fh)
+    if meta != {"key": key, "num_buckets": num_buckets}:
+        raise ValueError(
+            f"bucketed store at {path} was written with {meta}, "
+            f"got key={key!r} num_buckets={num_buckets} — the bucket "
+            f"count/key cannot change for the life of a store directory")
+
+
 def _register(spark: SparkSession, path: str, key: str, num_buckets: int) -> str:
     """(Re)create the external bucketed table entry over ``path``."""
+    _validate_layout(path, key, num_buckets)
     name = _table_name(path)
     loc = os.path.abspath(path)
     schema = spark.read.parquet(loc).schema
@@ -77,7 +102,11 @@ def write_bucketed_store(
     the bucketed write lands in a sibling stage directory — ``df`` may
     be reading the live store — then two atomic renames swap it in.
     """
+    import json
+
     target = os.path.abspath(path)
+    if os.path.isdir(target):
+        _validate_layout(target, key, num_buckets)
     stage, backup = f"{target}.__stage__", f"{target}.__old__"
     stage_table = _table_name(stage)
     shutil.rmtree(stage, ignore_errors=True)
@@ -104,6 +133,11 @@ def write_bucketed_store(
         shutil.rmtree(backup, ignore_errors=True)
     else:
         os.rename(stage, target)
+    # record the layout so later sessions can't register or rewrite the
+    # store under a different bucket spec (underscore-prefixed: parquet
+    # readers skip it)
+    with open(_meta_path(target), "w") as fh:
+        json.dump({"key": key, "num_buckets": num_buckets}, fh)
     # stale entry for the (now-moved) location, if any, is refreshed on
     # the next read_bucketed_store; invalidate cached file listings
     spark.sql(f"DROP TABLE IF EXISTS {_table_name(target)}")

@@ -181,15 +181,19 @@ def resolve_duplicate_keys(
     if on_duplicates not in ("error", "dedupe"):
         raise ValueError(f"on_duplicates must be error|dedupe|allow, got {on_duplicates!r}")
     if on_duplicates == "error":
+        persisted_here = False
         if not df.is_cached:
             from pyspark.storagelevel import StorageLevel
 
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted_here = True
         dups = (
             df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > 1).limit(5).collect()
         )
         if dups:
+            if persisted_here:  # no write will follow — don't leak the cache
+                df.unpersist()
             sample = [tuple(r[k] for k in keys) for r in dups]
             raise DuplicateKeyError(
                 f"duplicate keys in write batch (sample): {sample}")
@@ -392,6 +396,7 @@ def upsert_into_store(
     if delta_available(spark) and _is_delta_store(path):
         from delta.tables import DeltaTable
 
+        was_cached = new.is_cached
         new = resolve_duplicate_keys(new, key_cols, on_duplicates)
         cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
         updates = {}
@@ -405,7 +410,10 @@ def upsert_into_store(
                     f"ELSE coalesce(s.`{c}`, t.`{c}`) END"
                 )
             else:
-                updates[c] = f"s.`{c}`"  # last-writer-wins: new beats stored
+                # coalesce mirrors merge_upsert_frames exactly: new beats
+                # stored, but a NULL in the new batch never erases a
+                # stored value — the two routes must stay byte-identical
+                updates[c] = f"coalesce(s.`{c}`, t.`{c}`)"
         (
             DeltaTable.forPath(spark, path).alias("t")
             .merge(new.alias("s"), cond)
@@ -413,7 +421,7 @@ def upsert_into_store(
             .whenNotMatchedInsertAll()
             .execute()
         )
-        if new.is_cached:
+        if new.is_cached and not was_cached:
             new.unpersist()
         return spark.read.format("delta").load(path)
     return parquet_merge_upsert(

@@ -114,6 +114,11 @@ class TestDedup:
         _, meta = D.read_minhash_index(spark, idx)
         assert meta == {"num_hashes": 32, "bands": 8, "shingle_n": 3,
                         "id_col": "doc_id"}
+        # appending under different sketch parameters must refuse —
+        # mixed signatures would produce garbage candidates silently
+        with pytest.raises(ValueError, match="sketch parameters"):
+            D.write_minhash_index(new, idx, num_hashes=64, bands=8,
+                                  mode="append")
 
     def test_simhash_identical_docs(self, spark):
         df = spark.createDataFrame(
@@ -184,6 +189,12 @@ class TestSimilarity:
         pruned = S.ivf_topk_indexed_fitted(spark, path, q, k=5, nprobe=2)
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [_bucket" in plan.replace("\n", " "), plan
+        # appending under re-fitted centroids must refuse — old files
+        # would sit in buckets the new layout never probes
+        other = S.fit_centroids(emb, dim=len(q), num_buckets=8,
+                                sample_size=128, seed=7)
+        with pytest.raises(ValueError, match="centroid"):
+            S.write_ivf_index_fitted(emb.limit(5), path, other, mode="append")
 
     def test_fitted_ivf_exact_at_full_probe_and_better_balance(self, emb):
         q = emb.where("vec_id = 7").collect()[0]["embedding"]

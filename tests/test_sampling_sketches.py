@@ -70,7 +70,8 @@ class TestSampling:
         con.execute("CREATE TABLE t (id BIGINT)")
         con.executemany("INSERT INTO t VALUES (?)", rows)
         want = {r[0] for r in con.execute(
-            "SELECT id FROM t WHERE ((id + 4) * 2654435761) % 4294967296 "
+            "SELECT id FROM t WHERE "
+            "(((id + 4) % 2147483648) * 2654435761) % 4294967296 "
             "< 1288490188").fetchall()}  # int(0.3 * 2^32)
         got = {r["id"] for r in
                people.where(knuth_hash("id", 4) < 1288490188).collect()}
@@ -85,6 +86,32 @@ class TestSampling:
     def test_split_weight_validation(self, people):
         with pytest.raises(ValueError, match="weights"):
             train_test_split(people, "id", weights=(1.0,), names=("a", "b"))
+
+    def test_portable_rejects_non_integral_keys(self, spark):
+        # cast('long') on a string key would NULL every hash and dump all
+        # rows into the default branch — must refuse loudly instead
+        df = spark.createDataFrame([("doc-a",), ("doc-b",)], "id string")
+        with pytest.raises(ValueError, match="integral"):
+            train_test_split(df, "id", portable=True)
+        # the xxhash64 default handles any key type
+        out = train_test_split(df, "id")
+        assert {r["split"] for r in out.collect()} <= {"train", "validation", "test"}
+
+    def test_portable_hash_survives_snowflake_ids(self, spark):
+        import duckdb
+
+        # ids past 2^31: the pre-reduced hash must stay in-range and
+        # byte-match DuckDB (the unreduced multiply overflows int64)
+        big = [(2**31 + 5,), (10**18,), (2**62,)]
+        df = spark.createDataFrame(big, "id long")
+        got = {r["id"]: r["h"] for r in
+               df.select("id", knuth_hash("id", 4).alias("h")).collect()}
+        con = duckdb.connect()
+        for (i,) in big:
+            want = con.execute(
+                f"SELECT ((({i} + 4) % 2147483648) * 2654435761) "
+                f"% 4294967296").fetchone()[0]
+            assert got[i] == want
 
 
 class TestSketches:
@@ -165,3 +192,16 @@ class TestPacking:
                 used = 0
             used += tok
             assert r["pack_id"] == cur, r
+
+    def test_string_ids_shard_by_hash(self, spark):
+        # UUID-style ids: cast('long') would NULL every group and ship
+        # the whole dataset to one task — they must hash-shard instead
+        from bigdata_tag_system_spark.operators.features import pack_by_token_budget
+
+        docs = spark.createDataFrame(
+            [(f"doc-{i:04d}", 40 + i % 50) for i in range(200)],
+            "doc_id string, n_tokens int")
+        out = pack_by_token_budget(docs, budget=150, num_groups=4).collect()
+        groups = {r["pack_group"] for r in out}
+        assert None not in groups and len(groups) == 4
+        assert len(out) == 200

@@ -387,6 +387,12 @@ class TestBucketedStore:
         write_bucketed_store(spark, merged, store, "user_id", 4)
         back = read_bucketed_store(spark, store, "user_id", 4)
         assert {r["user_id"]: r["tag_ids"] for r in back.collect()} == got
+        # the bucket spec is part of the on-disk layout: registering or
+        # rewriting under a different N/key must refuse, not corrupt
+        with pytest.raises(ValueError, match="bucket"):
+            read_bucketed_store(spark, store, "user_id", 8)
+        with pytest.raises(ValueError, match="bucket"):
+            write_bucketed_store(spark, merged, store, "other_key", 4)
 
 
 class TestDeltaAdapter:
