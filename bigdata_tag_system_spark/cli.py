@@ -32,7 +32,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import sys
 
 MODE_TO_SCENARIO = {
@@ -68,6 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "Exchange; N is part of the on-disk layout — keep it "
                         "constant for the life of a store directory")
     p.add_argument("--output", help="write result here instead of --store")
+    p.add_argument("--on-duplicates", default="error",
+                   choices=["error", "dedupe", "allow"],
+                   help="duplicate-user-key policy for store upserts: the "
+                        "scenario output is one row per FACT row, so a fact "
+                        "table with duplicate user keys would fan out through "
+                        "the merge join and silently duplicate store rows. "
+                        "error (default) raises with sample keys; dedupe keeps "
+                        "one deterministic row per key; allow skips the probe "
+                        "when uniqueness is guaranteed upstream")
     p.add_argument("--tag-ids", help="comma-separated tag ids (tags/user-tags modes)")
     p.add_argument("--user-ids", help="comma-separated user ids (users/user-tags modes)")
     p.add_argument("--days", type=int, default=1,
@@ -110,30 +118,12 @@ def _load_facts(spark, specs: list[str], rules, user_col: str):
 
 
 def _swap_store(merged, target: str) -> None:
-    """Crash-safe in-place store rewrite.
+    """Crash-safe in-place store rewrite (shared swap envelope —
+    see :func:`bigdata_tag_system_spark.sources.writers.staged_swap_write`)."""
+    from bigdata_tag_system_spark.sources.writers import staged_swap_write
 
-    Stage the new result as a SIBLING of the target (same filesystem, so
-    the swap is two atomic renames, never a copy), rename the old store
-    aside, rename the stage in, then drop the backup. A crash between the
-    renames leaves either the old store in place or the old store at
-    ``<target>.__old__`` with the stage complete — never zero copies
-    (the failure mode of rmtree-then-move). On object stores, writing
-    a fresh versioned directory + repointing beats any in-place rewrite;
-    this layout (complete-directory-then-rename) is the local-fs analogue.
-    """
-    import os
-
-    stage, backup = f"{target}.__stage__", f"{target}.__old__"
-    shutil.rmtree(stage, ignore_errors=True)
-    shutil.rmtree(backup, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(stage)
-    os.rename(target, backup)
-    try:
-        os.rename(stage, target)
-    except OSError:
-        os.rename(backup, target)  # roll back: old store restored
-        raise
-    shutil.rmtree(backup, ignore_errors=True)
+    staged_swap_write(
+        lambda stage: merged.write.mode("overwrite").parquet(stage), target)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -209,46 +199,61 @@ def main(argv: list[str] | None = None) -> int:
         scenario, facts, existing=existing, tag_ids=tag_ids,
         user_keys=user_keys, computed_date=args.computed_date)
 
+    guarded = None
     if args.store and existing is not None and scenario != 1:
         # every scenario except full-overwrite is a per-key upsert: fold
         # the store back in (keys new ∪ old). Scenario 5 in particular
         # overwrites ONLY the selected users' rows — without this fold it
         # would wipe every other user's stored profile.
-        # scenario output is one row per user by construction (profiles
-        # are a groupBy on the user key) → skip the duplicate-key probe,
-        # which would otherwise compute the whole scenario DAG twice
+        # The scenario output is one row per FACT row (profiles are a
+        # single-pass select, not a groupBy on the user key), so a fact
+        # table carrying duplicate user keys would fan out through the
+        # full-outer merge and silently duplicate store rows — guard it.
+        # Under the default "error" policy the probe persists the frame,
+        # so the scenario DAG computes once (probe and write both read
+        # the cache); --on-duplicates allow skips probe+persist entirely.
+        from bigdata_tag_system_spark.sources.writers import (
+            merge_upsert_frames,
+            resolve_duplicate_keys,
+        )
+
+        guarded = resolve_duplicate_keys(
+            merged, [args.user_col], args.on_duplicates)
         if args.store_buckets:
             # bucketed store: merge against the registered table scan so
             # the store side of the full-outer join runs Exchange-free
-            from bigdata_tag_system_spark.sources.writers import merge_upsert_frames
-
             merged = merge_upsert_frames(
-                merged, existing, key_cols=[args.user_col], array_union_cols=[])
+                guarded, existing, key_cols=[args.user_col], array_union_cols=[])
         else:
             merged = parquet_merge_upsert(
-                spark, merged, args.store, key_cols=[args.user_col],
+                spark, guarded, args.store, key_cols=[args.user_col],
                 array_union_cols=[], on_duplicates="allow")
 
-    if args.dry_run:
-        merged.explain("formatted")
-        print(f"rows: {merged.count()}")
+    try:
+        if args.dry_run:
+            merged.explain("formatted")
+            print(f"rows: {merged.count()}")
+            return 0
+
+        target = args.output or args.store
+        if not target:
+            raise SystemExit("--store or --output required (or use --dry-run)")
+        if target == args.store and args.store_buckets:
+            from bigdata_tag_system_spark.sources.bucketed_store import write_bucketed_store
+
+            write_bucketed_store(
+                spark, merged, target, args.user_col, args.store_buckets)
+        elif target == args.store and existing is not None:
+            # parquet can't be rewritten while its scan is live: stage then swap
+            _swap_store(merged, target)
+        else:
+            merged.write.mode("overwrite").parquet(target)
+        print(f"wrote scenario {scenario} result to {target}")
         return 0
-
-    target = args.output or args.store
-    if not target:
-        raise SystemExit("--store or --output required (or use --dry-run)")
-    if target == args.store and args.store_buckets:
-        from bigdata_tag_system_spark.sources.bucketed_store import write_bucketed_store
-
-        write_bucketed_store(
-            spark, merged, target, args.user_col, args.store_buckets)
-    elif target == args.store and existing is not None:
-        # parquet can't be rewritten while its scan is live: stage then swap
-        _swap_store(merged, target)
-    else:
-        merged.write.mode("overwrite").parquet(target)
-    print(f"wrote scenario {scenario} result to {target}")
-    return 0
+    finally:
+        # release the duplicate-probe cache once the write has consumed it
+        if guarded is not None and guarded.is_cached:
+            guarded.unpersist()
 
 
 if __name__ == "__main__":

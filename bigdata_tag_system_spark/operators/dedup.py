@@ -142,6 +142,22 @@ def _sig_from_hashed(hs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     return hs.select(F.col(id_col), sig.alias("_sig"))
 
 
+def _sketch_table(hs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, _sig, _hs) in ONE projection over the hashed-shingle frame.
+
+    The signature is a pure function of ``_hs``, so the full sketch row
+    never needs a self-join of two frames derived from the same scan —
+    that formulation re-reads the corpus text and re-runs
+    tokenize→shingle→hash once per join side.
+    """
+
+    def one(seed: int) -> Column:
+        return F.array_min(F.transform("_hs", lambda h: F.xxhash64(h, F.lit(seed))))
+
+    sig = F.array(*[one(i) for i in range(num_hashes)])
+    return hs.select(F.col(id_col), sig.alias("_sig"), F.col("_hs"))
+
+
 def _check_bands(num_hashes: int, bands: int) -> None:
     """bands must evenly partition the signature: bands > num_hashes makes
     every band slice empty (all docs share one bucket → O(n²) self-join);
@@ -586,8 +602,7 @@ def write_minhash_index(
                 f"called with {meta} — sketch parameters are part of "
                 f"the on-disk layout (rebuild to change them)")
     hs = _hashed_shingle_df(df, text_col, id_col, shingle_n)
-    sigs = _sig_from_hashed(hs, id_col, num_hashes)
-    sigs.join(hs, id_col).write.mode(mode).parquet(path)
+    _sketch_table(hs, id_col, num_hashes).write.mode(mode).parquet(path)
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
 
@@ -622,17 +637,24 @@ def minhash_dedup_incremental(
     Jaccard over the hashed shingle sets, same contract as
     :func:`minhash_dedup` — output pairs are a subset of the full-corpus
     result restricted to pairs touching the new batch (pytest-asserted).
+
+    Cache policy: this function persists NOTHING — its stated use case is
+    a long-running loop over many batches, where per-call persists with
+    no consuming action inside the function would pin one sketch table
+    per batch in executor storage for the life of the session. The new
+    batch's sketch is a single narrow projection; re-evaluating it per
+    plan branch costs a few re-tokenizations of a batch-sized input,
+    bounded and small next to the index re-reads. Callers that loop
+    should ``persist()`` ``new_docs`` before calling and ``unpersist()``
+    after materializing the result — the caller owns the action, so the
+    caller owns the cache.
     """
     idx, meta = read_minhash_index(spark, index_path)
     id_col = meta["id_col"]
     num_hashes, bands = meta["num_hashes"], meta["bands"]
 
     new_hs = _hashed_shingle_df(new_docs, text_col, id_col, meta["shingle_n"])
-    new_sk = (
-        _sig_from_hashed(new_hs, id_col, num_hashes)
-        .join(new_hs, id_col)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    new_sk = _sketch_table(new_hs, id_col, num_hashes)
     full = idx.withColumn("_new", F.lit(False)).unionByName(
         new_sk.withColumn("_new", F.lit(True)))
 

@@ -193,7 +193,11 @@ def pack_by_token_budget(
     (the engine's documented escape hatch for genuinely sequential
     per-group logic): one Arrow batch per group, one O(rows) pass.
     """
-    t = F.col(token_col).cast("long")
+    # NULL token counts become NaN in the pandas scan, and NaN poisons
+    # the running total permanently ("used + NaN > budget" is never True,
+    # "used += NaN" sticks) — every later doc in the group would join the
+    # current pack regardless of budget. Treat NULL as 0 tokens.
+    t = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     # cap oversize docs at the budget so each claims exactly one pack
     capped = F.least(t, F.lit(budget))
     # integral ids shard by plain mod (portable, oracle-checkable);

@@ -470,20 +470,34 @@ def assign_bucket_from_centroids_arrow(
     closure instead of being folded into k × dim expression literals, and
     each Arrow batch scores with a single ``(batch × dim) @ (dim × k)``
     matmul + argmax. Ties resolve to the lowest bucket id, matching the
-    expression form. NULL vectors yield NULL buckets (callers filter
-    upstream, as the fit does).
+    expression form. NULL vectors, vectors containing NULL/NaN elements,
+    and vectors of the wrong length all yield NULL buckets — same as the
+    expression form's null-propagating dot product, so
+    ``assign_impl="auto"`` produces identical assignments on either side
+    of the k × dim switch-over (callers filter upstream, as the fit does).
     """
     from pyspark.sql.functions import pandas_udf
 
     c = np.array(centroids, dtype=np.float64).T  # (dim, k)
+    dim = c.shape[0]
 
     @pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:
-        mask = vecs.notna()
         out = pd.Series([None] * len(vecs), index=vecs.index, dtype="object")
+        mask = vecs.notna()
         if mask.any():
-            m = np.stack(vecs[mask].to_numpy()).astype(np.float64)
-            out[mask] = (m @ c).argmax(axis=1)
+            sub = vecs[mask]
+            # ragged lengths would crash np.stack; score only well-shaped
+            # vectors, everything else stays NULL
+            ok = sub[sub.map(len) == dim]
+            if len(ok):
+                # NULL elements arrive as None → NaN under the float cast;
+                # any NaN poisons its dot products, so the row's bucket
+                # must be NULL, not argmax-of-NaN (which is 0)
+                m = np.stack(ok.to_numpy()).astype(np.float64)
+                best = (m @ c).argmax(axis=1).astype(object)
+                best[np.isnan(m).any(axis=1)] = None
+                out[ok.index] = best
         return out.astype("Int32")
 
     return _assign(F.col(vec_col))

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -98,46 +97,44 @@ def write_bucketed_store(
 ) -> None:
     """Replace the store at ``path`` with ``df``, bucket-laid-out.
 
-    Stage-and-swap (same crash envelope as the CLI's ``_swap_store``):
+    Stage-and-swap through the shared crash envelope
+    (:func:`~bigdata_tag_system_spark.sources.writers.staged_swap_write`):
     the bucketed write lands in a sibling stage directory — ``df`` may
-    be reading the live store — then two atomic renames swap it in.
+    be reading the live store — then two atomic renames swap it in. The
+    ``_bucket_meta.json`` sidecar is written INTO the stage before the
+    swap, so there is no crash window in which a fully bucketed store
+    exists without its layout record (a sidecar-less store falls into
+    the trust-the-caller branch of :func:`_validate_layout`, which is
+    exactly the silent mis-bucketed-merge hazard the sidecar prevents).
     """
     import json
+
+    from bigdata_tag_system_spark.sources.writers import staged_swap_write
 
     target = os.path.abspath(path)
     if os.path.isdir(target):
         _validate_layout(target, key, num_buckets)
-    stage, backup = f"{target}.__stage__", f"{target}.__old__"
-    stage_table = _table_name(stage)
-    shutil.rmtree(stage, ignore_errors=True)
-    shutil.rmtree(backup, ignore_errors=True)
-    spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
-    (
-        df.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(num_buckets, key)
-        .sortBy(key)
-        .option("path", stage)
-        .saveAsTable(stage_table)
-    )
-    # catalog entry served its purpose (bucketed layout now on disk);
-    # drop it so nothing references the stage dir we're about to rename
-    spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
-    if os.path.isdir(target):
-        os.rename(target, backup)
-        try:
-            os.rename(stage, target)
-        except OSError:
-            os.rename(backup, target)  # roll back: old store restored
-            raise
-        shutil.rmtree(backup, ignore_errors=True)
-    else:
-        os.rename(stage, target)
-    # record the layout so later sessions can't register or rewrite the
-    # store under a different bucket spec (underscore-prefixed: parquet
-    # readers skip it)
-    with open(_meta_path(target), "w") as fh:
-        json.dump({"key": key, "num_buckets": num_buckets}, fh)
+
+    def _write_stage(stage: str) -> None:
+        stage_table = _table_name(stage)
+        spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, key)
+            .sortBy(key)
+            .option("path", stage)
+            .saveAsTable(stage_table)
+        )
+        # catalog entry served its purpose (bucketed layout now on disk);
+        # drop it so nothing references the stage dir we're about to rename
+        spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
+        # layout record travels with the directory through the rename
+        # (underscore-prefixed: parquet readers skip it)
+        with open(_meta_path(stage), "w") as fh:
+            json.dump({"key": key, "num_buckets": num_buckets}, fh)
+
+    staged_swap_write(_write_stage, target)
     # stale entry for the (now-moved) location, if any, is refreshed on
     # the next read_bucketed_store; invalidate cached file listings
     spark.sql(f"DROP TABLE IF EXISTS {_table_name(target)}")

@@ -352,23 +352,45 @@ def _is_delta_store(path: str) -> bool:
     return os.path.isdir(os.path.join(path, "_delta_log"))
 
 
-def _rewrite_store(df: DataFrame, path: str) -> None:
-    """Crash-safe parquet rewrite (stage as sibling, two atomic renames —
-    same envelope as the CLI store swap)."""
+def staged_swap_write(write_stage: Callable[[str], None], target: str) -> None:
+    """Crash-safe in-place store rewrite — the ONE shared swap envelope
+    (used by :func:`_rewrite_store`, the CLI store swap, and the bucketed
+    store writer, so crash-safety fixes land in one place).
+
+    ``write_stage(stage_path)`` materializes the complete new content
+    into a SIBLING of the target (same filesystem, so the swap is two
+    atomic renames, never a copy); the old store is renamed aside, the
+    stage renamed in, the backup dropped. A crash between the renames
+    leaves either the old store in place or the old store at
+    ``<target>.__old__`` with the stage complete — never zero copies
+    (the failure mode of rmtree-then-move). On object stores, writing a
+    fresh versioned directory + repointing beats any in-place rewrite;
+    this layout (complete-directory-then-rename) is the local-fs
+    analogue.
+    """
     import os
     import shutil
 
-    stage, backup = f"{path}.__stage__", f"{path}.__old__"
+    stage, backup = f"{target}.__stage__", f"{target}.__old__"
     shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(backup, ignore_errors=True)
-    df.write.mode("overwrite").parquet(stage)
-    os.rename(path, backup)
+    write_stage(stage)
+    if not os.path.exists(target):
+        os.rename(stage, target)
+        return
+    os.rename(target, backup)
     try:
-        os.rename(stage, path)
+        os.rename(stage, target)
     except OSError:
-        os.rename(backup, path)
+        os.rename(backup, target)  # roll back: old store restored
         raise
     shutil.rmtree(backup, ignore_errors=True)
+
+
+def _rewrite_store(df: DataFrame, path: str) -> None:
+    """Crash-safe parquet rewrite (shared swap envelope)."""
+    staged_swap_write(
+        lambda stage: df.write.mode("overwrite").parquet(stage), path)
 
 
 def upsert_into_store(

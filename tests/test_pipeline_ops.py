@@ -255,11 +255,25 @@ class TestSimilarity:
         ).collect()
         mism = [r for r in both if r["e"] != r["a"]]
         assert len(mism) / len(both) < 0.001, mism[:5]
-        # NULL vectors → NULL bucket, not a crash
-        bad = spark.createDataFrame([(1, None)], f"vec_id long, embedding array<double>")
-        r = bad.select(S.assign_bucket_from_centroids_arrow("embedding", cents)
-                       .alias("a")).collect()[0]
-        assert r["a"] is None
+        # NULL vector, NULL-element vector, and wrong-length vector must
+        # all yield NULL buckets (parity with the expression form's
+        # null-propagating dot), never bucket 0 or a np.stack crash
+        dvec = [0.1] * dim
+        nullelem = [0.1] * dim
+        nullelem[1] = None
+        bad = spark.createDataFrame(
+            [(1, None), (2, nullelem), (3, dvec[: dim - 1]), (4, dvec)],
+            "vec_id long, embedding array<double>")
+        rows = {r["vec_id"]: r["a"] for r in bad.select(
+            "vec_id",
+            S.assign_bucket_from_centroids_arrow("embedding", cents).alias("a"),
+        ).collect()}
+        assert rows[1] is None and rows[2] is None and rows[3] is None
+        assert rows[4] is not None  # well-formed row still scores
+        expr_null = bad.where("vec_id = 2").select(
+            S.assign_bucket_from_centroids("embedding", cents).alias("e")
+        ).collect()[0]["e"]
+        assert expr_null is None  # the parity claim itself
 
         # arrow-impl fit completes with the same contract
         cents2 = S.fit_centroids_distributed(emb, dim=dim, num_buckets=4,

@@ -193,6 +193,23 @@ class TestPacking:
             used += tok
             assert r["pack_id"] == cur, r
 
+    def test_null_token_counts_pack_as_zero(self, spark):
+        # a NULL token count must not become NaN in the pandas scan —
+        # NaN poisons the running total ("used + NaN > budget" never
+        # fires) and every later doc joins the current pack unbounded
+        from bigdata_tag_system_spark.operators.features import pack_by_token_budget
+
+        rows = [(1, 60), (2, None), (3, 60), (4, 60), (5, 60)]
+        docs = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+        out = pack_by_token_budget(docs, budget=120, num_groups=1).collect()
+        assert len(out) == 5
+        by_pack: dict[int, int] = {}
+        for r in out:
+            by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + (r["n_tokens"] or 0)
+        # NULL counts as 0 tokens; every pack stays within budget
+        assert all(tot <= 120 for tot in by_pack.values()), by_pack
+        assert len(by_pack) == 2  # 60+0+60 | 60+60 — split still happens
+
     def test_string_ids_shard_by_hash(self, spark):
         # UUID-style ids: cast('long') would NULL every group and ship
         # the whole dataset to one task — they must hash-shard instead

@@ -339,6 +339,41 @@ class TestCLI:
                  for r in spark.read.parquet(env["store"]).collect()}
         assert again == want
 
+    def test_duplicate_fact_keys_raise_on_store_merge(self, spark, env, tmp_path):
+        # profiles are one row per FACT row, so duplicate user keys in the
+        # facts table would fan out through the store merge join and
+        # silently duplicate store rows — the default --on-duplicates
+        # error policy must refuse (and --on-duplicates dedupe must not)
+        from bigdata_tag_system_spark.cli import main
+        from bigdata_tag_system_spark.sources.writers import DuplicateKeyError
+
+        from .conftest import AS_OF
+
+        rc = main(["--mode", "full", "--facts", env["facts"],
+                   "--rules", env["rules"], "--store", env["store"],
+                   "--as-of", AS_OF])
+        assert rc == 0
+
+        # mode=tags recomputes the tag for EVERY fact row, so the
+        # duplicated user reaches the store merge twice (incremental mode
+        # would anti-join an already-stored user away before the merge)
+        dup_facts = str(tmp_path / "dup_facts")
+        f = spark.read.parquet(env["facts"])
+        # duplicate a user that MATCHES tag 1, so both copies survive the
+        # profile filter and reach the merge
+        f.unionByName(f.where("user_id = 'user_001'")).write.parquet(dup_facts)
+        with pytest.raises(DuplicateKeyError):
+            main(["--mode", "tags", "--tag-ids", "1", "--facts", dup_facts,
+                  "--rules", env["rules"], "--store", env["store"],
+                  "--as-of", AS_OF])
+        # dedupe policy resolves instead of raising, one row per key
+        rc = main(["--mode", "tags", "--tag-ids", "1", "--facts", dup_facts,
+                   "--rules", env["rules"], "--store", env["store"],
+                   "--as-of", AS_OF, "--on-duplicates", "dedupe"])
+        assert rc == 0
+        store = spark.read.parquet(env["store"])
+        assert store.count() == store.select("user_id").distinct().count()
+
     def test_user_tags_mode_and_health(self, spark, env, capsys):
         from bigdata_tag_system_spark.cli import main
 
