@@ -174,7 +174,8 @@ _DRIVER_FIRST = [
     # positions 51+ — locally checked this round, driver-window next
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
-    "text_quality_filter",
+    "text_quality_filter", "text_repetition", "text_pii_scrub",
+    "text_contamination",
 ]
 
 
@@ -855,6 +856,55 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality_filter"] = text_quality_filter
 
+    def text_repetition(spark, sf_dir):
+        # Gopher-style repetition signals: one shuffle (doc, gram) then a
+        # per-doc re-agg — the standard machine-text/boilerplate filter
+        out = T.ngram_repetition_features(_t(spark, sf_dir, "documents"), n=2)
+        return out.select(
+            "doc_id", "n_grams",
+            F.round("top_gram_frac", 4).alias("top_gram_frac"),
+            F.round("dup_gram_frac", 4).alias("dup_gram_frac"),
+        ).orderBy("doc_id").limit(300)
+
+    q["text_repetition"] = text_repetition
+
+    def text_pii_scrub(spark, sf_dir):
+        # detect+redact over deterministic synthesized PII (the corpus has
+        # none): both engines build identical text, then count and redact
+        # with the same shared-subset regexes; md5 of the redacted text
+        # verifies the full scrub byte-for-byte
+        d = _t(spark, sf_dir, "documents").where("doc_id < 200")
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 phone +1 555-010"),
+                (F.col("doc_id") % 10).cast("string"),
+            ).alias("text"))
+        out = T.pii_scrub(aug)
+        return out.select(
+            "doc_id", "n_email", "n_ipv4", "n_phone",
+            F.md5("redacted_text").alias("redacted_md5"),
+        ).orderBy("doc_id")
+
+    q["text_pii_scrub"] = text_pii_scrub
+
+    def text_contamination(spark, sf_dir):
+        # benchmark decontamination: docs ≥50 form the corpus, docs <50 the
+        # "evaluation set"; flag corpus docs sharing ≥2 distinct 3-grams
+        d = _t(spark, sf_dir, "documents")
+        out = T.ngram_contamination(
+            d.where("doc_id >= 50"), d.where("doc_id < 50"),
+            n=3, min_overlap=2)
+        return out.select(
+            "doc_id", "overlap_grams", "hit_benchmark_docs"
+        ).orderBy("doc_id").limit(300)
+
+    q["text_contamination"] = text_contamination
+
     # ---- dedup operators ----
     def dedup_exact_groups(spark, sf_dir):
         # the raw documents table has no exact duplicates at small sf, which
@@ -1474,6 +1524,74 @@ def oracle_sql() -> dict[str, str]:
                         THEN length(regexp_replace(nt, '[^a-z]', '', 'g')) * 1.0 / length(nt)
                         ELSE 0 END), 4) AS quality
         FROM t ORDER BY doc_id LIMIT 300
+    """
+
+    o["text_repetition"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+            SELECT doc_id, unnest(list_transform(
+                range(0, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(t[i+1:i+2], ' '))) AS g
+            FROM toks
+        ), per AS (
+            SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+        )
+        SELECT doc_id, sum(c) AS n_grams,
+               round(max(c) * 1.0 / sum(c), 4) AS top_gram_frac,
+               round(coalesce(sum(c) FILTER (WHERE c > 1), 0) * 1.0 / sum(c), 4)
+                   AS dup_gram_frac
+        FROM per GROUP BY doc_id ORDER BY doc_id LIMIT 300
+    """
+
+    # same shared-subset regexes the engine uses (Java regex ∩ RE2)
+    from bigdata_tag_system_spark.functions.text import (
+        PII_PATTERNS as _PII,
+        PII_REDACTION_ORDER as _PII_ORDER,
+    )
+
+    _pii_redact = "text"
+    for _kind in _PII_ORDER:
+        _pii_redact = (
+            f"regexp_replace({_pii_redact}, '{_PII[_kind]}', "
+            f"'<{_kind.upper()}>', 'g')"
+        )
+    o["text_pii_scrub"] = f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   coalesce(text, '') || ' contact user' || doc_id
+                   || '@example.com or 10.0.' || (doc_id % 256)
+                   || '.7 phone +1 555-010' || (doc_id % 10) AS text
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII["email"]}')) AS n_email,
+               len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS n_ipv4,
+               len(regexp_extract_all(text, '{_PII["phone"]}')) AS n_phone,
+               md5({_pii_redact}) AS redacted_md5
+        FROM aug ORDER BY doc_id
+    """
+
+    o["text_contamination"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), cex AS (
+            SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 50
+        ), bex AS (
+            SELECT doc_id AS bid, unnest(s) AS g FROM sh WHERE doc_id < 50
+        )
+        SELECT c.doc_id, count(DISTINCT c.g) AS overlap_grams,
+               count(DISTINCT b.bid) AS hit_benchmark_docs
+        FROM cex c JOIN bex b ON c.g = b.g
+        GROUP BY c.doc_id HAVING count(DISTINCT c.g) >= 2
+        ORDER BY doc_id LIMIT 300
     """
 
     # NULL-text rows get a unique per-row digest in the engine (never form

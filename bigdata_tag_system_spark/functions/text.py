@@ -32,6 +32,53 @@ def token_count(col: Column | str) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
 
 
+def ngrams_from_tokens(tok_col: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams (positional, duplicates kept) from a token-array
+    column — the repetition-metric unit, vs :func:`shingles_from_tokens`
+    which dedups for set-similarity. Same windowing: docs shorter than
+    ``n`` yield their whole text as the single gram.
+    """
+    toks = _c(tok_col)
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+
+# PII surface patterns — the lookahead-free subset shared by Java regex
+# and RE2 so the same pattern runs in Spark, DuckDB, and most scanners.
+# Deliberately precision-leaning (a training-data scrub wants few false
+# redactions); extend per deployment.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\+?\d[\d -]{7,14}\d\b",
+}
+
+# redaction must run longest-surface-first: emails contain dot-runs an
+# IP pattern could clip, and IPs contain digit-runs the phone pattern
+# could clip — this order leaves each placeholder intact
+PII_REDACTION_ORDER: tuple[str, ...] = ("email", "ipv4", "phone")
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (one ``regexp_count`` each, JVM-side)."""
+    c = _c(col)
+    return {kind: F.regexp_count(c, F.lit(pat)) for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with a ``<KIND>`` placeholder.
+
+    A chain of ``regexp_replace`` in :data:`PII_REDACTION_ORDER` —
+    still one projection, whole-stage codegen'd; at 100 TB this is a
+    map-only pass with zero shuffle.
+    """
+    out = _c(col)
+    for kind in PII_REDACTION_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
 def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles from an already-materialized token
     array column (array<string>).

@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_tag_system_spark.functions.text import normalize_text, token_count, tokens
+from bigdata_tag_system_spark.functions.text import (
+    ngrams_from_tokens,
+    normalize_text,
+    pii_counts,
+    redact_pii,
+    token_count,
+    tokens,
+)
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 # Deliberately small: language ID at scale works off the highest-frequency
@@ -127,6 +134,108 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _c_raw(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def ngram_repetition_features(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Output: ``(id, n_grams, top_gram_frac, dup_gram_frac)`` —
+    ``top_gram_frac`` is the fraction of n-gram occurrences claimed by the
+    single most repeated n-gram; ``dup_gram_frac`` the fraction belonging
+    to any n-gram that occurs more than once. Both are standard corpus
+    quality filters (machine-generated / boilerplate text scores high).
+    NULL-text rows drop out (no grams to measure).
+
+    Plan shape at scale: one explode → per-(doc, gram) hash count
+    (map-side combined) → per-doc re-aggregation on the already
+    doc-partitioned stream. One shuffle total, no windows, no Python.
+    """
+    # NULL text must drop out (no grams to measure) — without the filter
+    # the window construction yields a single NULL gram per NULL row
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t")) \
+        .where(F.col("_t").isNotNull())
+    grams = toks.select(
+        F.col(id_col), F.explode(ngrams_from_tokens("_t", n)).alias("_g"))
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    total = F.sum("_c")
+    return per_gram.groupBy(id_col).agg(
+        total.alias("n_grams"),
+        (F.max("_c") / total).alias("top_gram_frac"),
+        (F.coalesce(F.sum(F.when(F.col("_c") > 1, F.col("_c"))), F.lit(0))
+         / total).alias("dup_gram_frac"),
+    )
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Detect-and-redact pass: per-kind match counts + redacted text.
+
+    One map-only projection (``regexp_count`` per kind + the
+    :func:`~bigdata_tag_system_spark.functions.text.redact_pii` chain) —
+    zero shuffle at any scale. Callers filter on the counts (quarantine
+    docs over a threshold) and/or keep the redacted column.
+    """
+    counts = pii_counts(text_col)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+        redact_pii(text_col).alias("redacted_text"),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing word n-grams with an
+    evaluation set.
+
+    Output: ``(id, overlap_grams, hit_benchmark_docs)`` — the number of
+    DISTINCT n-grams a corpus document shares with any benchmark document
+    and how many benchmark documents it touches; filter at
+    ``min_overlap`` (raise for long-n-gram policies like the common
+    13-gram rule).
+
+    Scale shape: both sides explode their distinct shingles; the join is
+    keyed by gram with the benchmark side broadcast (eval sets are tiny
+    next to a 100 TB corpus — set ``broadcast_benchmark=False`` only if
+    the benchmark genuinely exceeds broadcast size, where it becomes an
+    ordinary hash join). The corpus is never self-joined and never
+    shuffled beyond the final per-doc aggregation.
+    """
+    from bigdata_tag_system_spark.functions.text import shingles_from_tokens
+
+    def _ex(frame: DataFrame, out_id: str) -> DataFrame:
+        t = frame.select(F.col(id_col).alias(out_id), tokens(text_col).alias("_t")) \
+            .where(F.col("_t").isNotNull())  # NULL text: nothing to match
+        return t.select(
+            out_id, F.explode(shingles_from_tokens("_t", n)).alias("_g"))
+
+    c_ex = _ex(corpus, "_cid")
+    b_ex = _ex(benchmark, "_bid")
+    if broadcast_benchmark:
+        b_ex = F.broadcast(b_ex)
+    hits = c_ex.join(b_ex, "_g")
+    return (
+        hits.groupBy("_cid")
+        .agg(
+            F.countDistinct("_g").alias("overlap_grams"),
+            F.countDistinct("_bid").alias("hit_benchmark_docs"),
+        )
+        .where(F.col("overlap_grams") >= min_overlap)
+        .withColumnRenamed("_cid", id_col)
+    )
 
 
 def tfidf_top_terms(

@@ -65,6 +65,53 @@ class TestText:
             "doc_id", T.rolling_fingerprint("text", n=4).alias("fp")).collect()}
         assert fps == again
 
+    def test_repetition_features_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a"),   # bigrams: "a b"×2, "b a"×2 → top .5, dup 1.0
+             (2, "x y z"),       # "x y", "y z" → no repetition
+             (3, None)],         # NULL text drops out
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               T.ngram_repetition_features(df, n=2).collect()}
+        assert set(out) == {1, 2}
+        assert out[1]["n_grams"] == 4
+        assert out[1]["top_gram_frac"] == pytest.approx(0.5)
+        assert out[1]["dup_gram_frac"] == pytest.approx(1.0)
+        assert out[2]["n_grams"] == 2
+        assert out[2]["top_gram_frac"] == pytest.approx(0.5)
+        assert out[2]["dup_gram_frac"] == pytest.approx(0.0)
+
+    def test_pii_scrub_counts_and_redaction(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a.user@test.org from 192.168.0.1 call +1 555-0100 now"),
+             (2, "nothing sensitive here")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in T.pii_scrub(df).collect()}
+        assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+        red = out[1]["redacted_text"]
+        assert "<EMAIL>" in red and "<IPV4>" in red and "<PHONE>" in red
+        assert "a.user@test.org" not in red and "192.168.0.1" not in red
+        assert out[2]["redacted_text"] == "nothing sensitive here"
+        assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+
+    def test_contamination_hand_computed(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "we saw the quick brown fox yesterday"),  # shares 2 trigrams
+             (2, "the quick red fox jumps high"),          # shares 0 trigrams
+             (3, "totally unrelated words only here")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               T.ngram_contamination(corpus, bench, n=3, min_overlap=1).collect()}
+        # doc 1: "the quick brown" + "quick brown fox" → 2 distinct grams
+        assert set(out) == {1}
+        assert out[1]["overlap_grams"] == 2
+        assert out[1]["hit_benchmark_docs"] == 1
+        # min_overlap prunes below-threshold docs
+        strict = T.ngram_contamination(corpus, bench, n=3, min_overlap=3)
+        assert strict.count() == 0
+
     def test_quality_score_bounds(self, docs):
         row = docs.select(
             F.min(T.quality_score("text")).alias("lo"),
