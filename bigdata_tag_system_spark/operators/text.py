@@ -151,23 +151,56 @@ def ngram_repetition_features(
     quality filters (machine-generated / boilerplate text scores high).
     NULL-text rows drop out (no grams to measure).
 
-    Plan shape at scale: one explode → per-(doc, gram) hash count
-    (map-side combined) → per-doc re-aggregation on the already
-    doc-partitioned stream. One shuffle total, no windows, no Python.
+    Plan shape at scale: the metric is entirely per-document and every
+    document's grams already live in one row, so the whole computation is
+    a single map-only projection — sort the gram array, then fold it once
+    counting equal-run lengths (max run = top gram count, runs > 1 = dup
+    occurrences). ZERO shuffles, no explode, no windows, no Python; an
+    explode + double groupBy formulation would shuffle the full gram
+    stream twice for a result each row can compute locally.
     """
     # NULL text must drop out (no grams to measure) — without the filter
     # the window construction yields a single NULL gram per NULL row
     toks = df.select(F.col(id_col), tokens(text_col).alias("_t")) \
         .where(F.col("_t").isNotNull())
-    grams = toks.select(
-        F.col(id_col), F.explode(ngrams_from_tokens("_t", n)).alias("_g"))
-    per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
-    total = F.sum("_c")
-    return per_gram.groupBy(id_col).agg(
-        total.alias("n_grams"),
-        (F.max("_c") / total).alias("top_gram_frac"),
-        (F.coalesce(F.sum(F.when(F.col("_c") > 1, F.col("_c"))), F.lit(0))
-         / total).alias("dup_gram_frac"),
+    grams = F.array_sort(ngrams_from_tokens("_t", n))
+    # fold state: (prev gram, current run length, max run, dup-occurrence
+    # total); a run ends when the gram changes — runs of length > 1 are
+    # duplicated occurrences
+    init = F.struct(
+        F.lit(None).cast("string").alias("p"),
+        F.lit(0).alias("r"), F.lit(0).alias("m"), F.lit(0).alias("d"))
+    step = lambda a, x: F.struct(
+        x.alias("p"),
+        F.when(a["p"].eqNullSafe(x), a["r"] + 1).otherwise(F.lit(1)).alias("r"),
+        F.greatest(
+            a["m"],
+            F.when(a["p"].eqNullSafe(x), a["r"] + 1).otherwise(F.lit(1)),
+        ).alias("m"),
+        F.when(~a["p"].eqNullSafe(x) & (a["r"] > 1), a["d"] + a["r"])
+         .otherwise(a["d"]).alias("d"),
+    )
+    # close out the final run, then project the fractions
+    fin = lambda a: F.struct(
+        a["m"].alias("m"),
+        F.when(a["r"] > 1, a["d"] + a["r"]).otherwise(a["d"]).alias("d"))
+    # stage the sorted array and the fold as named columns: CollapseProject
+    # keeps non-cheap expressions that are referenced more than once in
+    # their own projection step, so the sort + fold each run ONCE per row
+    # instead of being re-inlined into every output column
+    staged = (
+        toks.select(F.col(id_col), grams.alias("_g"))
+        .select(
+            F.col(id_col),
+            F.size("_g").alias("_n"),
+            F.aggregate("_g", init, step, fin).alias("_st"),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_grams"),
+        (F.col("_st")["m"] / F.col("_n")).alias("top_gram_frac"),
+        (F.col("_st")["d"] / F.col("_n")).alias("dup_gram_frac"),
     )
 
 
