@@ -141,7 +141,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_FIRST = [
     # dedup operators
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_cosine_pairs",
+    "dedup_simhash", "dedup_cosine_pairs", "dedup_components",
     # similarity search
     "sim_cosine_topk", "sim_knn_join", "sim_ivf_topk",
     # time-series joins
@@ -166,12 +166,13 @@ _DRIVER_FIRST = [
     "dedup_pairs_distinct", "array_funcs_literal",
     "setop_intersect", "setop_except", "agg_rollup", "agg_cube",
     "sort_topk", "func_case_sum", "func_json_roundtrip", "func_map_json",
-    "func_coalesce_size", "func_date_arith", "func_explode_count",
+    "func_coalesce_size", "func_date_arith",
     # new this round: decimal(20,8) end-to-end
     "rule_cmp_decimal",
     # flagship stays in the driver window as the pipeline anchor
     "tag_profiles",
     # positions 51+ — locally checked this round, driver-window next
+    "func_explode_count",
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
     "text_quality_filter", "text_repetition", "text_pii_scrub",
@@ -927,6 +928,30 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
+    def dedup_components(spark, sf_dir):
+        # duplicate-CLUSTER resolution: transitive closure over a pair
+        # graph (alternating large-star/small-star). The edge set is
+        # built deterministically so DuckDB can oracle the closure with
+        # a recursive CTE: consecutive same-lang docs form chains (the
+        # diameter stressor) and same-length docs inside a 25-id block
+        # form cliques.
+        d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        a, b = d.alias("a"), d.alias("b")
+        chain = a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.lang") == F.col("b.lang")),
+        ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        clique = a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.floor(F.col("a.doc_id") / 25) == F.floor(F.col("b.doc_id") / 25)),
+        ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        return D.connected_components(chain.union(clique)).orderBy("node")
+
+    q["dedup_components"] = dedup_components
+
     def dedup_minhash_lsh(spark, sf_dir):
         # LSH prunes candidates; exact-Jaccard verification means output ==
         # exact pairs whenever recall holds (validated in tests) → same oracle
@@ -1662,6 +1687,36 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY id_a, id_b
     """
     o["dedup_ngram_jaccard"] = _SHINGLE_CTE
+
+    # transitive closure by recursive CTE: labels flow outward from each
+    # component's minimum through any path, so min(comp) per node is the
+    # component id — same contract as the engine's star-contraction CC
+    o["dedup_components"] = """
+        WITH RECURSIVE edges AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id AND a.n_chars = b.n_chars
+             AND CAST(floor(a.doc_id / 25) AS BIGINT)
+               = CAST(floor(b.doc_id / 25) AS BIGINT)
+        ),
+        sym AS (
+            SELECT id_a AS s, id_b AS d FROM edges
+            UNION
+            SELECT id_b, id_a FROM edges
+        ),
+        cc AS (
+            SELECT s AS node, s AS comp FROM sym
+            UNION
+            SELECT sym.d AS node, cc.comp
+            FROM cc JOIN sym ON sym.s = cc.node
+            WHERE cc.comp < sym.d
+        )
+        SELECT node, min(comp) AS component FROM cc GROUP BY node ORDER BY node
+    """
     # minhash-LSH verifies candidates with exact Jaccard → same result set
     o["dedup_minhash_lsh"] = _SHINGLE_CTE
     # incremental: same exact pair set, restricted to pairs touching the

@@ -666,3 +666,129 @@ def minhash_dedup_incremental(
     sh = full.select(F.col(id_col), F.col("_hs").alias("_sh"))
     return _jaccard_on_pairs_sh(cands, sh, id_col) \
         .where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve pair output into clusters: ``(node, component)`` for every
+    id appearing in ``pairs``, where ``component`` is the minimum id
+    reachable through the pair graph.
+
+    This is the missing last step of a real dedup pipeline: LSH/Jaccard
+    emits *pairs*, but keep-one-per-duplicate-set needs the transitive
+    closure (A~B and B~C must land A, B, C in one cluster even when A~C
+    was never a candidate pair).
+
+    Algorithm: alternating large-star / small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") expressed as
+    DataFrame ops — converges in O(log²) rounds independent of component
+    diameter, unlike naive min-label propagation which needs O(diameter)
+    rounds and dies on chain-shaped clusters. Per round: one groupBy per
+    star step over the (shrinking) edge list; lineage is truncated every
+    round with ``localCheckpoint`` so the plan stays O(1) deep. Only
+    (long, long) edge pairs are ever shuffled. Convergence is detected
+    with a count + order-independent xor checksum of the edge set (one
+    tiny aggregate per round, no edge-set anti-join).
+
+    No reference equivalent (SURVEY §2.11); pairs from
+    :func:`minhash_dedup` / :func:`ngram_jaccard_pairs` /
+    :func:`simhash_pairs` / :func:`cosine_dup_pairs` all feed this.
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d")))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("s").alias("node"))
+        .union(edges.select(F.col("d").alias("node")))
+        .distinct()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # for each u: m = min(Γ(u) ∪ {u}); connect every LARGER neighbor
+        # to m. Keeps high-degree hubs from ever growing: big neighbors
+        # re-point at the local minimum.
+        sym = _sym(e)
+        mins = sym.groupBy("s").agg(F.least(F.min("d"), F.first("s")).alias("m"))
+        return (
+            sym.join(mins, "s")
+            .where(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .where(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient edges high→low, then for each u: m = min of its smaller
+        # neighborhood ∪ {u}; re-point u and every smaller neighbor at m.
+        lo = _sym(e).where(F.col("d") < F.col("s"))
+        mins = lo.groupBy("s").agg(F.min("d").alias("m"))
+        out = (
+            lo.join(mins, "s")
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .union(mins.select(F.col("s"), F.col("m").alias("d")))
+            .where(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        return out
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # order-independent, map-side-combinable: xor-agg of edge hashes
+            F.coalesce(F.expr("bit_xor(xxhash64(s, d))"), F.lit(0)).alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    cur = edges.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(nxt)
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixed point: every edge connects a component root to a member, so
+    # component(node) = min(node, min neighbor); roots keep themselves
+    comp = (
+        _sym(cur)
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.least(F.min("d"), F.first("s")).alias("component"))
+    )
+    # nodes that lost all edges during contraction (can't happen for a
+    # fixed point reached via small-star, but cheap insurance for
+    # max_iter cutoffs) — default to self
+    return (
+        nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative row (min id) per duplicate cluster.
+
+    ``pairs`` is any near-dup pair output; rows never appearing in a
+    pair survive untouched. The anti-join removes every clustered node
+    that is not its component's minimum."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = cc.where(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -132,11 +132,12 @@ def streaming_minhash_candidates(
     """
     from bigdata_tag_system_spark.functions.text import shingles_from_tokens, tokens
     from bigdata_tag_system_spark.operators.dedup import _check_bands
+    from bigdata_tag_system_spark.streaming.rule_stream import ensure_event_time
 
     _check_bands(num_hashes, bands)
     r = num_hashes // bands
     prepared = (
-        stream.withWatermark(ts_col, watermark)
+        ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(ts_col).alias("ts"),

@@ -24,6 +24,23 @@ from bigdata_tag_system_spark.rules.model import Rule
 from bigdata_tag_system_spark.operators.tagging import TagEngine
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Coerce a TIMESTAMP_NTZ event-time column to TIMESTAMP (ltz).
+
+    Spark 4 reads parquet timestamps written without UTC adjustment (the
+    test tables, pandas-written files generally) as TIMESTAMP_NTZ, and
+    ``withWatermark`` rejects NTZ event time outright
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The cast reinterprets the
+    wall-clock value in the session timezone — watermark semantics only
+    need a consistent ordering, which any fixed-offset reinterpretation
+    preserves."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def streaming_tag_assignments(
     stream: DataFrame,
     rules: Sequence[Rule],
@@ -40,7 +57,7 @@ def streaming_tag_assignments(
     + ``ts_col``, duplicates within the watermark are dropped.
     """
     if ts_col:
-        stream = stream.withWatermark(ts_col, watermark)
+        stream = ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         if event_id_col:
             # dropDuplicatesWithinWatermark: dedup state is purged once
             # the watermark passes (a plain dropDuplicates([id]) keeps
@@ -64,7 +81,7 @@ def windowed_event_aggregates(
     fact columns (SURVEY §2.8: absent there, standard here).
     """
     return (
-        stream.withWatermark(ts_col, watermark)
+        ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(user_col))
         .agg(
             F.count(F.lit(1)).alias("event_count"),
@@ -100,7 +117,7 @@ def streaming_exact_dedup(
     # null-text rows a unique per-row key so they pass through untouched.
     digest = F.coalesce(F.md5(normalize_text(text_col)), F.expr("uuid()"))
     return (
-        stream.withWatermark(ts_col, watermark)
+        ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .withColumn("_digest", digest)
         .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")

@@ -125,8 +125,10 @@ def sessionize_stream(
     """
     from pyspark.sql import functions as F
 
+    from bigdata_tag_system_spark.streaming.rule_stream import ensure_event_time
+
     prepared = (
-        stream.withWatermark(ts_col, watermark)
+        ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .select(
             F.col(user_col).cast("string").alias("user_id"),
             F.col(ts_col).alias("ts"),

@@ -80,3 +80,62 @@ def test_ngram_jaccard_matches_brute_force(spark, docs, threshold):
     }
     want = _py_pairs(docs, threshold)
     assert got == want, f"threshold={threshold} docs={docs}"
+
+
+# ---------------------------------------------------------------------------
+# Connected components (duplicate-cluster resolution)
+# ---------------------------------------------------------------------------
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for n in list(parent):
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(groups[find(n)]) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    from bigdata_tag_system_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    # a long chain (defeats O(diameter) label propagation), a clique,
+    # and a random sparse graph with singleton-free nodes
+    edges = [(i, i + 1) for i in range(40)]
+    edges += [(100 + a, 100 + b) for a in range(10) for b in range(a + 1, 10)]
+    edges += [(rng.randrange(200, 400), rng.randrange(200, 400)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_dedup_by_components_keeps_one_per_cluster(spark):
+    from bigdata_tag_system_spark.operators.dedup import (
+        connected_components,
+        dedup_by_components,
+    )
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    kept = {r["doc_id"] for r in dedup_by_components(docs, pairs).collect()}
+    # clusters {1,2,3} and {10,11} keep their minima; everything else survives
+    assert kept == set(range(20)) - {2, 3, 11}
+    cc = connected_components(pairs)
+    assert {tuple(r) for r in cc.collect()} == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
