@@ -154,6 +154,7 @@ _DRIVER_FIRST = [
     # text analysis
     "text_token_stats", "text_bpe_tokens", "text_fingerprint",
     "text_quality", "text_top_tokens", "text_rolling_fp", "text_langid",
+    "text_segment_dedup",
     # multimodal plumbing
     "mm_media_features",
     # sampling / splits / sketches / tf-idf (new this round; the driver
@@ -166,13 +167,13 @@ _DRIVER_FIRST = [
     "dedup_pairs_distinct", "array_funcs_literal",
     "setop_intersect", "setop_except", "agg_rollup", "agg_cube",
     "sort_topk", "func_case_sum", "func_json_roundtrip", "func_map_json",
-    "func_coalesce_size", "func_date_arith",
+    "func_coalesce_size",
     # new this round: decimal(20,8) end-to-end
     "rule_cmp_decimal",
     # flagship stays in the driver window as the pipeline anchor
     "tag_profiles",
     # positions 51+ — locally checked this round, driver-window next
-    "func_explode_count",
+    "func_date_arith", "func_explode_count",
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
     "text_quality_filter", "text_repetition", "text_pii_scrub",
@@ -823,6 +824,16 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["text_top_tokens"] = text_top_tokens
+
+    def text_segment_dedup(spark, sf_dir):
+        # corpus-level repeated-segment removal (CCNet-style boilerplate
+        # scrub): 8-word spans occurring >2× across the corpus are
+        # dropped in place; 17 spans trip the threshold at sf0.01
+        out = T.remove_repeated_segments(
+            _t(spark, sf_dir, "documents"), seg_words=8, max_count=2)
+        return out.orderBy("doc_id")
+
+    q["text_segment_dedup"] = text_segment_dedup
 
     def text_rolling_fp(spark, sf_dir):
         # winnowing-style min-hash fingerprint: hash-function-specific
@@ -1525,6 +1536,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(list_distinct(string_split({_NORM}, ' '))) AS token
             FROM documents)
         GROUP BY token ORDER BY df DESC, token LIMIT 20
+    """
+    # repeated-segment scrub: DuckDB can't lateral-join generate_series,
+    # so positions come from unnesting a list_transform(range(...)) of
+    # (pos, seg) structs — same trick as the shingle CTE
+    o["text_segment_dedup"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN []
+                        ELSE string_split({_NORM}, ' ') END AS t
+            FROM documents
+        ), base AS (
+            SELECT doc_id, t, CAST(ceil(len(t) / 8.0) AS INT) AS nseg FROM toks
+        ), segs AS (
+            SELECT doc_id, CAST(s.pos AS INT) AS pos, s.seg AS seg
+            FROM (
+                SELECT doc_id, unnest(list_transform(range(0, nseg),
+                        i -> {{'pos': i,
+                               'seg': array_to_string(t[i*8+1 : i*8+8], ' ')}})) AS s
+                FROM base
+            )
+        ), counts AS (
+            SELECT seg, count(*) AS c FROM segs GROUP BY seg
+        ), drops AS (
+            SELECT s.doc_id, s.pos
+            FROM segs s JOIN counts c ON c.seg = s.seg AND c.c > 2
+        ), agg AS (
+            SELECT s.doc_id AS doc_id,
+                   count(*) FILTER (WHERE d.pos IS NULL) AS kept,
+                   count(*) AS total,
+                   coalesce(string_agg(s.seg, ' ' ORDER BY s.pos)
+                            FILTER (WHERE d.pos IS NULL), '') AS cleaned
+            FROM segs s LEFT JOIN drops d
+              ON d.doc_id = s.doc_id AND d.pos = s.pos
+            GROUP BY s.doc_id
+        )
+        SELECT b.doc_id AS doc_id,
+               coalesce(a.kept, 0) AS kept_segments,
+               coalesce(a.total, 0) AS total_segments,
+               coalesce(a.cleaned, '') AS cleaned_text
+        FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+        ORDER BY b.doc_id
     """
     o["text_bpe_tokens"] = """
         SELECT doc_id,

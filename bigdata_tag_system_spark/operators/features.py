@@ -72,8 +72,12 @@ def sessionize(
     Classic lag + cumulative-sum windowing; one shuffle on user.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # timestamp subtraction yields a day-time interval for both TIMESTAMP
+    # and TIMESTAMP_NTZ (a cast("long") epoch diff rejects NTZ outright)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_exceeded = (F.col(ts_col) - prev) > F.expr(
+        f"INTERVAL '{int(gap_minutes)}' MINUTE")
+    new_session = F.when(prev.isNull() | gap_exceeded, 1).otherwise(0)
     return events.withColumn(
         "session_id", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )

@@ -312,3 +312,74 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    max_count: int = 2,
+) -> DataFrame:
+    """Corpus-level repeated-segment removal (the CCNet/RefinedWeb move:
+    boilerplate shows up as the same span in many documents; drop spans
+    whose corpus frequency exceeds ``max_count`` and keep the rest of
+    each document).
+
+    Documents are chunked into non-overlapping ``seg_words``-word
+    segments of the normalized text. Scale shape: segment frequencies
+    are counted on the 8-byte ``xxhash64`` of the segment (the global
+    shuffle carries (doc, pos, hash), never segment text); only the
+    *hot* hashes (count > max_count — a tiny relation by construction,
+    boilerplate is rare among distinct segments) flow into a semi-join
+    that yields per-document drop-position lists, and each document is
+    rebuilt in place with an indexed ``filter`` over its own segment
+    array — document text is never exploded through a shuffle. Distinct
+    segments colliding on xxhash64 would be conflated (~2⁻⁶⁴ per pair);
+    acceptable for corpus cleaning.
+
+    Returns (id, kept_segments, total_segments, cleaned_text); rows with
+    NULL text pass through with 0 segments and ``''``.
+    """
+    w = int(seg_words)
+    if w <= 0:
+        raise ValueError(f"seg_words must be positive, got {seg_words}")
+    toks = F.coalesce(
+        F.split(normalize_text(text_col), " "), F.array().cast("array<string>"))
+    base = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .withColumn("_nseg", F.ceil(F.size("_t") / w).cast("int"))
+        .withColumn(
+            "_segs",
+            F.when(F.col("_nseg") > 0, F.transform(
+                F.sequence(F.lit(0), F.col("_nseg") - 1),
+                lambda i: F.array_join(F.slice("_t", i * w + 1, w), " "),
+            )).otherwise(F.array().cast("array<string>")),
+        )
+        .drop("_t")
+    )
+    segs = base.select(
+        F.col(id_col), F.posexplode("_segs").alias("pos", "_seg")
+    ).select(F.col(id_col), "pos", F.xxhash64("_seg").alias("_h"))
+    hot = (
+        segs.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > max_count)
+        .select("_h")
+    )
+    drops = (
+        segs.join(hot, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_drop"))
+    )
+    dropped = F.coalesce("_drop", F.array().cast("array<int>"))
+    return (
+        base.join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.col("_nseg") - F.size(dropped)).alias("kept_segments"),
+            F.col("_nseg").alias("total_segments"),
+            F.array_join(
+                F.filter("_segs", lambda s, i: ~F.array_contains(dropped, i)), " "
+            ).alias("cleaned_text"),
+        )
+    )

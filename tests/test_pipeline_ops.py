@@ -124,6 +124,29 @@ class TestText:
         assert {"n_tokens", "quality_score", "detected_lang", "fingerprint"} <= set(out.columns)
         assert out.count() == docs.count()
 
+    def test_remove_repeated_segments(self, spark):
+        boiler = "subscribe to our newsletter for more updates every day now"  # 10 words
+        rows = [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, boiler + " one two three four five six seven eight nine ten"),
+            (3, boiler + " red orange yellow green blue indigo violet black white gray"),
+            (4, "completely unrelated text with its own ten words here today friend"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict()
+               for r in T.remove_repeated_segments(
+                   df, seg_words=10, max_count=2).collect()}
+        # the shared leading 10-word span appears 3× (> max_count) → dropped
+        for d in (1, 2, 3):
+            assert out[d]["total_segments"] == 2
+            assert out[d]["kept_segments"] == 1
+            assert not out[d]["cleaned_text"].startswith("subscribe")
+        # unique doc untouched; NULL text passes through as 0 segments
+        assert out[4]["cleaned_text"] == rows[3][1]
+        assert out[5] == {"doc_id": 5, "kept_segments": 0,
+                          "total_segments": 0, "cleaned_text": ""}
+
 
 class TestDedup:
     def test_exact_dedup_real_and_crafted(self, spark, docs):
