@@ -377,6 +377,87 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-**containment** pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t.
+
+    Jaccard misses subset duplication outright — a document quoted
+    wholesale inside a much larger one has tiny Jaccard but containment
+    ≈ 1. This is the asymmetric companion to
+    :func:`ngram_jaccard_pairs` for exactly that case (quote inclusion,
+    page-within-crawl, concatenated shards).
+
+    Candidate generation keeps the prefix-filter shape, adapted to the
+    asymmetric measure: C ≥ t needs overlap ≥ ceil(t·min(na,nb)), so the
+    *smaller* side of every qualifying pair must match inside its own
+    rarest-first prefix of ``n - ceil(t·n) + 1`` shingles (same shared
+    (df, shingle) total order; the globally-first common shingle is
+    provably inside that prefix and passes the positional bound
+    ``1 + min(na-ra, nb-rb) ≥ ceil(t·na)``). The join therefore explodes
+    prefixes on the small side against the full ranked explode on the
+    large side — no size-ratio pruning exists for containment (a 100×
+    size gap is the target, not noise), which is why the prefix and
+    positional filters matter more here, and why hot-shingle buckets
+    stay bounded: one side of every bucket holds only prefix (rare)
+    occurrences. Candidates verify with exact containment over the full
+    hashed shingle sets.
+    """
+    from pyspark.sql import Window
+
+    hs = _hashed_shingle_df(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex = hs.select(F.col(id_col), F.size("_hs").alias("_n"), F.explode("_hs").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy(id_col).orderBy("_f", "s")
+    ranked = ex.join(freq, "s").withColumn("_rn", F.row_number().over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    prefix = ranked.where(
+        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    )
+    a, b = prefix.alias("a"), ranked.alias("b")
+    need = F.ceil(F.lit(threshold) * F.col("a._n"))  # a is the min side
+    reachable = F.lit(1) + F.least(
+        F.col("a._n") - F.col("a._rn"), F.col("b._n") - F.col("b._rn")
+    )
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.s") == F.col("b.s"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+                F.col("a._n") <= F.col("b._n"),
+                reachable >= need,
+            ],
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sh = hs.withColumnRenamed("_hs", "_sh")
+    return (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                / F.least(F.size("_sh_a"), F.size("_sh_b"))
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

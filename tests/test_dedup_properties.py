@@ -139,3 +139,50 @@ def test_dedup_by_components_keeps_one_per_cluster(spark):
     cc = connected_components(pairs)
     assert {tuple(r) for r in cc.collect()} == {
         (1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+# ---------------------------------------------------------------------------
+# Containment join (asymmetric near-dup: subset duplication)
+# ---------------------------------------------------------------------------
+
+def _py_containment_pairs(docs, threshold):
+    sh = [_py_shingles(d) for d in docs]
+    out = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            m = min(len(sh[a]), len(sh[b]))
+            if m == 0:
+                continue
+            c = len(sh[a] & sh[b]) / m
+            if c >= threshold:
+                out[(a, b)] = round(c, 6)
+    return out
+
+
+@st.composite
+def _containment_corpus(draw):
+    # bases plus documents that EMBED a base inside unrelated filler —
+    # high containment, low Jaccard (the case the operator exists for)
+    base_docs = draw(_corpus())
+    out = list(base_docs)
+    for d in base_docs[:2]:
+        filler = draw(st.lists(st.sampled_from(WORDS), min_size=10, max_size=25))
+        out.append(" ".join(filler) + " " + d)
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=_containment_corpus(), threshold=st.sampled_from([0.5, 0.7, 0.9]))
+def test_ngram_containment_matches_brute_force(spark, docs, threshold):
+    from bigdata_tag_system_spark.operators.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string").coalesce(1)
+    got = {
+        (r["id_a"], r["id_b"]): round(r["containment"], 6)
+        for r in ngram_containment_pairs(df, threshold=threshold,
+                                         shingle_n=SHINGLE_N).collect()
+    }
+    assert got == _py_containment_pairs(docs, threshold), \
+        f"threshold={threshold} docs={docs}"
