@@ -173,6 +173,7 @@ _DRIVER_FIRST = [
     # flagship stays in the driver window as the pipeline anchor
     "tag_profiles",
     # positions 51+ — locally checked this round, driver-window next
+    "window_ntile_rank", "agg_grouping_sets",
     "func_coalesce_size", "func_date_arith", "func_explode_count",
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
@@ -666,6 +667,38 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["window_lag"] = window_lag
+
+    def window_ntile_rank(spark, sf_dir):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+        return (
+            _t(spark, sf_dir, "orders")
+            .select(
+                "o_custkey", "o_orderkey",
+                F.ntile(4).over(w).alias("quartile"),
+                F.dense_rank().over(w).alias("drank"),
+                F.round(F.percent_rank().over(w), 6).alias("prank"))
+            .orderBy("o_custkey", "o_orderkey").limit(200)
+        )
+
+    q["window_ntile_rank"] = window_ntile_rank
+
+    def agg_grouping_sets(spark, sf_dir):
+        # GROUPING SETS completes the rollup/cube family: arbitrary
+        # combinations of grouping keys in one shuffle-shared pass
+        _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+        return spark.sql("""
+            SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM _gs_orders
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+            ORDER BY prio, status
+        """)
+
+    q["agg_grouping_sets"] = agg_grouping_sets
 
     # ---- events: derived features (SURVEY §2.8/§2.9 batch analogue) ----
     def events_daily_rollup(spark, sf_dir):
@@ -1396,6 +1429,26 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderdate, o_orderkey) AS prev
             FROM orders) t
         ORDER BY o_custkey, o_orderkey LIMIT 100
+    """
+
+    o["window_ntile_rank"] = """
+        SELECT o_custkey, o_orderkey,
+               ntile(4) OVER w AS quartile,
+               dense_rank() OVER w AS drank,
+               round(percent_rank() OVER w, 6) AS prank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey LIMIT 200
+    """
+
+    o["agg_grouping_sets"] = """
+        SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY prio, status
     """
 
     o["events_daily_rollup"] = """

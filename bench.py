@@ -58,6 +58,9 @@ def main() -> None:
         "dedup_exact_groups",      # digest groupBy
         "dedup_minhash_lsh",       # minhash + LSH + verify
         "dedup_ngram_jaccard",     # exact shingle-join Jaccard
+        "dedup_containment",       # asymmetric prefix-filter join
+        "dedup_components",        # iterative star-contraction clustering
+        "text_segment_dedup",      # corpus-level boilerplate scrub
         "sim_cosine_topk",         # brute-force ANN baseline
         "mm_media_features",       # Arrow mapInPandas plumbing
     ]

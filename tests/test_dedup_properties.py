@@ -186,3 +186,16 @@ def test_ngram_containment_matches_brute_force(spark, docs, threshold):
     }
     assert got == _py_containment_pairs(docs, threshold), \
         f"threshold={threshold} docs={docs}"
+
+
+def test_containment_plan_is_hash_join(spark):
+    """The candidate join must bind on the shingle equality (hash/SMJ),
+    never degrade to a nested-loop/cartesian over documents."""
+    from bigdata_tag_system_spark.operators.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)],
+        "doc_id long, text string")
+    plan = ngram_containment_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
