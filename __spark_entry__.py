@@ -173,7 +173,7 @@ _DRIVER_FIRST = [
     # flagship stays in the driver window as the pipeline anchor
     "tag_profiles",
     # positions 51+ — locally checked this round, driver-window next
-    "window_ntile_rank", "agg_grouping_sets",
+    "window_ntile_rank", "agg_grouping_sets", "sketch_topk_check",
     "func_coalesce_size", "func_date_arith", "func_explode_count",
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
@@ -1153,6 +1153,19 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_quantile_check"] = sketch_quantile_check
 
+    def sketch_topk_check(spark, sf_dir):
+        from bigdata_tag_system_spark.operators.sketches import frequent_items_check
+
+        # heavy hitters over exploded document tokens; capacity is set
+        # well below the corpus vocabulary so per-partition truncation
+        # really happens, and every exact-top-k item must still surface
+        # in the merged sketch (ok = TRUE) per the n/capacity bound
+        toks = _tokens_docs(spark, sf_dir).select(
+            F.explode("toks").alias("token"))
+        return frequent_items_check(toks, "token", k=10, capacity=20)
+
+    q["sketch_topk_check"] = sketch_topk_check
+
     def text_tfidf_top_terms(spark, sf_dir):
         out = T.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
         return out.select(
@@ -1955,6 +1968,18 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 0.9::DOUBLE, q90, TRUE FROM q
         UNION ALL SELECT 0.99::DOUBLE, q99, TRUE FROM q
         ORDER BY p
+    """
+    # frequent-items guarantee: every exact-top-k token must be found in
+    # the merged per-partition sketch (ok TRUE); tokens here are the raw
+    # space-split (NOT normalized) to match the engine's _tokens_docs
+    o["sketch_topk_check"] = """
+        SELECT token AS item, cnt AS exact_cnt, TRUE AS ok FROM (
+            SELECT token, count(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE text IS NOT NULL)
+            GROUP BY token
+            ORDER BY cnt DESC, token LIMIT 10)
+        ORDER BY exact_cnt DESC, item
     """
 
     # greedy packing replayed exactly: recursion advances every group one

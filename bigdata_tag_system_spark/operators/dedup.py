@@ -787,6 +787,10 @@ def connected_components(
         pairs.select(F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d"))
         .where(F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d")))
         .distinct()
+        # checkpoint BEFORE deriving nodes: pairs may be an expensive
+        # LSH/PPJoin plan, and both the iteration chain and the final
+        # node join must read the materialized edge list, not re-run it
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("s").alias("node"))
@@ -833,7 +837,7 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["x"])
 
-    cur = edges.localCheckpoint(eager=True)
+    cur = edges
     prev_sig = None
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)

@@ -92,3 +92,71 @@ def quantile_check(
         for i, p in enumerate(probs)
     ])
     return agg.select(F.inline(rows))
+
+
+def frequent_items_check(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    capacity: int = 64,
+) -> DataFrame:
+    """Heavy hitters: exact top-k cross-checked against a distributed
+    frequent-items sketch.
+
+    The sketch is the partial-top-k pattern: each partition counts its
+    own values (vectorized ``value_counts`` per Arrow batch) and emits
+    only its ``capacity`` most frequent as (item, count) rows; summaries
+    merge downstream by summation. An item absent from a partition's
+    summary has partition count ≤ n_p/capacity (the truncation cutoff
+    can't exceed it, else the kept counts would sum past n_p), so an
+    item absent from EVERY summary has true count ≤ n/capacity — any
+    item above that bound is guaranteed present in the merged sketch.
+    Memory per task is O(distinct values per partition) during counting
+    and O(capacity) on the wire.
+
+    Output: one row per exact-top-``k`` item (ordered by count desc,
+    then item) with its exact count and ``ok`` — TRUE when the item is
+    either below the guarantee bound or found in the sketch. By the
+    bound above every row is deterministically TRUE; a FALSE row means
+    the sketch implementation is broken, which is exactly what the
+    oracle comparison (constant TRUE) detects. At production scale
+    callers skip the exact branch and keep the merged sketch.
+    """
+    import pandas as pd
+
+    cap = int(capacity)
+    if cap <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+
+    vals = df.select(F.col(col).cast("string").alias("_v")).where(
+        F.col("_v").isNotNull())
+
+    def _summaries(batches):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf["_v"].value_counts().to_dict())
+        top = c.most_common(cap)
+        yield pd.DataFrame(
+            {"_v": [t for t, _ in top], "_c": [n for _, n in top]})
+
+    sketch = (
+        vals.mapInPandas(_summaries, "_v string, _c long")
+        .groupBy("_v").agg(F.sum("_c").alias("_approx"))
+    )
+    exact = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    total = vals.count()
+    topk = exact.orderBy(F.desc("exact_cnt"), F.asc("_v")).limit(int(k))
+    return (
+        topk.join(sketch, "_v", "left")
+        .select(
+            F.col("_v").alias("item"),
+            "exact_cnt",
+            (
+                (F.col("exact_cnt") <= F.lit(total) / cap)
+                | F.col("_approx").isNotNull()
+            ).alias("ok"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("item"))
+    )

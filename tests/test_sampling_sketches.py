@@ -131,6 +131,27 @@ class TestSketches:
         # interpolated median of 1.5 * (1..2000) = 1.5 * 1000.5
         assert rows[0]["exact_value"] == pytest.approx(1500.75)
 
+    def test_frequent_items_guarantee_under_truncation(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import frequent_items_check
+
+        # hot items spread thin across partitions + a flood of uniques
+        # per partition so capacity-4 summaries MUST truncate; the hot
+        # items still have to surface in the merged sketch
+        rows = [("hot_a",)] * 120 + [("hot_b",)] * 80 + [("hot_c",)] * 50
+        rows += [(f"unique_{i}",) for i in range(400)]
+        df = spark.createDataFrame(rows, "v string").repartition(16)
+        out = frequent_items_check(df, "v", k=3, capacity=4).collect()
+        assert [r["item"] for r in out] == ["hot_a", "hot_b", "hot_c"]
+        assert [r["exact_cnt"] for r in out] == [120, 80, 50]
+        assert all(r["ok"] for r in out)
+
+    def test_frequent_items_rejects_bad_capacity(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import frequent_items_check
+
+        df = spark.createDataFrame([("x",)], "v string")
+        with pytest.raises(ValueError):
+            frequent_items_check(df, "v", capacity=0)
+
 
 class TestTfidf:
     def test_hand_computed_example(self, spark):
