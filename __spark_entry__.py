@@ -174,6 +174,7 @@ _DRIVER_FIRST = [
     "tag_profiles",
     # positions 51+ — locally checked this round, driver-window next
     "window_ntile_rank", "agg_grouping_sets", "sketch_topk_check",
+    "sample_shuffle_order",
     "func_coalesce_size", "func_date_arith", "func_explode_count",
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
@@ -1120,6 +1121,18 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["split_train_test"] = split_train_test
 
+    def sample_shuffle_order(spark, sf_dir):
+        from bigdata_tag_system_spark.operators.sampling import shuffle_order
+
+        # deterministic corpus shuffle: dense global rank keyed only on
+        # (doc_id, salt) via the portable hash — bit-reproducible in the
+        # oracle with one window over the same hash expression
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        out = shuffle_order(d, "doc_id", salt=7, portable=True)
+        return out.select("doc_id", "shuffle_rank").orderBy("doc_id")
+
+    q["sample_shuffle_order"] = sample_shuffle_order
+
     def sample_topk_per_stratum(spark, sf_dir):
         from bigdata_tag_system_spark.operators.sampling import topk_per_stratum
 
@@ -1941,6 +1954,11 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split,
                count(*) AS cnt
         FROM customer GROUP BY 1 ORDER BY split
+    """
+    o["sample_shuffle_order"] = f"""
+        SELECT doc_id, row_number() OVER (
+            ORDER BY {_kh('doc_id', 7)}, doc_id) AS shuffle_rank
+        FROM documents ORDER BY doc_id
     """
     o["sample_topk_per_stratum"] = f"""
         SELECT c_mktsegment, c_custkey FROM (

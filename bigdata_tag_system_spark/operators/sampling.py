@@ -166,3 +166,52 @@ def topk_per_stratum(
         .where(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    key_col: str,
+    salt: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic global shuffle: every row gets ``shuffle_rank``
+    (1-based, dense over the whole dataset), keyed only on the row's
+    key — the training-data "shuffle the corpus before sharding" step,
+    reproducible across re-runs, engines, and cluster layouts.
+
+    ``orderBy(hash, key)`` is a range-partitioned global sort on an
+    8-byte pair: Spark samples hash boundaries, so output partitions are
+    balanced regardless of input skew. Changing ``salt`` yields an
+    independent permutation (a new epoch order without rewriting data).
+    With ``portable=True`` the Knuth hash makes the permutation
+    bit-reproducible in any SQL engine (integral keys only).
+    """
+    num_buckets = 1 << 12
+    h = _pick_hash(df, key_col, portable)(key_col, salt)
+    # A bare Window.orderBy would move EVERYTHING to one partition. The
+    # scalable dense global rank: rank within hash-range buckets (the
+    # hash is uniform, so buckets are balanced), then add each bucket's
+    # cumulative row offset — a broadcast-sized relation of ≤ 2¹² rows.
+    hb = df.withColumn("_h", h).withColumn(
+        "_b", (F.col("_h") / F.lit(_MOD // num_buckets)).cast("long"))
+    within = F.row_number().over(
+        Window.partitionBy("_b").orderBy(F.col("_h").asc(), F.col(key_col).asc()))
+    offsets = (
+        hb.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_offset")
+    )
+    return (
+        hb.withColumn("_within", within)
+        .join(F.broadcast(offsets), "_b")
+        .withColumn("shuffle_rank", (F.col("_offset") + F.col("_within")))
+        .drop("_h", "_b", "_within", "_offset")
+    )

@@ -243,3 +243,42 @@ class TestPacking:
         groups = {r["pack_group"] for r in out}
         assert None not in groups and len(groups) == 4
         assert len(out) == 200
+
+
+class TestShuffleOrder:
+    def test_dense_permutation_stable_under_repartition(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import shuffle_order
+
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        a = {r["k"]: r["shuffle_rank"]
+             for r in shuffle_order(df, "k", salt=3, portable=True).collect()}
+        # dense 1..n permutation
+        assert sorted(a.values()) == list(range(1, 501))
+        # key-determined: repartitioning must not change any rank
+        b = {r["k"]: r["shuffle_rank"]
+             for r in shuffle_order(df.repartition(13), "k", salt=3,
+                                    portable=True).collect()}
+        assert a == b
+        # a different salt is a different permutation
+        c = {r["k"]: r["shuffle_rank"]
+             for r in shuffle_order(df, "k", salt=4, portable=True).collect()}
+        assert a != c
+
+    def test_matches_single_window_rank(self, spark):
+        from pyspark.sql import Window as W
+
+        from bigdata_tag_system_spark.operators.sampling import (
+            knuth_hash,
+            shuffle_order,
+        )
+
+        df = spark.range(0, 300).withColumnRenamed("id", "k")
+        got = {r["k"]: r["shuffle_rank"]
+               for r in shuffle_order(df, "k", salt=9, portable=True).collect()}
+        brute = {
+            r["k"]: r["rn"]
+            for r in df.withColumn("_h", knuth_hash("k", 9))
+            .withColumn("rn", F.row_number().over(W.orderBy("_h", "k")))
+            .collect()
+        }
+        assert got == brute
