@@ -174,7 +174,7 @@ _DRIVER_FIRST = [
     "tag_profiles",
     # positions 51+ — locally checked this round, driver-window next
     "window_ntile_rank", "agg_grouping_sets", "sketch_topk_check",
-    "sample_shuffle_order",
+    "sample_shuffle_order", "scenario_specific_merge",
     "func_coalesce_size", "func_date_arith", "func_explode_count",
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
@@ -306,6 +306,23 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("user_id", F.to_json("tag_ids").alias("tag_ids")).orderBy("user_id")
 
     q["scenario_incremental"] = scenario_incremental
+
+    def scenario_specific_merge(spark, sf_dir):
+        # scenario 6 (reference scenario_scheduler.py:118-470): explicit
+        # user keys × tag subset {1,3} × union-with-store merge — store
+        # rows survive untouched, keyed users get old∪new tag sets
+        facts = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
+        existing = facts.where(F.col("user_id") < 100).select(
+            "user_id", F.array(F.lit(99)).alias("tag_ids"))
+        runner = ScenarioRunner(load_rules(_FLAGSHIP_RULES), as_of=AS_OF,
+                                run_ts=f"{AS_OF}T00:00:00")
+        keys = list(range(0, 200))
+        out = runner.run(6, facts, existing=existing, tag_ids=[1, 3],
+                         user_keys=keys, computed_date=AS_OF)
+        return out.select(
+            "user_id", F.to_json("tag_ids").alias("tag_ids")).orderBy("user_id")
+
+    q["scenario_specific_merge"] = scenario_specific_merge
 
     def cross_table_rule(spark, sf_dir):
         # multi-table rule routed through the catalog: n_chars lives in
@@ -1310,6 +1327,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey AS user_id, to_json(list_sort({_FLAGSHIP_ORACLE_TAGS})) AS tag_ids
         FROM customer
         WHERE c_custkey >= 100 AND len({_FLAGSHIP_ORACLE_TAGS}) > 0
+        ORDER BY user_id
+    """
+
+    o["scenario_specific_merge"] = f"""
+        WITH newp AS (
+            SELECT c_custkey AS user_id,
+                   list_sort(list_filter({_FLAGSHIP_ORACLE_TAGS},
+                                         x -> x IN (1, 3))) AS newtags
+            FROM customer
+            WHERE c_custkey < 200
+              AND len(list_filter({_FLAGSHIP_ORACLE_TAGS}, x -> x IN (1, 3))) > 0
+        ), old AS (
+            SELECT c_custkey AS user_id, [99] AS oldtags
+            FROM customer WHERE c_custkey < 100
+        )
+        SELECT n.user_id AS user_id,
+               to_json(list_sort(list_distinct(
+                   n.newtags || coalesce(o.oldtags, [])))) AS tag_ids
+        FROM newp n LEFT JOIN old o ON o.user_id = n.user_id
         ORDER BY user_id
     """
 
