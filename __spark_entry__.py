@@ -175,6 +175,7 @@ _DRIVER_FIRST = [
     # positions 51+ — locally checked this round, driver-window next
     "window_ntile_rank", "agg_grouping_sets", "sketch_topk_check",
     "sample_shuffle_order", "scenario_specific_merge",
+    "schema_profile_stats",
     "func_coalesce_size", "func_date_arith", "func_explode_count",
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
@@ -323,6 +324,18 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", F.to_json("tag_ids").alias("tag_ids")).orderBy("user_id")
 
     q["scenario_specific_merge"] = scenario_specific_merge
+
+    def schema_profile_stats(spark, sf_dir):
+        from bigdata_tag_system_spark.sources.catalog import profile_columns
+
+        # one-pass per-column profile (nulls / distinct / min / max) —
+        # integer+string columns only so min/max strings are portable
+        out = profile_columns(
+            _t(spark, sf_dir, "customer"),
+            ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"])
+        return out.orderBy("column")
+
+    q["schema_profile_stats"] = schema_profile_stats
 
     def cross_table_rule(spark, sf_dir):
         # multi-table rule routed through the catalog: n_chars lives in
@@ -1328,6 +1341,31 @@ def oracle_sql() -> dict[str, str]:
         FROM customer
         WHERE c_custkey >= 100 AND len({_FLAGSHIP_ORACLE_TAGS}) > 0
         ORDER BY user_id
+    """
+
+    o["schema_profile_stats"] = """
+        WITH p AS (
+            SELECT 'c_custkey' AS "column", count(*) AS n_rows,
+                   count(*) - count(c_custkey) AS n_nulls,
+                   count(DISTINCT c_custkey) AS n_distinct,
+                   min(c_custkey)::VARCHAR AS min_value,
+                   max(c_custkey)::VARCHAR AS max_value
+            FROM customer
+            UNION ALL
+            SELECT 'c_name', count(*), count(*) - count(c_name),
+                   count(DISTINCT c_name), min(c_name), max(c_name)
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+                   count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment)
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+                   count(DISTINCT c_nationkey),
+                   min(c_nationkey)::VARCHAR, max(c_nationkey)::VARCHAR
+            FROM customer
+        )
+        SELECT * FROM p ORDER BY "column"
     """
 
     o["scenario_specific_merge"] = f"""

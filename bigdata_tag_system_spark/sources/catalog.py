@@ -105,3 +105,63 @@ class TableCatalog:
                 continue
             base = base.join(self.load(n, routing[n]), on=self.key, how="left")
         return base
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Per-column profile: one row per column with
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value)``.
+
+    The data-engineering "what's in this table" primitive (null rates for
+    quality gates, distinct counts for key discovery, min/max for range
+    sanity). Single aggregation job over one scan: Spark plans the
+    multiple ``count(DISTINCT)``s with one Expand, so cost is
+    O(columns × rows) in one pass — never one job per column, and
+    nothing is collected beyond the single result row that ``inline``
+    unrolls. min/max are emitted as strings for a uniform schema and
+    only for atomic (orderable, non-float) types — float formatting and
+    map/array ordering are engine-specific, so those profile as NULL.
+    """
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DateType, IntegerType, LongType, MapType,
+        ShortType, StringType, StructType, TimestampNTZType, TimestampType,
+    )
+
+    cols = list(columns) if columns else list(df.columns)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in schema]
+    if missing:
+        raise KeyError(f"columns not in frame: {missing}")
+
+    def _minmax_ok(dt) -> bool:
+        return isinstance(dt, (
+            StringType, IntegerType, LongType, ShortType, BooleanType,
+            DateType, TimestampType, TimestampNTZType))
+
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+        if isinstance(schema[c], (MapType, ArrayType, StructType)):
+            # countDistinct on maps is unorderable; nested types profile
+            # null/distinct-free rather than failing the whole frame
+            aggs.append(F.lit(None).cast("long").alias(f"_dist_{c}"))
+        else:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"_dist_{c}"))
+        if _minmax_ok(schema[c]):
+            aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"_max_{c}"))
+    row = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_rows").alias("n_rows"),
+            F.col(f"_nulls_{c}").alias("n_nulls"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_value"),
+            F.col(f"_max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ])
+    return row.select(F.inline(entries))

@@ -529,3 +529,33 @@ class TestCLIOutputs:
         assert rc == 0
         assert not os.path.exists(store)
         assert spark.read.parquet(target).count() > 0
+
+
+class TestProfileColumns:
+    def test_profile_stats_and_nested_tolerance(self, spark):
+        from bigdata_tag_system_spark.sources.catalog import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a", [1, 2], 0.5), (2, None, [], None), (2, "c", None, 1.5)],
+            "k long, s string, arr array<int>, f double")
+        out = {r["column"]: r.asDict() for r in profile_columns(df).collect()}
+        assert out["k"]["n_rows"] == 3
+        assert out["k"]["n_nulls"] == 0 and out["k"]["n_distinct"] == 2
+        assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
+        assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+        # nested types profile without failing; distinct/minmax are NULL
+        assert out["arr"]["n_nulls"] == 1 and out["arr"]["n_distinct"] is None
+        assert out["arr"]["min_value"] is None
+        # floats: nulls/distinct computed, min/max withheld (formatting
+        # is engine-specific)
+        assert out["f"]["n_nulls"] == 1 and out["f"]["n_distinct"] == 2
+        assert out["f"]["min_value"] is None
+
+    def test_profile_rejects_unknown_columns(self, spark):
+        import pytest as _pytest
+
+        from bigdata_tag_system_spark.sources.catalog import profile_columns
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with _pytest.raises(KeyError):
+            profile_columns(df, ["nope"])
