@@ -146,15 +146,18 @@ def frequent_items_check(
         .groupBy("_v").agg(F.sum("_c").alias("_approx"))
     )
     exact = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    total = vals.count()
+    # total rows as a lazy 1-row broadcast derived from the exact
+    # aggregate (no separate count() action / extra scan of the input)
+    total = exact.agg(F.sum("exact_cnt").alias("_total"))
     topk = exact.orderBy(F.desc("exact_cnt"), F.asc("_v")).limit(int(k))
     return (
         topk.join(sketch, "_v", "left")
+        .crossJoin(F.broadcast(total))
         .select(
             F.col("_v").alias("item"),
             "exact_cnt",
             (
-                (F.col("exact_cnt") <= F.lit(total) / cap)
+                (F.col("exact_cnt") <= F.col("_total") / cap)
                 | F.col("_approx").isNotNull()
             ).alias("ok"),
         )
