@@ -175,7 +175,7 @@ _DRIVER_FIRST = [
     # positions 51+ — locally checked this round, driver-window next
     "window_ntile_rank", "agg_grouping_sets", "sketch_topk_check",
     "sample_shuffle_order", "scenario_specific_merge",
-    "schema_profile_stats",
+    "schema_profile_stats", "ts_asof_tolerance",
     "func_coalesce_size", "func_date_arith", "func_explode_count",
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
@@ -828,6 +828,22 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("event_id").limit(500)
 
     q["ts_asof_join"] = ts_asof_join
+
+    def ts_asof_tolerance(spark, sf_dir):
+        from bigdata_tag_system_spark.operators.timeseries import asof_join
+
+        # staleness-capped as-of: purchases older than 6h before the
+        # click yield NULL (pandas merge_asof tolerance semantics)
+        ev = _t(spark, sf_dir, "events")
+        clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+        purchases = ev.where("event_type = 'purchase'").select("user_id", "ts", "value")
+        out = asof_join(clicks, purchases, value_cols=["value"],
+                        tolerance="6 hours")
+        return out.select(
+            "event_id", F.round("value_asof", 2).alias("purchase_value")
+        ).orderBy("event_id").limit(500)
+
+    q["ts_asof_tolerance"] = ts_asof_tolerance
 
     def ts_range_join(spark, sf_dir):
         from bigdata_tag_system_spark.operators.timeseries import range_join
@@ -1631,6 +1647,18 @@ def oracle_sql() -> dict[str, str]:
     """
     o["ts_asof_join"] = """
         SELECT l.event_id, round(r.value, 2) AS purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id LIMIT 500
+    """
+    # DuckDB ASOF has no native tolerance: take the matched row's ts and
+    # mask values older than the bound — same semantics, different engine
+    o["ts_asof_tolerance"] = """
+        SELECT l.event_id,
+               CASE WHEN r.ts >= l.ts - INTERVAL 6 HOUR
+                    THEN round(r.value, 2) END AS purchase_value
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
         ASOF LEFT JOIN
              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r

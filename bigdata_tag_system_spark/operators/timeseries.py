@@ -35,12 +35,19 @@ def asof_join(
     right_ts: str | None = None,
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     ``right.ts <= left.ts`` for the same key (NULLs when none).
 
     Equivalent to DuckDB/kdb ``ASOF LEFT JOIN`` — oracle-checked against
     DuckDB's native implementation in the driver harness.
+
+    ``tolerance`` caps staleness (pandas ``merge_asof`` semantics): a
+    match older than ``left.ts - tolerance`` yields NULLs instead. Pass
+    a SQL interval string (``"30 minutes"``) for timestamp columns or a
+    number for numeric ts columns. Same single-shuffle plan — the bound
+    is a post-fill mask, not a join condition.
     """
     rts = right_ts or ts
     value_cols = value_cols or [
@@ -51,7 +58,9 @@ def asof_join(
     # skip rows that aren't right rows, but a matching right row whose
     # value column is legitimately NULL must still win (carrying bare
     # value columns would make ignorenulls skip past it to an older row).
-    vstruct = F.struct(*[F.col(c) for c in value_cols])
+    # The matched right timestamp rides along for the tolerance mask.
+    vstruct = F.struct(*[F.col(c) for c in value_cols],
+                       F.col(rts).alias("_matched_ts"))
     l_tagged = left.select(
         F.col(on), F.col(ts).alias("_ts"), F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
@@ -77,8 +86,18 @@ def asof_join(
     filled = unioned.select(
         "*", F.last("_v", ignorenulls=True).over(w).alias("_f")
     ).where(F.col("_is_left") == 1)
+    if tolerance is None:
+        fresh = F.lit(True)
+    elif isinstance(tolerance, (int, float)):
+        fresh = F.col("_f._matched_ts") >= F.col("_ts") - F.lit(tolerance)
+    else:
+        fresh = F.col("_f._matched_ts") >= F.col("_ts") - F.expr(
+            f"INTERVAL '{tolerance}'")
     out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
-    out_cols += [F.col(f"_f.{c}").alias(f"{c}{suffix}") for c in value_cols]
+    out_cols += [
+        F.when(fresh, F.col(f"_f.{c}")).alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
     return filled.select(*out_cols)
 
 

@@ -649,6 +649,17 @@ class TestTimeseries:
             (1, "2024-01-01 12:00:00"): 30.0,   # tie at 12:00 counts
             (2, "2024-01-01 09:00:00"): None,   # nothing at-or-before
         }
+        # tolerance: the 10:00 left row's match (09:30) is 30min stale —
+        # masked at 15min tolerance, kept at 45min
+        tight = {(r["user_id"], str(r["ts"])): r["px_asof"]
+                 for r in asof_join(left, right, value_cols=["px"],
+                                    tolerance="15 minutes").collect()}
+        assert tight[(1, "2024-01-01 10:00:00")] is None
+        assert tight[(1, "2024-01-01 12:00:00")] == 30.0
+        loose = {(r["user_id"], str(r["ts"])): r["px_asof"]
+                 for r in asof_join(left, right, value_cols=["px"],
+                                    tolerance="45 minutes").collect()}
+        assert loose[(1, "2024-01-01 10:00:00")] == 10.0
 
     def test_range_join_crafted(self, spark):
         from bigdata_tag_system_spark.operators.timeseries import range_join
