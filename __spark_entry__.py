@@ -719,14 +719,18 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # GROUPING SETS completes the rollup/cube family: arbitrary
         # combinations of grouping keys in one shuffle-shared pass
         _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+        # grouping() flags disambiguate rollup-ALL rows from genuine NULL
+        # group values (and make the sort deterministic if NULLs appear)
         return spark.sql("""
             SELECT coalesce(o_orderpriority, 'ALL') AS prio,
                    coalesce(o_orderstatus, 'ALL') AS status,
+                   grouping(o_orderpriority) AS g_prio,
+                   grouping(o_orderstatus) AS g_status,
                    count(*) AS cnt,
                    round(sum(o_totalprice), 2) AS total
             FROM _gs_orders
             GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-            ORDER BY prio, status
+            ORDER BY g_prio, g_status, prio, status
         """)
 
     q["agg_grouping_sets"] = agg_grouping_sets
@@ -1560,11 +1564,13 @@ def oracle_sql() -> dict[str, str]:
     o["agg_grouping_sets"] = """
         SELECT coalesce(o_orderpriority, 'ALL') AS prio,
                coalesce(o_orderstatus, 'ALL') AS status,
+               grouping(o_orderpriority) AS g_prio,
+               grouping(o_orderstatus) AS g_status,
                count(*) AS cnt,
                round(sum(o_totalprice), 2) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-        ORDER BY prio, status
+        ORDER BY g_prio, g_status, prio, status
     """
 
     o["events_daily_rollup"] = """

@@ -839,13 +839,21 @@ def connected_components(
 
     cur = edges
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         sig = _checksum(nxt)
         cur = nxt
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # labels from a non-converged edge set would silently split true
+        # components into several clusters — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            f"raise max_iter (star contraction needs O(log² n) rounds)")
     # fixed point: every edge connects a component root to a member, so
     # component(node) = min(node, min neighbor); roots keep themselves
     comp = (
@@ -854,8 +862,8 @@ def connected_components(
         .agg(F.least(F.min("d"), F.first("s")).alias("component"))
     )
     # nodes that lost all edges during contraction (can't happen for a
-    # fixed point reached via small-star, but cheap insurance for
-    # max_iter cutoffs) — default to self
+    # fixed point reached via small-star, but cheap insurance) —
+    # default to self
     return (
         nodes.join(comp, "node", "left")
         .select("node", F.coalesce("component", "node").alias("component"))

@@ -75,8 +75,9 @@ def sessionize(
     # timestamp subtraction yields a day-time interval for both TIMESTAMP
     # and TIMESTAMP_NTZ (a cast("long") epoch diff rejects NTZ outright)
     prev = F.lag(F.col(ts_col)).over(w)
+    # seconds granularity so fractional gap_minutes (0.5 = 30s) survive
     gap_exceeded = (F.col(ts_col) - prev) > F.expr(
-        f"INTERVAL '{int(gap_minutes)}' MINUTE")
+        f"INTERVAL '{int(round(gap_minutes * 60))}' SECOND")
     new_session = F.when(prev.isNull() | gap_exceeded, 1).otherwise(0)
     return events.withColumn(
         "session_id", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))

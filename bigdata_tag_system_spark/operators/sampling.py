@@ -192,8 +192,11 @@ def shuffle_order(
     # scalable dense global rank: rank within hash-range buckets (the
     # hash is uniform, so buckets are balanced), then add each bucket's
     # cumulative row offset — a broadcast-sized relation of ≤ 2¹² rows.
+    from pyspark.storagelevel import StorageLevel
+
     hb = df.withColumn("_h", h).withColumn(
-        "_b", (F.col("_h") / F.lit(_MOD // num_buckets)).cast("long"))
+        "_b", (F.col("_h") / F.lit(_MOD // num_buckets)).cast("long")
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds offsets AND the ranked branch
     within = F.row_number().over(
         Window.partitionBy("_b").orderBy(F.col("_h").asc(), F.col(key_col).asc()))
     offsets = (

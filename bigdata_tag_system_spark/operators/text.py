@@ -346,6 +346,8 @@ def remove_repeated_segments(
         raise ValueError(f"seg_words must be positive, got {seg_words}")
     toks = F.coalesce(
         F.split(normalize_text(text_col), " "), F.array().cast("array<string>"))
+    from pyspark.storagelevel import StorageLevel
+
     base = (
         df.select(F.col(id_col), toks.alias("_t"))
         .withColumn("_nseg", F.ceil(F.size("_t") / w).cast("int"))
@@ -357,6 +359,10 @@ def remove_repeated_segments(
             )).otherwise(F.array().cast("array<string>")),
         )
         .drop("_t")
+        # base feeds three branches (hot counts, drop positions, final
+        # rebuild join) — persist so normalize+tokenize+segment runs once
+        # per row, same convention as the shingle frames in dedup.py
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     segs = base.select(
         F.col(id_col), F.posexplode("_segs").alias("pos", "_seg")

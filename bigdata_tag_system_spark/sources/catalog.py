@@ -122,8 +122,9 @@ def profile_columns(df: DataFrame, columns: Sequence[str] | None = None) -> Data
     map/array ordering are engine-specific, so those profile as NULL.
     """
     from pyspark.sql.types import (
-        ArrayType, BooleanType, DateType, IntegerType, LongType, MapType,
-        ShortType, StringType, StructType, TimestampNTZType, TimestampType,
+        ArrayType, BooleanType, ByteType, DateType, DecimalType, IntegerType,
+        LongType, MapType, ShortType, StringType, StructType,
+        TimestampNTZType, TimestampType,
     )
 
     cols = list(columns) if columns else list(df.columns)
@@ -133,13 +134,19 @@ def profile_columns(df: DataFrame, columns: Sequence[str] | None = None) -> Data
         raise KeyError(f"columns not in frame: {missing}")
 
     def _minmax_ok(dt) -> bool:
+        # exact types with portable string forms; floats excluded because
+        # their string formatting is engine-specific
         return isinstance(dt, (
-            StringType, IntegerType, LongType, ShortType, BooleanType,
-            DateType, TimestampType, TimestampNTZType))
+            StringType, ByteType, ShortType, IntegerType, LongType,
+            BooleanType, DecimalType, DateType, TimestampType,
+            TimestampNTZType))
 
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+        # coalesce: sum over zero rows is NULL, but "no rows" means 0 nulls
+        aggs.append(F.coalesce(
+            F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+        ).alias(f"_nulls_{c}"))
         if isinstance(schema[c], (MapType, ArrayType, StructType)):
             # countDistinct on maps is unorderable; nested types profile
             # null/distinct-free rather than failing the whole frame

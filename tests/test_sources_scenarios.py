@@ -551,6 +551,19 @@ class TestProfileColumns:
         assert out["f"]["n_nulls"] == 1 and out["f"]["n_distinct"] == 2
         assert out["f"]["min_value"] is None
 
+    def test_profile_decimal_minmax_and_empty_frame(self, spark):
+        from bigdata_tag_system_spark.sources.catalog import profile_columns
+
+        dec = spark.createDataFrame([(1,), (2,)], "k long").select(
+            F.col("k").cast("decimal(20,8)").alias("d"))
+        row = profile_columns(dec).collect()[0]
+        # decimal is exact → min/max ARE profiled
+        assert row["min_value"] == "1.00000000" and row["max_value"] == "2.00000000"
+        # empty frame: n_nulls must be 0, not NULL
+        empty = spark.createDataFrame([], "k long")
+        row = profile_columns(empty).collect()[0]
+        assert row["n_rows"] == 0 and row["n_nulls"] == 0
+
     def test_profile_rejects_unknown_columns(self, spark):
         import pytest as _pytest
 
