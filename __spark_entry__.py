@@ -142,7 +142,7 @@ _DRIVER_FIRST = [
     # dedup operators
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_cosine_pairs", "dedup_components",
-    "dedup_containment",
+    "dedup_containment", "dedup_pipeline_keep",
     # similarity search
     "sim_cosine_topk", "sim_knn_join", "sim_ivf_topk",
     # time-series joins
@@ -167,12 +167,13 @@ _DRIVER_FIRST = [
     "agg_distinct_sorted", "agg_stats", "union_all_count",
     "dedup_pairs_distinct", "array_funcs_literal",
     "setop_intersect", "setop_except", "agg_rollup", "agg_cube",
-    "sort_topk", "func_case_sum", "func_json_roundtrip", "func_map_json",
+    "sort_topk", "func_case_sum", "func_json_roundtrip",
     # new this round: decimal(20,8) end-to-end
     "rule_cmp_decimal",
     # flagship stays in the driver window as the pipeline anchor
     "tag_profiles",
     # positions 51+ — locally checked this round, driver-window next
+    "func_map_json",
     "window_ntile_rank", "agg_grouping_sets", "sketch_topk_check",
     "sample_shuffle_order", "scenario_specific_merge",
     "schema_profile_stats", "ts_asof_tolerance",
@@ -1057,6 +1058,17 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("id_a", "id_b")
 
     q["dedup_containment"] = dedup_containment
+
+    def dedup_pipeline_keep(spark, sf_dir):
+        # the END-TO-END dedup pipeline: near-dup pairs (MinHash-LSH,
+        # exact-verified) → connected components → keep min-id per
+        # cluster; unpaired docs survive. Output = the kept corpus ids.
+        d = _t(spark, sf_dir, "documents")
+        pairs = D.minhash_dedup(d, threshold=0.5)
+        out = D.dedup_by_components(d, pairs)
+        return out.select("doc_id").orderBy("doc_id")
+
+    q["dedup_pipeline_keep"] = dedup_pipeline_keep
 
     def dedup_minhash_lsh(spark, sf_dir):
         # LSH prunes candidates; exact-Jaccard verification means output ==
@@ -1964,6 +1976,49 @@ def oracle_sql() -> dict[str, str]:
         WHERE least(sa.n, sb.n) > 0
           AND c * 1.0 / least(sa.n, sb.n) >= 0.8
         ORDER BY id_a, id_b
+    """
+
+    # end-to-end dedup: exact near-dup pair set (the LSH output equals it
+    # after exact-Jaccard verification) → recursive-CTE closure → drop
+    # every clustered doc that is not its component minimum
+    o["dedup_pipeline_keep"] = f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM sh
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT id_a, id_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        ), sym AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), cc AS (
+            SELECT s AS node, s AS comp FROM sym
+            UNION
+            SELECT sym.d AS node, cc.comp
+            FROM cc JOIN sym ON sym.s = cc.node
+            WHERE cc.comp < sym.d
+        ), losers AS (
+            SELECT node FROM cc GROUP BY node HAVING min(comp) < node
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM losers)
+        ORDER BY doc_id
     """
 
     # transitive closure by recursive CTE: labels flow outward from each
