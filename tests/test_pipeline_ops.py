@@ -479,6 +479,35 @@ class TestFeatures:
 
 
 class TestStreaming:
+    def test_stream_static_enrich(self, spark, tmp_path, golden_rules):
+        """Stream-static broadcast join: the SAME enriched_assignments
+        path runs on a streaming fact source (Spark re-plans the static
+        dim per micro-batch; no extra code needed — asserted here)."""
+        from bigdata_tag_system_spark.operators.tagging import TagEngine
+
+        from .conftest import AS_OF, USERS, USER_SCHEMA
+
+        src = str(tmp_path / "enrich_src")
+        batch_df = spark.createDataFrame(USERS, schema=USER_SCHEMA)
+        batch_df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src) \
+            .withColumn("last_login_date", F.to_date("last_login_date"))
+        defs = spark.createDataFrame(
+            [(r.tag_id, r.tag_name) for r in golden_rules],
+            "tag_id int, tag_name string")
+        eng = TagEngine(golden_rules, as_of=AS_OF)
+        enriched = eng.enriched_assignments(stream, defs)
+        rows = []
+        q = (enriched.writeStream.outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+             .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert rows and all(r["tag_name"] is not None for r in rows)
+        by_tag = {r.tag_id: r.tag_name for r in (row for row in rows)}
+        assert by_tag == {r.tag_id: r.tag_name for r in golden_rules
+                          if r.tag_id in by_tag}
+
     def test_streaming_rule_eval_availablenow(self, spark, tmp_path, golden_rules):
         import json
         from bigdata_tag_system_spark.streaming import streaming_tag_assignments
