@@ -176,7 +176,7 @@ _DRIVER_FIRST = [
     "func_map_json",
     "window_ntile_rank", "agg_grouping_sets", "sketch_topk_check",
     "sample_shuffle_order", "scenario_specific_merge",
-    "schema_profile_stats", "ts_asof_tolerance",
+    "schema_profile_stats", "ts_asof_tolerance", "text_chunk_windows",
     "func_coalesce_size", "func_date_arith", "func_explode_count",
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
@@ -919,6 +919,14 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy("doc_id")
 
     q["text_segment_dedup"] = text_segment_dedup
+
+    def text_chunk_windows(spark, sf_dir):
+        # context-window chunking: 32-token windows, 8-token overlap
+        out = T.chunk_documents(
+            _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8)
+        return out.orderBy("doc_id", "chunk_id")
+
+    q["text_chunk_windows"] = text_chunk_windows
 
     def text_rolling_fp(spark, sf_dir):
         # winnowing-style min-hash fingerprint: hash-function-specific
@@ -1787,6 +1795,26 @@ def oracle_sql() -> dict[str, str]:
                coalesce(a.cleaned, '') AS cleaned_text
         FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
         ORDER BY b.doc_id
+    """
+    # overlapping windows: stride 24 = 32 - 8; k = max(1, ceil((n-8)/24))
+    o["text_chunk_windows"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), base AS (
+            SELECT doc_id, t,
+                   greatest(1, CAST(ceil((len(t) - 8) / 24.0) AS INT)) AS k
+            FROM toks
+        )
+        SELECT doc_id, CAST(s.cid AS INT) AS chunk_id,
+               array_to_string(s.c, ' ') AS chunk_text,
+               len(s.c) AS chunk_tokens
+        FROM (
+            SELECT doc_id, unnest(list_transform(range(0, k),
+                    i -> {{'cid': i, 'c': t[i*24+1 : i*24+32]}})) AS s
+            FROM base
+        )
+        ORDER BY doc_id, chunk_id
     """
     o["text_bpe_tokens"] = """
         SELECT doc_id,

@@ -389,3 +389,48 @@ def remove_repeated_segments(
             ).alias("cleaned_text"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    context-window chunking step before embedding/training: chunk ``i``
+    covers tokens ``[i·stride, i·stride + chunk_tokens)`` of the
+    normalized text, ``stride = chunk_tokens - overlap``.
+
+    Pure expressions (tokenize once per row, slice per chunk) with one
+    ``posexplode`` — no shuffle at all; chunk counts follow
+    ``max(1, ceil((n - overlap) / stride))`` so every document emits at
+    least one chunk and every token lands in ≥1 chunk. NULL-text rows
+    emit no chunks (filter upstream to keep them).
+
+    Returns ``(id, chunk_id, chunk_text, chunk_tokens)``.
+    """
+    ct, ov = int(chunk_tokens), int(overlap)
+    if ct <= 0 or ov < 0 or ov >= ct:
+        raise ValueError(
+            f"need chunk_tokens > 0 and 0 <= overlap < chunk_tokens, "
+            f"got {chunk_tokens=} {overlap=}")
+    stride = ct - ov
+    toks = F.split(normalize_text(text_col), " ")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("_n") - F.lit(ov)) / F.lit(stride)).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice("_t", i * stride + 1, ct),
+    )
+    return base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        F.array_join("_c", " ").alias("chunk_text"),
+        F.size("_c").alias("chunk_tokens"),
+    )

@@ -147,6 +147,27 @@ class TestText:
         assert out[5] == {"doc_id": 5, "kept_segments": 0,
                           "total_segments": 0, "cleaned_text": ""}
 
+    def test_chunk_documents_windows(self, spark):
+        words = [f"w{i}" for i in range(10)]
+        df = spark.createDataFrame(
+            [(1, " ".join(words)), (2, "short text"), (3, None)],
+            "doc_id long, text string")
+        out = [r.asDict() for r in T.chunk_documents(
+            df, chunk_tokens=4, overlap=2).orderBy("doc_id", "chunk_id").collect()]
+        d1 = [r for r in out if r["doc_id"] == 1]
+        # n=10, stride=2 → ceil((10-2)/2)=4 chunks; window i covers
+        # tokens [2i, 2i+4)
+        assert [r["chunk_text"] for r in d1] == [
+            "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9"]
+        assert all(r["chunk_tokens"] == 4 for r in d1)
+        # short doc → one (partial) chunk; NULL text → no chunks
+        d2 = [r for r in out if r["doc_id"] == 2]
+        assert len(d2) == 1 and d2[0]["chunk_text"] == "short text"
+        assert not [r for r in out if r["doc_id"] == 3]
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            T.chunk_documents(df, chunk_tokens=4, overlap=4)
+
 
 class TestDedup:
     def test_exact_dedup_real_and_crafted(self, spark, docs):
