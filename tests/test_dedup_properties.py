@@ -199,3 +199,38 @@ def test_containment_plan_is_hash_join(spark):
     plan = ngram_containment_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking invariants
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n_words=st.integers(min_value=1, max_value=60),
+    chunk_tokens=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=11),
+)
+def test_chunk_documents_invariants(spark, n_words, chunk_tokens, overlap):
+    from bigdata_tag_system_spark.operators.text import chunk_documents
+
+    overlap = min(overlap, chunk_tokens - 1)
+    words = [f"t{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    chunks = [r.asDict() for r in chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=overlap)
+        .orderBy("chunk_id").collect()]
+    stride = chunk_tokens - overlap
+
+    assert chunks, "every non-null doc emits at least one chunk"
+    # chunk i starts at token i*stride; all tokens covered exactly
+    seen = []
+    for r in chunks:
+        start = r["chunk_id"] * stride
+        toks = r["chunk_text"].split(" ")
+        assert toks == words[start:start + chunk_tokens]
+        assert r["chunk_tokens"] == len(toks)
+        seen.extend(toks[overlap:] if r["chunk_id"] else toks)
+    # strided reconstruction returns the document exactly once
+    assert seen == words
