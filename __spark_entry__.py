@@ -177,6 +177,7 @@ _DRIVER_FIRST = [
     "window_ntile_rank", "agg_grouping_sets", "sketch_topk_check",
     "sample_shuffle_order", "scenario_specific_merge",
     "schema_profile_stats", "ts_asof_tolerance", "text_chunk_windows",
+    "agg_pivot",
     "func_coalesce_size", "func_date_arith", "func_explode_count",
     "sample_topk_per_stratum", "sketch_quantile_check", "pack_token_budget",
     "events_funnel", "events_retention", "dedup_incremental",
@@ -735,6 +736,23 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """)
 
     q["agg_grouping_sets"] = agg_grouping_sets
+
+    def agg_pivot(spark, sf_dir):
+        # wide-format pivot with an explicit value list (no extra
+        # distinct-scan job to discover columns, and a stable schema)
+        out = (
+            _t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .pivot("event_type", ["click", "purchase", "view"])
+            .agg(F.count(F.lit(1)))
+        )
+        return out.select(
+            "user_id",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+              for c in ("click", "purchase", "view")],
+        ).orderBy("user_id").limit(300)
+
+    q["agg_pivot"] = agg_pivot
 
     # ---- events: derived features (SURVEY §2.8/§2.9 batch analogue) ----
     def events_daily_rollup(spark, sf_dir):
@@ -1591,6 +1609,15 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         ORDER BY g_prio, g_status, prio, status
+    """
+
+    # pivot as portable conditional aggregation
+    o["agg_pivot"] = """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY user_id ORDER BY user_id LIMIT 300
     """
 
     o["events_daily_rollup"] = """
