@@ -63,6 +63,16 @@ def main() -> None:
         "text_segment_dedup",      # corpus-level boilerplate scrub
         "sim_cosine_topk",         # brute-force ANN baseline
         "mm_media_features",       # Arrow mapInPandas plumbing
+        # round-4 additions: the newest heavy operators, so regressions in
+        # this surface are visible round-over-round
+        "dedup_pipeline_keep",     # pairs → components → kept corpus
+        "dedup_incremental",       # batch vs persistent MinHash index
+        "text_tfidf_top_terms",    # two-shuffle TF-IDF + per-doc top-k
+        "sample_shuffle_order",    # bucketed dense global rank
+        "text_repetition",         # per-doc n-gram repetition signals
+        "dedup_simhash_portable",  # portable 60-bit SimHash + Hamming join
+        "sim_ivf_indexed",         # partition-pruned fitted IVF store
+        "stream_batch_parity",     # availableNow streaming replay
     ]
 
     # warmup: prime JVM/codegen on a small action

@@ -21,6 +21,22 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
 
 
+def portable_hash60(col: Column | str) -> Column:
+    """Portable 60-bit string hash: first 15 hex chars of md5, base-16.
+
+    The string analogue of ``sampling.knuth_hash`` (which needs integer
+    keys): md5 is byte-identical across engines, so any SQL engine
+    reproduces the value exactly — DuckDB:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``. 15 hex chars = 60 bits
+    keeps the value positive and inside int64 in every dialect. Used by
+    the ``portable=True`` sketch variants (SimHash, rolling fingerprint)
+    so their output is recomputable by an independent oracle;
+    the default sketches stay on xxhash64 (one JVM hash call, no hex
+    round-trip — cheaper on the 100 TB path where portability is moot).
+    """
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the normalized text (array<string>)."""
     return F.split(normalize_text(col), " ")

@@ -32,6 +32,7 @@ from pyspark.storagelevel import StorageLevel
 
 from bigdata_tag_system_spark.functions.text import (
     normalize_text,
+    portable_hash60,
     shingles_from_tokens,
     tokens,
     word_shingles,
@@ -49,17 +50,21 @@ def _shingle_df(
 
 
 def _hashed_shingle_df(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, _hs: array<bigint>) — each distinct shingle xxhash64'd ONCE.
+    """(id, _hs: array<bigint>) — each distinct shingle hashed ONCE.
 
     Downstream sketches (MinHash permutations, SimHash bit votes) then
     operate on fixed-width longs instead of re-hashing the shingle
     strings per permutation — the string bytes are touched exactly once
-    per row regardless of sketch width."""
+    per row regardless of sketch width. ``portable=True`` swaps xxhash64
+    for the md5-derived 60-bit hash an external SQL oracle can
+    recompute (functions.text.portable_hash60)."""
+    hash_fn = portable_hash60 if portable else F.xxhash64
     return _shingle_df(df, text_col, id_col, shingle_n).select(
         F.col(id_col),
-        F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs"),
+        F.transform("_sh", lambda s: hash_fn(s)).alias("_hs"),
     )
 
 # ---------------------------------------------------------------------------
@@ -475,28 +480,36 @@ def simhash_df(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, simhash bigint) — 64-bit SimHash via explode + hash-aggregate.
+    """(id, simhash bigint) — SimHash via explode + hash-aggregate.
 
-    Per-bit majority votes of shingle hashes run as 64 conditional sums
-    over the exploded hashed shingles: every expression (shift/and/sum)
-    is codegen'd, partial aggregation runs map-side, one shuffle keyed by
-    id. (A per-row formulation — 64 ``aggregate`` higher-order lambdas —
-    avoids the shuffle but HOF lambdas are CodegenFallback: measured 7×
-    slower interpreted. The shuffle carries only (id, 64×long).)
+    Per-bit majority votes of shingle hashes run as one conditional sum
+    per bit over the exploded hashed shingles: every expression
+    (shift/and/sum) is codegen'd, partial aggregation runs map-side, one
+    shuffle keyed by id. (A per-row formulation — 64 ``aggregate``
+    higher-order lambdas — avoids the shuffle but HOF lambdas are
+    CodegenFallback: measured 7× slower interpreted. The shuffle carries
+    only (id, n_bits×long).)
+
+    ``portable=True`` sketches 60 bits from the md5-derived portable
+    shingle hash so an independent SQL engine recomputes the sketch
+    bit-for-bit; the default is the 64-bit xxhash64 sketch.
     """
-    ex = _hashed_shingle_df(df, text_col, id_col, shingle_n).select(
+    n_bits = 60 if portable else 64
+    ex = _hashed_shingle_df(df, text_col, id_col, shingle_n, portable).select(
         F.col(id_col), F.explode("_hs").alias("_h")
     )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"_v{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = ex.groupBy(id_col).agg(*votes)
     return agg.select(
-        F.col(id_col), _pack_sign_bits([F.col(f"_v{b}") for b in range(64)]).alias("simhash")
+        F.col(id_col),
+        _pack_sign_bits([F.col(f"_v{b}") for b in range(n_bits)]).alias("simhash"),
     )
 
 
@@ -506,31 +519,33 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole prefilter: split the 64-bit sketch into ``max_hamming + 1``
+    Pigeonhole prefilter: split the sketch into ``max_hamming + 1``
     chunks — a pair within the Hamming budget must agree on ≥1 chunk
     (it has fewer differing bits than chunks); join on
     (chunk_id, chunk_value) buckets, then verify exact Hamming via
     bit_count(xor). More chunks ⇒ shorter chunks ⇒ more candidates, so
     large budgets trade recall-guarantee for join size.
     """
+    n_bits = 60 if portable else 64
     n_chunks = max_hamming + 1
-    if n_chunks > 64:
-        raise ValueError("max_hamming must be < 64 for a 64-bit sketch")
-    width = 64 // n_chunks
+    if n_chunks > n_bits:
+        raise ValueError(f"max_hamming must be < {n_bits} for a {n_bits}-bit sketch")
+    width = n_bits // n_chunks
     # the sketch table feeds both sides of the chunk self-join — persist so
-    # the per-row 64-vote sketch is computed once
+    # the per-row per-bit-vote sketch is computed once
     sh = (
-        simhash_df(df, text_col, id_col, shingle_n)
+        simhash_df(df, text_col, id_col, shingle_n, portable)
         .withColumnRenamed("simhash", "_sim")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def chunk_val(i: int) -> Column:
-        # last chunk absorbs the remainder bits so all 64 are covered
-        w = 64 - width * (n_chunks - 1) if i == n_chunks - 1 else width
+        # last chunk absorbs the remainder bits so all n_bits are covered
+        w = n_bits - width * (n_chunks - 1) if i == n_chunks - 1 else width
         shifted = F.shiftrightunsigned(F.col("_sim"), width * i)
         if w >= 64:
             return shifted  # full sketch; a 64-bit mask overflows lit()
@@ -783,6 +798,18 @@ def connected_components(
     :func:`minhash_dedup` / :func:`ngram_jaccard_pairs` /
     :func:`simhash_pairs` / :func:`cosine_dup_pairs` all feed this.
     """
+    # the long cast below silently NULLs non-integral ids (e.g. string
+    # doc_ids), which would drop every edge and make dedup a no-op that
+    # keeps all duplicates — reject up front (same contract as
+    # sampling._pick_hash); string ids need a dense id mapping first
+    dts = dict(pairs.dtypes)
+    for c in (id_a, id_b):
+        if dts.get(c) not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"connected_components needs integral id columns, got "
+                f"{c}={dts.get(c)!r}; map string ids to dense longs "
+                f"(e.g. zipWithIndex / monotonically_increasing_id + join) "
+                f"before clustering")
     edges = (
         pairs.select(F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d"))
         .where(F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d")))
@@ -843,11 +870,17 @@ def connected_components(
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         sig = _checksum(nxt)
-        cur = nxt
-        if sig == prev_sig:
+        # checksum equality is necessary but a (count, xor) collision
+        # could accept a non-fixed-point — confirm exactly ONCE at the
+        # apparent fixed point: counts already match, so an empty
+        # multiset difference proves equality (one cheap job total, not
+        # per round; both sides are localCheckpointed)
+        if sig == prev_sig and nxt.exceptAll(cur).limit(1).count() == 0:
+            cur = nxt
             converged = True
             break
         prev_sig = sig
+        cur = nxt
     if not converged:
         # labels from a non-converged edge set would silently split true
         # components into several clusters — fail loudly instead

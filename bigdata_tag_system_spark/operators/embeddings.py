@@ -1,0 +1,132 @@
+"""Embedding-column operators: group mean-pooling, L2 normalization,
+per-dimension scale fitting, and integer quantization.
+
+Training-data pipeline surface (no reference equivalent — the reference
+has no vector processing). Everything here treats ``array<float/double>``
+columns with pure Catalyst expressions or one small aggregate; the corpus
+is never collected and the only shuffles are the per-dimension partial
+aggregates (``(pos, partial)`` pairs — 64·P rows for dim 64, independent
+of corpus size).
+
+Scale notes (100 TB):
+- :func:`label_centroids` shuffles ``(group, pos, partial-sum)`` — partial
+  aggregation runs map-side, so the exchange carries
+  |groups| × dim × |partitions| rows at most, not the corpus.
+- :func:`dim_scales` is the same shape with a global key.
+- :func:`quantize_embeddings` is map-only after a broadcast of the
+  one-row scale vector (crossJoin of a 1-row relation broadcasts); the
+  quantized corpus never re-shuffles. int8 storage is 4× smaller than
+  float32 — the standard trick to keep an ANN corpus in memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def normalize_vectors(df: DataFrame, vec_col: str = "embedding",
+                      out_col: str | None = None) -> DataFrame:
+    """L2-normalize an embedding column in place (map-only, no shuffle).
+
+    Zero vectors normalize to zero (guarded denominator), NULL vectors
+    stay NULL — no division-by-zero NaNs enter downstream cosine math.
+    """
+    v = _vec(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    return df.withColumn(
+        out_col or vec_col, F.transform(v, lambda x: x / safe))
+
+
+def label_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pooled centroid per group: ``(group, centroid, n_members)``.
+
+    The embedding-aggregation primitive (class prototypes, cluster
+    summaries, dedup-cluster representatives): posexplode to
+    ``(group, pos, val)``, per-(group, pos) average with map-side partial
+    aggregation, then reassemble the array ordered by position. NULL
+    vectors are excluded (they carry no dimensions to pool).
+    """
+    ex = df.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(_vec(vec_col)).alias("_pos", "_val"),
+    )
+    per_dim = ex.groupBy("_g", "_pos").agg(
+        F.avg("_val").alias("_avg"), F.count(F.lit(1)).alias("_n"))
+    return (
+        per_dim.groupBy("_g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_avg"))),
+                lambda s: s["_avg"],
+            ).alias("centroid"),
+            F.max("_n").alias("n_members"),
+        )
+        .select(F.col("_g").alias(group_col), "centroid", "n_members")
+    )
+
+
+def dim_scales(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row relation: per-dimension max(|value|) as a sorted array.
+
+    The symmetric-quantization scale vector. Computed with one partial
+    aggregate over the exploded corpus; the result is dim-sized
+    (broadcastable by construction).
+    """
+    ex = df.select(F.posexplode(_vec(vec_col)).alias("_pos", "_val"))
+    per_dim = ex.groupBy("_pos").agg(F.max(F.abs(F.col("_val"))).alias("_m"))
+    return per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+            lambda s: s["_m"],
+        ).alias("scales")
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    scales: DataFrame | None = None,
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Symmetric per-dimension integer quantization of an embedding column.
+
+    ``q = floor(v / scale * (2^(bits-1) - 1) + 0.5)`` — explicit
+    floor(+0.5) round-half-up instead of ``round()`` so any SQL engine
+    reproduces the integers bit-for-bit (round() tie behavior differs
+    across engines). Zero-scale dimensions (constant-zero across the
+    corpus) quantize to 0.
+
+    ``scales`` defaults to :func:`dim_scales` of ``df`` itself; pass a
+    precomputed/stored scale vector to quantize new batches under a
+    frozen layout (same contract as the IVF index sidecar). The corpus
+    pass is map-only: the one-row scale relation broadcasts through the
+    crossJoin, and ``zip_with`` does the per-element math in-plan.
+    """
+    if not 1 < bits <= 16:
+        raise ValueError(f"bits must be in 2..16, got {bits}")
+    qmax = (1 << (bits - 1)) - 1
+    sc = scales if scales is not None else dim_scales(df, vec_col)
+    q = F.zip_with(
+        _vec(vec_col),
+        F.col("_scales"),
+        lambda v, s: F.when(
+            s > 0, F.floor(v / s * F.lit(qmax) + F.lit(0.5)).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        df.crossJoin(F.broadcast(sc.select(F.col("scales").alias("_scales"))))
+        .withColumn(out_col, q)
+        .drop("_scales")
+    )

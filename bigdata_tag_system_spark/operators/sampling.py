@@ -185,6 +185,12 @@ def shuffle_order(
     independent permutation (a new epoch order without rewriting data).
     With ``portable=True`` the Knuth hash makes the permutation
     bit-reproducible in any SQL engine (integral keys only).
+
+    ``key_col`` MUST be unique per row (a doc/row id): rows sharing a
+    key value tie on the ``(hash, key)`` sort and their relative rank
+    would be plan-dependent — determinism holds only because the key
+    itself is the final tiebreaker. Deduplicate or synthesize a unique
+    key first if the column can repeat.
     """
     num_buckets = 1 << 12
     h = _pick_hash(df, key_col, portable)(key_col, salt)

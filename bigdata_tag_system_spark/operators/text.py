@@ -107,15 +107,19 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def rolling_fingerprint(col: Column | str, n: int = 8) -> Column:
-    """Winnowing-style fingerprint: min xxhash64 over word n-gram windows.
+def rolling_fingerprint(col: Column | str, n: int = 8, portable: bool = False) -> Column:
+    """Winnowing-style fingerprint: min hash over word n-gram windows.
 
-    A cheap near-dup-stable 64-bit sketch (two docs differing by a little
-    tail text often share the min-hash window).
+    A cheap near-dup-stable sketch (two docs differing by a little
+    tail text often share the min-hash window). ``portable=True`` uses
+    the md5-derived 60-bit hash (functions.text.portable_hash60) so an
+    independent SQL engine recomputes the fingerprint exactly; the
+    default stays on xxhash64.
     """
-    from bigdata_tag_system_spark.functions.text import word_shingles
+    from bigdata_tag_system_spark.functions.text import portable_hash60, word_shingles
 
-    return F.array_min(F.transform(word_shingles(col, n), lambda s: F.xxhash64(s)))
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    return F.array_min(F.transform(word_shingles(col, n), lambda s: hash_fn(s)))
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -27,6 +27,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_TOLERANCE_UNIT_SECONDS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+    "minute": 60.0, "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+}
+
+
+def _parse_tolerance(tolerance: str):
+    """Validated interval Column for a ``"<n> <unit>"`` tolerance string.
+
+    Interpolating the raw string into ``F.expr(f"INTERVAL '{...}'")``
+    made malformed values surface as opaque plan-time AnalysisExceptions
+    and left the parameter open as a SQL-expression injection point —
+    parse against a strict grammar instead and build the interval with
+    ``make_dt_interval`` from the parsed components.
+    """
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s+(microsecond|millisecond|second|minute|hour|day|week)s?\s*",
+        str(tolerance), flags=re.IGNORECASE)
+    if not m:
+        units = "/".join(_TOLERANCE_UNIT_SECONDS)
+        raise ValueError(
+            f"asof_join tolerance must look like '<n> <unit>' with unit in "
+            f"{units}(s), got {tolerance!r}")
+    total = int(m.group(1)) * _TOLERANCE_UNIT_SECONDS[m.group(2).lower()]
+    days, rem = divmod(total, 86400.0)
+    return F.make_dt_interval(
+        F.lit(int(days)), F.lit(0), F.lit(0), F.lit(rem))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -91,8 +122,8 @@ def asof_join(
     elif isinstance(tolerance, (int, float)):
         fresh = F.col("_f._matched_ts") >= F.col("_ts") - F.lit(tolerance)
     else:
-        fresh = F.col("_f._matched_ts") >= F.col("_ts") - F.expr(
-            f"INTERVAL '{tolerance}'")
+        fresh = F.col("_f._matched_ts") >= F.col("_ts") - _parse_tolerance(
+            tolerance)
     out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
     out_cols += [
         F.when(fresh, F.col(f"_f.{c}")).alias(f"{c}{suffix}")
