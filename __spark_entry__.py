@@ -1330,6 +1330,41 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_batch_parity"] = stream_batch_parity
 
+    # ---- embedding aggregation / quantization ----
+    def emb_label_centroid(spark, sf_dir):
+        # mean-pooled class prototype per label, flattened to
+        # (label, pos, c) rows so the oracle recomputes every dimension
+        from bigdata_tag_system_spark.operators.embeddings import label_centroids
+
+        out = label_centroids(_t(spark, sf_dir, "embeddings"))
+        return out.select(
+            "label", "n_members",
+            F.posexplode("centroid").alias("pos", "c"),
+        ).select(
+            "label", "pos", F.round("c", 4).alias("c"), "n_members"
+        ).orderBy("label", "pos")
+
+    q["emb_label_centroid"] = emb_label_centroid
+
+    def emb_quantize_int8(spark, sf_dir):
+        # symmetric per-dimension int8 quantization; floor(+0.5) rounding
+        # makes the integers engine-portable (round() tie rules differ).
+        # Per-vector sum/min/max verify every quantized element without
+        # emitting 64 rows per vector.
+        from bigdata_tag_system_spark.operators.embeddings import quantize_embeddings
+
+        out = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+        return out.select(
+            "vec_id",
+            F.aggregate(
+                "qvec", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("q_sum"),
+            F.array_min("qvec").alias("q_min"),
+            F.array_max("qvec").alias("q_max"),
+        ).orderBy("vec_id")
+
+    q["emb_quantize_int8"] = emb_quantize_int8
+
     # ---- sampling / splits (key-hash deterministic; portable Knuth
     # hash variant so DuckDB reproduces the exact row set) ----
     def sample_stratified_hash(spark, sf_dir):
@@ -2478,6 +2513,49 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT fp, count(*) AS cnt FROM fps
         GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+    """
+
+    # per-(label, dim) mean over the same float32 values promoted to
+    # double — identical IEEE arithmetic, round(4) absorbs sum-order ulps
+    o["emb_label_centroid"] = """
+        WITH ex AS (
+            SELECT label, CAST(s.pos AS INT) AS pos,
+                   CAST(s.val AS DOUBLE) AS val
+            FROM (
+                SELECT label, unnest(list_transform(range(0, len(embedding)),
+                        i -> {'pos': i, 'val': embedding[i+1]})) AS s
+                FROM embeddings
+            )
+        )
+        SELECT label, pos, round(avg(val), 4) AS c,
+               count(*) AS n_members
+        FROM ex GROUP BY label, pos ORDER BY label, pos
+    """
+
+    # identical quantization arithmetic: double promotion, per-dim
+    # max(abs) scale, floor(v/s*127 + 0.5) — bit-reproducible across
+    # engines (no round() tie-rule dependence)
+    o["emb_quantize_int8"] = """
+        WITH ex AS (
+            SELECT vec_id, CAST(s.pos AS INT) AS pos,
+                   CAST(s.val AS DOUBLE) AS val
+            FROM (
+                SELECT vec_id, unnest(list_transform(range(0, len(embedding)),
+                        i -> {'pos': i, 'val': embedding[i+1]})) AS s
+                FROM embeddings
+            )
+        ), sc AS (
+            SELECT pos, max(abs(val)) AS s FROM ex GROUP BY pos
+        ), q AS (
+            SELECT e.vec_id,
+                   CASE WHEN sc.s > 0
+                        THEN CAST(floor(e.val / sc.s * 127 + 0.5) AS INT)
+                        ELSE 0 END AS q
+            FROM ex e JOIN sc USING (pos)
+        )
+        SELECT vec_id, sum(q)::BIGINT AS q_sum,
+               min(q) AS q_min, max(q) AS q_max
+        FROM q GROUP BY vec_id ORDER BY vec_id
     """
 
     # streaming replay ≡ batch: the rule set of _EVENT_RULES evaluated

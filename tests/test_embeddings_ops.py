@@ -1,0 +1,88 @@
+"""Embedding operators: mean-pooling, normalization, quantization."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.operators.embeddings import (
+    dim_scales,
+    label_centroids,
+    normalize_vectors,
+    quantize_embeddings,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 2.0, -4.0], "a"),
+        (1, [3.0, 0.0, 2.0], "a"),
+        (2, [-1.0, 6.0, 0.0], "b"),
+        (3, [0.0, 0.0, 0.0], "b"),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+
+
+class TestCentroids:
+    def test_mean_pool_per_label(self, emb):
+        got = {r["label"]: (r["centroid"], r["n_members"])
+               for r in label_centroids(emb).collect()}
+        assert got["a"] == ([2.0, 1.0, -1.0], 2)
+        assert got["b"] == ([-0.5, 3.0, 0.0], 2)
+
+    def test_null_vectors_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(0, [2.0, 4.0], "a"), (1, None, "a")],
+            "vec_id long, embedding array<double>, label string")
+        got = label_centroids(df).collect()
+        assert len(got) == 1
+        assert got[0]["centroid"] == [2.0, 4.0]
+        assert got[0]["n_members"] == 1
+
+
+class TestNormalize:
+    def test_unit_norm_and_zero_guard(self, emb):
+        out = normalize_vectors(emb).select(
+            "vec_id",
+            F.round(F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x * x), 9
+            ).alias("sq"),
+        )
+        got = {r["vec_id"]: r["sq"] for r in out.collect()}
+        assert got[0] == got[1] == got[2] == 1.0
+        assert got[3] == 0.0  # zero vector stays zero, no NaN
+
+
+class TestQuantize:
+    def test_scales_and_range(self, emb):
+        scales = dim_scales(emb).collect()[0]["scales"]
+        assert scales == [3.0, 6.0, 4.0]
+        q = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(emb).collect()}
+        # max-|value| dims hit exactly ±127; everything inside the range
+        assert q[1][0] == 127 and q[2][1] == 127 and q[0][2] == -127
+        assert all(-127 <= x <= 127 for v in q.values() for x in v)
+        # floor(+0.5) round-half-up: 1/3*127 = 42.33 → 42; 2/6*127 = 42.33 → 42
+        assert q[0][0] == 42 and q[0][1] == 42
+
+    def test_zero_scale_dim_quantizes_to_zero(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [-2.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        q = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(df).collect()}
+        assert q[0] == [64, 0] and q[1] == [-127, 0]
+
+    def test_frozen_scales_for_new_batch(self, spark, emb):
+        # quantizing a new batch under the corpus scales must use the
+        # corpus layout, not the batch's own max
+        batch = spark.createDataFrame(
+            [(9, [0.3, 0.6, 0.4])], "vec_id long, embedding array<double>")
+        q = quantize_embeddings(
+            batch, scales=dim_scales(emb)).collect()[0]["qvec"]
+        assert q == [13, 13, 13]  # 0.1 of each scale → floor(12.7+0.5)
+
+    def test_bits_validation(self, emb):
+        with pytest.raises(ValueError, match="bits"):
+            quantize_embeddings(emb, bits=1)
