@@ -36,6 +36,10 @@ _MH_INDEX_CACHE: dict[str, str] = {}
 _IVF_INDEX_CACHE: dict[str, str] = {}
 # streaming-replay output directories, keyed by sf_dir (see stream_batch_parity)
 _STREAM_PARITY_CACHE: dict[str, str] = {}
+# windowed-aggregate streaming replay outputs, keyed by sf_dir
+_STREAM_WINDOW_CACHE: dict[str, str] = {}
+# fitted k-means centroids, keyed by sf_dir (shared by the IVF/kNN queries)
+_CENTROID_CACHE: dict[str, list] = {}
 # embeddings re-keyed as doc_id, staged once per sf_dir (see cross_table_rule)
 _EMB_KEYED_CACHE: dict[str, str] = {}
 
@@ -83,6 +87,20 @@ def _count_rule(table: str, rule: dict, as_of: str | None = None):
         return df.where(compile_rule(rule, as_of=as_of)).agg(F.count(F.lit(1)).alias("cnt"))
 
     return q
+
+
+def _fitted_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Deterministic k-means centroids over the embeddings table, fitted
+    once per sf_dir (shared by the IVF store and the bucketed kNN join)."""
+    cents = _CENTROID_CACHE.get(sf_dir)
+    if cents is None:
+        from bigdata_tag_system_spark.operators import similarity as S
+
+        emb = _t(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        cents = S.fit_centroids(emb, dim=dim, num_buckets=8)
+        _CENTROID_CACHE[sf_dir] = cents
+    return cents
 
 
 def _tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,15 +195,16 @@ _DRIVER_FIRST = [
     "events_props_json",
     # -- new this round --
     "dedup_simhash_portable", "text_rolling_fp_portable",
-    "sim_ivf_indexed", "stream_batch_parity",
+    "sim_ivf_indexed", "sim_knn_bucketed",
+    "stream_batch_parity", "stream_windowed_parity",
     "emb_label_centroid", "emb_quantize_int8",
     # -- representative per-family core (driver-green r3) --
     "dedup_exact_groups", "dedup_minhash_lsh", "dedup_components",
     "dedup_pipeline_keep",
     "sim_cosine_topk", "sim_knn_join",
-    "ts_asof_join", "ts_range_join",
+    "ts_asof_join",
     "events_daily_rollup", "events_sessionize",
-    "window_row_number", "window_running_sum",
+    "window_row_number",
     "text_top_tokens", "text_segment_dedup",
     "mm_media_features",
     "sample_stratified_hash", "split_train_test",
@@ -195,9 +214,10 @@ _DRIVER_FIRST = [
     # -- positions 51+: twice-driver-green families + engine-specific
     # rows-only variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
-    "dedup_simhash", "sim_ivf_topk",
+    "dedup_simhash", "sim_ivf_topk", "ts_range_join",
     "events_recent_features", "events_latest_per_user",
     "events_hourly_rollup", "events_user_zscore", "window_lag",
+    "window_running_sum",
     "text_token_stats", "text_bpe_tokens", "text_fingerprint",
     "text_quality", "text_langid", "text_rolling_fp", "agg_rollup",
     "agg_distinct_sorted", "agg_stats", "union_all_count",
@@ -1229,8 +1249,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf_dir, "embeddings")
         path = _IVF_INDEX_CACHE.get(sf_dir)
         if path is None:
-            dim = len(emb.select("embedding").first()["embedding"])
-            cents = S.fit_centroids(emb, dim=dim, num_buckets=8)
+            cents = _fitted_centroids(spark, sf_dir)
             path = tempfile.mkdtemp(prefix="ivf_idx_") + "/idx"
             S.write_ivf_index_fitted(emb, path, cents)
             _IVF_INDEX_CACHE[sf_dir] = path
@@ -1241,6 +1260,25 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy(F.desc("cosine"), "vec_id")
 
     q["sim_ivf_indexed"] = sim_ivf_indexed
+
+    def sim_knn_bucketed(spark, sf_dir):
+        # the LARGE-query-set ANN shape: both sides route through the
+        # shared fitted-centroid space and meet in a plain hash join on
+        # the bucket id (|Q| × nprobe/num_buckets of the corpus, never
+        # |Q| × |C|). nprobe = num_buckets → bucketing only prunes, so
+        # the exact brute-force kNN oracle applies; partial-probe recall
+        # is covered in pytest.
+        emb = _t(spark, sf_dir, "embeddings")
+        cents = _fitted_centroids(spark, sf_dir)
+        queries_df = emb.where("vec_id IN (1, 2, 3)").selectExpr(
+            "vec_id as q_id", "embedding as q_vec")
+        out = S.knn_join_bucketed(queries_df, emb, cents, k=3,
+                                  nprobe=len(cents))
+        return out.select(
+            "q_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+        ).orderBy("q_id", "rank")
+
+    q["sim_knn_bucketed"] = sim_knn_bucketed
 
     # ---- portable-hash sketch variants (oracle-recomputable) ----
     def dedup_simhash_portable(spark, sf_dir):
@@ -1329,6 +1367,65 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stream_batch_parity"] = stream_batch_parity
+
+    def stream_windowed_parity(spark, sf_dir):
+        # watermarked tumbling-window aggregation replayed availableNow:
+        # per-(hour, user) counts/sums from windowed_event_aggregates in
+        # UPDATE mode (append would withhold windows the final watermark
+        # never passes — tail-of-stream windows would go missing vs
+        # batch). foreachBatch stamps each emission with its batch id;
+        # the read side keeps the LAST emission per key (update mode
+        # re-emits a key whenever late data lands in its window), which
+        # must equal the batch GROUP BY exactly.
+        import os
+        import shutil
+        import tempfile
+
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            windowed_event_aggregates,
+        )
+
+        _prep(spark)
+        out_dir = _STREAM_WINDOW_CACHE.get(sf_dir)
+        if out_dir is None:
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            tmp = tempfile.mkdtemp(prefix="stream_win_")
+            src_dir = tmp + "/src"
+            os.makedirs(src_dir)
+            try:
+                os.link(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+            except OSError:
+                shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            if dict(stream.dtypes).get("ts") == "bigint":
+                # parquet TIMESTAMP(NANOS) under nanosAsLong, as in _t
+                stream = stream.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000")))
+            agg = windowed_event_aggregates(
+                stream, window="1 hour", watermark="30 minutes")
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            query = (
+                agg.writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(lambda batch, bid: batch.withColumn(
+                    "_bid", F.lit(bid)).write.mode("append").parquet(out))
+                .start()
+            )
+            query.awaitTermination()
+            _STREAM_WINDOW_CACHE[sf_dir] = out
+            out_dir = out
+        replayed = spark.read.parquet(out_dir)
+        final = replayed.groupBy("window_start", "user_id").agg(
+            F.max_by(F.struct("event_count", "value_sum"), "_bid").alias("s"))
+        return final.select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "user_id",
+            F.col("s.event_count").alias("event_count"),
+            F.round("s.value_sum", 2).alias("value_sum"),
+        ).orderBy("window_start", "user_id")
+
+    q["stream_windowed_parity"] = stream_windowed_parity
 
     # ---- embedding aggregation / quantization ----
     def emb_label_centroid(spark, sf_dir):
@@ -2513,6 +2610,18 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT fp, count(*) AS cnt FROM fps
         GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+    """
+
+    # bucketed kNN with nprobe = all buckets degrades to the exact result
+    o["sim_knn_bucketed"] = o["sim_knn_join"]
+
+    # windowed streaming replay ≡ batch per-(hour, user) rollup
+    o["stream_windowed_parity"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               user_id, count(*) AS event_count,
+               round(sum(value), 2) AS value_sum
+        FROM events GROUP BY 1, 2 ORDER BY window_start, user_id
     """
 
     # per-(label, dim) mean over the same float32 values promoted to
