@@ -211,8 +211,11 @@ _DRIVER_FIRST = [
     "sketch_distinct_check", "text_tfidf_top_terms",
     # flagship anchor at position 50
     "tag_profiles",
-    # -- positions 51+: twice-driver-green families + engine-specific
-    # rows-only variants, covered locally every round --
+    # -- positions 51+: locally checked this round, rotate into the
+    # window next round --
+    "text_url_domains", "text_url_blocklist", "join_salted",
+    # -- twice-driver-green families + engine-specific rows-only
+    # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
     "dedup_simhash", "sim_ivf_topk", "ts_range_join",
     "events_recent_features", "events_latest_per_user",
@@ -534,6 +537,23 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return c.join(o, c.c_custkey == o.o_custkey).agg(F.count(F.lit(1)).alias("cnt"))
 
     q["join_inner_count"] = join_inner_count
+
+    def join_salted(spark, sf_dir):
+        # the skew-mitigation path must be RESULT-equal to the planner's
+        # plain join: salting only changes the physical layout. count +
+        # value sum verify no row is lost or duplicated by replication.
+        from bigdata_tag_system_spark.operators.joins import salted_join
+
+        o = _t(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("k"), "o_totalprice")
+        c = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"), "c_mktsegment")
+        out = salted_join(o, c, on="k", salt=8)
+        return out.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"))
+
+    q["join_salted"] = join_salted
 
     def join_full_outer(spark, sf_dir):
         big = _t(spark, sf_dir, "orders").where("o_totalprice > 400000") \
@@ -1080,6 +1100,35 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id").limit(300)
 
     q["text_contamination"] = text_contamination
+
+    def _url_augmented_docs(spark, sf_dir):
+        # deterministic synthesized URLs (the corpus has none): both
+        # engines build identical text, so extraction is fully checkable
+        d = _t(spark, sf_dir, "documents").where("doc_id < 300")
+        return d.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" see https://site"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+                F.lit(" and http://ref"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".org/x"),
+            ).alias("text"))
+
+    def text_url_domains(spark, sf_dir):
+        # per-domain document frequency (within-doc dedup, then count)
+        out = T.url_domain_counts(_url_augmented_docs(spark, sf_dir))
+        return out.orderBy("domain")
+
+    q["text_url_domains"] = text_url_domains
+
+    def text_url_blocklist(spark, sf_dir):
+        kept = T.filter_blocked_domains(
+            _url_augmented_docs(spark, sf_dir),
+            ["site0.example.com", "ref1.org"])
+        return kept.select("doc_id").orderBy("doc_id")
+
+    q["text_url_blocklist"] = text_url_blocklist
 
     # ---- dedup operators ----
     def dedup_exact_groups(spark, sf_dir):
@@ -2614,6 +2663,38 @@ def oracle_sql() -> dict[str, str]:
 
     # bucketed kNN with nprobe = all buckets degrades to the exact result
     o["sim_knn_bucketed"] = o["sim_knn_join"]
+
+    # salting is physical-layout only: the plain join is the oracle
+    o["join_salted"] = """
+        SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS price_sum
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+
+    _URL_AUG = """
+        SELECT doc_id,
+               coalesce(text, '') || ' see https://site' || (doc_id % 7)
+               || '.example.com/p/' || doc_id
+               || ' and http://ref' || (doc_id % 3) || '.org/x' AS text
+        FROM documents WHERE doc_id < 300
+    """
+    o["text_url_domains"] = f"""
+        WITH aug AS ({_URL_AUG}),
+        doms AS (
+            SELECT doc_id, unnest(list_distinct(regexp_extract_all(
+                text, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+            FROM aug
+        )
+        SELECT domain, count(*) AS doc_freq
+        FROM doms GROUP BY domain ORDER BY domain
+    """
+    o["text_url_blocklist"] = f"""
+        WITH aug AS ({_URL_AUG})
+        SELECT doc_id FROM aug
+        WHERE NOT list_has_any(
+            list_distinct(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)),
+            ['site0.example.com', 'ref1.org'])
+        ORDER BY doc_id
+    """
 
     # windowed streaming replay ≡ batch per-(hour, user) rollup
     o["stream_windowed_parity"] = """

@@ -127,6 +127,19 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
+# URL surface pattern (lookahead-free subset shared by Java regex and
+# RE2/DuckDB): scheme + host; the capture group isolates the domain for
+# blocklist filtering and per-domain stats.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+URL_DOMAIN_GROUP_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_url_domains(col: Column | str) -> Column:
+    """All URL domains in the text (array<string>, duplicates kept) —
+    one ``regexp_extract_all``, JVM-side."""
+    return F.regexp_extract_all(_c(col), F.lit(URL_DOMAIN_GROUP_PATTERN), 1)
+
+
 # Pre-tokenization pattern of BPE-style tokenizers, simplified to the
 # lookahead-free subset shared by Java regex and RE2: letter runs, digit
 # runs, and punctuation runs each become one piece.

@@ -226,6 +226,41 @@ def pii_scrub(
     )
 
 
+def url_domain_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-domain document frequency over a corpus: ``(domain, doc_freq)``.
+
+    The blocklist-curation / source-analysis primitive of web-crawl
+    pipelines: domains extracted with one ``regexp_extract_all``
+    (map-only), de-duplicated within each document so a page quoting a
+    domain 50 times counts once, then one partial-aggregated count per
+    domain. The only shuffle carries (domain, partial-count) pairs.
+    """
+    from bigdata_tag_system_spark.functions.text import extract_url_domains
+
+    ex = df.select(
+        F.explode(F.array_distinct(extract_url_domains(text_col))).alias("domain"))
+    return ex.groupBy("domain").agg(F.count(F.lit(1)).alias("doc_freq"))
+
+
+def filter_blocked_domains(
+    df: DataFrame, blocklist: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Drop documents containing any blocklisted URL domain (map-only).
+
+    The blocklist folds into an expression literal (blocklists are
+    config-sized; for millions of entries, join against a broadcast
+    table instead). Docs with no URLs — or NULL text — pass through.
+    """
+    from bigdata_tag_system_spark.functions.text import extract_url_domains
+
+    doms = F.array_distinct(extract_url_domains(text_col))
+    blocked = F.arrays_overlap(
+        doms, F.array(*[F.lit(d) for d in blocklist]))
+    return df.where(~F.coalesce(blocked, F.lit(False)))
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1,0 +1,55 @@
+"""URL domain extraction, per-domain stats, and blocklist filtering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.functions.text import extract_url_domains
+from bigdata_tag_system_spark.operators.text import (
+    filter_blocked_domains,
+    url_domain_counts,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "intro https://a.example.com/x then https://a.example.com/y twice"),
+        (1, "plain text with no urls at all"),
+        (2, "mixed http://b.org/z and https://a.example.com/"),
+        (3, None),
+        (4, "bare scheme-less a.example.com does not count"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExtraction:
+    def test_domains_with_duplicates(self, spark):
+        got = {r["doc_id"]: r["d"] for r in _docs(spark).select(
+            "doc_id", extract_url_domains("text").alias("d")).collect()}
+        assert got[0] == ["a.example.com", "a.example.com"]
+        assert got[1] == []
+        assert got[2] == ["b.org", "a.example.com"]
+        assert got[3] is None
+        assert got[4] == []
+
+
+class TestDomainCounts:
+    def test_within_doc_dedup(self, spark):
+        # doc 0 mentions a.example.com twice but counts once
+        got = {r["domain"]: r["doc_freq"]
+               for r in url_domain_counts(_docs(spark)).collect()}
+        assert got == {"a.example.com": 2, "b.org": 1}
+
+
+class TestBlocklist:
+    def test_filter_and_passthrough(self, spark):
+        kept = {r["doc_id"] for r in filter_blocked_domains(
+            _docs(spark), ["b.org"]).collect()}
+        # doc 2 dropped; url-less, NULL-text, and non-URL docs survive
+        assert kept == {0, 1, 3, 4}
+
+    def test_empty_blocklist_is_identity(self, spark):
+        df = _docs(spark)
+        blocked = filter_blocked_domains(
+            df, ["nonexistent.example"])
+        assert blocked.count() == df.count()
