@@ -214,6 +214,7 @@ _DRIVER_FIRST = [
     # -- positions 51+: locally checked this round, rotate into the
     # window next round --
     "text_url_domains", "text_url_blocklist", "join_salted",
+    "scenario_all_tag_subset", "scenario_keys_overwrite",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -371,6 +372,38 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", F.to_json("tag_ids").alias("tag_ids")).orderBy("user_id")
 
     q["scenario_specific_merge"] = scenario_specific_merge
+
+    def scenario_all_tag_subset(spark, sf_dir):
+        # scenario 3 (reference scenario_scheduler.py:190-252): ALL users
+        # × tag subset {1,3} × union-with-store merge — recompute two
+        # tags corpus-wide without touching other stored tags
+        facts = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
+        existing = facts.where(F.col("user_id") < 100).select(
+            "user_id", F.array(F.lit(99)).alias("tag_ids"))
+        runner = ScenarioRunner(load_rules(_FLAGSHIP_RULES), as_of=AS_OF,
+                                run_ts=f"{AS_OF}T00:00:00")
+        out = runner.run(3, facts, existing=existing, tag_ids=[1, 3],
+                         computed_date=AS_OF)
+        return out.select(
+            "user_id", F.to_json("tag_ids").alias("tag_ids")).orderBy("user_id")
+
+    q["scenario_all_tag_subset"] = scenario_all_tag_subset
+
+    def scenario_keys_overwrite(spark, sf_dir):
+        # scenario 5 (reference scenario_scheduler.py:320-378): explicit
+        # key list × all tags × OVERWRITE — store is ignored, output is
+        # exactly the fresh profiles of the keyed users
+        facts = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
+        existing = facts.where(F.col("user_id") < 100).select(
+            "user_id", F.array(F.lit(99)).alias("tag_ids"))
+        runner = ScenarioRunner(load_rules(_FLAGSHIP_RULES), as_of=AS_OF,
+                                run_ts=f"{AS_OF}T00:00:00")
+        out = runner.run(5, facts, existing=existing,
+                         user_keys=list(range(50, 150)), computed_date=AS_OF)
+        return out.select(
+            "user_id", F.to_json("tag_ids").alias("tag_ids")).orderBy("user_id")
+
+    q["scenario_keys_overwrite"] = scenario_keys_overwrite
 
     def schema_profile_stats(spark, sf_dir):
         from bigdata_tag_system_spark.sources.catalog import profile_columns
@@ -1771,6 +1804,33 @@ def oracle_sql() -> dict[str, str]:
                to_json(list_sort(list_distinct(
                    n.newtags || coalesce(o.oldtags, [])))) AS tag_ids
         FROM newp n LEFT JOIN old o ON o.user_id = n.user_id
+        ORDER BY user_id
+    """
+
+    o["scenario_all_tag_subset"] = f"""
+        WITH newp AS (
+            SELECT c_custkey AS user_id,
+                   list_sort(list_filter({_FLAGSHIP_ORACLE_TAGS},
+                                         x -> x IN (1, 3))) AS newtags
+            FROM customer
+            WHERE len(list_filter({_FLAGSHIP_ORACLE_TAGS}, x -> x IN (1, 3))) > 0
+        ), old AS (
+            SELECT c_custkey AS user_id, [99] AS oldtags
+            FROM customer WHERE c_custkey < 100
+        )
+        SELECT n.user_id AS user_id,
+               to_json(list_sort(list_distinct(
+                   n.newtags || coalesce(o.oldtags, [])))) AS tag_ids
+        FROM newp n LEFT JOIN old o ON o.user_id = n.user_id
+        ORDER BY user_id
+    """
+
+    o["scenario_keys_overwrite"] = f"""
+        SELECT c_custkey AS user_id,
+               to_json(list_sort({_FLAGSHIP_ORACLE_TAGS})) AS tag_ids
+        FROM customer
+        WHERE c_custkey BETWEEN 50 AND 149
+          AND len({_FLAGSHIP_ORACLE_TAGS}) > 0
         ORDER BY user_id
     """
 

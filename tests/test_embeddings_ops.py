@@ -86,3 +86,13 @@ class TestQuantize:
     def test_bits_validation(self, emb):
         with pytest.raises(ValueError, match="bits"):
             quantize_embeddings(emb, bits=1)
+
+    def test_corpus_pass_is_map_only(self, emb):
+        # the corpus side of quantization must not shuffle: the one-row
+        # scale relation broadcasts (IdentityBroadcastMode nested-loop),
+        # and every Exchange in the plan belongs to the dim-sized scale
+        # aggregation, never to a corpus-keyed repartition
+        plan = quantize_embeddings(emb)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "hashpartitioning(vec_id" not in plan

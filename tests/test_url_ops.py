@@ -53,3 +53,10 @@ class TestBlocklist:
         blocked = filter_blocked_domains(
             df, ["nonexistent.example"])
         assert blocked.count() == df.count()
+
+    def test_filter_is_map_only(self, spark):
+        # blocklist filtering must stay a scan-side filter: no Exchange,
+        # no join — the blocklist folds into the predicate
+        plan = filter_blocked_domains(_docs(spark), ["b.org"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
