@@ -374,9 +374,11 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scenario_specific_merge"] = scenario_specific_merge
 
     def scenario_all_tag_subset(spark, sf_dir):
-        # scenario 3 (reference scenario_scheduler.py:190-252): ALL users
-        # × tag subset {1,3} × union-with-store merge — recompute two
-        # tags corpus-wide without touching other stored tags
+        # scenario 3 in this engine's matrix = the reference's
+        # scenario_2_full_users_specific_tags
+        # (scenario_scheduler.py:184-242): ALL users × tag subset {1,3}
+        # × union-with-store merge — recompute two tags corpus-wide
+        # without touching other stored tags
         facts = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
         existing = facts.where(F.col("user_id") < 100).select(
             "user_id", F.array(F.lit(99)).alias("tag_ids"))
@@ -390,9 +392,10 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scenario_all_tag_subset"] = scenario_all_tag_subset
 
     def scenario_keys_overwrite(spark, sf_dir):
-        # scenario 5 (reference scenario_scheduler.py:320-378): explicit
-        # key list × all tags × OVERWRITE — store is ignored, output is
-        # exactly the fresh profiles of the keyed users
+        # scenario 5 = the reference's scenario_5_specific_users_full_tags
+        # (scenario_scheduler.py:353-406): explicit key list × all tags ×
+        # OVERWRITE — store is ignored, output is exactly the fresh
+        # profiles of the keyed users
         facts = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "user_id")
         existing = facts.where(F.col("user_id") < 100).select(
             "user_id", F.array(F.lit(99)).alias("tag_ids"))
