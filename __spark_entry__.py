@@ -215,6 +215,7 @@ _DRIVER_FIRST = [
     # window next round --
     "text_url_domains", "text_url_blocklist", "join_salted",
     "scenario_all_tag_subset", "scenario_keys_overwrite",
+    "func_string_battery", "func_math_battery", "func_date_battery",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -768,6 +769,79 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).agg(F.count(F.lit(1)).alias("cnt"))
 
     q["func_explode_count"] = func_explode_count
+
+    def func_string_battery(spark, sf_dir):
+        # §2.6 breadth: one projection exercising the string-function
+        # surface, every function chosen from the Spark∩DuckDB
+        # same-semantics subset (1-based instr, split_part, translate)
+        return (
+            _t(spark, sf_dir, "part")
+            .orderBy("p_partkey").limit(50)
+            .select(
+                "p_partkey",
+                F.upper("p_name").alias("u"),
+                F.length("p_name").alias("len"),
+                F.substring("p_name", 3, 5).alias("sub"),
+                F.regexp_replace("p_name", " ", "_").alias("repl"),
+                F.concat_ws("-", "p_brand", "p_type").alias("cw"),
+                F.reverse("p_name").alias("rev"),
+                F.split_part("p_name", F.lit(" "), F.lit(1)).alias("first_word"),
+                F.instr("p_name", "a").alias("pos_a"),
+                F.translate("p_name", "aeiou", "AEIOU").alias("tr"),
+                F.repeat(F.lit("ab"), 3).alias("rep"),
+                F.lpad("p_brand", 12, "*").alias("lp"),
+                F.rpad("p_brand", 12, "*").alias("rp"),
+            )
+        )
+
+    q["func_string_battery"] = func_string_battery
+
+    def func_math_battery(spark, sf_dir):
+        # §2.6 breadth: math functions on real values; transcendentals
+        # rounded to absorb last-ulp libm differences; floor/ceil cast
+        # BIGINT explicitly (Spark returns long, DuckDB double)
+        return (
+            _t(spark, sf_dir, "lineitem")
+            .orderBy("l_orderkey", "l_linenumber").limit(50)
+            .select(
+                "l_orderkey", "l_linenumber",
+                F.abs(F.col("l_discount") - 0.05).alias("ad"),
+                F.ceil("l_extendedprice").cast("bigint").alias("ce"),
+                F.floor("l_extendedprice").cast("bigint").alias("fl"),
+                F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+                F.round(F.pow("l_tax", 2), 6).alias("p2"),
+                F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln1"),
+                F.round(F.log10("l_extendedprice"), 6).alias("l10"),
+                F.signum(F.col("l_discount") - 0.05).cast("int").alias("sgn"),
+                F.greatest("l_quantity", "l_tax").alias("g"),
+                F.least("l_quantity", "l_tax").alias("l"),
+                F.pmod(F.col("l_quantity").cast("bigint"), F.lit(7)).alias("m7"),
+            )
+        )
+
+    q["func_math_battery"] = func_math_battery
+
+    def func_date_battery(spark, sf_dir):
+        # §2.6 breadth: calendar functions over real dates (extract
+        # fields, month boundaries, offsets, differences) — weekday
+        # numbering deliberately excluded (Spark and DuckDB disagree)
+        return (
+            _t(spark, sf_dir, "orders")
+            .orderBy("o_orderkey").limit(50)
+            .select(
+                "o_orderkey",
+                F.year("o_orderdate").alias("y"),
+                F.month("o_orderdate").alias("mo"),
+                F.dayofmonth("o_orderdate").alias("d"),
+                F.quarter("o_orderdate").alias("qtr"),
+                F.last_day("o_orderdate").cast("string").alias("eom"),
+                F.date_add("o_orderdate", 30).cast("string").alias("plus30"),
+                F.trunc("o_orderdate", "month").cast("string").alias("som"),
+                F.datediff(F.to_date(F.lit(AS_OF)), F.col("o_orderdate")).alias("age_days"),
+            )
+        )
+
+    q["func_date_battery"] = func_date_battery
 
     # ---- sorts / windows (SURVEY §2.7, §2.8) ----
     def sort_topk(spark, sf_dir):
@@ -1963,6 +2037,52 @@ def oracle_sql() -> dict[str, str]:
     o["func_coalesce_size"] = "SELECT coalesce(NULL, 7) AS c, len([1,2,3]) AS n"
     o["func_date_arith"] = f"SELECT (DATE '{AS_OF}' - INTERVAL 7 DAY)::DATE::VARCHAR AS d"
     o["func_explode_count"] = "SELECT count(*) AS cnt FROM (SELECT unnest([1,2,3])) t"
+
+    o["func_string_battery"] = """
+        SELECT p_partkey,
+               upper(p_name) AS u,
+               length(p_name) AS len,
+               substr(p_name, 3, 5) AS sub,
+               regexp_replace(p_name, ' ', '_', 'g') AS repl,
+               concat_ws('-', p_brand, p_type) AS cw,
+               reverse(p_name) AS rev,
+               split_part(p_name, ' ', 1) AS first_word,
+               instr(p_name, 'a') AS pos_a,
+               translate(p_name, 'aeiou', 'AEIOU') AS tr,
+               repeat('ab', 3) AS rep,
+               lpad(p_brand, 12, '*') AS lp,
+               rpad(p_brand, 12, '*') AS rp
+        FROM part ORDER BY p_partkey LIMIT 50
+    """
+
+    o["func_math_battery"] = """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_discount - 0.05) AS ad,
+               ceil(l_extendedprice)::BIGINT AS ce,
+               floor(l_extendedprice)::BIGINT AS fl,
+               round(sqrt(l_quantity), 6) AS sq,
+               round(pow(l_tax, 2), 6) AS p2,
+               round(ln(l_extendedprice + 1), 6) AS ln1,
+               round(log10(l_extendedprice), 6) AS l10,
+               sign(l_discount - 0.05)::INT AS sgn,
+               greatest(l_quantity, l_tax) AS g,
+               least(l_quantity, l_tax) AS l,
+               CAST(l_quantity AS BIGINT) % 7 AS m7
+        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50
+    """
+
+    o["func_date_battery"] = f"""
+        SELECT o_orderkey,
+               year(o_orderdate) AS y,
+               month(o_orderdate) AS mo,
+               day(o_orderdate) AS d,
+               quarter(o_orderdate) AS qtr,
+               last_day(o_orderdate)::VARCHAR AS eom,
+               (o_orderdate + INTERVAL 30 DAY)::DATE::VARCHAR AS plus30,
+               date_trunc('month', o_orderdate)::DATE::VARCHAR AS som,
+               date_diff('day', o_orderdate::DATE, DATE '{AS_OF}') AS age_days
+        FROM orders ORDER BY o_orderkey LIMIT 50
+    """
 
     o["sort_topk"] = (
         "SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders "
