@@ -216,6 +216,7 @@ _DRIVER_FIRST = [
     "text_url_domains", "text_url_blocklist", "join_salted",
     "scenario_all_tag_subset", "scenario_keys_overwrite",
     "func_string_battery", "func_math_battery", "func_date_battery",
+    "mm_payload_chunks",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -1751,6 +1752,23 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_media_features"] = mm_media_features
 
+    def mm_payload_chunks(spark, sf_dir):
+        # binary shard plumbing: byte-chunk the payloads; the oracle
+        # re-derives the chunk GEOMETRY (count + per-chunk byte size)
+        # arithmetically from octet_length (this DuckDB build has no
+        # BLOB substring, so chunk CONTENT is pinned in pytest instead)
+        from bigdata_tag_system_spark.operators.multimodal import chunk_payloads
+
+        media = _t(spark, sf_dir, "documents").where("text IS NOT NULL").select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        out = chunk_payloads(media, chunk_bytes=100)
+        return out.select("media_id", "chunk_id", "n_bytes") \
+            .orderBy("media_id", "chunk_id")
+
+    q["mm_payload_chunks"] = mm_payload_chunks
+
     return q
 
 
@@ -2789,6 +2807,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id, octet_length(text::BLOB) AS payload_bytes,
                md5(text) AS payload_digest
         FROM documents ORDER BY media_id LIMIT 300
+    """
+
+    # chunk geometry from byte-length arithmetic: k = max(ceil(len/100), 1)
+    # chunks; chunk i holds min(100, len - i*100) bytes (0 for the single
+    # chunk of an empty payload)
+    o["mm_payload_chunks"] = """
+        WITH m AS (
+            SELECT doc_id AS media_id, octet_length(text::BLOB) AS len
+            FROM documents WHERE text IS NOT NULL
+        ), base AS (
+            SELECT media_id, len,
+                   greatest(CAST(ceil(len / 100.0) AS INT), 1) AS k
+            FROM m
+        )
+        SELECT media_id, CAST(i AS INT) AS chunk_id,
+               CASE WHEN len = 0 THEN 0
+                    ELSE least(100, len - CAST(i AS INT) * 100) END AS n_bytes
+        FROM (SELECT media_id, len, unnest(range(0, k)) AS i FROM base)
+        ORDER BY media_id, chunk_id
     """
 
     # fitted-IVF store with nprobe = num_buckets: bucketing only prunes,

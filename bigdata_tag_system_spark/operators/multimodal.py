@@ -75,6 +75,41 @@ def _stub_decode(payload: bytes, dim: int = 8) -> list[float]:
     return [int.from_bytes(d[4 * i : 4 * i + 4], "little") / 2**32 for i in range(dim)]
 
 
+def chunk_payloads(
+    df: DataFrame,
+    chunk_bytes: int = 1 << 20,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Split binary payloads into fixed-size byte chunks (map-only).
+
+    The upload/shard unit for large media blobs: pure expressions —
+    ``sequence`` over the chunk count, ``substring`` on the binary (Spark
+    slices BinaryType by byte), one ``posexplode``. Zero shuffle, no
+    Python; same plan shape as text chunking (operators/text.py
+    chunk_documents) applied to bytes. Output: ``(id, chunk_id,
+    chunk binary, n_bytes)``; empty payloads yield one empty chunk so
+    every media row survives (NULL payloads are dropped by the explode,
+    like NULL text in the text operators).
+    """
+    if chunk_bytes < 1:
+        raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
+    p = F.col(payload_col)
+    n = F.ceil(F.octet_length(p) / F.lit(float(chunk_bytes))).cast("int")
+    # greatest() IGNORES nulls (returns 0 for a NULL count), so gate the
+    # whole chunk array on payload presence — a NULL array explodes to
+    # nothing, which is how NULL payloads get dropped
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    chunks = F.when(
+        p.isNotNull(),
+        F.transform(idx, lambda i: p.substr(i * chunk_bytes + 1, F.lit(chunk_bytes))),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .withColumn("n_bytes", F.octet_length("chunk"))
+    )
+
+
 def media_repartition(
     df: DataFrame,
     target_partition_bytes: int = 128 << 20,
