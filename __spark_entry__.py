@@ -216,7 +216,7 @@ _DRIVER_FIRST = [
     "text_url_domains", "text_url_blocklist", "join_salted",
     "scenario_all_tag_subset", "scenario_keys_overwrite",
     "func_string_battery", "func_math_battery", "func_date_battery",
-    "mm_payload_chunks",
+    "mm_payload_chunks", "sim_quantized_topk",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -1439,6 +1439,24 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("q_id", "rank")
 
     q["sim_knn_bucketed"] = sim_knn_bucketed
+
+    def sim_quantized_topk(spark, sf_dir):
+        # int8-prefilter + exact-rescore ANN: rescore sized to cover the
+        # corpus, so the integer prefilter is provably lossless and the
+        # brute-force oracle applies; ranking at small rescore factors
+        # is pytest-checked (tests/test_payload_chunks.py quantize props,
+        # tests/test_embeddings_ops.py)
+        from bigdata_tag_system_spark.operators.embeddings import quantized_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = list(emb.where("vec_id = 0").collect()[0]["embedding"])
+        n = emb.count()
+        out = quantized_topk(emb, qv, k=10, rescore=(n + 9) // 10)
+        return out.select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        ).orderBy(F.desc("cosine"), "vec_id")
+
+    q["sim_quantized_topk"] = sim_quantized_topk
 
     # ---- portable-hash sketch variants (oracle-recomputable) ----
     def dedup_simhash_portable(spark, sf_dir):
@@ -2831,6 +2849,8 @@ def oracle_sql() -> dict[str, str]:
     # fitted-IVF store with nprobe = num_buckets: bucketing only prunes,
     # so the exact brute-force ranking is the oracle (same as sim_ivf_topk)
     o["sim_ivf_indexed"] = o["sim_cosine_topk"]
+    # int8 prefilter with corpus-covering rescore: exact result
+    o["sim_quantized_topk"] = o["sim_cosine_topk"]
 
     # portable 60-bit SimHash recomputed from first principles: the
     # md5-derived shingle hash (('0x' || 15 hex chars)::BIGINT ==

@@ -93,6 +93,78 @@ def dim_scales(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def quantized_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rescore: int = 4,
+    scales: list[float] | None = None,
+) -> DataFrame:
+    """Memory-efficient cosine top-k: int8 prefilter + exact rescore.
+
+    The pattern a quantized in-memory corpus enables at 100 TB: the
+    cheap pass scores every vector against the int8-quantized query
+    with an integer dot product (4× less memory traffic than float32,
+    products bounded by 127²·dim — safe in int64), keeps the top
+    ``rescore × k`` candidates via ``orderBy+limit``
+    (TakeOrderedAndProject — per-partition heaps, no full sort), then
+    rescores ONLY those with the exact float cosine. Ranking quality is
+    set by ``rescore``: candidates beyond the quantization noise floor
+    never reach the exact pass, and ``rescore × k ≥ corpus`` degrades
+    to exact brute force (the oracle path; recall at small factors is
+    pytest-checked). ``scales`` accepts a frozen per-dimension scale
+    vector (list of floats) so query and a stored quantized corpus
+    share one layout.
+    """
+    if rescore < 1:
+        raise ValueError(f"rescore must be >= 1, got {rescore}")
+    if scales is None:
+        scales = [float(s) for s in
+                  dim_scales(df, vec_col).collect()[0]["scales"]]
+    if len(scales) != len(query):
+        raise ValueError(
+            f"scale vector has dim {len(scales)}, query has {len(query)}")
+    import math
+
+    qmax = 127
+    # same floor(+0.5) rounding as quantize_embeddings, so query and
+    # corpus share one quantization semantics
+    q_int = [0 if s <= 0 else math.floor((v / s) * qmax + 0.5)
+             for v, s in zip(query, scales)]
+    sc_df = _scales_df(df, scales)
+    quant = quantize_embeddings(df, vec_col, scales=sc_df)
+    q_arr = F.array(*[F.lit(x) for x in q_int])
+    approx = F.aggregate(
+        F.zip_with("qvec", q_arr, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cands = (
+        quant.select(F.col(id_col), F.col(vec_col), approx.alias("_approx"))
+        .orderBy(F.desc("_approx"), F.col(id_col))
+        .limit(rescore * k)
+    )
+    v = _vec(vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(F.zip_with(v, qlit, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    qn = sum(x * x for x in query) ** 0.5 or 1.0
+    vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    cos = dot / (vn * F.lit(qn))
+    return (
+        cands.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _scales_df(df: DataFrame, scales: list[float]) -> DataFrame:
+    """One-row scales relation from an explicit scale vector."""
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(list(map(float, scales)),)], "scales array<double>")
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

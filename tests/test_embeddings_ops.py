@@ -87,6 +87,36 @@ class TestQuantize:
         with pytest.raises(ValueError, match="bits"):
             quantize_embeddings(emb, bits=1)
 
+    def test_quantized_topk_exact_at_full_rescore(self, spark):
+        import math
+        import random
+
+        from bigdata_tag_system_spark.operators.embeddings import quantized_topk
+
+        rng = random.Random(11)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        query = rows[0][1]
+
+        def cos(v):
+            d = sum(a * b for a, b in zip(v, query))
+            return d / (math.sqrt(sum(x * x for x in v))
+                        * math.sqrt(sum(x * x for x in query)))
+
+        exact = sorted(((round(cos(v), 9), -i) for i, v in rows),
+                       reverse=True)[:5]
+        exact_ids = [-neg for _, neg in exact]
+        # rescore covering the corpus → identical to brute force
+        got = [r["vec_id"] for r in
+               quantized_topk(df, query, k=5, rescore=8).collect()]
+        assert got == exact_ids
+        # small rescore factor: top-1 (the query itself) must survive the
+        # integer prefilter, and every returned id must rank by exact cosine
+        approx = quantized_topk(df, query, k=5, rescore=2).collect()
+        assert approx[0]["vec_id"] == 0
+        assert [r["cosine"] for r in approx] == sorted(
+            (r["cosine"] for r in approx), reverse=True)
+
     def test_corpus_pass_is_map_only(self, emb):
         # the corpus side of quantization must not shuffle: the one-row
         # scale relation broadcasts (IdentityBroadcastMode nested-loop),
