@@ -216,7 +216,7 @@ _DRIVER_FIRST = [
     "text_url_domains", "text_url_blocklist", "join_salted",
     "scenario_all_tag_subset", "scenario_keys_overwrite",
     "func_string_battery", "func_math_battery", "func_date_battery",
-    "mm_payload_chunks", "sim_quantized_topk",
+    "mm_payload_chunks", "sim_quantized_topk", "dedup_pipeline_keep_best",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -1308,6 +1308,18 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id").orderBy("doc_id")
 
     q["dedup_pipeline_keep"] = dedup_pipeline_keep
+
+    def dedup_pipeline_keep_best(spark, sf_dir):
+        # production keep-strategy: per cluster keep the LONGEST copy
+        # (max n_chars, tie → lowest id) instead of the lowest id —
+        # near-identical docs tie on length often, so the tiebreak is
+        # genuinely exercised
+        d = _t(spark, sf_dir, "documents")
+        pairs = D.minhash_dedup(d, threshold=0.5)
+        out = D.dedup_by_components(d, pairs, keep_col="n_chars")
+        return out.select("doc_id").orderBy("doc_id")
+
+    q["dedup_pipeline_keep_best"] = dedup_pipeline_keep_best
 
     def dedup_minhash_lsh(spark, sf_dir):
         # LSH prunes candidates; exact-Jaccard verification means output ==
@@ -2622,6 +2634,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE cc.comp < sym.d
         ), losers AS (
             SELECT node FROM cc GROUP BY node HAVING min(comp) < node
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM losers)
+        ORDER BY doc_id
+    """
+
+    # keep-best variant: same closure, winner per component = max n_chars
+    # with lowest-id tiebreak (row_number over the member set)
+    o["dedup_pipeline_keep_best"] = f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM sh
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT id_a, id_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        ), sym AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), cc AS (
+            SELECT s AS node, s AS comp FROM sym
+            UNION
+            SELECT sym.d AS node, cc.comp
+            FROM cc JOIN sym ON sym.s = cc.node
+            WHERE cc.comp < sym.d
+        ), members AS (
+            SELECT node, min(comp) AS component FROM cc GROUP BY node
+        ), ranked AS (
+            SELECT m.node,
+                   row_number() OVER (PARTITION BY m.component
+                       ORDER BY d.n_chars DESC NULLS LAST, m.node) AS rn
+            FROM members m JOIN documents d ON d.doc_id = m.node
+        ), losers AS (
+            SELECT node FROM ranked WHERE rn > 1
         )
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM losers)

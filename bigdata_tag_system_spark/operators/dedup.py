@@ -909,12 +909,36 @@ def dedup_by_components(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    keep_col: str | None = None,
 ) -> DataFrame:
-    """Keep one representative row (min id) per duplicate cluster.
+    """Keep one representative row per duplicate cluster.
 
     ``pairs`` is any near-dup pair output; rows never appearing in a
-    pair survive untouched. The anti-join removes every clustered node
-    that is not its component's minimum."""
+    pair survive untouched. Default representative is the min id (an
+    anti-join removes every clustered node that is not its component's
+    minimum). With ``keep_col``, the representative is instead the
+    cluster row maximizing that column — what production dedup actually
+    wants (keep the longest / highest-quality copy, not the oldest id);
+    ties break to the lowest id, NULL scores sort lowest. Cost: one
+    extra component-keyed aggregate over cluster members only (the
+    clustered subset, not the corpus)."""
     cc = connected_components(pairs, id_a=id_a, id_b=id_b)
-    losers = cc.where(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))
+    if keep_col is None:
+        losers = cc.where(F.col("node") != F.col("component")) \
+            .select(F.col("node").alias(id_col))
+        return df.join(losers, id_col, "left_anti")
+    scored = cc.join(
+        df.select(F.col(id_col).alias("node"), F.col(keep_col).alias("_score")),
+        "node")
+    # max over (score, -id) structs: highest score wins, tie → lowest id;
+    # NULL score sorts below any value, so a scored copy always beats an
+    # unscored one
+    winners = scored.groupBy("component").agg(
+        F.max(F.struct(F.col("_score"), (-F.col("node")).alias("_negid")))
+        .alias("_w"))
+    losers = (
+        scored.join(winners, "component")
+        .where(F.col("node") != -F.col("_w._negid"))
+        .select(F.col("node").alias(id_col))
+    )
     return df.join(losers, id_col, "left_anti")

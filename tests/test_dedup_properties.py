@@ -141,6 +141,27 @@ def test_dedup_by_components_keeps_one_per_cluster(spark):
         (1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
+def test_dedup_by_components_keep_best(spark):
+    from bigdata_tag_system_spark.operators.dedup import dedup_by_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = [
+        # cluster {1,2,3}: 2 has the best score → keep 2
+        (1, 5.0), (2, 9.0), (3, 7.0),
+        # cluster {10,11}: tie → keep lowest id 10
+        (10, 4.0), (11, 4.0),
+        # cluster {20,21}: NULL score loses to any scored copy
+        (20, None), (21, 1.0),
+        # unpaired rows survive regardless of score
+        (15, None), (16, 2.0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, score double")
+    kept = {r["doc_id"] for r in
+            dedup_by_components(docs, pairs, keep_col="score").collect()}
+    assert kept == {2, 10, 21, 15, 16}
+
+
 # ---------------------------------------------------------------------------
 # Containment join (asymmetric near-dup: subset duplication)
 # ---------------------------------------------------------------------------
