@@ -73,6 +73,10 @@ def main() -> None:
         "dedup_simhash_portable",  # portable 60-bit SimHash + Hamming join
         "sim_ivf_indexed",         # partition-pruned fitted IVF store
         "stream_batch_parity",     # availableNow streaming replay
+        "dedup_pipeline_keep_best", # cluster dedup with argmax keep-strategy
+        "sim_knn_bucketed",        # bucket-joined kNN for large query sets
+        "sim_quantized_topk",      # int8 prefilter + exact rescore
+        "emb_quantize_int8",       # per-dim scale fit + map-only quantize
     ]
 
     # warmup: prime JVM/codegen on a small action
