@@ -42,6 +42,8 @@ _STREAM_WINDOW_CACHE: dict[str, str] = {}
 _CENTROID_CACHE: dict[str, list] = {}
 # embeddings re-keyed as doc_id, staged once per sf_dir (see cross_table_rule)
 _EMB_KEYED_CACHE: dict[str, str] = {}
+# bucketed store directories, keyed by sf_dir (see store_bucketed_merge)
+_BUCKET_STORE_CACHE: dict[str, str] = {}
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +219,7 @@ _DRIVER_FIRST = [
     "scenario_all_tag_subset", "scenario_keys_overwrite",
     "func_string_battery", "func_math_battery", "func_date_battery",
     "mm_payload_chunks", "sim_quantized_topk", "dedup_pipeline_keep_best",
+    "store_bucketed_merge",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -507,6 +510,40 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.agg(F.count(F.lit(1)).alias("cnt"))
 
     q["delete_rewrite"] = delete_rewrite
+
+    def store_bucketed_merge(spark, sf_dir):
+        # the Exchange-free store path with a hard result signal: the
+        # existing profiles live in a BUCKETED store (hash-laid-out on
+        # disk, zero Exchange/Sort on the store side of the merge —
+        # plan-asserted in tests/test_sources_scenarios.py); bucketing
+        # is physical only, so the plain full-outer merge SQL is the
+        # oracle. Store built once per sf_dir per process.
+        import tempfile
+
+        from bigdata_tag_system_spark.sources.bucketed_store import (
+            read_bucketed_store,
+            write_bucketed_store,
+        )
+
+        _prep(spark)
+        c = _t(spark, sf_dir, "customer")
+        path = _BUCKET_STORE_CACHE.get(sf_dir)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="bstore_") + "/store"
+            old = c.where("c_custkey % 3 = 0").select(
+                F.col("c_custkey").alias("user_id"),
+                F.array(F.lit(99)).alias("tag_ids"))
+            write_bucketed_store(spark, old, path, key="user_id", num_buckets=8)
+            _BUCKET_STORE_CACHE[sf_dir] = path
+        store = read_bucketed_store(spark, path, key="user_id", num_buckets=8)
+        new = c.where("c_mktsegment = 'BUILDING'").select(
+            F.col("c_custkey").alias("user_id"),
+            F.array(F.lit(1)).alias("tag_ids"))
+        merged = merge_profiles(new, store, "full_outer")
+        return merged.select(
+            "user_id", F.to_json("tag_ids").alias("tag_ids")).orderBy("user_id")
+
+    q["store_bucketed_merge"] = store_bucketed_merge
 
     # ---- scans / joins (SURVEY §2.1, §2.3) ----
     q["scan_count"] = lambda spark, sf_dir: _t(spark, sf_dir, "lineitem").agg(
@@ -1991,6 +2028,18 @@ def oracle_sql() -> dict[str, str]:
     o["delete_rewrite"] = (
         "SELECT count(*) AS cnt FROM orders WHERE o_orderkey NOT IN "
         "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')")
+    # bucketing is physical layout only — plain full-outer merge semantics
+    o["store_bucketed_merge"] = """
+        WITH newp AS (SELECT c_custkey AS user_id, [1] AS tags
+                      FROM customer WHERE c_mktsegment = 'BUILDING'),
+             oldp AS (SELECT c_custkey AS user_id, [99] AS tags
+                      FROM customer WHERE c_custkey % 3 = 0)
+        SELECT coalesce(n.user_id, o.user_id) AS user_id,
+               to_json(list_sort(list_distinct(
+                   coalesce(n.tags, []) || coalesce(o.tags, [])))) AS tag_ids
+        FROM newp n FULL OUTER JOIN oldp o ON n.user_id = o.user_id
+        ORDER BY user_id
+    """
 
     o["scan_count"] = "SELECT count(*) AS cnt FROM lineitem"
     o["inline_rows"] = (
