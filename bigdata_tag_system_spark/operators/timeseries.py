@@ -152,9 +152,16 @@ def range_join(
     """
     if how != "inner":
         raise ValueError("range_join currently supports inner joins")
-    qty, _, unit = bucket.partition(" ")
-    secs = int(qty) * {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-                       "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour|day)s?\s*",
+                     str(bucket), flags=re.IGNORECASE)
+    if not m:
+        raise ValueError(
+            f"range_join bucket must look like '<n> <unit>' with unit in "
+            f"second/minute/hour/day(s), got {bucket!r}")
+    secs = int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600,
+                              "day": 86400}[m.group(2).lower()]
 
     p = points.withColumn(
         "_bucket", (F.unix_timestamp(F.col(ts)) / secs).cast("long"))

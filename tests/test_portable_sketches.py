@@ -109,6 +109,22 @@ class TestGuards:
         with pytest.raises(ValueError, match="integral id columns"):
             D.connected_components(pairs)
 
+    def test_range_join_bucket_rejects_malformed(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import range_join
+
+        pts = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00")], "user_id long, ts string"
+        ).selectExpr("user_id", "ts::timestamp AS ts")
+        iv = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00", "2024-01-01 11:00:00")],
+            "user_id long, start_ts string, end_ts string",
+        ).selectExpr("user_id", "start_ts::timestamp AS start_ts",
+                     "end_ts::timestamp AS end_ts")
+        for bad in ("1 fortnight", "soon", "3; DROP"):
+            with pytest.raises(ValueError, match="bucket"):
+                range_join(pts, iv, bucket=bad)
+        assert range_join(pts, iv, bucket="1 Hour").count() == 1
+
     def test_asof_tolerance_rejects_malformed(self, spark):
         from bigdata_tag_system_spark.operators.timeseries import (
             _parse_tolerance,
