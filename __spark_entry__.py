@@ -219,7 +219,7 @@ _DRIVER_FIRST = [
     "scenario_all_tag_subset", "scenario_keys_overwrite",
     "func_string_battery", "func_math_battery", "func_date_battery",
     "mm_payload_chunks", "sim_quantized_topk", "dedup_pipeline_keep_best",
-    "store_bucketed_merge",
+    "store_bucketed_merge", "ts_interval_overlap", "dedup_cluster_sizes",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -1102,6 +1102,32 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_range_join"] = ts_range_join
 
+    def ts_interval_overlap(spark, sf_dir):
+        # interval×interval overlap join (half-open): purchase windows
+        # [ts, ts+2h) × click windows [ts, ts+30m) per user — event ids
+        # ride along so the bucket-collapsing distinct never merges
+        # genuinely distinct pairs
+        from bigdata_tag_system_spark.operators.timeseries import (
+            interval_overlap_join,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        lft = ev.where("event_type = 'purchase'").select(
+            F.col("event_id").alias("l_id"), "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"))
+        rgt = ev.where("event_type = 'click'").select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("r_end_ts"))
+        out = interval_overlap_join(
+            lft, rgt.withColumnRenamed("r_user_id", "user_id"),
+            bucket="1 hour")
+        return out.agg(F.count(F.lit(1)).alias("cnt"))
+
+    q["ts_interval_overlap"] = ts_interval_overlap
+
     # ---- text analysis ----
     def text_token_stats(spark, sf_dir):
         d = _t(spark, sf_dir, "documents")
@@ -1300,13 +1326,11 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
-    def dedup_components(spark, sf_dir):
-        # duplicate-CLUSTER resolution: transitive closure over a pair
-        # graph (alternating large-star/small-star). The edge set is
-        # built deterministically so DuckDB can oracle the closure with
-        # a recursive CTE: consecutive same-lang docs form chains (the
-        # diameter stressor) and same-length docs inside a 25-id block
-        # form cliques.
+    def _doc_edge_graph(spark, sf_dir):
+        # deterministic pair graph over documents so DuckDB can oracle
+        # the transitive closure with a recursive CTE: consecutive
+        # same-lang docs form chains (the diameter stressor) and
+        # same-length docs inside a 25-id block form cliques
         d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
         a, b = d.alias("a"), d.alias("b")
         chain = a.join(
@@ -1320,9 +1344,27 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             & (F.col("a.n_chars") == F.col("b.n_chars"))
             & (F.floor(F.col("a.doc_id") / 25) == F.floor(F.col("b.doc_id") / 25)),
         ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        return D.connected_components(chain.union(clique)).orderBy("node")
+        return chain.union(clique)
+
+    def dedup_components(spark, sf_dir):
+        # duplicate-CLUSTER resolution: transitive closure over the pair
+        # graph (alternating large-star/small-star)
+        return D.connected_components(
+            _doc_edge_graph(spark, sf_dir)).orderBy("node")
 
     q["dedup_components"] = dedup_components
+
+    def dedup_cluster_sizes(spark, sf_dir):
+        # cluster-size histogram — the dedup-run report a curation
+        # pipeline actually reads (how much duplication, at what cluster
+        # granularity): CC labels → per-component size → size histogram
+        cc = D.connected_components(_doc_edge_graph(spark, sf_dir))
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).alias("cluster_size"))
+        return sizes.groupBy("cluster_size").agg(
+            F.count(F.lit(1)).alias("n_clusters")).orderBy("cluster_size")
+
+    q["dedup_cluster_sizes"] = dedup_cluster_sizes
 
     def dedup_containment(spark, sf_dir):
         # asymmetric near-dup: |A∩B| / min(|A|,|B|) — catches a document
@@ -2767,6 +2809,54 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node, min(comp) AS component FROM cc GROUP BY node ORDER BY node
     """
+    # same closure, reported as a size histogram
+    o["dedup_cluster_sizes"] = """
+        WITH RECURSIVE edges AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b
+              ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM documents a JOIN documents b
+              ON a.doc_id < b.doc_id AND a.n_chars = b.n_chars
+             AND CAST(floor(a.doc_id / 25) AS BIGINT)
+               = CAST(floor(b.doc_id / 25) AS BIGINT)
+        ),
+        sym AS (
+            SELECT id_a AS s, id_b AS d FROM edges
+            UNION
+            SELECT id_b, id_a FROM edges
+        ),
+        cc AS (
+            SELECT s AS node, s AS comp FROM sym
+            UNION
+            SELECT sym.d AS node, cc.comp
+            FROM cc JOIN sym ON sym.s = cc.node
+            WHERE cc.comp < sym.d
+        ),
+        labels AS (
+            SELECT node, min(comp) AS component FROM cc GROUP BY node
+        ),
+        sizes AS (
+            SELECT component, count(*) AS cluster_size
+            FROM labels GROUP BY component
+        )
+        SELECT cluster_size, count(*) AS n_clusters
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+    o["ts_interval_overlap"] = """
+        SELECT count(*) AS cnt
+        FROM (SELECT event_id, user_id, ts AS ls,
+                     ts + INTERVAL 2 HOUR AS le
+              FROM events WHERE event_type = 'purchase') l
+        JOIN (SELECT event_id, user_id, ts AS rs,
+                     ts + INTERVAL 30 MINUTE AS re
+              FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id
+         AND greatest(l.ls, r.rs) < least(l.le, r.re)
+    """
+
     # minhash-LSH verifies candidates with exact Jaccard → same result set
     o["dedup_minhash_lsh"] = _SHINGLE_CTE
     # incremental: same exact pair set, restricted to pairs touching the

@@ -132,6 +132,60 @@ def asof_join(
     return filled.select(*out_cols)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "r_start_ts",
+    right_end: str = "r_end_ts",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Join interval rows to interval rows that OVERLAP per key
+    (half-open semantics: ``max(starts) < min(ends)``).
+
+    The interval×interval analogue of :func:`range_join`: both sides
+    explode to every grid bucket they touch, meet in a hash equi-join on
+    (key, bucket), then the exact overlap predicate filters — and a
+    distinct on the surviving pair collapses the multiple buckets a long
+    overlap spans. Stays a hash join at any scale; a plain theta join
+    degrades to per-key nested loops. Bucket width trades explode
+    replication against candidate count, exactly as in range_join.
+    """
+    secs = _parse_bucket_seconds(bucket, "interval_overlap_join")
+
+    def _explode(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket",
+            F.explode(F.sequence(
+                (F.unix_timestamp(F.col(start)) / secs).cast("long"),
+                (F.unix_timestamp(F.col(end)) / secs).cast("long"),
+            )),
+        )
+
+    l_ = _explode(left, left_start, left_end)
+    r_ = _explode(right, right_start, right_end)
+    joined = l_.join(r_, on=[on, "_bucket"], how="inner").where(
+        (F.greatest(F.col(left_start), F.col(right_start))
+         < F.least(F.col(left_end), F.col(right_end)))
+    )
+    return joined.drop("_bucket").distinct()
+
+
+def _parse_bucket_seconds(bucket: str, op: str) -> int:
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour|day)s?\s*",
+                     str(bucket), flags=re.IGNORECASE)
+    if not m:
+        raise ValueError(
+            f"{op} bucket must look like '<n> <unit>' with unit in "
+            f"second/minute/hour/day(s), got {bucket!r}")
+    return int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600,
+                              "day": 86400}[m.group(2).lower()]
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -152,16 +206,7 @@ def range_join(
     """
     if how != "inner":
         raise ValueError("range_join currently supports inner joins")
-    import re
-
-    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour|day)s?\s*",
-                     str(bucket), flags=re.IGNORECASE)
-    if not m:
-        raise ValueError(
-            f"range_join bucket must look like '<n> <unit>' with unit in "
-            f"second/minute/hour/day(s), got {bucket!r}")
-    secs = int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600,
-                              "day": 86400}[m.group(2).lower()]
+    secs = _parse_bucket_seconds(bucket, "range_join")
 
     p = points.withColumn(
         "_bucket", (F.unix_timestamp(F.col(ts)) / secs).cast("long"))

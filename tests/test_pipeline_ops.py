@@ -729,6 +729,36 @@ class TestTimeseries:
         assert got == {(1, "2024-01-01 10:30:00", "s1"),
                        (2, "2024-01-01 10:30:00", "s2")}
 
+    def test_interval_overlap_join_crafted(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            interval_overlap_join,
+        )
+
+        def _iv(rows, s, e):
+            return spark.createDataFrame(
+                rows, f"id long, user_id long, {s} string, {e} string") \
+                .withColumn(s, F.to_timestamp(s)).withColumn(e, F.to_timestamp(e))
+
+        left = _iv([
+            (1, 1, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+            (2, 1, "2024-01-01 15:00:00", "2024-01-01 16:00:00"),
+            (3, 2, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+        ], "start_ts", "end_ts").withColumnRenamed("id", "l_id")
+        right = _iv([
+            # overlaps left 1 (crosses bucket boundary; must emit ONE row)
+            (10, 1, "2024-01-01 11:30:00", "2024-01-01 13:30:00"),
+            # touches left 1's end exactly → half-open, NO overlap
+            (11, 1, "2024-01-01 12:00:00", "2024-01-01 12:30:00"),
+            # overlaps left 3 but wrong user for the others
+            (12, 2, "2024-01-01 09:00:00", "2024-01-01 10:30:00"),
+        ], "r_start_ts", "r_end_ts").withColumnRenamed("id", "r_id")
+        got = {(r["l_id"], r["r_id"]) for r in
+               interval_overlap_join(left, right, bucket="1 hour").collect()}
+        assert got == {(1, 10), (3, 12)}
+        # a long overlap spans many buckets yet emits exactly one row
+        cnt = interval_overlap_join(left, right, bucket="1 minute").count()
+        assert cnt == 2
+
 
 class TestGroupedMapFeatures:
     def test_normalize_per_user_pandas_matches_window_default(self, spark, events):
