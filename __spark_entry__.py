@@ -220,6 +220,7 @@ _DRIVER_FIRST = [
     "func_string_battery", "func_math_battery", "func_date_battery",
     "mm_payload_chunks", "sim_quantized_topk", "dedup_pipeline_keep_best",
     "store_bucketed_merge", "ts_interval_overlap", "dedup_cluster_sizes",
+    "rule_regex_match",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -321,6 +322,21 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return df.where(compile_rule(rule)).agg(F.count(F.lit(1)).alias("cnt"))
 
     q["rule_cmp_decimal"] = rule_cmp_decimal
+
+    def rule_regex_match(spark, sf_dir):
+        # regex rule operator (engine extension): unanchored-search
+        # semantics on both engines (Spark rlike ≡ DuckDB regexp_matches),
+        # pattern kept in the lookahead-free Java∩RE2 subset
+        df = _t(spark, sf_dir, "part")
+        m = compile_rule(_rule(
+            _cond("p_name", "matches", "^[a-z]+ (red|green)", "string")))
+        nm = compile_rule(_rule(
+            _cond("p_name", "not_matches", "[0-9]", "string")))
+        return df.agg(
+            F.count(F.when(m, 1)).alias("match_cnt"),
+            F.count(F.when(nm, 1)).alias("not_match_cnt"))
+
+    q["rule_regex_match"] = rule_regex_match
 
     # rows-only: sampling is engine-specific (seeded, not portable)
     def rule_sample(spark, sf_dir):
@@ -1917,6 +1933,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(*) AS cnt FROM customer WHERE c_mktsegment = 'BUILDING' "
         "AND (c_acctbal >= 5000 OR c_nationkey = 3)")
     o["rule_empty_select_all"] = "SELECT count(*) AS cnt FROM nation WHERE 1=1"
+    o["rule_regex_match"] = """
+        SELECT count(*) FILTER (WHERE regexp_matches(p_name, '^[a-z]+ (red|green)'))
+                   AS match_cnt,
+               count(*) FILTER (WHERE NOT regexp_matches(p_name, '[0-9]'))
+                   AS not_match_cnt
+        FROM part
+    """
     o["rule_cmp_decimal"] = (
         "SELECT count(*) AS cnt FROM part "
         "WHERE p_retailprice::DECIMAL(20,8) >= 1500.50000000::DECIMAL(20,8)")

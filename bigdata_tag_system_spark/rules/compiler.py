@@ -55,6 +55,8 @@ KNOWN_OPERATORS = (
         "not_contains",
         "starts_with",
         "ends_with",
+        "matches",
+        "not_matches",
         "recent_days",
         "days_ago",
         # spec §3.6 array-field operators
@@ -257,6 +259,18 @@ class RuleCompiler:
             return col.startswith(str(value))
         if op == "ends_with":
             return col.endswith(str(value))
+        if op in ("matches", "not_matches"):
+            # regex operator (engine extension; the reference rule
+            # language stops at contains/starts/ends). Patterns should
+            # stay in the lookahead-free Java∩RE2 subset for portability
+            # (same contract as functions.text.PII_PATTERNS); 3VL: NULL
+            # fields fail both polarities, like every other operator.
+            if value is None or str(value) == "":
+                if self.strict:
+                    raise RuleCompileError(f"{op} needs a non-empty pattern")
+                return F.lit(False)
+            pred = col.rlike(str(value))
+            return pred if op == "matches" else ~pred
 
         if op == "recent_days":
             # field >= as_of - N days (reference ``rule_parser.py:147-148``)

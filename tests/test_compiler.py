@@ -88,6 +88,15 @@ class TestNullAndStrings:
         assert _hits(tiny, c("s", "starts_with", "be")) == {"b"}
         assert _hits(tiny, c("s", "ends_with", "a")) == {"a", "b", "c"}
 
+    def test_regex_matches(self, tiny):
+        # unanchored search; NULL s (row d) fails BOTH polarities (3VL)
+        assert _hits(tiny, c("s", "matches", "^(al|be)")) == {"a", "b"}
+        assert _hits(tiny, c("s", "matches", "m+a$")) == {"c"}
+        assert _hits(tiny, c("s", "not_matches", "a$")) == set()
+        assert _hits(tiny, c("s", "not_matches", "^al")) == {"b", "c"}
+        with pytest.raises(RuleCompileError):
+            compile_rule(c("s", "matches", ""))
+
 
 class TestDates:
     def test_recent_days_pinned(self, tiny):
