@@ -220,7 +220,7 @@ _DRIVER_FIRST = [
     "func_string_battery", "func_math_battery", "func_date_battery",
     "mm_payload_chunks", "sim_quantized_topk", "dedup_pipeline_keep_best",
     "store_bucketed_merge", "ts_interval_overlap", "dedup_cluster_sizes",
-    "rule_regex_match",
+    "rule_regex_match", "sample_iqr_filter",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -1819,6 +1819,23 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_quantile_check"] = sketch_quantile_check
 
+    def sample_iqr_filter(spark, sf_dir):
+        # Tukey-fence outlier scrub: exact continuous percentiles both
+        # sides (Spark percentile ≡ DuckDB quantile_cont interpolation),
+        # then a broadcast map-only filter; count + bounded sum verify
+        # the kept set
+        from bigdata_tag_system_spark.operators.sketches import (
+            filter_outliers_iqr,
+        )
+
+        li = _t(spark, sf_dir, "lineitem")
+        kept = filter_outliers_iqr(li, "l_extendedprice", k=1.5)
+        return kept.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("kept_sum"))
+
+    q["sample_iqr_filter"] = sample_iqr_filter
+
     def sketch_topk_check(spark, sf_dir):
         from bigdata_tag_system_spark.operators.sketches import frequent_items_check
 
@@ -2960,6 +2977,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY {_kh('c_custkey', 11)}, c_custkey) AS rn
             FROM customer) t
         WHERE rn <= 5 ORDER BY c_mktsegment, c_custkey
+    """
+
+    o["sample_iqr_filter"] = """
+        WITH f AS (
+            SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                   quantile_cont(l_extendedprice, 0.75) AS q3
+            FROM lineitem
+        )
+        SELECT count(*) AS cnt,
+               round(sum(l_extendedprice), 2) AS kept_sum
+        FROM lineitem, f
+        WHERE l_extendedprice BETWEEN q1 - 1.5 * (q3 - q1)
+                                  AND q3 + 1.5 * (q3 - q1)
     """
 
     # sketch checks: the oracle recomputes the EXACT value; the flag from

@@ -163,3 +163,47 @@ def frequent_items_check(
         )
         .orderBy(F.desc("exact_cnt"), F.asc("item"))
     )
+
+
+def iqr_bounds(
+    df: DataFrame, col: str, k: float = 1.5
+) -> DataFrame:
+    """One-row relation with Tukey fences for ``col``:
+    ``(q1, q3, lo, hi)`` where ``lo/hi = q1/q3 ∓/± k·IQR``.
+
+    Uses the EXACT continuous percentile (one aggregate; at 100 TB swap
+    in ``percentile_approx`` — same shape, mergeable sketch) so an
+    independent engine recomputes the fences bit-for-bit
+    (``quantile_cont`` in DuckDB interpolates identically).
+    """
+    q1 = F.percentile(F.col(col), F.lit(0.25))
+    q3 = F.percentile(F.col(col), F.lit(0.75))
+    return df.agg(q1.alias("q1"), q3.alias("q3")).select(
+        "q1", "q3",
+        (F.col("q1") - k * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + k * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+
+
+def filter_outliers_iqr(
+    df: DataFrame, col: str, k: float = 1.5, keep_nulls: bool = False
+) -> DataFrame:
+    """Drop rows whose ``col`` falls outside the Tukey fences
+    (``[q1 - k·IQR, q3 + k·IQR]``) — the standard numeric-column scrub
+    of a data-cleaning pipeline.
+
+    The one-row fence relation broadcasts through a crossJoin, so the
+    corpus pass is map-only after the single percentile aggregate.
+    NULL values are dropped by default (they fail the between) —
+    ``keep_nulls=True`` passes them through for downstream imputation.
+    """
+    fences = iqr_bounds(df, col, k).select(
+        F.col("lo").alias("_lo"), F.col("hi").alias("_hi"))
+    inside = F.col(col).between(F.col("_lo"), F.col("_hi"))
+    if keep_nulls:
+        inside = inside | F.col(col).isNull()
+    return (
+        df.crossJoin(F.broadcast(fences))
+        .where(inside)
+        .drop("_lo", "_hi")
+    )

@@ -115,6 +115,25 @@ class TestSampling:
 
 
 class TestSketches:
+    def test_iqr_outlier_filter(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            filter_outliers_iqr,
+            iqr_bounds,
+        )
+
+        # values 1..100 plus extreme outliers and a NULL
+        rows = [(i, float(i)) for i in range(1, 101)]
+        rows += [(200, 10_000.0), (201, -10_000.0), (202, None)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        b = iqr_bounds(df, "v").collect()[0]
+        assert b["q1"] < b["q3"] and b["lo"] < b["q1"] and b["hi"] > b["q3"]
+        kept = {r["id"] for r in filter_outliers_iqr(df, "v").collect()}
+        assert 200 not in kept and 201 not in kept and 202 not in kept
+        assert set(range(1, 101)) <= kept
+        with_nulls = {r["id"] for r in
+                      filter_outliers_iqr(df, "v", keep_nulls=True).collect()}
+        assert with_nulls == kept | {202}
+
     def test_distinct_and_quantiles_within_tolerance(self, spark, people):
         from bigdata_tag_system_spark.operators.sketches import (
             distinct_count_check,
