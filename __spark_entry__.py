@@ -221,6 +221,7 @@ _DRIVER_FIRST = [
     "mm_payload_chunks", "sim_quantized_topk", "dedup_pipeline_keep_best",
     "store_bucketed_merge", "ts_interval_overlap", "dedup_cluster_sizes",
     "rule_regex_match", "sample_iqr_filter",
+    "text_bm25_topk", "sim_hybrid_rrf",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -1311,6 +1312,47 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy("domain")
 
     q["text_url_domains"] = text_url_domains
+
+    def text_bm25_topk(spark, sf_dir):
+        # Okapi BM25 lexical retrieval: the driver compare is order-
+        # insensitive (rows sorted before hashing), and the top-k cut
+        # uses the UNROUNDED score on both sides
+        out = T.bm25_topk(
+            _t(spark, sf_dir, "documents"),
+            ["data", "query", "system"], k=10)
+        return out.select(
+            "doc_id", F.round("score", 4).alias("score"))
+
+    q["text_bm25_topk"] = text_bm25_topk
+
+    def sim_hybrid_rrf(spark, sf_dir):
+        # hybrid search: BM25 lexical ranks × cosine vector ranks fused
+        # with reciprocal-rank fusion (1/(60+rank) each, absent → 0).
+        # doc_id and vec_id share the same key space in the test tables.
+        # The unpartitioned rank windows run over top-50 relations only
+        # (bounded by construction — never corpus-sized), so the
+        # single-partition WindowExec they trigger is O(k), not a scale
+        # hazard.
+        from pyspark.sql import Window
+
+        from bigdata_tag_system_spark.operators.similarity import rrf_fuse
+
+        docs = _t(spark, sf_dir, "documents")
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+        lex = T.bm25_topk(docs, ["data", "query", "system"], k=50)
+        lex_ranked = lex.select(
+            "doc_id", F.row_number().over(
+                Window.orderBy(F.desc("score"), F.col("doc_id"))).alias("rank"))
+        vec = S.cosine_topk(emb, qv, k=50)
+        vec_ranked = vec.select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine"), F.col("vec_id"))).alias("rank"))
+        out = rrf_fuse(lex_ranked, vec_ranked, k=10)
+        return out.select("doc_id", F.round("rrf", 6).alias("rrf"))
+
+    q["sim_hybrid_rrf"] = sim_hybrid_rrf
 
     def text_url_blocklist(spark, sf_dir):
         kept = T.filter_blocked_domains(
@@ -3180,6 +3222,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT domain, count(*) AS doc_freq
         FROM doms GROUP BY domain ORDER BY domain
     """
+    _BM25_CTES = f"""
+        base AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), lens AS (
+            SELECT doc_id,
+                   CASE WHEN array_to_string(t, '') = '' THEN 0
+                        ELSE len(t) END AS dl
+            FROM base
+        ), stats AS (
+            SELECT count(*) AS n, avg(dl) AS avgdl FROM lens
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM base)
+            WHERE term IN ('data', 'query', 'system')
+            GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT t.doc_id,
+                   sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS s
+            FROM tf t
+            JOIN dfreq d USING (term)
+            JOIN lens l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
+        )
+    """
+    o["text_bm25_topk"] = f"""
+        WITH {_BM25_CTES}
+        SELECT doc_id, round(s, 4) AS score
+        FROM scored ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+    o["sim_hybrid_rrf"] = f"""
+        WITH {_BM25_CTES},
+        lex AS (
+            SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+            FROM (SELECT doc_id, s FROM scored
+                  ORDER BY s DESC, doc_id LIMIT 50)
+        ), vec AS (
+            SELECT vid AS doc_id,
+                   row_number() OVER (ORDER BY cos DESC, vid) AS rank
+            FROM (
+                SELECT b.vec_id AS vid,
+                       list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]) AS cos
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id = 0
+                ORDER BY cos DESC, vid LIMIT 50)
+        ), fused AS (
+            SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                   coalesce(1.0 / (60 + l.rank), 0)
+                 + coalesce(1.0 / (60 + v.rank), 0) AS rrf
+            FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        )
+        SELECT doc_id, round(rrf, 6) AS rrf
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
     o["text_url_blocklist"] = f"""
         WITH aug AS ({_URL_AUG})
         SELECT doc_id FROM aug

@@ -630,6 +630,31 @@ def ivf_topk_indexed(
     return _scored_topk(corpus, query, k, vec_col, id_col)
 
 
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists: ``(id, rrf)``.
+
+    The standard hybrid-search combiner (lexical BM25 ranks × vector
+    cosine ranks): each list contributes ``1/(c + rank)``, ids missing
+    from a list contribute 0 for it. Both inputs are top-k-sized
+    relations, so the full-outer join is trivially small regardless of
+    corpus size — fusion cost never scales with data.
+    """
+    fa = a.select(F.col(id_col), (1.0 / (c + F.col(rank_col))).alias("_ra"))
+    fb = b.select(F.col(id_col), (1.0 / (c + F.col(rank_col))).alias("_rb"))
+    fused = fa.join(fb, id_col, "full_outer").select(
+        F.col(id_col),
+        (F.coalesce("_ra", F.lit(0.0)) + F.coalesce("_rb", F.lit(0.0))).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.col(id_col)).limit(int(k))
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

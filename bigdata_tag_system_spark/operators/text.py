@@ -226,6 +226,63 @@ def pii_scrub(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k over a document corpus: ``(id, score)``.
+
+    The standard lexical retrieval ranker. Plan shape: tokenize once
+    (map), explode and FILTER to the query terms before any aggregate —
+    the shuffled relation is (id, query-term) rows only, a vanishing
+    fraction of the corpus; per-term document frequencies are a
+    ≤|query|-row broadcast; N and the average doc length ride one
+    crossJoin-broadcast row. ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``
+    (the +1 variant, always positive); score sums
+    ``idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))``. NULL-text
+    docs are excluded; ties rank by lowest id.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(text_col).alias("_t"))
+    lens = base.select(
+        F.col(id_col),
+        F.when(F.array_join("_t", "") == "", F.lit(0))
+        .otherwise(F.size("_t")).alias("_len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_len").alias("_avgdl"))
+    terms = base.select(
+        F.col(id_col), F.explode("_t").alias("_term")
+    ).where(F.col("_term").isin(list(query_terms)))
+    tf = terms.groupBy(id_col, "_term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0)
+    contrib = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (idf * (F.col("_tf") * (k1 + 1))
+             / (F.col("_tf")
+                + k1 * (1 - b + b * F.col("_len") / F.col("_avgdl")))
+             ).alias("_c"),
+        )
+    )
+    return (
+        contrib.groupBy(id_col).agg(F.sum("_c").alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(int(k))
+    )
+
+
 def url_domain_counts(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -41,6 +41,48 @@ class TestDomainCounts:
         assert got == {"a.example.com": 2, "b.org": 1}
 
 
+class TestBm25:
+    def test_scores_match_hand_computation(self, spark):
+        import math
+
+        from bigdata_tag_system_spark.operators.text import bm25_topk
+
+        rows = [
+            (0, "data data query"),       # tf(data)=2, tf(query)=1, len 3
+            (1, "data and more words here"),  # tf(data)=1, len 5
+            (2, "nothing relevant at all"),   # no hits, len 4
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["score"]
+               for r in bm25_topk(df, ["data", "query"], k=10).collect()}
+
+        n, avgdl = 3, (3 + 5 + 4) / 3
+        k1, b = 1.2, 0.75
+
+        def idf(dfreq):
+            return math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+
+        def term(tf, dl):
+            return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        want0 = idf(2) * term(2, 3) + idf(1) * term(1, 3)
+        want1 = idf(2) * term(1, 5)
+        assert got.keys() == {0, 1}
+        assert abs(got[0] - want0) < 1e-9
+        assert abs(got[1] - want1) < 1e-9
+        assert got[0] > got[1]
+
+    def test_empty_query_rejected(self, spark):
+        import pytest as _pytest
+
+        from bigdata_tag_system_spark.operators.text import bm25_topk
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="query term"):
+            bm25_topk(df, [])
+
+
 class TestBlocklist:
     def test_filter_and_passthrough(self, spark):
         kept = {r["doc_id"] for r in filter_blocked_domains(
