@@ -221,7 +221,7 @@ _DRIVER_FIRST = [
     "mm_payload_chunks", "sim_quantized_topk", "dedup_pipeline_keep_best",
     "store_bucketed_merge", "ts_interval_overlap", "dedup_cluster_sizes",
     "rule_regex_match", "sample_iqr_filter",
-    "text_bm25_topk", "sim_hybrid_rrf",
+    "text_bm25_topk", "sim_hybrid_rrf", "text_source_report",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -1324,6 +1324,26 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 4).alias("score"))
 
     q["text_bm25_topk"] = text_bm25_topk
+
+    def text_source_report(spark, sf_dir):
+        # the curation report a corpus owner reads per ingestion source:
+        # doc count, token volume, mean quality, language mix — one pass
+        # over analyze_documents output, grouped by the source column
+        from bigdata_tag_system_spark.operators.text import analyze_documents
+
+        d = analyze_documents(_t(spark, sf_dir, "documents"))
+        return (
+            d.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+                F.countDistinct("detected_lang").alias("n_langs"),
+            )
+            .orderBy("source")
+        )
+
+    q["text_source_report"] = text_source_report
 
     def sim_hybrid_rrf(spark, sf_dir):
         # hybrid search: BM25 lexical ranks × cosine vector ranks fused
@@ -2511,6 +2531,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id FROM feat
         WHERE quality >= 0.5 AND n_tokens BETWEEN 20 AND 1000 AND lang = 'en'
         ORDER BY doc_id
+    """
+
+    o["text_source_report"] = f"""
+        WITH t AS (SELECT doc_id, source, {_NORM} AS nt,
+                          string_split({_NORM}, ' ') AS toks
+                   FROM documents),
+             s AS (SELECT doc_id, source, nt, toks, {_lang_scores} FROM t),
+             feat AS (SELECT source,
+                 CASE WHEN nt = '' THEN 0 ELSE len(toks) END AS n_tokens,
+                 0.4 * least(len(toks) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN len(toks) > 0
+                             THEN len(list_distinct(toks)) * 1.0 / len(toks)
+                             ELSE 0 END)
+               + 0.3 * (CASE WHEN length(nt) > 0
+                             THEN length(regexp_replace(nt, '[^a-z]', '', 'g'))
+                                  * 1.0 / length(nt)
+                             ELSE 0 END) AS quality,
+                 CASE WHEN {_best} > 0 THEN CASE {_pick} END
+                      ELSE 'und' END AS lang
+               FROM s)
+        SELECT source, count(*) AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               round(avg(quality), 4) AS avg_quality,
+               count(DISTINCT lang) AS n_langs
+        FROM feat GROUP BY source ORDER BY source
     """
 
     o["text_top_tokens"] = f"""

@@ -77,6 +77,8 @@ def main() -> None:
         "sim_knn_bucketed",        # bucket-joined kNN for large query sets
         "sim_quantized_topk",      # int8 prefilter + exact rescore
         "emb_quantize_int8",       # per-dim scale fit + map-only quantize
+        "text_bm25_topk",          # BM25 with pre-aggregate term filter
+        "sim_hybrid_rrf",          # lexical x vector rank fusion
     ]
 
     # warmup: prime JVM/codegen on a small action
