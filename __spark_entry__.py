@@ -222,6 +222,7 @@ _DRIVER_FIRST = [
     "store_bucketed_merge", "ts_interval_overlap", "dedup_cluster_sizes",
     "rule_regex_match", "sample_iqr_filter",
     "text_bm25_topk", "sim_hybrid_rrf", "text_source_report",
+    "events_transitions",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -1075,6 +1076,12 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("cohort_day", "day_offset")
 
     q["events_retention"] = events_retention
+
+    def events_transitions(spark, sf_dir):
+        out = FE.event_transitions(_t(spark, sf_dir, "events"))
+        return out.orderBy("from_type", "to_type")
+
+    q["events_transitions"] = events_transitions
 
     # ---- time-series joins (engine extension; no reference equivalent) ----
     def ts_asof_join(spark, sf_dir):
@@ -2455,6 +2462,16 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY cohort, date_diff('day', cohort, day)
         ORDER BY cohort_day, day_offset
     """
+    o["events_transitions"] = """
+        SELECT from_type, to_type, count(*) AS n FROM (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events) t
+        WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type ORDER BY from_type, to_type
+    """
+
     o["ts_asof_join"] = """
         SELECT l.event_id, round(r.value, 2) AS purchase_value
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l

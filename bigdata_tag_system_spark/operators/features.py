@@ -237,6 +237,33 @@ def pack_by_token_budget(
     return staged.groupBy("pack_group").applyInPandas(_pack, schema=out_schema)
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition counts between consecutive event types per
+    user: ``(from_type, to_type, n)`` — the Markov/journey matrix.
+
+    One window (lag over the per-user time order, id tiebreak for equal
+    timestamps) then a map-side-combined count; the shuffle carries the
+    user-keyed window partitioning plus a (pair, partial-count) exchange
+    of at most |types|² rows. Each user's FIRST event has no
+    predecessor and contributes nothing.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
 def funnel(
     events: DataFrame,
     steps: list[str],
