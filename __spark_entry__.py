@@ -222,7 +222,7 @@ _DRIVER_FIRST = [
     "store_bucketed_merge", "ts_interval_overlap", "dedup_cluster_sizes",
     "rule_regex_match", "sample_iqr_filter",
     "text_bm25_topk", "sim_hybrid_rrf", "text_source_report",
-    "events_transitions",
+    "events_transitions", "events_dwell_stats", "text_token_entropy",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -1082,6 +1082,52 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy("from_type", "to_type")
 
     q["events_transitions"] = events_transitions
+
+    def events_dwell_stats(spark, sf_dir):
+        # inter-event dwell time per destination type: lag window diff,
+        # then per-type mean/max — latency/engagement analytics. Gaps in
+        # INTEGER MICROSECONDS (unix_micros ≡ DuckDB epoch_us): the test
+        # timestamps carry sub-second precision, and second-truncating
+        # unix_timestamp would diverge from a fractional-epoch oracle;
+        # integer sums stay exact in double well past this scale
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # parquet may surface ts as TIMESTAMP_NTZ (Spark 4), which
+        # unix_micros rejects — the UTC-pinned session makes the
+        # ltz reinterpretation value-preserving
+        mics = F.unix_micros(F.col("ts").cast("timestamp"))
+        gaps = ev.select(
+            "event_type",
+            (mics - F.lag(mics).over(w)).alias("gap_us"),
+        ).where(F.col("gap_us").isNotNull())
+        return gaps.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_us"), 2).alias("avg_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        ).orderBy("event_type")
+
+    q["events_dwell_stats"] = events_dwell_stats
+
+    def text_token_entropy(spark, sf_dir):
+        # corpus unigram Shannon entropy (nats) + vocab size — the
+        # one-number diversity signal a curation run tracks; two hash
+        # aggregates, the per-token relation never leaves executors
+        toks = _t(spark, sf_dir, "documents").select(
+            F.explode(T.tokens("text")).alias("token"))
+        counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+        return counts.agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("c").alias("total_tokens"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            ).alias("entropy_nats"),
+        )
+
+    q["text_token_entropy"] = text_token_entropy
 
     # ---- time-series joins (engine extension; no reference equivalent) ----
     def ts_asof_join(spark, sf_dir):
@@ -2462,6 +2508,18 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY cohort, date_diff('day', cohort, day)
         ORDER BY cohort_day, day_offset
     """
+    o["events_dwell_stats"] = """
+        SELECT event_type, count(*) AS n_gaps,
+               round(avg(gap_us), 2) AS avg_gap_us,
+               max(gap_us) AS max_gap_us
+        FROM (SELECT event_type,
+                     epoch_us(ts) - epoch_us(lag(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+              FROM events) t
+        WHERE gap_us IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """
+
     o["events_transitions"] = """
         SELECT from_type, to_type, count(*) AS n FROM (
             SELECT lag(event_type) OVER (PARTITION BY user_id
@@ -2580,6 +2638,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest(list_distinct(string_split({_NORM}, ' '))) AS token
             FROM documents)
         GROUP BY token ORDER BY df DESC, token LIMIT 20
+    """
+    o["text_token_entropy"] = f"""
+        WITH counts AS (
+            SELECT token, count(*) AS c FROM (
+                SELECT unnest(string_split({_NORM}, ' ')) AS token
+                FROM documents WHERE text IS NOT NULL)
+            GROUP BY token
+        )
+        SELECT count(*) AS vocab,
+               sum(c)::BIGINT AS total_tokens,
+               round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_nats
+        FROM counts
     """
     # repeated-segment scrub: DuckDB can't lateral-join generate_series,
     # so positions come from unnesting a list_transform(range(...)) of
