@@ -1,0 +1,110 @@
+"""Plan linting: each hazard detector fires on a crafted offender and
+stays silent on the scalable formulation of the same job."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.plans.lint import assert_scalable, plan_warnings
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"))
+
+
+def _keys(warnings):
+    return {w.split(":", 1)[0] for w in warnings}
+
+
+class TestDetectors:
+    def test_cartesian(self, spark, df):
+        # small inputs broadcast into a nested loop (legitimate — the
+        # engine uses one-row broadcasts deliberately); the detector
+        # targets the SHUFFLED CartesianProduct a big×big cross join
+        # degrades to, forced here via hint
+        bad = df.hint("shuffle_replicate_nl").crossJoin(
+            df.selectExpr("id AS id2", "k AS k2"))
+        assert "cartesian" in _keys(plan_warnings(bad))
+        good = df.join(df.selectExpr("id AS id", "k AS k2"), "id")
+        assert "cartesian" not in _keys(plan_warnings(good))
+
+    def test_python_row_udf(self, spark, df):
+        from pyspark.sql.functions import pandas_udf, udf
+
+        slow = udf(lambda x: x + 1, "bigint")
+        assert "python_row_udf" in _keys(plan_warnings(df.select(slow("id"))))
+
+        @pandas_udf("long")
+        def fast(s):
+            return s + 1
+
+        assert "python_row_udf" not in _keys(plan_warnings(df.select(fast("id"))))
+
+    def test_global_window(self, spark, df):
+        bad = df.select(F.row_number().over(Window.orderBy("id")).alias("rn"))
+        assert "global_window" in _keys(plan_warnings(bad))
+        good = df.select(F.row_number().over(
+            Window.partitionBy("k").orderBy("id")).alias("rn"))
+        assert "global_window" not in _keys(plan_warnings(good))
+
+    def test_rdd_scan(self, spark, df):
+        rdd = spark.sparkContext.parallelize([(1,), (2,)])
+        bad = spark.createDataFrame(rdd, "x int")
+        assert "rdd_scan" in _keys(plan_warnings(bad))
+        assert "rdd_scan" not in _keys(plan_warnings(df))
+
+
+class TestAssert:
+    def test_raises_with_findings(self, spark, df):
+        bad = df.hint("shuffle_replicate_nl").crossJoin(
+            df.selectExpr("id AS id2"))
+        with pytest.raises(ValueError, match="cartesian"):
+            assert_scalable(bad)
+
+    def test_explicit_allow(self, spark, df):
+        ranked = df.orderBy("id").limit(5).select(
+            F.row_number().over(Window.orderBy("id")).alias("rn"))
+        # bounded input makes the global window acceptable — but only
+        # via a loud opt-out
+        assert_scalable(ranked, allow=["global_window"])
+        with pytest.raises(ValueError, match="global_window"):
+            assert_scalable(ranked)
+
+    def test_unknown_allow_key_rejected(self, df):
+        with pytest.raises(ValueError, match="unknown hazard"):
+            assert_scalable(df, allow=["no_such_check"])
+
+
+class TestEngineOpsAreClean:
+    # rdd_scan is allow-listed below because the INPUT fixtures are
+    # createDataFrame over local rows (an ExistingRDD scan by
+    # construction) — the assertion still proves the OPERATORS add no
+    # cartesian, row-UDF, or global-window stage on top
+
+    def test_tag_profiles_plan_clean(self, spark, users_df, golden_rules):
+        from bigdata_tag_system_spark.operators.tagging import TagEngine
+
+        eng = TagEngine(golden_rules)
+        assert_scalable(eng.profiles(users_df), allow=["rdd_scan"])
+
+    def test_dedup_and_text_plans_clean(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import minhash_dedup
+        from bigdata_tag_system_spark.operators.text import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma {i} delta epsilon") for i in range(30)],
+            "doc_id long, text string")
+        assert_scalable(minhash_dedup(docs, threshold=0.5), allow=["rdd_scan"])
+        assert_scalable(tfidf_top_terms(docs, k=2), allow=["rdd_scan"])
+
+    def test_parquet_backed_flagship_fully_clean(self, spark, sf_dir):
+        # over real parquet there is no fixture artifact: the flagship
+        # profile plan must be hazard-free with NO allowances
+        import __spark_entry__ as entry
+
+        assert_scalable(entry.queries()["tag_profiles"](spark, sf_dir))
