@@ -223,6 +223,7 @@ _DRIVER_FIRST = [
     "rule_regex_match", "sample_iqr_filter",
     "text_bm25_topk", "sim_hybrid_rrf", "text_source_report",
     "events_transitions", "events_dwell_stats", "text_token_entropy",
+    "store_snapshot_diff",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -562,6 +563,27 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", F.to_json("tag_ids").alias("tag_ids")).orderBy("user_id")
 
     q["store_bucketed_merge"] = store_bucketed_merge
+
+    def store_snapshot_diff(spark, sf_dir):
+        # run audit: which keys did this run add/remove/change? old
+        # snapshot = every 3rd customer, new = every 2nd with every 12th
+        # value rewritten — exercises all four change types including the
+        # null-safe value compare
+        from bigdata_tag_system_spark.sources.writers import snapshot_diff
+
+        c = _t(spark, sf_dir, "customer")
+        old = c.where("c_custkey % 3 = 0").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("val"))
+        new = c.where("c_custkey % 2 = 0").select(
+            F.col("c_custkey").alias("user_id"),
+            F.when(F.col("c_custkey") % 12 == 0, F.lit("REWRITTEN"))
+            .otherwise(F.col("c_mktsegment")).alias("val"))
+        out = snapshot_diff(old, new, key_cols=["user_id"])
+        return out.groupBy("change_type").agg(
+            F.count(F.lit(1)).alias("cnt")).orderBy("change_type")
+
+    q["store_snapshot_diff"] = store_snapshot_diff
 
     # ---- scans / joins (SURVEY §2.1, §2.3) ----
     q["scan_count"] = lambda spark, sf_dir: _t(spark, sf_dir, "lineitem").agg(
@@ -2225,6 +2247,22 @@ def oracle_sql() -> dict[str, str]:
     o["delete_rewrite"] = (
         "SELECT count(*) AS cnt FROM orders WHERE o_orderkey NOT IN "
         "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')")
+    o["store_snapshot_diff"] = """
+        WITH oldp AS (SELECT c_custkey AS user_id, c_mktsegment AS val
+                      FROM customer WHERE c_custkey % 3 = 0),
+             newp AS (SELECT c_custkey AS user_id,
+                             CASE WHEN c_custkey % 12 = 0 THEN 'REWRITTEN'
+                                  ELSE c_mktsegment END AS val
+                      FROM customer WHERE c_custkey % 2 = 0)
+        SELECT change_type, count(*) AS cnt FROM (
+            SELECT CASE WHEN o.user_id IS NULL THEN 'added'
+                        WHEN n.user_id IS NULL THEN 'removed'
+                        WHEN n.val IS NOT DISTINCT FROM o.val THEN 'unchanged'
+                        ELSE 'changed' END AS change_type
+            FROM newp n FULL OUTER JOIN oldp o ON n.user_id = o.user_id)
+        GROUP BY change_type ORDER BY change_type
+    """
+
     # bucketing is physical layout only — plain full-outer merge semantics
     o["store_bucketed_merge"] = """
         WITH newp AS (SELECT c_custkey AS user_id, [1] AS tags

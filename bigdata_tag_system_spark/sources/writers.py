@@ -539,3 +539,55 @@ def merge_upsert_frames(
             merged = F.coalesce(nc, ec)  # last-writer-wins: new beats stored
         out_cols.append(merged.alias(c))
     return joined.select(*out_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two store snapshots:
+    ``(keys..., change_type)`` with ``change_type`` ∈
+    added / removed / changed / unchanged.
+
+    The store-maintenance audit primitive (what did this run touch?):
+    one full-outer join on the key, presence flags decide added/removed,
+    and a NULL-SAFE column comparison (``<=>``) decides changed —
+    a value flipping to/from NULL counts as a change, never as equality.
+    ``compare_cols`` defaults to every non-key column the snapshots
+    share. The shuffle moves keys + compared columns only; counts per
+    type are one aggregate away.
+    """
+    keys = list(key_cols)
+    cmp_cols = list(compare_cols) if compare_cols is not None else [
+        c for c in new.columns if c not in keys and c in old.columns
+    ]
+    o = old.alias("o")
+    n = new.alias("n")
+    # presence must be judged on a key column, not data columns (a row
+    # of all-NULL values is still present)
+    probe = keys[0]
+    joined = n.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in cmp_cols],
+    ).join(
+        o.select(
+            *[F.col(k).alias(k) for k in keys],
+            F.lit(1).alias("_in_old"),
+            *[F.col(c).alias(f"_o_{c}") for c in cmp_cols],
+        ),
+        on=keys,
+        how="full_outer",
+    )
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"_n_{c}").eqNullSafe(F.col(f"_o_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*keys, change.alias("change_type"))

@@ -93,6 +93,36 @@ class TestReaders:
         assert rules[0].conditions["conditions"][0]["field"] == "total_asset_value"
 
 
+class TestSnapshotDiff:
+    def test_all_change_types_and_null_safety(self, spark):
+        from bigdata_tag_system_spark.sources.writers import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "d"), (5, None)],
+            "k long, v string")
+        new = spark.createDataFrame(
+            [(1, "a"),        # unchanged
+             (2, "B"),        # changed
+             (3, None),       # unchanged (NULL == NULL under <=>)
+             (5, "now"),      # changed (NULL -> value is a change)
+             (6, "f")],       # added; 4 removed
+            "k long, v string")
+        got = {r["k"]: r["change_type"]
+               for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
+                       4: "removed", 5: "changed", 6: "added"}
+
+    def test_compare_cols_subset(self, spark):
+        from bigdata_tag_system_spark.sources.writers import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a", "x")], "k long, v string, w string")
+        new = spark.createDataFrame([(1, "a", "y")], "k long, v string, w string")
+        only_v = snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()
+        assert only_v[0]["change_type"] == "unchanged"
+        both = snapshot_diff(old, new, ["k"]).collect()
+        assert both[0]["change_type"] == "changed"
+
+
 class TestUpsertSinks:
     def test_sqlite_upsert_last_writer_wins(self, spark):
         if os.path.exists(_DB_PATH):
