@@ -223,7 +223,7 @@ _DRIVER_FIRST = [
     "rule_regex_match", "sample_iqr_filter",
     "text_bm25_topk", "sim_hybrid_rrf", "text_source_report",
     "events_transitions", "events_dwell_stats", "text_token_entropy",
-    "store_snapshot_diff",
+    "store_snapshot_diff", "dedup_semantic_keep",
     # -- twice-driver-green families + engine-specific rows-only
     # variants, covered locally every round --
     "dedup_ngram_jaccard", "dedup_containment", "dedup_cosine_pairs",
@@ -1552,6 +1552,23 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id").orderBy("doc_id")
 
     q["dedup_pipeline_keep_best"] = dedup_pipeline_keep_best
+
+    def dedup_semantic_keep(spark, sf_dir):
+        # SemDeDup-shaped semantic dedup: embedding-cosine near-dup
+        # pairs (brute-force mode = oracle-able) → connected components
+        # → keep the best-quality member per cluster (longest doc via
+        # n_chars, tie → lowest id). The LLM-curation flow where
+        # near-duplicates are SEMANTIC, not lexical.
+        emb = _t(spark, sf_dir, "embeddings")
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("vec_id"), "n_chars")
+        pairs = D.cosine_dup_pairs(emb, threshold=0.3, brute_force=True)
+        scored = emb.select("vec_id").join(docs, "vec_id", "left")
+        out = D.dedup_by_components(
+            scored, pairs, id_col="vec_id", keep_col="n_chars")
+        return out.select("vec_id").orderBy("vec_id")
+
+    q["dedup_semantic_keep"] = dedup_semantic_keep
 
     def dedup_minhash_lsh(spark, sf_dir):
         # LSH prunes candidates; exact-Jaccard verification means output ==
@@ -3129,6 +3146,39 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
         ORDER BY id_a, id_b
     """
+    # semantic dedup: cosine pair set → recursive closure → per-cluster
+    # winner by n_chars (lowest-id tiebreak); unpaired vectors survive
+    o["dedup_semantic_keep"] = """
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.3
+        ), sym AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), cc AS (
+            SELECT s AS node, s AS comp FROM sym
+            UNION
+            SELECT sym.d AS node, cc.comp
+            FROM cc JOIN sym ON sym.s = cc.node
+            WHERE cc.comp < sym.d
+        ), members AS (
+            SELECT node, min(comp) AS component FROM cc GROUP BY node
+        ), ranked AS (
+            SELECT m.node,
+                   row_number() OVER (PARTITION BY m.component
+                       ORDER BY d.n_chars DESC NULLS LAST, m.node) AS rn
+            FROM members m LEFT JOIN documents d ON d.doc_id = m.node
+        ), losers AS (
+            SELECT node FROM ranked WHERE rn > 1
+        )
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM losers)
+        ORDER BY vec_id
+    """
+
     o["sim_cosine_topk"] = """
         SELECT b.vec_id,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
