@@ -2065,6 +2065,144 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_payload_chunks"] = mm_payload_chunks
 
+    def dedup_fuzzy_edit(spark, sf_dir):
+        # character-level near-dup: banded length blocking + bounded-DP
+        # Levenshtein verify — catches intra-word edit clones that
+        # shatter every token shingle (operators/dedup.py:fuzzy_edit_pairs)
+        out = D.fuzzy_edit_pairs(
+            _t(spark, sf_dir, "documents"), max_dist=10)
+        return out.orderBy("id_a", "id_b")
+
+    q["dedup_fuzzy_edit"] = dedup_fuzzy_edit
+
+    def sketch_bitmap_distinct(spark, sf_dir):
+        # EXACT distinct via per-bucket bitmap aggregates: shuffle is
+        # <=32KiB blobs per bucket, not every key occurrence
+        from bigdata_tag_system_spark.operators.sketches import (
+            bitmap_distinct_count,
+        )
+
+        return bitmap_distinct_count(
+            _t(spark, sf_dir, "orders"), "o_custkey")
+
+    q["sketch_bitmap_distinct"] = sketch_bitmap_distinct
+
+    def agg_histogram(spark, sf_dir):
+        # equi-width histogram with engine-exact fixed-point boundaries
+        from bigdata_tag_system_spark.operators.sketches import (
+            histogram_equi_width,
+        )
+
+        out = histogram_equi_width(
+            _t(spark, sf_dir, "lineitem"), "l_extendedprice",
+            buckets=16, scale=100)
+        return out.orderBy("bucket")
+
+    q["agg_histogram"] = agg_histogram
+
+    def events_mad_outliers(spark, sf_dir):
+        # robust (median/MAD) outlier census per event type; exact
+        # continuous percentiles are engine-portable, stddev-free
+        from bigdata_tag_system_spark.operators.sketches import (
+            mad_outlier_check,
+        )
+
+        out = mad_outlier_check(
+            _t(spark, sf_dir, "events"), "value", group_col="event_type")
+        return out.select(
+            "event_type", "total", "n_outliers",
+            F.round("fence", 4).alias("fence")).orderBy("event_type")
+
+    q["events_mad_outliers"] = events_mad_outliers
+
+    def events_islands(spark, sf_dir):
+        # gaps-and-islands: collapse consecutive same-type events per
+        # user into runs (difference-of-row_numbers island id; both
+        # windows share one user-key shuffle)
+        out = FE.collapse_runs(_t(spark, sf_dir, "events"))
+        return out.orderBy("user_id", "run_start", "event_type")
+
+    q["events_islands"] = events_islands
+
+    def events_rolling_window(spark, sf_dir):
+        # per-event trailing-7d count/sum: RANGE frame over epoch
+        # seconds — tie rows are frame peers, so the result is exact
+        # under same-second bursts in any engine
+        out = FE.rolling_time_features(
+            _t(spark, sf_dir, "events"), window_seconds=7 * 86400)
+        return out.select(
+            "user_id", "ts", "event_id", "trailing_cnt",
+            F.round("trailing_sum", 2).alias("trailing_sum"),
+        ).orderBy("user_id", "event_id")
+
+    q["events_rolling_window"] = events_rolling_window
+
+    def text_top_bigrams(spark, sf_dir):
+        # corpus bigram counts (vocab/collocation mining): positional
+        # word 2-grams from the one-pass tokenizer, map-side partial agg
+        from bigdata_tag_system_spark.functions.text import (
+            ngrams_from_tokens, token_count, tokens,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        return (
+            d.where(token_count("text") >= 2)
+            .select(F.explode(
+                ngrams_from_tokens(tokens("text"), 2)).alias("bigram"))
+            .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "bigram").limit(20)
+        )
+
+    q["text_top_bigrams"] = text_top_bigrams
+
+    def text_source_kl(spark, sf_dir):
+        # per-language KL(p_lang || corpus) over token distributions —
+        # the mixture-balance diagnostic; raw text tokenized exactly once
+        out = T.source_token_kl(
+            _t(spark, sf_dir, "documents"), group_col="lang")
+        return out.select(
+            F.col("lang"), "n_tokens",
+            F.round("kl_nats", 6).alias("kl_nats")).orderBy("lang")
+
+    q["text_source_kl"] = text_source_kl
+
+    def sample_mixture(spark, sf_dir):
+        # sqrt-tempered mixture sampling across languages; every step
+        # integer/IEEE-exact so the oracle re-derives the exact sample
+        from bigdata_tag_system_spark.operators.sampling import (
+            mixture_sample,
+        )
+
+        kept = mixture_sample(
+            _t(spark, sf_dir, "documents"), "lang", "doc_id",
+            total=100, portable=True)
+        return kept.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("doc_id").alias("id_sum"),
+        ).orderBy("lang")
+
+    q["sample_mixture"] = sample_mixture
+
+    def layout_zorder_cells(spark, sf_dir):
+        # Morton-interleave (l_partkey, l_suppkey) low bytes and census
+        # the z-space cells — the file-skipping layout for multi-column
+        # box predicates; pure 64-bit shift/mask, recomputable anywhere
+        from bigdata_tag_system_spark.operators.layout import zorder_value
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.pmod("l_partkey", F.lit(256)).alias("x"),
+            F.pmod("l_suppkey", F.lit(256)).alias("y"))
+        z = zorder_value(["x", "y"], bits=8)
+        return (
+            li.select(z.alias("z"))
+            .groupBy(F.floor(F.col("z") / 4096).alias("cell"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min("z").alias("zmin"), F.max("z").alias("zmax"))
+            .orderBy("cell")
+        )
+
+    q["layout_zorder_cells"] = layout_zorder_cells
+
     return q
 
 
@@ -3585,6 +3723,147 @@ def oracle_sql() -> dict[str, str]:
                            ELSE 'engaged' END AS tag_name,
                count(*) AS n_events
         FROM tags GROUP BY tag_id ORDER BY tag_id
+    """
+
+    # fuzzy edit-distance dedup: the oracle brute-forces all pairs with
+    # the same length prefilter (each edit moves length by <= 1); the
+    # Spark side's banded blocking must find the identical pair set
+    o["dedup_fuzzy_edit"] = """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.text, b.text) AS dist
+        FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id
+         AND abs(length(a.text) - length(b.text)) <= 10
+        WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+          AND levenshtein(a.text, b.text) <= 10
+        ORDER BY id_a, id_b
+    """
+
+    o["sketch_bitmap_distinct"] = (
+        "SELECT count(DISTINCT o_custkey) AS distinct_cnt FROM orders")
+
+    # fixed-point (integer-cent) equi-width histogram: every boundary is
+    # 64-bit integer arithmetic, so bucket edges agree bit-for-bit
+    o["agg_histogram"] = """
+        WITH v AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        r AS (SELECT min(v) AS vmin, max(v) AS vmax FROM v),
+        b AS (SELECT CAST(floor((v - vmin) * 16 / (vmax - vmin + 1))
+                          AS INT) AS bucket, vmin, vmax
+              FROM v, r)
+        SELECT bucket,
+               (vmin + floor(bucket * (vmax - vmin + 1) / 16)) / 100
+                   AS lo,
+               (vmin + floor((bucket + 1) * (vmax - vmin + 1) / 16)) / 100
+                   AS hi,
+               count(*) AS cnt
+        FROM b GROUP BY bucket, vmin, vmax ORDER BY bucket
+    """
+
+    # global median/MAD fence (exact continuous percentiles, literal
+    # multiplication in the same association order), per-type census
+    o["events_mad_outliers"] = """
+        WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+        d AS (SELECT quantile_cont(abs(value - med), 0.5) AS mad
+              FROM events, m)
+        SELECT event_type, count(*) AS total,
+               CAST(sum(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               round(3.0 * 1.4826 * mad, 4) AS fence
+        FROM events, m, d
+        GROUP BY event_type, med, mad ORDER BY event_type
+    """
+
+    # gaps-and-islands via difference of row_numbers
+    o["events_islands"] = """
+        WITH r AS (
+            SELECT user_id, event_type, ts,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)
+                 - row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS island
+            FROM events)
+        SELECT user_id, event_type, count(*) AS run_len,
+               min(ts) AS run_start, max(ts) AS run_end
+        FROM r GROUP BY user_id, event_type, island
+        ORDER BY user_id, run_start, event_type
+    """
+
+    # trailing 7d RANGE frame over truncated epoch seconds (floor ==
+    # Spark's unix_timestamp truncation); peers fall in together
+    o["events_rolling_window"] = """
+        SELECT user_id, ts, event_id,
+               count(*) OVER w AS trailing_cnt,
+               round(sum(value) OVER w, 2) AS trailing_sum
+        FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY e
+                     RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """
+
+    # positional bigrams: token + its successor via subscript self-join
+    o["text_top_bigrams"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t,
+                   generate_subscripts(string_split({_NORM}, ' '), 1) AS i
+            FROM documents
+            WHERE len(string_split({_NORM}, ' ')) >= 2)
+        SELECT a.t || ' ' || b.t AS bigram, count(*) AS n
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """
+
+    # per-language KL(p_lang || corpus) over token distributions; the
+    # corpus totals re-aggregate the (lang, token) counts — p>0 => q>0
+    o["text_source_kl"] = f"""
+        WITH gt AS (
+            SELECT lang, t, count(*) AS c FROM (
+                SELECT lang, unnest(string_split({_NORM}, ' ')) AS t
+                FROM documents WHERE text IS NOT NULL)
+            GROUP BY lang, t),
+        g AS (SELECT lang, sum(c) AS ng FROM gt GROUP BY lang),
+        tt AS (SELECT t, sum(c) AS ct FROM gt GROUP BY t),
+        n AS (SELECT sum(c) AS n FROM gt)
+        SELECT gt.lang AS lang, CAST(max(ng) AS BIGINT) AS n_tokens,
+               round(sum((c / ng) * (ln(c / ng) - ln(ct / n))), 6)
+                   AS kl_nats
+        FROM gt JOIN g USING (lang) JOIN tt USING (t), n
+        GROUP BY gt.lang ORDER BY lang
+    """
+
+    # sqrt-tempered mixture allocation + Knuth-hash rank selection —
+    # floor(sqrt(int)) and integer multiply/divide are engine-exact,
+    # so the kept row SET (not just counts) is re-derived
+    o["sample_mixture"] = f"""
+        WITH c AS (SELECT lang, count(*) AS c FROM documents
+                   GROUP BY lang),
+        w AS (SELECT lang, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+        s AS (SELECT sum(w) AS sw FROM w),
+        t AS (SELECT lang, CAST(floor(100 * w / sw) AS BIGINT) AS tgt
+              FROM w, s),
+        r AS (SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY {_kh('doc_id', 0)}, doc_id) AS rn
+              FROM documents)
+        SELECT r.lang AS lang, count(*) AS kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM r JOIN t USING (lang) WHERE rn <= tgt
+        GROUP BY r.lang ORDER BY lang
+    """
+
+    # Morton interleave of the two low bytes, recomputed with plain
+    # shift/mask arithmetic; cell census over z >> 12
+    _zx = " | ".join(
+        f"((((x >> {b}) & 1) << {2 * b}) | (((y >> {b}) & 1) << {2 * b + 1}))"
+        for b in range(8))
+    o["layout_zorder_cells"] = f"""
+        WITH xy AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+                    FROM lineitem),
+        zz AS (SELECT ({_zx}) AS z FROM xy)
+        SELECT CAST(floor(z / 4096) AS BIGINT) AS cell, count(*) AS cnt,
+               min(z) AS zmin, max(z) AS zmax
+        FROM zz GROUP BY cell ORDER BY cell
     """
 
     return o

@@ -79,6 +79,14 @@ def main() -> None:
         "emb_quantize_int8",       # per-dim scale fit + map-only quantize
         "text_bm25_topk",          # BM25 with pre-aggregate term filter
         "sim_hybrid_rrf",          # lexical x vector rank fusion
+        # second round-4 batch
+        "dedup_fuzzy_edit",        # banded-length Levenshtein join
+        "events_rolling_window",   # trailing RANGE frame per event
+        "events_islands",          # gaps-and-islands run collapse
+        "text_source_kl",          # per-group token-distribution KL
+        "sample_mixture",          # sqrt-tempered mixture sampling
+        "layout_zorder_cells",     # Morton interleave census
+        "sketch_bitmap_distinct",  # bitmap exact-distinct aggregate
     ]
 
     # warmup: prime JVM/codegen on a small action

@@ -942,3 +942,113 @@ def dedup_by_components(
         .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def fuzzy_edit_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 10,
+    len_col: str | None = None,
+) -> DataFrame:
+    """Character-level near-dup pairs: Levenshtein distance ≤ ``max_dist``.
+
+    Complements the token-set joins (:func:`ngram_jaccard_pairs`) for
+    corpora where edits are intra-word (OCR noise, typo clones): edit
+    distance sees a one-char change per word that shatters every token
+    shingle. Reference scope per ``SURVEY.md §2.11``; no reference
+    counterpart (the reference has no fuzzy matching at all).
+
+    Scale shape — banded length blocking, never all-pairs:
+
+    1. ``|len(a) - len(b)| > max_dist ⟹ dist > max_dist`` (each edit
+       changes length by ≤ 1), so true pairs live in the same or an
+       adjacent length band of width ``max_dist + 1``;
+    2. the left side duplicates each row into bands ``b`` and ``b + 1``
+       (one extra row, not a cross join), the right side stays in ``b``;
+       joining on the band key makes the self-join a hash join whose
+       buckets hold only similarly-sized docs;
+    3. a character-histogram L1 lower bound prunes the in-band
+       candidates before any DP: one edit moves at most 2 units of L1
+       mass between histogram bins (substitution: −1 one bin, +1
+       another; indel: ±1 one bin and ±1 the implicit remainder bin),
+       so ``Σ|hist_a − hist_b| > 2·max_dist ⟹ dist > max_dist``.
+       Histograms cover the most frequent characters plus a remainder
+       bin (projection is 1-Lipschitz, so the bound survives); similar-
+       length random texts in the same language differ by ~Θ(√len) ≫
+       2·max_dist, which is what makes the filter bite (measured ~40×
+       candidate cut at sf0.1);
+    4. survivors pass the exact length filter, then the bounded DP
+       verify — Spark's 3-arg ``levenshtein`` early-exits past the
+       threshold, O(len·max_dist) instead of O(len²).
+
+    Pair output is (id_a, id_b, dist), id_a < id_b, each pair once.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    w = max_dist + 1
+    hist_chars = " etaoinsrhldcu"
+    n = (F.length(F.col(text_col)) if len_col is None
+         else F.col(len_col)).cast("long")
+    counts = [
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit(ch)))
+        for ch in hist_chars
+    ]
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col), n.alias("_n"),
+        F.floor(n / w).cast("long").alias("_b"),
+        F.array(*counts).alias("_h"),
+    )
+    left = base.select(
+        "*", F.explode(F.array(F.col("_b"), F.col("_b") + 1)).alias("_bk"))
+    right = base.withColumn("_bk", F.col("_b"))
+    a, b = left.alias("a"), right.alias("b")
+    # Orientation must stay symmetric: the left side only emits bands
+    # upward (b, b+1), so an `id_a < id_b` join predicate would lose
+    # pairs whose LOWER id sits in the HIGHER band. Join on `!=` instead
+    # — every unordered pair is found in at least one orientation (the
+    # lower-band member as the left row) — then canonicalize with
+    # least/greatest and dedupe.
+    # L1 over the explicit bins + the remainder bin (chars outside the
+    # histogram set): len − Σbins on each side
+    k = len(hist_chars)
+    l1 = F.abs(
+        (F.col("a._n") - F.aggregate(
+            F.col("a._h"), F.lit(0), lambda acc, x: acc + x))
+        - (F.col("b._n") - F.aggregate(
+            F.col("b._h"), F.lit(0), lambda acc, x: acc + x)))
+    for i in range(1, k + 1):
+        l1 = l1 + F.abs(
+            F.element_at(F.col("a._h"), i) - F.element_at(F.col("b._h"), i))
+    # The DP must be REACHED only by L1 survivors, and neither plain
+    # conjunct ordering nor a downstream `.where` guarantees that: a
+    # separate `.where(dist <= d)` gets merged into the join condition
+    # AHEAD of the cheap conjuncts by Catalyst, and even a trailing
+    # `... AND l1 <= 2d AND dp <= d` condition was measured evaluating
+    # the DP on every in-band candidate (~4× slower — the join
+    # condition did not short-circuit cheap-first). A CaseWhen guard
+    # makes the evaluation order part of the EXPRESSION, which no
+    # optimizer pass may reorder: `when(l1 ok, dp).otherwise(-1)`.
+    dp = F.levenshtein(
+        F.col(f"a.{text_col}"), F.col(f"b.{text_col}"), max_dist)
+    guarded_dp = F.when(l1 <= 2 * max_dist, dp).otherwise(F.lit(-1))
+    cands = a.join(
+        b,
+        on=[
+            F.col("a._bk") == F.col("b._bk"),
+            F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+            F.abs(F.col("a._n") - F.col("b._n")) <= max_dist,
+            guarded_dp >= 0,
+            guarded_dp <= max_dist,
+        ],
+    )
+    out = (
+        cands.select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            dp.alias("dist"),
+        )
+        .distinct()
+    )
+    return out

@@ -10,6 +10,7 @@ functions, pinned to an as-of timestamp for determinism.
 from __future__ import annotations
 
 import datetime as _dt
+from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -341,4 +342,87 @@ def cohort_retention(
             F.datediff(F.col("_day"), F.col("cohort_day")).alias("day_offset"),
         )
         .agg(F.countDistinct(user_col).alias("users"))
+    )
+
+
+def collapse_runs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Collapse consecutive identical values per key into runs
+    (gaps-and-islands): one row per maximal streak with its bounds.
+
+    The island id is the classic difference of two row_numbers — global
+    position minus position within the value's own sequence is constant
+    across a streak and changes when the value changes. Both windows
+    share the same ``key_col`` partitioning, so they evaluate in ONE
+    shuffle + one sort per partition; the follow-up aggregate is keyed
+    by (key, value, island) — a subset of the same partitioning, no
+    second exchange of the fact rows. Per-key state never materializes
+    anywhere (vs the applyInPandas formulation, which ships whole user
+    histories into Python).
+
+    Output: key, value, run_len, start/end of the run's order column.
+    """
+    ob = [F.col(c) for c in order_cols]
+    w_all = Window.partitionBy(key_col).orderBy(*ob)
+    w_val = Window.partitionBy(key_col, value_col).orderBy(*ob)
+    first_order = order_cols[0]
+    runs = df.select(
+        F.col(key_col), F.col(value_col), *[F.col(c) for c in order_cols],
+        (F.row_number().over(w_all) - F.row_number().over(w_val))
+        .alias("_island"),
+    )
+    return (
+        runs.groupBy(key_col, value_col, "_island")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min(first_order).alias("run_start"),
+            F.max(first_order).alias("run_end"),
+        )
+        .drop("_island")
+    )
+
+
+def rolling_time_features(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 7 * 86400,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing-window aggregates: count and sum of ``value``
+    over the last ``window_seconds`` ending at each event (inclusive).
+
+    RANGE frame over integer epoch seconds, partitioned by key — one
+    shuffle, then each event's trailing window is a frame scan within
+    the partition; Spark evaluates sliding RANGE frames incrementally
+    (add/remove at the frame edges), not O(n²). RANGE (not ROWS)
+    semantics make ties exact: all events sharing an epoch second are
+    peers and always fall in together, so the result is plan- and
+    engine-independent even under same-second bursts.
+    """
+    from pyspark.sql import Window
+
+    # truncated-to-seconds epoch via unix_micros (the UTC-pinned session
+    # makes the NTZ→timestamp cast the identity; ≡ DuckDB
+    # floor(epoch(ts)) — see events_dwell_stats for the precedent)
+    epoch = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000
+    ).cast("long").alias("_epoch")
+    base = df.select(
+        F.col(key_col), F.col(ts_col), F.col(tiebreak_col),
+        F.col(value_col), epoch)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_epoch")
+        .rangeBetween(-(window_seconds - 1), Window.currentRow)
+    )
+    return base.select(
+        key_col, ts_col, tiebreak_col,
+        F.count(F.lit(1)).over(w).alias("trailing_cnt"),
+        F.sum(value_col).over(w).alias("trailing_sum"),
     )

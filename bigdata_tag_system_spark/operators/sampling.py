@@ -224,3 +224,48 @@ def shuffle_order(
         .withColumn("shuffle_rank", (F.col("_offset") + F.col("_within")))
         .drop("_h", "_b", "_within", "_offset")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    total: int,
+    portable: bool = False,
+    salt: int = 0,
+) -> DataFrame:
+    """Sqrt-tempered mixture sampling across strata (training-data
+    mixing): stratum ``i`` with ``c_i`` rows contributes
+    ``floor(total · √c_i / Σ√c_j)`` rows — between proportional
+    (temperature 1, majority strata dominate) and uniform (temperature
+    0), the standard α = 0.5 upsampling of minority sources/languages.
+
+    Every arithmetic step is chosen to be ENGINE-EXACT so the sample is
+    re-derivable by any SQL engine: weights use ``floor(sqrt(c))``
+    (IEEE sqrt is correctly rounded, so its floor is exact), the
+    allocation is 64-bit integer multiply-then-divide, and row selection
+    is rank-by-deterministic-hash within each stratum (tiebreak on the
+    key) — no RNG, no float thresholds. Two aggregates (stratum counts)
+    + one window per stratum partition; the fact table shuffles once on
+    the stratum key.
+    """
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    hash_fn = _pick_hash(df, key_col, portable)
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_c"))
+    weights = counts.select(
+        stratum_col, F.floor(F.sqrt(F.col("_c"))).cast("long").alias("_w"))
+    tot = weights.agg(F.sum("_w").alias("_sw"))
+    targets = weights.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        F.floor(F.lit(total) * F.col("_w") / F.col("_sw"))
+        .cast("long").alias("_target"),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_fn(F.col(key_col), salt), F.col(key_col))
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets), stratum_col)
+        .where(F.col("_rn") <= F.col("_target"))
+        .drop("_rn", "_target")
+    )

@@ -207,3 +207,117 @@ def filter_outliers_iqr(
         .where(inside)
         .drop("_lo", "_hi")
     )
+
+
+def bitmap_distinct_count(df: DataFrame, col: str) -> DataFrame:
+    """EXACT distinct count of an integral key via Spark's bitmap
+    aggregates (one row, column ``distinct_cnt``).
+
+    ``count(DISTINCT k)`` re-shuffles the fact table on the key; the
+    bitmap path instead folds each key into one bit of a per-bucket
+    32 KiB bitmap (``bitmap_bucket_number`` / ``bitmap_bit_position``),
+    builds the bucket bitmaps with a map-side-combining aggregate, and
+    sums per-bucket popcounts. Shuffle volume collapses from every key
+    occurrence to ≤ one 32 KiB blob per (bucket × partition) — the
+    dense-int analogue of HLL but exact, the right tool for id spaces
+    like user/order keys at 100 TB.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"bitmap_distinct_count needs an integral column, got "
+            f"{col}={dt!r} (bitmap_bit_position is integer-keyed); use "
+            f"distinct_count_check (HLL) for other types")
+    per_bucket = (
+        df.select(
+            F.bitmap_bucket_number(F.col(col)).alias("_bucket"),
+            F.bitmap_bit_position(F.col(col)).alias("_pos"),
+        )
+        .groupBy("_bucket")
+        .agg(F.bitmap_count(F.bitmap_construct_agg(F.col("_pos"))).alias("_cnt"))
+    )
+    return per_bucket.agg(F.sum("_cnt").cast("long").alias("distinct_cnt"))
+
+
+def histogram_equi_width(
+    df: DataFrame,
+    col: str,
+    buckets: int = 20,
+    scale: int = 100,
+) -> DataFrame:
+    """Equi-width histogram with ENGINE-EXACT bucket boundaries.
+
+    Float bucket math (``floor((x - min) * nb / (max - min))``) puts
+    boundary values on different sides in different engines (one ulp in
+    the division flips a bucket) — so the value is first fixed-pointed
+    to ``round(x · scale)`` integer units and every boundary computed in
+    64-bit integer arithmetic: ``floor((v - vmin) · nb / (vmax - vmin
+    + 1))``, exactly reproducible anywhere. Two passes: a one-row
+    min/max agg broadcast back over the scan (same shape as
+    :func:`filter_outliers_iqr`), then a map-side-combining groupBy on
+    the bucket id — no sort, no shuffle of raw values.
+
+    Returns (bucket, lo, hi, cnt) in original value units, lo/hi the
+    inclusive-exclusive fixed-point bounds of the bucket.
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    v = F.round(F.col(col) * scale).cast("long")
+    fenced = df.where(F.col(col).isNotNull()).select(v.alias("_v"))
+    rng = fenced.agg(
+        F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax"))
+    span = F.col("_vmax") - F.col("_vmin") + 1
+    bucket = F.floor((F.col("_v") - F.col("_vmin")) * buckets / span)
+    return (
+        fenced.crossJoin(F.broadcast(rng))
+        .groupBy(bucket.cast("int").alias("bucket"),
+                 F.col("_vmin"), F.col("_vmax"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            ((F.col("_vmin") + F.floor(F.col("bucket") * span / buckets))
+             / scale).alias("lo"),
+            ((F.col("_vmin") + F.floor((F.col("bucket") + 1) * span / buckets))
+             / scale).alias("hi"),
+            "cnt",
+        )
+    )
+
+
+def mad_outlier_check(
+    df: DataFrame,
+    col: str,
+    group_col: str | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median-absolute-deviation outlier census (robust z-score).
+
+    Flags ``|x - median| > k · 1.4826 · MAD`` — the robust analogue of
+    the ±kσ rule (1.4826 rescales MAD to σ under normality), immune to
+    the outliers themselves inflating the fence the way mean/stddev do.
+    Two exact-percentile passes (median, then median of absolute
+    deviations) with the one-row result broadcast back, then a map-only
+    flag + count — same engine-exact continuous-percentile semantics the
+    IQR scrub relies on. Returns per-``group_col`` (or global) rows:
+    total, n_outliers, fence.
+    """
+    med_row = df.agg(F.percentile(F.col(col), F.lit(0.5)).alias("_med"))
+    with_med = df.crossJoin(F.broadcast(med_row))
+    mad_row = with_med.agg(
+        F.percentile(F.abs(F.col(col) - F.col("_med")), F.lit(0.5))
+        .alias("_mad"))
+    fence = F.lit(k) * F.lit(1.4826) * F.col("_mad")
+    flagged = with_med.crossJoin(F.broadcast(mad_row)).select(
+        *( [F.col(group_col)] if group_col else [] ),
+        (F.abs(F.col(col) - F.col("_med")) > fence).alias("_out"),
+        fence.alias("_fence"),
+    )
+    keys = [group_col] if group_col else []
+    return (
+        flagged.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("_out").cast("int")).alias("n_outliers"),
+            F.first("_fence").alias("fence"),
+        )
+    )

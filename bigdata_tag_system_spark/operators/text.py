@@ -530,3 +530,48 @@ def chunk_documents(
         F.array_join("_c", " ").alias("chunk_text"),
         F.size("_c").alias("chunk_tokens"),
     )
+
+
+def source_token_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group KL divergence of the token distribution vs the corpus:
+    ``KL(p_g ‖ q) = Σ_t p_g(t) · ln(p_g(t) / q(t))`` — the mixture-
+    balancing diagnostic for training-data curation (a high-KL source
+    is lexically unlike the blend it feeds; near-zero means redundant).
+
+    One tokenize+explode pass builds the (group, token, count) table;
+    corpus totals re-aggregate THOSE counts (sum of sums — the raw text
+    is scanned exactly once), the join back is on the token key, and
+    ``p_g(t) > 0 ⟹ q(t) > 0`` by construction so the log never sees
+    zero. Shuffles are all on (group, token) / token — never raw text.
+    """
+    from bigdata_tag_system_spark.functions.text import tokens
+
+    gt = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(group_col), F.explode(tokens(text_col)).alias("_t"))
+        .groupBy(group_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    gt = gt.persist()
+    g_tot = gt.groupBy(group_col).agg(F.sum("_c").alias("_ng"))
+    t_tot = gt.groupBy("_t").agg(F.sum("_c").alias("_ct"))
+    n_all = gt.agg(F.sum("_c").alias("_n"))
+    joined = (
+        gt.join(t_tot, "_t")
+        .join(F.broadcast(g_tot), group_col)
+        .crossJoin(F.broadcast(n_all))
+    )
+    term = (F.col("_c") / F.col("_ng")) * (
+        F.log(F.col("_c") / F.col("_ng")) - F.log(F.col("_ct") / F.col("_n"))
+    )
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.max("_ng").cast("long").alias("n_tokens"),
+            F.sum(term).alias("kl_nats"),
+        )
+    )

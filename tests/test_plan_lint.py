@@ -113,6 +113,11 @@ _CATALOG_SLICE = [
     "text_url_domains", "text_token_entropy",
     "mm_media_features", "mm_payload_chunks",
     "emb_label_centroid", "emb_quantize_int8",
+    # second round-4 batch
+    "dedup_fuzzy_edit", "sketch_bitmap_distinct", "agg_histogram",
+    "events_mad_outliers", "events_islands", "events_rolling_window",
+    "text_top_bigrams", "text_source_kl", "sample_mixture",
+    "layout_zorder_cells",
 ]
 
 

@@ -1,0 +1,246 @@
+"""Invariants for the second round-4 operator batch: fuzzy edit-distance
+dedup, bitmap exact-distinct, fixed-point histogram, MAD outliers,
+gaps-and-islands, trailing RANGE windows, mixture sampling, Z-order
+layout, and per-group KL. These back the oracle rows
+(`dedup_fuzzy_edit` … `layout_zorder_cells`); the properties here cover
+what a value-hash compare cannot (blocking completeness, error paths,
+plan-independence, reconstruction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.operators.dedup import fuzzy_edit_pairs
+from bigdata_tag_system_spark.operators.features import (
+    collapse_runs,
+    rolling_time_features,
+)
+from bigdata_tag_system_spark.operators.layout import (
+    cluster_zorder,
+    zorder_value,
+)
+from bigdata_tag_system_spark.operators.sampling import mixture_sample
+from bigdata_tag_system_spark.operators.sketches import (
+    bitmap_distinct_count,
+    histogram_equi_width,
+    mad_outlier_check,
+)
+from bigdata_tag_system_spark.operators.text import source_token_kl
+
+
+class TestFuzzyEditPairs:
+    def test_matches_brute_force_across_bands(self, spark):
+        # texts engineered so some true pairs straddle a band boundary
+        # with the LOWER id in the HIGHER band (the orientation a naive
+        # id_a < id_b band join loses)
+        rows = [
+            (1, "a" * 12),        # len 12, band floor(12/4)=3
+            (2, "a" * 11),        # len 11, band 2 — pair (1,2) dist 1
+            (3, "b" * 8),         # band 2
+            (4, "b" * 8 + "c"),   # band 2 — pair (3,4) dist 1
+            (5, "zzzzzz"),        # band 1, no partner
+            (6, None),            # null text must not join
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in fuzzy_edit_pairs(df, max_dist=3).collect()
+        }
+        import itertools
+
+        def lev(a, b):
+            import numpy as np
+
+            d = np.arange(len(b) + 1)
+            for i, ca in enumerate(a, 1):
+                prev, d[0] = d[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, d[j] = d[j], min(
+                        d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+            return int(d[len(b)])
+
+        want = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            if ta is None or tb is None:
+                continue
+            dist = lev(ta, tb)
+            if dist <= 3:
+                want.add((min(ia, ib), max(ia, ib), dist))
+        assert got == want
+        assert (1, 2, 1) in got  # the cross-band pair specifically
+
+    def test_zero_distance_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same")], "doc_id long, text string")
+        [r] = fuzzy_edit_pairs(df, max_dist=0).collect()
+        assert (r.id_a, r.id_b, r.dist) == (1, 2, 0)
+        with pytest.raises(ValueError, match="max_dist"):
+            fuzzy_edit_pairs(df, max_dist=-1)
+
+
+class TestBitmapDistinct:
+    def test_equals_count_distinct(self, spark):
+        df = spark.range(0, 5000).select(
+            (F.col("id") % 137).alias("k"))
+        [r] = bitmap_distinct_count(df, "k").collect()
+        assert r.distinct_cnt == 137
+
+    def test_rejects_non_integral(self, spark):
+        df = spark.createDataFrame([("x",)], "s string")
+        with pytest.raises(ValueError, match="integral"):
+            bitmap_distinct_count(df, "s")
+
+
+class TestHistogram:
+    def test_partition_of_rows(self, spark):
+        df = spark.range(0, 1000).select(
+            (F.col("id") / 7.0).alias("v"))
+        out = histogram_equi_width(df, "v", buckets=8).collect()
+        assert sum(r.cnt for r in out) == 1000
+        assert {r.bucket for r in out} <= set(range(8))
+        by_bucket = sorted(out, key=lambda r: r.bucket)
+        for a, b in zip(by_bucket, by_bucket[1:]):
+            assert a.hi <= b.lo or abs(a.hi - b.lo) < 1e-9
+        assert min(r.lo for r in out) <= 0.0
+        with pytest.raises(ValueError, match="buckets"):
+            histogram_equi_width(df, "v", buckets=0)
+
+
+class TestMadOutliers:
+    def test_flags_planted_outlier(self, spark):
+        vals = [(float(v),) for v in [10, 11, 12, 13, 14, 1000]]
+        df = spark.createDataFrame(vals, "value double")
+        [r] = mad_outlier_check(df, "value").collect()
+        assert r.total == 6
+        assert r.n_outliers == 1  # only the 1000
+        assert r.fence > 0
+
+    def test_grouped_shape(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 3.0)], "g string, value double")
+        out = mad_outlier_check(df, "value", group_col="g").collect()
+        assert {r.g for r in out} == {"a", "b"}
+        assert sum(r.total for r in out) == 3
+
+
+class TestCollapseRuns:
+    def test_known_runs(self, spark):
+        rows = [
+            (1, "x", 1, 101), (1, "x", 2, 102), (1, "y", 3, 103),
+            (1, "x", 4, 104),
+            (2, "y", 1, 201), (2, "y", 2, 202), (2, "y", 3, 203),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long, event_id long")
+        out = collapse_runs(df).collect()
+        runs = {(r.user_id, r.event_type, r.run_start, r.run_len)
+                for r in out}
+        assert runs == {
+            (1, "x", 1, 2), (1, "y", 3, 1), (1, "x", 4, 1),
+            (2, "y", 1, 3),
+        }
+        assert sum(r.run_len for r in out) == len(rows)
+
+    def test_run_count_invariant_on_real_data(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ev = ev.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out = collapse_runs(ev)
+        total = ev.count()
+        agg = out.agg(
+            F.sum("run_len").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        assert agg.s == total      # runs partition the events
+        assert agg.n <= total
+
+
+class TestRollingWindow:
+    def test_trailing_counts_with_same_second_ties(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00", 1, 1.0),
+            (1, "2024-01-01 00:00:00", 2, 2.0),   # same-second peer
+            (1, "2024-01-03 00:00:00", 3, 4.0),
+            (1, "2024-01-20 00:00:00", 4, 8.0),   # outside 7d of 1-3
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, event_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {r.event_id: (r.trailing_cnt, r.trailing_sum)
+               for r in rolling_time_features(
+                   df, window_seconds=7 * 86400).collect()}
+        # RANGE peers: both same-second rows see both
+        assert out[1] == (2, 3.0)
+        assert out[2] == (2, 3.0)
+        assert out[3] == (3, 7.0)
+        assert out[4] == (1, 8.0)
+
+
+class TestMixtureSample:
+    def test_allocation_and_determinism(self, spark):
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        kept = mixture_sample(df, "src", "id", total=100, portable=True)
+        counts = {r.src: r.c for r in
+                  kept.groupBy("src").agg(
+                      F.count(F.lit(1)).alias("c")).collect()}
+        # floor(sqrt(900))=30, floor(sqrt(100))=10 → 100*30/40=75, 25
+        assert counts == {"big": 75, "small": 25}
+        # plan-independence: same kept ids after a repartition
+        a = {r.id for r in kept.collect()}
+        b = {r.id for r in mixture_sample(
+            df.repartition(7), "src", "id",
+            total=100, portable=True).collect()}
+        assert a == b
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, src string")
+        with pytest.raises(ValueError, match="total"):
+            mixture_sample(df, "src", "id", total=0)
+        df2 = spark.createDataFrame([("k", "a")], "id string, src string")
+        with pytest.raises(ValueError, match="integral"):
+            mixture_sample(df2, "src", "id", total=1, portable=True)
+
+
+class TestZorder:
+    def test_known_interleave(self, spark):
+        # x=0b01, y=0b10 → bits: x0=1→pos0, x1=0→pos2, y0=0→pos1,
+        # y1=1→pos3 → z = 0b1001 = 9
+        df = spark.createDataFrame([(1, 2)], "x long, y long")
+        [r] = df.select(zorder_value(["x", "y"], bits=2).alias("z")).collect()
+        assert r.z == 9
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError, match=">= 2"):
+            zorder_value(["x"], bits=4)
+        with pytest.raises(ValueError, match="int64"):
+            zorder_value(["x", "y", "z"], bits=21)
+
+    def test_cluster_locality(self, spark):
+        # after range-clustering by z, each partition's z-span is
+        # disjoint — the property that makes min/max stats prune
+        df = spark.range(0, 4096).select(
+            (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"))
+        cl = cluster_zorder(df, ["x", "y"], bits=6)
+        spans = (
+            cl.withColumn("p", F.spark_partition_id())
+            .groupBy("p").agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+            .orderBy("lo").collect()
+        )
+        for a, b in zip(spans, spans[1:]):
+            assert a.hi <= b.lo
+
+
+class TestSourceKl:
+    def test_identical_groups_zero_divergence(self, spark):
+        rows = [(i, "g%d" % (i % 2), "same tokens here") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = source_token_kl(df, group_col="source").collect()
+        assert all(abs(r.kl_nats) < 1e-12 for r in out)
+
+    def test_nonnegative_and_counts(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = source_token_kl(docs, group_col="lang").collect()
+        assert all(r.kl_nats >= -1e-12 for r in out)
+        assert sum(r.n_tokens for r in out) > 0
