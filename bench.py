@@ -87,6 +87,9 @@ def main() -> None:
         "sample_mixture",          # sqrt-tempered mixture sampling
         "layout_zorder_cells",     # Morton interleave census
         "sketch_bitmap_distinct",  # bitmap exact-distinct aggregate
+        "dim_scd2_orders",         # SCD2 build (islands + lead chaining)
+        "sample_epoch_oversample", # whole copies + hash-ranked remainder
+        "audit_expectations",      # one-scan expectation gate
     ]
 
     # warmup: prime JVM/codegen on a small action

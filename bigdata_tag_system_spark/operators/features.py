@@ -426,3 +426,32 @@ def rolling_time_features(
         F.count(F.lit(1)).over(w).alias("trailing_cnt"),
         F.sum(value_col).over(w).alias("trailing_sum"),
     )
+
+
+def scd2_from_events(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an attribute
+    change log: one row per maximal period during which ``attr_col``
+    held a value for ``key_col``, with ``valid_from`` / ``valid_to``
+    (NULL = current) and ``is_current``.
+
+    Two steps, both on the same key partitioning (one shuffle of the
+    fact rows total): consecutive identical values collapse into runs
+    (:func:`collapse_runs` island logic), then each run's ``valid_to``
+    is the NEXT run's start via ``lead`` — so flapping values (A→B→A)
+    produce three periods, not two, which is the SCD2 contract.
+    """
+    runs = collapse_runs(
+        df, key_col=key_col, value_col=attr_col, order_cols=order_cols)
+    w = Window.partitionBy(key_col).orderBy("run_start")
+    nxt = F.lead("run_start").over(w)
+    return runs.select(
+        F.col(key_col), F.col(attr_col),
+        F.col("run_start").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -1,0 +1,107 @@
+"""Data-quality expectation checks and referential-integrity audits.
+
+A pipeline feeding a 100 TB store needs its gates expressed as QUERIES,
+not notebook spot-checks: each expectation compiles to one aggregate
+over a single scan (all expectations for a table share the pass), and
+each relationship audit is one anti-join count. Results come back as
+rows — (check, expected, observed, ok) — so the gate itself is
+oracle-checkable and can run under the same scheduler as everything
+else. The shapes mirror dbt tests / Deequ analyzers, built from plain
+DataFrame aggregates.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def expectation_report(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: Sequence[str] = (),
+    accepted_values: Mapping[str, Sequence] | None = None,
+    ranges: Mapping[str, tuple] | None = None,
+) -> DataFrame:
+    """One row per expectation: (check, violations, ok).
+
+    - ``not_null``: columns that must never be NULL;
+    - ``unique``: columns whose values must not repeat (violations =
+      rows beyond the first per value, i.e. ``count − countDistinct``
+      over non-null values, + nothing for NULLs — pair with not_null);
+    - ``accepted_values``: column → allowed set (violations = rows
+      outside it, NULL excluded);
+    - ``ranges``: column → (lo, hi) inclusive bounds.
+
+    Everything folds into ONE aggregate over one scan — adding an
+    expectation adds an aggregate expression, never a pass. The unique
+    check's exact ``countDistinct`` is the one expensive entry at
+    production scale — swap it for the bitmap/HLL variants in
+    ``sketches`` when the column is integral and the gate tolerates it.
+    """
+    aggs = []
+    names = []
+    for c in not_null:
+        names.append(f"not_null:{c}")
+        aggs.append(F.sum(F.col(c).isNull().cast("long")))
+    for c in unique:
+        names.append(f"unique:{c}")
+        aggs.append(
+            F.count(F.col(c)) - F.countDistinct(F.col(c)))
+    for c, vals in (accepted_values or {}).items():
+        names.append(f"accepted:{c}")
+        aggs.append(F.sum(
+            (~F.col(c).isin(list(vals)) & F.col(c).isNotNull())
+            .cast("long")))
+    for c, (lo, hi) in (ranges or {}).items():
+        names.append(f"range:{c}")
+        aggs.append(F.sum(
+            ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)))
+            .cast("long")))
+    if not aggs:
+        raise ValueError("expectation_report needs at least one expectation")
+    row = df.agg(*[a.alias(f"_e{i}") for i, a in enumerate(aggs)])
+    stacked = row.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(n).alias("check"),
+            F.coalesce(F.col(f"_e{i}"), F.lit(0)).cast("long")
+            .alias("violations"),
+        )
+        for i, n in enumerate(names)
+    ])).alias("_s")).select("_s.check", "_s.violations")
+    return stacked.select(
+        "check", "violations", (F.col("violations") == 0).alias("ok"))
+
+
+def referential_audit(
+    relations: Sequence[tuple],
+) -> DataFrame:
+    """Orphan counts for FK→PK relationships: one row per relation
+    ``(name, fact_df, fk_col, dim_df, pk_col)`` with the number of fact
+    rows whose key has no match (NULL FKs are not orphans — reject them
+    with :func:`expectation_report` if unwanted).
+
+    Each relation is a LEFT ANTI join counted — the join broadcasts the
+    dim side when small and degrades to a shuffled hash join otherwise;
+    nothing ever materializes beyond a count. Results union into one
+    frame so a scheduler treats the whole audit as one query.
+    """
+    if not relations:
+        raise ValueError("referential_audit needs at least one relation")
+    outs = []
+    for name, fact, fk, dim, pk in relations:
+        orphans = (
+            fact.select(F.col(fk)).where(F.col(fk).isNotNull())
+            .join(dim.select(F.col(pk).alias(fk)).distinct(),
+                  on=fk, how="left_anti")
+        )
+        outs.append(
+            orphans.agg(F.count(F.lit(1)).alias("orphans"))
+            .select(F.lit(name).alias("relation"), "orphans"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "relation", "orphans", (F.col("orphans") == 0).alias("ok"))

@@ -269,3 +269,63 @@ def mixture_sample(
         .where(F.col("_rn") <= F.col("_target"))
         .drop("_rn", "_target")
     )
+
+
+def epoch_oversample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    ratios: Mapping[str, float],
+    portable: bool = False,
+    salt: int = 0,
+) -> DataFrame:
+    """Epoch-style oversampling: stratum ``s`` is repeated
+    ``ratios[s]`` times — whole copies plus a deterministic
+    hash-ranked fraction, the standard way to upweight a small
+    high-quality source in a training mix without RNG.
+
+    Target row count per stratum is ``floor(c_s · ratio)`` exactly
+    (ratio taken at 1e-6 integer precision so the arithmetic is
+    engine-reproducible): every row gets ``floor(ratio)`` copies, and
+    the top ``target − c_s·floor(ratio)`` rows by per-key hash rank get
+    one more. Output carries ``copy_idx`` (0-based) so downstream
+    shuffles can spread the copies. Strata absent from ``ratios`` pass
+    through once. Plan: one count aggregate, a broadcast of per-stratum
+    targets, one rank window per stratum, then a map-side
+    ``explode(sequence)`` — copies never shuffle as inputs.
+    """
+    for s, r in ratios.items():
+        if r < 0:
+            raise ValueError(f"ratio for {s!r} must be >= 0, got {r}")
+    hash_fn = _pick_hash(df, key_col, portable)
+    # fixed-point ratio (1e-6) so target = floor(c * r) is integer math
+    rmap = {s: int(round(r * 1_000_000)) for s, r in ratios.items()}
+    ratio_col = F.coalesce(
+        *[F.when(F.col(stratum_col) == F.lit(s), F.lit(r))
+          for s, r in rmap.items()],
+        F.lit(1_000_000),
+    ) if rmap else F.lit(1_000_000)
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_c"))
+    targets = counts.select(
+        stratum_col,
+        F.col("_c"),
+        F.floor(F.col("_c") * ratio_col / 1_000_000).cast("long")
+        .alias("_target"),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_fn(F.col(key_col), salt), F.col(key_col))
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    joined = ranked.join(F.broadcast(targets), stratum_col)
+    # whole copies for everyone; ranks <= target % c get one extra
+    whole = F.floor(F.col("_target") / F.col("_c")).cast("long")
+    extra = (F.col("_rn") <= F.col("_target") % F.col("_c")).cast("long")
+    n_copies = (whole + extra).alias("_k")
+    return (
+        joined.select("*", n_copies)
+        .where(F.col("_k") > 0)
+        .select(
+            *[F.col(c) for c in df.columns],
+            F.explode(
+                F.sequence(F.lit(0), F.col("_k") - 1)).alias("copy_idx"),
+        )
+    )

@@ -118,6 +118,9 @@ _CATALOG_SLICE = [
     "events_mad_outliers", "events_islands", "events_rolling_window",
     "text_top_bigrams", "text_source_kl", "sample_mixture",
     "layout_zorder_cells",
+    "dim_scd2_orders", "sample_epoch_oversample", "audit_referential",
+    "audit_expectations", "events_type_percentiles",
+    "events_rollup_parity",
 ]
 
 

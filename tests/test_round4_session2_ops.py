@@ -244,3 +244,107 @@ class TestSourceKl:
         out = source_token_kl(docs, group_col="lang").collect()
         assert all(r.kl_nats >= -1e-12 for r in out)
         assert sum(r.n_tokens for r in out) > 0
+
+
+class TestScd2:
+    def test_flapping_attribute_three_periods(self, spark):
+        rows = [
+            (1, "A", 1), (1, "A", 2), (1, "B", 3), (1, "A", 4),
+            (2, "X", 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, attr string, seq long")
+        from bigdata_tag_system_spark.operators.features import (
+            scd2_from_events,
+        )
+
+        out = sorted(
+            scd2_from_events(
+                df, key_col="k", attr_col="attr", order_cols=("seq",)
+            ).collect(),
+            key=lambda r: (r.k, r.valid_from))
+        periods = [(r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+                   for r in out]
+        assert periods == [
+            (1, "A", 1, 3, False),
+            (1, "B", 3, 4, False),
+            (1, "A", 4, None, True),   # A→B→A = three periods
+            (2, "X", 1, None, True),
+        ]
+
+
+class TestEpochOversample:
+    def test_copies_and_fractional_remainder(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            epoch_oversample,
+        )
+
+        rows = [(i, "hq" if i < 10 else "lq") for i in range(110)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        out = epoch_oversample(
+            df, "src", "id", ratios={"hq": 2.5, "lq": 0.25},
+            portable=True)
+        counts = {r.src: r.n for r in out.groupBy("src").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        # hq: floor(10*2.5)=25 rows; lq: floor(100*0.25)=25 rows
+        assert counts == {"hq": 25, "lq": 25}
+        # every hq id appears 2 or 3 times; copy_idx dense from 0
+        per_id = {r.id: r.n for r in out.where("src = 'hq'")
+                  .groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        assert set(per_id.values()) == {2, 3}
+        assert sum(per_id.values()) == 25
+        mx = out.where("src = 'hq'").agg(
+            F.max("copy_idx")).collect()[0][0]
+        assert mx == 2
+
+    def test_determinism_and_validation(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            epoch_oversample,
+        )
+
+        rows = [(i, "a") for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        a = sorted((r.id, r.copy_idx) for r in epoch_oversample(
+            df, "src", "id", ratios={"a": 0.4}, portable=True).collect())
+        b = sorted((r.id, r.copy_idx) for r in epoch_oversample(
+            df.repartition(5), "src", "id", ratios={"a": 0.4},
+            portable=True).collect())
+        assert a == b and len(a) == 20
+        with pytest.raises(ValueError, match=">= 0"):
+            epoch_oversample(df, "src", "id", ratios={"a": -1.0})
+
+
+class TestQuality:
+    def test_expectations_catch_planted_violations(self, spark):
+        from bigdata_tag_system_spark.operators.quality import (
+            expectation_report,
+        )
+
+        rows = [(1, "x", 5.0), (2, "x", -1.0), (2, "y", 3.0),
+                (None, "z", 4.0)]
+        df = spark.createDataFrame(rows, "id long, s string, v double")
+        out = {r.check: (r.violations, r.ok)
+               for r in expectation_report(
+                   df, not_null=["id"], unique=["id"],
+                   accepted_values={"s": ["x", "y"]},
+                   ranges={"v": (0.0, 10.0)}).collect()}
+        assert out["not_null:id"] == (1, False)
+        assert out["unique:id"] == (1, False)      # id=2 twice
+        assert out["accepted:s"] == (1, False)     # 'z'
+        assert out["range:v"] == (1, False)        # -1.0
+        with pytest.raises(ValueError, match="at least one"):
+            expectation_report(df)
+
+    def test_referential_orphans(self, spark):
+        from bigdata_tag_system_spark.operators.quality import (
+            referential_audit,
+        )
+
+        fact = spark.createDataFrame(
+            [(1,), (2,), (99,), (None,)], "fk long")
+        dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+        [r] = referential_audit([("f", fact, "fk", dim, "pk")]).collect()
+        assert (r.relation, r.orphans, r.ok) == ("f", 1, False)
+        with pytest.raises(ValueError, match="at least one"):
+            referential_audit([])
