@@ -38,6 +38,8 @@ _IVF_INDEX_CACHE: dict[str, str] = {}
 _STREAM_PARITY_CACHE: dict[str, str] = {}
 # windowed-aggregate streaming replay outputs, keyed by sf_dir
 _STREAM_WINDOW_CACHE: dict[str, str] = {}
+# stateful-sessionize streaming replay outputs, keyed by sf_dir
+_STREAM_SESSION_CACHE: dict[str, str] = {}
 # fitted k-means centroids, keyed by sf_dir (shared by the IVF/kNN queries)
 _CENTROID_CACHE: dict[str, list] = {}
 # embeddings re-keyed as doc_id, staged once per sf_dir (see cross_table_rule)
@@ -2325,6 +2327,84 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_rollup_parity"] = events_rollup_parity
 
+    def stream_sessionize_parity(spark, sf_dir):
+        # the applyInPandasWithState sessionizer replayed availableNow
+        # over the events table: sessions close when a later event opens
+        # the next one, or when the final no-data batch fires event-time
+        # timeouts (watermark = max ts − 30 min). The batch oracle
+        # re-derives exactly that emission set: every non-final session
+        # per user, plus final sessions whose idle deadline the final
+        # watermark strictly passed. Replay is a pure function of the
+        # sf_dir — run once per process.
+        import os
+        import shutil
+        import tempfile
+
+        from bigdata_tag_system_spark.streaming.stateful import (
+            sessionize_stream,
+        )
+
+        _prep(spark)
+        out_dir = _STREAM_SESSION_CACHE.get(sf_dir)
+        if out_dir is None:
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            tmp = tempfile.mkdtemp(prefix="stream_sess_")
+            src_dir = tmp + "/src"
+            os.makedirs(src_dir)
+            try:
+                os.link(f"{sf_dir}/events.parquet",
+                        f"{src_dir}/events.parquet")
+            except OSError:
+                shutil.copy(f"{sf_dir}/events.parquet",
+                            f"{src_dir}/events.parquet")
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            sessions = sessionize_stream(
+                stream, gap_minutes=60, watermark="30 minutes")
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            query = (
+                sessions.writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(
+                    lambda batch, _id:
+                        batch.write.mode("append").parquet(out))
+                .start()
+            )
+            query.awaitTermination()
+            _STREAM_SESSION_CACHE[sf_dir] = out
+            out_dir = out
+        replayed = spark.read.parquet(out_dir)
+        return replayed.select(
+            "user_id", "session_start_ms", "session_end_ms",
+            "event_count", F.round("value_sum", 2).alias("value_sum"),
+        ).orderBy("user_id", "session_start_ms")
+
+    q["stream_sessionize_parity"] = stream_sessionize_parity
+
+    def text_bigram_lm(spark, sf_dir):
+        # self-trained bigram LM score per doc (perplexity proxy for
+        # quality filtering); corpus text tokenized exactly once
+        out = T.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+        return out.select(
+            "doc_id", "n_bigrams",
+            F.round("avg_logp", 6).alias("avg_logp")).orderBy("doc_id")
+
+    q["text_bigram_lm"] = text_bigram_lm
+
+    def stats_chi_square(spark, sf_dir):
+        # Pearson chi-square: is language mix independent of source?
+        # sparse formulation — only observed cells materialize
+        from bigdata_tag_system_spark.operators.sketches import (
+            chi_square_independence,
+        )
+
+        out = chi_square_independence(
+            _t(spark, sf_dir, "documents"), "lang", "source")
+        return out.select(
+            F.round("chi2", 4).alias("chi2"), "dof", "n")
+
+    q["stats_chi_square"] = stats_chi_square
+
     return q
 
 
@@ -4118,6 +4198,86 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*) AS event_count,
                round(sum(value), 2) AS value_sum
         FROM events GROUP BY day, event_type ORDER BY day, event_type
+    """
+
+    # batch re-derivation of the stateful streaming sessionizer's
+    # emission set: gap-rule sessions over ms-truncated event time;
+    # a session is emitted iff the user has a later event (the next
+    # session's first event closed it) OR the final watermark
+    # (max ts − 30 min) strictly passed its idle deadline (+60 min)
+    o["stream_sessionize_parity"] = """
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS u,
+                   epoch_ms(ts)::BIGINT AS tm, value
+            FROM events),
+        s AS (
+            SELECT u, tm, value,
+                   CASE WHEN lag(tm) OVER w IS NULL
+                          OR tm - lag(tm) OVER w > 3600000
+                        THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY u ORDER BY tm)),
+        g AS (
+            SELECT *, sum(brk) OVER (PARTITION BY u ORDER BY tm
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s),
+        sess AS (
+            SELECT u AS user_id, min(tm) AS session_start_ms,
+                   max(tm) AS session_end_ms,
+                   count(*) AS event_count,
+                   round(sum(value), 2) AS value_sum
+            FROM g GROUP BY u, sid),
+        um AS (SELECT u AS user_id, max(tm) AS user_max FROM e GROUP BY u),
+        wm AS (SELECT max(tm) - 1800000 AS w FROM e)
+        SELECT s.user_id, session_start_ms, session_end_ms,
+               event_count, value_sum
+        FROM sess s JOIN um USING (user_id), wm
+        WHERE session_end_ms < user_max
+           OR session_end_ms + 3600000 < w
+        ORDER BY user_id, session_start_ms
+    """
+
+    # add-k bigram LM: counts and continuation totals re-derived from
+    # the same positional-bigram relation the Spark side builds
+    o["text_bigram_lm"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t,
+                   generate_subscripts(string_split({_NORM}, ' '), 1) AS i
+            FROM documents
+            WHERE len(string_split({_NORM}, ' ')) >= 2),
+        gb AS (
+            SELECT a.doc_id AS doc_id, a.t || ' ' || b.t AS bg
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        c2 AS (SELECT bg, count(*) AS c2 FROM gb GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+               FROM c2 GROUP BY w1),
+        v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v FROM c2)
+        SELECT gb.doc_id AS doc_id, count(*) AS n_bigrams,
+               round(avg(ln((c2 + 0.5) / (c1 + 0.5 * v))), 6)
+                   AS avg_logp
+        FROM gb JOIN c2 USING (bg)
+             JOIN c1 ON split_part(gb.bg, ' ', 1) = c1.w1, v
+        GROUP BY gb.doc_id ORDER BY doc_id
+    """
+
+    # sparse Pearson chi2: observed cells + (n − Σ expected-over-
+    # observed) recovers the dense statistic without the full grid
+    o["stats_chi_square"] = """
+        WITH cells AS (
+            SELECT lang, source, count(*) AS o FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY lang, source),
+        ra AS (SELECT lang, sum(o) AS ra FROM cells GROUP BY lang),
+        rb AS (SELECT source, sum(o) AS rb FROM cells GROUP BY source),
+        nn AS (SELECT sum(o) AS n, count(DISTINCT lang) AS na,
+                      count(DISTINCT source) AS nb
+               FROM cells)
+        SELECT round(sum((o - ra * rb / n) * (o - ra * rb / n)
+                         / (ra * rb / n))
+                     + (max(n) - sum(ra * rb / n)), 4) AS chi2,
+               CAST((max(na) - 1) * (max(nb) - 1) AS BIGINT) AS dof,
+               CAST(max(n) AS BIGINT) AS n
+        FROM cells JOIN ra USING (lang) JOIN rb USING (source), nn
     """
 
     return o

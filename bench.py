@@ -90,6 +90,8 @@ def main() -> None:
         "dim_scd2_orders",         # SCD2 build (islands + lead chaining)
         "sample_epoch_oversample", # whole copies + hash-ranked remainder
         "audit_expectations",      # one-scan expectation gate
+        "text_bigram_lm",          # self-trained bigram LM scoring
+        "stream_sessionize_parity",# stateful sessionizer replay
     ]
 
     # warmup: prime JVM/codegen on a small action

@@ -321,3 +321,45 @@ def mad_outlier_check(
             F.first("_fence").alias("fence"),
         )
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square independence statistic for two categorical
+    columns (one row: chi2, dof, n) — the curation dashboard's
+    "is language mix independent of source?" test.
+
+    One contingency aggregate over one scan; marginals re-aggregate the
+    cell counts (never the fact table), the expected-count join
+    broadcasts the two marginal relations. Only OBSERVED cells ever
+    materialize — an unobserved cell's exact contribution is
+    ``(0−e)²/e = e``, and since expected counts sum to ``n`` over the
+    full grid, the dense statistic is recovered sparsely as
+    ``Σ_obs (o−e)²/e + (n − Σ_obs e)`` without enumerating the grid.
+    dof = (|A|−1)(|B|−1) over observed category counts.
+    """
+    cells = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_o"))
+    ra = cells.groupBy(col_a).agg(F.sum("_o").alias("_ra"))
+    rb = cells.groupBy(col_b).agg(F.sum("_o").alias("_rb"))
+    n = cells.agg(
+        F.sum("_o").alias("_n"),
+        F.countDistinct(col_a).alias("_na"),
+        F.countDistinct(col_b).alias("_nb"))
+    e = F.col("_ra") * F.col("_rb") / F.col("_n")
+    joined = (
+        cells.join(F.broadcast(ra), col_a)
+        .join(F.broadcast(rb), col_b)
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.agg(
+        (F.sum((F.col("_o") - e) * (F.col("_o") - e) / e)
+         + (F.first("_n") - F.sum(e))).alias("chi2"),
+        ((F.first("_na") - 1) * (F.first("_nb") - 1)).cast("long")
+        .alias("dof"),
+        F.first("_n").cast("long").alias("n"),
+    )

@@ -575,3 +575,62 @@ def source_token_kl(
             F.sum(term).alias("kl_nats"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Self-trained bigram language-model score per document — the
+    KenLM-free perplexity proxy for quality filtering: documents whose
+    word transitions are unlike the corpus (boilerplate, gibberish,
+    wrong language) score low and can be culled by threshold.
+
+    ``score = mean over doc bigrams of ln P(w₂|w₁)`` with add-k
+    smoothing ``P = (c(w₁w₂)+k) / (c(w₁•)+k·V)``, ``V`` the distinct
+    follower vocabulary. One tokenize+explode pass builds the per-doc
+    bigram relation (persisted — it feeds both the count aggregation
+    and the score join); the continuation totals ``c(w₁•)`` re-aggregate
+    the bigram counts (sum of sums), so raw text is scanned exactly
+    once. The scoring join shuffles (bigram, count) pairs — never text.
+    Documents with fewer than 2 tokens are absent from the output.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdata_tag_system_spark.functions.text import (
+        ngrams_from_tokens, token_count, tokens,
+    )
+
+    gb = (
+        df.where(
+            F.col(text_col).isNotNull() & (token_count(text_col) >= 2))
+        .select(
+            F.col(id_col),
+            F.explode(ngrams_from_tokens(tokens(text_col), 2))
+            .alias("_bg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c2 = gb.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c2"))
+    c2 = c2.select(
+        "_bg", "_c2",
+        F.substring_index(F.col("_bg"), " ", 1).alias("_w1"),
+        F.substring_index(F.col("_bg"), " ", -1).alias("_w2"))
+    c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
+    v = c2.agg(F.countDistinct("_w2").alias("_v"))
+    logp = F.log(
+        (F.col("_c2") + F.lit(smoothing))
+        / (F.col("_c1") + F.lit(smoothing) * F.col("_v")))
+    scored = (
+        gb.join(c2.select("_bg", "_c2", "_w1"), "_bg")
+        .join(c1, "_w1")
+        .crossJoin(F.broadcast(v))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(logp).alias("avg_logp"),
+        )
+    )

@@ -121,6 +121,7 @@ _CATALOG_SLICE = [
     "dim_scd2_orders", "sample_epoch_oversample", "audit_referential",
     "audit_expectations", "events_type_percentiles",
     "events_rollup_parity",
+    "text_bigram_lm", "stats_chi_square",
 ]
 
 

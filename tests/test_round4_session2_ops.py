@@ -348,3 +348,74 @@ class TestQuality:
         assert (r.relation, r.orphans, r.ok) == ("f", 1, False)
         with pytest.raises(ValueError, match="at least one"):
             referential_audit([])
+
+
+class TestBigramLm:
+    def test_hand_computed_probabilities(self, spark):
+        from bigdata_tag_system_spark.operators.text import (
+            bigram_lm_scores,
+        )
+        import math
+
+        # corpus bigrams: d1: (a b), (b a); d2: (a b), (b b)
+        docs = spark.createDataFrame(
+            [(1, "a b a"), (2, "a b b"), (3, "x")],
+            "doc_id long, text string")
+        out = {r.doc_id: (r.n_bigrams, r.avg_logp)
+               for r in bigram_lm_scores(docs, smoothing=0.5).collect()}
+        assert 3 not in out            # single-token doc excluded
+        # counts: c2(a b)=2, c2(b a)=1, c2(b b)=1; c1(a)=2, c1(b)=2;
+        # V = followers {a, b} = 2
+        p_ab = (2 + 0.5) / (2 + 0.5 * 2)
+        p_ba = (1 + 0.5) / (2 + 0.5 * 2)
+        p_bb = (1 + 0.5) / (2 + 0.5 * 2)
+        want1 = (math.log(p_ab) + math.log(p_ba)) / 2
+        want2 = (math.log(p_ab) + math.log(p_bb)) / 2
+        assert out[1][0] == 2 and abs(out[1][1] - want1) < 1e-9
+        assert out[2][0] == 2 and abs(out[2][1] - want2) < 1e-9
+
+    def test_scores_rank_gibberish_low(self, spark, sf_dir):
+        from bigdata_tag_system_spark.operators.text import (
+            bigram_lm_scores,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = bigram_lm_scores(docs)
+        assert out.where("avg_logp >= 0").count() == 0  # log-probs < 0
+
+
+class TestChiSquare:
+    def test_hand_computed_2x2(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            chi_square_independence,
+        )
+
+        # 2x2 table: [[10, 20], [30, 40]] -> chi2 = n(ad-bc)^2 /
+        # ((a+b)(c+d)(a+c)(b+d)) = 100*(400-600)^2/(30*70*40*60)
+        rows = ([("x", "p")] * 10 + [("x", "q")] * 20
+                + [("y", "p")] * 30 + [("y", "q")] * 40)
+        df = spark.createDataFrame(rows, "a string, b string")
+        [r] = chi_square_independence(df, "a", "b").collect()
+        want = 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
+        assert abs(r.chi2 - want) < 1e-9
+        assert r.dof == 1 and r.n == 100
+
+    def test_unobserved_cell_contributes_expected(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            chi_square_independence,
+        )
+
+        # ("y","q") never observed: its expected count e=2.5 must still
+        # enter the statistic via the sparse correction term
+        rows = ([("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5)
+        df = spark.createDataFrame(rows, "a string, b string")
+        [r] = chi_square_independence(df, "a", "b").collect()
+        # dense computation: e = [[6.667,3.333],[3.333,1.667]]
+        import itertools
+        obs = {("x", "p"): 5, ("x", "q"): 5, ("y", "p"): 5,
+               ("y", "q"): 0}
+        ra = {"x": 10, "y": 5}; rb = {"p": 10, "q": 5}; n = 15
+        want = sum((obs[(a, b)] - ra[a] * rb[b] / n) ** 2
+                   / (ra[a] * rb[b] / n)
+                   for a, b in itertools.product("xy", "pq"))
+        assert abs(r.chi2 - want) < 1e-9
