@@ -868,7 +868,13 @@ def connected_components(
     prev_sig = None
     converged = False
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the checksum aggregate right below is the
+        # materializing action, so each round runs ONE job (star steps +
+        # checkpoint + checksum fused), not two — at bench scale the
+        # per-round job overhead dominates the tiny shuffles (measured
+        # ~1.5× on the sf0.1 pipeline); later rounds still read the
+        # materialized RDD, and the plan stays O(1) deep either way
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(nxt)
         # checksum equality is necessary but a (count, xor) collision
         # could accept a non-fixed-point — confirm exactly ONCE at the
