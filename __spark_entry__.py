@@ -40,6 +40,10 @@ _STREAM_PARITY_CACHE: dict[str, str] = {}
 _STREAM_WINDOW_CACHE: dict[str, str] = {}
 # stateful-sessionize streaming replay outputs, keyed by sf_dir
 _STREAM_SESSION_CACHE: dict[str, str] = {}
+# staged JSONL corpus files, keyed by sf_dir (see scan_jsonl_corrupt)
+_JSONL_CACHE: dict[str, str] = {}
+# hive-partitioned event datasets, keyed by sf_dir (scan_partition_pruned)
+_PARTITIONED_CACHE: dict[str, str] = {}
 # fitted k-means centroids, keyed by sf_dir (shared by the IVF/kNN queries)
 _CENTROID_CACHE: dict[str, list] = {}
 # embeddings re-keyed as doc_id, staged once per sf_dir (see cross_table_rule)
@@ -2405,6 +2409,79 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_chi_square"] = stats_chi_square
 
+    def scan_jsonl_corrupt(spark, sf_dir):
+        # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
+        # schema): the staged corpus is documents as JSON lines plus 3
+        # planted garbage lines; the oracle predicts the totals from the
+        # documents table — garbage must surface as rows, never vanish
+        import json as _json
+        import os
+
+        from bigdata_tag_system_spark.sources.readers import (
+            read_jsonl_corpus,
+        )
+
+        path = _JSONL_CACHE.get(sf_dir)
+        if path is None:
+            import tempfile
+
+            import duckdb as _duck
+
+            tmp = tempfile.mkdtemp(prefix="jsonl_corpus_")
+            path = os.path.join(tmp, "corpus.jsonl")
+            rows = _duck.sql(
+                f"SELECT doc_id, lang FROM "
+                f"read_parquet('{sf_dir}/documents.parquet') "
+                f"ORDER BY doc_id").fetchall()
+            with open(path, "w") as f:
+                for doc_id, lang in rows:
+                    f.write(_json.dumps(
+                        {"doc_id": doc_id, "lang": lang}) + "\n")
+                f.write("{not json at all\n")
+                f.write("[5, 6]\n")
+                f.write("garbage line\n")
+            _JSONL_CACHE[sf_dir] = path
+        df = read_jsonl_corpus(
+            spark, path, schema="doc_id bigint, lang string")
+        return df.agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("long"))
+            .alias("corrupt_rows"),
+            F.sum(F.when(F.col("_corrupt_record").isNull(),
+                         F.col("doc_id"))).alias("good_id_sum"),
+        )
+
+    q["scan_jsonl_corrupt"] = scan_jsonl_corrupt
+
+    def scan_partition_pruned(spark, sf_dir):
+        # hive-partitioned daily dataset staged once per sf_dir (dynamic
+        # partition-overwrite writer), then one day read back — the scan
+        # prunes to one directory (PartitionFilters plan-asserted in
+        # pytest); totals must match a raw filter over the events view
+        from bigdata_tag_system_spark.sources.writers import (
+            write_partitioned_dataset,
+        )
+
+        out_dir = _PARTITIONED_CACHE.get(sf_dir)
+        if out_dir is None:
+            import tempfile
+
+            out_dir = tempfile.mkdtemp(prefix="events_by_day_") + "/ds"
+            ev = _t(spark, sf_dir, "events").withColumn(
+                "event_date", F.to_date("ts"))
+            write_partitioned_dataset(
+                ev, out_dir, ["event_date"], max_records_per_file=500_000)
+            _PARTITIONED_CACHE[sf_dir] = out_dir
+        ds = spark.read.parquet(out_dir)
+        day = ds.where(F.col("event_date") == F.lit("2024-01-05"))
+        return day.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.countDistinct("user_id").alias("users"),
+        )
+
+    q["scan_partition_pruned"] = scan_partition_pruned
+
     return q
 
 
@@ -4278,6 +4355,21 @@ def oracle_sql() -> dict[str, str]:
                CAST((max(na) - 1) * (max(nb) - 1) AS BIGINT) AS dof,
                CAST(max(n) AS BIGINT) AS n
         FROM cells JOIN ra USING (lang) JOIN rb USING (source), nn
+    """
+
+    # the oracle predicts the ingest totals from the source table: all
+    # docs parse (good), exactly the 3 planted lines are corrupt
+    o["scan_jsonl_corrupt"] = """
+        SELECT count(*) + 3 AS total_rows,
+               CAST(3 AS BIGINT) AS corrupt_rows,
+               CAST(sum(doc_id) AS BIGINT) AS good_id_sum
+        FROM documents
+    """
+
+    o["scan_partition_pruned"] = """
+        SELECT count(*) AS cnt, round(sum(value), 2) AS value_sum,
+               count(DISTINCT user_id) AS users
+        FROM events WHERE ts::DATE = DATE '2024-01-05'
     """
 
     return o

@@ -131,3 +131,36 @@ def read_jdbc_table(
             .option("numPartitions", str(num_partitions))
         )
     return reader.load()
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Read a JSON-Lines corpus (the de-facto LLM training-data
+    interchange format) with malformed lines CAPTURED, not dropped.
+
+    ``PERMISSIVE`` mode + an explicit corrupt-record column: a bad line
+    yields a row whose data columns are NULL and whose ``corrupt_col``
+    holds the raw line, so pipelines can count/quarantine garbage
+    instead of silently losing it (``DROPMALFORMED`` changes row counts
+    between engines and reruns — never acceptable in a lineage-tracked
+    corpus). Always pass ``schema``: schema inference reads the data
+    TWICE and locks the result to whatever the sample contained.
+
+    At scale JSONL is a line-splittable text format — parallelism is
+    byte-range based (``maxPartitionBytes``), no footer metadata; treat
+    it as the INGEST format and convert to parquet in the first hop
+    (column pruning/statistics do not exist on JSONL scans).
+    """
+    reader = spark.read
+    if schema is not None:
+        full = schema.rstrip() + f", {corrupt_col} string"
+        reader = reader.schema(full)
+    return (
+        reader.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -122,6 +122,7 @@ _CATALOG_SLICE = [
     "audit_expectations", "events_type_percentiles",
     "events_rollup_parity",
     "text_bigram_lm", "stats_chi_square",
+    "scan_jsonl_corrupt", "scan_partition_pruned",
 ]
 
 

@@ -419,3 +419,69 @@ class TestChiSquare:
                    / (ra[a] * rb[b] / n)
                    for a, b in itertools.product("xy", "pq"))
         assert abs(r.chi2 - want) < 1e-9
+
+
+class TestIngestion:
+    def test_jsonl_corrupt_capture(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.readers import (
+            read_jsonl_corpus,
+        )
+
+        p = tmp_path / "c.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "lang": "en"}\n'
+            'not json\n'
+            '{"doc_id": 2, "lang": "fr"}\n')
+        df = read_jsonl_corpus(
+            spark, str(p), schema="doc_id bigint, lang string")
+        rows = df.collect()
+        assert len(rows) == 3           # garbage captured, not dropped
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not json"
+        assert {r.doc_id for r in rows if r.doc_id} == {1, 2}
+
+    def test_partitioned_write_dynamic_overwrite(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.writers import (
+            write_partitioned_dataset,
+        )
+
+        out = str(tmp_path / "ds")
+        df1 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, day string")
+        write_partitioned_dataset(df1, out, ["day"])
+        # overwrite ONLY day=a — day=b must survive (dynamic mode)
+        df2 = spark.createDataFrame([(9, "a")], "id long, day string")
+        write_partitioned_dataset(df2, out, ["day"])
+        got = {(r.id, r.day)
+               for r in spark.read.parquet(out).collect()}
+        assert got == {(9, "a"), (2, "b")}
+
+    def test_partition_pruning_in_plan(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.writers import (
+            write_partitioned_dataset,
+        )
+        from pyspark.sql import functions as F
+
+        out = str(tmp_path / "pds")
+        df = spark.range(0, 100).select(
+            "id", (F.col("id") % 5).cast("string").alias("part"))
+        write_partitioned_dataset(df, out, ["part"])
+        scan = spark.read.parquet(out).where(F.col("part") == "3")
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(part" in plan \
+            or "PartitionFilters: [" in plan
+        assert scan.count() == 20
+
+    def test_compaction_preserves_rows(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.writers import (
+            compact_parquet,
+        )
+
+        out = str(tmp_path / "frag")
+        spark.range(0, 1000).repartition(40).write.parquet(out)
+        import glob
+        assert len(glob.glob(out + "/*.parquet")) == 40
+        n_files = compact_parquet(spark, out, target_file_mb=512)
+        assert n_files < 40
+        got = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert got == list(range(1000))
