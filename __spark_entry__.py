@@ -209,7 +209,8 @@ _DRIVER_FIRST = [
     # -- new this round, batch 2 (heaviest/most distinctive first) --
     "dedup_pipeline_keep_best", "store_bucketed_merge",
     "ts_interval_overlap", "text_bm25_topk", "sim_hybrid_rrf",
-    "mm_payload_chunks", "sample_iqr_filter", "store_snapshot_diff",
+    "mm_payload_chunks", "stream_sessionize_parity",
+    "store_snapshot_diff",
     "dedup_semantic_keep", "sim_quantized_topk",
     # -- new this round, batch 3 --
     "dedup_fuzzy_edit", "sample_mixture", "layout_zorder_cells",
@@ -233,7 +234,7 @@ _DRIVER_FIRST = [
     "text_url_domains", "text_url_blocklist", "join_salted",
     "scenario_all_tag_subset", "scenario_keys_overwrite",
     "func_string_battery", "func_math_battery", "func_date_battery",
-    "dedup_cluster_sizes",
+    "dedup_cluster_sizes", "sample_iqr_filter",
     "rule_regex_match", "text_source_report",
     "events_transitions", "events_dwell_stats", "text_token_entropy",
     # -- twice-driver-green families + engine-specific rows-only

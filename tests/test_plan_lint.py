@@ -80,54 +80,39 @@ class TestAssert:
             assert_scalable(df, allow=["no_such_check"])
 
 
-# Representative catalog slice: every operator family, parquet-backed.
+# THE ENTIRE catalog is lint-clean as a test invariant: every
+# `queries()` entry's physical plan passes `assert_scalable`.
 # Allowances are the three legitimate, bounded patterns the engine uses
 # ON PURPOSE (each documented at its source):
 # - rdd_scan from localCheckpoint (deliberate lineage truncation in the
-#   iterative CC rounds) or from a one-row createDataFrame relation
-#   (quantization scale vector);
+#   iterative CC rounds — every query composing connected components
+#   inherits it) or from a deliberately tiny in-memory relation (the
+#   one-row quantization scale vector; the inline-rows demo; the
+#   broadcast tag-definition dim);
 # - global_window over relations bounded by construction (the ≤4096-row
-#   bucket-offset table; top-50 rank inputs).
+#   bucket-offset table; top-50 rank-fusion inputs).
 _CATALOG_ALLOW = {
+    "tag_enriched": ["rdd_scan"],
+    "inline_rows": ["rdd_scan"],
     "dedup_components": ["rdd_scan"],
+    "dedup_cluster_sizes": ["rdd_scan"],
     "dedup_pipeline_keep": ["rdd_scan"],
+    "dedup_pipeline_keep_best": ["rdd_scan"],
+    "dedup_semantic_keep": ["rdd_scan"],
     "sim_quantized_topk": ["rdd_scan"],
     "sample_shuffle_order": ["global_window"],
     "sim_hybrid_rrf": ["global_window"],
 }
 
-_CATALOG_SLICE = [
-    "tag_profiles", "tag_merge_union", "scenario_incremental",
-    "join_left_enrich", "join_full_outer", "join_salted",
-    "agg_collect_list", "agg_rollup", "window_row_number",
-    "events_daily_rollup", "events_sessionize", "events_user_zscore",
-    "events_transitions", "events_dwell_stats",
-    "ts_asof_join", "ts_range_join", "ts_interval_overlap",
-    "dedup_exact_groups", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_components", "dedup_pipeline_keep",
-    "sim_cosine_topk", "sim_knn_join", "sim_ivf_topk", "sim_quantized_topk",
-    "sample_stratified_hash", "sample_shuffle_order", "sample_iqr_filter",
-    "sketch_distinct_check", "pack_token_budget",
-    "text_token_stats", "text_top_tokens", "text_tfidf_top_terms",
-    "text_segment_dedup", "text_bm25_topk", "sim_hybrid_rrf",
-    "text_url_domains", "text_token_entropy",
-    "mm_media_features", "mm_payload_chunks",
-    "emb_label_centroid", "emb_quantize_int8",
-    # second round-4 batch
-    "dedup_fuzzy_edit", "sketch_bitmap_distinct", "agg_histogram",
-    "events_mad_outliers", "events_islands", "events_rolling_window",
-    "text_top_bigrams", "text_source_kl", "sample_mixture",
-    "layout_zorder_cells",
-    "dim_scd2_orders", "sample_epoch_oversample", "audit_referential",
-    "audit_expectations", "events_type_percentiles",
-    "events_rollup_parity",
-    "text_bigram_lm", "stats_chi_square",
-    "scan_jsonl_corrupt", "scan_partition_pruned",
-]
+
+def _all_catalog_names():
+    import __spark_entry__ as entry
+
+    return list(entry._build_queries())
 
 
 class TestCatalogPlansClean:
-    @pytest.mark.parametrize("name", _CATALOG_SLICE)
+    @pytest.mark.parametrize("name", _all_catalog_names())
     def test_catalog_query_plan(self, spark, sf_dir, name):
         import __spark_entry__ as entry
 
