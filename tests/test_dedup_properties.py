@@ -255,3 +255,61 @@ def test_chunk_documents_invariants(spark, n_words, chunk_tokens, overlap):
         seen.extend(toks[overlap:] if r["chunk_id"] else toks)
     # strided reconstruction returns the document exactly once
     assert seen == words
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy edit-distance join: banding + histogram-L1 prefilter must lose
+# NO true pair (both are proven lower bounds, but an off-by-one in band
+# width or bin accounting would silently drop pairs)
+# ---------------------------------------------------------------------------
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@st.composite
+def _edit_corpus(draw):
+    base = draw(st.lists(
+        st.text(alphabet="abcde ", min_size=0, max_size=30),
+        min_size=2, max_size=8))
+    # plant near-dups: mutate some strings by a few random edits
+    out = list(base)
+    for s in base[: len(base) // 2]:
+        t = list(s)
+        for _ in range(draw(st.integers(0, 3))):
+            op = draw(st.integers(0, 2))
+            pos = draw(st.integers(0, max(0, len(t) - 1)))
+            if op == 0 and t:
+                t[pos] = draw(st.sampled_from("abcde"))
+            elif op == 1:
+                t.insert(pos, draw(st.sampled_from("abcde")))
+            elif op == 2 and t:
+                del t[pos]
+        out.append("".join(t))
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_edit_corpus(), max_dist=st.sampled_from([0, 1, 3, 6]))
+def test_fuzzy_edit_matches_brute_force(spark, docs, max_dist):
+    from bigdata_tag_system_spark.operators.dedup import fuzzy_edit_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in fuzzy_edit_pairs(df, max_dist=max_dist).collect()}
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            d = _py_lev(docs[a], docs[b])
+            if d <= max_dist:
+                want[(a, b)] = d
+    assert got == want
