@@ -2483,6 +2483,94 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scan_partition_pruned"] = scan_partition_pruned
 
+    def tpch_q1(spark, sf_dir):
+        # TPC-H Q1 pricing summary (adapted to the test lineitem): the
+        # canonical wide-aggregate scan — partial aggregation map-side,
+        # shipdate filter pushed to the parquet scan
+        li = _t(spark, sf_dir, "lineitem")
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02")
+                     .cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                F.round(F.sum(disc * (1 + F.col("l_tax"))), 2)
+                .alias("sum_charge"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["tpch_q1"] = tpch_q1
+
+    def tpch_q3(spark, sf_dir):
+        # TPC-H Q3 shipping priority (adapted: o_orderpriority for the
+        # missing o_shippriority): 3-way join with date bracketing,
+        # top-10 by revenue — joins share the orderkey layout
+        cust = _t(spark, sf_dir, "customer").where(
+            F.col("c_mktsegment") == "BUILDING")
+        orders = _t(spark, sf_dir, "orders").where(
+            F.col("o_orderdate") < F.lit("1998-03-15").cast("date"))
+        li = _t(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("revenue"))
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10)
+        )
+
+    q["tpch_q3"] = tpch_q3
+
+    def tpch_q6(spark, sf_dir):
+        # TPC-H Q6 forecast revenue: the selective-scan query — every
+        # predicate reaches PushedFilters, the agg is a single partial+
+        # final sum
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.where(
+                (F.col("l_shipdate") >= F.lit("1996-01-01")
+                 .cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01")
+                   .cast("timestamp"))
+                & (F.col("l_discount") >= 0.03)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * F.col("l_discount")), 2)
+                .alias("revenue"),
+                F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    q["tpch_q6"] = tpch_q6
+
+    def sketch_hll_rollup(spark, sf_dir):
+        # incremental distinct maintenance: per-day DataSketches HLL
+        # blobs UNIONED for the period total (no history rescan); the
+        # oracle pins bucket count + exact distinct + the accuracy flag
+        from bigdata_tag_system_spark.operators.sketches import (
+            mergeable_distinct_rollup,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        out = mergeable_distinct_rollup(
+            ev, "user_id", F.to_date("ts"), tolerance=0.05)
+        return out.select(
+            "n_buckets", "exact_distinct", "within_tolerance")
+
+    q["sketch_hll_rollup"] = sketch_hll_rollup
+
     return q
 
 
@@ -4371,6 +4459,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(*) AS cnt, round(sum(value), 2) AS value_sum,
                count(DISTINCT user_id) AS users
         FROM events WHERE ts::DATE = DATE '2024-01-05'
+    """
+
+    o["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+    o["tpch_q3"] = """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """
+
+    o["tpch_q6"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """
+
+    # the HLL estimate itself is engine-specific; the oracle pins the
+    # bucket count, the exact distinct, and the accuracy flag (a
+    # drifting sketch flips within_tolerance against the literal TRUE)
+    o["sketch_hll_rollup"] = """
+        SELECT count(DISTINCT ts::DATE) AS n_buckets,
+               count(DISTINCT user_id) AS exact_distinct,
+               TRUE AS within_tolerance
+        FROM events
     """
 
     return o

@@ -92,6 +92,9 @@ def main() -> None:
         "audit_expectations",      # one-scan expectation gate
         "text_bigram_lm",          # self-trained bigram LM scoring
         "stream_sessionize_parity",# stateful sessionizer replay
+        "tpch_q1",                 # classic wide-aggregate scan
+        "tpch_q3",                 # 3-way join + top-k
+        "sketch_hll_rollup",       # mergeable per-day HLL union
     ]
 
     # warmup: prime JVM/codegen on a small action

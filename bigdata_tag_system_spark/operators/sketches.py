@@ -363,3 +363,46 @@ def chi_square_independence(
         .alias("dof"),
         F.first("_n").cast("long").alias("n"),
     )
+
+
+def mergeable_distinct_rollup(
+    df: DataFrame,
+    key_col: str,
+    bucket_col,
+    tolerance: float = 0.05,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Incremental distinct-count maintenance via Apache DataSketches
+    HLL: per-bucket sketches built once, UNIONED (not recomputed) for
+    the total, plus an accuracy check against the exact value.
+
+    This is the maintenance pattern exact distinct cannot offer: at
+    100 TB you materialize per-day (bucket) sketches as they land and
+    answer "distinct users this month/quarter/ever" by merging fixed-
+    size sketch blobs — no rescan of history, no re-shuffle of keys.
+    One row: n_buckets, merged estimate, exact, within_tolerance. The
+    exact branch exists for verification; production keeps the sketch.
+    """
+    per_bucket = (
+        df.select(F.col(key_col).alias("_k"), bucket_col.alias("_b"))
+        .groupBy("_b")
+        .agg(F.hll_sketch_agg(F.col("_k"), F.lit(lg_k)).alias("_sk"))
+    )
+    merged = per_bucket.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("_sk"))).alias("approx_distinct"),
+    )
+    exact = df.agg(F.countDistinct(key_col).alias("exact_distinct"))
+    return (
+        merged.crossJoin(F.broadcast(exact))
+        .select(
+            "n_buckets",
+            F.col("approx_distinct").cast("long").alias("approx_distinct"),
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.lit(tolerance) * F.col("exact_distinct")
+            ).alias("within_tolerance"),
+        )
+    )

@@ -485,3 +485,37 @@ class TestIngestion:
         assert n_files < 40
         got = sorted(r.id for r in spark.read.parquet(out).collect())
         assert got == list(range(1000))
+
+
+class TestHllRollup:
+    def test_merged_estimate_accuracy(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            mergeable_distinct_rollup,
+        )
+
+        # 5000 keys spread over 10 buckets with heavy cross-bucket
+        # repetition: union of per-bucket sketches must estimate the
+        # GLOBAL cardinality, not the sum of per-bucket ones
+        df = spark.range(0, 20000).select(
+            (F.col("id") % 5000).alias("k"),
+            (F.col("id") % 10).alias("b"))
+        [r] = mergeable_distinct_rollup(df, "k", F.col("b")).collect()
+        assert r.n_buckets == 10
+        assert r.exact_distinct == 5000
+        assert r.within_tolerance
+        assert abs(r.approx_distinct - 5000) <= 0.05 * 5000
+
+
+class TestTpchPushdown:
+    def test_q6_predicates_reach_scan(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        df = entry._build_queries()["tpch_q6"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the selective predicates must appear as pushed scan filters
+        # (the rendered list truncates, so match its head) and the scan
+        # must prune to exactly the four referenced columns
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+        assert "IsNotNull(l_quantity)" in plan
+        assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:"
+                "double,l_discount:double,l_shipdate" in plan)
