@@ -2571,6 +2571,70 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_hll_rollup"] = sketch_hll_rollup
 
+    def events_path_trigrams(spark, sf_dir):
+        # behavioral path mining: top event-type trigrams WITHIN
+        # sessions (30-min gap rule). One user-key shuffle builds
+        # ordered per-session arrays (sort_array of structs — total
+        # order on (ts, event_id)), then trigrams are a map-side
+        # transform + explode; no self-joins
+        from bigdata_tag_system_spark.operators.features import (
+            sessionize,
+        )
+
+        ev = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+        seq = (
+            ev.groupBy("user_id", "session_id")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type"))))
+                .alias("_s"))
+            .select(F.transform(F.col("_s"), lambda s: s.event_type)
+                    .alias("_t"))
+            .where(F.size("_t") >= 3)
+        )
+        tri = seq.select(F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("_t") - 3),
+            lambda i: F.concat_ws(
+                " > ", F.element_at(F.col("_t"), i + 1),
+                F.element_at(F.col("_t"), i + 2),
+                F.element_at(F.col("_t"), i + 3)),
+        )).alias("path"))
+        return (
+            tri.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "path").limit(15)
+        )
+
+    q["events_path_trigrams"] = events_path_trigrams
+
+    def text_quality_tiers(spark, sf_dir):
+        # curriculum binning: quality quartile tiers. Scores are rounded
+        # to 4 decimals BEFORE the fences so both engines derive tiers
+        # from bit-identical inputs (unrounded scores can differ by an
+        # ulp, and a score ON a fence would then flip tiers)
+        from bigdata_tag_system_spark.operators.text import quality_score
+
+        d = _t(spark, sf_dir, "documents")
+        scored = d.select(
+            F.round(quality_score("text"), 4).alias("q"))
+        fences = scored.agg(
+            F.percentile("q", F.lit(0.25)).alias("f1"),
+            F.percentile("q", F.lit(0.5)).alias("f2"),
+            F.percentile("q", F.lit(0.75)).alias("f3"))
+        tier = (
+            F.when(F.col("q") <= F.col("f1"), "t1_low")
+            .when(F.col("q") <= F.col("f2"), "t2_mid_low")
+            .when(F.col("q") <= F.col("f3"), "t3_mid_high")
+            .otherwise("t4_high")
+        )
+        return (
+            scored.crossJoin(F.broadcast(fences))
+            .groupBy(tier.alias("tier"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("q"), 6).alias("avg_quality"))
+            .orderBy("tier")
+        )
+
+    q["text_quality_tiers"] = text_quality_tiers
+
     return q
 
 
@@ -4511,6 +4575,67 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT user_id) AS exact_distinct,
                TRUE AS within_tolerance
         FROM events
+    """
+
+    # within-session event-type trigrams: gap-rule sessions (strict
+    # 30-min interval compare, same as the Spark sessionizer), then
+    # positional self-joins replay the array transform
+    o["events_path_trigrams"] = """
+        WITH s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s),
+        r AS (
+            SELECT user_id, sid, event_type,
+                   row_number() OVER (PARTITION BY user_id, sid
+                       ORDER BY ts, event_id) AS i
+            FROM g)
+        SELECT a.event_type || ' > ' || b.event_type || ' > '
+                   || c.event_type AS path,
+               count(*) AS n
+        FROM r a
+        JOIN r b ON a.user_id = b.user_id AND a.sid = b.sid
+                AND b.i = a.i + 1
+        JOIN r c ON a.user_id = c.user_id AND a.sid = c.sid
+                AND c.i = a.i + 2
+        GROUP BY path ORDER BY n DESC, path LIMIT 15
+    """
+
+    # quartile tiers over 4-decimal-rounded quality scores (rounding
+    # BEFORE the fences makes tier assignment engine-exact)
+    o["text_quality_tiers"] = f"""
+        WITH t AS (
+            SELECT {_NORM} AS nt, string_split({_NORM}, ' ') AS toks
+            FROM documents),
+        q AS (
+            SELECT round(
+                0.4 * least(len(toks) / 100.0, 1.0)
+              + 0.3 * (CASE WHEN len(toks) > 0
+                            THEN len(list_distinct(toks)) * 1.0
+                                 / len(toks) ELSE 0 END)
+              + 0.3 * (CASE WHEN length(nt) > 0
+                            THEN length(regexp_replace(
+                                     nt, '[^a-z]', '', 'g')) * 1.0
+                                 / length(nt)
+                            ELSE 0 END), 4) AS q
+            FROM t),
+        f AS (SELECT quantile_cont(q, 0.25) AS f1,
+                     quantile_cont(q, 0.5) AS f2,
+                     quantile_cont(q, 0.75) AS f3 FROM q)
+        SELECT CASE WHEN q <= f1 THEN 't1_low'
+                    WHEN q <= f2 THEN 't2_mid_low'
+                    WHEN q <= f3 THEN 't3_mid_high'
+                    ELSE 't4_high' END AS tier,
+               count(*) AS n_docs,
+               round(avg(q), 6) AS avg_quality
+        FROM q, f GROUP BY tier ORDER BY tier
     """
 
     return o
