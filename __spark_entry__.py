@@ -2635,6 +2635,55 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality_tiers"] = text_quality_tiers
 
+    def graph_event_pagerank(spark, sf_dir):
+        # weighted PageRank over the event-type transition graph (the
+        # domain-authority shape for corpus curation): fixed 10-round
+        # power iteration, per-round join+agg on the node key
+        from bigdata_tag_system_spark.operators.graph import pagerank
+
+        edges = FE.event_transitions(_t(spark, sf_dir, "events"))
+        ranks = pagerank(
+            edges, src="from_type", dst="to_type", weight="n",
+            iterations=10)
+        return ranks.select(
+            F.col("node").alias("event_type"),
+            F.round("rank", 6).alias("rank")).orderBy("event_type")
+
+    q["graph_event_pagerank"] = graph_event_pagerank
+
+    def tag_cooccurrence(spark, sf_dir):
+        # market-basket view of the flagship profiles: tag pairs
+        # co-assigned to the same user. Pairs are generated MAP-SIDE
+        # from each user's sorted tag array (nested transform + slice)
+        # — no explode-then-self-join of the assignment table
+        from bigdata_tag_system_spark.operators.tagging import TagEngine
+        from bigdata_tag_system_spark.rules.model import load_rules
+
+        facts = _t(spark, sf_dir, "customer") \
+            .withColumnRenamed("c_custkey", "user_id")
+        eng = TagEngine(load_rules(_FLAGSHIP_RULES), as_of=AS_OF,
+                        run_ts=f"{AS_OF}T00:00:00")
+        prof = eng.profiles(facts, computed_date=AS_OF,
+                            with_details=False)
+        arr = F.col("tag_ids")
+        pairs = F.flatten(F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.greatest(
+                    F.size(arr) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b"))),
+        ))
+        return (
+            prof.where(F.size(arr) >= 2)
+            .select(F.explode(pairs).alias("_p"))
+            .groupBy(F.col("_p.a").alias("tag_a"),
+                     F.col("_p.b").alias("tag_b"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("tag_a", "tag_b")
+        )
+
+    q["tag_cooccurrence"] = tag_cooccurrence
+
     return q
 
 
@@ -4636,6 +4685,48 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs,
                round(avg(q), 6) AS avg_quality
         FROM q, f GROUP BY tier ORDER BY tier
+    """
+
+    # 10 unrolled power-iteration steps over the transition graph —
+    # identical fixed association order to the Spark loop
+    _pr_steps = []
+    for _i in range(10):
+        _pr_steps.append(f"""
+        p{_i + 1} AS (
+            SELECT n.v AS v, nn.n AS n,
+                   0.15 / nn.n + 0.85 * coalesce((
+                       SELECT sum(p.r * e.prob) FROM p{_i} p
+                       JOIN e ON e.f = p.v AND e.t = n.v), 0) AS r
+            FROM nodes n, nn)""")
+    o["graph_event_pagerank"] = f"""
+        WITH raw AS (
+            SELECT from_type AS f, to_type AS t, count(*) AS c FROM (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS from_type,
+                       event_type AS to_type
+                FROM events) x
+            WHERE from_type IS NOT NULL GROUP BY f, t),
+        tot AS (SELECT f, sum(c) AS oc FROM raw GROUP BY f),
+        e AS (SELECT raw.f, raw.t, raw.c / tot.oc AS prob
+              FROM raw JOIN tot USING (f)),
+        nodes AS (SELECT DISTINCT f AS v FROM raw
+                  UNION SELECT DISTINCT t FROM raw),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        p0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes, nn),
+        {','.join(_pr_steps)}
+        SELECT v AS event_type, round(r, 6) AS rank
+        FROM p10 ORDER BY event_type
+    """
+
+    o["tag_cooccurrence"] = f"""
+        WITH p AS (
+            SELECT c_custkey AS u, {_FLAGSHIP_ORACLE_TAGS} AS tags
+            FROM customer
+            WHERE len({_FLAGSHIP_ORACLE_TAGS}) >= 2),
+        ex AS (SELECT u, unnest(tags) AS t FROM p)
+        SELECT a.t AS tag_a, b.t AS tag_b, count(*) AS n_users
+        FROM ex a JOIN ex b ON a.u = b.u AND a.t < b.t
+        GROUP BY tag_a, tag_b ORDER BY tag_a, tag_b
     """
 
     return o

@@ -100,6 +100,7 @@ _CATALOG_ALLOW = {
     "dedup_pipeline_keep_best": ["rdd_scan"],
     "dedup_semantic_keep": ["rdd_scan"],
     "sim_quantized_topk": ["rdd_scan"],
+    "graph_event_pagerank": ["rdd_scan"],
     "sample_shuffle_order": ["global_window"],
     "sim_hybrid_rrf": ["global_window"],
 }

@@ -519,3 +519,29 @@ class TestTpchPushdown:
         assert "IsNotNull(l_quantity)" in plan
         assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:"
                 "double,l_discount:double,l_shipdate" in plan)
+
+
+class TestPagerank:
+    def test_hand_computed_two_node_cycle(self, spark):
+        from bigdata_tag_system_spark.operators.graph import pagerank
+
+        # a <-> b symmetric cycle: uniform stationary distribution —
+        # every iteration maps (0.5, 0.5) to itself exactly
+        e = spark.createDataFrame(
+            [("a", "b", 1), ("b", "a", 1)], "src string, dst string, n long")
+        out = {r.node: r.rank
+               for r in pagerank(e, weight="n", iterations=10).collect()}
+        assert abs(out["a"] - 0.5) < 1e-12
+        assert abs(out["b"] - 0.5) < 1e-12
+
+    def test_sink_accumulates_more_rank(self, spark):
+        from bigdata_tag_system_spark.operators.graph import pagerank
+
+        # star into 'hub': hub must outrank the leaves; total mass of
+        # non-dangling formulation stays <= 1
+        edges = [(f"u{i}", "hub", 1) for i in range(5)]
+        e = spark.createDataFrame(edges, "src string, dst string, n long")
+        out = {r.node: r.rank for r in pagerank(e, weight="n").collect()}
+        assert out["hub"] > max(v for k, v in out.items() if k != "hub")
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(e, iterations=0)
