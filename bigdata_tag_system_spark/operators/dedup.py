@@ -955,7 +955,7 @@ def fuzzy_edit_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_dist: int = 10,
-    len_col: str | None = None,
+    gram_k: int = 4,
 ) -> DataFrame:
     """Character-level near-dup pairs: Levenshtein distance ≤ ``max_dist``.
 
@@ -965,96 +965,141 @@ def fuzzy_edit_pairs(
     shingle. Reference scope per ``SURVEY.md §2.11``; no reference
     counterpart (the reference has no fuzzy matching at all).
 
-    Scale shape — banded length blocking, never all-pairs:
+    Scale shape — q-gram PREFIX-FILTER blocking (content-based), never
+    all-pairs. A first cut used length-band blocking (every pair of
+    similarly-sized docs became a candidate); measured 11.7× runtime
+    for 5× corpus — Σ bucket² is quadratic in corpus density, a
+    100 TB killer. The prefix filter is the AllPairs/PPJoin argument
+    transplanted to character q-grams:
 
-    1. ``|len(a) - len(b)| > max_dist ⟹ dist > max_dist`` (each edit
-       changes length by ≤ 1), so true pairs live in the same or an
-       adjacent length band of width ``max_dist + 1``;
-    2. the left side duplicates each row into bands ``b`` and ``b + 1``
-       (one extra row, not a cross join), the right side stays in ``b``;
-       joining on the band key makes the self-join a hash join whose
-       buckets hold only similarly-sized docs;
-    3. a character-histogram L1 lower bound prunes the in-band
-       candidates before any DP: one edit moves at most 2 units of L1
-       mass between histogram bins (substitution: −1 one bin, +1
-       another; indel: ±1 one bin and ±1 the implicit remainder bin),
-       so ``Σ|hist_a − hist_b| > 2·max_dist ⟹ dist > max_dist``.
-       Histograms cover the most frequent characters plus a remainder
-       bin (projection is 1-Lipschitz, so the bound survives); similar-
-       length random texts in the same language differ by ~Θ(√len) ≫
-       2·max_dist, which is what makes the filter bite (measured ~40×
-       candidate cut at sf0.1);
-    4. survivors pass the exact length filter, then the bounded DP
-       verify — Spark's 3-arg ``levenshtein`` early-exits past the
-       threshold, O(len·max_dist) instead of O(len²).
+    1. one edit touches ≤ ``k`` positional q-grams, so d edits destroy
+       ≤ ``k·d`` DISTINCT grams per side: ``|G(A)∖G(B)| ≤ k·d``
+       (Gravano et al.'s count filter, set form; docs shorter than k
+       contribute their whole text as the single gram, for which the
+       bound holds trivially);
+    2. order all grams by (corpus df, gram hash) — a global total
+       order; take each doc's ``k·d + 1`` smallest (rarest) as its
+       PREFIX. For any true pair, the globally-smallest SHARED gram g*
+       is preceded in A's order only by non-shared grams (≤ k·d of
+       them), so g* sits inside A's prefix — and symmetrically B's:
+       every true pair collides on ≥ 1 prefix gram. No length cases,
+       no band boundaries;
+    3. candidates join on the 8-byte gram hash — buckets hold only
+       docs for which that gram is among their rarest, so hot grams
+       never form hot buckets;
+    4. survivors pass the length filter, a character-histogram L1
+       lower bound (one edit moves ≤ 2 units of L1 mass between bins;
+       remainder bin keeps the projection 1-Lipschitz), then the
+       bounded DP — Spark's 3-arg ``levenshtein`` early-exits past the
+       threshold, O(len·max_dist) instead of O(len²). The DP hides
+       behind a CaseWhen guard: a plain trailing conjunct was measured
+       NOT short-circuiting after the cheap filters, and a downstream
+       ``.where(dist ≤ d)`` gets merged into the join condition AHEAD
+       of them by Catalyst.
 
     Pair output is (id_a, id_b, dist), id_a < id_b, each pair once.
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    w = max_dist + 1
+    if gram_k < 1:
+        raise ValueError(f"gram_k must be >= 1, got {gram_k}")
+    prefix_len = gram_k * max_dist + 1
     hist_chars = " etaoinsrhldcu"
-    n = (F.length(F.col(text_col)) if len_col is None
-         else F.col(len_col)).cast("long")
+    text = F.col(text_col)
+    n = F.length(text).cast("long")
     counts = [
-        F.length(F.col(text_col))
-        - F.length(F.replace(F.col(text_col), F.lit(ch)))
+        F.length(text) - F.length(F.replace(text, F.lit(ch)))
         for ch in hist_chars
     ]
-    base = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.col(text_col), n.alias("_n"),
-        F.floor(n / w).cast("long").alias("_b"),
-        F.array(*counts).alias("_h"),
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(n - gram_k + 1, F.lit(1))),
+        lambda i: F.xxhash64(text.substr(i, F.lit(gram_k))),
+    ))
+    base = df.where(text.isNotNull()).select(
+        F.col(id_col), text.alias(text_col), n.alias("_n"),
+        F.array(*counts).alias("_h"), grams.alias("_g"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = base.select(F.col(id_col), F.col("_n"), F.explode("_g").alias("_gr"))
+    freq = ex.groupBy("_gr").agg(F.count(F.lit(1)).alias("_f"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(id_col).orderBy("_f", "_gr")
+    prefix = (
+        ex.join(freq, "_gr")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= prefix_len)
+        .select(id_col, "_n", "_gr")
     )
-    left = base.select(
+    a, b = prefix.alias("a"), prefix.alias("b")
+    gram_cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a._gr") == F.col("b._gr"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                F.abs(F.col("a._n") - F.col("b._n")) <= max_dist,
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+    )
+    # The shared-gram guarantee needs one side to own > k·d positional
+    # grams (len ≥ k·(d+1)) — d edits destroy at most k·d gram
+    # OCCURRENCES, so such a side always keeps a surviving (= shared)
+    # gram, and the smallest shared gram sits in both prefixes. Pairs
+    # where BOTH sides are shorter can have an EMPTY gram overlap
+    # (hypothesis found ("", "a") at d=1), so the short×short subset —
+    # bounded-length strings, trivial DPs — goes through length-band
+    # blocking instead. The two candidate sets are unioned before one
+    # shared verify; the split threshold makes them cover all pairs.
+    short_len = gram_k * (max_dist + 1)
+    w_band = max_dist + 1
+    short = base.where(F.col("_n") < short_len).select(
+        F.col(id_col), F.col("_n"),
+        F.floor(F.col("_n") / w_band).cast("long").alias("_b"))
+    sl = short.select(
         "*", F.explode(F.array(F.col("_b"), F.col("_b") + 1)).alias("_bk"))
-    right = base.withColumn("_bk", F.col("_b"))
-    a, b = left.alias("a"), right.alias("b")
-    # Orientation must stay symmetric: the left side only emits bands
-    # upward (b, b+1), so an `id_a < id_b` join predicate would lose
-    # pairs whose LOWER id sits in the HIGHER band. Join on `!=` instead
-    # — every unordered pair is found in at least one orientation (the
-    # lower-band member as the left row) — then canonicalize with
-    # least/greatest and dedupe.
-    # L1 over the explicit bins + the remainder bin (chars outside the
-    # histogram set): len − Σbins on each side
+    sr = short.withColumn("_bk", F.col("_b"))
+    sa, sb = sl.alias("a"), sr.alias("b")
+    short_cands = (
+        sa.join(
+            sb,
+            on=[
+                F.col("a._bk") == F.col("b._bk"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+                F.abs(F.col("a._n") - F.col("b._n")) <= max_dist,
+            ],
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("id_b"),
+        )
+    )
+    cand_ids = gram_cands.unionByName(short_cands).distinct()
+    # fetch texts/histograms for the (small) candidate set only — the
+    # prefix explode never carries document text
+    lhs = base.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"),
+        F.col("_n").alias("_na"), F.col("_h").alias("_ha"))
+    rhs = base.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"),
+        F.col("_n").alias("_nb"), F.col("_h").alias("_hb"))
+    cands = cand_ids.join(lhs, "id_a").join(rhs, "id_b")
     k = len(hist_chars)
     l1 = F.abs(
-        (F.col("a._n") - F.aggregate(
-            F.col("a._h"), F.lit(0), lambda acc, x: acc + x))
-        - (F.col("b._n") - F.aggregate(
-            F.col("b._h"), F.lit(0), lambda acc, x: acc + x)))
+        (F.col("_na") - F.aggregate(
+            F.col("_ha"), F.lit(0), lambda acc, x: acc + x))
+        - (F.col("_nb") - F.aggregate(
+            F.col("_hb"), F.lit(0), lambda acc, x: acc + x)))
     for i in range(1, k + 1):
         l1 = l1 + F.abs(
-            F.element_at(F.col("a._h"), i) - F.element_at(F.col("b._h"), i))
-    # The DP must be REACHED only by L1 survivors, and neither plain
-    # conjunct ordering nor a downstream `.where` guarantees that: a
-    # separate `.where(dist <= d)` gets merged into the join condition
-    # AHEAD of the cheap conjuncts by Catalyst, and even a trailing
-    # `... AND l1 <= 2d AND dp <= d` condition was measured evaluating
-    # the DP on every in-band candidate (~4× slower — the join
-    # condition did not short-circuit cheap-first). A CaseWhen guard
-    # makes the evaluation order part of the EXPRESSION, which no
-    # optimizer pass may reorder: `when(l1 ok, dp).otherwise(-1)`.
-    dp = F.levenshtein(
-        F.col(f"a.{text_col}"), F.col(f"b.{text_col}"), max_dist)
+            F.element_at(F.col("_ha"), i) - F.element_at(F.col("_hb"), i))
+    dp = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
     guarded_dp = F.when(l1 <= 2 * max_dist, dp).otherwise(F.lit(-1))
-    cands = a.join(
-        b,
-        on=[
-            F.col("a._bk") == F.col("b._bk"),
-            F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
-            F.abs(F.col("a._n") - F.col("b._n")) <= max_dist,
-            guarded_dp >= 0,
-            guarded_dp <= max_dist,
-        ],
-    )
-    out = (
+    return (
         cands.select(
-            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
-            dp.alias("dist"),
-        )
-        .distinct()
+            "id_a", "id_b", guarded_dp.alias("dist"))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
-    return out
