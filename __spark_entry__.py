@@ -2684,6 +2684,40 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tag_cooccurrence"] = tag_cooccurrence
 
+    def store_apply_changeset(spark, sf_dir):
+        # CDC in one pass: store = customers with c_custkey % 3 == 0;
+        # changeset deletes keys % 15 == 0 and upserts keys % 2 == 0
+        # (overwriting acctbal to a derived value). Final state is a
+        # pure function of the inputs — the oracle recomputes it with
+        # set algebra; store staged fresh per call into a temp dir
+        import tempfile
+
+        from bigdata_tag_system_spark.sources.writers import (
+            apply_changeset, write_parquet,
+        )
+
+        c = _t(spark, sf_dir, "customer")
+        store_path = tempfile.mkdtemp(prefix="cdc_store_") + "/store"
+        base = c.where("c_custkey % 3 = 0").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_acctbal").alias("bal"))
+        write_parquet(base, store_path)
+        changes = c.where("c_custkey % 2 = 0 OR c_custkey % 15 = 0") \
+            .select(
+                F.col("c_custkey").alias("user_id"),
+                F.round(F.col("c_acctbal") * 2, 2).alias("bal"),
+                F.when(F.col("c_custkey") % 15 == 0, "delete")
+                .otherwise("upsert").alias("_op"))
+        final = apply_changeset(
+            spark, changes, store_path, key_cols=["user_id"])
+        return final.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("user_id").alias("id_sum"),
+            F.round(F.sum("bal"), 2).alias("bal_sum"),
+        )
+
+    q["store_apply_changeset"] = store_apply_changeset
+
     return q
 
 
@@ -4727,6 +4761,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.t AS tag_a, b.t AS tag_b, count(*) AS n_users
         FROM ex a JOIN ex b ON a.u = b.u AND a.t < b.t
         GROUP BY tag_a, tag_b ORDER BY tag_a, tag_b
+    """
+
+    # CDC final state by set algebra: store(%3) minus deletes(%15)
+    # minus overwritten, plus upserts(%2 and not %15) at 2× balance
+    o["store_apply_changeset"] = """
+        WITH s AS (SELECT c_custkey AS u, c_acctbal AS b FROM customer
+                   WHERE c_custkey % 3 = 0),
+        ups AS (SELECT c_custkey AS u, round(c_acctbal * 2, 2) AS b
+                FROM customer
+                WHERE c_custkey % 2 = 0 AND c_custkey % 15 != 0),
+        keep AS (SELECT u, b FROM s WHERE u % 15 != 0
+                 AND u NOT IN (SELECT u FROM ups)),
+        fin AS (SELECT * FROM keep UNION ALL SELECT * FROM ups)
+        SELECT count(*) AS n_rows, CAST(sum(u) AS BIGINT) AS id_sum,
+               round(sum(b), 2) AS bal_sum
+        FROM fin
     """
 
     return o

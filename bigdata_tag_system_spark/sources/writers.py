@@ -656,3 +656,52 @@ def compact_parquet(
     for root, _dirs, files in os.walk(path):
         out += sum(1 for f in files if f.endswith(".parquet"))
     return out
+
+
+def apply_changeset(
+    spark: SparkSession,
+    changes: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    op_col: str = "_op",
+    array_union_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Apply a CDC changeset — upserts and deletes in ONE pass — to a
+    file store. ``changes`` carries ``op_col`` ∈ {'upsert', 'delete'};
+    delete rows need only their keys.
+
+    The store is rewritten once (single stage-and-swap; on Delta this
+    could be one MERGE with a WHEN MATCHED DELETE — the fallback keeps
+    both effects atomic the same way): deletes are a left-anti join on
+    the key, upserts the usual coalesce/array-union merge. A key
+    appearing with BOTH ops in one changeset is rejected loudly — the
+    outcome would depend on application order, and CDC extractors that
+    emit delete+reinsert must compact upstream or split batches.
+    Returns the post-apply store content.
+    """
+    ops = [r[0] for r in
+           changes.select(F.col(op_col)).distinct().collect()]
+    bad = [o for o in ops if o not in ("upsert", "delete")]
+    if bad:
+        raise ValueError(
+            f"apply_changeset: unknown op values {bad!r}; "
+            f"expected 'upsert' / 'delete'")
+    ups = changes.where(F.col(op_col) == "upsert").drop(op_col)
+    dels = changes.where(F.col(op_col) == "delete") \
+        .select(*[F.col(k) for k in key_cols]).distinct()
+    both = ups.join(dels, list(key_cols), "left_semi").limit(5)
+    conflicted = [tuple(r) for r in both.select(*key_cols).collect()]
+    if conflicted:
+        raise DuplicateKeyError(
+            f"apply_changeset: keys appear as both upsert and delete "
+            f"in one changeset (sample: {conflicted}); compact or "
+            f"split the batch")
+    store = read_store_if_exists(spark, path)
+    if store is None:
+        raise ValueError(f"apply_changeset: no store at {path!r}")
+    kept = store.join(dels, list(key_cols), "left_anti")
+    merged = merge_upsert_frames(
+        resolve_duplicate_keys(ups, key_cols, "error"), kept,
+        key_cols, array_union_cols)
+    _rewrite_store(merged, path)
+    return spark.read.parquet(path)

@@ -545,3 +545,31 @@ class TestPagerank:
         assert out["hub"] > max(v for k, v in out.items() if k != "hub")
         with pytest.raises(ValueError, match="iterations"):
             pagerank(e, iterations=0)
+
+
+class TestApplyChangeset:
+    def test_mixed_ops_and_conflict_rejection(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.writers import (
+            DuplicateKeyError, apply_changeset, write_parquet,
+        )
+
+        store = str(tmp_path / "store")
+        write_parquet(spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"), store)
+        changes = spark.createDataFrame(
+            [(2, 99.0, "upsert"), (3, None, "delete"),
+             (4, 40.0, "upsert")],
+            "k long, v double, _op string")
+        out = {r.k: r.v for r in apply_changeset(
+            spark, changes, store, key_cols=["k"]).collect()}
+        assert out == {1: 10.0, 2: 99.0, 4: 40.0}
+        # same key as both upsert and delete -> loud error
+        bad = spark.createDataFrame(
+            [(1, 1.0, "upsert"), (1, None, "delete")],
+            "k long, v double, _op string")
+        with pytest.raises(DuplicateKeyError, match="both"):
+            apply_changeset(spark, bad, store, key_cols=["k"])
+        unk = spark.createDataFrame(
+            [(1, 1.0, "merge")], "k long, v double, _op string")
+        with pytest.raises(ValueError, match="unknown op"):
+            apply_changeset(spark, unk, store, key_cols=["k"])
