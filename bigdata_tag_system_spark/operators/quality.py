@@ -4,7 +4,7 @@ A pipeline feeding a 100 TB store needs its gates expressed as QUERIES,
 not notebook spot-checks: each expectation compiles to one aggregate
 over a single scan (all expectations for a table share the pass), and
 each relationship audit is one anti-join count. Results come back as
-rows — (check, expected, observed, ok) — so the gate itself is
+rows — (check, violations, ok) — so the gate itself is
 oracle-checkable and can run under the same scheduler as everything
 else. The shapes mirror dbt tests / Deequ analyzers, built from plain
 DataFrame aggregates.
@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
