@@ -873,7 +873,10 @@ def connected_components(
         # checkpoint + checksum fused), not two — at bench scale the
         # per-round job overhead dominates the tiny shuffles (measured
         # ~1.5× on the sf0.1 pipeline); later rounds still read the
-        # materialized RDD, and the plan stays O(1) deep either way
+        # materialized RDD, and the plan stays O(1) deep either way.
+        # (Two alternations per checkpoint was tried and measured ~2×
+        # SLOWER — the doubled uncheckpointed stage graph costs more
+        # than the saved convergence aggregates.)
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(nxt)
         # checksum equality is necessary but a (count, xor) collision
