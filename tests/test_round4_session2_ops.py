@@ -573,3 +573,99 @@ class TestApplyChangeset:
             [(1, 1.0, "merge")], "k long, v double, _op string")
         with pytest.raises(ValueError, match="unknown op"):
             apply_changeset(spark, unk, store, key_cols=["k"])
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis properties: random inputs vs pure-Python models
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=1, max_size=4),
+    ratios=st.lists(
+        st.sampled_from([0.0, 0.25, 0.5, 1.0, 1.5, 2.5]),
+        min_size=4, max_size=4),
+)
+def test_epoch_oversample_matches_python_model(spark, counts, ratios):
+    from bigdata_tag_system_spark.operators.sampling import (
+        epoch_oversample, knuth_hash,
+    )
+
+    rows, rid = [], 0
+    for si, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((rid, f"s{si}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, src string")
+    rmap = {f"s{si}": ratios[si] for si in range(len(counts))}
+    got = sorted((r.id, r.copy_idx) for r in epoch_oversample(
+        df, "src", "id", ratios=rmap, portable=True).collect())
+
+    def kh(k):
+        return ((k % 2147483648) * 2654435761) % 4294967296
+
+    want = []
+    for si, c in enumerate(counts):
+        ids = [i for i, s in rows if s == f"s{si}"]
+        target = (c * int(round(rmap[f"s{si}"] * 1_000_000))) // 1_000_000
+        whole, extra = target // c, target % c
+        ranked = sorted(ids, key=lambda i: (kh(i), i))
+        for rank, i in enumerate(ranked, 1):
+            k = whole + (1 if rank <= extra else 0)
+            want.extend((i, ci) for ci in range(k))
+    assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seq=st.lists(
+    st.tuples(st.integers(1, 3), st.sampled_from("xyz")),
+    min_size=1, max_size=30))
+def test_collapse_runs_matches_python_model(spark, seq):
+    from bigdata_tag_system_spark.operators.features import collapse_runs
+    import itertools
+
+    rows = [(u, v, i, i) for i, (u, v) in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long")
+    got = sorted((r.user_id, r.event_type, r.run_start, r.run_end,
+                  r.run_len) for r in collapse_runs(df).collect())
+    want = []
+    by_user = {}
+    for u, v, t, _ in rows:
+        by_user.setdefault(u, []).append((t, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        for v, grp in itertools.groupby(evs, key=lambda e: e[1]):
+            g = list(grp)
+            want.append((u, v, g[0][0], g[-1][0], len(g)))
+    assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.floats(-1000, 1000, allow_nan=False).map(lambda x: round(x, 2)),
+    min_size=1, max_size=200),
+    nb=st.sampled_from([1, 4, 16]))
+def test_histogram_matches_python_model(spark, vals, nb):
+    from bigdata_tag_system_spark.operators.sketches import (
+        histogram_equi_width,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.bucket: r.cnt
+           for r in histogram_equi_width(df, "v", buckets=nb).collect()}
+    cents = [int(round(v * 100)) for v in vals]
+    vmin, vmax = min(cents), max(cents)
+    span = vmax - vmin + 1
+    want = {}
+    for c in cents:
+        b = (c - vmin) * nb // span
+        want[b] = want.get(b, 0) + 1
+    assert got == want
