@@ -49,7 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="bigdata_tag_system_spark",
         description="Rule-driven tag computation engine (PySpark)")
     p.add_argument("--mode", required=True,
-                   choices=["health", *MODE_TO_SCENARIO])
+                   choices=["health", "dedup-corpus", "quality-audit",
+                            *MODE_TO_SCENARIO])
     p.add_argument("--env", metavar="NAME|FILE.json",
                    help="environment profile (built-in name, registered name, "
                         "or JSON file) supplying session conf and store/rules "
@@ -85,6 +86,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--user-col", default=None)
     p.add_argument("--dry-run", action="store_true",
                    help="plan + row count only; no write")
+    p.add_argument("--dedup-method", default="minhash",
+                   choices=["exact", "minhash"],
+                   help="dedup-corpus mode: exact digests or MinHash+LSH "
+                        "near-dup clustering")
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="dedup-corpus mode: Jaccard threshold (minhash)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--audit-spec", metavar="FILE.json",
+                   help="quality-audit mode: JSON with not_null / unique / "
+                        "accepted_values / ranges keys")
     p.add_argument("--log-level", default=None,
                    choices=["DEBUG", "INFO", "WARN", "ERROR"])
     return p
@@ -153,6 +165,63 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark(app_name=f"tag-engine-{args.mode}")
     spark.sparkContext.setLogLevel(args.log_level)
+
+    if args.mode == "dedup-corpus":
+        # corpus in (--facts, one parquet path), kept corpus out
+        # (--output): exact digests or the full LSH→components→keep-one
+        # pipeline; counts printed as one JSON line for schedulers
+        from bigdata_tag_system_spark.operators import dedup as _dedup
+
+        if len(args.facts) != 1 or not args.output:
+            raise SystemExit(
+                "dedup-corpus needs exactly one --facts path and --output")
+        path = args.facts[0].partition("=")[2] or args.facts[0]
+        corpus = spark.read.parquet(path)
+        if args.dedup_method == "exact":
+            kept = _dedup.exact_dedup(
+                corpus, text_col=args.text_col, id_col=args.id_col)
+        else:
+            pairs = _dedup.minhash_dedup(
+                corpus, text_col=args.text_col, id_col=args.id_col,
+                threshold=args.threshold)
+            kept = _dedup.dedup_by_components(
+                corpus, pairs, id_col=args.id_col)
+        kept.write.mode("overwrite").parquet(args.output)
+        n_in = corpus.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({"mode": "dedup-corpus",
+                          "method": args.dedup_method,
+                          "rows_in": n_in, "rows_kept": n_out,
+                          "rows_dropped": n_in - n_out}))
+        return 0
+
+    if args.mode == "quality-audit":
+        # CI-gate shape: JSON expectation spec in, one JSON line out,
+        # non-zero exit when any check fails
+        from bigdata_tag_system_spark.operators.quality import (
+            expectation_report,
+        )
+
+        if len(args.facts) != 1 or not args.audit_spec:
+            raise SystemExit(
+                "quality-audit needs exactly one --facts path and "
+                "--audit-spec FILE.json")
+        path = args.facts[0].partition("=")[2] or args.facts[0]
+        with open(args.audit_spec) as f:
+            spec = json.load(f)
+        report = expectation_report(
+            spark.read.parquet(path),
+            not_null=spec.get("not_null", ()),
+            unique=spec.get("unique", ()),
+            accepted_values=spec.get("accepted_values"),
+            ranges={k: tuple(v) for k, v in
+                    (spec.get("ranges") or {}).items()},
+        ).collect()
+        out = [{"check": r.check, "violations": r.violations,
+                "ok": r.ok} for r in report]
+        print(json.dumps({"mode": "quality-audit", "checks": out,
+                          "ok": all(c["ok"] for c in out)}))
+        return 0 if all(c["ok"] for c in out) else 1
 
     if args.mode == "health":
         probe = spark.range(1).count()

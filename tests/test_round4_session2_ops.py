@@ -669,3 +669,43 @@ def test_histogram_matches_python_model(spark, vals, nb):
         b = (c - vmin) * nb // span
         want[b] = want.get(b, 0) + 1
     assert got == want
+
+
+class TestCliExtensions:
+    def test_dedup_corpus_mode(self, spark, sf_dir, tmp_path, capsys):
+        from bigdata_tag_system_spark.cli import main
+        import json
+
+        out = str(tmp_path / "kept")
+        rc = main(["--mode", "dedup-corpus",
+                   "--facts", f"{sf_dir}/documents.parquet",
+                   "--output", out, "--dedup-method", "minhash",
+                   "--threshold", "0.5"])
+        assert rc == 0
+        line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert line["rows_in"] == line["rows_kept"] + line["rows_dropped"]
+        # the corpus plants NEAR-dups (exact dedup would drop nothing)
+        assert line["rows_dropped"] > 0
+        assert spark.read.parquet(out).count() == line["rows_kept"]
+
+    def test_quality_audit_gate_exit_codes(self, spark, sf_dir, tmp_path,
+                                           capsys):
+        from bigdata_tag_system_spark.cli import main
+        import json
+
+        ok_spec = tmp_path / "ok.json"
+        ok_spec.write_text(json.dumps({"not_null": ["o_orderkey"]}))
+        rc = main(["--mode", "quality-audit",
+                   "--facts", f"{sf_dir}/orders.parquet",
+                   "--audit-spec", str(ok_spec)])
+        assert rc == 0
+        bad_spec = tmp_path / "bad.json"
+        # impossible range -> every row violates -> CI gate trips
+        bad_spec.write_text(json.dumps(
+            {"ranges": {"o_totalprice": [-2, -1]}}))
+        rc = main(["--mode", "quality-audit",
+                   "--facts", f"{sf_dir}/orders.parquet",
+                   "--audit-spec", str(bad_spec)])
+        assert rc == 1
+        line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert line["ok"] is False
