@@ -40,6 +40,8 @@ _STREAM_PARITY_CACHE: dict[str, str] = {}
 _STREAM_WINDOW_CACHE: dict[str, str] = {}
 # stateful-sessionize streaming replay outputs, keyed by sf_dir
 _STREAM_SESSION_CACHE: dict[str, str] = {}
+# stream-stream join replay outputs, keyed by sf_dir (stream_join_parity)
+_STREAM_JOIN_CACHE: dict[str, str] = {}
 # staged JSONL corpus files, keyed by sf_dir (see scan_jsonl_corrupt)
 _JSONL_CACHE: dict[str, str] = {}
 # hive-partitioned event datasets, keyed by sf_dir (scan_partition_pruned)
@@ -2718,6 +2720,58 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["store_apply_changeset"] = store_apply_changeset
 
+    def stream_join_parity(spark, sf_dir):
+        # stream-stream inner join (click→purchase attribution within
+        # 1h) replayed availableNow; inner matches are final, so the
+        # replay must equal the batch range join row-for-row. Replay is
+        # a pure function of the sf_dir — run once per process
+        import os
+        import shutil
+        import tempfile
+
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            stream_stream_attribution_join,
+        )
+
+        _prep(spark)
+        out_dir = _STREAM_JOIN_CACHE.get(sf_dir)
+        if out_dir is None:
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            tmp = tempfile.mkdtemp(prefix="stream_join_")
+            src_dir = tmp + "/src"
+            os.makedirs(src_dir)
+            try:
+                os.link(f"{sf_dir}/events.parquet",
+                        f"{src_dir}/events.parquet")
+            except OSError:
+                shutil.copy(f"{sf_dir}/events.parquet",
+                            f"{src_dir}/events.parquet")
+            clicks = spark.readStream.schema(schema).parquet(src_dir) \
+                .where(F.col("event_type") == "click")
+            purchases = spark.readStream.schema(schema).parquet(src_dir) \
+                .where(F.col("event_type") == "purchase")
+            joined = stream_stream_attribution_join(clicks, purchases)
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            query = (
+                joined.writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(
+                    lambda batch, _id:
+                        batch.write.mode("append").parquet(out))
+                .start()
+            )
+            query.awaitTermination()
+            _STREAM_JOIN_CACHE[sf_dir] = out
+            out_dir = out
+        replayed = spark.read.parquet(out_dir)
+        return replayed.select(
+            "l_event_id", "r_event_id",
+            F.round("r_value", 2).alias("r_value"),
+        ).orderBy("l_event_id", "r_event_id")
+
+    q["stream_join_parity"] = stream_join_parity
+
     return q
 
 
@@ -4777,6 +4831,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(*) AS n_rows, CAST(sum(u) AS BIGINT) AS id_sum,
                round(sum(b), 2) AS bal_sum
         FROM fin
+    """
+
+    # batch range join the stream-stream replay must reproduce exactly
+    o["stream_join_parity"] = """
+        SELECT c.event_id AS l_event_id, p.event_id AS r_event_id,
+               round(p.value, 2) AS r_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY l_event_id, r_event_id
     """
 
     return o

@@ -181,3 +181,44 @@ def run_foreach_batch_upsert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_lag: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join: each right-stream event matched to the
+    left-stream events it followed within ``max_lag`` (click→purchase
+    attribution, impression→conversion, request→response pairing).
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time distance — the two requirements that let Spark EVICT
+    buffered rows (an unbounded stream-stream join buffers both streams
+    forever). State per side ≈ watermark + lag horizon of rows, keyed
+    by ``user_col``. Inner join only: emitted matches are final, so an
+    availableNow replay equals the batch range join row-for-row — the
+    parity the oracle checks.
+    """
+    l = ensure_event_time(left, ts_col).withWatermark(ts_col, watermark) \
+        .select(
+            F.col(user_col).alias("l_user"),
+            F.col(ts_col).alias("l_ts"),
+            F.col("event_id").alias("l_event_id"),
+        )
+    r = ensure_event_time(right, ts_col).withWatermark(ts_col, watermark) \
+        .select(
+            F.col(user_col).alias("r_user"),
+            F.col(ts_col).alias("r_ts"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("value").alias("r_value"),
+        )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return l.join(r, cond, "inner")
