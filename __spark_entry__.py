@@ -42,6 +42,13 @@ _STREAM_WINDOW_CACHE: dict[str, str] = {}
 _STREAM_SESSION_CACHE: dict[str, str] = {}
 # stream-stream join replay outputs, keyed by sf_dir (stream_join_parity)
 _STREAM_JOIN_CACHE: dict[str, str] = {}
+# fixed deterministic 2×64 projection weights shared by the
+# emb_pca_project query and its oracle (tenth-steps, exactly
+# representable in binary-friendly decimal both engines parse alike)
+_PCA_TEST_COMPONENTS = [
+    [((i * 37) % 13 - 6) / 10 for i in range(64)],
+    [((i * 17) % 11 - 5) / 10 for i in range(64)],
+]
 # staged JSONL corpus files, keyed by sf_dir (see scan_jsonl_corrupt)
 _JSONL_CACHE: dict[str, str] = {}
 # hive-partitioned event datasets, keyed by sf_dir (scan_partition_pruned)
@@ -2772,6 +2779,25 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_join_parity"] = stream_join_parity
 
+    def emb_pca_project(spark, sf_dir):
+        # map-only PCA projection with FIXED literal components (the
+        # fit itself is eigendecomposition — pytest-verified; the
+        # projection arithmetic is what the oracle can replay exactly)
+        from bigdata_tag_system_spark.operators.embeddings import (
+            project_pca,
+        )
+
+        comps = _PCA_TEST_COMPONENTS
+        emb = _t(spark, sf_dir, "embeddings")
+        out = project_pca(emb, [0.0] * 64, comps)
+        return out.select(
+            "vec_id",
+            F.round(F.element_at("pca", 1), 6).alias("p0"),
+            F.round(F.element_at("pca", 2), 6).alias("p1"),
+        ).orderBy("vec_id").limit(50)
+
+    q["emb_pca_project"] = emb_pca_project
+
     return q
 
 
@@ -4831,6 +4857,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(*) AS n_rows, CAST(sum(u) AS BIGINT) AS id_sum,
                round(sum(b), 2) AS bal_sum
         FROM fin
+    """
+
+    # same fixed literal weights as the Spark projection, same
+    # left-associated accumulation order
+    def _pca_expr(comp):
+        # ::DOUBLE per element: the parquet column is float32 and
+        # DuckDB would otherwise accumulate in single precision, which
+        # flips the 6th decimal vs Spark's array<double> cast
+        terms = [f"embedding[{i + 1}]::DOUBLE * ({w})"
+                 for i, w in enumerate(comp) if w != 0.0]
+        return " + ".join(terms)
+
+    o["emb_pca_project"] = f"""
+        SELECT vec_id,
+               round({_pca_expr(_PCA_TEST_COMPONENTS[0])}, 6) AS p0,
+               round({_pca_expr(_PCA_TEST_COMPONENTS[1])}, 6) AS p1
+        FROM embeddings ORDER BY vec_id LIMIT 50
     """
 
     # batch range join the stream-stream replay must reproduce exactly

@@ -202,3 +202,89 @@ def quantize_embeddings(
         .withColumn(out_col, q)
         .drop("_scales")
     )
+
+
+def fit_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int | None = None,
+):
+    """Distributed PCA fit: returns ``(mean: list, components: list of
+    list, explained_variance: list)`` — the whitening/compression step
+    of an embedding pipeline (dim reduction before ANN, decorrelation
+    before quantization).
+
+    Only DIM-sized state ever reaches the driver: one aggregate computes
+    the per-dimension sums and the dim×dim raw second-moment matrix as
+    flattened partial sums (map-side combine; the exchange carries
+    dim + dim² cells per partition, independent of corpus size), then
+    the covariance eigendecomposition runs on the driver with numpy —
+    an O(dim³) dense solve on a matrix that fits in a cache line budget,
+    exactly like the k-means‖ driver re-cluster. The corpus itself is
+    never collected.
+
+    Eigenvectors are sign-normalized (largest-|component| coordinate
+    made positive) so the fit is deterministic up to eigenvalue ties.
+    """
+    import numpy as np
+
+    first = df.select(F.size(_vec(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("fit_pca: empty input")
+    dim = first["d"]
+    v = _vec(vec_col)
+    sums = [F.sum(F.element_at(v, i + 1)).alias(f"s{i}")
+            for i in range(dim)]
+    moments = [
+        F.sum(F.element_at(v, i + 1) * F.element_at(v, j + 1))
+        .alias(f"m{i}_{j}")
+        for i in range(dim) for j in range(i, dim)
+    ]
+    row = df.agg(F.count(F.lit(1)).alias("n"), *sums, *moments).first()
+    n = row["n"]
+    mean = np.array([row[f"s{i}"] / n for i in range(dim)])
+    cov = np.zeros((dim, dim))
+    for i in range(dim):
+        for j in range(i, dim):
+            m = row[f"m{i}_{j}"] / n - mean[i] * mean[j]
+            cov[i, j] = cov[j, i] = m
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    if k is not None:
+        vals, vecs = vals[:k], vecs[:, :k]
+    # deterministic sign: make the largest-|coordinate| entry positive
+    for c in range(vecs.shape[1]):
+        i = int(np.argmax(np.abs(vecs[:, c])))
+        if vecs[i, c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    return (mean.tolist(), vecs.T.tolist(),
+            np.maximum(vals, 0.0).tolist())
+
+
+def project_pca(
+    df: DataFrame,
+    mean: list,
+    components: list,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Map-only projection onto fitted components:
+    ``out[c] = Σ_i (v[i] − mean[i]) · comp[c][i]``.
+
+    The fitted (mean, components) ship as literals folded into the
+    expression — no join, no broadcast table, whole-stage codegen'd;
+    the corpus pass pipelines with the scan like every other embedding
+    transform here.
+    """
+    v = _vec(vec_col)
+    outs = []
+    for comp in components:
+        term = F.lit(0.0)
+        for i, (m, w) in enumerate(zip(mean, comp)):
+            if w == 0.0:
+                continue
+            term = term + (F.element_at(v, i + 1) - F.lit(float(m))) \
+                * F.lit(float(w))
+        outs.append(term)
+    return df.withColumn(out_col, F.array(*outs))

@@ -126,3 +126,52 @@ class TestQuantize:
             .executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan
         assert "hashpartitioning(vec_id" not in plan
+
+
+class TestPca:
+    def test_recovers_planted_principal_axis(self, spark):
+        import numpy as np
+
+        from bigdata_tag_system_spark.operators.embeddings import (
+            fit_pca, project_pca,
+        )
+
+        rng = np.random.RandomState(7)
+        # variance 100 along (1,1,0)/sqrt2, variance 1 along others
+        axis = np.array([1.0, 1.0, 0.0]) / np.sqrt(2)
+        data = (rng.randn(400, 1) * 10) @ axis[None, :] \
+            + rng.randn(400, 3) * 1.0 + np.array([5.0, -3.0, 2.0])
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(data)],
+            "vec_id long, embedding array<double>")
+        mean, comps, var = fit_pca(df, k=2)
+        assert np.allclose(mean, data.mean(axis=0), atol=1e-9)
+        # top component parallel to the planted axis
+        c0 = np.array(comps[0])
+        assert abs(abs(c0 @ axis) - 1.0) < 0.05
+        assert var[0] > 50 * var[1]
+        # components orthonormal
+        C = np.array(comps)
+        assert np.allclose(C @ C.T, np.eye(2), atol=1e-9)
+        # projection matches numpy exactly (same arithmetic)
+        out = project_pca(df, mean, comps).orderBy("vec_id").collect()
+        want = (data - np.array(mean)) @ C.T
+        got = np.array([r.pca for r in out])
+        assert np.allclose(got, want, atol=1e-9)
+
+    def test_determinism_and_empty(self, spark):
+        import pytest as _pytest
+
+        from bigdata_tag_system_spark.operators.embeddings import fit_pca
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, 1.0]), (3, [2.0, 5.0])],
+            "vec_id long, embedding array<double>")
+        a = fit_pca(df)
+        b = fit_pca(df.repartition(3))
+        import numpy as np
+        assert np.allclose(a[1], b[1], atol=1e-12)
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>")
+        with _pytest.raises(ValueError, match="empty"):
+            fit_pca(empty)
