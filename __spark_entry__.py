@@ -2798,6 +2798,29 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_pca_project"] = emb_pca_project
 
+    def events_session_window_native(spark, sf_dir):
+        # Spark's NATIVE session_window aggregation (merging-window
+        # state, the same operator Structured Streaming uses) — the
+        # groupBy formulation of what events_sessionize derives with
+        # lag+cumsum. Session end is exclusive: an event exactly
+        # gap-after the last one starts a NEW session, which the
+        # oracle's gap rule mirrors with a >= break
+        ev = _t(spark, sf_dir, "events")
+        return (
+            ev.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"),
+                "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum"))
+            .select(
+                "user_id",
+                F.col("w.start").cast("string").alias("session_start"),
+                "n_events", "value_sum")
+            .orderBy("user_id", "session_start")
+        )
+
+    q["events_session_window_native"] = events_session_window_native
+
     return q
 
 
@@ -4874,6 +4897,28 @@ def oracle_sql() -> dict[str, str]:
                round({_pca_expr(_PCA_TEST_COMPONENTS[0])}, 6) AS p0,
                round({_pca_expr(_PCA_TEST_COMPONENTS[1])}, 6) AS p1
         FROM embeddings ORDER BY vec_id LIMIT 50
+    """
+
+    # gap-rule replay of the native session window: exclusive session
+    # end → a gap of EXACTLY 30 min breaks the session (>=, not >)
+    o["events_session_window_native"] = """
+        WITH s AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 1800 SECOND
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s)
+        SELECT user_id,
+               min(ts)::TIMESTAMP::VARCHAR AS session_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS value_sum
+        FROM g GROUP BY user_id, sid
+        ORDER BY user_id, session_start
     """
 
     # batch range join the stream-stream replay must reproduce exactly
