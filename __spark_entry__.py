@@ -42,6 +42,8 @@ _STREAM_WINDOW_CACHE: dict[str, str] = {}
 _STREAM_SESSION_CACHE: dict[str, str] = {}
 # stream-stream join replay outputs, keyed by sf_dir (stream_join_parity)
 _STREAM_JOIN_CACHE: dict[str, str] = {}
+# left-outer stream-stream replay outputs (stream_join_outer_parity)
+_STREAM_OUTER_CACHE: dict[str, str] = {}
 # fixed deterministic 2×64 projection weights shared by the
 # emb_pca_project query and its oracle (tenth-steps, exactly
 # representable in binary-friendly decimal both engines parse alike)
@@ -2821,6 +2823,81 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_session_window_native"] = events_session_window_native
 
+    def window_battery(spark, sf_dir):
+        # ANSI window-function breadth in one query: ranking, relative
+        # position, and frame-navigation functions over one partition
+        # spec (single shuffle; all functions share the sort)
+        from pyspark.sql import Window as W
+
+        o_ = _t(spark, sf_dir, "orders").where("o_orderkey <= 2000")
+        w = W.partitionBy("o_orderpriority").orderBy(
+            "o_orderdate", "o_orderkey")
+        wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        return o_.select(
+            "o_orderkey", "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.first("o_orderkey").over(wf).alias("first_key"),
+            F.last("o_orderkey").over(wf).alias("last_key"),
+            F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+        ).orderBy("o_orderkey")
+
+    q["window_battery"] = window_battery
+
+    def stream_join_outer_parity(spark, sf_dir):
+        # LEFT OUTER stream-stream join: unmatched clicks surface with
+        # NULL purchase once the watermark proves no match can arrive
+        # (click ts + 1h < min-of-stream-watermarks); the oracle
+        # re-derives exactly that emission set
+        import os
+        import shutil
+        import tempfile
+
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            stream_stream_attribution_join,
+        )
+
+        _prep(spark)
+        out_dir = _STREAM_OUTER_CACHE.get(sf_dir)
+        if out_dir is None:
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            tmp = tempfile.mkdtemp(prefix="stream_louter_")
+            src_dir = tmp + "/src"
+            os.makedirs(src_dir)
+            try:
+                os.link(f"{sf_dir}/events.parquet",
+                        f"{src_dir}/events.parquet")
+            except OSError:
+                shutil.copy(f"{sf_dir}/events.parquet",
+                            f"{src_dir}/events.parquet")
+            clicks = spark.readStream.schema(schema).parquet(src_dir) \
+                .where(F.col("event_type") == "click")
+            purchases = spark.readStream.schema(schema).parquet(src_dir) \
+                .where(F.col("event_type") == "purchase")
+            joined = stream_stream_attribution_join(
+                clicks, purchases, how="left_outer")
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            query = (
+                joined.writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(
+                    lambda batch, _id:
+                        batch.write.mode("append").parquet(out))
+                .start()
+            )
+            query.awaitTermination()
+            _STREAM_OUTER_CACHE[sf_dir] = out
+            out_dir = out
+        replayed = spark.read.parquet(out_dir)
+        return replayed.select(
+            "l_event_id", "r_event_id",
+        ).orderBy("l_event_id", "r_event_id")
+
+    q["stream_join_outer_parity"] = stream_join_outer_parity
+
     return q
 
 
@@ -4899,6 +4976,25 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings ORDER BY vec_id LIMIT 50
     """
 
+    o["window_battery"] = """
+        SELECT o_orderkey, o_orderpriority,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               round(percent_rank() OVER w, 6) AS prnk,
+               round(cume_dist() OVER w, 6) AS cdist,
+               first_value(o_orderkey) OVER wf AS first_key,
+               last_value(o_orderkey) OVER wf AS last_key,
+               nth_value(o_orderkey, 3) OVER wf AS third_key
+        FROM orders WHERE o_orderkey <= 2000
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_orderpriority
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey
+    """
+
     # gap-rule replay of the native session window: exclusive session
     # end → a gap of EXACTLY 30 min breaks the session (>=, not >)
     o["events_session_window_native"] = """
@@ -4919,6 +5015,27 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 2) AS value_sum
         FROM g GROUP BY user_id, sid
         ORDER BY user_id, session_start
+    """
+
+    # left-outer emission set: every inner match, plus each unmatched
+    # click whose join window closed before the final watermark
+    # (min of both streams' max-ts minus the 30-min delay)
+    o["stream_join_outer_parity"] = """
+        WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        wm AS (SELECT least((SELECT max(ts) FROM c),
+                            (SELECT max(ts) FROM p))
+                      - INTERVAL 1800 SECOND AS w),
+        m AS (
+            SELECT c.event_id AS l_event_id, p.event_id AS r_event_id
+            FROM c JOIN p ON c.user_id = p.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        SELECT l_event_id, r_event_id FROM m
+        UNION ALL
+        SELECT c.event_id, NULL FROM c, wm
+        WHERE c.event_id NOT IN (SELECT l_event_id FROM m)
+          AND c.ts + INTERVAL 1 HOUR < wm.w
+        ORDER BY l_event_id, r_event_id
     """
 
     # batch range join the stream-stream replay must reproduce exactly

@@ -190,6 +190,7 @@ def stream_stream_attribution_join(
     ts_col: str = "ts",
     max_lag: str = "1 hour",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INNER join: each right-stream event matched to the
     left-stream events it followed within ``max_lag`` (click→purchase
@@ -201,7 +202,11 @@ def stream_stream_attribution_join(
     forever). State per side ≈ watermark + lag horizon of rows, keyed
     by ``user_col``. Inner join only: emitted matches are final, so an
     availableNow replay equals the batch range join row-for-row — the
-    parity the oracle checks.
+    parity the oracle checks. ``how="left_outer"`` additionally emits
+    each unmatched left row ONCE with NULL right columns, but only when
+    the watermark proves no match can still arrive (left ts + lag <
+    join watermark) — tail-of-stream unmatched rows stay buffered, the
+    exact emission set the outer-parity oracle re-derives.
     """
     l = ensure_event_time(left, ts_col).withWatermark(ts_col, watermark) \
         .select(
@@ -221,4 +226,4 @@ def stream_stream_attribution_join(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
