@@ -95,6 +95,11 @@ def main() -> None:
         "tpch_q1",                 # classic wide-aggregate scan
         "tpch_q3",                 # 3-way join + top-k
         "sketch_hll_rollup",       # mergeable per-day HLL union
+        "graph_event_pagerank",    # iterative power-iteration rounds
+        "events_path_trigrams",    # sessionized array transform
+        "stream_join_parity",      # stream-stream join replay
+        "emb_pca_project",         # literal-folded linear projection
+        "events_session_window_native",  # native merging-window agg
     ]
 
     # warmup: prime JVM/codegen on a small action

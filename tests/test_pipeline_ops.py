@@ -1095,3 +1095,74 @@ class TestAdviceRegressions:
         # stored-only user keeps BOTH its tags and its stored attributes
         assert rows["u2"]["tag_ids"] == [7]
         assert rows["u2"]["computed_date"] == "2024-01-01"
+
+
+class TestStreamStreamJoin:
+    def test_join_resumes_from_checkpoint_without_duplicates(
+            self, spark, tmp_path, sf_dir):
+        # phase 1: joins run over the first file; phase 2 (new query
+        # object, SAME checkpoint) sees only the second file and must
+        # emit matches involving it exactly once — file-source offsets
+        # and join state both restore from the checkpoint
+        from pyspark.sql import functions as F
+
+        from bigdata_tag_system_spark.sources.readers import load_table
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            stream_stream_attribution_join,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        # split by TIME, not key: phase-2 rows older than phase-1's
+        # final watermark would be dropped as late data (correct
+        # streaming semantics, wrong test). A time split keeps arrivals
+        # in order AND forces cross-boundary matches through restored
+        # join state (clicks buffered before the restart, purchases
+        # after)
+        mid = ev.agg(
+            F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")
+        ).first()[0]
+        half1 = ev.where(
+            F.unix_micros(F.col("ts").cast("timestamp")) <= mid)
+        half2 = ev.where(
+            F.unix_micros(F.col("ts").cast("timestamp")) > mid)
+        src = str(tmp_path / "src")
+        half1.coalesce(1).write.mode("overwrite").parquet(src)
+        out_rows = []
+
+        def run_once():
+            clicks = spark.readStream.schema(ev.schema).parquet(src) \
+                .where(F.col("event_type") == "click")
+            purch = spark.readStream.schema(ev.schema).parquet(src) \
+                .where(F.col("event_type") == "purchase")
+            j = stream_stream_attribution_join(clicks, purch)
+            q = (j.writeStream.outputMode("append")
+                 .option("checkpointLocation", str(tmp_path / "ckpt"))
+                 .foreachBatch(lambda df, bid: out_rows.extend(df.collect()))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        run_once()
+        n_phase1 = len(out_rows)
+        # append the second half as a NEW file, resume from checkpoint
+        import glob
+        import shutil
+        tmp2 = str(tmp_path / "h2")
+        half2.coalesce(1).write.mode("overwrite").parquet(tmp2)
+        [f2] = glob.glob(tmp2 + "/*.parquet")
+        shutil.copy(f2, src + "/part-resume.parquet")
+        run_once()
+
+        # batch truth over the full dataset
+        c = ev.where("event_type = 'click'").select(
+            F.col("user_id").alias("u"), F.col("ts").alias("cts"),
+            F.col("event_id").alias("ce"))
+        p = ev.where("event_type = 'purchase'").select(
+            F.col("user_id").alias("u"), F.col("ts").alias("pts"),
+            F.col("event_id").alias("pe"))
+        want = (
+            c.join(p, "u")
+            .where("pts >= cts AND pts <= cts + INTERVAL 1 HOUR")
+            .select("ce", "pe").collect())
+        got = sorted((r.l_event_id, r.r_event_id) for r in out_rows)
+        assert got == sorted((r.ce, r.pe) for r in want)
+        assert len(out_rows) > n_phase1  # phase 2 added new matches
