@@ -66,3 +66,27 @@ class TestCanon:
         assert _canon([1, 2]) != _canon([2, 1])
         assert _canon({"b": 2, "a": 1}) == _canon({"a": 1, "b": 2})
         assert _canon(b"\x00\xff") == "00ff"
+
+
+class TestDocTraceability:
+    def test_every_catalog_query_is_documented_in_survey(self):
+        import __spark_entry__ as e
+
+        survey = open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SURVEY.md")).read()
+        missing = sorted(n for n in e.queries() if n not in survey)
+        assert missing == [], (
+            f"catalog queries missing from SURVEY.md: {missing} — add "
+            f"them to the §2.11 table or the §2.12 traceability map")
+
+    def test_every_query_has_oracle_or_is_known_rows_only(self):
+        import __spark_entry__ as e
+
+        known_rows_only = {"dedup_simhash", "text_rolling_fp",
+                           "sample_seeded"}
+        o = e.oracle_sql()
+        unexpected = sorted(n for n in e.queries()
+                            if n not in o and n not in known_rows_only)
+        assert unexpected == [], (
+            f"queries without an oracle that are not in the documented "
+            f"rows-only set: {unexpected}")
