@@ -709,3 +709,49 @@ class TestCliExtensions:
         assert rc == 1
         line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert line["ok"] is False
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                      min_size=1, max_size=50))
+def test_zorder_matches_python_interleave(spark, pairs):
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = [r.z for r in df.select(
+        zorder_value(["x", "y"], bits=8).alias("z")).collect()]
+
+    def pz(x, y):
+        z = 0
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert sorted(got) == sorted(pz(x, y) for x, y in pairs)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.tuples(st.sampled_from("ab"),
+              st.lists(st.sampled_from(["t1", "t2", "t3", "t4"]),
+                       min_size=1, max_size=8)),
+    min_size=2, max_size=12))
+def test_source_kl_matches_python_model(spark, docs):
+    import math
+    from collections import Counter
+
+    rows = [(i, g, " ".join(toks)) for i, (g, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r.kl_nats
+           for r in source_token_kl(df, group_col="source").collect()}
+    per_g, total = {}, Counter()
+    for _, g, toks in [(i, g, t) for i, (g, t) in enumerate(docs)]:
+        per_g.setdefault(g, Counter()).update(toks)
+        total.update(toks)
+    n_all = sum(total.values())
+    for g, cnt in per_g.items():
+        ng = sum(cnt.values())
+        want = sum((c / ng) * (math.log(c / ng) - math.log(total[t] / n_all))
+                   for t, c in cnt.items())
+        assert abs(got[g] - want) < 1e-9
