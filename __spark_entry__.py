@@ -2898,6 +2898,59 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_join_outer_parity"] = stream_join_outer_parity
 
+    def dedup_rates_by_source(spark, sf_dir):
+        # curation dashboard: which sources are most duplicated? docs
+        # appearing in >= 1 verified near-dup pair, per source — the
+        # pair set is the LSH-verified exact-Jaccard set
+        d = _t(spark, sf_dir, "documents")
+        pairs = D.minhash_dedup(
+            d, threshold=0.5, num_hashes=32, bands=16)
+        dup_ids = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .union(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+            .withColumn("_dup", F.lit(1))
+        )
+        return (
+            d.join(dup_ids, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+                 .alias("n_dup"))
+            .select(
+                "source", "n_docs", "n_dup",
+                F.round(F.col("n_dup") / F.col("n_docs"), 4)
+                .alias("dup_rate"))
+            .orderBy("source")
+        )
+
+    q["dedup_rates_by_source"] = dedup_rates_by_source
+
+    def events_user_deciles(spark, sf_dir):
+        # decile lift table WITHOUT a global ntile window: per-user
+        # totals (rounded so both engines bucket identical doubles),
+        # nine exact-percentile fences broadcast back, map-only decile
+        # assignment = 1 + count of fences strictly below
+        ev = _t(spark, sf_dir, "events")
+        totals = ev.groupBy("user_id").agg(
+            F.round(F.sum("value"), 2).alias("total"))
+        fences = totals.agg(*[
+            F.percentile("total", F.lit(i / 10)).alias(f"f{i}")
+            for i in range(1, 10)
+        ])
+        dec = F.lit(1)
+        for i in range(1, 10):
+            dec = dec + (F.col("total") > F.col(f"f{i}")).cast("int")
+        return (
+            totals.crossJoin(F.broadcast(fences))
+            .groupBy(dec.alias("decile"))
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.avg("total"), 4).alias("avg_total"))
+            .orderBy("decile")
+        )
+
+    q["events_user_deciles"] = events_user_deciles
+
     return q
 
 
@@ -5015,6 +5068,53 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 2) AS value_sum
         FROM g GROUP BY user_id, sid
         ORDER BY user_id, session_start
+    """
+
+    # per-source duplication census over the exact-Jaccard pair set
+    # (same shingle machinery as the dedup_minhash_lsh oracle)
+    o["dedup_rates_by_source"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM sh
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b ON a.shingle = b.shingle
+                AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), p AS (
+            SELECT id_a, id_b FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        ), dup AS (
+            SELECT id_a AS doc_id FROM p UNION SELECT id_b FROM p
+        )
+        SELECT source, count(*) AS n_docs,
+               count(d.doc_id) AS n_dup,
+               round(count(d.doc_id) * 1.0 / count(*), 4) AS dup_rate
+        FROM documents LEFT JOIN dup d USING (doc_id)
+        GROUP BY source ORDER BY source
+    """
+
+    _fences = ", ".join(
+        f"quantile_cont(total, 0.{i}) AS f{i}" for i in range(1, 10))
+    _dec = " + ".join(
+        f"CASE WHEN total > f{i} THEN 1 ELSE 0 END" for i in range(1, 10))
+    o["events_user_deciles"] = f"""
+        WITH t AS (SELECT user_id, round(sum(value), 2) AS total
+                   FROM events GROUP BY user_id),
+        f AS (SELECT {_fences} FROM t)
+        SELECT 1 + {_dec} AS decile, count(*) AS n_users,
+               round(avg(total), 4) AS avg_total
+        FROM t, f GROUP BY decile ORDER BY decile
     """
 
     # left-outer emission set: every inner match, plus each unmatched
