@@ -2951,6 +2951,42 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_deciles"] = events_user_deciles
 
+    def events_user_trend(spark, sf_dir):
+        # per-user value trend (ANSI least-squares aggregates — one
+        # hash agg, no window/sort): slope per day of elapsed time,
+        # with fit quality; the engagement-trajectory feature
+        ev = _t(spark, sf_dir, "events")
+        x = (F.unix_micros(F.col("ts").cast("timestamp"))
+             / F.lit(86400.0 * 1e6))
+        out = (
+            ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.regr_slope(F.col("value"), x), 6)
+                .alias("slope_per_day"),
+                F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+            )
+        )
+        return out.where(F.col("n") >= 10).orderBy("user_id")
+
+    q["events_user_trend"] = events_user_trend
+
+    def stats_correlations(spark, sf_dir):
+        # pairwise Pearson correlations of the lineitem measures in ONE
+        # aggregate pass (no per-pair rescans)
+        li = _t(spark, sf_dir, "lineitem")
+        pairs = [("l_quantity", "l_extendedprice"),
+                 ("l_quantity", "l_discount"),
+                 ("l_extendedprice", "l_tax"),
+                 ("l_discount", "l_tax")]
+        aggs = [
+            F.round(F.corr(a, b), 6).alias(f"corr_{a}_{b}")
+            for a, b in pairs
+        ]
+        return li.agg(F.count(F.lit(1)).alias("n"), *aggs)
+
+    q["stats_correlations"] = stats_correlations
+
     return q
 
 
@@ -5115,6 +5151,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT 1 + {_dec} AS decile, count(*) AS n_users,
                round(avg(total), 4) AS avg_total
         FROM t, f GROUP BY decile ORDER BY decile
+    """
+
+    # ANSI least-squares aggregates: identical definitions both engines
+    o["events_user_trend"] = """
+        SELECT user_id, count(*) AS n,
+               round(regr_slope(value,
+                     epoch_us(ts) / (86400.0 * 1e6)), 6)
+                   AS slope_per_day,
+               round(regr_r2(value,
+                     epoch_us(ts) / (86400.0 * 1e6)), 6) AS r2
+        FROM events GROUP BY user_id HAVING count(*) >= 10
+        ORDER BY user_id
+    """
+
+    o["stats_correlations"] = """
+        SELECT count(*) AS n,
+               round(corr(l_quantity, l_extendedprice), 6)
+                   AS corr_l_quantity_l_extendedprice,
+               round(corr(l_quantity, l_discount), 6)
+                   AS corr_l_quantity_l_discount,
+               round(corr(l_extendedprice, l_tax), 6)
+                   AS corr_l_extendedprice_l_tax,
+               round(corr(l_discount, l_tax), 6)
+                   AS corr_l_discount_l_tax
+        FROM lineitem
     """
 
     # left-outer emission set: every inner match, plus each unmatched
