@@ -2987,6 +2987,58 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_correlations"] = stats_correlations
 
+    def events_value_gini(spark, sf_dir):
+        # value-concentration (Gini) per event type: rank within the
+        # TYPE partition (never a global sort), then the closed-form
+        # Σ(2i−n−1)x_i / (n²μ); ties broken by event_id so the rank —
+        # and therefore the statistic — is engine-deterministic
+        from pyspark.sql import Window as W
+
+        ev = _t(spark, sf_dir, "events")
+        w = W.partitionBy("event_type").orderBy("value", "event_id")
+        ranked = ev.select(
+            "event_type", "value",
+            F.row_number().over(w).alias("i"))
+        # Σ(2i−n−1)x = 2Σ(i·x) − (n+1)Σx, so one aggregate suffices
+        # (n²·μ = n·Σx in the denominator)
+        return (
+            ranked.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("_sx"),
+                F.sum(F.col("i") * F.col("value")).alias("_six"),
+            )
+            .select(
+                "event_type", "n",
+                F.round(
+                    (2 * F.col("_six") - (F.col("n") + 1) * F.col("_sx"))
+                    / (F.col("n") * F.col("_sx")), 6).alias("gini"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["events_value_gini"] = events_value_gini
+
+    def events_user_entropy(spark, sf_dir):
+        # behavioral-diversity feature: Shannon entropy of each user's
+        # event-type mix (two aggregates sharing the user key layout)
+        ev = _t(spark, sf_dir, "events")
+        tc = ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("c"))
+        tot = tc.groupBy("user_id").agg(F.sum("c").alias("t"))
+        ent = (
+            tc.join(tot, "user_id")
+            .groupBy("user_id")
+            .agg(F.round(
+                -F.sum((F.col("c") / F.col("t"))
+                       * F.log(F.col("c") / F.col("t"))), 6)
+                .alias("entropy_nats"),
+                F.max("t").alias("n_events"))
+        )
+        return ent.orderBy("user_id")
+
+    q["events_user_entropy"] = events_user_entropy
+
     return q
 
 
@@ -5151,6 +5203,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT 1 + {_dec} AS decile, count(*) AS n_users,
                round(avg(total), 4) AS avg_total
         FROM t, f GROUP BY decile ORDER BY decile
+    """
+
+    o["events_value_gini"] = """
+        WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS i
+            FROM events),
+        a AS (
+            SELECT event_type, count(*) AS n, sum(value) AS sx,
+                   sum(i * value) AS six
+            FROM r GROUP BY event_type)
+        SELECT event_type, n,
+               round((2 * six - (n + 1) * sx) / (n * sx), 6) AS gini
+        FROM a ORDER BY event_type
+    """
+
+    o["events_user_entropy"] = """
+        WITH tc AS (
+            SELECT user_id, event_type, count(*) AS c FROM events
+            GROUP BY user_id, event_type),
+        tot AS (SELECT user_id, sum(c) AS t FROM tc GROUP BY user_id)
+        SELECT user_id,
+               round(-sum((c * 1.0 / t) * ln(c * 1.0 / t)), 6)
+                   AS entropy_nats,
+               CAST(max(t) AS BIGINT) AS n_events
+        FROM tc JOIN tot USING (user_id)
+        GROUP BY user_id ORDER BY user_id
     """
 
     # ANSI least-squares aggregates: identical definitions both engines
