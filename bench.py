@@ -100,6 +100,9 @@ def main() -> None:
         "stream_join_parity",      # stream-stream join replay
         "emb_pca_project",         # literal-folded linear projection
         "events_session_window_native",  # native merging-window agg
+        "events_user_trend",       # ANSI least-squares per-user slope
+        "events_value_gini",       # partitioned-rank concentration
+        "events_user_entropy",     # behavioral-diversity entropy
     ]
 
     # warmup: prime JVM/codegen on a small action
