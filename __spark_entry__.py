@@ -2566,6 +2566,270 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q6"] = tpch_q6
 
+    def tpch_q4(spark, sf_dir):
+        # TPC-H Q4 order-priority checking (adapted: EXISTS on a
+        # returned lineitem, the schema has no commit/receipt dates):
+        # the semi-join never materializes lineitem columns, and the
+        # returnflag filter lands in PushedFilters before the shuffle
+        orders = _t(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+        returned = _t(spark, sf_dir, "lineitem").where(
+            F.col("l_returnflag") == "R").select("l_orderkey")
+        return (
+            orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority")
+        )
+
+    q["tpch_q4"] = tpch_q4
+
+    def tpch_q5(spark, sf_dir):
+        # TPC-H Q5 local-supplier volume: the 6-way star join. Dims
+        # (supplier/customer/nation/region) broadcast; the only
+        # shuffles are lineitem⋈orders on orderkey and the final
+        # per-nation agg. region filter prunes nation before it ever
+        # touches the fact side.
+        asia_nations = (
+            _t(spark, sf_dir, "nation")
+            .join(F.broadcast(_t(spark, sf_dir, "region")
+                              .where(F.col("r_name") == "ASIA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name"))
+        supp = _t(spark, sf_dir, "supplier").join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        orders = _t(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+        li = _t(spark, sf_dir, "lineitem")
+        cust = _t(spark, sf_dir, "customer")
+        return (
+            li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+            .join(F.broadcast(cust),
+                  (orders.o_custkey == cust.c_custkey)
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("revenue"))
+            .orderBy(F.desc("revenue"), "n_name")
+        )
+
+    q["tpch_q5"] = tpch_q5
+
+    def tpch_q7(spark, sf_dir):
+        # TPC-H Q7 volume shipping between two nations: both nation
+        # filters collapse the dim sides to a handful of keys BEFORE
+        # the fact join, so the lineitem⋈orders shuffle is the only
+        # large exchange; supp/cust sides broadcast
+        nat = _t(spark, sf_dir, "nation").where(
+            F.col("n_name").isin("NATION_3", "NATION_7"))
+        supp = (_t(spark, sf_dir, "supplier")
+                .join(F.broadcast(nat),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+        cust = (_t(spark, sf_dir, "customer")
+                .join(F.broadcast(nat),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .select("c_custkey", F.col("n_name").alias("cust_nation")))
+        li = _t(spark, sf_dir, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        orders = _t(spark, sf_dir, "orders")
+        return (
+            li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .where(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year")
+        )
+
+    q["tpch_q7"] = tpch_q7
+
+    def tpch_q10(spark, sf_dir):
+        # TPC-H Q10 returned-item reporting: returnflag + order-date
+        # filters cut the fact side before the custkey shuffle; the
+        # top-20 is TakeOrderedAndProject, never a global sort
+        li = _t(spark, sf_dir, "lineitem").where(
+            F.col("l_returnflag") == "R")
+        orders = _t(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+        cust = _t(spark, sf_dir, "customer")
+        nat = _t(spark, sf_dir, "nation")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20)
+        )
+
+    q["tpch_q10"] = tpch_q10
+
+    def tpch_q13(spark, sf_dir):
+        # TPC-H Q13 customer order-count distribution: left outer join
+        # keeps order-less customers as count 0; two cascading aggs,
+        # the second over at most |distinct counts| rows
+        cust = _t(spark, sf_dir, "customer").select("c_custkey")
+        orders = _t(spark, sf_dir, "orders").select("o_custkey",
+                                                    "o_orderkey")
+        per_cust = (
+            cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count")))
+        return (
+            per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count"))
+        )
+
+    q["tpch_q13"] = tpch_q13
+
+    def tpch_q14(spark, sf_dir):
+        # TPC-H Q14 promotion effect (adapted: p_type = 'PROMO' exact,
+        # the generator uses single-word types): one month of lineitem
+        # against a broadcast part dim, conditional sum in one pass
+        li = _t(spark, sf_dir, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+        part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(
+                F.round(100.0 * F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc)
+                    .otherwise(F.lit(0.0))) / F.sum(disc), 4)
+                .alias("promo_revenue"),
+                F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    q["tpch_q14"] = tpch_q14
+
+    def tpch_q15(spark, sf_dir):
+        # TPC-H Q15 top supplier: quarterly per-supplier revenue
+        # (rounded BEFORE the max compare so both engines tie-break
+        # identically), max via a broadcast 1-row join — no
+        # single-partition window over the revenue table
+        li = _t(spark, sf_dir, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        rev = (
+            li.groupBy("l_suppkey")
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+        top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+        supp = _t(spark, sf_dir, "supplier")
+        return (
+            rev.join(F.broadcast(top),
+                     F.col("total_revenue") == F.col("max_revenue"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey")
+        )
+
+    q["tpch_q15"] = tpch_q15
+
+    def tpch_q17(spark, sf_dir):
+        # TPC-H Q17 small-quantity-order revenue: the correlated
+        # average decorrelates into one per-part agg over ONLY the
+        # filtered parts' lineitems (the brand filter is on part
+        # attributes, so joining first loses no rows of those parts).
+        # The 0.2·avg compare is exact integer math in doubles:
+        # qty < 0.2·(sum/cnt)  ⇔  5·qty·cnt < sum  (quantities are
+        # integral), so both engines agree at the boundary.
+        part = _t(spark, sf_dir, "part").where(
+            (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+        ).select("p_partkey")
+        li = _t(spark, sf_dir, "lineitem")
+        li_f = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        stats = (
+            li_f.groupBy("p_partkey")
+            .agg(F.sum("l_quantity").alias("qty_sum"),
+                 F.count(F.lit(1)).alias("qty_cnt")))
+        return (
+            li_f.join(F.broadcast(stats), "p_partkey")
+            .where(F.col("l_quantity") * 5 * F.col("qty_cnt")
+                   < F.col("qty_sum"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    q["tpch_q17"] = tpch_q17
+
+    def tpch_q18(spark, sf_dir):
+        # TPC-H Q18 large-volume customers: the HAVING-IN subquery is
+        # one per-orderkey agg whose sum rides along into the final
+        # join (no lineitem re-join, unlike the literal SQL); top-100
+        # via TakeOrderedAndProject
+        li = _t(spark, sf_dir, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .where(F.col("sum_qty") > 250))
+        orders = _t(spark, sf_dir, "orders")
+        cust = _t(spark, sf_dir, "customer")
+        return (
+            orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "sum_qty")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(100)
+        )
+
+    q["tpch_q18"] = tpch_q18
+
+    def tpch_q19(spark, sf_dir):
+        # TPC-H Q19 discounted revenue: three OR'd brand/size/quantity
+        # condition groups. The part side broadcasts; the derived
+        # bounding predicate l_quantity ∈ [1,30] is pushed onto the
+        # fact scan so rows failing every group never reach the join.
+        li = _t(spark, sf_dir, "lineitem").where(
+            (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        part = _t(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_size")
+        g1 = ((F.col("p_brand") == "Brand#12")
+              & F.col("p_size").between(1, 5)
+              & F.col("l_quantity").between(1, 11))
+        g2 = ((F.col("p_brand") == "Brand#23")
+              & F.col("p_size").between(1, 10)
+              & F.col("l_quantity").between(10, 20))
+        g3 = ((F.col("p_brand") == "Brand#24")
+              & F.col("p_size").between(1, 15)
+              & F.col("l_quantity").between(20, 30))
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .where(g1 | g2 | g3)
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("revenue"),
+                F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    q["tpch_q19"] = tpch_q19
+
     def sketch_hll_rollup(spark, sf_dir):
         # incremental distinct maintenance: per-day DataSketches HLL
         # blobs UNIONED for the period total (no history rescan); the
@@ -4969,6 +5233,142 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.03 AND 0.07
           AND l_quantity < 24
+    """
+
+    o["tpch_q4"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    o["tpch_q5"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+    """
+
+    o["tpch_q7"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+          AND n2.n_name IN ('NATION_3', 'NATION_7')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """
+
+    o["tpch_q10"] = """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """
+
+    o["tpch_q13"] = """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """
+
+    o["tpch_q14"] = """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue,
+               count(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """
+
+    o["tpch_q15"] = """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """
+
+    o["tpch_q17"] = """
+        WITH li_f AS (
+            SELECT l.* FROM lineitem l
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
+        stats AS (
+            SELECT l_partkey AS sp, sum(l_quantity) AS qty_sum,
+                   count(*) AS qty_cnt
+            FROM li_f GROUP BY l_partkey)
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_rows
+        FROM li_f JOIN stats ON l_partkey = sp
+        WHERE l_quantity * 5 * qty_cnt < qty_sum
+    """
+
+    o["tpch_q18"] = """
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, sum_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 250) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """
+
+    o["tpch_q19"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue,
+               count(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """
 
     # the HLL estimate itself is engine-specific; the oracle pins the

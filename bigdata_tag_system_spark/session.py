@@ -43,6 +43,16 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Runtime row-level filtering: build a bloom filter from the
+        # small side of a selective join and push it into the big
+        # side's scan — the automatic semi-join pre-filter that saves
+        # shuffling never-matching fact rows at 100 TB. The companion
+        # runtimeFilter.semiJoinReduction flag is deliberately NOT set:
+        # in this Spark 4.1 build enabling it deadlocks even a trivial
+        # parquet count (measured), and the bloom filter subsumes the
+        # win (same pre-shuffle row pruning, no extra shuffle for the
+        # IN-subquery build side).
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         # Arrow for the few Pandas-UDF operators (multimodal, ANN rerank).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
