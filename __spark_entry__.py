@@ -2830,6 +2830,299 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q19"] = tpch_q19
 
+    def tpch_q2(spark, sf_dir):
+        # TPC-H Q2 minimum-cost supplier (adapted: no partsupp table —
+        # the part↔supplier bridge is the distinct (partkey, suppkey)
+        # pairs actually observed in lineitem, and s_acctbal stands in
+        # for ps_supplycost). The correlated-min subquery decorrelates
+        # into one per-part min + an equality join-back; every dim side
+        # broadcasts, the bridge distinct is the only fact shuffle.
+        bridge = (_t(spark, sf_dir, "lineitem")
+                  .select("l_partkey", "l_suppkey").distinct())
+        eur = (_t(spark, sf_dir, "supplier")
+               .join(F.broadcast(
+                   _t(spark, sf_dir, "nation")
+                   .join(F.broadcast(_t(spark, sf_dir, "region")
+                                     .where(F.col("r_name") == "EUROPE")),
+                         F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select("n_nationkey", "n_name")),
+                   F.col("s_nationkey") == F.col("n_nationkey")))
+        part = _t(spark, sf_dir, "part").where(
+            (F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        cand = (bridge
+                .join(F.broadcast(part),
+                      F.col("l_partkey") == part.p_partkey)
+                .join(F.broadcast(eur),
+                      F.col("l_suppkey") == F.col("s_suppkey")))
+        best = cand.groupBy(F.col("p_partkey").alias("bp")).agg(
+            F.min("s_acctbal").alias("min_bal"))
+        return (
+            cand.join(F.broadcast(best),
+                      (F.col("p_partkey") == F.col("bp"))
+                      & (F.col("s_acctbal") == F.col("min_bal")))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100)
+        )
+
+    q["tpch_q2"] = tpch_q2
+
+    def tpch_q8(spark, sf_dir):
+        # TPC-H Q8 national market share: NATION_6's share of AMERICA-
+        # region ECONOMY-part volume by order year. The share is a
+        # conditional-sum ratio in ONE aggregation pass; all four dims
+        # broadcast so the fact side shuffles once (orderkey join).
+        amr_cust = (_t(spark, sf_dir, "customer")
+                    .join(F.broadcast(
+                        _t(spark, sf_dir, "nation")
+                        .join(F.broadcast(
+                            _t(spark, sf_dir, "region")
+                            .where(F.col("r_name") == "AMERICA")),
+                            F.col("n_regionkey") == F.col("r_regionkey"))),
+                        F.col("c_nationkey") == F.col("n_nationkey"))
+                    .select("c_custkey"))
+        supp_nat = (_t(spark, sf_dir, "supplier")
+                    .join(F.broadcast(_t(spark, sf_dir, "nation")
+                                      .withColumnRenamed("n_name",
+                                                         "supp_nation")),
+                          F.col("s_nationkey") == F.col("n_nationkey"))
+                    .select("s_suppkey", "supp_nation"))
+        part = _t(spark, sf_dir, "part").where(
+            F.col("p_type") == "ECONOMY").select("p_partkey")
+        orders = _t(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        li = _t(spark, sf_dir, "lineitem")
+        vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(amr_cust),
+                  orders.o_custkey == F.col("c_custkey"), "left_semi")
+            .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_6", vol)
+                      .otherwise(F.lit(0.0))) / F.sum(vol), 4)
+                .alias("mkt_share"))
+            .orderBy("o_year")
+        )
+
+    q["tpch_q8"] = tpch_q8
+
+    def tpch_q9(spark, sf_dir):
+        # TPC-H Q9 product-type profit (adapted: no ps_supplycost — the
+        # unit cost proxy is 0.6·p_retailprice, documented in the
+        # oracle): profit per supplier nation per order year over the
+        # 'red' parts. part/supplier/nation broadcast; the orderkey
+        # join is the single fact shuffle.
+        part = _t(spark, sf_dir, "part").where(
+            F.col("p_name").contains("red")).select(
+            "p_partkey", "p_retailprice")
+        supp_nat = (_t(spark, sf_dir, "supplier")
+                    .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                          F.col("s_nationkey") == F.col("n_nationkey"))
+                    .select("s_suppkey", "n_name"))
+        li = _t(spark, sf_dir, "lineitem")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate")
+        amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year"))
+        )
+
+    q["tpch_q9"] = tpch_q9
+
+    def tpch_q11(spark, sf_dir):
+        # TPC-H Q11 important stock (adapted: no partsupp — per-part
+        # "value" is discounted revenue shipped by ASIA-region
+        # suppliers): parts whose value exceeds a scalar fraction of
+        # the grand total. The scalar rides in via a broadcast 1-row
+        # cross join, so the per-part agg is computed exactly once.
+        asia_supp = (_t(spark, sf_dir, "supplier")
+                     .join(F.broadcast(
+                         _t(spark, sf_dir, "nation")
+                         .join(F.broadcast(
+                             _t(spark, sf_dir, "region")
+                             .where(F.col("r_name") == "ASIA")),
+                             F.col("n_regionkey") == F.col("r_regionkey"))),
+                         F.col("s_nationkey") == F.col("n_nationkey"))
+                     .select("s_suppkey"))
+        li = _t(spark, sf_dir, "lineitem")
+        scoped = li.join(F.broadcast(asia_supp),
+                         li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        per_part = scoped.groupBy("l_partkey").agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("raw_value"))
+        total = per_part.agg(
+            F.sum("raw_value").alias("grand_total"))
+        return (
+            per_part.join(F.broadcast(total))
+            .where(F.col("raw_value") > 0.001 * F.col("grand_total"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.round("raw_value", 2).alias("part_value"))
+            .orderBy(F.desc("part_value"), "p_partkey")
+        )
+
+    q["tpch_q11"] = tpch_q11
+
+    def tpch_q12(spark, sf_dir):
+        # TPC-H Q12 shipping-priority audit (adapted: no l_shipmode or
+        # receipt/commit dates — l_linestatus stands in for the mode
+        # and "late" is shipped >60 days after the order date): per
+        # status, how many late lines carried urgent vs other orders.
+        # One orderkey join, one tiny agg — the CASE-count pattern.
+        li = _t(spark, sf_dir, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority")
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .where(F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+            .orderBy("l_linestatus")
+        )
+
+    q["tpch_q12"] = tpch_q12
+
+    def tpch_q16(spark, sf_dir):
+        # TPC-H Q16 supplier-count per part attribute (adapted: the
+        # part↔supplier bridge is lineitem-distinct, and the NOT-IN
+        # exclusion drops negative-balance suppliers instead of the
+        # missing comment scan): count(DISTINCT supplier) per
+        # (brand, type, size) — the anti-join feeds a distinct agg.
+        bridge = (_t(spark, sf_dir, "lineitem")
+                  .select("l_partkey", "l_suppkey").distinct())
+        bad = _t(spark, sf_dir, "supplier").where(
+            F.col("s_acctbal") < 0).select("s_suppkey")
+        part = _t(spark, sf_dir, "part").where(
+            (F.col("p_brand") != "Brand#4")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+        return (
+            bridge.join(F.broadcast(bad),
+                        F.col("l_suppkey") == F.col("s_suppkey"),
+                        "left_anti")
+            .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        )
+
+    q["tpch_q16"] = tpch_q16
+
+    def tpch_q20(spark, sf_dir):
+        # TPC-H Q20 potential part promotion (adapted: no ps_availqty —
+        # a supplier qualifies when its 1996 shipped quantity of some
+        # 'red' part exceeds 30% of that part's total 1996 shipments):
+        # the nested IN-subqueries become per-(supp,part) and per-part
+        # aggs sharing one shuffle, then a semi join up to suppliers.
+        red = _t(spark, sf_dir, "part").where(
+            F.col("p_name").startswith("red")).select("p_partkey")
+        li = (_t(spark, sf_dir, "lineitem")
+              .where((F.col("l_shipdate")
+                      >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("l_shipdate")
+                        < F.lit("1997-01-01").cast("timestamp")))
+              .join(F.broadcast(red),
+                    F.col("l_partkey") == F.col("p_partkey")))
+        sp = li.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum("l_quantity").alias("supp_qty"))
+        totals = sp.groupBy(F.col("l_partkey").alias("tp")).agg(
+            F.sum("supp_qty").alias("part_qty"))
+        qualified = (sp.join(F.broadcast(totals),
+                             F.col("l_partkey") == F.col("tp"))
+                     .where(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+                     .select("l_suppkey").distinct())
+        supp = (_t(spark, sf_dir, "supplier")
+                .join(F.broadcast(_t(spark, sf_dir, "nation")),
+                      F.col("s_nationkey") == F.col("n_nationkey")))
+        return (
+            supp.join(F.broadcast(qualified),
+                      F.col("s_suppkey") == F.col("l_suppkey"),
+                      "left_semi")
+            .select("s_name", "n_name")
+            .orderBy("s_name")
+        )
+
+    q["tpch_q20"] = tpch_q20
+
+    def tpch_q21(spark, sf_dir):
+        # TPC-H Q21 suppliers who kept orders waiting (adapted: "late"
+        # is shipped >90 days after the order date): the EXISTS /
+        # NOT-EXISTS pair over sibling lineitems becomes ONE per-order
+        # aggregate (distinct suppliers vs distinct late suppliers) —
+        # multi-supplier orders whose lateness traces to exactly one
+        # supplier. No lineitem self-join; top-100 via ordered limit.
+        orders = _t(spark, sf_dir, "orders").where(
+            F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate")
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        late = F.col("l_shipdate") > (F.col("o_orderdate")
+                                      + F.expr("INTERVAL 90 DAYS"))
+        per_order = (
+            j.groupBy("o_orderkey")
+            .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                 F.countDistinct(F.when(late, F.col("l_suppkey")))
+                 .alias("n_late_supp"))
+            .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)))
+        blamed = (j.where(late)
+                  .select("o_orderkey", "l_suppkey").distinct()
+                  .join(per_order, "o_orderkey", "left_semi"))
+        supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        return (
+            blamed.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_name", "numwait")
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100)
+        )
+
+    q["tpch_q21"] = tpch_q21
+
+    def tpch_q22(spark, sf_dir):
+        # TPC-H Q22 global sales opportunity (adapted: c_nationkey
+        # plays the phone-prefix country code, and "no orders" means
+        # none since 2000 — every sf customer has SOME order, so the
+        # literal anti join is vacuous): rich, recently-lapsed
+        # customers vs the positive-balance average via a broadcast
+        # scalar — anti join + scalar subquery, orders touched once
+        # with the date filter pushed to its scan.
+        keys = [1, 6, 11, 16, 21]
+        cust = _t(spark, sf_dir, "customer").where(
+            F.col("c_nationkey").isin(keys))
+        avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+            F.avg("c_acctbal").alias("avg_bal"))
+        orders = _t(spark, sf_dir, "orders").where(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        ).select("o_custkey")
+        return (
+            cust.join(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+            .orderBy("cntrycode")
+        )
+
+    q["tpch_q22"] = tpch_q22
+
     def sketch_hll_rollup(spark, sf_dir):
         # incremental distinct maintenance: per-day DataSketches HLL
         # blobs UNIONED for the period total (no history rescan); the
@@ -5369,6 +5662,156 @@ def oracle_sql() -> dict[str, str]:
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """
+
+    o["tpch_q2"] = """
+        WITH bridge AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        cand AS (
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+            FROM bridge
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'LARGE')
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+        FROM cand c
+        WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                           WHERE c2.p_partkey = c.p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """
+
+    o["tpch_q8"] = """
+        SELECT year(o_orderdate) AS o_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_6'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_year ORDER BY o_year
+    """
+
+    o["tpch_q9"] = """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity), 2)
+                   AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year ORDER BY nation, o_year DESC
+    """
+
+    o["tpch_q11"] = """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS raw_value
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA')
+            GROUP BY l_partkey)
+        SELECT l_partkey AS p_partkey,
+               round(raw_value, 2) AS part_value
+        FROM per_part
+        WHERE raw_value > 0.001 * (SELECT sum(raw_value) FROM per_part)
+        ORDER BY part_value DESC, p_partkey
+    """
+
+    o["tpch_q12"] = """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_linestatus ORDER BY l_linestatus
+    """
+
+    o["tpch_q16"] = """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#4'
+          AND p_size IN (1, 5, 10, 15, 20, 25)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    o["tpch_q20"] = """
+        WITH li AS (
+            SELECT l_partkey, l_suppkey, l_quantity
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'),
+        sp AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+            FROM li GROUP BY l_partkey, l_suppkey),
+        totals AS (
+            SELECT l_partkey AS tp, sum(supp_qty) AS part_qty
+            FROM sp GROUP BY l_partkey)
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM sp JOIN totals ON l_partkey = tp
+            WHERE supp_qty > 0.3 * part_qty)
+        ORDER BY s_name
+    """
+
+    o["tpch_q21"] = """
+        WITH j AS (
+            SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'),
+        per_order AS (
+            SELECT l_orderkey FROM j GROUP BY l_orderkey
+            HAVING count(DISTINCT l_suppkey) > 1
+               AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1),
+        blamed AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM j
+            WHERE late AND l_orderkey IN (SELECT l_orderkey FROM per_order))
+        SELECT s_name, count(*) AS numwait
+        FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """
+
+    o["tpch_q22"] = """
+        SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 6, 11, 16, 21)
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0
+                             AND c_nationkey IN (1, 6, 11, 16, 21))
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY cntrycode ORDER BY cntrycode
     """
 
     # the HLL estimate itself is engine-specific; the oracle pins the
