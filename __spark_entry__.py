@@ -225,14 +225,17 @@ _DRIVER_FIRST = [
     "dedup_semantic_keep", "sim_quantized_topk",
     # -- new this round, batch 3 --
     "dedup_fuzzy_edit", "sample_mixture", "layout_zorder_cells",
-    # -- representative per-family core (driver-green r3), flagship
-    # anchor at position 50 --
-    "dedup_exact_groups", "sim_cosine_topk", "window_row_number",
-    "text_top_tokens",
+    # -- TPC-H flagship slice (star join, exact boundary math,
+    # EXISTS pair, outer-join distribution), then the flagship
+    # anchor at position 50; the r3-driver-green per-family core
+    # rotates down to the locally-checked block --
+    "tpch_q5", "tpch_q17", "tpch_q21", "tpch_q13",
     "tag_profiles",
     # -- positions 51+: never driver-checked but locally green every
     # round via tools/check_correctness.py; rotate into the window
     # next round --
+    "dedup_exact_groups", "sim_cosine_topk", "window_row_number",
+    "text_top_tokens",
     "dedup_minhash_lsh", "dedup_components", "dedup_pipeline_keep",
     "sim_knn_join", "ts_asof_join",
     "events_daily_rollup", "events_sessionize",

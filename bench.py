@@ -94,6 +94,10 @@ def main() -> None:
         "stream_sessionize_parity",# stateful sessionizer replay
         "tpch_q1",                 # classic wide-aggregate scan
         "tpch_q3",                 # 3-way join + top-k
+        "tpch_q5",                 # 6-way broadcast star join
+        "tpch_q9",                 # profit rollup over 4 joins
+        "tpch_q18",                # HAVING-IN large-order top-100
+        "tpch_q21",                # sole-late-supplier EXISTS pair
         "sketch_hll_rollup",       # mergeable per-day HLL union
         "graph_event_pagerank",    # iterative power-iteration rounds
         "events_path_trigrams",    # sessionized array transform
