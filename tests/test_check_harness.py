@@ -90,3 +90,19 @@ class TestDocTraceability:
         assert unexpected == [], (
             f"queries without an oracle that are not in the documented "
             f"rows-only set: {unexpected}")
+
+    def test_driver_window_is_full_and_oracle_backed(self):
+        # the driver hard-verifies the FIRST 50 queries() entries: the
+        # window must be exactly orderable (50+ distinct known names)
+        # and every windowed query must carry an oracle — a rows-only
+        # query in the window wastes a hard-signal slot
+        import __spark_entry__ as e
+
+        q, o = e.queries(), e.oracle_sql()
+        window = list(q)[:50]
+        assert len(set(window)) == 50
+        unoracled = [n for n in window if n not in o]
+        assert unoracled == [], (
+            f"driver-window queries without oracles: {unoracled}")
+        ordered_prefix = [n for n in e._DRIVER_FIRST if n in q][:50]
+        assert window == ordered_prefix

@@ -67,6 +67,14 @@ def stage(spark, n: int) -> str:
         for p in parts[1:]:
             u = u.unionByName(p)
         u.write.mode("overwrite").parquet(dst)
+    # dims stay unscaled (facts grow, catalogs don't) — link them in so
+    # star-join queries (TPC-H etc.) resolve every table
+    for fname in os.listdir(BASE):
+        if not fname.endswith(".parquet"):
+            continue
+        dst = f"{out}/{fname}"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{fname}", dst)
     return out
 
 
