@@ -3126,6 +3126,57 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q22"] = tpch_q22
 
+    def tpch_q1_incremental(spark, sf_dir):
+        # incremental maintenance of Q1's pricing summary: the
+        # materialized partial aggregate over "history" (shipdate
+        # before 1998) merges with the fresh "delta" partition (1998+)
+        # WITHOUT rescanning history rows — sums/counts add, and the
+        # averages are re-derived from merged sums at finalize time
+        # (algebraic-measure decomposition). At 100 TB the history
+        # side is the stored rollup (cells per (flag, status) — a few
+        # dozen rows), so the daily refresh touches only the delta
+        # partition's files; the oracle recomputes the whole summary
+        # from raw, proving merge ≡ recompute.
+        li = _t(spark, sf_dir, "lineitem").where(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        pivot = F.lit("1998-01-01").cast("timestamp")
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+        def partial(df):
+            return df.groupBy("l_returnflag", "l_linestatus").agg(
+                F.sum("l_quantity").alias("s_qty"),
+                F.sum("l_extendedprice").alias("s_base"),
+                F.sum(disc).alias("s_disc"),
+                F.sum(disc * (1 + F.col("l_tax"))).alias("s_charge"),
+                F.sum("l_discount").alias("s_discount"),
+                F.count(F.lit(1)).alias("n"))
+
+        hist = partial(li.where(F.col("l_shipdate") < pivot))
+        delta = partial(li.where(F.col("l_shipdate") >= pivot))
+        merged = (
+            hist.unionByName(delta)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(*[F.sum(c).alias(c) for c in
+                   ("s_qty", "s_base", "s_disc", "s_charge",
+                    "s_discount", "n")]))
+        return (
+            merged.select(
+                "l_returnflag", "l_linestatus",
+                F.round("s_qty", 2).alias("sum_qty"),
+                F.round("s_base", 2).alias("sum_base_price"),
+                F.round("s_disc", 2).alias("sum_disc_price"),
+                F.round("s_charge", 2).alias("sum_charge"),
+                F.round(F.col("s_qty") / F.col("n"), 4).alias("avg_qty"),
+                F.round(F.col("s_base") / F.col("n"), 4)
+                .alias("avg_price"),
+                F.round(F.col("s_discount") / F.col("n"), 6)
+                .alias("avg_disc"),
+                F.col("n").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["tpch_q1_incremental"] = tpch_q1_incremental
+
     def sketch_hll_rollup(spark, sf_dir):
         # incremental distinct maintenance: per-day DataSketches HLL
         # blobs UNIONED for the period total (no history rescan); the
@@ -5666,6 +5717,10 @@ def oracle_sql() -> dict[str, str]:
            OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
     """
+
+    # merge ≡ recompute: the incremental variant must equal the full
+    # Q1 summary computed from raw rows
+    o["tpch_q1_incremental"] = o["tpch_q1"]
 
     o["tpch_q2"] = """
         WITH bridge AS (
