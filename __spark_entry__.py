@@ -2254,6 +2254,52 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dim_scd2_orders"] = dim_scd2_orders
 
+    def dim_scd2_pit_join(spark, sf_dir):
+        # point-in-time join against the SCD2 dimension: each probe
+        # (customer, order date + 15 days) picks the priority version
+        # valid AT that instant. Because versions tile time per key,
+        # "valid_from <= t < valid_to" is exactly "latest valid_from
+        # <= t" — so the scale path is the single-shuffle as-of join
+        # (union + window), NOT an inequality join that would plan as
+        # a broadcast nested loop; the oracle replays the literal
+        # range predicate to prove the equivalence on real data.
+        from bigdata_tag_system_spark.operators.features import (
+            scd2_from_events,
+        )
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join,
+        )
+
+        o = _t(spark, sf_dir, "orders")
+        one_per_day = (
+            o.groupBy("o_custkey", "o_orderdate")
+            .agg(F.min_by(
+                F.col("o_orderpriority"), F.col("o_orderkey"))
+                .alias("o_orderpriority"))
+        )
+        dim = scd2_from_events(
+            one_per_day, key_col="o_custkey", attr_col="o_orderpriority",
+            order_cols=("o_orderdate",))
+        probes = o.select(
+            "o_custkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 15 DAYS"))
+            .alias("probe_ts"))
+        matched = asof_join(
+            probes,
+            dim.select("o_custkey", "valid_from",
+                       F.col("o_orderpriority").alias("pit_priority")),
+            on="o_custkey", ts="probe_ts", right_ts="valid_from",
+            value_cols=["pit_priority"])
+        return (
+            matched.where(F.col("pit_priority_asof").isNotNull())
+            .groupBy(F.col("pit_priority_asof").alias("pit_priority"))
+            .agg(F.count(F.lit(1)).alias("n_probes"),
+                 F.countDistinct("o_custkey").alias("n_users"))
+            .orderBy("pit_priority")
+        )
+
+    q["dim_scd2_pit_join"] = dim_scd2_pit_join
+
     def sample_epoch_oversample(spark, sf_dir):
         # epoch-style mixture oversampling: fr×2.5, de×1, zh×0.5 —
         # whole copies + hash-ranked fractional remainder, zero RNG
@@ -5315,6 +5361,41 @@ def oracle_sql() -> dict[str, str]:
 
     # SCD2 from the thinned (one order per customer-day) change log:
     # islands → runs → lead() validity chaining
+    o["dim_scd2_pit_join"] = """
+        WITH thin AS (
+            SELECT o_custkey, o_orderdate,
+                   arg_min(o_orderpriority, o_orderkey) AS o_orderpriority
+            FROM orders GROUP BY o_custkey, o_orderdate),
+        r AS (
+            SELECT o_custkey, o_orderpriority, o_orderdate,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate)
+                 - row_number() OVER (PARTITION BY o_custkey,
+                       o_orderpriority ORDER BY o_orderdate) AS isl
+            FROM thin),
+        runs AS (
+            SELECT o_custkey, o_orderpriority,
+                   min(o_orderdate) AS valid_from
+            FROM r GROUP BY o_custkey, o_orderpriority, isl),
+        dim AS (
+            SELECT o_custkey, o_orderpriority AS pit_priority,
+                   valid_from,
+                   lead(valid_from) OVER (PARTITION BY o_custkey
+                       ORDER BY valid_from) AS valid_to
+            FROM runs),
+        probes AS (
+            SELECT o_custkey,
+                   o_orderdate + INTERVAL 15 DAY AS probe_ts
+            FROM orders)
+        SELECT pit_priority, count(*) AS n_probes,
+               count(DISTINCT p.o_custkey) AS n_users
+        FROM probes p JOIN dim d
+          ON p.o_custkey = d.o_custkey
+         AND p.probe_ts >= d.valid_from
+         AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+        GROUP BY pit_priority ORDER BY pit_priority
+    """
+
     o["dim_scd2_orders"] = """
         WITH thin AS (
             SELECT o_custkey, o_orderdate,
