@@ -3628,6 +3628,36 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_trend"] = events_user_trend
 
+    def events_ewma_value(spark, sf_dir):
+        # per-user exponentially-weighted moving average of `value` at
+        # each user's LAST event: the recursive ewma_n = β·ewma_{n-1}
+        # + (1-β)·v_n rewrites to the closed form Σβ^(N-i)·v_i /
+        # Σβ^(N-i) — one window pass for the positions, one hash agg,
+        # no per-user iteration or UDF. β^(N-i) stays well-formed at
+        # any history length that fits a double's exponent (~1e-308 ≈
+        # 6700 events at β=0.9); longer real-world histories would
+        # clip the tail with a max-lag cap in the same expression.
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pos = ev.select(
+            "user_id", "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy("user_id")).alias("n"))
+        beta = F.lit(0.9)
+        wgt = F.pow(beta, F.col("n") - F.col("rn"))
+        return (
+            pos.groupBy("user_id")
+            .agg(F.round(F.sum(wgt * F.col("value")) / F.sum(wgt), 4)
+                 .alias("ewma_value"),
+                 F.max("n").alias("n_events"))
+            .orderBy("user_id")
+        )
+
+    q["events_ewma_value"] = events_ewma_value
+
     def stats_correlations(spark, sf_dir):
         # pairwise Pearson correlations of the lineitem measures in ONE
         # aggregate pass (no per-pair rescans)
@@ -6225,6 +6255,20 @@ def oracle_sql() -> dict[str, str]:
                      epoch_us(ts) / (86400.0 * 1e6)), 6) AS r2
         FROM events GROUP BY user_id HAVING count(*) >= 10
         ORDER BY user_id
+    """
+
+    o["events_ewma_value"] = """
+        WITH pos AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events)
+        SELECT user_id,
+               round(sum(pow(0.9, n - rn) * value)
+                     / sum(pow(0.9, n - rn)), 4) AS ewma_value,
+               max(n) AS n_events
+        FROM pos GROUP BY user_id ORDER BY user_id
     """
 
     o["stats_correlations"] = """
