@@ -42,6 +42,8 @@ _STREAM_WINDOW_CACHE: dict[str, str] = {}
 _STREAM_SESSION_CACHE: dict[str, str] = {}
 # stream-stream join replay outputs, keyed by sf_dir (stream_join_parity)
 _STREAM_JOIN_CACHE: dict[str, str] = {}
+
+_STREAM_EWMA_CACHE: dict[str, str] = {}
 # left-outer stream-stream replay outputs (stream_join_outer_parity)
 _STREAM_OUTER_CACHE: dict[str, str] = {}
 # fixed deterministic 2×64 projection weights shared by the
@@ -2445,6 +2447,83 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("user_id", "session_start_ms")
 
     q["stream_sessionize_parity"] = stream_sessionize_parity
+
+    def stream_ewma_parity(spark, sf_dir):
+        # the stateful-recursion EWMA (S'=β·S+v carried in
+        # applyInPandasWithState state across micro-batches) replayed
+        # over the events table in THREE time-ranged chunks — ascending
+        # file mtimes + maxFilesPerTrigger=1 force three ordered
+        # micro-batches, so state genuinely crosses batch boundaries —
+        # must equal the batch closed form Σβ^(N-i)v_i/Σβ^(N-i)
+        # (events_ewma_value's oracle). Final value per user = the
+        # emission with the highest events-seen count (update mode
+        # emits one row per user per batch).
+        import os
+        import tempfile
+
+        from bigdata_tag_system_spark.streaming.stateful import (
+            ewma_stream,
+        )
+
+        _prep(spark)
+        out_dir = _STREAM_EWMA_CACHE.get(sf_dir)
+        if out_dir is None:
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+            schema = ev.schema
+            tmp = tempfile.mkdtemp(prefix="stream_ewma_")
+            src_dir = tmp + "/src"
+            os.makedirs(src_dir)
+            # three time-ranged chunks: the recursion is
+            # order-sensitive, so arrival order must follow event time
+            cuts = ["2024-01-11", "2024-01-21"]
+            ranges = [
+                ev.where(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+                ev.where((F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+                         & (F.col("ts") < F.lit(cuts[1])
+                            .cast("timestamp"))),
+                ev.where(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+            ]
+            for i, chunk in enumerate(ranges):
+                cdir = f"{src_dir}/chunk{i}"
+                chunk.coalesce(1).write.mode("overwrite").parquet(cdir)
+                part = [f for f in os.listdir(cdir)
+                        if f.endswith(".parquet")][0]
+                dst = f"{src_dir}/{i}.parquet"
+                os.rename(f"{cdir}/{part}", dst)
+                os.utime(dst, (1_000_000 + i * 1000,
+                               1_000_000 + i * 1000))
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("latestFirst", "false")
+                .parquet(src_dir + "/[0-9]*.parquet")
+            )
+            ewma = ewma_stream(stream, beta=0.9)
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            query = (
+                ewma.writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(
+                    lambda batch, bid:
+                        batch.withColumn("batch_id", F.lit(bid))
+                        .write.mode("append").parquet(out))
+                .start()
+            )
+            query.awaitTermination()
+            _STREAM_EWMA_CACHE[sf_dir] = out
+            out_dir = out
+        replayed = spark.read.parquet(out_dir)
+        return (
+            replayed.groupBy("user_id")
+            .agg(F.max_by(
+                F.round(F.col("ewma_raw"), 4), F.col("n_events"))
+                .alias("ewma_value"),
+                F.max("n_events").alias("n_events"))
+            .orderBy("user_id")
+        )
+
+    q["stream_ewma_parity"] = stream_ewma_parity
 
     def text_bigram_lm(spark, sf_dir):
         # self-trained bigram LM score per doc (perplexity proxy for
@@ -6270,6 +6349,10 @@ def oracle_sql() -> dict[str, str]:
                max(n) AS n_events
         FROM pos GROUP BY user_id ORDER BY user_id
     """
+
+    # the streaming replay's final per-user emission must equal the
+    # batch closed form
+    o["stream_ewma_parity"] = o["events_ewma_value"]
 
     o["stats_correlations"] = """
         SELECT count(*) AS n,

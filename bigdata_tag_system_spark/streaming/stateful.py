@@ -142,3 +142,89 @@ def sessionize_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_raw", DoubleType()),
+    ]
+)
+
+# (weighted_sum S, weight_sum W, events_seen n) — the adjust=True
+# recursion S' = β·S + v, W' = β·W + 1, ewma = S/W
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("s", DoubleType()),
+        StructField("w", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _ewma_fn_factory(beta: float):
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # event order must be total and engine-independent: ts then
+        # event_id breaks same-timestamp ties exactly like the batch
+        # closed form's window ordering
+        rows = rows.sort_values(["ts", "event_id"])
+        s, w, n = state.get if state.exists else (0.0, 0.0, 0)
+        for v in rows["value"].astype("float"):
+            s = beta * s + v
+            w = beta * w + 1.0
+            n += 1
+        state.update((s, w, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma_raw": [s / w]}
+        )
+
+    return fn
+
+
+def ewma_stream(
+    stream: DataFrame,
+    beta: float = 0.9,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user exponentially-weighted moving average over a stream
+    (update mode): each micro-batch emits the user's EWMA over ALL
+    events seen so far.
+
+    The recursion ``S' = β·S + v, W' = β·W + 1`` carried in state is
+    algebraically the closed form ``Σβ^(N-i)·v_i / Σβ^(N-i)`` that the
+    batch catalog query (`events_ewma_value`) computes in one window
+    pass — so a full replay's final emission per user must equal the
+    batch result exactly (modulo float association order, absorbed by
+    output rounding). State is three fixed-width cells per active user;
+    no timeout — EWMA state is the product, not a pending window, so
+    it lives as long as the user does (a production deployment caps it
+    with ProcessingTimeTimeout eviction if the key space is unbounded).
+    """
+    from pyspark.sql import functions as F
+
+    from bigdata_tag_system_spark.streaming.rule_stream import (
+        ensure_event_time,
+    )
+
+    prepared = ensure_event_time(stream, ts_col).select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn_factory(beta),
+        EWMA_OUTPUT_SCHEMA,
+        _EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -611,6 +611,55 @@ class TestStreaming:
         assert ("u2", 1, 8.0) in closed          # closed by event-time timeout
         assert ("u1", 1, 4.0) not in closed      # still open in state
 
+    def test_stateful_ewma_stream_crosses_batches(self, spark, tmp_path):
+        import os
+
+        from bigdata_tag_system_spark.streaming.stateful import ewma_stream
+
+        # two files with ascending mtimes + maxFilesPerTrigger=1 → two
+        # micro-batches; u1 spans both, so its final EWMA is only right
+        # if (S, W) state survived the batch boundary
+        rows1 = [(1, "2024-01-01 10:00:00", 100, 10.0),
+                 (2, "2024-01-01 10:00:00", 101, 4.0)]
+        rows2 = [(1, "2024-01-02 10:00:00", 102, 20.0)]
+        schema = "user_id long, ts string, event_id long, value double"
+        src = str(tmp_path / "ewma_src")
+        os.makedirs(src)
+        for i, rows in enumerate([rows1, rows2]):
+            df = spark.createDataFrame(rows, schema) \
+                .withColumn("ts", F.to_timestamp("ts")).coalesce(1)
+            cdir = str(tmp_path / f"ewma_chunk{i}")
+            df.write.mode("overwrite").parquet(cdir)
+            part = [f for f in os.listdir(cdir) if f.endswith(".parquet")][0]
+            dst = f"{src}/{i}.parquet"
+            os.rename(f"{cdir}/{part}", dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        stream_schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(stream_schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src))
+
+        results = []
+        q = (ewma_stream(stream, beta=0.5).writeStream.outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+             .foreachBatch(
+                 lambda df, bid: results.extend(
+                     (bid, *r) for r in map(tuple, df.collect())))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        by_user = {}
+        for bid, uid, n, ewma in results:
+            by_user.setdefault(uid, []).append((bid, n, ewma))
+        # u1 emitted in BOTH batches with growing event counts
+        assert [(n) for _, n, _ in sorted(by_user[1])] == [1, 2]
+        # final u1 EWMA (adjust=True): S = 0.5·10 + 20 = 25,
+        # W = 0.5·1 + 1 = 1.5 → 16.666…
+        final = sorted(by_user[1])[-1][2]
+        assert abs(final - 25.0 / 1.5) < 1e-9
+        # u2 saw one event: EWMA is the value itself
+        assert abs(sorted(by_user[2])[-1][2] - 4.0) < 1e-9
+
 
 class TestJoinStrategies:
     def test_salted_join_matches_plain(self, spark, sf_dir):
