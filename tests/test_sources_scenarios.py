@@ -168,6 +168,30 @@ class TestUpsertSinks:
             "u3": ([7], "2024-01-01"),          # untouched stored row
         }
 
+    def test_parquet_merge_upsert_replay_idempotent(self, spark, tmpdir_mod):
+        # foreachBatch delivers at-least-once: a retried batch re-applies
+        # the SAME rows to a store that already absorbed them. The merge
+        # algebra (array set-union + new-beats-stored coalesce) must make
+        # the replay a no-op — this is the exactly-once-effect claim the
+        # streaming sink docs make, pinned on the file-store route
+        store = f"{tmpdir_mod}/replay_store"
+        old = spark.createDataFrame(
+            [("u1", [1, 9], "2024-01-01"), ("u3", [7], "2024-01-01")],
+            "user_id string, tag_ids array<int>, computed_date string")
+        write_parquet(old, store)
+        batch = spark.createDataFrame(
+            [("u1", [2, 1], "2024-07-13"), ("u2", [5], "2024-07-13")],
+            "user_id string, tag_ids array<int>, computed_date string")
+
+        first = parquet_merge_upsert(
+            spark, batch, store, ["user_id"], array_union_cols=["tag_ids"])
+        write_parquet(first, store)
+        replay = parquet_merge_upsert(
+            spark, batch, store, ["user_id"], array_union_cols=["tag_ids"])
+
+        canon = lambda df: sorted(map(tuple, df.collect()))
+        assert canon(replay) == canon(spark.read.parquet(store))
+
     def test_parquet_merge_upsert_no_store(self, spark, tmpdir_mod):
         new = spark.createDataFrame([("u1", [1])], "user_id string, tag_ids array<int>")
         merged = parquet_merge_upsert(spark, new, f"{tmpdir_mod}/missing", ["user_id"])
