@@ -3318,6 +3318,27 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_hll_rollup"] = sketch_hll_rollup
 
+    def sketch_hll_sliding(spark, sf_dir):
+        # trailing-7-day distinct users per day from per-day HLL
+        # blobs merged over a RANGE window — the DAU/WAU/MAU pattern
+        # with no history rescan; the estimate itself is engine-
+        # specific, so the hard-checked columns are the exact sliding
+        # distinct and the accuracy flag (a drifting sketch flips
+        # within_tolerance against the oracle's literal TRUE)
+        from bigdata_tag_system_spark.operators.sketches import (
+            sliding_distinct_rollup,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        out = sliding_distinct_rollup(
+            ev, "user_id", F.to_date("ts"), window_buckets=7,
+            tolerance=0.05)
+        return out.select(
+            "bucket", "exact_distinct", "within_tolerance"
+        ).orderBy("bucket")
+
+    q["sketch_hll_sliding"] = sketch_hll_sliding
+
     def events_path_trigrams(spark, sf_dir):
         # behavioral path mining: top event-type trigrams WITHIN
         # sessions (30-min gap rule). One user-key shuffle builds
@@ -6070,6 +6091,16 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT user_id) AS exact_distinct,
                TRUE AS within_tolerance
         FROM events
+    """
+
+    o["sketch_hll_sliding"] = """
+        WITH days AS (SELECT DISTINCT ts::DATE AS d FROM events)
+        SELECT strftime(days.d, '%Y-%m-%d') AS bucket,
+               count(DISTINCT e.user_id) AS exact_distinct,
+               TRUE AS within_tolerance
+        FROM days JOIN events e
+          ON e.ts::DATE BETWEEN days.d - 6 AND days.d
+        GROUP BY days.d ORDER BY bucket
     """
 
     # within-session event-type trigrams: gap-rule sessions (strict

@@ -406,3 +406,66 @@ def mergeable_distinct_rollup(
             ).alias("within_tolerance"),
         )
     )
+
+
+def sliding_distinct_rollup(
+    df: DataFrame,
+    key_col: str,
+    bucket_col,
+    window_buckets: int = 7,
+    tolerance: float = 0.05,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Sliding-window distinct counts from per-bucket HLL sketches:
+    each bucket (day) answers "distinct keys over the trailing N
+    buckets" by UNIONING N fixed-size sketch blobs over a RANGE window
+    — history is never rescanned and keys never re-shuffled, which is
+    what makes a trailing-28-day DAU/WAU/MAU board tractable at 100 TB
+    (exact sliding distinct would re-shuffle every key into every
+    window it touches).
+
+    The RANGE frame runs on an integer bucket index (datediff from the
+    min bucket), so gaps in the bucket sequence still bound the window
+    by TIME, not by row position. The exact branch — each key smeared
+    to the windows it lands in, then distinct-counted — exists for
+    verification; production keeps the sketches.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(key_col).alias("_k"), bucket_col.cast("date").alias("_b"))
+    base = keyed.agg(F.min("_b").alias("_b0"))
+    idx = (
+        keyed.crossJoin(F.broadcast(base))
+        .select("_k", "_b", F.datediff("_b", "_b0").alias("_i")))
+    per_bucket = idx.groupBy("_b", "_i").agg(
+        F.hll_sketch_agg(F.col("_k"), F.lit(lg_k)).alias("_sk"))
+    w = (Window.orderBy("_i")
+         .rangeBetween(-(window_buckets - 1), 0))
+    slid = per_bucket.select(
+        "_b",
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk")).over(w))
+        .cast("long").alias("approx_distinct"))
+    # exact verification: smear each (key, bucket) to every window end
+    # it falls inside, cap at the observed bucket range, distinct-count
+    smear = (
+        idx.select(
+            "_k",
+            F.explode(F.sequence(
+                F.col("_i"),
+                F.col("_i") + F.lit(window_buckets - 1))).alias("_wi"))
+        .distinct())
+    ends = per_bucket.select("_b", F.col("_i").alias("_wi"))
+    exact = (
+        smear.join(ends, "_wi")
+        .groupBy("_b")
+        .agg(F.countDistinct("_k").alias("exact_distinct")))
+    return (
+        slid.join(exact, "_b")
+        .select(
+            F.col("_b").cast("string").alias("bucket"),
+            "approx_distinct", "exact_distinct",
+            (F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+             <= F.lit(tolerance) * F.col("exact_distinct"))
+            .alias("within_tolerance"))
+    )

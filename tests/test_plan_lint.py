@@ -103,6 +103,9 @@ _CATALOG_ALLOW = {
     "graph_event_pagerank": ["rdd_scan"],
     "sample_shuffle_order": ["global_window"],
     "sim_hybrid_rrf": ["global_window"],
+    # the RANGE window merges PER-BUCKET sketches — one row per day,
+    # bounded by the calendar, not by fact volume
+    "sketch_hll_sliding": ["global_window"],
 }
 
 
