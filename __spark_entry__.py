@@ -370,6 +370,37 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rule_regex_match"] = rule_regex_match
 
+    def rule_asof_sweep(spark, sf_dir):
+        # rule backtesting: the SAME compiled recent_days-30 rule
+        # evaluated at four as-of anchors in ONE fact scan — each
+        # anchor's predicate becomes a conditional aggregate, so the
+        # sweep costs one pass regardless of how many anchors the
+        # backtest covers (vs. N scheduler runs = N scans in the
+        # reference's one-job-per-date model); wide agg → long via a
+        # literal struct array, no extra shuffle
+        from bigdata_tag_system_spark.rules.compiler import compile_rule
+
+        dates = ["1996-04-01", "1996-07-01", "1996-10-01", "1997-01-01"]
+        rule = _rule(_cond("o_orderdate", "recent_days", 30, "date"))
+        df = _t(spark, sf_dir, "orders")
+        aggs = []
+        for i, d in enumerate(dates):
+            pred = compile_rule(rule, as_of=d)
+            aggs.append(F.sum(F.when(pred, 1).otherwise(0))
+                        .cast("long").alias(f"_c{i}"))
+            aggs.append(F.countDistinct(
+                F.when(pred, F.col("o_custkey"))).alias(f"_u{i}"))
+        wide = df.agg(*aggs)
+        rows = F.array(*[
+            F.struct(F.lit(d).alias("as_of"),
+                     F.col(f"_c{i}").alias("n_orders"),
+                     F.col(f"_u{i}").alias("n_users"))
+            for i, d in enumerate(dates)])
+        return (wide.select(F.explode(rows).alias("s"))
+                .select("s.*").orderBy("as_of"))
+
+    q["rule_asof_sweep"] = rule_asof_sweep
+
     # rows-only: sampling is engine-specific (seeded, not portable)
     def rule_sample(spark, sf_dir):
         return _t(spark, sf_dir, "customer").sample(fraction=0.3, seed=42) \
@@ -3849,6 +3880,22 @@ def oracle_sql() -> dict[str, str]:
     o["rule_ends_with"] = "SELECT count(*) AS cnt FROM customer WHERE c_name LIKE '%5'"
     o["rule_recent_days"] = (
         f"SELECT count(*) AS cnt FROM orders WHERE o_orderdate >= DATE '{AS_OF}' - INTERVAL 30 DAY")
+    o["rule_asof_sweep"] = """
+        SELECT '1996-04-01' AS as_of, count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_users
+        FROM orders WHERE o_orderdate >= DATE '1996-04-01' - INTERVAL 30 DAY
+        UNION ALL
+        SELECT '1996-07-01', count(*), count(DISTINCT o_custkey)
+        FROM orders WHERE o_orderdate >= DATE '1996-07-01' - INTERVAL 30 DAY
+        UNION ALL
+        SELECT '1996-10-01', count(*), count(DISTINCT o_custkey)
+        FROM orders WHERE o_orderdate >= DATE '1996-10-01' - INTERVAL 30 DAY
+        UNION ALL
+        SELECT '1997-01-01', count(*), count(DISTINCT o_custkey)
+        FROM orders WHERE o_orderdate >= DATE '1997-01-01' - INTERVAL 30 DAY
+        ORDER BY as_of
+    """
+
     o["rule_days_ago"] = (
         f"SELECT count(*) AS cnt FROM orders WHERE o_orderdate <= DATE '{AS_OF}' - INTERVAL 365 DAY")
     o["rule_days_ago_between"] = (
