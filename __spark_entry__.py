@@ -401,6 +401,30 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rule_asof_sweep"] = rule_asof_sweep
 
+    def graph_triangles(spark, sf_dir):
+        # triangle census of the co-purchase graph (parts sharing an
+        # order): degree-ordered orientation turns each triangle into
+        # one wedge + one closing edge — two hash joins, out-degree
+        # √|E|-bounded on any degree distribution (the power-law-safe
+        # formulation); the oracle recounts by literal a<b<c
+        # triple-join over the canonical edge set
+        from bigdata_tag_system_spark.operators.graph import (
+            triangle_count,
+        )
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey")
+        a = li.withColumnRenamed("l_partkey", "p1")
+        b = li.withColumnRenamed("l_partkey", "p2")
+        edges = (
+            a.join(b, "l_orderkey")
+            .where(F.col("p1") < F.col("p2"))
+            .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        )
+        return triangle_count(edges)
+
+    q["graph_triangles"] = graph_triangles
+
     # rows-only: sampling is engine-specific (seeded, not portable)
     def rule_sample(spark, sf_dir):
         return _t(spark, sf_dir, "customer").sample(fraction=0.3, seed=42) \
@@ -3894,6 +3918,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT '1997-01-01', count(*), count(DISTINCT o_custkey)
         FROM orders WHERE o_orderdate >= DATE '1997-01-01' - INTERVAL 30 DAY
         ORDER BY as_of
+    """
+
+    o["graph_triangles"] = """
+        WITH e AS (
+            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS s,
+                   greatest(a.l_partkey, b.l_partkey) AS t
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey)
+        SELECT (SELECT count(DISTINCT n) FROM
+                    (SELECT s AS n FROM e UNION ALL SELECT t FROM e))
+                   AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT count(*) FROM e e1
+                JOIN e e2 ON e2.s = e1.t
+                JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t)
+                   AS n_triangles
     """
 
     o["rule_days_ago"] = (

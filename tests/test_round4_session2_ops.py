@@ -547,6 +547,33 @@ class TestPagerank:
             pagerank(e, iterations=0)
 
 
+class TestTriangleCount:
+    def test_hand_built_graph(self, spark):
+        from bigdata_tag_system_spark.operators.graph import triangle_count
+
+        # K4 on {1,2,3,4} has 4 triangles; node 9 hangs off node 1
+        # (degree-1 pendant, closes nothing); a duplicate and a
+        # reversed duplicate edge must not double-count; a self-loop
+        # must be dropped
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (1, 9), (2, 1), (3, 1), (5, 5)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        row = triangle_count(e).collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) \
+            == (5, 7, 4)
+
+    def test_hub_graph_orientation(self, spark):
+        from bigdata_tag_system_spark.operators.graph import triangle_count
+
+        # star hub + one rim edge: exactly the rim triangle; the hub's
+        # high degree means orientation points rim->hub, so the hub
+        # contributes ZERO wedges — the power-law safety property
+        edges = [(0, i) for i in range(1, 30)] + [(1, 2)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        row = triangle_count(e).collect()[0]
+        assert row["n_triangles"] == 1
+
+
 class TestApplyChangeset:
     def test_mixed_ops_and_conflict_rejection(self, spark, tmp_path):
         from bigdata_tag_system_spark.sources.writers import (
