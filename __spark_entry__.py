@@ -425,6 +425,32 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_triangles"] = graph_triangles
 
+    def graph_part_hierarchy(spark, sf_dir):
+        # hierarchy traversal without a recursive CTE: every part keys
+        # into a binary forest (parent = floor(key/2), root 0), and
+        # pointer doubling resolves ALL roots/depths in O(log depth)
+        # rounds — the BOM-explosion shape where the reference (and
+        # plain SQL engines at scale) would walk one level per query;
+        # the DuckDB oracle IS the recursive CTE, proving parity with
+        # the literal semantics
+        from bigdata_tag_system_spark.operators.graph import (
+            resolve_hierarchy,
+        )
+
+        part = _t(spark, sf_dir, "part").select("p_partkey")
+        edges = part.where(F.col("p_partkey") >= 1).select(
+            F.col("p_partkey").alias("child"),
+            (F.col("p_partkey") / 2).cast("long").alias("parent"))
+        out = resolve_hierarchy(edges)
+        return (
+            out.groupBy("depth")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.countDistinct("root").alias("n_roots"))
+            .orderBy("depth")
+        )
+
+    q["graph_part_hierarchy"] = graph_part_hierarchy
+
     # rows-only: sampling is engine-specific (seeded, not portable)
     def rule_sample(spark, sf_dir):
         return _t(spark, sf_dir, "customer").sample(fraction=0.3, seed=42) \
@@ -3935,6 +3961,21 @@ def oracle_sql() -> dict[str, str]:
                 JOIN e e2 ON e2.s = e1.t
                 JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t)
                    AS n_triangles
+    """
+
+    o["graph_part_hierarchy"] = """
+        WITH RECURSIVE walk AS (
+            SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth
+            FROM part
+            UNION ALL
+            SELECT node, cur // 2, depth + 1
+            FROM walk WHERE cur >= 1)
+        SELECT depth, count(*) AS n_nodes,
+               count(DISTINCT root) AS n_roots
+        FROM (SELECT node, max(depth) AS depth,
+                     arg_max(cur, depth) AS root
+              FROM walk GROUP BY node)
+        GROUP BY depth ORDER BY depth
     """
 
     o["rule_days_ago"] = (

@@ -141,3 +141,54 @@ def triangle_count(
         F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))).crossJoin(
         F.broadcast(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))
     return counts.select("n_nodes", "n_edges", "n_triangles")
+
+
+def resolve_hierarchy(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Resolve every node of a forest to its root and depth by pointer
+    doubling — the O(log depth) substitute for the recursive CTE Spark
+    does not have.
+
+    Each round rewrites every node's ancestor pointer to its ancestor's
+    ancestor and adds the distances, so the resolved depth doubles per
+    round: a 1M-deep chain (pathological BOM) needs ~20 rounds, not 1M
+    self-joins. Roots (parents that never appear as children) map to
+    themselves at distance 0, which makes resolved pointers idempotent
+    — the fixed point is simply "every pointer targets a root".
+    Lineage is truncated per round (localCheckpoint) like the CC and
+    PageRank loops. Cycles never reach the fixed point and raise after
+    ``max_rounds`` — a forest is a precondition, not an assumption.
+    Returns (node, root, depth).
+    """
+    e = edges.select(
+        F.col(child).alias("_n"), F.col(parent).alias("_a"))
+    roots = (
+        e.select(F.col("_a").alias("_n")).distinct()
+        .join(e.select("_n").distinct(), "_n", "left_anti"))
+    m = e.select("_n", "_a", F.lit(1).cast("long").alias("_d")).unionByName(
+        roots.select("_n", F.col("_n").alias("_a"),
+                     F.lit(0).cast("long").alias("_d")))
+    root_set = roots.select(F.col("_n").alias("_r"))
+    for _ in range(max_rounds):
+        pending = (
+            m.join(root_set, m._a == F.col("_r"), "left_anti")
+            .limit(1).count())
+        if pending == 0:
+            return m.select(F.col("_n").alias("node"),
+                            F.col("_a").alias("root"),
+                            F.col("_d").alias("depth"))
+        hop = m.select(F.col("_n").alias("_h"), F.col("_a").alias("_ha"),
+                       F.col("_d").alias("_hd"))
+        m = (
+            m.join(hop, m._a == F.col("_h"))
+            .select("_n", F.col("_ha").alias("_a"),
+                    (F.col("_d") + F.col("_hd")).alias("_d"))
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(
+        f"hierarchy did not resolve in {max_rounds} pointer-doubling "
+        f"rounds — a cycle in the parent edges, or depth > 2^{max_rounds}")

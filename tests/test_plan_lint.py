@@ -101,6 +101,9 @@ _CATALOG_ALLOW = {
     "dedup_semantic_keep": ["rdd_scan"],
     "sim_quantized_topk": ["rdd_scan"],
     "graph_event_pagerank": ["rdd_scan"],
+    # pointer-doubling rounds truncate lineage via localCheckpoint,
+    # same as the CC / PageRank loops above
+    "graph_part_hierarchy": ["rdd_scan"],
     "sample_shuffle_order": ["global_window"],
     "sim_hybrid_rrf": ["global_window"],
     # the RANGE window merges PER-BUCKET sketches — one row per day,

@@ -574,6 +574,48 @@ class TestTriangleCount:
         assert row["n_triangles"] == 1
 
 
+class TestResolveHierarchy:
+    def test_deep_chain_resolves_in_log_rounds(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            resolve_hierarchy,
+        )
+
+        # chain 40 -> 39 -> ... -> 0: pointer doubling must finish
+        # within ceil(log2(40))+1 = 7 rounds — max_rounds=7 would raise
+        # if the loop were walking one level per round
+        e = spark.createDataFrame(
+            [(i, i - 1) for i in range(1, 41)], "child long, parent long")
+        out = {r["node"]: (r["root"], r["depth"])
+               for r in resolve_hierarchy(e, max_rounds=7).collect()}
+        assert out[40] == (0, 40)
+        assert out[1] == (0, 1)
+        assert out[0] == (0, 0)
+
+    def test_forest_keeps_roots_apart(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            resolve_hierarchy,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 0), (2, 1), (11, 10), (12, 11), (13, 10)],
+            "child long, parent long")
+        out = {r["node"]: (r["root"], r["depth"])
+               for r in resolve_hierarchy(e).collect()}
+        assert out[2] == (0, 2)
+        assert out[12] == (10, 2)
+        assert out[13] == (10, 1)
+
+    def test_cycle_raises(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            resolve_hierarchy,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "child long, parent long")
+        with pytest.raises(RuntimeError, match="cycle"):
+            resolve_hierarchy(e, max_rounds=8)
+
+
 class TestApplyChangeset:
     def test_mixed_ops_and_conflict_rejection(self, spark, tmp_path):
         from bigdata_tag_system_spark.sources.writers import (
