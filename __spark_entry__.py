@@ -2630,6 +2630,47 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_chi_square"] = stats_chi_square
 
+    def stats_ab_ztest(spark, sf_dir):
+        # A/B readout: users split 50/50 by the portable Knuth hash
+        # (deterministic, leakage-proof — same assignment every run and
+        # every engine), then a two-sample z on mean event value per
+        # event_type in ONE aggregate pass (Welford-free: n/sum/sumsq
+        # per arm as conditional aggs; no per-arm rescan)
+        from bigdata_tag_system_spark.operators.sampling import (
+            knuth_hash,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        arm_b = (knuth_hash(F.col("user_id"), salt=7)
+                 % 2 == 1)
+        v = F.col("value")
+        agg = ev.groupBy("event_type").agg(
+            F.sum(F.when(arm_b, 0).otherwise(1)).alias("n_a"),
+            F.sum(F.when(arm_b, F.lit(0.0)).otherwise(v)).alias("s_a"),
+            F.sum(F.when(arm_b, F.lit(0.0)).otherwise(v * v)).alias("q_a"),
+            F.sum(F.when(arm_b, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(arm_b, v).otherwise(F.lit(0.0))).alias("s_b"),
+            F.sum(F.when(arm_b, v * v).otherwise(F.lit(0.0))).alias("q_b"),
+        )
+        mean_a = F.col("s_a") / F.col("n_a")
+        mean_b = F.col("s_b") / F.col("n_b")
+        var_a = (F.col("q_a") - F.col("s_a") * mean_a) / (F.col("n_a") - 1)
+        var_b = (F.col("q_b") - F.col("s_b") * mean_b) / (F.col("n_b") - 1)
+        z = (mean_b - mean_a) / F.sqrt(
+            var_a / F.col("n_a") + var_b / F.col("n_b"))
+        return (
+            agg.select(
+                "event_type",
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"),
+                F.round(mean_a, 6).alias("mean_a"),
+                F.round(mean_b, 6).alias("mean_b"),
+                F.round(z, 4).alias("z_stat"))
+            .orderBy("event_type")
+        )
+
+    q["stats_ab_ztest"] = stats_ab_ztest
+
     def scan_jsonl_corrupt(spark, sf_dir):
         # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
         # schema): the staged corpus is documents as JSON lines plus 3
@@ -3944,6 +3985,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT '1997-01-01', count(*), count(DISTINCT o_custkey)
         FROM orders WHERE o_orderdate >= DATE '1997-01-01' - INTERVAL 30 DAY
         ORDER BY as_of
+    """
+
+    o["stats_ab_ztest"] = """
+        WITH armed AS (
+            SELECT event_type, value,
+                   ((((user_id + 7) % 2147483648) * 2654435761)
+                    % 4294967296) % 2 = 1 AS arm_b
+            FROM events),
+        agg AS (
+            SELECT event_type,
+                   sum(CASE WHEN arm_b THEN 0 ELSE 1 END) AS n_a,
+                   sum(CASE WHEN arm_b THEN 0.0 ELSE value END) AS s_a,
+                   sum(CASE WHEN arm_b THEN 0.0 ELSE value * value END)
+                       AS q_a,
+                   sum(CASE WHEN arm_b THEN 1 ELSE 0 END) AS n_b,
+                   sum(CASE WHEN arm_b THEN value ELSE 0.0 END) AS s_b,
+                   sum(CASE WHEN arm_b THEN value * value ELSE 0.0 END)
+                       AS q_b
+            FROM armed GROUP BY event_type)
+        SELECT event_type, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+               round(s_a / n_a, 6) AS mean_a,
+               round(s_b / n_b, 6) AS mean_b,
+               round(((s_b / n_b) - (s_a / n_a))
+                     / sqrt(((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                            + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b),
+                     4) AS z_stat
+        FROM agg ORDER BY event_type
     """
 
     o["graph_triangles"] = """
