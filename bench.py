@@ -98,6 +98,12 @@ def main() -> None:
         "tpch_q9",                 # profit rollup over 4 joins
         "tpch_q18",                # HAVING-IN large-order top-100
         "tpch_q21",                # sole-late-supplier EXISTS pair
+        "tpch_q1_incremental",     # partial-agg merge maintenance
+        "dim_scd2_pit_join",       # as-of point-in-time dimension join
+        "graph_triangles",         # oriented-wedge triangle census
+        "graph_part_hierarchy",    # pointer-doubling hierarchy resolve
+        "sketch_hll_sliding",      # RANGE-window sketch union DAU
+        "stats_ab_ztest",          # one-pass A/B readout
         "sketch_hll_rollup",       # mergeable per-day HLL union
         "graph_event_pagerank",    # iterative power-iteration rounds
         "events_path_trigrams",    # sessionized array transform
