@@ -313,3 +313,28 @@ def test_fuzzy_edit_matches_brute_force(spark, docs, max_dist):
             if d <= max_dist:
                 want[(a, b)] = d
     assert got == want
+
+
+def test_resolve_hierarchy_vs_python_walk(spark):
+    import random
+
+    from bigdata_tag_system_spark.operators.graph import resolve_hierarchy
+
+    rng = random.Random(13)
+    # random forest: parent[i] < i guarantees acyclicity; three roots
+    parent = {}
+    for i in range(3, 120):
+        parent[i] = rng.randrange(0, 3) if i < 10 else rng.randrange(0, i)
+
+    def walk(n):
+        d = 0
+        while n in parent:
+            n, d = parent[n], d + 1
+        return n, d
+
+    df = spark.createDataFrame(
+        list(parent.items()), "child long, parent long")
+    got = {r["node"]: (r["root"], r["depth"])
+           for r in resolve_hierarchy(df).collect()}
+    want = {n: walk(n) for n in list(parent) + [0, 1, 2]}
+    assert got == want
