@@ -2671,6 +2671,31 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_ab_ztest"] = stats_ab_ztest
 
+    def sample_weighted_aes(spark, sf_dir):
+        # weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+        # key = u^(1/w) with u deterministic from the portable Knuth
+        # hash — one map pass + TakeOrderedAndProject top-k, no global
+        # sort, no rejection loop; P(doc in sample) is proportional-ish
+        # to weight (here n_chars: length-weighted corpus sampling).
+        # Deterministic and engine-portable: same u both engines, and
+        # the monotone pow keeps the same order
+        from bigdata_tag_system_spark.operators.sampling import (
+            knuth_hash,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        u = (knuth_hash(F.col("doc_id"), salt=3) + 1) / F.lit(4294967297.0)
+        key = F.pow(u, 1.0 / F.col("n_chars"))
+        return (
+            docs.select("doc_id", "n_chars", key.alias("_k"))
+            .orderBy(F.desc("_k"), "doc_id")
+            .limit(100)
+            .select("doc_id", "n_chars")
+            .orderBy("doc_id")
+        )
+
+    q["sample_weighted_aes"] = sample_weighted_aes
+
     def scan_jsonl_corrupt(spark, sf_dir):
         # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
         # schema): the staged corpus is documents as JSON lines plus 3
@@ -4012,6 +4037,17 @@ def oracle_sql() -> dict[str, str]:
                             + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b),
                      4) AS z_stat
         FROM agg ORDER BY event_type
+    """
+
+    o["sample_weighted_aes"] = """
+        SELECT doc_id, n_chars FROM (
+            SELECT doc_id, n_chars,
+                   pow((((doc_id + 3) % 2147483648) * 2654435761
+                        % 4294967296 + 1) / 4294967297.0,
+                       1.0 / n_chars) AS k
+            FROM documents
+            ORDER BY k DESC, doc_id LIMIT 100)
+        ORDER BY doc_id
     """
 
     o["graph_triangles"] = """

