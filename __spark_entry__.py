@@ -2696,6 +2696,57 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_weighted_aes"] = sample_weighted_aes
 
+    def events_survival_km(spark, sf_dir):
+        # Kaplan–Meier user-retention curve: per-user lifetime = whole
+        # days between first and last event; users still active within
+        # 3 days of the observation end are right-CENSORED (their
+        # lifetime contributes at-risk time but no churn event). The
+        # product-limit estimator Π(1 − d_t/n_t) computes as
+        # exp(Σ ln(…)) over an ordered window — one user-key shuffle,
+        # one tiny per-day frame, no per-step iteration
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf_dir, "events")
+        span = ev.groupBy("user_id").agg(
+            F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        horizon = span.agg(F.max("t1").alias("tmax"))
+        per_user = (
+            span.crossJoin(F.broadcast(horizon))
+            .select(
+                F.datediff(F.to_date("t1"), F.to_date("t0"))
+                .alias("life_days"),
+                (F.col("t1") < F.col("tmax")
+                 - F.expr("INTERVAL 3 DAYS")).cast("int").alias("churned"))
+        )
+        n_total = per_user.count()
+        daily = per_user.groupBy("life_days").agg(
+            F.sum("churned").alias("d"),
+            F.count(F.lit(1)).alias("leaving"))
+        w = Window.orderBy("life_days").rowsBetween(
+            Window.unboundedPreceding, -1)
+        wk = Window.orderBy("life_days").rowsBetween(
+            Window.unboundedPreceding, 0)
+        at_risk = (F.lit(n_total)
+                   - F.coalesce(F.sum("leaving").over(w), F.lit(0)))
+        return (
+            daily.select(
+                "life_days",
+                at_risk.cast("long").alias("n_at_risk"),
+                F.col("d").cast("long").alias("n_churned"),
+                F.round(F.exp(F.sum(
+                    # d == n_at_risk (everyone left churns) → survival
+                    # 0 exactly; a -1e308 sentinel underflows exp to
+                    # 0.0 identically in both engines without calling
+                    # ln(0), which DuckDB rejects
+                    F.when(F.col("d") < at_risk,
+                           F.log(1.0 - F.col("d") / at_risk))
+                    .otherwise(F.lit(-1e308))).over(wk)), 6)
+                .alias("survival"))
+            .orderBy("life_days")
+        )
+
+    q["events_survival_km"] = events_survival_km
+
     def scan_jsonl_corrupt(spark, sf_dir):
         # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
         # schema): the staged corpus is documents as JSON lines plus 3
@@ -4037,6 +4088,36 @@ def oracle_sql() -> dict[str, str]:
                             + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b),
                      4) AS z_stat
         FROM agg ORDER BY event_type
+    """
+
+    o["events_survival_km"] = """
+        WITH span AS (
+            SELECT user_id, min(ts) AS t0, max(ts) AS t1
+            FROM events GROUP BY user_id),
+        pu AS (
+            SELECT datediff('day', t0::DATE, t1::DATE) AS life_days,
+                   (t1 < (SELECT max(t1) FROM span) - INTERVAL 3 DAY)
+                       ::INT AS churned
+            FROM span),
+        daily AS (
+            SELECT life_days, sum(churned) AS d, count(*) AS leaving
+            FROM pu GROUP BY life_days),
+        risk AS (
+            SELECT life_days, d,
+                   (SELECT count(*) FROM pu)
+                 - coalesce(sum(leaving) OVER (ORDER BY life_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_at_risk
+            FROM daily)
+        SELECT life_days, n_at_risk::BIGINT AS n_at_risk,
+               d::BIGINT AS n_churned,
+               round(exp(sum(CASE WHEN d < n_at_risk
+                                  THEN ln(1.0 - d / n_at_risk)
+                                  ELSE -1e308 END)
+                         OVER (ORDER BY life_days
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)), 6) AS survival
+        FROM risk ORDER BY life_days
     """
 
     o["sample_weighted_aes"] = """

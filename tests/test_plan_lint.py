@@ -109,6 +109,9 @@ _CATALOG_ALLOW = {
     # the RANGE window merges PER-BUCKET sketches — one row per day,
     # bounded by the calendar, not by fact volume
     "sketch_hll_sliding": ["global_window"],
+    # the product-limit cumulative window runs on per-lifetime-day
+    # rows (calendar-bounded), after the per-user aggregation
+    "events_survival_km": ["global_window"],
 }
 
 
