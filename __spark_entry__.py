@@ -2747,6 +2747,56 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_survival_km"] = events_survival_km
 
+    def customer_rfm_segments(spark, sf_dir):
+        # RFM segmentation: recency/frequency/monetary quintiles per
+        # customer in one agg + three ntile windows (ties broken by
+        # custkey so the binning is a total order both engines agree
+        # on), then the segment census. The windows run over the
+        # per-customer aggregate, one row per customer
+        from pyspark.sql import Window
+
+        o = _t(spark, sf_dir, "orders")
+        per_cust = o.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+        r_w = Window.orderBy(F.desc("last_order"), "o_custkey")
+        f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
+        m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
+        scored = per_cust.select(
+            F.ntile(5).over(r_w).alias("r"),
+            F.ntile(5).over(f_w).alias("f"),
+            F.ntile(5).over(m_w).alias("m"))
+        return (
+            scored.groupBy("r", "f", "m")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .orderBy("r", "f", "m")
+        )
+
+    q["customer_rfm_segments"] = customer_rfm_segments
+
+    def orders_monthly_yoy(spark, sf_dir):
+        # month-over-year growth: monthly revenue rollup, then lag(12)
+        # over the (bounded, calendar-sized) month series — the BI
+        # staple; NULL growth for the first year of months
+        from pyspark.sql import Window
+
+        o = _t(spark, sf_dir, "orders")
+        monthly = o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        w = Window.orderBy("month")
+        prev = F.lag("revenue", 12).over(w)
+        return (
+            monthly.select(
+                "month", "revenue",
+                F.round((F.col("revenue") - prev) / prev * 100.0, 4)
+                .alias("yoy_pct"))
+            .orderBy("month")
+        )
+
+    q["orders_monthly_yoy"] = orders_monthly_yoy
+
     def scan_jsonl_corrupt(spark, sf_dir):
         # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
         # schema): the staged corpus is documents as JSON lines plus 3
@@ -4118,6 +4168,36 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW)), 6) AS survival
         FROM risk ORDER BY life_days
+    """
+
+    o["customer_rfm_segments"] = """
+        WITH pc AS (
+            SELECT o_custkey, max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey),
+        scored AS (
+            SELECT ntile(5) OVER (ORDER BY last_order DESC, o_custkey)
+                       AS r,
+                   ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                       AS f,
+                   ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+                       AS m
+            FROM pc)
+        SELECT r, f, m, count(*) AS n_customers
+        FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """
+
+    o["orders_monthly_yoy"] = """
+        WITH monthly AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY month)
+        SELECT month, revenue,
+               round((revenue - lag(revenue, 12) OVER (ORDER BY month))
+                     / lag(revenue, 12) OVER (ORDER BY month)
+                     * 100.0, 4) AS yoy_pct
+        FROM monthly ORDER BY month
     """
 
     o["sample_weighted_aes"] = """

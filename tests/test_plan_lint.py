@@ -112,6 +112,12 @@ _CATALOG_ALLOW = {
     # the product-limit cumulative window runs on per-lifetime-day
     # rows (calendar-bounded), after the per-user aggregation
     "events_survival_km": ["global_window"],
+    # textbook RFM IS a global quintile ranking of customers; the
+    # approx-fence variant (text_quality_tiers pattern) is the
+    # sort-free scale path when |customers| outgrows one pass
+    "customer_rfm_segments": ["global_window"],
+    # lag(12) over the month series — calendar-bounded rows
+    "orders_monthly_yoy": ["global_window"],
 }
 
 
