@@ -2797,6 +2797,69 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_monthly_yoy"] = orders_monthly_yoy
 
+    def events_weekday_anomaly(spark, sf_dir):
+        # seasonal anomaly detection: each (event_type, day) total is
+        # judged against that type's SAME-WEEKDAY baseline (mean ± 2σ
+        # over the other occurrences of that weekday — leave-one-out so
+        # a spike can't mask itself). Two aggs sharing the first
+        # shuffle; the baseline join is broadcast-sized (type×7 rows)
+        ev = _t(spark, sf_dir, "events")
+        daily = ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n"))
+        daily = daily.withColumn("wd", F.dayofweek("day"))
+        base = daily.groupBy("event_type", "wd").agg(
+            F.sum("n").alias("s"), F.sum(F.col("n") * F.col("n"))
+            .alias("q"), F.count(F.lit(1)).alias("k"))
+        j = daily.join(F.broadcast(base), ["event_type", "wd"])
+        # leave-one-out mean/variance of the OTHER same-weekday days
+        loo_mean = (F.col("s") - F.col("n")) / (F.col("k") - 1)
+        loo_var = ((F.col("q") - F.col("n") * F.col("n"))
+                   / (F.col("k") - 1) - loo_mean * loo_mean)
+        z = (F.col("n") - loo_mean) / F.sqrt(loo_var)
+        return (
+            j.where(F.col("k") >= 3)
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.col("n").cast("long").alias("n"),
+                    F.round(z, 4).alias("z"))
+            .where(F.abs(F.col("z")) > 2.0)
+            .orderBy("event_type", "day")
+        )
+
+    q["events_weekday_anomaly"] = events_weekday_anomaly
+
+    def stats_moments(spark, sf_dir):
+        # skewness/kurtosis per event_type via EXPLICIT central-moment
+        # algebra (power sums → m2/m3/m4) — engine builtins disagree on
+        # sample-vs-population corrections, the raw-moment identity is
+        # portable; one aggregate pass
+        ev = _t(spark, sf_dir, "events")
+        v = F.col("value")
+        agg = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"), F.sum(v * v).alias("s2"),
+            F.sum(v * v * v).alias("s3"),
+            F.sum(v * v * v * v).alias("s4"))
+        n, s1, s2, s3, s4 = (F.col(c) for c in
+                             ("n", "s1", "s2", "s3", "s4"))
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu
+        m4 = (s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+              - 3 * mu * mu * mu * mu)
+        return (
+            agg.select(
+                "event_type", n.cast("long").alias("n"),
+                F.round(mu, 6).alias("mean"),
+                F.round(F.sqrt(m2), 6).alias("stddev_pop"),
+                F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+                F.round(m4 / (m2 * m2) - 3.0, 4).alias("excess_kurtosis"))
+            .orderBy("event_type")
+        )
+
+    q["stats_moments"] = stats_moments
+
     def scan_jsonl_corrupt(spark, sf_dir):
         # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
         # schema): the staged corpus is documents as JSON lines plus 3
@@ -4168,6 +4231,56 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW)), 6) AS survival
         FROM risk ORDER BY life_days
+    """
+
+    o["events_weekday_anomaly"] = """
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS day, count(*) AS n
+            FROM events GROUP BY event_type, day),
+        wd AS (
+            SELECT *, dayofweek(day) + 1 AS wd FROM daily),
+        base AS (
+            SELECT event_type, wd, sum(n) AS s, sum(n * n) AS q,
+                   count(*) AS k
+            FROM wd GROUP BY event_type, wd),
+        j AS (
+            SELECT w.event_type, w.day, w.n,
+                   (b.s - w.n) / (b.k - 1) AS loo_mean,
+                   (b.q - w.n * w.n) / (b.k - 1)
+                 - ((b.s - w.n) / (b.k - 1))
+                   * ((b.s - w.n) / (b.k - 1)) AS loo_var,
+                   b.k
+            FROM wd w JOIN base b
+              ON w.event_type = b.event_type AND w.wd = b.wd)
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               n::BIGINT AS n,
+               round((n - loo_mean) / sqrt(loo_var), 4) AS z
+        FROM j
+        WHERE k >= 3 AND abs((n - loo_mean) / sqrt(loo_var)) > 2.0
+        ORDER BY event_type, day
+    """
+
+    o["stats_moments"] = """
+        WITH agg AS (
+            SELECT event_type, count(*) AS n, sum(value) AS s1,
+                   sum(value * value) AS s2,
+                   sum(value * value * value) AS s3,
+                   sum(value * value * value * value) AS s4
+            FROM events GROUP BY event_type)
+        SELECT event_type, n::BIGINT AS n,
+               round(s1 / n, 6) AS mean,
+               round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6)
+                   AS stddev_pop,
+               round((s3 / n - 3 * (s1 / n) * s2 / n
+                      + 2 * pow(s1 / n, 3))
+                     / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4)
+                   AS skewness,
+               round((s4 / n - 4 * (s1 / n) * s3 / n
+                      + 6 * pow(s1 / n, 2) * s2 / n
+                      - 3 * pow(s1 / n, 4))
+                     / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3.0, 4)
+                   AS excess_kurtosis
+        FROM agg ORDER BY event_type
     """
 
     o["customer_rfm_segments"] = """
