@@ -2860,6 +2860,34 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_moments"] = stats_moments
 
+    def events_session_stats(spark, sf_dir):
+        # per-day session quality board: session count, bounce rate
+        # (single-event sessions — the web-analytics staple), and mean
+        # session depth, bucketed by the session's START day. Composes
+        # the gap-rule sessionizer (one user shuffle) with one tiny
+        # per-day agg
+        from bigdata_tag_system_spark.operators.features import (
+            sessionize,
+        )
+
+        ev = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+        per_session = ev.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("depth"),
+            F.to_date(F.min("ts")).alias("day"))
+        return (
+            per_session.groupBy(
+                F.date_format("day", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_bounces"),
+                 F.round(F.avg("depth"), 4).alias("avg_depth"))
+            .withColumn("bounce_pct", F.round(
+                100.0 * F.col("n_bounces") / F.col("n_sessions"), 4))
+            .orderBy("day")
+        )
+
+    q["events_session_stats"] = events_session_stats
+
     def scan_jsonl_corrupt(spark, sf_dir):
         # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
         # schema): the staged corpus is documents as JSON lines plus 3
@@ -4231,6 +4259,32 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW)), 6) AS survival
         FROM risk ORDER BY life_days
+    """
+
+    o["events_session_stats"] = """
+        WITH s AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        g AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id
+                ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s),
+        per_session AS (
+            SELECT user_id, sid, count(*) AS depth,
+                   min(ts)::DATE AS day
+            FROM g GROUP BY user_id, sid)
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               count(*) AS n_sessions,
+               sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_bounces,
+               round(avg(depth), 4) AS avg_depth,
+               round(100.0 * sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END)
+                     / count(*), 4) AS bounce_pct
+        FROM per_session GROUP BY day ORDER BY day
     """
 
     o["events_weekday_anomaly"] = """
