@@ -2888,6 +2888,42 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_session_stats"] = events_session_stats
 
+    def customer_cohort_ltv(spark, sf_dir):
+        # cohort LTV curve: customers cohorted by first-order month;
+        # for each (cohort, months-since) cell, cumulative revenue per
+        # cohort member. Two aggs sharing the custkey shuffle + a
+        # cumulative window per cohort (cohort×month cells — bounded
+        # by the calendar squared, not by customers)
+        from pyspark.sql import Window
+
+        o = _t(spark, sf_dir, "orders")
+        first = o.groupBy("o_custkey").agg(
+            F.date_trunc("month", F.min("o_orderdate")).alias("cohort"))
+        sized = first.groupBy("cohort").agg(
+            F.count(F.lit(1)).alias("cohort_size"))
+        j = o.join(first, "o_custkey")
+        cells = (
+            j.groupBy(
+                "cohort",
+                (F.months_between(
+                    F.date_trunc("month", "o_orderdate"),
+                    F.col("cohort"))).cast("long").alias("months_since"))
+            .agg(F.sum("o_totalprice").alias("rev")))
+        w = (Window.partitionBy("cohort").orderBy("months_since")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return (
+            cells.join(F.broadcast(sized), "cohort")
+            .select(
+                F.date_format("cohort", "yyyy-MM").alias("cohort"),
+                "months_since",
+                F.round(F.sum("rev").over(w) / F.col("cohort_size"), 2)
+                .alias("cum_ltv_per_user"))
+            .where(F.col("months_since") <= 12)
+            .orderBy("cohort", "months_since")
+        )
+
+    q["customer_cohort_ltv"] = customer_cohort_ltv
+
     def scan_jsonl_corrupt(spark, sf_dir):
         # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
         # schema): the staged corpus is documents as JSON lines plus 3
@@ -4259,6 +4295,36 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW)), 6) AS survival
         FROM risk ORDER BY life_days
+    """
+
+    o["customer_cohort_ltv"] = """
+        WITH first_o AS (
+            SELECT o_custkey,
+                   date_trunc('month', min(o_orderdate)) AS cohort
+            FROM orders GROUP BY o_custkey),
+        sized AS (
+            SELECT cohort, count(*) AS cohort_size
+            FROM first_o GROUP BY cohort),
+        cells AS (
+            SELECT f.cohort,
+                   datediff('month', f.cohort,
+                            date_trunc('month', o.o_orderdate))
+                       AS months_since,
+                   sum(o.o_totalprice) AS rev
+            FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+            GROUP BY f.cohort, months_since),
+        cum AS (
+            SELECT c.cohort, c.months_since,
+                   sum(c.rev) OVER (PARTITION BY c.cohort
+                       ORDER BY c.months_since
+                       ROWS UNBOUNDED PRECEDING) / s.cohort_size
+                       AS ltv
+            FROM cells c JOIN sized s ON c.cohort = s.cohort)
+        SELECT strftime(cohort, '%Y-%m') AS cohort,
+               months_since::BIGINT AS months_since,
+               round(ltv, 2) AS cum_ltv_per_user
+        FROM cum WHERE months_since <= 12
+        ORDER BY cohort, months_since
     """
 
     o["events_session_stats"] = """
