@@ -104,6 +104,10 @@ def main() -> None:
         "graph_part_hierarchy",    # pointer-doubling hierarchy resolve
         "sketch_hll_sliding",      # RANGE-window sketch union DAU
         "stats_ab_ztest",          # one-pass A/B readout
+        "events_survival_km",      # product-limit retention curve
+        "customer_rfm_segments",   # quintile segmentation census
+        "customer_cohort_ltv",     # cohort cumulative LTV curve
+        "events_session_stats",    # bounce-rate session board
         "sketch_hll_rollup",       # mergeable per-day HLL union
         "graph_event_pagerank",    # iterative power-iteration rounds
         "events_path_trigrams",    # sessionized array transform
