@@ -2924,6 +2924,18 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customer_cohort_ltv"] = customer_cohort_ltv
 
+    def events_funnel_windowed(spark, sf_dir):
+        # the funnel with a CONVERSION WINDOW: each step must land
+        # within 1 hour of the previous step (min-then-check is exact —
+        # the earliest occurrence after the previous step is the best
+        # candidate). Same O(steps) chained-agg plan as the unbounded
+        # funnel, one extra comparison per step
+        out = FE.funnel(_t(spark, sf_dir, "events"),
+                        ["view", "click", "purchase"], within="1 hour")
+        return out.orderBy("step")
+
+    q["events_funnel_windowed"] = events_funnel_windowed
+
     def scan_jsonl_corrupt(spark, sf_dir):
         # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
         # schema): the staged corpus is documents as JSON lines plus 3
@@ -4939,6 +4951,30 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'step_3', 'purchase', count(*)::BIGINT FROM s3
         ORDER BY step
     """
+    o["events_funnel_windowed"] = """
+        WITH s1 AS (SELECT user_id, min(ts) AS t0 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+             s2 AS (SELECT user_id, t1 FROM (
+                        SELECT e.user_id, min(e.ts) AS t1,
+                               min(s1.t0) AS p FROM events e
+                        JOIN s1 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts > s1.t0
+                        GROUP BY 1)
+                    WHERE t1 <= p + INTERVAL 1 HOUR),
+             s3 AS (SELECT user_id, t2 FROM (
+                        SELECT e.user_id, min(e.ts) AS t2,
+                               min(s2.t1) AS p FROM events e
+                        JOIN s2 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+                        GROUP BY 1)
+                    WHERE t2 <= p + INTERVAL 1 HOUR)
+        SELECT 'step_1' AS step, 'view' AS event_type,
+               count(*)::BIGINT AS users FROM s1
+        UNION ALL SELECT 'step_2', 'click', count(*)::BIGINT FROM s2
+        UNION ALL SELECT 'step_3', 'purchase', count(*)::BIGINT FROM s3
+        ORDER BY step
+    """
+
     o["events_retention"] = """
         WITH first AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
                        FROM events GROUP BY 1),

@@ -271,6 +271,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> DataFrame:
     """Ordered funnel completion: one row per step with the number of
     users who reached it IN ORDER (each step strictly after the
@@ -284,6 +285,12 @@ def funnel(
     with AQE the chain reuses one shuffle layout. Scale note: cost is
     O(steps) aggregations over the (filtered) event types, not over the
     whole table — the type filter pushes into each scan.
+
+    ``within`` (SQL interval string, e.g. ``"1 hour"``) adds a
+    conversion window: each step must land within that interval of the
+    PREVIOUS step. Min-then-check is exact here — the earliest
+    occurrence after the previous step is the best candidate, so if it
+    misses the window no occurrence makes it.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -304,13 +311,26 @@ def funnel(
     )
     out = _count_of(prev, 1, steps[0])
     for i, step in enumerate(steps[1:], start=2):
-        prev = (
+        reached = (
             ev.where(F.col(type_col) == step)
             .join(prev, on=user_col)
             .where(F.col(ts_col) > F.col(f"_t{i - 2}"))
             .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"_t{i - 1}"))
+            .agg(F.min(ts_col).alias(f"_t{i - 1}"),
+                 F.first(f"_t{i - 2}").alias("_prev"))
         )
+        if within is not None:
+            # strict-grammar interval (timeseries._parse_tolerance):
+            # malformed strings raise a clear ValueError instead of a
+            # plan-time AnalysisException / expression injection
+            from bigdata_tag_system_spark.operators.timeseries import (
+                _parse_tolerance,
+            )
+
+            reached = reached.where(
+                F.col(f"_t{i - 1}")
+                <= F.col("_prev") + _parse_tolerance(within))
+        prev = reached.drop("_prev")
         out = out.unionByName(_count_of(prev, i, step))
     # one lazy plan, one action for the caller; shared step subtrees
     # dedupe at the physical level via exchange reuse

@@ -487,6 +487,27 @@ class TestFeatures:
                FE.funnel(df, ["view", "click"]).collect()}
         assert got == {"step_1": 3, "step_2": 1}
 
+    def test_funnel_conversion_window(self, spark):
+        # u1 converts 60 min after viewing (inside "2 hour", outside
+        # "30 minute"); u2's EARLIEST post-view click is at 90 min —
+        # min-then-check must reject it for "1 hour" even though a
+        # later click never exists to confuse it
+        df = spark.createDataFrame(
+            [(1, "view", "2024-01-01 10:00:00"),
+             (1, "click", "2024-01-01 11:00:00"),
+             (2, "view", "2024-01-01 10:00:00"),
+             (2, "click", "2024-01-01 11:30:00")],
+            "user_id long, event_type string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        wide = {r["step"]: r["users"] for r in
+                FE.funnel(df, ["view", "click"], within="2 hours").collect()}
+        assert wide == {"step_1": 2, "step_2": 2}
+        tight = {r["step"]: r["users"] for r in
+                 FE.funnel(df, ["view", "click"], within="1 hour").collect()}
+        assert tight == {"step_1": 2, "step_2": 1}
+        with pytest.raises(ValueError, match="tolerance"):
+            FE.funnel(df, ["view", "click"], within="1; DROP TABLE x")
+
     def test_cohort_retention_offsets(self, spark):
         # u1 first active day 1, returns day 2; u2 only day 2
         df = spark.createDataFrame(
