@@ -86,6 +86,7 @@ def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    persist_edges: bool = False,
 ) -> DataFrame:
     """Global triangle count by degree-ordered edge orientation — the
     MapReduce-classic formulation (Suri & Vassilvitskii, WWW'11).
@@ -100,6 +101,12 @@ def triangle_count(
     the property that makes this safe on power-law graphs at 100 TB.
     Returns one row: (n_nodes, n_edges, n_triangles).
     """
+    # the canonical edge set feeds several plan branches; measured at
+    # the test scale, Spark's exchange reuse already dedupes them and
+    # an unconditional persist is NET NEGATIVE (1.58 s -> 1.82 s on the
+    # co-purchase census) — so caching is opt-in for callers whose edge
+    # BUILD is expensive (a wide fact self-join that exchange reuse
+    # cannot cover because the consumers need different keys)
     e = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .where(F.col("_a") != F.col("_b"))
@@ -107,6 +114,10 @@ def triangle_count(
                 F.greatest("_a", "_b").alias("_b"))
         .distinct()
     )
+    if persist_edges:
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         e.select(F.col("_a").alias("_n"))
         .unionAll(e.select(F.col("_b").alias("_n")))
