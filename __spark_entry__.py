@@ -2936,6 +2936,34 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_funnel_windowed"] = events_funnel_windowed
 
+    def graph_bfs_depths(spark, sf_dir):
+        # single-source shortest hops over the co-purchase graph
+        # (frontier expansion, O(diameter) rounds — diameter of a
+        # co-occurrence graph is tiny); depth histogram from part 0.
+        # The oracle is DuckDB's cycle-safe WITH RECURSIVE ... UNION
+        # BFS — recursive-CTE semantics replayed literally, like the
+        # hierarchy query
+        from bigdata_tag_system_spark.operators.graph import bfs_depths
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey")
+        a = li.withColumnRenamed("l_partkey", "p1")
+        b = li.withColumnRenamed("l_partkey", "p2")
+        edges = (
+            a.join(b, "l_orderkey")
+            .where(F.col("p1") < F.col("p2"))
+            .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+            .distinct()
+        )
+        out = bfs_depths(edges, 0)
+        return (
+            out.groupBy("depth")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("depth")
+        )
+
+    q["graph_bfs_depths"] = graph_bfs_depths
+
     def scan_jsonl_corrupt(spark, sf_dir):
         # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
         # schema): the staged corpus is documents as JSON lines plus 3
@@ -4951,6 +4979,31 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'step_3', 'purchase', count(*)::BIGINT FROM s3
         ORDER BY step
     """
+    o["graph_bfs_depths"] = """
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS s,
+                   greatest(a.l_partkey, b.l_partkey) AS t
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+        sym AS (
+            SELECT s AS u, t AS v FROM e
+            UNION ALL SELECT t, s FROM e),
+        walk AS (
+            SELECT 0::BIGINT AS node, 0 AS depth
+            UNION
+            -- cycles revisit nodes at deeper depths forever; the cap
+            -- (>> the co-occurrence graph's eccentricity) bounds the
+            -- exploration without clipping any true shortest path
+            SELECT sym.v, walk.depth + 1
+            FROM walk JOIN sym ON walk.node = sym.u
+            WHERE walk.depth < 12),
+        best AS (
+            SELECT node, min(depth) AS depth FROM walk GROUP BY node)
+        SELECT depth, count(*) AS n_nodes
+        FROM best GROUP BY depth ORDER BY depth
+    """
+
     o["events_funnel_windowed"] = """
         WITH s1 AS (SELECT user_id, min(ts) AS t0 FROM events
                     WHERE event_type = 'view' GROUP BY 1),

@@ -203,3 +203,48 @@ def resolve_hierarchy(
     raise RuntimeError(
         f"hierarchy did not resolve in {max_rounds} pointer-doubling "
         f"rounds — a cycle in the parent edges, or depth > 2^{max_rounds}")
+
+
+def bfs_depths(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Single-source shortest hop counts over an undirected edge list
+    by frontier expansion — O(diameter) rounds, each one join + one
+    anti-join on the node key.
+
+    Every round expands the current frontier through the (symmetrized)
+    edges, drops already-visited nodes, and folds the rest into the
+    visited set at depth+1. The loop stops when a frontier comes back
+    empty — for a connected component that is its eccentricity, not
+    |V|; ``max_rounds`` bounds adversarial diameters (a path graph) and
+    raises rather than silently truncating. Frontiers are
+    localCheckpoint-ed so plan depth stays O(1) per round. Returns
+    (node, depth) for the source's component only.
+    """
+    sym = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    sym = sym.unionAll(sym.select(F.col("_v").alias("_u"),
+                                  F.col("_u").alias("_v")))
+    visited = (
+        sym.sparkSession.createDataFrame([(source, 0)], ["node", "depth"])
+        .localCheckpoint(eager=False))
+    frontier = visited.select("node")
+    for d in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym._u)
+            .select(F.col("_v").alias("node")).distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.limit(1).count() == 0:
+            return visited
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(d).alias("depth"))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    raise RuntimeError(
+        f"BFS frontier still non-empty after {max_rounds} rounds — "
+        f"raise max_rounds for graphs with diameter > {max_rounds}")

@@ -104,6 +104,8 @@ _CATALOG_ALLOW = {
     # pointer-doubling rounds truncate lineage via localCheckpoint,
     # same as the CC / PageRank loops above
     "graph_part_hierarchy": ["rdd_scan"],
+    # BFS frontiers are localCheckpoint-ed per round
+    "graph_bfs_depths": ["rdd_scan"],
     "sample_shuffle_order": ["global_window"],
     "sim_hybrid_rrf": ["global_window"],
     # the RANGE window merges PER-BUCKET sketches — one row per day,

@@ -616,6 +616,36 @@ class TestResolveHierarchy:
             resolve_hierarchy(e, max_rounds=8)
 
 
+class TestBfsDepths:
+    def test_path_graph_depths_and_component_scope(self, spark):
+        from bigdata_tag_system_spark.operators.graph import bfs_depths
+
+        # path 0-1-2-3 plus a disconnected edge 10-11: depths count
+        # hops along the path, the other component never appears
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (10, 11)], "src long, dst long")
+        got = {r["node"]: r["depth"] for r in bfs_depths(e, 0).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_cycle_takes_shortest_side(self, spark):
+        from bigdata_tag_system_spark.operators.graph import bfs_depths
+
+        # 5-cycle: the far node is 2 hops via either side, never 3
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)],
+            "src long, dst long")
+        got = {r["node"]: r["depth"] for r in bfs_depths(e, 0).collect()}
+        assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+
+    def test_diameter_guard_raises(self, spark):
+        from bigdata_tag_system_spark.operators.graph import bfs_depths
+
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "src long, dst long")
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            bfs_depths(e, 0, max_rounds=3)
+
+
 class TestApplyChangeset:
     def test_mixed_ops_and_conflict_rejection(self, spark, tmp_path):
         from bigdata_tag_system_spark.sources.writers import (
