@@ -108,6 +108,8 @@ def main() -> None:
         "customer_rfm_segments",   # quintile segmentation census
         "customer_cohort_ltv",     # cohort cumulative LTV curve
         "events_session_stats",    # bounce-rate session board
+        "events_funnel_windowed",  # conversion-window funnel
+        "graph_bfs_depths",        # frontier-expansion BFS
         "sketch_hll_rollup",       # mergeable per-day HLL union
         "graph_event_pagerank",    # iterative power-iteration rounds
         "events_path_trigrams",    # sessionized array transform
