@@ -2964,6 +2964,40 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_bfs_depths"] = graph_bfs_depths
 
+    def events_cusum_shift(spark, sf_dir):
+        # offline change-point detection (CUSUM): per event_type, the
+        # day where the cumulative deviation from that type's overall
+        # daily mean peaks in magnitude — the classic single-shift
+        # locator. Daily rollup + one cumulative window over
+        # calendar-bounded rows + max_by; deviations use the exact
+        # mean (sum/k) so both engines accumulate identical doubles
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf_dir, "events")
+        daily = ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n"))
+        base = daily.groupBy("event_type").agg(
+            F.sum("n").alias("tot"), F.count(F.lit(1)).alias("k"))
+        j = daily.join(F.broadcast(base), "event_type")
+        w = (Window.partitionBy("event_type").orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        cusum = F.sum(F.col("n") - F.col("tot") / F.col("k")).over(w)
+        scored = j.select(
+            "event_type", "day", F.abs(cusum).alias("mag"))
+        pick = Window.partitionBy("event_type").orderBy(
+            F.desc("mag"), F.desc("day"))
+        return (
+            scored.withColumn("rn", F.row_number().over(pick))
+            .where(F.col("rn") == 1)
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd").alias("shift_day"),
+                    F.round("mag", 4).alias("peak_cusum"))
+            .orderBy("event_type")
+        )
+
+    q["events_cusum_shift"] = events_cusum_shift
+
     def scan_jsonl_corrupt(spark, sf_dir):
         # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
         # schema): the staged corpus is documents as JSON lines plus 3
@@ -4979,6 +5013,28 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'step_3', 'purchase', count(*)::BIGINT FROM s3
         ORDER BY step
     """
+    o["events_cusum_shift"] = """
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS day, count(*) AS n
+            FROM events GROUP BY event_type, day),
+        base AS (
+            SELECT event_type, sum(n) AS tot, count(*) AS k
+            FROM daily GROUP BY event_type),
+        scored AS (
+            SELECT d.event_type, d.day,
+                   abs(sum(d.n - b.tot * 1.0 / b.k) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                       ROWS UNBOUNDED PRECEDING)) AS mag
+            FROM daily d JOIN base b ON d.event_type = b.event_type),
+        pick AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY mag DESC, day DESC) AS rn
+            FROM scored)
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS shift_day,
+               round(mag, 4) AS peak_cusum
+        FROM pick WHERE rn = 1 ORDER BY event_type
+    """
+
     o["graph_bfs_depths"] = """
         WITH RECURSIVE e AS (
             SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS s,
