@@ -2998,6 +2998,39 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_cusum_shift"] = events_cusum_shift
 
+    def customer_revenue_concentration(spark, sf_dir):
+        # Pareto/Lorenz readout: customers ranked into revenue deciles
+        # (custkey tie-break total order), each decile's share of total
+        # revenue and the cumulative share — the 80/20 board. The
+        # global ranking window runs over the per-customer aggregate;
+        # the fence-based tier pattern is the sort-free path at scale
+        from pyspark.sql import Window
+
+        o = _t(spark, sf_dir, "orders")
+        per_cust = o.groupBy("o_custkey").agg(
+            F.sum("o_totalprice").alias("rev"))
+        ranked = per_cust.withColumn(
+            "decile", F.ntile(10).over(
+                Window.orderBy(F.desc("rev"), "o_custkey")))
+        dec = ranked.groupBy("decile").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").alias("dec_rev"))
+        tot = dec.agg(F.sum("dec_rev").alias("tot"))
+        w = Window.orderBy("decile").rowsBetween(
+            Window.unboundedPreceding, 0)
+        return (
+            dec.join(F.broadcast(tot))
+            .select(
+                "decile", "n_customers",
+                F.round(100.0 * F.col("dec_rev") / F.col("tot"), 4)
+                .alias("rev_share_pct"),
+                F.round(100.0 * F.sum("dec_rev").over(w) / F.col("tot"),
+                        4).alias("cum_share_pct"))
+            .orderBy("decile")
+        )
+
+    q["customer_revenue_concentration"] = customer_revenue_concentration
+
     def scan_jsonl_corrupt(spark, sf_dir):
         # JSONL ingest with corrupt-record CAPTURE (PERMISSIVE + explicit
         # schema): the staged corpus is documents as JSON lines plus 3
@@ -5013,6 +5046,28 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'step_3', 'purchase', count(*)::BIGINT FROM s3
         ORDER BY step
     """
+    o["customer_revenue_concentration"] = """
+        WITH pc AS (
+            SELECT o_custkey, sum(o_totalprice) AS rev
+            FROM orders GROUP BY o_custkey),
+        ranked AS (
+            SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey)
+                       AS decile
+            FROM pc),
+        dec AS (
+            SELECT decile, count(*) AS n_customers,
+                   sum(rev) AS dec_rev
+            FROM ranked GROUP BY decile)
+        SELECT decile, n_customers,
+               round(100.0 * dec_rev / (SELECT sum(dec_rev) FROM dec), 4)
+                   AS rev_share_pct,
+               round(100.0 * sum(dec_rev) OVER (ORDER BY decile
+                         ROWS UNBOUNDED PRECEDING)
+                     / (SELECT sum(dec_rev) FROM dec), 4)
+                   AS cum_share_pct
+        FROM dec ORDER BY decile
+    """
+
     o["events_cusum_shift"] = """
         WITH daily AS (
             SELECT event_type, ts::DATE AS day, count(*) AS n
