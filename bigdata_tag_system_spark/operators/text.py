@@ -148,7 +148,9 @@ def ngram_repetition_features(
 ) -> DataFrame:
     """Gopher-style repetition quality signals per document.
 
-    Output: ``(id, n_grams, top_gram_frac, dup_gram_frac)`` —
+    Output: ``(id, n_grams, top_gram_c, dup_gram_c, top_gram_frac,
+    dup_gram_frac)`` — the ``_c`` columns are the engine-exact integer
+    numerators of the fractions that follow;
     ``top_gram_frac`` is the fraction of n-gram occurrences claimed by the
     single most repeated n-gram; ``dup_gram_frac`` the fraction belonging
     to any n-gram that occurs more than once. Both are standard corpus
@@ -203,6 +205,10 @@ def ngram_repetition_features(
     return staged.select(
         F.col(id_col),
         F.col("_n").cast("long").alias("n_grams"),
+        # integer numerators first: engine-exact (no float representation),
+        # so cross-engine comparisons can avoid round(x/y) ties entirely
+        F.col("_st")["m"].cast("long").alias("top_gram_c"),
+        F.col("_st")["d"].cast("long").alias("dup_gram_c"),
         (F.col("_st")["m"] / F.col("_n")).alias("top_gram_frac"),
         (F.col("_st")["d"] / F.col("_n")).alias("dup_gram_frac"),
     )
