@@ -36,7 +36,60 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_tag_system_spark.rules.compiler import RuleCompiler
-from bigdata_tag_system_spark.rules.model import Rule, required_fields
+from bigdata_tag_system_spark.rules.model import Rule, ordered_fields, required_fields
+
+# presentation text for the human-readable hit reason; comparison ops keep
+# their symbol, everything else reads as "<field>=<live> <op> <threshold>"
+_REASON_OP = {"==": "=", "<>": "!="}
+
+
+def _fmt_threshold(v) -> str:
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(str(x) for x in v) + "]"
+    return str(v)
+
+
+def _leaf_reason(node) -> Column:
+    """``field=<live value> <op> <threshold>`` as a native Column.
+
+    The reference builds this string row-at-a-time in a Python UDF
+    (``src/engine/tag_computer.py:197-233``, ``_generate_hit_reason`` /
+    ``_format_single_reason``); here it is ``concat`` over literals plus
+    one cast of the live column — stays inside whole-stage codegen.
+    """
+    field = str(node.get("field", ""))
+    op = str(node.get("operator", ""))
+    live = F.coalesce(F.col(field).cast("string"), F.lit("null"))
+    if op in ("is_null", "is_not_null"):
+        return F.lit(f"{field} {op.replace('_', ' ')}")
+    shown = _REASON_OP.get(op, op)
+    return F.concat(
+        F.lit(f"{field}="), live,
+        F.lit(f" {shown} {_fmt_threshold(node.get('value'))}"))
+
+
+def _reason_col(node) -> Column:
+    """Recursive reason over the whole condition tree (AND/OR/NOT joins).
+
+    The reference formats only the top-level condition list and falls back
+    to a constant on nested groups; the recursion here mirrors the
+    compiler's, so every rule the engine can evaluate gets a full reason.
+    """
+    if not node:
+        return F.lit("always")
+    if "conditions" in node or "logic" in node:
+        logic = str(node.get("logic", "AND")).upper()
+        children = [_reason_col(c) for c in node.get("conditions", []) or []]
+        if not children:
+            return F.lit("always")
+        joined = children[0] if len(children) == 1 else F.concat_ws(
+            f" {'OR' if logic == 'OR' else 'AND'} ", *children)
+        if logic == "NOT":
+            return F.concat(F.lit("NOT("), joined, F.lit(")"))
+        if len(children) == 1:
+            return joined
+        return F.concat(F.lit("("), joined, F.lit(")"))
+    return _leaf_reason(node)
 
 
 class TagEngine:
@@ -75,6 +128,38 @@ class TagEngine:
             out |= required_fields(r.conditions)
         return out
 
+    def validate(self, facts: DataFrame) -> dict:
+        """Pre-compute rule-vs-schema check with a readable report.
+
+        The reference validates each rule's fields against the fact
+        schema before computing and logs the missing ones
+        (``src/engine/tag_computer.py:286-302``); without this an engine
+        surfaces a raw Spark analysis error mid-plan. Returns::
+
+            {"ok": bool, "user_col_present": bool,
+             "rules": [{"rule_id", "tag_id", "tag_name", "ok",
+                        "missing_fields": [...]}, ...]}
+
+        Pure schema work — touches ``facts.columns`` only, runs no job.
+        """
+        cols = set(facts.columns)
+        rules_report = []
+        for r in self.rules:
+            missing = sorted(required_fields(r.conditions) - cols)
+            rules_report.append({
+                "rule_id": int(r.rule_id),
+                "tag_id": int(r.tag_id),
+                "tag_name": r.tag_name,
+                "ok": not missing,
+                "missing_fields": missing,
+            })
+        user_ok = self.user_col in cols
+        return {
+            "ok": user_ok and all(rr["ok"] for rr in rules_report),
+            "user_col_present": user_ok,
+            "rules": rules_report,
+        }
+
     def _hit_tag_col(self) -> Column:
         """array<int> of tag_ids whose predicate hit, sorted+distinct."""
         branches = [
@@ -87,14 +172,31 @@ class TagEngine:
         ).cast("array<int>")
 
     def _detail_entries_col(self) -> Column:
-        """array<struct<key,value>> for map_from_entries, hit rules only."""
+        """array<struct<key,value>> for map_from_entries, hit rules only.
+
+        Detail fields match the reference's per-hit JSON
+        (``src/engine/tag_computer.py:160-284``): ``value`` is the live
+        value of the rule's first condition field, ``reason`` a
+        human-readable rendering of the matched conditions with live
+        values, ``rule_version`` the catalog version stamp — all built
+        from native expressions, where the reference runs a Python UDF
+        per row.
+        """
         ts = F.lit(self.run_ts) if self.run_ts else F.current_timestamp()
         entries = []
         for rule, pred in self._compiled:
+            fields = ordered_fields(rule.conditions)
+            hit_value = (
+                F.coalesce(F.col(fields[0]).cast("string"), F.lit(""))
+                if fields else F.lit("")
+            )
             detail = F.struct(
                 F.lit(rule.tag_name).alias("tag_name"),
                 F.lit(rule.tag_category).alias("tag_category"),
                 F.lit(int(rule.rule_id)).alias("rule_id"),
+                F.lit(rule.rule_version).alias("rule_version"),
+                hit_value.alias("value"),
+                _reason_col(rule.conditions).alias("reason"),
                 ts.alias("hit_time"),
             )
             entries.append(
@@ -104,7 +206,8 @@ class TagEngine:
             # typed empty so map_from_entries/explode still resolve
             return F.array().cast(
                 "array<struct<key:string,value:struct<tag_name:string,"
-                "tag_category:string,rule_id:int,hit_time:timestamp>>>"
+                "tag_category:string,rule_id:int,rule_version:string,"
+                "value:string,reason:string,hit_time:timestamp>>>"
             )
         return F.array_compact(F.array(*entries))
 

@@ -34,6 +34,9 @@ class Rule:
     tag_name: str = ""
     tag_category: str = ""
     is_active: bool = True
+    # catalog schema default mirrors the reference's constant detail
+    # version stamp (``src/engine/tag_computer.py:174``)
+    rule_version: str = "1.0"
 
     @classmethod
     def from_row(cls, row: dict[str, Any]) -> "Rule":
@@ -47,6 +50,7 @@ class Rule:
             tag_name=str(row.get("tag_name", "")),
             tag_category=str(row.get("tag_category", "")),
             is_active=bool(row.get("is_active", True)),
+            rule_version=str(row.get("rule_version", "1.0")),
         )
 
 
@@ -76,4 +80,27 @@ def required_fields(conditions: dict[str, Any]) -> set[str]:
     """
     out: set[str] = set()
     _walk_fields(conditions or {}, out)
+    return out
+
+
+def ordered_fields(conditions: dict[str, Any]) -> list[str]:
+    """Field names in depth-first condition order, first occurrence only.
+
+    The reference's detail ``value`` is the live value of the FIRST rule
+    field (``src/engine/tag_computer.py:170``, ``hit_values[0]`` over
+    condition-ordered columns) — order matters, so this is a list, not
+    the pruning set above.
+    """
+    out: list[str] = []
+
+    def _walk(node: dict[str, Any]) -> None:
+        if not node:
+            return
+        if "conditions" in node or "logic" in node:
+            for child in node.get("conditions", []) or []:
+                _walk(child)
+        elif node.get("field") and str(node["field"]) not in out:
+            out.append(str(node["field"]))
+
+    _walk(conditions or {})
     return out

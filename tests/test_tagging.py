@@ -132,3 +132,85 @@ class TestDecimalRules:
         # exact at 8 fractional digits — a double literal would collapse
         # u1/u2 onto the same value
         assert got == {"u1"}
+
+
+class TestDetailParity:
+    """Reference detail-JSON parity: reason / value / rule_version
+    (``src/engine/tag_computer.py:160-284``) built natively, no UDF."""
+
+    def test_detail_fields_present(self, spark, users_df, golden_rules):
+        eng = TagEngine(golden_rules, as_of=AS_OF, run_ts="2024-07-13T00:00:00")
+        row = eng.profiles(users_df, computed_date=AS_OF) \
+            .where("user_id='user_001'").collect()[0]
+        d = row["tag_details"]["1"].asDict()
+        assert d["rule_version"] == "1.0"
+        # live value of the rule's FIRST condition field (total_asset_value)
+        assert d["value"] == "150000.0"
+        assert d["reason"] == "total_asset_value=150000.0 >= 100000"
+
+    def test_reason_logic_joins(self, spark, users_df, golden_rules):
+        eng = TagEngine(golden_rules, as_of=AS_OF, run_ts="2024-07-13T00:00:00")
+        row = eng.profiles(users_df, computed_date=AS_OF) \
+            .where("user_id='user_005'").collect()[0]
+        # rule 7: AND of two leaves plus a nested OR group
+        r7 = row["tag_details"]["7"].asDict()["reason"]
+        assert r7 == ("(total_asset_value=500000.0 >= 100000"
+                      " AND user_level=VIP3 in [VIP2,VIP3]"
+                      " AND (trade_count_30d=30 >= 10"
+                      " OR login_count_30d=25 >= 20))")
+        # rule 2: in + = leaves
+        r2 = row["tag_details"]["2"].asDict()["reason"]
+        assert r2 == ("(user_level=VIP3 in [VIP2,VIP3]"
+                      " AND kyc_status=verified = verified)")
+
+    def test_assignment_detail_json_carries_parity_fields(
+            self, spark, users_df, golden_rules):
+        eng = TagEngine(golden_rules, as_of=AS_OF, run_ts="2024-07-13T00:00:00")
+        for r in eng.assignments(users_df).collect():
+            d = json.loads(r["tag_detail"])
+            assert {"tag_name", "tag_category", "rule_id", "rule_version",
+                    "value", "reason", "hit_time"} <= set(d)
+
+    def test_rule_version_from_catalog_row(self):
+        from bigdata_tag_system_spark.rules.model import Rule
+
+        r = Rule.from_row({"tag_id": 9, "rule_conditions": {},
+                           "rule_version": "2.3"})
+        assert r.rule_version == "2.3"
+
+    def test_single_pass_plan_still_no_exchange(self, spark, users_df, golden_rules):
+        eng = TagEngine(golden_rules, as_of=AS_OF)
+        plan = eng.profiles(users_df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestValidate:
+    def test_validate_ok(self, spark, users_df, golden_rules):
+        eng = TagEngine(golden_rules, as_of=AS_OF)
+        rep = eng.validate(users_df)
+        assert rep["ok"] and rep["user_col_present"]
+        assert all(r["ok"] and r["missing_fields"] == [] for r in rep["rules"])
+
+    def test_validate_reports_missing_fields(self, spark, users_df, golden_rules):
+        eng = TagEngine(golden_rules, as_of=AS_OF)
+        rep = eng.validate(users_df.drop("total_asset_value", "kyc_status"))
+        assert not rep["ok"] and rep["user_col_present"]
+        by_rule = {r["rule_id"]: r for r in rep["rules"]}
+        assert by_rule[1]["missing_fields"] == ["total_asset_value"]
+        assert by_rule[2]["missing_fields"] == ["kyc_status"]
+        # nested-group field resolution: rule 7 needs the dropped asset col
+        assert "total_asset_value" in by_rule[7]["missing_fields"]
+        assert by_rule[3]["ok"]  # untouched rule stays ok
+
+    def test_validate_missing_user_col(self, spark, users_df, golden_rules):
+        eng = TagEngine(golden_rules, as_of=AS_OF)
+        rep = eng.validate(users_df.drop("user_id"))
+        assert not rep["ok"] and not rep["user_col_present"]
+        assert all(r["ok"] for r in rep["rules"])  # fields all present
+
+    def test_validate_runs_no_job(self, spark, users_df, golden_rules):
+        # schema-only: must not trigger a Spark action
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        TagEngine(golden_rules, as_of=AS_OF).validate(users_df)
+        assert tracker.getJobIdsForGroup(None) == before
