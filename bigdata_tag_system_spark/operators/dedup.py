@@ -26,7 +26,7 @@ declaring a duplicate — LSH only prunes the pair space, it never decides.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -180,13 +180,36 @@ def _band_join(
     bands: int,
     carry_cols: tuple[str, ...] = (),
     extra_pred: Column | None = None,
+    max_bucket_size: int | None = 10_000,
+    on_overflow: str = "truncate",
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs whose signatures agree on ≥1 band.
 
     ``carry_cols`` ride through the band explode so ``extra_pred`` (built
     against the ``a.``/``b.`` aliases) can constrain the pair space —
-    e.g. the incremental path's "≥1 side is new" filter."""
+    e.g. the incremental path's "≥1 side is new" filter.
+
+    ``max_bucket_size`` bounds each (band_id, band_hash) bucket before the
+    self-join: a degenerate hot band (mass-duplicated boilerplate — every
+    copy lands in the same bucket) otherwise goes quadratic in that bucket
+    at 100 TB. This mirrors the capped state of the streaming path
+    (``streaming/lsh_stream.py:_bucket_fn_factory``). ``on_overflow``:
+
+    - ``"truncate"`` (default): keep the ``max_bucket_size`` smallest ids
+      per bucket (deterministic). Members beyond the cap lose candidacy
+      *through that band only* — they can still pair via their other
+      bands; run ``exact_dedup`` first (as ``dedup_pipeline_keep`` does)
+      so identical copies never reach LSH.
+    - ``"error"``: fail the job loudly on the first over-cap bucket.
+
+    The cap rides the same hash-partitioning the self-join needs anyway
+    (one window over the join key), so it adds no extra shuffle of the
+    banded relation. ``None`` disables it (exact semantics, e.g. for
+    oracle comparisons).
+    """
     _check_bands(num_hashes, bands)
+    if on_overflow not in ("truncate", "error"):
+        raise ValueError(f"on_overflow must be 'truncate' or 'error', got {on_overflow!r}")
     r = num_hashes // bands
     band_structs = F.array(
         *[
@@ -201,6 +224,22 @@ def _band_join(
         F.col(id_col), *[F.col(c) for c in carry_cols],
         F.explode(band_structs).alias("b"),
     ).select(id_col, *carry_cols, "b.band_id", "b.band_hash")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
+        rn = F.row_number().over(w)
+        if on_overflow == "error":
+            rn = F.when(
+                rn > max_bucket_size,
+                F.raise_error(F.concat(
+                    F.lit(f"LSH band bucket exceeds max_bucket_size={max_bucket_size}"
+                          " (mass-duplicate hot band?) for band_id="),
+                    F.col("band_id").cast("string"))),
+            ).otherwise(rn)
+        banded = (
+            banded.withColumn("_rn", rn)
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     on = [
@@ -236,10 +275,15 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 10_000,
+    on_overflow: str = "truncate",
 ) -> DataFrame:
-    """Distinct (id_a < id_b) candidate pairs sharing ≥1 LSH band bucket."""
+    """Distinct (id_a < id_b) candidate pairs sharing ≥1 LSH band bucket.
+
+    Hot-bucket behavior: see :func:`_band_join` (``max_bucket_size``)."""
     sigs = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_n)
-    return _band_join(sigs, id_col, num_hashes, bands)
+    return _band_join(sigs, id_col, num_hashes, bands,
+                      max_bucket_size=max_bucket_size, on_overflow=on_overflow)
 
 
 def _jaccard_on_pairs_sh(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:

@@ -338,3 +338,71 @@ def test_resolve_hierarchy_vs_python_walk(spark):
            for r in resolve_hierarchy(df).collect()}
     want = {n: walk(n) for n in list(parent) + [0, 1, 2]}
     assert got == want
+
+
+class TestBandBucketCap:
+    """Hot-band guard: a mass-duplicated corpus must stay bounded
+    (every copy lands in the same (band_id, band_hash) bucket; uncapped,
+    the self-join is quadratic in that bucket)."""
+
+    def _degenerate(self, spark, n=300):
+        # n identical docs -> ONE bucket per band holds all n ids
+        rows = [(i, "the same boilerplate text repeated everywhere " * 3)
+                for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_truncate_bounds_hot_bucket(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            minhash_candidate_pairs,
+        )
+
+        df = self._degenerate(spark, 300)
+        capped = minhash_candidate_pairs(
+            df, num_hashes=16, bands=4, max_bucket_size=16)
+        # kept members are the 16 smallest ids in every band's bucket, so
+        # candidates are exactly C(16,2) pairs, not C(300,2)=44850
+        assert capped.count() == 16 * 15 // 2
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert max(b for _, b in got) <= 15
+
+    def test_error_mode_raises_loudly(self, spark):
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        from bigdata_tag_system_spark.operators.dedup import (
+            minhash_candidate_pairs,
+        )
+
+        df = self._degenerate(spark, 64)
+        bad = minhash_candidate_pairs(
+            df, num_hashes=16, bands=4, max_bucket_size=16,
+            on_overflow="error")
+        with _pytest.raises(Exception) as ei:
+            bad.count()
+        assert "max_bucket_size" in str(ei.value)
+
+    def test_cap_no_effect_on_small_buckets(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            minhash_candidate_pairs,
+        )
+
+        rows = [(i, f"document number {i} with its own distinct words "
+                    f"{i * 7} {i * 13} {i % 5}") for i in range(40)]
+        rows += [(100 + i, rows[i][1]) for i in range(5)]  # 5 true dups
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = {(r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(
+            df, num_hashes=16, bands=4, max_bucket_size=None).collect()}
+        capped = {(r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(
+            df, num_hashes=16, bands=4, max_bucket_size=10_000).collect()}
+        assert capped == uncapped
+        for i in range(5):
+            assert (i, 100 + i) in capped
+
+    def test_bad_mode_rejected(self, spark):
+        import pytest as _pytest
+        from bigdata_tag_system_spark.operators.dedup import (
+            minhash_candidate_pairs,
+        )
+
+        with _pytest.raises(ValueError):
+            minhash_candidate_pairs(
+                self._degenerate(spark, 4), on_overflow="warn")
