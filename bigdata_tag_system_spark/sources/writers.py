@@ -128,6 +128,104 @@ def dbapi_write(
     out.foreachPartition(_write_partition)
 
 
+def dbapi_delete_by_date(
+    connection_factory: Callable[[], object],
+    table: str,
+    date_value,
+    date_col: str = "computed_date",
+    dialect: str = "mysql",
+) -> int:
+    """Targeted keyed delete: one parameterized statement, returns rowcount.
+
+    Reference: ``_delete_user_tags_for_date``
+    (``src/writers/mysql_writer.py:102-131``) — row-level DELETE (not
+    TRUNCATE) so concurrent writers for other dates proceed. The column
+    name is validated as an identifier (the reference hardcodes it);
+    the value always goes through a bind parameter.
+    """
+    if not date_col.replace("_", "").isalnum():
+        raise ValueError(f"invalid column identifier: {date_col!r}")
+    ph = "%s" if dialect == "mysql" else "?"
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(
+            f"DELETE FROM {table} WHERE {date_col} = {ph}", (str(date_value),))
+        conn.commit()
+        return cur.rowcount
+    finally:
+        conn.close()  # type: ignore[attr-defined]
+
+
+def dbapi_delete_by_keys(
+    keys,
+    connection_factory: Callable[[], object],
+    table: str,
+    key_col: str = "user_id",
+    chunk_size: int = 1000,
+    dialect: str = "mysql",
+) -> int:
+    """Delete rows whose ``key_col`` is in ``keys`` (list or DataFrame).
+
+    Reference: the upsert path's pre-delete
+    (``src/writers/mysql_writer.py:442-483``) collects every user_id into
+    ONE string-interpolated ``IN (...)`` statement — unbounded SQL text
+    and no parameterization. Here:
+
+    - list input: parameterized ``IN`` deletes in ``chunk_size`` batches
+      from the driver (catalog-sized key sets);
+    - DataFrame input: ``foreachPartition`` over ≤8 hash partitions, each
+      executor deleting its own chunked batches — the key set never
+      materializes on the driver, so "delete these 50M re-tagged users"
+      scales like the upsert sink instead of building a 50M-value SQL
+      string.
+
+    Total deleted rowcount is returned for lists; the distributed path
+    returns -1 (executor rowcounts aren't aggregatable without a side
+    channel — callers needing the count should ``df.count()`` the keys).
+    """
+    if not key_col.replace("_", "").isalnum():
+        raise ValueError(f"invalid column identifier: {key_col!r}")
+    ph = "%s" if dialect == "mysql" else "?"
+
+    def _delete_chunked(conn, vals) -> int:
+        cur = conn.cursor()
+        deleted = 0
+        for i in range(0, len(vals), chunk_size):
+            chunk = vals[i:i + chunk_size]
+            sql = (f"DELETE FROM {table} WHERE {key_col} IN "
+                   f"({', '.join([ph] * len(chunk))})")
+            cur.execute(sql, tuple(chunk))
+            deleted += cur.rowcount
+        conn.commit()
+        return deleted
+
+    if isinstance(keys, DataFrame):
+        part = keys.select(key_col).distinct().repartition(8, key_col)
+
+        def _delete_partition(rows: Iterable[Row]) -> None:
+            vals = [r[key_col] for r in rows]
+            if not vals:
+                return
+            conn = connection_factory()
+            try:
+                _delete_chunked(conn, vals)
+            finally:
+                conn.close()  # type: ignore[attr-defined]
+
+        part.foreachPartition(_delete_partition)
+        return -1
+
+    vals = list(keys)
+    if not vals:
+        return 0
+    conn = connection_factory()
+    try:
+        return _delete_chunked(conn, vals)
+    finally:
+        conn.close()  # type: ignore[attr-defined]
+
+
 # ---------------------------------------------------------------------------
 # Write-path validation (reference mysql_writer.py:273-283, 335-400)
 # ---------------------------------------------------------------------------

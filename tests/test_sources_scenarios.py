@@ -262,6 +262,64 @@ class TestUpsertSinks:
         with pytest.raises(ValueError, match="mode"):
             dbapi_write(df, _sqlite_conn, "plain", mode="replace", dialect="sqlite")
 
+    def test_dbapi_delete_by_date_and_keys(self, spark):
+        from bigdata_tag_system_spark.sources.writers import (
+            dbapi_delete_by_date,
+            dbapi_delete_by_keys,
+        )
+
+        if os.path.exists(_DB_PATH):
+            os.remove(_DB_PATH)
+        conn = _sqlite_conn()
+        conn.execute(
+            "CREATE TABLE user_tags (user_id TEXT, computed_date TEXT)")
+        conn.executemany(
+            "INSERT INTO user_tags VALUES (?, ?)",
+            [(f"u{i}", "2024-07-13" if i % 2 else "2024-07-12")
+             for i in range(20)])
+        conn.commit(); conn.close()
+
+        # keyed date delete: only that date's rows go
+        n = dbapi_delete_by_date(
+            _sqlite_conn, "user_tags", "2024-07-12", dialect="sqlite")
+        assert n == 10
+        conn = _sqlite_conn()
+        left = conn.execute(
+            "SELECT DISTINCT computed_date FROM user_tags").fetchall()
+        conn.close()
+        assert left == [("2024-07-13",)]
+
+        # chunked list delete (chunk smaller than the key set)
+        n = dbapi_delete_by_keys(
+            ["u1", "u3", "u5"], _sqlite_conn, "user_tags",
+            chunk_size=2, dialect="sqlite")
+        assert n == 3
+
+        # distributed DataFrame delete
+        keys_df = spark.createDataFrame(
+            [("u7",), ("u9",), ("u999",)], "user_id string")
+        dbapi_delete_by_keys(
+            keys_df, _sqlite_conn, "user_tags", dialect="sqlite")
+        conn = _sqlite_conn()
+        remaining = {r[0] for r in
+                     conn.execute("SELECT user_id FROM user_tags").fetchall()}
+        conn.close()
+        assert remaining == {"u11", "u13", "u15", "u17", "u19"}
+
+        # identifier validation: value goes through binds, column must be
+        # a plain identifier
+        with pytest.raises(ValueError, match="identifier"):
+            dbapi_delete_by_date(
+                _sqlite_conn, "user_tags", "x",
+                date_col="computed_date; DROP TABLE user_tags",
+                dialect="sqlite")
+        with pytest.raises(ValueError, match="identifier"):
+            dbapi_delete_by_keys(
+                ["u1"], _sqlite_conn, "user_tags",
+                key_col="user_id OR 1=1", dialect="sqlite")
+        assert dbapi_delete_by_keys(
+            [], _sqlite_conn, "user_tags", dialect="sqlite") == 0
+
     def test_validate_store_contains(self, spark, tmpdir_mod):
         from bigdata_tag_system_spark.sources.writers import validate_store_contains
 
