@@ -2910,15 +2910,30 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def events_funnel_windowed(spark, sf_dir):
         # the funnel with a CONVERSION WINDOW: each step must land
-        # within 1 hour of the previous step (min-then-check is exact —
-        # the earliest occurrence after the previous step is the best
-        # candidate). Same O(steps) chained-agg plan as the unbounded
-        # funnel, one extra comparison per step
+        # within 1 hour of the previous step's GREEDY anchor (earliest
+        # occurrence after the previous anchor — the Amplitude-style
+        # convention; the oracle walks the identical greedy chain).
+        # Same O(steps) chained-agg plan as the unbounded funnel, one
+        # extra comparison per step. events_funnel_chain is the
+        # exists-a-chain reading of the same funnel
         out = FE.funnel(_t(spark, sf_dir, "events"),
                         ["view", "click", "purchase"], within="1 hour")
         return out.orderBy("step")
 
     q["events_funnel_windowed"] = events_funnel_windowed
+
+    def events_funnel_chain(spark, sf_dir):
+        # exists-a-qualifying-chain funnel: a user converts step k iff
+        # ANY chain of step events fits the per-step 1 h window — the
+        # greedy walk above can undercount 3+ step funnels (anchor on an
+        # early intermediate event whose window the final step misses
+        # while a later intermediate event would have carried it)
+        out = FE.funnel_exists_chain(
+            _t(spark, sf_dir, "events"),
+            ["view", "click", "purchase"], within="1 hour")
+        return out.orderBy("step")
+
+    q["events_funnel_chain"] = events_funnel_chain
 
     def graph_bfs_depths(spark, sf_dir):
         # single-source shortest hops over the co-purchase graph
@@ -5120,6 +5135,24 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS users FROM s1
         UNION ALL SELECT 'step_2', 'click', count(*)::BIGINT FROM s2
         UNION ALL SELECT 'step_3', 'purchase', count(*)::BIGINT FROM s3
+        ORDER BY step
+    """
+
+    o["events_funnel_chain"] = """
+        WITH s1 AS (SELECT DISTINCT user_id, ts FROM events
+                    WHERE event_type = 'view'),
+             s2 AS (SELECT DISTINCT e.user_id, e.ts FROM events e
+                    JOIN s1 ON s1.user_id = e.user_id
+                     AND e.ts > s1.ts AND e.ts <= s1.ts + INTERVAL 1 HOUR
+                    WHERE e.event_type = 'click'),
+             s3 AS (SELECT DISTINCT e.user_id, e.ts FROM events e
+                    JOIN s2 ON s2.user_id = e.user_id
+                     AND e.ts > s2.ts AND e.ts <= s2.ts + INTERVAL 1 HOUR
+                    WHERE e.event_type = 'purchase')
+        SELECT 'step_1' AS step, 'view' AS event_type,
+               count(DISTINCT user_id)::BIGINT AS users FROM s1
+        UNION ALL SELECT 'step_2', 'click', count(DISTINCT user_id)::BIGINT FROM s2
+        UNION ALL SELECT 'step_3', 'purchase', count(DISTINCT user_id)::BIGINT FROM s3
         ORDER BY step
     """
 

@@ -288,9 +288,16 @@ def funnel(
 
     ``within`` (SQL interval string, e.g. ``"1 hour"``) adds a
     conversion window: each step must land within that interval of the
-    PREVIOUS step. Min-then-check is exact here — the earliest
-    occurrence after the previous step is the best candidate, so if it
-    misses the window no occurrence makes it.
+    PREVIOUS step's anchor. Semantics are **greedy first-occurrence**
+    (the Amplitude-style convention): each step anchors on the earliest
+    occurrence after the previous anchor, then the window is checked
+    against that anchor. With 3+ steps this can report fewer conversions
+    than exists-a-qualifying-chain semantics — e.g. view@0:00,
+    clicks@0:05 and 0:50, purchase@1:30 with a 1 h window: greedy
+    anchors click@0:05 so the purchase misses, though the chain via
+    click@0:50 converts. For the exists-a-chain reading use
+    :func:`funnel_exists_chain`. Without ``within`` the two semantics
+    coincide (min-then-check is exact when only order matters).
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -334,6 +341,71 @@ def funnel(
         out = out.unionByName(_count_of(prev, i, step))
     # one lazy plan, one action for the caller; shared step subtrees
     # dedupe at the physical level via exchange reuse
+    return out
+
+
+def funnel_exists_chain(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Funnel under exists-a-qualifying-chain semantics.
+
+    A user reaches step k iff timestamps ``t_1 < t_2 < … < t_k`` exist
+    with each ``t_{i+1}`` within ``within`` of ``t_i`` — over ANY chain,
+    not just the greedy earliest-anchor walk :func:`funnel` takes. The
+    reachable-set recurrence: step-1 anchors are all step-1 events; a
+    step-(i+1) event is reachable iff some reachable step-i anchor lies
+    in ``[t - within, t)``. Counting needs the full anchor set per step
+    (keeping only the min anchor is exactly the greedy undercount).
+
+    Plan shape: one equi-join per step on the user key with the range
+    predicate applied post-join, then distinct on (user, ts) to bound
+    anchor growth at the user's own event count. All joins and
+    distincts share the user-key partitioning; per-user anchor sets are
+    event-bounded, so the chain scales like ``steps`` user-keyed joins,
+    not like a range self-join of the whole table.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    tol = None
+    if within is not None:
+        from bigdata_tag_system_spark.operators.timeseries import (
+            _parse_tolerance,
+        )
+
+        tol = _parse_tolerance(within)
+    ev = events.select(F.col(user_col), F.col(ts_col), F.col(type_col))
+
+    def _count_of(df, i: int, step: str):
+        return df.agg(F.countDistinct(user_col).alias("users")).select(
+            F.lit(f"step_{i}").alias("step"),
+            F.lit(step).alias("event_type"),
+            "users",
+        )
+
+    reach = (
+        ev.where(F.col(type_col) == steps[0])
+        .select(user_col, ts_col).distinct()
+    )
+    out = _count_of(reach, 1, steps[0])
+    for i, step in enumerate(steps[1:], start=2):
+        anchors = reach.select(
+            F.col(user_col), F.col(ts_col).alias("_anchor"))
+        pred = F.col(ts_col) > F.col("_anchor")
+        if tol is not None:
+            pred = pred & (F.col(ts_col) <= F.col("_anchor") + tol)
+        reach = (
+            ev.where(F.col(type_col) == step)
+            .join(anchors, on=user_col)
+            .where(pred)
+            .select(user_col, ts_col)
+            .distinct()
+        )
+        out = out.unionByName(_count_of(reach, i, step))
     return out
 
 

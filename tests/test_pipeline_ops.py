@@ -508,6 +508,42 @@ class TestFeatures:
         with pytest.raises(ValueError, match="tolerance"):
             FE.funnel(df, ["view", "click"], within="1; DROP TABLE x")
 
+    def test_funnel_greedy_vs_exists_chain(self, spark):
+        # the canonical 3-step divergence: view@10:00, clicks@10:05 and
+        # 10:50, purchase@11:30, 1 h window. Greedy anchors click@10:05
+        # so the purchase (85 min later) misses; the chain via
+        # click@10:50 converts — exists-chain must count it
+        df = spark.createDataFrame(
+            [(1, "view", "2024-01-01 10:00:00"),
+             (1, "click", "2024-01-01 10:05:00"),
+             (1, "click", "2024-01-01 10:50:00"),
+             (1, "purchase", "2024-01-01 11:30:00")],
+            "user_id long, event_type string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        steps = ["view", "click", "purchase"]
+        greedy = {r["step"]: r["users"] for r in
+                  FE.funnel(df, steps, within="1 hour").collect()}
+        chain = {r["step"]: r["users"] for r in
+                 FE.funnel_exists_chain(df, steps, within="1 hour").collect()}
+        assert greedy == {"step_1": 1, "step_2": 1, "step_3": 0}
+        assert chain == {"step_1": 1, "step_2": 1, "step_3": 1}
+
+    def test_funnel_exists_chain_matches_greedy_without_window(self, spark):
+        # unbounded: the two semantics coincide
+        df = spark.createDataFrame(
+            [(1, "view", "2024-01-01 10:00:00"), (1, "click", "2024-01-01 11:00:00"),
+             (2, "click", "2024-01-01 09:00:00"), (2, "view", "2024-01-01 10:00:00"),
+             (3, "view", "2024-01-01 08:00:00")],
+            "user_id long, event_type string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        a = {r["step"]: r["users"] for r in
+             FE.funnel(df, ["view", "click"]).collect()}
+        b = {r["step"]: r["users"] for r in
+             FE.funnel_exists_chain(df, ["view", "click"]).collect()}
+        assert a == b == {"step_1": 3, "step_2": 1}
+        with pytest.raises(ValueError, match="tolerance"):
+            FE.funnel_exists_chain(df, ["view"], within="bogus interval")
+
     def test_cohort_retention_offsets(self, spark):
         # u1 first active day 1, returns day 2; u2 only day 2
         df = spark.createDataFrame(
