@@ -6215,13 +6215,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
             FROM lineitem WHERE l_extendedprice IS NOT NULL),
         r AS (SELECT min(v) AS vmin, max(v) AS vmax FROM v),
-        b AS (SELECT CAST(floor((v - vmin) * 16 / (vmax - vmin + 1))
+        b AS (SELECT CAST(((v - vmin) * 16) // (vmax - vmin + 1)
                           AS INT) AS bucket, vmin, vmax
               FROM v, r)
         SELECT bucket,
-               (vmin + floor(bucket * (vmax - vmin + 1) / 16)) / 100
+               (vmin + (bucket * (vmax - vmin + 1)) // 16) / 100
                    AS lo,
-               (vmin + floor((bucket + 1) * (vmax - vmin + 1) / 16)) / 100
+               (vmin + ((bucket + 1) * (vmax - vmin + 1)) // 16) / 100
                    AS hi,
                count(*) AS cnt
         FROM b GROUP BY bucket, vmin, vmax ORDER BY bucket
@@ -6306,7 +6306,7 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY lang),
         w AS (SELECT lang, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
         s AS (SELECT sum(w) AS sw FROM w),
-        t AS (SELECT lang, CAST(floor(100 * w / sw) AS BIGINT) AS tgt
+        t AS (SELECT lang, CAST((100 * w) // sw AS BIGINT) AS tgt
               FROM w, s),
         r AS (SELECT lang, doc_id,
                      row_number() OVER (PARTITION BY lang

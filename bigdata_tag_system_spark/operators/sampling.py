@@ -256,10 +256,17 @@ def mixture_sample(
     weights = counts.select(
         stratum_col, F.floor(F.sqrt(F.col("_c"))).cast("long").alias("_w"))
     tot = weights.agg(F.sum("_w").alias("_sw"))
+    # DIV, not floor(a/b): Spark's `/` on longs promotes to double, and
+    # beyond 2^53 the 53-bit mantissa can put floor() off by one — DIV
+    # stays in 64-bit integer math the whole way (truncation == floor
+    # here since every operand is non-negative)
     targets = weights.crossJoin(F.broadcast(tot)).select(
         stratum_col,
-        F.floor(F.lit(total) * F.col("_w") / F.col("_sw"))
-        .cast("long").alias("_target"),
+        (F.lit(int(total)).cast("long") * F.col("_w")).alias("_num"),
+        F.col("_sw"),
+    ).select(
+        stratum_col,
+        F.expr("_num DIV _sw").cast("long").alias("_target"),
     )
     w = Window.partitionBy(stratum_col).orderBy(
         hash_fn(F.col(key_col), salt), F.col(key_col))

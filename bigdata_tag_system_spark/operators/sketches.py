@@ -266,8 +266,11 @@ def histogram_equi_width(
     fenced = df.where(F.col(col).isNotNull()).select(v.alias("_v"))
     rng = fenced.agg(
         F.min("_v").alias("_vmin"), F.max("_v").alias("_vmax"))
-    span = F.col("_vmax") - F.col("_vmin") + 1
-    bucket = F.floor((F.col("_v") - F.col("_vmin")) * buckets / span)
+    # DIV keeps the bucket id in 64-bit integer math end to end —
+    # floor(a*b/c) via `/` goes through a double whose 53-bit mantissa
+    # can flip a boundary bucket once a*b exceeds 2^53 (all operands
+    # are non-negative here, so truncation == floor)
+    bucket = F.expr(f"((_v - _vmin) * {int(buckets)}) DIV (_vmax - _vmin + 1)")
     return (
         fenced.crossJoin(F.broadcast(rng))
         .groupBy(bucket.cast("int").alias("bucket"),
@@ -275,9 +278,11 @@ def histogram_equi_width(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "bucket",
-            ((F.col("_vmin") + F.floor(F.col("bucket") * span / buckets))
+            ((F.col("_vmin")
+              + F.expr(f"(bucket * (_vmax - _vmin + 1)) DIV {int(buckets)}"))
              / scale).alias("lo"),
-            ((F.col("_vmin") + F.floor((F.col("bucket") + 1) * span / buckets))
+            ((F.col("_vmin")
+              + F.expr(f"((bucket + 1) * (_vmax - _vmin + 1)) DIV {int(buckets)}"))
              / scale).alias("hi"),
             "cnt",
         )

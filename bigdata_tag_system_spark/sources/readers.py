@@ -19,6 +19,7 @@ from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from bigdata_tag_system_spark.rules.model import Rule, load_rules
 
@@ -136,7 +137,7 @@ def read_jdbc_table(
 def read_jsonl_corpus(
     spark: SparkSession,
     path: str,
-    schema: str | None = None,
+    schema: str | StructType | None = None,
     corrupt_col: str = "_corrupt_record",
 ) -> DataFrame:
     """Read a JSON-Lines corpus (the de-facto LLM training-data
@@ -157,7 +158,22 @@ def read_jsonl_corpus(
     """
     reader = spark.read
     if schema is not None:
-        full = schema.rstrip() + f", {corrupt_col} string"
+        if isinstance(schema, StructType):
+            # add the corrupt field programmatically (on a copy — .add
+            # mutates); string-DDL append would reject StructType
+            # callers entirely
+            full = (schema if corrupt_col in schema.fieldNames()
+                    else StructType(
+                        list(schema.fields)
+                        + [StructField(corrupt_col, StringType())]))
+        else:
+            # don't duplicate a corrupt column the caller already declared
+            names = {
+                f.strip().split()[0].strip("`")
+                for f in schema.split(",") if f.strip()
+            }
+            full = (schema if corrupt_col in names
+                    else schema.rstrip() + f", {corrupt_col} string")
         reader = reader.schema(full)
     return (
         reader.option("mode", "PERMISSIVE")

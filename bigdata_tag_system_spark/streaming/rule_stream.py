@@ -191,6 +191,8 @@ def stream_stream_attribution_join(
     max_lag: str = "1 hour",
     watermark: str = "30 minutes",
     how: str = "inner",
+    id_col: str = "event_id",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Stream-stream INNER join: each right-stream event matched to the
     left-stream events it followed within ``max_lag`` (click→purchase
@@ -208,19 +210,25 @@ def stream_stream_attribution_join(
     join watermark) — tail-of-stream unmatched rows stay buffered, the
     exact emission set the outer-parity oracle re-derives.
     """
+    # id/value columns are parameterized (streams without an `event_id`
+    # or `value` column plan fine: pass id_col=..., value_col=None) but
+    # the OUTPUT aliases stay fixed l_/r_event_id, r_value — downstream
+    # parity oracles key on the output shape, not the input names
     l = ensure_event_time(left, ts_col).withWatermark(ts_col, watermark) \
         .select(
             F.col(user_col).alias("l_user"),
             F.col(ts_col).alias("l_ts"),
-            F.col("event_id").alias("l_event_id"),
+            F.col(id_col).alias("l_event_id"),
         )
+    r_cols = [
+        F.col(user_col).alias("r_user"),
+        F.col(ts_col).alias("r_ts"),
+        F.col(id_col).alias("r_event_id"),
+    ]
+    if value_col is not None:
+        r_cols.append(F.col(value_col).alias("r_value"))
     r = ensure_event_time(right, ts_col).withWatermark(ts_col, watermark) \
-        .select(
-            F.col(user_col).alias("r_user"),
-            F.col(ts_col).alias("r_ts"),
-            F.col("event_id").alias("r_event_id"),
-            F.col("value").alias("r_value"),
-        )
+        .select(*r_cols)
     cond = (
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") >= F.col("l_ts"))

@@ -204,7 +204,15 @@ def ewma_stream(
     batch catalog query (`events_ewma_value`) computes in one window
     pass — so a full replay's final emission per user must equal the
     batch result exactly (modulo float association order, absorbed by
-    output rounding). State is three fixed-width cells per active user;
+    output rounding) — **provided event-time order holds across
+    micro-batch boundaries**. Events are sorted by (ts, id) only WITHIN
+    each micro-batch; a later batch delivering an earlier-timestamped
+    event folds it into state in arrival order (the recursion is not
+    commutative), silently diverging from the batch closed form. That
+    matches at-source-ordered feeds (per-key ordered Kafka partitions,
+    file replay in order); for disordered sources, buffer behind a
+    watermark before folding, or re-run the batch formulation on the
+    corrected log. State is three fixed-width cells per active user;
     no timeout — EWMA state is the product, not a pending window, so
     it lives as long as the user does (a production deployment caps it
     with ProcessingTimeTimeout eviction if the key space is unbounded).

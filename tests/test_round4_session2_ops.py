@@ -440,6 +440,64 @@ class TestIngestion:
         assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not json"
         assert {r.doc_id for r in rows if r.doc_id} == {1, 2}
 
+    def test_jsonl_structtype_and_predeclared_corrupt_col(self, spark, tmp_path):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+        from bigdata_tag_system_spark.sources.readers import (
+            read_jsonl_corpus,
+        )
+
+        p = tmp_path / "c2.jsonl"
+        p.write_text('{"doc_id": 1}\nnope\n')
+
+        # StructType schema accepted (was str-only: DDL append crashed)
+        st = StructType([StructField("doc_id", LongType())])
+        rows = read_jsonl_corpus(spark, str(p), schema=st).collect()
+        assert len(rows) == 2
+        assert [r["_corrupt_record"] for r in rows if r["_corrupt_record"]] \
+            == ["nope"]
+        assert len(st.fields) == 1  # caller's schema not mutated
+
+        # schema already declaring the corrupt column: no duplicate
+        dup = "doc_id bigint, _corrupt_record string"
+        df = read_jsonl_corpus(spark, str(p), schema=dup)
+        assert df.columns == ["doc_id", "_corrupt_record"]
+        st2 = StructType([StructField("doc_id", LongType()),
+                          StructField("_corrupt_record", StringType())])
+        assert read_jsonl_corpus(spark, str(p), schema=st2).columns \
+            == ["doc_id", "_corrupt_record"]
+
+    def test_attribution_join_custom_columns(self, spark, tmp_path):
+        # a stream WITHOUT event_id/value columns plans and runs when the
+        # ids are parameterized (previously hardcoded -> analysis error)
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            stream_stream_attribution_join,
+        )
+
+        rows = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 100),
+             (1, "2024-01-01 10:20:00", 200)],
+            "uid long, ts string, rec_id long",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        src = str(tmp_path / "attr_src")
+        rows.write.mode("overwrite").parquet(src)
+        left = spark.readStream.schema(
+            "uid long, ts timestamp, rec_id long").parquet(src) \
+            .where("rec_id = 100")
+        right = spark.readStream.schema(
+            "uid long, ts timestamp, rec_id long").parquet(src) \
+            .where("rec_id = 200")
+        j = stream_stream_attribution_join(
+            left, right, user_col="uid", id_col="rec_id", value_col=None)
+        out = []
+        q = (j.writeStream.outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+             .foreachBatch(lambda df, bid: out.extend(df.collect()))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert [(r["l_event_id"], r["r_event_id"]) for r in out] \
+            == [(100, 200)]
+        assert "r_value" not in j.columns
+
     def test_partitioned_write_dynamic_overwrite(self, spark, tmp_path):
         from bigdata_tag_system_spark.sources.writers import (
             write_partitioned_dataset,
