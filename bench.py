@@ -119,6 +119,9 @@ def main() -> None:
         "events_user_trend",       # ANSI least-squares per-user slope
         "events_value_gini",       # partitioned-rank concentration
         "events_user_entropy",     # behavioral-diversity entropy
+        # round-5 additions
+        "events_funnel_chain",     # exists-a-chain funnel (join per step)
+        "tag_assignments",         # exploded detail relation (r5: richer struct)
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
