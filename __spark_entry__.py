@@ -46,6 +46,8 @@ _STREAM_JOIN_CACHE: dict[str, str] = {}
 _STREAM_EWMA_CACHE: dict[str, str] = {}
 # left-outer stream-stream replay outputs (stream_join_outer_parity)
 _STREAM_OUTER_CACHE: dict[str, str] = {}
+
+_STREAM_DEDUP_CACHE: dict[str, str] = {}
 # fixed deterministic 2×64 projection weights shared by the
 # emb_pca_project query and its oracle (tenth-steps, exactly
 # representable in binary-friendly decimal both engines parse alike)
@@ -4136,6 +4138,59 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_join_outer_parity"] = stream_join_outer_parity
 
+    def stream_dedup_parity(spark, sf_dir):
+        # exact ingest dedup (streaming/rule_stream.streaming_exact_dedup:
+        # digest + dropDuplicatesWithinWatermark) replayed availableNow
+        # over documents plus a re-keyed duplicate slice. WHICH arrival
+        # survives per digest is arrival-order-dependent — the kept
+        # digest SET and per-digest kept-count are not: exactly one row
+        # per distinct non-null digest (the dedup guarantee itself) and
+        # every null-text row passes through (uuid per-row keys). The
+        # oracle re-derives that invariant set-theoretically.
+        import tempfile
+
+        from bigdata_tag_system_spark.functions.text import normalize_text
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            streaming_exact_dedup,
+        )
+
+        out_dir = _STREAM_DEDUP_CACHE.get(sf_dir)
+        if out_dir is None:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            dup = (
+                docs.where("doc_id < 100 AND text IS NOT NULL")
+                .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+            )
+            staged = docs.unionByName(dup).select(
+                "doc_id", "text",
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"))
+            tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+            src_dir = tmp + "/src"
+            staged.write.parquet(src_dir)
+            stream = spark.readStream.schema(staged.schema).parquet(src_dir)
+            deduped = streaming_exact_dedup(stream, text_col="text", ts_col="ts")
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            query = (
+                deduped.writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(
+                    lambda batch, _id: batch.write.mode("append").parquet(out))
+                .start()
+            )
+            query.awaitTermination()
+            _STREAM_DEDUP_CACHE[sf_dir] = out
+            out_dir = out
+        replayed = spark.read.parquet(out_dir)
+        return (
+            replayed.select(F.md5(normalize_text("text")).alias("digest"))
+            .groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("kept"))
+            .orderBy("digest")
+        )
+
+    q["stream_dedup_parity"] = stream_dedup_parity
+
     def dedup_rates_by_source(spark, sf_dir):
         # curation dashboard: which sources are most duplicated? docs
         # appearing in >= 1 verified near-dup pair, per source — the
@@ -6504,6 +6559,21 @@ def oracle_sql() -> dict[str, str]:
     # a session is emitted iff the user has a later event (the next
     # session's first event closed it) OR the final watermark
     # (max ts − 30 min) strictly passed its idle deadline (+60 min)
+    o["stream_dedup_parity"] = f"""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            WHERE doc_id < 100 AND text IS NOT NULL
+        )
+        SELECT md5({_NORM}) AS digest, CAST(1 AS BIGINT) AS kept
+        FROM docs WHERE text IS NOT NULL GROUP BY 1
+        UNION ALL
+        SELECT CAST(NULL AS VARCHAR) AS digest, count(*) AS kept
+        FROM docs WHERE text IS NULL HAVING count(*) > 0
+        ORDER BY digest
+    """
+
     o["stream_sessionize_parity"] = """
         WITH e AS (
             SELECT CAST(user_id AS VARCHAR) AS u,
