@@ -32,19 +32,47 @@ _STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def _lang_scores_from_tokens(toks: Column) -> list[Column]:
+    """Per-language ``struct(score, -index, lang)`` candidates from a
+    precomputed token array (score = stopword-hit fraction)."""
+    total = F.greatest(F.size(toks), F.lit(1))
+    return [
+        F.struct(
+            (F.size(F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in words]))) / total
+             ).alias("s"),
+            F.lit(-i).alias("ni"),
+            F.lit(lang).alias("l"),
+        )
+        for i, (lang, words) in enumerate(_STOPWORDS.items())
+    ]
+
+
 def language_scores(col: Column | str) -> Column:
     """map<lang, double>: fraction of tokens matching each language profile."""
     toks = tokens(col)
-    total = F.greatest(F.size(toks), F.lit(1))
     entries = [
-        F.struct(
-            F.lit(lang).alias("key"),
-            (F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))) / total
-             ).alias("value"),
-        )
-        for lang, words in _STOPWORDS.items()
+        F.struct(c["l"].alias("key"), c["s"].alias("value"))
+        for c in _lang_scores_from_tokens(toks)
     ]
     return F.map_from_entries(F.array(*entries))
+
+
+def detect_language_from_tokens(toks: Column, default: str = "und") -> Column:
+    """:func:`detect_language` over a PRECOMPUTED token-array column.
+
+    The shared-subexpression form: the caller materializes ``tokens(col)``
+    once (its regex-split normalization is the expensive part) and every
+    language score references that column. The vote itself is one
+    ``array_max`` over ``struct(score, -index, lang)`` — lexicographic
+    max picks the best score, ties resolve to the FIRST language in
+    profile order (``-index``), exactly the coalesce-order semantics of
+    the per-column form, with each score expression emitted once instead
+    of twice (greatest + pick) — the difference that kept the fused
+    documents-analysis stage inside the JVM's 64 KB codegen method limit.
+    """
+    best = F.array_max(F.array(*_lang_scores_from_tokens(toks)))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit(default))
 
 
 def detect_language(col: Column | str, default: str = "und") -> Column:
@@ -54,38 +82,54 @@ def detect_language(col: Column | str, default: str = "und") -> Column:
     model-based detector would slot in as a Pandas UDF behind the same
     column contract.
     """
-    scores = language_scores(col)
-    langs = list(_STOPWORDS)
-    best = F.greatest(*[scores[l] for l in langs])
-    pick = F.coalesce(
-        *[F.when(scores[l] == best, F.lit(l)) for l in langs]
-    )
-    return F.when(best > 0, pick).otherwise(F.lit(default))
+    return detect_language_from_tokens(tokens(col), default)
 
 
-def quality_features(col: Column | str) -> dict[str, Column]:
-    """Deterministic quality signals: lengths, ratios, repetition."""
-    t = normalize_text(col)
-    raw = _c_raw(col)
-    n_chars = F.length(raw)
-    n_tokens = token_count(col)
-    toks = tokens(col)
+def quality_features_from(
+    raw: Column, norm: Column, toks: Column
+) -> dict[str, Column]:
+    """:func:`quality_features` over precomputed (raw, normalized,
+    token-array) columns — the shared-subexpression form used by
+    :func:`analyze_documents` so the normalization regex and token split
+    are evaluated once per row, not once per derived feature."""
+    n_tokens = F.when(norm == "", F.lit(0)).otherwise(F.size(toks))
     distinct_ratio = F.when(
         n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
     ).otherwise(F.lit(0.0))
-    alpha = F.length(F.regexp_replace(t, r"[^a-z]", ""))
-    alpha_ratio = F.when(F.length(t) > 0, alpha / F.length(t)).otherwise(F.lit(0.0))
-    digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    digit_ratio = F.when(F.length(t) > 0, digit / F.length(t)).otherwise(F.lit(0.0))
-    mean_token_len = F.when(n_tokens > 0, (F.length(t) - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
+    alpha_ratio = F.when(
+        F.length(norm) > 0, alpha / F.length(norm)).otherwise(F.lit(0.0))
+    digit = F.length(F.regexp_replace(norm, r"[^0-9]", ""))
+    digit_ratio = F.when(
+        F.length(norm) > 0, digit / F.length(norm)).otherwise(F.lit(0.0))
+    mean_token_len = F.when(
+        n_tokens > 0, (F.length(norm) - (n_tokens - 1)) / n_tokens
+    ).otherwise(F.lit(0.0))
     return {
-        "n_chars": n_chars,
+        "n_chars": F.length(raw),
         "n_tokens": n_tokens,
         "distinct_token_ratio": distinct_ratio,
         "alpha_ratio": alpha_ratio,
         "digit_ratio": digit_ratio,
         "mean_token_len": mean_token_len,
     }
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic quality signals: lengths, ratios, repetition."""
+    return quality_features_from(
+        _c_raw(col), normalize_text(col), tokens(col))
+
+
+def quality_score_from(raw: Column, norm: Column, toks: Column) -> Column:
+    """:func:`quality_score` over precomputed columns (see
+    :func:`quality_features_from`)."""
+    f = quality_features_from(raw, norm, toks)
+    return (
+        0.4 * F.least(f["n_tokens"] / 100.0, F.lit(1.0))
+        + 0.3 * f["distinct_token_ratio"]
+        + 0.3 * f["alpha_ratio"]
+    )
 
 
 def quality_score(col: Column | str) -> Column:
@@ -123,16 +167,36 @@ def rolling_fingerprint(col: Column | str, n: int = 8, portable: bool = False) -
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full text-analysis column set to a documents table."""
-    feats = quality_features(text_col)
-    return df.select(
-        "*",
-        feats["n_tokens"].alias("n_tokens"),
-        feats["distinct_token_ratio"].alias("distinct_token_ratio"),
-        feats["alpha_ratio"].alias("alpha_ratio"),
-        quality_score(text_col).alias("quality_score"),
-        detect_language(text_col).alias("detected_lang"),
-        fingerprint(text_col).alias("fingerprint"),
+    """Attach the full text-analysis column set to a documents table.
+
+    Two stacked projections, not one: the lower one materializes the
+    normalized text and token array ONCE per row; every derived feature
+    in the upper projection references those columns. Inlining the
+    tokenizer into each feature (the naive one-projection form) re-emits
+    the normalization regex + split ~15×, overflowing the JVM's 64 KB
+    codegen method limit — Spark then silently falls back to interpreted
+    evaluation for the whole stage, the slowest possible path for the
+    hottest text scan in the repo.
+    """
+    raw = F.col(text_col)
+    norm, toks = F.col("_norm"), F.col("_toks")
+    feats = quality_features_from(raw, norm, toks)
+    return (
+        df.select(
+            "*",
+            normalize_text(text_col).alias("_norm"),
+            tokens(text_col).alias("_toks"),
+        )
+        .select(
+            "*",
+            feats["n_tokens"].alias("n_tokens"),
+            feats["distinct_token_ratio"].alias("distinct_token_ratio"),
+            feats["alpha_ratio"].alias("alpha_ratio"),
+            quality_score_from(raw, norm, toks).alias("quality_score"),
+            detect_language_from_tokens(toks).alias("detected_lang"),
+            F.md5(norm).alias("fingerprint"),
+        )
+        .drop("_norm", "_toks")
     )
 
 
