@@ -55,6 +55,17 @@ _PCA_TEST_COMPONENTS = [
     [((i * 37) % 13 - 6) / 10 for i in range(64)],
     [((i * 17) % 11 - 5) / 10 for i in range(64)],
 ]
+# fixed deterministic PQ codebooks (8 subspaces × 16 centroids × 8 dims,
+# values in ±0.5 matching the embedding range) and query vector shared by
+# emb_pq_adc_topk and its oracle — the oracle SQL embeds repr() of the
+# same Python doubles, so both engines parse bit-identical values (the
+# fitted-codebook path, fit_pq_codebooks, is pytest-verified instead)
+_PQ_TEST_BOOKS = [
+    [[(((j * 31 + c * 17 + d * 7) % 21) - 10) / 20.0 for d in range(8)]
+     for c in range(16)]
+    for j in range(8)
+]
+_PQ_TEST_QUERY = [(((i * 13) % 17) - 8) / 20.0 for i in range(64)]
 # staged JSONL corpus files, keyed by sf_dir (see scan_jsonl_corrupt)
 _JSONL_CACHE: dict[str, str] = {}
 # hive-partitioned event datasets, keyed by sf_dir (scan_partition_pruned)
@@ -4362,6 +4373,30 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_entropy"] = events_user_entropy
 
+    def emb_pq_adc_topk(spark, sf_dir):
+        # product-quantization ANN (Jégou et al. 2011): encode every
+        # vector into 8 nibble codes against FIXED literal codebooks,
+        # score with asymmetric-distance lookup tables, top-20 — the
+        # 64×-compression scale path beyond int8. Fitted codebooks
+        # (fit_pq_codebooks) are pytest-verified; the literal-codebook
+        # encode+ADC arithmetic is what the oracle replays exactly.
+        from bigdata_tag_system_spark.operators.embeddings import (
+            pq_adc_topk,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings").where(
+            F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+        out = pq_adc_topk(emb, _PQ_TEST_BOOKS, _PQ_TEST_QUERY, k=20)
+        return out.select(
+            "vec_id",
+            F.array_join(
+                F.transform("pq_code", lambda c: c.cast("string")), "-"
+            ).alias("codes"),
+            F.round("pq_dist", 6).alias("pq_dist"),
+        )
+
+    q["emb_pq_adc_topk"] = emb_pq_adc_topk
+
     return q
 
 
@@ -7342,6 +7377,50 @@ def oracle_sql() -> dict[str, str]:
          AND p.ts >= c.ts
          AND p.ts <= c.ts + INTERVAL 1 HOUR
         ORDER BY l_event_id, r_event_id
+    """
+
+    # machine-generated PQ encode + ADC replay: per subspace the code is
+    # the lexicographic min of (distance, code) structs — DuckDB
+    # list_sort(...)[1] ≡ Spark array_min — with every distance term
+    # accumulated left-to-right from repr()'d doubles, so codes AND
+    # distances are bit-identical; ordering happens on the un-rounded
+    # distance exactly as pq_adc_topk orders
+    from bigdata_tag_system_spark.operators.embeddings import (
+        pq_distance_table,
+    )
+
+    def _pq_cent_dist(j: int, c: int) -> str:
+        return " + ".join(
+            f"(embedding[{j * 8 + t + 1}]::DOUBLE - ({w!r}))"
+            f" * (embedding[{j * 8 + t + 1}]::DOUBLE - ({w!r}))"
+            for t, w in enumerate(_PQ_TEST_BOOKS[j][c]))
+
+    _pq_codes = ",\n               ".join(
+        "list_sort(["
+        + ", ".join(
+            f"{{'d': {_pq_cent_dist(j, c)}, 'c': {c}}}" for c in range(16))
+        + f"])[1].c AS c{j}"
+        for j in range(8))
+    _pq_dtab = pq_distance_table(_PQ_TEST_BOOKS, _PQ_TEST_QUERY)
+    # ::DOUBLE[] — DuckDB otherwise infers DECIMAL for the literal
+    # arrays and the summed distance comes back as Decimal, not float
+    _pq_adist = " + ".join(
+        "([" + ", ".join(repr(x) for x in _pq_dtab[j])
+        + f"]::DOUBLE[])[c{j} + 1]"
+        for j in range(8))
+    _pq_concat = " || '-' || ".join(f"c{j}::VARCHAR" for j in range(8))
+    o["emb_pq_adc_topk"] = f"""
+        WITH enc AS (
+            SELECT vec_id,
+               {_pq_codes}
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = 64
+        ), scored AS (
+            SELECT vec_id, {_pq_concat} AS codes, {_pq_adist} AS adist
+            FROM enc
+        )
+        SELECT vec_id, codes, round(adist, 6) AS pq_dist
+        FROM scored ORDER BY adist, vec_id LIMIT 20
     """
 
     return o

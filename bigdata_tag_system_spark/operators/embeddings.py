@@ -204,6 +204,243 @@ def quantize_embeddings(
     )
 
 
+def _pq_geometry(dim: int, codebooks: list) -> tuple[int, int, int]:
+    """Validate codebook shape against ``dim``; return (m, k, dsub)."""
+    m = len(codebooks)
+    if m == 0 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    k = len(codebooks[0])
+    for j, book in enumerate(codebooks):
+        if len(book) != k:
+            raise ValueError(f"subspace {j} has {len(book)} centroids, "
+                             f"expected {k}")
+        for cent in book:
+            if len(cent) != dsub:
+                raise ValueError(
+                    f"subspace {j} centroid dim {len(cent)} != {dsub}")
+    return m, k, dsub
+
+
+def pq_code_expr(vec_col: Column | str, codebooks: list, dim: int) -> Column:
+    """``array<int>`` of per-subspace nearest-centroid codes, as one
+    pure Catalyst expression (map-only, codegen'd, no UDF).
+
+    Per subspace j the code is the argmin over that subspace's centroids
+    of the squared L2 distance between the subvector and the centroid,
+    ties broken toward the lower code: ``array_min`` over
+    ``struct(distance, code)`` compares lexicographically, so any SQL
+    engine that orders struct/row values the same way (DuckDB
+    ``list_sort(...)[1]``) reproduces the codes exactly — distance terms
+    are accumulated left-to-right so the doubles are bit-identical too.
+    """
+    v = _vec(vec_col)
+    m, k, dsub = _pq_geometry(dim, codebooks)
+    codes = []
+    for j, book in enumerate(codebooks):
+        # literal k × dsub codebook + higher-order functions: the
+        # distance loop runs at RUNTIME over the literal array instead
+        # of unrolling m·k·dsub subtract-multiply terms into generated
+        # Java — the unrolled form overflows the JVM's 64 KB codegen
+        # method limit at (8, 16, 8) and drops the whole stage to
+        # interpreted evaluation. Arithmetic is unchanged: zip_with +
+        # left-fold aggregate accumulates (a−b)² in subvector order,
+        # bit-identical to an explicit left-associated sum.
+        cb = F.array(*[
+            F.array(*[F.lit(float(w)) for w in cent]) for cent in book])
+        sub = F.slice(v, j * dsub + 1, dsub)
+        cands = F.transform(
+            cb,
+            lambda cent, i: F.struct(
+                F.aggregate(
+                    F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+                i.cast("int").alias("c"),
+            ),
+        )
+        codes.append(F.array_min(cands)["c"])
+    return F.array(*codes)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Product-quantization encode: ``dim``-dim vectors → ``m`` small
+    integer codes (``codebooks``: list[m] of list[k] of list[dim/m]).
+
+    The compressed representation behind large-scale ANN (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    m=8, k=16 stores a 64-dim float32 vector in 8 nibbles — 64× smaller
+    — while asymmetric-distance scoring (:func:`pq_adc_topk`) keeps
+    ranking quality far above scalar int8 at the same budget. Map-only:
+    codebooks fold into the expression as literals; the corpus never
+    shuffles, so encoding 100 TB is one pass that pipelines with the
+    scan exactly like :func:`quantize_embeddings`.
+    """
+    return df.withColumn(out_col, pq_code_expr(vec_col, codebooks, dim))
+
+
+def pq_distance_table(codebooks: list, query: list) -> list:
+    """Driver-side ADC lookup tables: ``dtab[j][c] = ||q_j − cb[j][c]||²``
+    (left-associated double accumulation, mirroring :func:`pq_code_expr`).
+    """
+    m, k, dsub = _pq_geometry(len(query), codebooks)
+    dtab = []
+    for j, book in enumerate(codebooks):
+        row = []
+        for cent in book:
+            d = 0.0
+            for t, w in enumerate(cent):
+                x = float(query[j * dsub + t]) - float(w)
+                d = d + x * x
+            row.append(d)
+        dtab.append(row)
+    return dtab
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list,
+    query: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rescore: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ-encoded corpus.
+
+    The query stays un-quantized: per subspace the squared distance to
+    every centroid is precomputed on the driver (m × k doubles —
+    :func:`pq_distance_table`) and folded into the plan as literal
+    arrays, so scoring a row is ``m`` array lookups + adds in
+    whole-stage codegen — no float vector is ever read after encode.
+    Top-k via ``orderBy+limit`` (TakeOrderedAndProject: per-partition
+    heaps, no global sort). ``rescore > 0`` re-ranks the top
+    ``rescore × k`` ADC candidates with the exact float cosine, the
+    same funnel as :func:`quantized_topk`; at 100 TB the encoded corpus
+    (64× smaller) is what makes the first pass memory-resident.
+
+    Returns ``(id_col, pq_dist)`` ordered by ascending approximate
+    distance (or exact cosine descending when ``rescore > 0``).
+    """
+    dim = len(query)
+    dtab = pq_distance_table(codebooks, query)
+    # materialize the codes in a lower projection so the (m × k × dim/m)-term
+    # encode expression is emitted ONCE; the ADC lookups reference the
+    # column (same 64 KB-codegen-limit discipline as text.analyze_documents)
+    enc = df.select(
+        F.col(id_col), F.col(vec_col),
+        pq_code_expr(vec_col, codebooks, dim).alias("pq_code"))
+    adist = None
+    for j, row in enumerate(dtab):
+        lookup = F.element_at(
+            F.array(*[F.lit(float(x)) for x in row]),
+            F.element_at("pq_code", j + 1) + 1)
+        adist = lookup if adist is None else adist + lookup
+    cands = (
+        enc.select(F.col(id_col), F.col(vec_col), F.col("pq_code"),
+                   adist.alias("pq_dist"))
+        .orderBy("pq_dist", id_col)
+        .limit(rescore * k if rescore > 0 else k)
+    )
+    if rescore <= 0:
+        return cands.select(id_col, "pq_code", "pq_dist")
+    v = _vec(vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(F.zip_with(v, qlit, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    qn = sum(x * x for x in query) ** 0.5 or 1.0
+    vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    safe_vn = F.when(vn > 0, vn).otherwise(F.lit(1.0))
+    cos = dot / (safe_vn * F.lit(qn))
+    return (
+        cands.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def fit_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 5,
+    seed: int = 42,
+) -> list:
+    """Fit PQ codebooks: Euclidean Lloyd k-means run over all ``m``
+    subspaces CONCURRENTLY — one Spark job per iteration total, not per
+    subspace.
+
+    Unlike :func:`~.similarity.fit_centroids_distributed` (cosine
+    k-means for IVF routing) this clusters raw subvectors under L2 —
+    normalizing 8-dim slices would distort the reconstruction metric PQ
+    minimizes. Initialization is a deterministic hash-ranked sample of
+    ``k`` rows (bounded: k × dim doubles to the driver); each Lloyd
+    round assigns all m codes in one expression, explodes to
+    ``(subspace, code, dim)`` cells and map-side-combines the means, so
+    exactly ``m × k × dim/m = k × dim`` aggregate cells reach the
+    driver per round regardless of corpus size. Empty clusters keep
+    their previous centroid. Returns list[m][k][dim/m], directly usable
+    with :func:`pq_encode` / :func:`pq_adc_topk`.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    u = df.select(
+        F.col(id_col).alias("_id"),
+        _vec(vec_col).alias("_v"),
+    ).where(
+        F.col("_v").isNotNull() & (F.size("_v") == dim)
+        & ~F.exists("_v", lambda x: x.isNull())
+    )
+    init = (
+        u.orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), "_id")
+        .limit(k).collect()
+    )
+    if len(init) < k:
+        raise ValueError(
+            f"fit_pq_codebooks: need at least k={k} vectors, got {len(init)}")
+    books = [
+        [[float(x) for x in r["_v"][j * dsub:(j + 1) * dsub]] for r in init]
+        for j in range(m)
+    ]
+    for _ in range(iterations):
+        codes = pq_code_expr(F.col("_v"), books, dim)
+        sub = (F.col("_pos") / dsub).cast("int")
+        # codes in their OWN projection before the posexplode: placing a
+        # lambda-built struct expression in the same select as a
+        # generator makes Spark's generator extraction re-analyze the
+        # lambda and drop the struct field names (FIELD_NOT_FOUND on
+        # `c`); a resolved column reference is immune
+        enc = u.select(codes.alias("_codes"), F.col("_v"))
+        cells = (
+            enc.select("_codes",
+                       F.posexplode("_v").alias("_pos", "_val"))
+            .select(sub.alias("_j"),
+                    F.element_at("_codes", sub + 1).alias("_c"),
+                    (F.col("_pos") % dsub).alias("_d"),
+                    F.col("_val"))
+            .groupBy("_j", "_c", "_d")
+            .agg(F.avg("_val").alias("_m"))
+            .collect()
+        )
+        fresh: dict[tuple, list] = {}
+        for r in cells:
+            fresh.setdefault((r["_j"], r["_c"]),
+                             [None] * dsub)[r["_d"]] = r["_m"]
+        for (j, c), mean in fresh.items():
+            if all(x is not None for x in mean):
+                books[j][c] = [float(x) for x in mean]
+    return books
+
+
 def fit_pca(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -175,3 +175,121 @@ class TestPca:
             [], "vec_id long, embedding array<double>")
         with _pytest.raises(ValueError, match="empty"):
             fit_pca(empty)
+
+
+class TestProductQuantization:
+    """PQ encode / ADC / fitted codebooks (operators.embeddings.pq_*)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # deterministic 40×8 corpus with enough spread for 4 clusters
+        rows = [
+            (i, [float(((i * 7 + d * 3) % 11) - 5) / 5.0
+                 for d in range(8)])
+            for i in range(40)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    @pytest.fixture(scope="class")
+    def books(self):
+        # 2 subspaces × 4 centroids × 4 dims, fixed literals
+        return [
+            [[(((j * 5 + c * 3 + d) % 7) - 3) / 3.0 for d in range(4)]
+             for c in range(4)]
+            for j in range(2)
+        ]
+
+    def test_encode_matches_numpy(self, corpus, books):
+        import numpy as np
+
+        from bigdata_tag_system_spark.operators.embeddings import pq_encode
+
+        got = {r["vec_id"]: list(r["pq_code"])
+               for r in pq_encode(corpus, books, dim=8).collect()}
+        data = {r["vec_id"]: np.array(r["embedding"])
+                for r in corpus.collect()}
+        B = np.array(books)  # (2, 4, 4)
+        for vid, v in data.items():
+            want = [int(np.argmin(((v[j * 4:(j + 1) * 4] - B[j]) ** 2)
+                                  .sum(axis=1)))
+                    for j in range(2)]
+            assert got[vid] == want, vid
+
+    def test_adc_matches_numpy_and_orders(self, corpus, books):
+        import numpy as np
+
+        from bigdata_tag_system_spark.operators.embeddings import (
+            pq_adc_topk,
+            pq_distance_table,
+        )
+
+        query = [0.3, -0.2, 0.5, 0.0, -0.4, 0.1, 0.2, -0.1]
+        out = pq_adc_topk(corpus, books, query, k=5).collect()
+        assert [c for c in out[0].asDict()] == \
+            ["vec_id", "pq_code", "pq_dist"]
+        dtab = np.array(pq_distance_table(books, query))
+        # recompute each returned distance from the returned codes
+        for r in out:
+            want = sum(dtab[j][r["pq_code"][j]] for j in range(2))
+            assert abs(r["pq_dist"] - want) < 1e-12
+        dists = [r["pq_dist"] for r in out]
+        assert dists == sorted(dists)
+
+    def test_adc_rescore_returns_exact_cosine(self, corpus, books):
+        import numpy as np
+
+        from bigdata_tag_system_spark.operators.embeddings import (
+            pq_adc_topk,
+        )
+
+        query = [0.3, -0.2, 0.5, 0.0, -0.4, 0.1, 0.2, -0.1]
+        # rescore×k covers the whole corpus → exact brute-force top-k
+        out = pq_adc_topk(corpus, books, query, k=3, rescore=20).collect()
+        data = {r["vec_id"]: np.array(r["embedding"])
+                for r in corpus.collect()}
+        q = np.array(query)
+        cos = {vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+               for vid, v in data.items()}
+        want = sorted(cos, key=lambda k: (-cos[k], k))[:3]
+        assert [r["vec_id"] for r in out] == want
+        for r in out:
+            assert abs(r["cosine"] - cos[r["vec_id"]]) < 1e-9
+
+    def test_fit_pq_codebooks_shape_and_improvement(self, corpus):
+        import numpy as np
+
+        from bigdata_tag_system_spark.operators.embeddings import (
+            fit_pq_codebooks,
+        )
+
+        books0 = fit_pq_codebooks(corpus, dim=8, m=2, k=4, iterations=0)
+        books5 = fit_pq_codebooks(corpus, dim=8, m=2, k=4, iterations=5)
+        assert len(books5) == 2
+        assert all(len(b) == 4 for b in books5)
+        assert all(len(c) == 4 for b in books5 for c in b)
+
+        def recon_err(books):
+            B = [np.array(b) for b in books]
+            data = [np.array(r["embedding"]) for r in corpus.collect()]
+            tot = 0.0
+            for v in data:
+                for j in range(2):
+                    sub = v[j * 4:(j + 1) * 4]
+                    tot += float(((sub - B[j]) ** 2).sum(axis=1).min())
+            return tot
+
+        # Lloyd iterations must not worsen train-set quantization error
+        assert recon_err(books5) <= recon_err(books0) + 1e-9
+
+    def test_fit_pq_rejects_bad_geometry(self, corpus):
+        import pytest as _pytest
+
+        from bigdata_tag_system_spark.operators.embeddings import (
+            fit_pq_codebooks,
+        )
+
+        with _pytest.raises(ValueError, match="divisible"):
+            fit_pq_codebooks(corpus, dim=8, m=3, k=4)
+        with _pytest.raises(ValueError, match="at least k"):
+            fit_pq_codebooks(corpus, dim=8, m=2, k=64)
