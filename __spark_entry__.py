@@ -4397,6 +4397,42 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_pq_adc_topk"] = emb_pq_adc_topk
 
+    def store_compact_parity(spark, sf_dir):
+        # layout maintenance must be invisible to readers: shatter
+        # orders into 64 tiny files, range-cluster-compact on
+        # o_orderkey (staged atomic swap), and return a monthly
+        # rollup of the COMPACTED store — the oracle recomputes it
+        # from the pristine table, so any row lost/duplicated/mutated
+        # by the rewrite breaks the hash. The layout claims themselves
+        # (fewer files, disjoint key ranges) are asserted in-query and
+        # in pytest.
+        import tempfile
+
+        from bigdata_tag_system_spark.sources.writers import (
+            compact_parquet,
+        )
+
+        path = tempfile.mkdtemp(prefix="compact_store_") + "/orders"
+        orders = _t(spark, sf_dir, "orders")
+        orders.repartition(64).write.parquet(path)
+        n_files = compact_parquet(
+            spark, path, target_file_mb=1, cluster_by=["o_orderkey"])
+        if n_files >= 64:
+            raise AssertionError(
+                f"compaction did not reduce file count: {n_files}")
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            )
+            .orderBy("month")
+        )
+
+    q["store_compact_parity"] = store_compact_parity
+
     return q
 
 
@@ -7421,6 +7457,15 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, codes, round(adist, 6) AS pq_dist
         FROM scored ORDER BY adist, vec_id LIMIT 20
+    """
+
+    # the compacted store must aggregate exactly like the pristine table
+    o["store_compact_parity"] = """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(*) AS n_orders,
+               sum(o_orderkey) AS key_sum,
+               round(sum(o_totalprice), 2) AS price_sum
+        FROM orders GROUP BY 1 ORDER BY month
     """
 
     return o

@@ -722,6 +722,7 @@ def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_mb: int = 512,
+    cluster_by: Sequence[str] | None = None,
 ) -> int:
     """Compact a small-file parquet directory in place; returns the new
     file count.
@@ -734,6 +735,16 @@ def compact_parquet(
     skew) and swapped in atomically via the staged-swap protocol used
     by the result stores. Row-identical by construction; file layout is
     the only thing that changes.
+
+    ``cluster_by`` rewrites through ``repartitionByRange`` +
+    ``sortWithinPartitions`` instead: output files carry disjoint key
+    ranges, so every file's parquet min/max footer statistics become
+    selective — a point or range predicate on the cluster key then
+    skips all but ~one file at scan time. That turns compaction from a
+    pure metadata fix into a poor-man's clustered index, the standard
+    layout maintenance step before serving key-ranged reads at 100 TB.
+    (Range partitioning samples the key distribution, so skewed keys
+    still split evenly.)
     """
     import math
     import os
@@ -745,9 +756,13 @@ def compact_parquet(
                 total += os.path.getsize(os.path.join(root, f))
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
+    if cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        shaped = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    else:
+        shaped = df.repartition(n)
     staged_swap_write(
-        lambda stage: df.repartition(n).write.mode("overwrite")
-        .parquet(stage),
+        lambda stage: shaped.write.mode("overwrite").parquet(stage),
         path,
     )
     out = 0

@@ -544,6 +544,43 @@ class TestIngestion:
         got = sorted(r.id for r in spark.read.parquet(out).collect())
         assert got == list(range(1000))
 
+    def test_clustered_compaction_disjoint_ranges(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from bigdata_tag_system_spark.sources.writers import (
+            compact_parquet,
+        )
+
+        out = str(tmp_path / "clustered")
+        # shuffled key order so round-robin files interleave key ranges;
+        # incompressible payload so the data outweighs the 1 MB target
+        spark.range(0, 120000).select(
+            F.xxhash64("id").alias("salt"), F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pay"),
+        ).orderBy("salt").drop("salt").repartition(32).write.parquet(out)
+        # ~tiny target so the clustered rewrite yields multiple files
+        n_files = compact_parquet(
+            spark, out, target_file_mb=1, cluster_by=["k"])
+        files = glob.glob(out + "/*.parquet")
+        assert len(files) == n_files and 1 < n_files < 32
+        # footer min/max per file must form non-overlapping k ranges
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(i).column(0).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(0).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append((lo, hi))
+        spans.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2, spans
+        # row identity preserved
+        got = sorted(r.k for r in spark.read.parquet(out).collect())
+        assert got == list(range(120000))
+
 
 class TestHllRollup:
     def test_merged_estimate_accuracy(self, spark):
