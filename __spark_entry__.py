@@ -4433,6 +4433,19 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["store_compact_parity"] = store_compact_parity
 
+    def events_last_touch(spark, sf_dir):
+        # marketing attribution: each purchase's revenue goes to the
+        # latest click/view within 7 days (or '(direct)') — the batch
+        # complement of the streaming attribution join; rides the
+        # one-shuffle as-of plan, not a per-conversion subquery
+        out = FE.last_touch_attribution(
+            _t(spark, sf_dir, "events"),
+            conversion_type="purchase", touch_types=("click", "view"),
+            window="7 days")
+        return out.orderBy("touch_type")
+
+    q["events_last_touch"] = events_last_touch
+
     return q
 
 
@@ -7466,6 +7479,28 @@ def oracle_sql() -> dict[str, str]:
                sum(o_orderkey) AS key_sum,
                round(sum(o_totalprice), 2) AS price_sum
         FROM orders GROUP BY 1 ORDER BY month
+    """
+
+    # last-touch: correlated latest-prior-touch subquery (the as-of
+    # semantics the one-shuffle window plan reproduces); equal-ts touch
+    # ties are measure-zero at microsecond event timestamps
+    o["events_last_touch"] = """
+        WITH conv AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ), m AS (
+            SELECT c.value,
+                   (SELECT t.event_type FROM events t
+                    WHERE t.user_id = c.user_id
+                      AND t.event_type IN ('click', 'view')
+                      AND t.ts <= c.ts
+                      AND t.ts >= c.ts - INTERVAL 7 DAY
+                    ORDER BY t.ts DESC LIMIT 1) AS touch
+            FROM conv c)
+        SELECT coalesce(touch, '(direct)') AS touch_type,
+               count(*) AS n_conv,
+               round(sum(value), 2) AS revenue
+        FROM m GROUP BY 1 ORDER BY touch_type
     """
 
     return o

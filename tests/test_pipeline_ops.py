@@ -1272,3 +1272,38 @@ class TestStreamStreamJoin:
         got = sorted((r.l_event_id, r.r_event_id) for r in out_rows)
         assert got == sorted((r.ce, r.pe) for r in want)
         assert len(out_rows) > n_phase1  # phase 2 added new matches
+
+
+class TestLastTouchAttribution:
+    def test_picks_latest_touch_within_window(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            last_touch_attribution,
+        )
+
+        rows = [
+            # u1: view@1:00, click@2:00, purchase@3:00 → click (latest)
+            (1, "2024-01-01 01:00:00", "view", 0.0),
+            (1, "2024-01-01 02:00:00", "click", 0.0),
+            (1, "2024-01-01 03:00:00", "purchase", 10.0),
+            # u2: touch 8 days before purchase → outside 7d → (direct)
+            (2, "2024-01-01 00:00:00", "click", 0.0),
+            (2, "2024-01-09 00:00:01", "purchase", 20.0),
+            # u3: no touch at all → (direct)
+            (3, "2024-01-05 00:00:00", "purchase", 5.0),
+            # u4: touch AFTER purchase only → (direct)
+            (4, "2024-01-02 00:00:00", "purchase", 7.0),
+            (4, "2024-01-02 00:00:01", "click", 0.0),
+            # u5: view then purchase → view
+            (5, "2024-01-03 00:00:00", "view", 0.0),
+            (5, "2024-01-03 00:30:00", "purchase", 2.5),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {r["touch_type"]: (r["n_conv"], r["revenue"])
+               for r in last_touch_attribution(df).collect()}
+        assert got == {
+            "click": (1, 10.0),
+            "view": (1, 2.5),
+            "(direct)": (3, 32.0),
+        }
