@@ -4446,6 +4446,18 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_last_touch"] = events_last_touch
 
+    def events_linear_attribution(spark, sf_dir):
+        # multi-touch complement of events_last_touch: equal split
+        # across all in-window touches via ONE trailing RANGE frame
+        # (integer-microsecond bounds), never a per-conversion subquery
+        out = FE.linear_attribution(
+            _t(spark, sf_dir, "events"),
+            conversion_type="purchase", touch_types=("click", "view"),
+            window="7 days")
+        return out.orderBy("touch_type")
+
+    q["events_linear_attribution"] = events_linear_attribution
+
     return q
 
 
@@ -7501,6 +7513,42 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_conv,
                round(sum(value), 2) AS revenue
         FROM m GROUP BY 1 ORDER BY touch_type
+    """
+
+    # linear attribution: per-conversion in-window counts via correlated
+    # subqueries (the quadratic formulation the RANGE-frame plan avoids);
+    # n/total divisions hit identical integer inputs in both engines, so
+    # the fractions are bit-equal and only summation order differs
+    o["events_linear_attribution"] = """
+        WITH conv AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ), cnt AS (
+            SELECT c.value,
+                   (SELECT count(*) FROM events t
+                    WHERE t.user_id = c.user_id AND t.event_type = 'click'
+                      AND t.ts <= c.ts
+                      AND t.ts >= c.ts - INTERVAL 7 DAY) AS n_click,
+                   (SELECT count(*) FROM events t
+                    WHERE t.user_id = c.user_id AND t.event_type = 'view'
+                      AND t.ts <= c.ts
+                      AND t.ts >= c.ts - INTERVAL 7 DAY) AS n_view
+            FROM conv c
+        ), credits AS (
+            SELECT 'click' AS touch_type,
+                   n_click / (n_click + n_view) AS frac, value
+            FROM cnt WHERE n_click + n_view > 0
+            UNION ALL
+            SELECT 'view', n_view / (n_click + n_view), value
+            FROM cnt WHERE n_click + n_view > 0
+            UNION ALL
+            SELECT '(direct)', 1.0, value
+            FROM cnt WHERE n_click + n_view = 0
+        )
+        SELECT touch_type,
+               round(sum(frac), 4) AS conv_frac,
+               round(sum(value * frac), 2) AS revenue
+        FROM credits GROUP BY touch_type ORDER BY touch_type
     """
 
     return o

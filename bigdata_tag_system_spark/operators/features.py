@@ -592,3 +592,85 @@ def last_touch_attribution(
             F.round(F.sum(value_col), 2).alias("revenue"),
         )
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    window: str = "7 days",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value is split
+    EQUALLY across every qualifying touch in the trailing ``window``
+    (``[ts - window, ts]``, both ends inclusive); conversions with no
+    in-window touch credit ``(direct)`` in full.
+
+    One trailing RANGE frame over the interleaved (touch ∪ conversion)
+    stream computes every per-type in-window count in a SINGLE shuffle
+    on the user key — the per-conversion "count my touches" subquery the
+    naive formulation needs never exists. The frame orders by
+    ``unix_micros`` so the window bounds are exact integer arithmetic
+    (a timestamp cast to long truncates to seconds; a double order key
+    puts the boundary comparison on float equality).
+
+    Output: ``(touch_type, conv_frac, revenue)`` — summed fractional
+    conversion credit and attributed revenue per touch type.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_tag_system_spark.operators.timeseries import (
+        tolerance_seconds,
+    )
+
+    win_us = int(round(tolerance_seconds(window) * 1_000_000))
+    kinds = list(touch_types) + [conversion_type]
+    base = events.where(F.col(type_col).isin(*kinds)).select(
+        F.col(user_col),
+        # ntz inputs: cast to ltz first (session TZ is pinned UTC in
+        # get_spark, so the cast is offset-free) — unix_micros rejects ntz
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(type_col).alias("_kind"),
+        F.col(value_col).alias("_value"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("_us")
+        .rangeBetween(-win_us, Window.currentRow)
+    )
+    counts = [
+        F.sum(F.when(F.col("_kind") == t, 1).otherwise(0))
+        .over(w).alias(f"_n_{i}")
+        for i, t in enumerate(touch_types)
+    ]
+    conv = (
+        base.select("*", *counts)
+        .where(F.col("_kind") == conversion_type)
+    )
+    total = None
+    for i in range(len(touch_types)):
+        c = F.col(f"_n_{i}")
+        total = c if total is None else total + c
+    credit = F.when(
+        total == 0,
+        F.array(F.struct(
+            F.lit("(direct)").alias("touch_type"),
+            F.lit(1.0).alias("frac"))),
+    ).otherwise(F.array(*[
+        F.struct(
+            F.lit(t).alias("touch_type"),
+            (F.col(f"_n_{i}") / total).cast("double").alias("frac"))
+        for i, t in enumerate(touch_types)
+    ]))
+    return (
+        conv.select(F.col("_value"), F.explode(credit).alias("_c"))
+        .groupBy(F.col("_c.touch_type").alias("touch_type"))
+        .agg(
+            F.round(F.sum("_c.frac"), 4).alias("conv_frac"),
+            F.round(F.sum(F.col("_value") * F.col("_c.frac")), 2)
+            .alias("revenue"),
+        )
+    )

@@ -33,14 +33,12 @@ _TOLERANCE_UNIT_SECONDS = {
 }
 
 
-def _parse_tolerance(tolerance: str):
-    """Validated interval Column for a ``"<n> <unit>"`` tolerance string.
+def tolerance_seconds(tolerance: str) -> float:
+    """Total seconds for a validated ``"<n> <unit>"`` interval string.
 
-    Interpolating the raw string into ``F.expr(f"INTERVAL '{...}'")``
-    made malformed values surface as opaque plan-time AnalysisExceptions
-    and left the parameter open as a SQL-expression injection point —
-    parse against a strict grammar instead and build the interval with
-    ``make_dt_interval`` from the parsed components.
+    The shared strict grammar behind every time-window parameter in this
+    package (as-of tolerance, attribution windows): parse-don't-interpolate
+    so malformed values fail loudly and the parameter can't smuggle SQL.
     """
     import re
 
@@ -50,9 +48,21 @@ def _parse_tolerance(tolerance: str):
     if not m:
         units = "/".join(_TOLERANCE_UNIT_SECONDS)
         raise ValueError(
-            f"asof_join tolerance must look like '<n> <unit>' with unit in "
+            f"time window must look like '<n> <unit>' with unit in "
             f"{units}(s), got {tolerance!r}")
-    total = int(m.group(1)) * _TOLERANCE_UNIT_SECONDS[m.group(2).lower()]
+    return int(m.group(1)) * _TOLERANCE_UNIT_SECONDS[m.group(2).lower()]
+
+
+def _parse_tolerance(tolerance: str):
+    """Validated interval Column for a ``"<n> <unit>"`` tolerance string.
+
+    Interpolating the raw string into ``F.expr(f"INTERVAL '{...}'")``
+    made malformed values surface as opaque plan-time AnalysisExceptions
+    and left the parameter open as a SQL-expression injection point —
+    parse against a strict grammar instead and build the interval with
+    ``make_dt_interval`` from the parsed components.
+    """
+    total = tolerance_seconds(tolerance)
     days, rem = divmod(total, 86400.0)
     return F.make_dt_interval(
         F.lit(int(days)), F.lit(0), F.lit(0), F.lit(rem))

@@ -1307,3 +1307,34 @@ class TestLastTouchAttribution:
             "view": (1, 2.5),
             "(direct)": (3, 32.0),
         }
+
+    def test_linear_split_and_boundaries(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            linear_attribution,
+        )
+
+        rows = [
+            # u1: 2 clicks + 1 view in window, purchase 12.0
+            #     → click 2/3 (8.0), view 1/3 (4.0)
+            (1, "2024-01-01 01:00:00", "click", 0.0),
+            (1, "2024-01-01 02:00:00", "click", 0.0),
+            (1, "2024-01-01 02:30:00", "view", 0.0),
+            (1, "2024-01-01 03:00:00", "purchase", 12.0),
+            # u2: touch exactly AT the 7-day lower bound → inclusive
+            (2, "2024-01-01 00:00:00", "view", 0.0),
+            (2, "2024-01-08 00:00:00", "purchase", 6.0),
+            # u3: touch 1µs outside the window → (direct)
+            (3, "2024-01-01 00:00:00.000000", "click", 0.0),
+            (3, "2024-01-08 00:00:00.000001", "purchase", 5.0),
+            # u4: touch at the SAME microsecond as the purchase → counts
+            (4, "2024-01-02 00:00:00", "click", 0.0),
+            (4, "2024-01-02 00:00:00", "purchase", 3.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {r["touch_type"]: (r["conv_frac"], r["revenue"])
+               for r in linear_attribution(df).collect()}
+        assert got["click"] == (round(2 / 3 + 1.0, 4), round(8.0 + 3.0, 2))
+        assert got["view"] == (round(1 / 3 + 1.0, 4), round(4.0 + 6.0, 2))
+        assert got["(direct)"] == (1.0, 5.0)
