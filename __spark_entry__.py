@@ -4458,6 +4458,20 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_linear_attribution"] = events_linear_attribution
 
+    def sketch_kmv_intersect(spark, sf_dir):
+        # bottom-k theta-style sketch: distinct-intersection estimate
+        # (the set op HLL registers can't express) + exact check;
+        # portable md5-derived hash so the oracle replays the sketch
+        from bigdata_tag_system_spark.operators.sketches import (
+            kmv_intersect_check,
+        )
+
+        return kmv_intersect_check(
+            _t(spark, sf_dir, "events"), "click", "purchase",
+            key_col="user_id", group_col="event_type", k=256)
+
+    q["sketch_kmv_intersect"] = sketch_kmv_intersect
+
     return q
 
 
@@ -7549,6 +7563,68 @@ def oracle_sql() -> dict[str, str]:
                round(sum(frac), 4) AS conv_frac,
                round(sum(value * frac), 2) AS revenue
         FROM credits GROUP BY touch_type ORDER BY touch_type
+    """
+
+    # KMV bottom-k sketch replay: same md5-derived 60-bit hash, same
+    # (k-1)/x_k estimator, same union-kmin membership fold — the sketch
+    # is deterministic so the oracle reproduces it value-for-value.
+    # 1152921504606846976 = 2^60; 255.0 * 2^60 is exact in a double and
+    # the long->double cast of the k-th hash rounds identically (IEEE
+    # round-to-nearest) in both engines.
+    o["sketch_kmv_intersect"] = """
+        WITH pairs AS (
+            SELECT DISTINCT event_type AS g,
+                   cast(user_id AS varchar) AS key
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), hashed AS (
+            SELECT g, ('0x' || substr(md5(key), 1, 15))::BIGINT AS h
+            FROM pairs
+        ), ranked AS (
+            SELECT g, h,
+                   row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM hashed
+        ), sk AS (
+            SELECT g, h FROM ranked WHERE rn <= 256
+        ), est AS (
+            SELECT g,
+                   CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                        ELSE 255.0 * 1152921504606846976.0 / max(h)
+                   END AS est
+            FROM sk GROUP BY g
+        ), merged AS (
+            SELECT h,
+                   max(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ia,
+                   max(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS ib
+            FROM sk GROUP BY h
+        ), u AS (
+            SELECT h, ia * ib AS both_f,
+                   row_number() OVER (ORDER BY h) AS rn
+            FROM merged
+        ), ustats AS (
+            SELECT count(*) AS un, max(h) AS ukth, sum(both_f) AS nboth
+            FROM u WHERE rn <= 256
+        ), exact AS (
+            SELECT cast(sum(ia) AS BIGINT) AS exact_a,
+                   cast(sum(ib) AS BIGINT) AS exact_b,
+                   cast(sum(ia * ib) AS BIGINT) AS exact_intersect
+            FROM (
+                SELECT key,
+                       max(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ia,
+                       max(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS ib
+                FROM pairs GROUP BY key)
+        )
+        SELECT 'click' AS group_a, 'purchase' AS group_b,
+               round((SELECT est FROM est WHERE g = 'click'), 2) AS est_a,
+               round((SELECT est FROM est WHERE g = 'purchase'), 2) AS est_b,
+               round(CASE WHEN un < 256 THEN un::DOUBLE
+                          ELSE 255.0 * 1152921504606846976.0 / ukth
+                     END, 2) AS est_union,
+               round(nboth::DOUBLE / un::DOUBLE *
+                     (CASE WHEN un < 256 THEN un::DOUBLE
+                           ELSE 255.0 * 1152921504606846976.0 / ukth
+                      END), 2) AS est_intersect,
+               exact_a, exact_b, exact_intersect
+        FROM ustats, exact
     """
 
     return o

@@ -474,3 +474,130 @@ def sliding_distinct_rollup(
              <= F.lit(tolerance) * F.col("exact_distinct"))
             .alias("within_tolerance"))
     )
+
+
+def kmv_intersect_check(
+    df: DataFrame,
+    group_a: str,
+    group_b: str,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) distinct sketches for two
+    groups, plus the set operation HLL can't do: an INTERSECTION
+    estimate, checked against the exact overlap.
+
+    The sketch of a group is its k smallest distinct key hashes; with
+    uniform hashes normalized to [0,1), ``D ≈ (k-1)/x_k`` (the classic
+    KMV estimator). Because a value hashes identically everywhere, the
+    union sketch is just the k smallest of the two sketches' union, and
+    the Jaccard of the two groups is the fraction of the union sketch
+    present in BOTH input sketches — so ``D_∩ ≈ J · D_∪`` falls out of
+    set algebra on 2k rows. HLL registers can't be intersected;
+    bottom-k sketches can, which is why engines (DataSketches theta,
+    Presto) keep both.
+
+    Scale: distinct (group, key) pairs reduce map-side first; the
+    bottom-k then runs as TWO bounded window passes — k per
+    (group, 64-salt) partition, then k per group over ≤64k survivors —
+    never a single-partition sort of a whole group's keys. Everything
+    downstream operates on ≤2k rows per group. The hash is the
+    md5-derived portable 60-bit hash, so an external SQL oracle
+    replays the sketch bit-for-bit (functions/text.py:25).
+
+    Output: one row ``(group_a, group_b, est_a, est_b, est_union,
+    est_intersect, exact_a, exact_b, exact_intersect)``.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_tag_system_spark.functions.text import portable_hash60
+
+    two = df.where(F.col(group_col).isin(group_a, group_b))
+    pairs = (
+        two.select(F.col(group_col).alias("_g"),
+                   F.col(key_col).cast("string").alias("_key"))
+        .distinct()
+        .select("_g", portable_hash60(F.col("_key")).alias("_h"))
+    )
+    w_salt = Window.partitionBy("_g", F.pmod(F.col("_h"), F.lit(64))) \
+        .orderBy("_h")
+    w_g = Window.partitionBy("_g").orderBy("_h")
+    sketch = (
+        pairs.withColumn("_rn", F.row_number().over(w_salt))
+        .where(F.col("_rn") <= k).drop("_rn")
+        .withColumn("_rn", F.row_number().over(w_g))
+        .where(F.col("_rn") <= k)
+    )
+    scale = float(1 << 60)
+    per_g = sketch.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("_h").alias("_kth"),
+        F.collect_set("_h").alias("_hs"),
+    ).select(
+        "_g", "_hs",
+        # fewer than k distinct keys → the sketch IS the set: exact
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(scale) / F.col("_kth"))
+        .alias("_est"),
+    )
+    a = per_g.where(F.col("_g") == group_a)
+    b = per_g.where(F.col("_g") == group_b)
+    merged = (
+        a.select(F.explode("_hs").alias("_h"), F.lit(1).alias("_in_a"),
+                 F.lit(0).alias("_in_b"))
+        .unionByName(
+            b.select(F.explode("_hs").alias("_h"), F.lit(0).alias("_in_a"),
+                     F.lit(1).alias("_in_b")))
+        .groupBy("_h").agg(
+            F.max("_in_a").alias("_ia"), F.max("_in_b").alias("_ib"))
+    )
+    # union k-min over ≤2k rows: a bounded single-row aggregate (no
+    # global window) — sort the merged hashes, slice k, fold membership
+    arr = F.slice(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("_h"), (F.col("_ia") * F.col("_ib")).alias("_both"))
+        )), 1, k)
+    union_stats = merged.agg(arr.alias("_arr")).select(
+        F.size("_arr").alias("_un"),
+        F.element_at("_arr", -1)["_h"].alias("_ukth"),
+        F.aggregate(
+            "_arr", F.lit(0),
+            lambda acc, x: acc + x["_both"]).alias("_nboth"),
+    ).select(
+        "_nboth",
+        F.when(F.col("_un") < k, F.col("_un").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(scale) / F.col("_ukth"))
+        .alias("_est_u"),
+        F.col("_un").cast("double").alias("_usize"),
+    ).crossJoin(F.broadcast(
+        a.select(F.round("_est", 2).alias("est_a"))
+    )).crossJoin(F.broadcast(
+        b.select(F.round("_est", 2).alias("est_b"))
+    ))
+    exact = (
+        two.select(F.col(key_col).alias("_key"), F.col(group_col).alias("_g"))
+        .distinct()
+        .groupBy("_key")
+        .agg(
+            F.max(F.when(F.col("_g") == group_a, 1).otherwise(0)).alias("_ia"),
+            F.max(F.when(F.col("_g") == group_b, 1).otherwise(0)).alias("_ib"),
+        )
+        .agg(
+            F.sum("_ia").alias("exact_a"),
+            F.sum("_ib").alias("exact_b"),
+            F.sum(F.col("_ia") * F.col("_ib")).alias("exact_intersect"),
+        )
+    )
+    return (
+        union_stats.crossJoin(F.broadcast(exact))  # all 1-row relations
+        .select(
+            F.lit(group_a).alias("group_a"),
+            F.lit(group_b).alias("group_b"),
+            "est_a", "est_b",
+            F.round("_est_u", 2).alias("est_union"),
+            F.round(F.col("_nboth") / F.col("_usize") * F.col("_est_u"), 2)
+            .alias("est_intersect"),
+            "exact_a", "exact_b", "exact_intersect",
+        )
+    )

@@ -949,3 +949,39 @@ def test_source_kl_matches_python_model(spark, docs):
         want = sum((c / ng) * (math.log(c / ng) - math.log(total[t] / n_all))
                    for t, c in cnt.items())
         assert abs(got[g] - want) < 1e-9
+
+
+class TestKmvIntersect:
+    def test_small_groups_are_exact(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            kmv_intersect_check,
+        )
+
+        rows = ([("a", i) for i in range(40)]
+                + [("b", i) for i in range(20, 70)])
+        df = spark.createDataFrame(rows, "g string, k long")
+        [r] = kmv_intersect_check(
+            df, "a", "b", key_col="k", group_col="g", k=256).collect()
+        # under k distinct keys the sketch IS the set: estimates exact
+        assert (r.est_a, r.est_b, r.est_union) == (40.0, 50.0, 70.0)
+        assert (r.exact_a, r.exact_b, r.exact_intersect) == (40, 50, 20)
+        assert r.est_intersect == 20.0
+
+    def test_estimation_path_within_tolerance(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            kmv_intersect_check,
+        )
+
+        # 3000 keys in a, 3000 in b, 1000 shared -> estimation path
+        # (k=256 << distinct); KMV rse ~ 1/sqrt(k-1) ~ 6.3%, assert 4 rse
+        rows = ([("a", i) for i in range(3000)]
+                + [("b", i) for i in range(2000, 5000)])
+        df = spark.createDataFrame(rows, "g string, k long")
+        [r] = kmv_intersect_check(
+            df, "a", "b", key_col="k", group_col="g", k=256).collect()
+        assert abs(r.est_a - 3000) / 3000 < 0.25
+        assert abs(r.est_b - 3000) / 3000 < 0.25
+        assert abs(r.est_union - 5000) / 5000 < 0.25
+        # intersection compounds union + jaccard error: generous bound
+        assert abs(r.est_intersect - 1000) / 1000 < 0.5
+        assert (r.exact_a, r.exact_b, r.exact_intersect) == (3000, 3000, 1000)
