@@ -4472,6 +4472,16 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_kmv_intersect"] = sketch_kmv_intersect
 
+    def text_dup_coverage(spark, sf_dir):
+        # RefinedWeb-style duplicated-n-gram coverage: fraction of each
+        # doc's token positions under a cross-document duplicate shingle
+        # (interval-union via gaps-and-islands, portable md5 hashing)
+        out = T.dup_shingle_coverage(
+            _t(spark, sf_dir, "documents"), n=8, min_docs=2)
+        return out.orderBy("doc_id")
+
+    q["text_dup_coverage"] = text_dup_coverage
+
     return q
 
 
@@ -7625,6 +7635,58 @@ def oracle_sql() -> dict[str, str]:
                       END), 2) AS est_intersect,
                exact_a, exact_b, exact_intersect
         FROM ustats, exact
+    """
+
+    # dup-shingle coverage replay: same normalization, same md5-60
+    # shingle hash, same fixed-length interval union (island breaks
+    # when the position gap exceeds n-1). Integer inputs end-to-end;
+    # the only division is covered/ntok on identical integers.
+    o["text_dup_coverage"] = f"""
+        WITH base AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t
+            FROM documents
+        ), sized AS (
+            SELECT doc_id, t, greatest(len(t), 0) AS ntok FROM base
+        ), pos AS (
+            SELECT doc_id, ntok, t,
+                   unnest(range(0, ntok - 7)) AS pos
+            FROM sized WHERE ntok >= 8
+        ), sh AS (
+            SELECT doc_id, pos,
+                   ('0x' || substr(md5(
+                        array_to_string(t[pos+1:pos+8], ' ')), 1, 15)
+                   )::BIGINT AS h
+            FROM pos
+        ), dup AS (
+            SELECT h FROM sh GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2
+        ), dp AS (
+            SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)
+        ), brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) <= 7
+                        THEN 0 ELSE 1 END AS b
+            FROM dp
+        ), isl AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+            FROM brk
+        ), cov AS (
+            SELECT doc_id, cast(sum(mx - mn + 8) AS BIGINT) AS covered
+            FROM (
+                SELECT doc_id, i, max(pos) AS mx, min(pos) AS mn
+                FROM isl GROUP BY doc_id, i)
+            GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               cast(s.ntok AS BIGINT) AS n_tokens,
+               coalesce(c.covered, 0) AS dup_tokens,
+               CASE WHEN s.ntok > 0
+                    THEN round(coalesce(c.covered, 0) * 1.0 / s.ntok, 4)
+                    ELSE 0.0 END AS dup_frac
+        FROM sized s LEFT JOIN cov c USING (doc_id)
+        ORDER BY s.doc_id
     """
 
     return o

@@ -704,3 +704,101 @@ def bigram_lm_scores(
             F.avg(logp).alias("avg_logp"),
         )
     )
+
+
+def dup_shingle_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document duplicate n-gram COVERAGE: the fraction of each
+    document's token positions lying under at least one overlapping
+    ``n``-token shingle that also appears in ``min_docs``-or-more
+    distinct documents (the RefinedWeb/Gopher "fraction of tokens in
+    duplicated n-grams" curation signal).
+
+    Distinct from :func:`remove_repeated_segments` on two axes: shingles
+    OVERLAP (so coverage is an interval-union, not a segment count) and
+    duplication means cross-document (distinct-doc count), not raw
+    corpus frequency.
+
+    Scale shape: the corpus-wide shuffle carries ``(doc, pos, hash)``
+    only; hot hashes come from one groupBy(hash) with a distinct-doc
+    count; the interval union per document is the gaps-and-islands
+    window (fixed shingle length ⇒ interval ends are monotone in
+    ``pos``, so an island breaks exactly when the position gap exceeds
+    ``n-1``) — one keyed window pass over dup positions, never an
+    all-pairs interval join. ``portable=True`` hashes shingles with the
+    md5-derived 60-bit hash an external SQL oracle can replay;
+    production corpora flip to ``xxhash64`` (one JVM call, no hex
+    round-trip).
+
+    Output: ``(id, n_tokens, dup_tokens, dup_frac)`` per document.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_tag_system_spark.functions.text import (
+        normalize_text, portable_hash60,
+    )
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    toks = F.coalesce(
+        F.split(normalize_text(text_col), " "),
+        F.array().cast("array<string>"))
+    base = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .withColumn("_ntok", F.greatest(F.size("_t"), F.lit(0)))
+    )
+    seg = F.array_join(F.slice("_t", F.col("_i") + 1, n), " ")
+    hcol = portable_hash60(seg) if portable else F.xxhash64(seg)
+    shingles = (
+        base.where(F.col("_ntok") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.col("_ntok") - n)).alias("_i"),
+            F.col("_t"))
+        .select(F.col(id_col), F.col("_i").alias("pos"), hcol.alias("_h"))
+    )
+    dup = (
+        shingles.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    dup_pos = (
+        shingles.join(dup, "_h", "left_semi")
+        .select(id_col, "pos")
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) <= n - 1, 0
+            ).otherwise(1))
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    covered = (
+        dup_pos.groupBy(id_col, "_isl")
+        .agg((F.max("pos") - F.min("pos") + n).alias("_len"))
+        .groupBy(id_col)
+        .agg(F.sum("_len").alias("_covered"))
+    )
+    cov = F.coalesce(F.col("_covered"), F.lit(0).cast("long"))
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_ntok").cast("long").alias("n_tokens"),
+            cov.alias("dup_tokens"),
+            F.when(F.col("_ntok") > 0,
+                   F.round(cov / F.col("_ntok"), 4))
+            .otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+    )

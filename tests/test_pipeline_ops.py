@@ -1338,3 +1338,41 @@ class TestLastTouchAttribution:
         assert got["click"] == (round(2 / 3 + 1.0, 4), round(8.0 + 3.0, 2))
         assert got["view"] == (round(1 / 3 + 1.0, 4), round(4.0 + 6.0, 2))
         assert got["(direct)"] == (1.0, 5.0)
+
+
+class TestDupShingleCoverage:
+    def test_interval_union_and_cross_doc_semantics(self, spark):
+        from bigdata_tag_system_spark.operators.text import (
+            dup_shingle_coverage,
+        )
+
+        shared = "a b c d"  # 4-token shingle shared by docs 1 and 2
+        rows = [
+            # doc1: shared at pos 0 AND pos 6 (two islands in 12 tokens)
+            (1, shared + " x1 y1 " + shared + " z1 w1"),
+            (2, "p q " + shared + " r s"),      # shared at pos 2 of 8
+            (3, "u v w x y z aa bb"),           # no duplicate shingles
+            (4, "short text"),                  # fewer than n tokens
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac)
+               for r in dup_shingle_coverage(df, n=4).collect()}
+        # doc1: islands [0..3] and [6..9] -> 8 of 12 covered
+        assert got[1] == (12, 8, round(8 / 12, 4))
+        assert got[2] == (8, 4, 0.5)
+        assert got[3] == (8, 0, 0.0)
+        assert got[4] == (2, 0, 0.0)
+
+    def test_overlapping_dup_shingles_merge_into_one_island(self, spark):
+        from bigdata_tag_system_spark.operators.text import (
+            dup_shingle_coverage,
+        )
+
+        run = "a b c d e"  # docs share a 5-token run -> two 4-shingles
+        rows = [(1, run + " k1 k2 k3"), (2, "j1 " + run + " j2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.dup_tokens, r.dup_frac)
+               for r in dup_shingle_coverage(df, n=4).collect()}
+        # overlapping shingles at pos 0 and 1 union to 5 tokens, not 8
+        assert got[1] == (5, round(5 / 8, 4))
+        assert got[2] == (5, round(5 / 7, 4))
