@@ -4482,6 +4482,19 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_dup_coverage"] = text_dup_coverage
 
+    def emb_label_outliers(spark, sf_dir):
+        # diagonal-Mahalanobis outlier flag per vector: one exploded
+        # moment aggregate -> broadcast label stats -> map-only zip_with
+        from bigdata_tag_system_spark.operators.embeddings import (
+            label_outlier_scores,
+        )
+
+        out = label_outlier_scores(
+            _t(spark, sf_dir, "embeddings"), z2_threshold=2.0)
+        return out.orderBy("vec_id")
+
+    q["emb_label_outliers"] = emb_label_outliers
+
     return q
 
 
@@ -7687,6 +7700,32 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0 END AS dup_frac
         FROM sized s LEFT JOIN cov c USING (doc_id)
         ORDER BY s.doc_id
+    """
+
+    # diagonal-Mahalanobis replay: parallel unnest zips (pos, val);
+    # var_pop has one definition in both engines; float32 inputs are
+    # exact in double, so only the 64-term summation order differs
+    # (absorbed by round to 4 decimals)
+    o["emb_label_outliers"] = """
+        WITH ex AS (
+            SELECT vec_id, label,
+                   unnest(embedding) AS val,
+                   unnest(range(0, len(embedding))) AS pos
+            FROM embeddings
+        ), st AS (
+            SELECT label, pos, avg(val) AS mu, var_pop(val) AS v
+            FROM ex GROUP BY label, pos
+        ), sc AS (
+            SELECT e.vec_id, e.label,
+                   sum((e.val - st.mu) * (e.val - st.mu)
+                       / greatest(st.v, 1e-12)) / count(*) AS score
+            FROM ex e JOIN st ON e.label = st.label AND e.pos = st.pos
+            GROUP BY e.vec_id, e.label
+        )
+        SELECT vec_id, label,
+               round(score, 4) AS z2_mean,
+               (score > 2.0)::INT AS is_outlier
+        FROM sc ORDER BY vec_id
     """
 
     return o

@@ -525,3 +525,71 @@ def project_pca(
                 * F.lit(float(w))
         outs.append(term)
     return df.withColumn(out_col, F.array(*outs))
+
+
+def label_outlier_scores(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    z2_threshold: float = 2.0,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Per-label embedding outliers: mean squared z-score of each vector
+    against its label's diagonal Gaussian (per-dimension mean/variance)
+    — the cheap Mahalanobis that catches mislabeled / corrupted vectors
+    without a dim×dim covariance.
+
+    Scale shape: per-(label, dim) moments come from ONE partial
+    aggregate over the exploded corpus (the same shuffle budget as
+    :func:`label_centroids`); the stats reassemble into label-keyed
+    μ/σ² ARRAYS — a labels-sized relation, broadcast by construction —
+    so scoring is a broadcast join plus a map-only ``zip_with`` fold
+    per vector. No per-vector shuffle, no second pass over the corpus.
+
+    ``z2_mean`` ≈ 1 for in-distribution vectors (it averages ~χ²(1)
+    terms); ``is_outlier`` flags ``z2_mean > z2_threshold``. Zero-
+    variance dimensions contribute 0 (guarded by ``eps``).
+
+    Output: ``(id, label, z2_mean, is_outlier)`` per vector.
+    """
+    ex = df.select(
+        F.col(label_col).alias("_g"),
+        F.posexplode(_vec(vec_col)).alias("_pos", "_val"),
+    )
+    per_dim = ex.groupBy("_g", "_pos").agg(
+        F.avg("_val").alias("_mu"), F.var_pop("_val").alias("_v"))
+    stats = (
+        per_dim.groupBy("_g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_mu", "_v"))),
+                lambda s: s["_mu"],
+            ).alias("_mus"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_v", "_mu"))),
+                lambda s: s["_v"],
+            ).alias("_vars"),
+        )
+    )
+    d2 = F.zip_with(
+        F.zip_with(
+            _vec(vec_col), F.col("_mus"),
+            lambda x, m: (x - m) * (x - m)),
+        F.col("_vars"),
+        lambda d, v: d / F.greatest(v, F.lit(eps)),
+    )
+    score = (
+        F.aggregate(d2, F.lit(0.0), lambda a, x: a + x)
+        / F.size(_vec(vec_col))
+    )
+    return (
+        df.join(
+            F.broadcast(stats),
+            df[label_col] == stats["_g"])
+        .select(
+            F.col(id_col), F.col(label_col),
+            F.round(score, 4).alias("z2_mean"),
+            (score > z2_threshold).cast("int").alias("is_outlier"),
+        )
+    )

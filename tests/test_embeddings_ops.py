@@ -293,3 +293,33 @@ class TestProductQuantization:
             fit_pq_codebooks(corpus, dim=8, m=3, k=4)
         with _pytest.raises(ValueError, match="at least k"):
             fit_pq_codebooks(corpus, dim=8, m=2, k=64)
+
+
+class TestLabelOutliers:
+    def test_matches_numpy_diagonal_mahalanobis(self, spark):
+        import numpy as np
+
+        from bigdata_tag_system_spark.operators.embeddings import (
+            label_outlier_scores,
+        )
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(0.0, 1.0, size=(40, 8)).astype("float32")
+        vecs[0] += 25.0  # planted far outlier in label 0
+        rows = [(i, int(i % 2), [float(x) for x in vecs[i]])
+                for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>")
+        got = {r.vec_id: (r.z2_mean, r.is_outlier)
+               for r in label_outlier_scores(df).collect()}
+
+        for lbl in (0, 1):
+            sub = vecs[lbl::2].astype("float64")
+            mu = sub.mean(axis=0)
+            var = sub.var(axis=0)
+            for j, v in zip(range(lbl, 40, 2), sub):
+                want = float(((v - mu) ** 2 / np.maximum(var, 1e-12)).mean())
+                assert abs(got[j][0] - round(want, 4)) <= 1e-4, (j, want)
+        assert got[0][1] == 1          # planted outlier flagged
+        flagged = sum(o for _, o in got.values())
+        assert flagged <= 5            # normal data mostly unflagged
