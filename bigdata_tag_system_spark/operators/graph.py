@@ -50,6 +50,11 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("_u"), F.col(dst).alias("_v"), w.alias("_w"))
     out_tot = e.groupBy("_u").agg(F.sum("_w").alias("_out"))
+    # NOT persisted, deliberately: unlike bfs_depths, this loop issues
+    # no per-round action — all `iterations` rounds compile into ONE
+    # job, and Spark's ReusedExchange already dedupes the repeated edge
+    # subtree inside it (measured: repartition+persist+eager-checkpoint
+    # made the sf0.1 bench 18% SLOWER for zero recompute saved)
     e = e.join(out_tot, "_u").select(
         "_u", "_v", (F.col("_w") / F.col("_out")).alias("_p"))
     nodes = (
@@ -225,26 +230,40 @@ def bfs_depths(
     localCheckpoint-ed so plan depth stays O(1) per round. Returns
     (node, depth) for the source's component only.
     """
+    from pyspark.storagelevel import StorageLevel
+
     sym = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    # Materialize the symmetrized edge list ONCE, pre-partitioned on
+    # the expansion key: every round joins it, and without the persist
+    # each round's job re-executes the caller's edge build (often a
+    # fact-table self-join) from scratch. Rounds then exchange only
+    # the frontier — the small side by construction.
     sym = sym.unionAll(sym.select(F.col("_v").alias("_u"),
-                                  F.col("_u").alias("_v")))
+                                  F.col("_u").alias("_v"))) \
+        .repartition("_u").persist(StorageLevel.MEMORY_AND_DISK)
     visited = (
         sym.sparkSession.createDataFrame([(source, 0)], ["node", "depth"])
         .localCheckpoint(eager=False))
     frontier = visited.select("node")
-    for d in range(1, max_rounds + 1):
-        nxt = (
-            frontier.join(sym, frontier.node == sym._u)
-            .select(F.col("_v").alias("node")).distinct()
-            .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=False)
-        )
-        if nxt.limit(1).count() == 0:
-            return visited
-        visited = visited.unionByName(
-            nxt.select("node", F.lit(d).alias("depth"))
-        ).localCheckpoint(eager=False)
-        frontier = nxt
-    raise RuntimeError(
-        f"BFS frontier still non-empty after {max_rounds} rounds — "
-        f"raise max_rounds for graphs with diameter > {max_rounds}")
+    try:
+        for d in range(1, max_rounds + 1):
+            nxt = (
+                frontier.join(sym, frontier.node == sym._u)
+                .select(F.col("_v").alias("node")).distinct()
+                .join(visited, "node", "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            if nxt.limit(1).count() == 0:
+                # eager checkpoint detaches the result from the cached
+                # edges so the unpersist in `finally` can't force a
+                # recompute of the caller's edge build
+                return visited.localCheckpoint(eager=True)
+            visited = visited.unionByName(
+                nxt.select("node", F.lit(d).alias("depth"))
+            ).localCheckpoint(eager=False)
+            frontier = nxt
+        raise RuntimeError(
+            f"BFS frontier still non-empty after {max_rounds} rounds — "
+            f"raise max_rounds for graphs with diameter > {max_rounds}")
+    finally:
+        sym.unpersist()
