@@ -122,6 +122,11 @@ def main() -> None:
         # round-5 additions
         "events_funnel_chain",     # exists-a-chain funnel (join per step)
         "tag_assignments",         # exploded detail relation (r5: richer struct)
+        "events_last_touch",       # as-of attribution (one keyed window pass)
+        "events_linear_attribution",  # trailing RANGE multi-touch split
+        "sketch_kmv_intersect",    # bottom-k theta sketch + intersection
+        "text_dup_coverage",       # duplicated-shingle interval coverage
+        "emb_label_outliers",      # diagonal-Mahalanobis label outliers
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
