@@ -4495,6 +4495,40 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_label_outliers"] = emb_label_outliers
 
+    def quality_psi_drift(spark, sf_dir):
+        # PSI drift gate: order-value distribution 1995 vs 2000 over
+        # fixed equal-width buckets (two bucket-count aggregates + a
+        # generated spine; sum(contrib) is the PSI)
+        from bigdata_tag_system_spark.operators.quality import (
+            population_stability,
+        )
+
+        orders = _t(spark, sf_dir, "orders")
+        ref = orders.where(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01"))
+        cmp_ = orders.where(
+            (F.col("o_orderdate") >= "2000-01-01")
+            & (F.col("o_orderdate") < "2001-01-01"))
+        out = population_stability(
+            ref, cmp_, "o_totalprice", lo=1000.0, hi=500000.0, buckets=10)
+        return out.orderBy("bucket")
+
+    q["quality_psi_drift"] = quality_psi_drift
+
+    def ts_gap_fill(spark, sf_dir):
+        # per-user daily densification: forward-fill + linear interp on
+        # a sequence()-generated grid, two keyed window passes, one
+        # shuffle; users < 50 keep the verified relation compact
+        from bigdata_tag_system_spark.operators.timeseries import (
+            gap_fill_daily,
+        )
+
+        ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+        return gap_fill_daily(ev).orderBy("user_id", "day")
+
+    q["ts_gap_fill"] = ts_gap_fill
+
     return q
 
 
@@ -7726,6 +7760,108 @@ def oracle_sql() -> dict[str, str]:
                round(score, 4) AS z2_mean,
                (score > 2.0)::INT AS is_outlier
         FROM sc ORDER BY vec_id
+    """
+
+    # PSI replay: same fixed cut points ((500000-1000)/10 = 49900.0,
+    # exact in double), same Laplace smoothing; counts are integers so
+    # every division hits identical operands; ln differs at most 1 ulp
+    # between libms (absorbed by round to 6)
+    o["quality_psi_drift"] = """
+        WITH rc AS (
+            SELECT cast(least(greatest(
+                       floor((o_totalprice - 1000.0) / 49900.0), 0), 9)
+                   AS INT) AS bucket,
+                   count(*) AS n_ref
+            FROM orders
+            WHERE o_orderdate >= '1995-01-01'
+              AND o_orderdate < '1996-01-01'
+              AND o_totalprice IS NOT NULL
+            GROUP BY 1
+        ), cc AS (
+            SELECT cast(least(greatest(
+                       floor((o_totalprice - 1000.0) / 49900.0), 0), 9)
+                   AS INT) AS bucket,
+                   count(*) AS n_cmp
+            FROM orders
+            WHERE o_orderdate >= '2000-01-01'
+              AND o_orderdate < '2001-01-01'
+              AND o_totalprice IS NOT NULL
+            GROUP BY 1
+        ), spine AS (
+            SELECT cast(unnest(range(0, 10)) AS INT) AS bucket
+        ), j AS (
+            SELECT s.bucket,
+                   coalesce(n_ref, 0) AS n_ref,
+                   coalesce(n_cmp, 0) AS n_cmp
+            FROM spine s
+            LEFT JOIN rc USING (bucket) LEFT JOIN cc USING (bucket)
+        ), t AS (
+            SELECT cast(sum(n_ref) AS BIGINT) AS tr,
+                   cast(sum(n_cmp) AS BIGINT) AS tc
+            FROM j
+        )
+        SELECT bucket, n_ref, n_cmp,
+               round((n_ref + 0.5) / (tr + 5.0), 6) AS p_ref,
+               round((n_cmp + 0.5) / (tc + 5.0), 6) AS p_cmp,
+               round(((n_ref + 0.5) / (tr + 5.0)
+                      - (n_cmp + 0.5) / (tc + 5.0))
+                     * ln(((n_ref + 0.5) / (tr + 5.0))
+                          / ((n_cmp + 0.5) / (tc + 5.0))), 6) AS contrib
+        FROM j, t ORDER BY bucket
+    """
+
+    # gap-fill replay: same daily-close anchor (argmax over the
+    # (ts, event_id) total order — order-independent where a mean's
+    # float sum is not), same grid (range is end-exclusive, hence
+    # hi + 1 day), same ignore-nulls fills; the interpolation ratio
+    # divides identical day-count integers
+    o["ts_gap_fill"] = """
+        WITH daily AS (
+            SELECT user_id, day, v FROM (
+                SELECT user_id, cast(ts AS DATE) AS day, value AS v,
+                       row_number() OVER (
+                           PARTITION BY user_id, cast(ts AS DATE)
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+                WHERE user_id < 50 AND value IS NOT NULL)
+            WHERE rn = 1
+        ), span AS (
+            SELECT user_id, min(day) AS lo, max(day) AS hi
+            FROM daily GROUP BY 1
+        ), grid AS (
+            SELECT user_id,
+                   cast(unnest(range(lo::TIMESTAMP,
+                                     hi::TIMESTAMP + INTERVAL 1 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+            FROM span
+        ), j AS (
+            SELECT g.user_id, g.day, d.v
+            FROM grid g LEFT JOIN daily d USING (user_id, day)
+        ), f AS (
+            SELECT user_id, day, v,
+                   last_value(v IGNORE NULLS) OVER w_back AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER w_back AS pd,
+                   first_value(v IGNORE NULLS) OVER w_fwd AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER w_fwd AS nd
+            FROM j
+            WINDOW w_back AS (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW),
+                   w_fwd AS (PARTITION BY user_id ORDER BY day
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, day,
+               CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+               round(pv, 4) AS v_ffill,
+               round(CASE WHEN v IS NOT NULL THEN v
+                          ELSE pv + (nv - pv)
+                               * date_diff('day', pd, day)
+                               / date_diff('day', pd, nd)
+                     END, 4) AS v_interp
+        FROM f ORDER BY user_id, day
     """
 
     return o

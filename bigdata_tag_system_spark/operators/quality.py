@@ -105,3 +105,79 @@ def referential_audit(
         out = out.unionByName(o)
     return out.select(
         "relation", "orphans", (F.col("orphans") == 0).alias("ok"))
+
+
+def population_stability(
+    ref: DataFrame,
+    cmp: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between a reference and a comparison
+    population of ``col`` — the standard drift gate for a feature or
+    score column (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken).
+
+    Buckets are FIXED equal-width over ``[lo, hi)`` (values outside
+    clamp into the edge buckets) rather than reference deciles: fixed
+    cut points make the statistic a pure function of the inputs —
+    reproducible by an independent oracle and stable across reruns —
+    where sample quantiles would inject engine-specific interpolation.
+    Zero counts are Laplace-smoothed (``alpha``) so empty buckets can't
+    produce ``ln(0)``.
+
+    Scale: one partial-aggregate bucket count per side (map-side
+    combine, ``buckets``-sized results), a generated bucket spine so
+    empty buckets appear on both sides, and scalar math on ≤``buckets``
+    rows. Two scans, no joins wider than the spine.
+
+    Output: one row per bucket ``(bucket, n_ref, n_cmp, p_ref, p_cmp,
+    contrib)``; ``sum(contrib)`` is the PSI.
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / buckets
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(buckets - 1)).cast("int")
+
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spine = ref.sparkSession.range(buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    joined = (
+        spine.join(F.broadcast(_counts(ref, "n_ref")), "bucket", "left")
+        .join(F.broadcast(_counts(cmp, "n_cmp")), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cmp", F.lit(0)).alias("n_cmp"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cmp").alias("_tc"))
+    a = F.lit(float(alpha))
+    bl = F.lit(float(buckets))
+    p_ref = (F.col("n_ref") + a) / (F.col("_tr") + a * bl)
+    p_cmp = (F.col("n_cmp") + a) / (F.col("_tc") + a * bl)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket", "n_ref", "n_cmp",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cmp, 6).alias("p_cmp"),
+            F.round((p_ref - p_cmp) * F.log(p_ref / p_cmp), 6)
+            .alias("contrib"),
+        )
+    )

@@ -232,3 +232,67 @@ def range_join(
         (F.col(start) <= F.col(ts)) & (F.col(ts) < F.col(end))
     )
     return joined.drop("_bucket")
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Regularize an event stream onto a per-user DAILY grid between
+    each user's first and last observed day, with forward-fill and
+    linear interpolation for the missing days — the standard
+    feature-store densification before any fixed-step model consumes
+    irregular events.
+
+    The grid is generated per user with ``sequence(min_day, max_day)``
+    — rows appear only inside each user's own span, so the output is
+    Σ span_u, never |users| × global calendar. Fills are two keyed
+    window passes (``last ignorenulls`` backward, ``first ignorenulls``
+    forward) over the grid: ONE shuffle on the user key total, no
+    self-joins, no per-gap subqueries. Within a span the bracketing
+    observations always exist, so the interpolation denominators are
+    never NULL. The per-day anchor is the DAILY CLOSE — the value of
+    the day's last event under the (ts, id) total order: an argmax is
+    order-independent (a daily mean's float sum is not), so the fill
+    arithmetic is a pure function of the inputs and engine-exact.
+
+    Output: ``(user, day, observed, v_ffill, v_interp)``.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(user_col), F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.max_by(
+            F.col(value_col),
+            F.struct(F.col(ts_col), F.col(id_col))).alias("_v"))
+    )
+    spans = daily.groupBy(user_col).agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+    grid = spans.select(
+        F.col(user_col),
+        F.explode(F.sequence("_lo", "_hi")).alias("day"))
+    j = grid.join(daily, [user_col, "day"], "left")
+    w_back = (
+        Window.partitionBy(user_col).orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (
+        Window.partitionBy(user_col).orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_day = F.when(F.col("_v").isNotNull(), F.col("day"))
+    pv = F.last("_v", ignorenulls=True).over(w_back)
+    pd_ = F.last(obs_day, ignorenulls=True).over(w_back)
+    nv = F.first("_v", ignorenulls=True).over(w_fwd)
+    nd = F.first(obs_day, ignorenulls=True).over(w_fwd)
+    interp = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+        pv + (nv - pv)
+        * F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_))
+    return j.select(
+        F.col(user_col), F.col("day"),
+        F.col("_v").isNotNull().cast("int").alias("observed"),
+        F.round(pv, 4).alias("v_ffill"),
+        F.round(interp, 4).alias("v_interp"),
+    )

@@ -1376,3 +1376,46 @@ class TestDupShingleCoverage:
         # overlapping shingles at pos 0 and 1 union to 5 tokens, not 8
         assert got[1] == (5, round(5 / 8, 4))
         assert got[2] == (5, round(5 / 7, 4))
+
+
+class TestGapFillDaily:
+    def test_ffill_and_linear_interp(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            gap_fill_daily,
+        )
+
+        rows = [
+            # u1: day1 close 10 (two events, later one wins), day4 close 40
+            (1, 1, "2024-01-01 08:00:00", 99.0),
+            (2, 1, "2024-01-01 09:00:00", 10.0),
+            (3, 1, "2024-01-04 12:00:00", 40.0),
+            # u2: single day -> single grid row
+            (4, 2, "2024-02-05 00:00:00", 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {(r.user_id, str(r.day)):
+               (r.observed, r.v_ffill, r.v_interp)
+               for r in gap_fill_daily(df).collect()}
+        assert got[(1, "2024-01-01")] == (1, 10.0, 10.0)
+        assert got[(1, "2024-01-02")] == (0, 10.0, 20.0)
+        assert got[(1, "2024-01-03")] == (0, 10.0, 30.0)
+        assert got[(1, "2024-01-04")] == (1, 40.0, 40.0)
+        assert got[(2, "2024-02-05")] == (1, 7.0, 7.0)
+        assert len(got) == 5
+
+    def test_same_day_tie_broken_by_event_id(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            gap_fill_daily,
+        )
+
+        rows = [
+            (1, 1, "2024-01-01 09:00:00", 1.0),
+            (2, 1, "2024-01-01 09:00:00", 2.0),  # same ts, higher id wins
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        [r] = gap_fill_daily(df).collect()
+        assert (r.v_ffill, r.v_interp) == (2.0, 2.0)

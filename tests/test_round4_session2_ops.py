@@ -985,3 +985,48 @@ class TestKmvIntersect:
         # intersection compounds union + jaccard error: generous bound
         assert abs(r.est_intersect - 1000) / 1000 < 0.5
         assert (r.exact_a, r.exact_b, r.exact_intersect) == (3000, 3000, 1000)
+
+
+class TestPopulationStability:
+    def test_psi_matches_closed_form(self, spark):
+        import math
+
+        from bigdata_tag_system_spark.operators.quality import (
+            population_stability,
+        )
+
+        ref = spark.createDataFrame(
+            [(float(v),) for v in [1, 1, 2, 5, 5, 5, 8, 9]], "x double")
+        cmp_ = spark.createDataFrame(
+            [(float(v),) for v in [1, 8, 8, 9, 9, 9, 12, 9]], "x double")
+        rows = population_stability(
+            ref, cmp_, "x", lo=0.0, hi=10.0, buckets=5).collect()
+        assert [r.bucket for r in sorted(rows, key=lambda r: r.bucket)] \
+            == [0, 1, 2, 3, 4]
+        # recompute PSI in python with the same smoothing
+        nr = {0: 2, 1: 1, 2: 3, 3: 0, 4: 2}
+        nc = {0: 1, 1: 0, 2: 0, 3: 0, 4: 7}  # 12 clamps into bucket 4
+        psi = 0.0
+        for i in range(5):
+            p = (nr[i] + 0.5) / (8 + 2.5)
+            q = (nc[i] + 0.5) / (8 + 2.5)
+            psi += (p - q) * math.log(p / q)
+        got = {r.bucket: r for r in rows}
+        for i in range(5):
+            assert (got[i].n_ref, got[i].n_cmp) == (nr[i], nc[i])
+        assert abs(sum(r.contrib for r in rows) - psi) < 1e-5
+
+    def test_null_and_range_validation(self, spark):
+        import pytest as _pt
+
+        from bigdata_tag_system_spark.operators.quality import (
+            population_stability,
+        )
+
+        df = spark.createDataFrame([(1.0,), (None,)], "x double")
+        rows = population_stability(df, df, "x", 0.0, 1.0, 2).collect()
+        assert sum(r.n_ref for r in rows) == 1  # NULL excluded
+        with _pt.raises(ValueError):
+            population_stability(df, df, "x", 1.0, 1.0, 2)
+        with _pt.raises(ValueError):
+            population_stability(df, df, "x", 0.0, 1.0, 1)
