@@ -48,6 +48,8 @@ _STREAM_EWMA_CACHE: dict[str, str] = {}
 _STREAM_OUTER_CACHE: dict[str, str] = {}
 
 _STREAM_DEDUP_CACHE: dict[str, str] = {}
+
+_STREAM_TOPK_CACHE: dict[str, str] = {}
 # fixed deterministic 2×64 projection weights shared by the
 # emb_pca_project query and its oracle (tenth-steps, exactly
 # representable in binary-friendly decimal both engines parse alike)
@@ -4529,6 +4531,89 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_gap_fill"] = ts_gap_fill
 
+    def stream_topk_parity(spark, sf_dir):
+        # Space-Saving heavy hitters replayed over three time-ordered
+        # micro-batches (state genuinely crosses batch boundaries);
+        # capacity exceeds test-scale cardinality, so the summary is
+        # EXACT (err=0) and the oracle is a plain GROUP BY count —
+        # the bounded-memory path is exercised separately in pytest
+        import os
+        import tempfile
+
+        from bigdata_tag_system_spark.streaming.stateful import (
+            space_saving_stream,
+        )
+
+        _prep(spark)
+        out_dir = _STREAM_TOPK_CACHE.get(sf_dir)
+        if out_dir is None:
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+            schema = ev.schema
+            tmp = tempfile.mkdtemp(prefix="stream_topk_")
+            src_dir = tmp + "/src"
+            os.makedirs(src_dir)
+            cuts = ["2024-01-11", "2024-01-21"]
+            ranges = [
+                ev.where(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+                ev.where((F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+                         & (F.col("ts") < F.lit(cuts[1])
+                            .cast("timestamp"))),
+                ev.where(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+            ]
+            for i, chunk in enumerate(ranges):
+                cdir = f"{src_dir}/chunk{i}"
+                chunk.coalesce(1).write.mode("overwrite").parquet(cdir)
+                part = [f for f in os.listdir(cdir)
+                        if f.endswith(".parquet")][0]
+                dst = f"{src_dir}/{i}.parquet"
+                os.rename(f"{cdir}/{part}", dst)
+                os.utime(dst, (1_000_000 + i * 1000,
+                               1_000_000 + i * 1000))
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("latestFirst", "false")
+                .parquet(src_dir + "/[0-9]*.parquet")
+            )
+            hh = space_saving_stream(
+                stream, group_col="event_type", item_col="user_id",
+                capacity=2048)
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            query = (
+                hh.writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(
+                    lambda batch, bid:
+                        batch.write.mode("append").parquet(out))
+                .start()
+            )
+            query.awaitTermination()
+            _STREAM_TOPK_CACHE[sf_dir] = out
+            out_dir = out
+        from pyspark.sql import Window
+
+        replayed = spark.read.parquet(out_dir)
+        final = replayed.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("group", "item")
+                .orderBy(F.desc("n_seen"), F.desc("est")))
+        ).where(F.col("_rn") == 1)
+        topk = final.withColumn(
+            "_k",
+            F.row_number().over(
+                Window.partitionBy("group")
+                .orderBy(F.desc("est"), F.asc("item")))
+        ).where(F.col("_k") <= 10)
+        return topk.select(
+            F.col("group").alias("event_type"),
+            F.col("item").alias("user_id"),
+            "est", "err",
+        ).orderBy("event_type", F.desc("est"), "user_id")
+
+    q["stream_topk_parity"] = stream_topk_parity
+
     return q
 
 
@@ -7862,6 +7947,27 @@ def oracle_sql() -> dict[str, str]:
                                / date_diff('day', pd, nd)
                      END, 4) AS v_interp
         FROM f ORDER BY user_id, day
+    """
+
+    # Space-Saving replay at exact capacity (distinct users per type
+    # << 2048): the summary degenerates to exact counting, so the
+    # streaming state machine must reproduce a plain GROUP BY count
+    # with zero error — per type, top-10 users by (count, user_id)
+    o["stream_topk_parity"] = """
+        WITH c AS (
+            SELECT event_type, user_id, count(*) AS est
+            FROM events GROUP BY 1, 2
+        ), r AS (
+            SELECT event_type, user_id, est,
+                   cast(0 AS BIGINT) AS err,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY est DESC, user_id) AS rn
+            FROM c
+        )
+        SELECT event_type, user_id, est, err
+        FROM r WHERE rn <= 10
+        ORDER BY event_type, est DESC, user_id
     """
 
     return o

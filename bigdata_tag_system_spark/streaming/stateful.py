@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -233,6 +234,130 @@ def ewma_stream(
         _ewma_fn_factory(beta),
         EWMA_OUTPUT_SCHEMA,
         _EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Space-Saving heavy hitters: bounded top-k state per group
+# ---------------------------------------------------------------------------
+
+SS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("item", LongType()),
+        StructField("est", LongType()),
+        StructField("err", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_SS_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _space_saving_fn_factory(capacity: int):
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # deterministic fold order, same convention as the EWMA state
+        rows = rows.sort_values(["ts", "event_id"])
+        if state.exists:
+            items, counts, errs, n = state.get
+            d = {int(i): [int(c), int(e)]
+                 for i, c, e in zip(items, counts, errs)}
+            n = int(n)
+        else:
+            d, n = {}, 0
+        for it in rows["item"].astype("int64"):
+            it = int(it)
+            n += 1
+            if it in d:
+                d[it][0] += 1
+            elif len(d) < capacity:
+                d[it] = [1, 0]
+            else:
+                # evict the (min count, max item) entry — a total order,
+                # so the summary is a pure function of the fold order
+                evict = min(d, key=lambda k: (d[k][0], -k))
+                c = d[evict][0]
+                del d[evict]
+                d[it] = [c + 1, c]
+        state.update((
+            list(d.keys()),
+            [v[0] for v in d.values()],
+            [v[1] for v in d.values()],
+            n,
+        ))
+        yield pd.DataFrame(
+            {
+                "group": [str(key[0])] * len(d),
+                "item": list(d.keys()),
+                "est": [v[0] for v in d.values()],
+                "err": [v[1] for v in d.values()],
+                "n_seen": [n] * len(d),
+            }
+        )
+
+    return fn
+
+
+def space_saving_stream(
+    stream: DataFrame,
+    group_col: str = "event_type",
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    capacity: int = 2048,
+) -> DataFrame:
+    """Streaming heavy hitters per group by the Space-Saving summary
+    (Metwally et al.): at most ``capacity`` counters per group; a new
+    item arriving at a full summary evicts the min-count entry and
+    inherits its count as its error bound.
+
+    Guarantees (per group, N items seen): every item with true
+    frequency > N/capacity is IN the summary, and for every entry
+    ``est - err ≤ true ≤ est``. While distinct items ≤ capacity the
+    summary is EXACT (err = 0) — which is what makes the replay
+    oracle-checkable against a plain batch ``GROUP BY count`` at test
+    scale, while the same code carries the bounded-memory guarantee
+    when cardinality explodes at production scale.
+
+    State per group is three bounded arrays + a counter — O(capacity),
+    never O(distinct items). Groups hash-partition across executors;
+    the eviction tie-break (min count, then largest item) is a total
+    order, so the summary is deterministic given arrival order. Update
+    mode emits each group's full summary every micro-batch; take the
+    emission with the highest ``n_seen`` for the final state.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdata_tag_system_spark.streaming.rule_stream import (
+        ensure_event_time,
+    )
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    prepared = ensure_event_time(stream, ts_col).select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(item_col).cast("long").alias("item"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).cast("long").alias("event_id"),
+    )
+    return prepared.groupBy("group").applyInPandasWithState(
+        _space_saving_fn_factory(capacity),
+        SS_OUTPUT_SCHEMA,
+        _SS_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
     )

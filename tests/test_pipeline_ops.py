@@ -1419,3 +1419,83 @@ class TestGapFillDaily:
         ).withColumn("ts", F.to_timestamp("ts"))
         [r] = gap_fill_daily(df).collect()
         assert (r.v_ffill, r.v_interp) == (2.0, 2.0)
+
+
+class TestSpaceSavingStream:
+    def _replay(self, spark, tmp_path, chunks, capacity):
+        import os
+
+        from bigdata_tag_system_spark.streaming.stateful import (
+            space_saving_stream,
+        )
+
+        schema = ("event_id long, ts string, user_id long, "
+                  "event_type string")
+        src = str(tmp_path / "ss_src")
+        os.makedirs(src, exist_ok=True)
+        for i, rows in enumerate(chunks):
+            df = spark.createDataFrame(rows, schema) \
+                .withColumn("ts", F.to_timestamp("ts")).coalesce(1)
+            cdir = str(tmp_path / f"ss_chunk{i}")
+            df.write.mode("overwrite").parquet(cdir)
+            part = [f for f in os.listdir(cdir)
+                    if f.endswith(".parquet")][0]
+            dst = f"{src}/{i}.parquet"
+            os.rename(f"{cdir}/{part}", dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        stream_schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(stream_schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src))
+        results = []
+        q = (space_saving_stream(stream, capacity=capacity)
+             .writeStream.outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+             .foreachBatch(
+                 lambda df, bid: results.extend(
+                     (bid, *r) for r in map(tuple, df.collect())))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        # final state = the last batch's emission per (group, item)
+        final = {}
+        for bid, g, item, est, err, n in sorted(results):
+            final[(g, item)] = (est, err, n)
+        return final
+
+    def test_exact_when_under_capacity_and_crosses_batches(
+            self, spark, tmp_path):
+        ts = "2024-01-01 10:00:0{}"
+        chunk1 = [(1, ts.format(0), 7, "click"),
+                  (2, ts.format(1), 7, "click"),
+                  (3, ts.format(2), 9, "click")]
+        chunk2 = [(4, ts.format(3), 7, "click"),
+                  (5, ts.format(4), 9, "view")]
+        final = self._replay(spark, tmp_path, [chunk1, chunk2], 8)
+        # user 7 clicked 3x across BOTH batches: state crossed
+        assert final[("click", 7)] == (3, 0, 4)
+        assert final[("click", 9)] == (1, 0, 4)
+        assert final[("view", 9)] == (1, 0, 1)
+
+    def test_bounded_capacity_keeps_heavy_hitter_guarantee(
+            self, spark, tmp_path):
+        import collections
+
+        # 60 events over 12 items, capacity 4: items with freq > N/4
+        # must survive, and est-err <= true <= est for every survivor
+        items = ([100] * 20 + [200] * 14
+                 + [300 + i for i in range(13)]          # singletons
+                 + [300 + i for i in range(13)])
+        rows = [(i, f"2024-01-01 10:{i // 60:02d}:{i % 60:02d}",
+                 it, "click") for i, it in enumerate(items)]
+        half = len(rows) // 2
+        final = self._replay(spark, tmp_path, [rows[:half], rows[half:]], 4)
+        true = collections.Counter(items)
+        n = len(items)
+        survivors = {item: (est, err)
+                     for (g, item), (est, err, _) in final.items()}
+        assert len(survivors) <= 4
+        for item, cnt in true.items():
+            if cnt > n / 4:
+                assert item in survivors, (item, cnt)
+        for item, (est, err) in survivors.items():
+            assert est - err <= true[item] <= est, (item, est, err)
