@@ -4614,6 +4614,39 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_topk_parity"] = stream_topk_parity
 
+    def join_bloom_prefilter(spark, sf_dir):
+        # manual runtime filter (semi-join reduction done RIGHT — the
+        # planner flag variant deadlocks this build): a bloom built
+        # from the dim side's keys prunes the probe scan map-side,
+        # BEFORE the join shuffle; the exact semi join then removes
+        # bloom false positives. m=1024/k=3 is deliberately small so
+        # sf0.01 produces real false positives — the oracle replays the
+        # md5 double-hashing bit-for-bit, so bloom_pass (incl. FPs) is
+        # engine-exact, not just the final match count
+        from bigdata_tag_system_spark.operators.joins import (
+            bloom_filter_bits,
+            bloom_prefilter,
+        )
+
+        m, k = 1 << 10, 3
+        dim = _t(spark, sf_dir, "part").where("p_size <= 2") \
+            .select(F.col("p_partkey").alias("k")).distinct()
+        probe = _t(spark, sf_dir, "lineitem") \
+            .select(F.col("l_partkey").alias("k"))
+        words = bloom_filter_bits(dim, "k", m, k)
+        passed = bloom_prefilter(probe, "k", words, m, k)
+        matched = passed.join(F.broadcast(dim), "k", "left_semi")
+        a = probe.agg(F.count(F.lit(1)).alias("probe_rows"))
+        b = passed.agg(F.count(F.lit(1)).alias("bloom_pass"))
+        c = matched.agg(F.count(F.lit(1)).alias("match_rows"))
+        return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c)) \
+            .select(
+                "probe_rows", "bloom_pass", "match_rows",
+                (F.col("bloom_pass") - F.col("match_rows"))
+                .alias("bloom_false_pos"))
+
+    q["join_bloom_prefilter"] = join_bloom_prefilter
+
     return q
 
 
@@ -7968,6 +8001,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, user_id, est, err
         FROM r WHERE rn <= 10
         ORDER BY event_type, est DESC, user_id
+    """
+
+    # bloom prefilter replay: same md5-60 double hash (h1 = low 10
+    # bits, h2 = next 10 bits forced odd), positions (h1 + i*h2) mod
+    # 1024; a probe key passes iff ALL 3 positions are set by the dim
+    # side. Counts are row counts (keys weighted by frequency).
+    o["join_bloom_prefilter"] = """
+        WITH dim AS (
+            SELECT DISTINCT p_partkey AS k FROM part WHERE p_size <= 2
+        ), dh AS (
+            SELECT ('0x' || substr(md5(cast(k AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+            FROM dim
+        ), dpos AS (
+            SELECT DISTINCT
+                   ((h & 1023) + i.i * (((h >> 10) & 1023) * 2 + 1)) & 1023
+                   AS p
+            FROM dh, range(3) i(i)
+        ), pk AS (
+            SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+        ), ppos AS (
+            SELECT k, c,
+                   ((h & 1023) + i.i * (((h >> 10) & 1023) * 2 + 1)) & 1023
+                   AS p
+            FROM (SELECT k, c,
+                         ('0x' || substr(md5(cast(k AS VARCHAR)), 1, 15))
+                         ::BIGINT AS h
+                  FROM pk), range(3) i(i)
+        ), pass AS (
+            SELECT k, min(c) AS c, bool_and(dpos.p IS NOT NULL) AS ok
+            FROM ppos LEFT JOIN dpos USING (p) GROUP BY k
+        )
+        SELECT
+            (SELECT cast(coalesce(sum(c), 0) AS BIGINT) FROM pk)
+                AS probe_rows,
+            (SELECT cast(coalesce(sum(c), 0) AS BIGINT) FROM pass WHERE ok)
+                AS bloom_pass,
+            (SELECT cast(coalesce(sum(c), 0) AS BIGINT) FROM pk
+             WHERE k IN (SELECT k FROM dim)) AS match_rows,
+            (SELECT cast(coalesce(sum(c), 0) AS BIGINT) FROM pass WHERE ok)
+            - (SELECT cast(coalesce(sum(c), 0) AS BIGINT) FROM pk
+               WHERE k IN (SELECT k FROM dim)) AS bloom_false_pos
     """
 
     return o

@@ -112,6 +112,122 @@ def adaptive_join(
     return big.join(medium, on=on, how=how)
 
 
+def _bloom_params(num_bits: int, num_hashes: int) -> int:
+    """Validate (power-of-two bits, sane hash count); return log2(bits)."""
+    if num_bits < 64 or num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two >= 64, got {num_bits}")
+    if not 1 <= num_hashes <= 16:
+        raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
+    return num_bits.bit_length() - 1
+
+
+def _bloom_hash_cols(key: str, num_bits: int, num_hashes: int):
+    """(h1, h2) Kirsch–Mitzenmacher double-hash columns for ``key``.
+
+    Position ``i`` is ``(h1 + i*h2) & (num_bits-1)``. Both derive from
+    the portable md5 60-bit hash (``functions/text.py:portable_hash60``)
+    so an external SQL oracle replays every bit: h1 = low log2(m) bits,
+    h2 = the next log2(m) bits forced odd (odd stride is coprime to a
+    power-of-two modulus, so the k probe positions never collapse onto
+    a short cycle). All arithmetic stays in small non-negative int64 —
+    no float, no overflow, engine-exact.
+    """
+    from bigdata_tag_system_spark.functions.text import portable_hash60
+
+    log2m = _bloom_params(num_bits, num_hashes)
+    h = portable_hash60(F.col(key).cast("string"))
+    h1 = h.bitwiseAND(F.lit(num_bits - 1))
+    h2 = (
+        F.shiftrightunsigned(h, log2m).bitwiseAND(F.lit(num_bits - 1))
+        * F.lit(2) + F.lit(1)
+    )
+    return h1, h2
+
+
+def bloom_filter_bits(
+    df: DataFrame,
+    key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> list[int]:
+    """Build a bloom filter over ``df[key]`` → packed int64 words.
+
+    The distributed part reduces ``df`` to its DISTINCT set bit
+    positions (map-side partial distinct, one shuffle of ≤ ``num_bits``
+    ints); the driver collect is bounded by ``num_bits`` REGARDLESS of
+    input size — the same bounded-collect contract as the IVF centroid
+    fit. Packing into ``num_bits/64`` signed int64 words happens
+    driver-side so the filter ships to executors as one small literal
+    array (8 KB at the default 2^16 bits).
+
+    This is the manual runtime-filter (semi-join reduction) pattern:
+    Spark's own InSubquery/bloom runtime filters are planner-internal
+    and version-gated; building the bitmap explicitly keeps the
+    technique available on any join shape and lets the probe-side test
+    stay a map-only scan predicate.
+    """
+    _bloom_params(num_bits, num_hashes)
+    h1, h2 = _bloom_hash_cols(key, num_bits, num_hashes)
+    keyed = df.select(h1.alias("_h1"), h2.alias("_h2")).where(
+        F.col("_h1").isNotNull()
+    )
+    pos = keyed.select(
+        F.explode(
+            F.array(*[
+                (F.col("_h1") + F.lit(i) * F.col("_h2"))
+                .bitwiseAND(F.lit(num_bits - 1))
+                for i in range(num_hashes)
+            ])
+        ).alias("_p")
+    ).distinct()
+    words = [0] * (num_bits // 64)
+    for row in pos.collect():
+        p = row["_p"]
+        words[p >> 6] |= 1 << (p & 63)
+    # pack as SIGNED int64 (bit 63 set → negative) so F.lit round-trips
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    key: str,
+    words: list[int],
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Rows of ``big`` whose ``key`` passes the bloom filter ``words``.
+
+    No false negatives (every true match survives); false positives at
+    the classic ``(1 - e^{-kn/m})^k`` rate must be removed by the exact
+    join that follows. The test is a pure map-only scan predicate —
+    ``num_hashes`` element_at + shift + AND ops against a broadcast-
+    literal word array, zero shuffle, zero Python — so at 100 TB the
+    probe side drops non-matching rows BEFORE the join shuffle instead
+    of after it (the whole point: shuffle volume scales with the match
+    rate, not the table size).
+    """
+    log2m = _bloom_params(num_bits, num_hashes)
+    if len(words) != num_bits // 64:
+        raise ValueError(
+            f"words has {len(words)} entries, expected {num_bits // 64}")
+    h1, h2 = _bloom_hash_cols(key, num_bits, num_hashes)
+    probed = big.withColumn("_h1", h1).withColumn("_h2", h2)
+    tests = []
+    for i in range(num_hashes):
+        p = f"((_h1 + {i} * _h2) & {num_bits - 1})"
+        tests.append(
+            f"(shiftrightunsigned(element_at(_bloom_w, "
+            f"cast(shiftright({p}, 6) as int) + 1), "
+            f"cast(({p} & 63) as int)) & 1) = 1"
+        )
+    out = (
+        probed.withColumn("_bloom_w", F.array(*[F.lit(w) for w in words]))
+        .where(F.expr(" AND ".join(tests)))
+        .drop("_h1", "_h2", "_bloom_w")
+    )
+    return out
+
+
 def skew_stats(
     df: DataFrame, key: str, top_k: int = 10
 ) -> tuple[float, list[tuple]]:

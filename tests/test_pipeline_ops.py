@@ -505,7 +505,7 @@ class TestFeatures:
         tight = {r["step"]: r["users"] for r in
                  FE.funnel(df, ["view", "click"], within="1 hour").collect()}
         assert tight == {"step_1": 2, "step_2": 1}
-        with pytest.raises(ValueError, match="tolerance"):
+        with pytest.raises(ValueError, match="time window must look like"):
             FE.funnel(df, ["view", "click"], within="1; DROP TABLE x")
 
     def test_funnel_greedy_vs_exists_chain(self, spark):
@@ -541,7 +541,7 @@ class TestFeatures:
         b = {r["step"]: r["users"] for r in
              FE.funnel_exists_chain(df, ["view", "click"]).collect()}
         assert a == b == {"step_1": 3, "step_2": 1}
-        with pytest.raises(ValueError, match="tolerance"):
+        with pytest.raises(ValueError, match="time window must look like"):
             FE.funnel_exists_chain(df, ["view"], within="bogus interval")
 
     def test_cohort_retention_offsets(self, spark):

@@ -1,0 +1,73 @@
+"""Invariants for the round-5 operator batch. These back the oracle
+rows (`join_bloom_prefilter`, ...); the properties here cover what a
+value-hash compare cannot (no-false-negative guarantees, packing
+round-trips, error paths, plan shape)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_tag_system_spark.operators.joins import (
+    bloom_filter_bits,
+    bloom_prefilter,
+)
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        build = spark.range(0, 50).select(F.col("id").alias("k"))
+        probe = spark.range(0, 5000).select((F.col("id") % 500).alias("k"))
+        words = bloom_filter_bits(build, "k", num_bits=1 << 10, num_hashes=3)
+        passed = bloom_prefilter(probe, "k", words, 1 << 10, 3)
+        got = {r.k for r in passed.select("k").distinct().collect()}
+        # every true member passes — the bloom guarantee
+        assert set(range(50)) <= got
+        # the filter actually filters: far fewer than all 500 keys pass
+        assert len(got) < 500
+
+    def test_python_replica_matches_spark_bits(self, spark):
+        # the packed words match a pure-Python replay of the same
+        # md5 double-hash — the contract the SQL oracle relies on
+        import hashlib
+
+        m, k = 1 << 8, 4
+        keys = [3, 17, 999999]
+        build = spark.createDataFrame([(x,) for x in keys], "k long")
+        words = bloom_filter_bits(build, "k", m, k)
+        expect = [0] * (m // 64)
+        for key in keys:
+            h = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+            h1 = h & (m - 1)
+            h2 = ((h >> 8) & (m - 1)) * 2 + 1
+            for i in range(k):
+                p = (h1 + i * h2) & (m - 1)
+                expect[p >> 6] |= 1 << (p & 63)
+        expect = [w - (1 << 64) if w >= (1 << 63) else w for w in expect]
+        assert words == expect
+
+    def test_null_keys_dropped_from_build_never_pass(self, spark):
+        build = spark.createDataFrame([(None,), (7,)], "k long")
+        words = bloom_filter_bits(build, "k", 1 << 8, 3)
+        probe = spark.createDataFrame([(7,), (None,)], "k long")
+        out = bloom_prefilter(probe, "k", words, 1 << 8, 3).collect()
+        assert [r.k for r in out] == [7]
+
+    def test_parameter_validation(self, spark):
+        df = spark.range(1).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="power of two"):
+            bloom_filter_bits(df, "k", num_bits=1000)
+        with pytest.raises(ValueError, match="num_hashes"):
+            bloom_filter_bits(df, "k", num_bits=256, num_hashes=0)
+        with pytest.raises(ValueError, match="words has"):
+            bloom_prefilter(df, "k", [0] * 3, num_bits=256, num_hashes=2)
+
+    def test_prefilter_is_map_only(self, spark):
+        # the probe-side test must not introduce a shuffle: the plan
+        # between the scan and the filter has no Exchange
+        words = bloom_filter_bits(
+            spark.range(10).select(F.col("id").alias("k")), "k", 1 << 8, 3)
+        probe = spark.range(1000).select(F.col("id").alias("k"))
+        plan = bloom_prefilter(probe, "k", words, 1 << 8, 3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
