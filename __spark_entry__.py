@@ -4647,6 +4647,34 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_bloom_prefilter"] = join_bloom_prefilter
 
+    def sketch_cms_freq(spark, sf_dir):
+        # Count-Min frequency sketch, built as per-month sketches then
+        # MERGED (the day→month→year rollup pattern: history never
+        # rescanned), probed for the true top-20 keys. width=256 at
+        # sf0.01 forces real collisions, so the oracle's bit-for-bit
+        # replay verifies the collision arithmetic, not just happy
+        # paths; est ≥ true always (overcount is never negative)
+        from bigdata_tag_system_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+            cms_merge,
+        )
+
+        li = _t(spark, sf_dir, "lineitem")
+        rows = li.select(
+            F.col("l_partkey").alias("k"),
+            F.month("l_shipdate").alias("m"))
+        cms = cms_merge(cms_build(rows, "k", 256, 3, partition_col="m"))
+        true = rows.groupBy("k").agg(F.count(F.lit(1)).alias("true_c"))
+        top = true.orderBy(F.desc("true_c"), "k").limit(20)
+        est = cms_estimate(cms, top, "k", 256, 3)
+        return est.select(
+            "k", "true_c", "est",
+            (F.col("est") - F.col("true_c")).alias("overcount"),
+        ).orderBy("k")
+
+    q["sketch_cms_freq"] = sketch_cms_freq
+
     return q
 
 
@@ -8043,6 +8071,41 @@ def oracle_sql() -> dict[str, str]:
             (SELECT cast(coalesce(sum(c), 0) AS BIGINT) FROM pass WHERE ok)
             - (SELECT cast(coalesce(sum(c), 0) AS BIGINT) FROM pk
                WHERE k IN (SELECT k FROM dim)) AS bloom_false_pos
+    """
+
+    # Count-Min replay: same md5-60 double hash (h1 = low 8 bits,
+    # h2 = next 8 bits forced odd), bucket_i = (h1 + i*h2) & 255 per
+    # depth row; est = min over the 3 rows' counters. Collisions are
+    # replayed exactly, so overcount is engine-exact.
+    o["sketch_cms_freq"] = """
+        WITH pk AS (
+            SELECT l_partkey AS k, cast(count(*) AS BIGINT) AS true_c
+            FROM lineitem GROUP BY 1
+        ), top AS (
+            SELECT k, true_c FROM pk ORDER BY true_c DESC, k LIMIT 20
+        ), kh AS (
+            SELECT k,
+                   ('0x' || substr(md5(cast(k AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+            FROM (SELECT DISTINCT l_partkey AS k FROM lineitem)
+        ), cms AS (
+            SELECT i.i AS row_i,
+                   ((kh.h & 255) + i.i * (((kh.h >> 8) & 255) * 2 + 1))
+                   & 255 AS bucket,
+                   cast(count(*) AS BIGINT) AS cnt
+            FROM lineitem l JOIN kh ON kh.k = l.l_partkey, range(3) i(i)
+            GROUP BY 1, 2
+        ), probe AS (
+            SELECT t.k, t.true_c, i.i AS row_i,
+                   ((kh.h & 255) + i.i * (((kh.h >> 8) & 255) * 2 + 1))
+                   & 255 AS bucket
+            FROM top t JOIN kh USING (k), range(3) i(i)
+        )
+        SELECT p.k, p.true_c, min(c.cnt) AS est,
+               min(c.cnt) - p.true_c AS overcount
+        FROM probe p
+        JOIN cms c ON c.row_i = p.row_i AND c.bucket = p.bucket
+        GROUP BY 1, 2 ORDER BY p.k
     """
 
     return o

@@ -37,6 +37,32 @@ def portable_hash60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
 
 
+def portable_hash_pair(col: Column | str, modulus: int) -> tuple[Column, Column]:
+    """Kirsch–Mitzenmacher double-hash pair (h1, h2) for a power-of-two
+    ``modulus``: position ``i`` of a key is ``(h1 + i*h2) & (modulus-1)``.
+
+    Both columns derive from :func:`portable_hash60` — h1 = the low
+    log2(modulus) bits, h2 = the next log2(modulus) bits forced ODD
+    (an odd stride is coprime to a power-of-two modulus, so the probe
+    positions never collapse onto a short cycle). All arithmetic stays
+    in small non-negative int64 — no float, no overflow — and an
+    external SQL oracle replays it bit-for-bit:
+    ``h & (m-1)`` / ``((h >> log2m) & (m-1)) * 2 + 1``. Shared by the
+    bloom join prefilter and the Count-Min sketch so one oracle idiom
+    covers every position computation.
+    """
+    if modulus < 2 or modulus & (modulus - 1):
+        raise ValueError(f"modulus must be a power of two >= 2, got {modulus}")
+    log2m = modulus.bit_length() - 1
+    h = portable_hash60(_c(col))
+    h1 = h.bitwiseAND(F.lit(modulus - 1))
+    h2 = (
+        F.shiftrightunsigned(h, log2m).bitwiseAND(F.lit(modulus - 1))
+        * F.lit(2) + F.lit(1)
+    )
+    return h1, h2
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the normalized text (array<string>)."""
     return F.split(normalize_text(col), " ")

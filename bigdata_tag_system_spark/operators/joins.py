@@ -122,26 +122,14 @@ def _bloom_params(num_bits: int, num_hashes: int) -> int:
 
 
 def _bloom_hash_cols(key: str, num_bits: int, num_hashes: int):
-    """(h1, h2) Kirsch–Mitzenmacher double-hash columns for ``key``.
+    """(h1, h2) double-hash columns for ``key`` — position ``i`` is
+    ``(h1 + i*h2) & (num_bits-1)``. See
+    ``functions/text.py:portable_hash_pair`` for the oracle-replayable
+    bit layout (shared with the Count-Min sketch)."""
+    from bigdata_tag_system_spark.functions.text import portable_hash_pair
 
-    Position ``i`` is ``(h1 + i*h2) & (num_bits-1)``. Both derive from
-    the portable md5 60-bit hash (``functions/text.py:portable_hash60``)
-    so an external SQL oracle replays every bit: h1 = low log2(m) bits,
-    h2 = the next log2(m) bits forced odd (odd stride is coprime to a
-    power-of-two modulus, so the k probe positions never collapse onto
-    a short cycle). All arithmetic stays in small non-negative int64 —
-    no float, no overflow, engine-exact.
-    """
-    from bigdata_tag_system_spark.functions.text import portable_hash60
-
-    log2m = _bloom_params(num_bits, num_hashes)
-    h = portable_hash60(F.col(key).cast("string"))
-    h1 = h.bitwiseAND(F.lit(num_bits - 1))
-    h2 = (
-        F.shiftrightunsigned(h, log2m).bitwiseAND(F.lit(num_bits - 1))
-        * F.lit(2) + F.lit(1)
-    )
-    return h1, h2
+    _bloom_params(num_bits, num_hashes)
+    return portable_hash_pair(F.col(key).cast("string"), num_bits)
 
 
 def bloom_filter_bits(

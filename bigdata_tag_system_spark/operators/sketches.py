@@ -601,3 +601,95 @@ def kmv_intersect_check(
             "exact_a", "exact_b", "exact_intersect",
         )
     )
+
+
+def cms_build(
+    df: DataFrame,
+    key: str,
+    width: int = 256,
+    depth: int = 3,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch of the frequency of ``df[key]`` (Cormode &
+    Muthukrishnan 2005): ``depth`` hash rows × ``width`` counters;
+    row ``i``'s counter for a key sits at the portable double-hash
+    position (``functions/text.py:portable_hash_pair``), so an external
+    SQL oracle replays the sketch — collisions included — bit-for-bit.
+
+    Output is the SPARSE relation ``(row_i, bucket, cnt)`` (plus
+    ``partition_col`` if given): at most ``depth × width`` rows per
+    partition value regardless of input size, built by one map-side-
+    combining groupBy. Sketches MERGE by adding counters —
+    :func:`cms_merge` — which is the whole point at 100 TB: build one
+    tiny sketch per day/partition as data lands, then answer frequency
+    queries over any partition union without rescanning history.
+
+    Guarantees per key (N rows total): ``est ≥ true`` always, and
+    ``est ≤ true + 2N/width`` with probability ``1 - (1/2)^depth``.
+    """
+    from bigdata_tag_system_spark.functions.text import portable_hash_pair
+
+    if not 1 <= depth <= 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    h1, h2 = portable_hash_pair(F.col(key).cast("string"), width)
+    keyed = df.where(F.col(key).isNotNull()) \
+        .withColumn("_h1", h1).withColumn("_h2", h2)
+    rows = keyed.select(
+        *([partition_col] if partition_col else []),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (F.col("_h1") + F.lit(i) * F.col("_h2"))
+                .bitwiseAND(F.lit(width - 1)).alias("bucket"),
+            )
+            for i in range(depth)
+        ])).alias("_pos"),
+    ).select(
+        *([partition_col] if partition_col else []),
+        "_pos.row_i", "_pos.bucket",
+    )
+    group = ([partition_col] if partition_col else []) + ["row_i", "bucket"]
+    return rows.groupBy(*group).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(cms: DataFrame) -> DataFrame:
+    """Merge per-partition sketches by summing counters (drops any
+    extra partition columns). Associative and commutative — the
+    mergeability contract that lets sketches roll up day→month→year
+    without touching the underlying rows."""
+    return cms.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probe: DataFrame,
+    key: str,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Point-frequency estimates for ``probe[key]`` against a (merged)
+    sketch: est = min over the ``depth`` rows of the key's counter.
+
+    ``probe`` keys should be distinct (estimates are per key). The
+    sketch side is ≤ depth×width rows → broadcast; the probe explodes
+    to ``depth`` rows per key, joins map-side, and re-aggregates on the
+    probe key — no shuffle of anything proportional to the fact table.
+    A key whose bucket was never touched gets est = 0.
+    """
+    from bigdata_tag_system_spark.functions.text import portable_hash_pair
+
+    h1, h2 = portable_hash_pair(F.col(key).cast("string"), width)
+    pos = probe.withColumn("_h1", h1).withColumn("_h2", h2).select(
+        *probe.columns,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (F.col("_h1") + F.lit(i) * F.col("_h2"))
+                .bitwiseAND(F.lit(width - 1)).alias("bucket"),
+            )
+            for i in range(depth)
+        ])).alias("_pos"),
+    ).select(*probe.columns, "_pos.row_i", "_pos.bucket")
+    joined = pos.join(F.broadcast(cms), ["row_i", "bucket"], "left")
+    return joined.groupBy(*probe.columns).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))

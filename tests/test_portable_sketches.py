@@ -132,7 +132,7 @@ class TestGuards:
         )
 
         for bad in ("6; DROP TABLE x", "soon", "6 fortnights", "-3 hours"):
-            with pytest.raises(ValueError, match="tolerance"):
+            with pytest.raises(ValueError, match="time window must look like"):
                 _parse_tolerance(bad)
         # well-formed strings still parse (plan builds without error)
         left = spark.createDataFrame(

@@ -12,6 +12,11 @@ from bigdata_tag_system_spark.operators.joins import (
     bloom_filter_bits,
     bloom_prefilter,
 )
+from bigdata_tag_system_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
 
 
 class TestBloomPrefilter:
@@ -71,3 +76,54 @@ class TestBloomPrefilter:
         plan = bloom_prefilter(probe, "k", words, 1 << 8, 3) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_merge_equals_direct(self, spark):
+        df = spark.range(0, 2000).select(
+            (F.col("id") % 97).alias("k"), (F.col("id") % 4).alias("p"))
+        direct = cms_build(df, "k", width=64, depth=3)
+        merged = cms_merge(cms_build(df, "k", width=64, depth=3,
+                                     partition_col="p"))
+        # mergeability: summing per-partition sketches == one-shot build
+        a = {(r.row_i, r.bucket): r.cnt for r in direct.collect()}
+        b = {(r.row_i, r.bucket): r.cnt for r in merged.collect()}
+        assert a == b
+        true = df.groupBy("k").agg(F.count(F.lit(1)).alias("true_c"))
+        est = cms_estimate(merged, true, "k", width=64, depth=3)
+        rows = est.collect()
+        assert len(rows) == 97
+        for r in rows:
+            # one-sided error: est >= true, always
+            assert r.est >= r.true_c, (r.k, r.est, r.true_c)
+
+    def test_python_replica_matches_sketch_counters(self, spark):
+        import collections
+        import hashlib
+
+        w, d = 32, 2
+        keys = [5, 5, 9, 123, 9, 5]
+        df = spark.createDataFrame([(x,) for x in keys], "k long")
+        got = {(r.row_i, r.bucket): r.cnt
+               for r in cms_build(df, "k", w, d).collect()}
+        expect: dict = collections.Counter()
+        for key in keys:
+            h = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+            h1, h2 = h & (w - 1), ((h >> 5) & (w - 1)) * 2 + 1
+            for i in range(d):
+                expect[(i, (h1 + i * h2) & (w - 1))] += 1
+        assert got == dict(expect)
+
+    def test_unseen_key_estimates_zero_or_collision(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], "k long")
+        cms = cms_build(df, "k", width=256, depth=3)
+        probe = spark.createDataFrame([(424242,)], "k long")
+        [r] = cms_estimate(cms, probe, "k", 256, 3).collect()
+        assert 0 <= r.est <= 2
+
+    def test_depth_validation(self, spark):
+        df = spark.range(1).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="depth"):
+            cms_build(df, "k", width=64, depth=0)
+        with pytest.raises(ValueError, match="power of two"):
+            cms_build(df, "k", width=100)
