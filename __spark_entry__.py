@@ -4675,6 +4675,28 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_cms_freq"] = sketch_cms_freq
 
+    def graph_kcore(spark, sf_dir):
+        # 75-core of the co-purchase part graph by iterative peeling
+        # (Matula–Beck): drop degree<75 vertices, recompute on the
+        # induced subgraph, repeat to fixpoint — converges in 4 peels
+        # at sf0.01 (the oracle unrolls 8, idempotent past fixpoint).
+        # k=75 sits just under this graph's core-collapse threshold
+        # (85-core is empty), so the cascade genuinely runs
+        from bigdata_tag_system_spark.operators.graph import kcore
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey")
+        a = li.withColumnRenamed("l_partkey", "p1")
+        b = li.withColumnRenamed("l_partkey", "p2")
+        edges = (
+            a.join(b, "l_orderkey")
+            .where(F.col("p1") < F.col("p2"))
+            .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        )
+        return kcore(edges, 75).orderBy("node")
+
+    q["graph_kcore"] = graph_kcore
+
     return q
 
 
@@ -8107,5 +8129,38 @@ def oracle_sql() -> dict[str, str]:
         JOIN cms c ON c.row_i = p.row_i AND c.bucket = p.bucket
         GROUP BY 1, 2 ORDER BY p.k
     """
+
+    # k-core replay: 8 peel rounds unrolled (Spark converges in 4 at
+    # sf0.01; peeling is idempotent past its fixpoint, so extra
+    # rounds are no-ops). Each round = degree HAVING filter + induced-
+    # subgraph join, exactly the engine's loop body.
+    # MATERIALIZED is load-bearing: each s_i references s_{i-1} three
+    # times; inlined CTEs would expand the scan tree 3^rounds-fold
+    # (observed as "Too many open files" on the parquet view)
+    _kcore_rounds = 8
+    _kcore_sql = """
+        WITH e_base AS MATERIALIZED (
+            SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+            FROM lineitem l1
+            JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+            WHERE l1.l_partkey < l2.l_partkey
+        ), s0 AS MATERIALIZED (
+            SELECT u, v FROM e_base
+            UNION ALL
+            SELECT v AS u, u AS v FROM e_base
+        )"""
+    for _i in range(1, _kcore_rounds + 1):
+        _kcore_sql += f""", v{_i} AS MATERIALIZED (
+            SELECT u FROM s{_i - 1} GROUP BY u HAVING count(*) >= 75
+        ), s{_i} AS MATERIALIZED (
+            SELECT s.u, s.v FROM s{_i - 1} s
+            JOIN v{_i} a ON a.u = s.u
+            JOIN v{_i} b ON b.u = s.v
+        )"""
+    _kcore_sql += f"""
+        SELECT u AS node, cast(count(*) AS BIGINT) AS degree
+        FROM s{_kcore_rounds} GROUP BY u ORDER BY node
+    """
+    o["graph_kcore"] = _kcore_sql
 
     return o

@@ -267,3 +267,66 @@ def bfs_depths(
             f"raise max_rounds for graphs with diameter > {max_rounds}")
     finally:
         sym.unpersist()
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """The k-core of an undirected graph — the maximal subgraph where
+    every vertex keeps degree ≥ k — by iterative peeling (Matula &
+    Beck): drop all vertices under degree k, recompute degrees on the
+    induced subgraph, repeat to fixpoint. The standard coreness signal
+    for curating dedup/link graphs (a high-k core of near-identical
+    documents is boilerplate; a 1-core-only vertex is a leaf).
+
+    Scale shape: the symmetrized distinct edge list is persisted
+    pre-partitioned on the vertex key once; each round is one
+    map-side-combinable degree count plus two semi joins on that same
+    key (AQE reuses the layout), and the edge set only SHRINKS —
+    round cost is monotone decreasing. Convergence = no vertex removed,
+    detected by comparing surviving-vertex counts (one scalar action
+    per round, the same driver-loop contract as BFS/PageRank).
+    ``max_rounds`` raises rather than silently truncating (a path graph
+    peels one layer per round under k=2). Returns (node, degree) of
+    the k-core, degree measured INSIDE the core.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    canon = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")) \
+        .where(F.col("_u") != F.col("_v"))
+    sym = canon.unionAll(
+        canon.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    ).distinct().repartition("_u")
+    live = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_prev = None
+        for _ in range(max_rounds):
+            deg = live.groupBy("_u").agg(F.count(F.lit(1)).alias("degree"))
+            keep = deg.where(F.col("degree") >= k) \
+                .localCheckpoint(eager=True)
+            n = keep.count()
+            if n == n_prev or n == 0:
+                return keep.select(F.col("_u").alias("node"), "degree")
+            n_prev = n
+            nodes = keep.select("_u")
+            nxt = (
+                live.join(nodes, "_u", "left_semi")
+                .join(nodes.select(F.col("_u").alias("_v")), "_v",
+                      "left_semi")
+                .repartition("_u")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            nxt.count()  # materialize before dropping the parent
+            live.unpersist()
+            live = nxt
+        raise RuntimeError(
+            f"k-core peeling did not converge in {max_rounds} rounds — "
+            f"raise max_rounds for deep degeneracy orderings")
+    finally:
+        live.unpersist()

@@ -106,6 +106,8 @@ _CATALOG_ALLOW = {
     "graph_part_hierarchy": ["rdd_scan"],
     # BFS frontiers are localCheckpoint-ed per round
     "graph_bfs_depths": ["rdd_scan"],
+    # k-core keep-sets are localCheckpoint-ed per peel round
+    "graph_kcore": ["rdd_scan"],
     "sample_shuffle_order": ["global_window"],
     "sim_hybrid_rrf": ["global_window"],
     # the RANGE window merges PER-BUCKET sketches — one row per day,

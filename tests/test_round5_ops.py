@@ -127,3 +127,47 @@ class TestCountMinSketch:
             cms_build(df, "k", width=64, depth=0)
         with pytest.raises(ValueError, match="power of two"):
             cms_build(df, "k", width=100)
+
+
+class TestKCore:
+    def test_known_graphs(self, spark):
+        from bigdata_tag_system_spark.operators.graph import kcore
+
+        # K5: the 4-core is all five vertices at degree 4
+        k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+        df = spark.createDataFrame(k5, "src long, dst long")
+        got = sorted((r.node, r.degree) for r in kcore(df, 4).collect())
+        assert got == [(i, 4) for i in range(5)]
+        # a path has no 2-core (peels from both ends)
+        path = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "src long, dst long")
+        assert kcore(path, 2).collect() == []
+        # K4 + pendant: the pendant AND its anchor's degree drop out,
+        # the K4 survives as the 3-core — the cascade case
+        k4p = [(a, b) for a in range(4) for b in range(4) if a < b] \
+            + [(0, 99)]
+        g = spark.createDataFrame(k4p, "src long, dst long")
+        got = sorted((r.node, r.degree) for r in kcore(g, 3).collect())
+        assert got == [(i, 3) for i in range(4)]
+
+    def test_duplicate_and_self_edges_ignored(self, spark):
+        from bigdata_tag_system_spark.operators.graph import kcore
+
+        # triangle with duplicated edges (both directions) and a self
+        # loop: degrees must count distinct neighbors only
+        g = spark.createDataFrame(
+            [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)],
+            "src long, dst long")
+        got = sorted((r.node, r.degree) for r in kcore(g, 2).collect())
+        assert got == [(0, 2), (1, 2), (2, 2)]
+
+    def test_max_rounds_raises(self, spark):
+        from bigdata_tag_system_spark.operators.graph import kcore
+
+        # a long path peels one layer per round under k=2
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "src long, dst long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            kcore(path, 2, max_rounds=2)
+        with pytest.raises(ValueError, match="k must be"):
+            kcore(path, 0)
