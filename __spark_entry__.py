@@ -4697,6 +4697,32 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_kcore"] = graph_kcore
 
+    def ivm_join_delta(spark, sf_dir):
+        # incremental view maintenance: the orders⋈customer view is
+        # maintained under TWO-SIDED inserts (new orders after the
+        # cutoff date AND new customers by key split) via
+        # Δ = ΔR⋈S_old ∪ R_old⋈ΔS ∪ ΔR⋈ΔS — the old×old quadrant is
+        # never re-joined. The oracle recomputes the FULL join from
+        # scratch: equality proves the quadrant algebra is exact
+        from bigdata_tag_system_spark.operators.joins import join_delta
+
+        c = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"), "c_mktsegment")
+        o = _t(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("k"), "o_totalprice", "o_orderdate")
+        r_old = o.where("o_orderdate < DATE '1997-01-01'")
+        r_new = o.where("o_orderdate >= DATE '1997-01-01'")
+        s_old = c.where("k % 10 < 8")
+        s_new = c.where("k % 10 >= 8")
+        base = r_old.join(s_old, "k")
+        full = base.unionByName(join_delta(r_old, r_new, s_old, s_new, "k"))
+        return full.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).orderBy("c_mktsegment")
+
+    q["ivm_join_delta"] = ivm_join_delta
+
     return q
 
 
@@ -8162,5 +8188,15 @@ def oracle_sql() -> dict[str, str]:
         FROM s{_kcore_rounds} GROUP BY u ORDER BY node
     """
     o["graph_kcore"] = _kcore_sql
+
+    # IVM oracle: the FULL recomputed join — equality with the
+    # quadrant-union proves Δ(R⋈S) algebra exact
+    o["ivm_join_delta"] = """
+        SELECT c.c_mktsegment,
+               cast(count(*) AS BIGINT) AS cnt,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+    """
 
     return o

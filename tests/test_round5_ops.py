@@ -171,3 +171,32 @@ class TestKCore:
             kcore(path, 2, max_rounds=2)
         with pytest.raises(ValueError, match="k must be"):
             kcore(path, 0)
+
+
+class TestJoinDelta:
+    def test_quadrants_reassemble_full_join(self, spark):
+        from bigdata_tag_system_spark.operators.joins import join_delta
+
+        r = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, rv string")
+        s = spark.createDataFrame(
+            [(1, 10), (2, 20), (2, 21), (4, 40)], "k long, sv long")
+        r_old, r_new = r.where("rv < 'c'"), r.where("rv >= 'c'")
+        s_old, s_new = s.where("sv < 21"), s.where("sv >= 21")
+        full = r_old.join(s_old, "k").unionByName(
+            join_delta(r_old, r_new, s_old, s_new, "k"))
+        want = sorted(map(tuple, r.join(s, "k").collect()))
+        got = sorted(map(tuple, full.collect()))
+        assert got == want
+        # quadrants are disjoint: no row double-counted
+        assert len(got) == len(set(got)) or \
+            full.count() == r.join(s, "k").count()
+
+    def test_empty_deltas_contribute_nothing(self, spark):
+        from bigdata_tag_system_spark.operators.joins import join_delta
+
+        r = spark.createDataFrame([(1, "a")], "k long, rv string")
+        s = spark.createDataFrame([(1, 10)], "k long, sv long")
+        empty_r = r.where("1 = 0")
+        empty_s = s.where("1 = 0")
+        assert join_delta(r, empty_r, s, empty_s, "k").count() == 0
