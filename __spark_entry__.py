@@ -4723,6 +4723,28 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivm_join_delta"] = ivm_join_delta
 
+    def feat_target_encode(spark, sf_dir):
+        # leakage-safe out-of-fold target encoding audit: the per
+        # (category, fold) integer pieces (count / cents sum / floor
+        # mean) are engine-exact, so the oracle verifies the
+        # exclude-own-fold algebra without float-division ties; the
+        # label is exact CENTS (round(price*100) is exact — 2-decimal
+        # doubles stay inside 2^53)
+        from bigdata_tag_system_spark.operators.features import target_encode
+
+        rows = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("category"),
+            F.pmod(F.col("o_orderkey"), F.lit(4)).alias("fold"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        enc = target_encode(rows, "category", "cents", "fold")
+        return enc.select(
+            "category", "fold", "enc_cnt", "enc_sum",
+            F.expr("enc_sum DIV enc_cnt").alias("enc_floor_cents"),
+        ).distinct().orderBy("category", "fold")
+
+    q["feat_target_encode"] = feat_target_encode
+
     return q
 
 
@@ -8197,6 +8219,33 @@ def oracle_sql() -> dict[str, str]:
                round(sum(o.o_totalprice), 2) AS revenue
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1 ORDER BY 1
+    """
+
+    # out-of-fold target-encode replay on exact integer cents
+    o["feat_target_encode"] = """
+        WITH r AS (
+            SELECT o_orderpriority AS category,
+                   o_orderkey % 4 AS fold,
+                   cast(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), cf AS (
+            SELECT category, fold,
+                   cast(sum(cents) AS BIGINT) AS s,
+                   cast(count(*) AS BIGINT) AS c
+            FROM r GROUP BY 1, 2
+        ), ct AS (
+            SELECT category,
+                   cast(sum(s) AS BIGINT) AS cs,
+                   cast(sum(c) AS BIGINT) AS cc
+            FROM cf GROUP BY 1
+        )
+        SELECT cf.category, cf.fold,
+               ct.cc - cf.c AS enc_cnt,
+               ct.cs - cf.s AS enc_sum,
+               cast((ct.cs - cf.s) // (ct.cc - cf.c) AS BIGINT)
+                   AS enc_floor_cents
+        FROM cf JOIN ct USING (category)
+        ORDER BY 1, 2
     """
 
     return o

@@ -674,3 +674,65 @@ def linear_attribution(
             .alias("revenue"),
         )
     )
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+    fold_col: str,
+    smoothing: float = 0.0,
+) -> DataFrame:
+    """Leakage-safe (out-of-fold) target encoding: each row's category
+    is replaced by the mean label of OTHER folds' rows in that
+    category — the standard high-cardinality categorical feature for
+    gradient-boosted / linear models, computed so a row never sees its
+    own label (or its fold-mates') in its feature.
+
+    ``smoothing`` m blends toward the out-of-fold GLOBAL mean:
+    ``enc = (cat_oof_sum + m·prior) / (cat_oof_cnt + m)`` — the classic
+    shrinkage for rare categories (m=0 → raw out-of-fold mean; a
+    category entirely inside one fold yields enc = prior rather than
+    0/0).
+
+    Scale shape: ONE map-side-combining groupBy over (category, fold)
+    → a stats relation of |categories|×|folds| rows; totals derive
+    from that tiny relation, and the encode joins back as a broadcast.
+    The fact table is scanned once and shuffled once, regardless of
+    cardinality. Adds columns ``enc_cnt``/``enc_sum`` (exact
+    out-of-fold integer pieces when the label is integral — the
+    engine-exact audit trail) and ``enc`` (the smoothed double).
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    cf = df.groupBy(category_col, fold_col).agg(
+        F.sum(label_col).alias("_s"),
+        F.count(label_col).alias("_c"),
+    )
+    cat_tot = cf.groupBy(category_col).agg(
+        F.sum("_s").alias("_cs"), F.sum("_c").alias("_cc"))
+    glob = cf.agg(F.sum("_s").alias("_gs"), F.sum("_c").alias("_gc"))
+    fold_tot = cf.groupBy(fold_col).agg(
+        F.sum("_s").alias("_fs"), F.sum("_c").alias("_fc"))
+    stats = (
+        cf.join(cat_tot, category_col)
+        .join(F.broadcast(fold_tot), fold_col)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            category_col, fold_col,
+            (F.col("_cs") - F.col("_s")).alias("enc_sum"),
+            (F.col("_cc") - F.col("_c")).alias("enc_cnt"),
+            # try_divide: a single-fold input has no out-of-fold prior
+            # (0/0) — NULL, not an ANSI error
+            F.try_divide(
+                F.col("_gs") - F.col("_fs"),
+                F.col("_gc") - F.col("_fc")).alias("_prior"),
+        )
+        .withColumn(
+            "enc",
+            F.try_divide(
+                F.col("enc_sum") + F.lit(smoothing) * F.col("_prior"),
+                F.col("enc_cnt") + F.lit(smoothing)))
+        .drop("_prior")
+    )
+    return df.join(F.broadcast(stats), [category_col, fold_col], "left")

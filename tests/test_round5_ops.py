@@ -200,3 +200,50 @@ class TestJoinDelta:
         empty_r = r.where("1 = 0")
         empty_s = s.where("1 = 0")
         assert join_delta(r, empty_r, s, empty_s, "k").count() == 0
+
+
+class TestTargetEncode:
+    def test_excludes_own_fold_and_smooths(self, spark):
+        from bigdata_tag_system_spark.operators.features import target_encode
+
+        # cat 'a': fold 0 labels (10, 20), fold 1 label (40)
+        df = spark.createDataFrame(
+            [("a", 0, 10), ("a", 0, 20), ("a", 1, 40), ("b", 0, 100)],
+            "category string, fold long, label long")
+        out = {(r.category, r.fold): r
+               for r in target_encode(df, "category", "label", "fold")
+               .collect()}
+        # a/fold0 sees only fold1: mean 40; a/fold1 sees fold0: mean 15
+        assert out[("a", 0)].enc == 40.0
+        assert out[("a", 1)].enc == 15.0
+        assert out[("a", 0)].enc_sum == 40 and out[("a", 0)].enc_cnt == 1
+        # b is entirely in fold 0 → no out-of-fold rows → null (m=0)
+        assert out[("b", 0)].enc is None
+        # with smoothing, b falls back toward the out-of-fold prior:
+        # global fold!=0 rows are just (a,1,40) → prior 40
+        sm = {(r.category, r.fold): r.enc
+              for r in target_encode(df, "category", "label", "fold",
+                                     smoothing=2.0).collect()}
+        assert sm[("b", 0)] == 40.0
+        # a/fold0: (40 + 2*40)/(1+2) = 40 ; a/fold1 prior = oof-global
+        # of fold1 = mean(10,20,100) = 130/3, enc = (30+2·prior)/(2+2)
+        assert sm[("a", 0)] == 40.0
+        assert abs(sm[("a", 1)] - (30 + 2 * (130 / 3)) / 4) < 1e-9
+
+    def test_row_count_preserved(self, spark):
+        from bigdata_tag_system_spark.operators.features import target_encode
+
+        df = spark.range(100).select(
+            (F.col("id") % 3).cast("string").alias("category"),
+            (F.col("id") % 4).alias("fold"),
+            F.col("id").alias("label"))
+        assert target_encode(df, "category", "label", "fold").count() == 100
+
+    def test_negative_smoothing_rejected(self, spark):
+        from bigdata_tag_system_spark.operators.features import target_encode
+
+        df = spark.range(1).select(
+            F.lit("a").alias("category"), F.lit(0).alias("fold"),
+            F.col("id").alias("label"))
+        with pytest.raises(ValueError, match="smoothing"):
+            target_encode(df, "category", "label", "fold", smoothing=-1)
