@@ -4745,6 +4745,21 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["feat_target_encode"] = feat_target_encode
 
+    def rule_coverage_report(spark, sf_dir):
+        # ops pre-flight over the flagship rule catalog: every rule
+        # becomes one conditional aggregate in a SINGLE fact scan (the
+        # reference stats each rule with its own query); coverage in
+        # exact integer basis points
+        from bigdata_tag_system_spark.operators.tagging import TagEngine
+        from bigdata_tag_system_spark.rules.model import load_rules
+
+        facts = _t(spark, sf_dir, "customer") \
+            .withColumnRenamed("c_custkey", "user_id")
+        eng = TagEngine(load_rules(_FLAGSHIP_RULES), as_of=AS_OF)
+        return eng.coverage(facts).orderBy("rule_id")
+
+    q["rule_coverage_report"] = rule_coverage_report
+
     return q
 
 
@@ -8246,6 +8261,34 @@ def oracle_sql() -> dict[str, str]:
                    AS enc_floor_cents
         FROM cf JOIN ct USING (category)
         ORDER BY 1, 2
+    """
+
+    # coverage replay: the flagship rules as CASE predicates, counted
+    # in one pass; basis points via integer division
+    o["rule_coverage_report"] = """
+        WITH w AS (
+            SELECT cast(count(*) AS BIGINT) AS total,
+                   cast(count(CASE WHEN c_acctbal >= 5000 THEN 1 END)
+                        AS BIGINT) AS m1,
+                   cast(count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+                              END) AS BIGINT) AS m2,
+                   cast(count(CASE WHEN
+                        ((c_acctbal BETWEEN 0 AND 3000)
+                         OR c_nationkey IN (1, 2, 3))
+                        AND c_name LIKE '%5' THEN 1 END) AS BIGINT) AS m3
+            FROM customer
+        )
+        SELECT r.rule_id, r.tag_id, r.tag_name,
+               CASE r.rule_id WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END
+                   AS matched,
+               total,
+               cast((CASE r.rule_id WHEN 1 THEN m1 WHEN 2 THEN m2
+                     ELSE m3 END * 10000) // total AS BIGINT)
+                   AS coverage_bp
+        FROM w, (VALUES (1, 1, 'big_balance'), (2, 2, 'builder'),
+                        (3, 3, 'nested'))
+             AS r(rule_id, tag_id, tag_name)
+        ORDER BY r.rule_id
     """
 
     return o

@@ -247,3 +247,31 @@ class TestTargetEncode:
             F.col("id").alias("label"))
         with pytest.raises(ValueError, match="smoothing"):
             target_encode(df, "category", "label", "fold", smoothing=-1)
+
+
+class TestRuleCoverage:
+    def test_counts_and_basis_points(self, spark):
+        from bigdata_tag_system_spark.operators.tagging import TagEngine
+        from bigdata_tag_system_spark.rules.model import load_rules
+
+        rules = [
+            {"rule_id": 1, "tag_id": 1, "tag_name": "pos",
+             "tag_category": "t",
+             "rule_conditions": {"logic": "AND", "conditions": [
+                 {"field": "v", "operator": ">", "value": 0,
+                  "type": "number"}]}},
+            {"rule_id": 2, "tag_id": 2, "tag_name": "never",
+             "tag_category": "t",
+             "rule_conditions": {"logic": "AND", "conditions": [
+                 {"field": "v", "operator": ">", "value": 99,
+                  "type": "number"}]}},
+        ]
+        facts = spark.createDataFrame(
+            [(1, 5), (2, -1), (3, 7), (4, 0)], "user_id long, v long")
+        eng = TagEngine(load_rules(rules))
+        got = {r.rule_id: r for r in eng.coverage(facts).collect()}
+        assert got[1].matched == 2 and got[1].total == 4
+        assert got[1].coverage_bp == 5000
+        # dead rule surfaces as zero coverage — the report's purpose
+        assert got[2].matched == 0 and got[2].coverage_bp == 0
+        assert got[1].tag_name == "pos"
