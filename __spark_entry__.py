@@ -50,6 +50,8 @@ _STREAM_OUTER_CACHE: dict[str, str] = {}
 _STREAM_DEDUP_CACHE: dict[str, str] = {}
 
 _STREAM_TOPK_CACHE: dict[str, str] = {}
+
+_STREAM_CDC_CACHE: dict[str, str] = {}
 # fixed deterministic 2×64 projection weights shared by the
 # emb_pca_project query and its oracle (tenth-steps, exactly
 # representable in binary-friendly decimal both engines parse alike)
@@ -4760,6 +4762,80 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rule_coverage_report"] = rule_coverage_report
 
+    def stream_cdc_apply_parity(spark, sf_dir):
+        # CDC changelog streamed into a keyed store, three forced-order
+        # micro-batches with genuinely cross-batch semantics: batch 1
+        # overwrites batch 0's upserts (last-writer-wins), batch 2
+        # RE-INSERTS keys batch 0 deleted and deletes keys batches 0/1
+        # upserted. The oracle computes the final state closed-form
+        # from the op timeline — every CASE branch is a distinct
+        # ordering proof
+        import os
+        import tempfile
+
+        from bigdata_tag_system_spark.sources.writers import write_parquet
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            run_cdc_apply_stream,
+        )
+
+        store = _STREAM_CDC_CACHE.get(sf_dir)
+        if store is None:
+            c = _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("k"), "c_acctbal")
+
+            def ups(pred, val):
+                return c.where(pred).select(
+                    F.col("k").alias("user_id"), val.alias("bal"),
+                    F.lit("upsert").alias("_op"))
+
+            def dels(pred):
+                return c.where(pred).select(
+                    F.col("k").alias("user_id"),
+                    F.lit(None).cast("double").alias("bal"),
+                    F.lit("delete").alias("_op"))
+
+            batches = [
+                ups("k % 2 = 0", F.round(F.col("c_acctbal") * 2, 2))
+                .unionByName(dels("k % 10 = 5")),
+                ups("k % 4 = 0", F.round(F.col("c_acctbal") * 3, 2)),
+                ups("k % 10 = 5", F.round(F.col("c_acctbal") + 1000, 2))
+                .unionByName(dels("k % 6 = 2")),
+            ]
+            tmp = tempfile.mkdtemp(prefix="stream_cdc_")
+            src = tmp + "/src"
+            os.makedirs(src)
+            for i, b in enumerate(batches):
+                cdir = f"{src}/chunk{i}"
+                b.coalesce(1).write.mode("overwrite").parquet(cdir)
+                part = [f for f in os.listdir(cdir)
+                        if f.endswith(".parquet")][0]
+                dst = f"{src}/{i}.parquet"
+                os.rename(f"{cdir}/{part}", dst)
+                os.utime(dst, (1_000_000 + i * 1000,
+                               1_000_000 + i * 1000))
+            store = tmp + "/store"
+            write_parquet(
+                c.where("k % 3 = 0").select(
+                    F.col("k").alias("user_id"),
+                    F.col("c_acctbal").alias("bal")),
+                store)
+            schema = "user_id bigint, bal double, _op string"
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("latestFirst", "false")
+                .parquet(src + "/[0-9]*.parquet")
+            )
+            query = run_cdc_apply_stream(
+                stream, store, key_cols=["user_id"],
+                checkpoint_dir=tmp + "/ckpt")
+            query.awaitTermination()
+            _STREAM_CDC_CACHE[sf_dir] = store
+        return spark.read.parquet(store).select("user_id", "bal") \
+            .orderBy("user_id")
+
+    q["stream_cdc_apply_parity"] = stream_cdc_apply_parity
+
     return q
 
 
@@ -8289,6 +8365,24 @@ def oracle_sql() -> dict[str, str]:
                         (3, 3, 'nested'))
              AS r(rule_id, tag_id, tag_name)
         ORDER BY r.rule_id
+    """
+
+    # streamed-CDC final state, closed-form from the op timeline:
+    # membership = NOT deleted-last (k%6=2), then the LATEST upsert
+    # wins (batch2 reinsert > batch1 ×3 > batch0 ×2 > untouched base)
+    o["stream_cdc_apply_parity"] = """
+        SELECT c_custkey AS user_id,
+               CASE
+                   WHEN c_custkey % 10 = 5 THEN round(c_acctbal + 1000, 2)
+                   WHEN c_custkey % 4 = 0 THEN round(c_acctbal * 3, 2)
+                   WHEN c_custkey % 2 = 0 THEN round(c_acctbal * 2, 2)
+                   ELSE c_acctbal
+               END AS bal
+        FROM customer
+        WHERE c_custkey % 6 != 2
+          AND (c_custkey % 10 = 5 OR c_custkey % 2 = 0
+               OR c_custkey % 3 = 0)
+        ORDER BY user_id
     """
 
     return o

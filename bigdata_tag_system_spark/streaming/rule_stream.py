@@ -183,6 +183,41 @@ def run_foreach_batch_upsert(
     return writer.start()
 
 
+def run_cdc_apply_stream(
+    change_stream: DataFrame,
+    store_path: str,
+    key_cols,
+    checkpoint_dir: str,
+    op_col: str = "_op",
+    trigger_available_now: bool = True,
+):
+    """Stream a CDC changelog into a keyed file store: each micro-batch
+    applies atomically via
+    :func:`bigdata_tag_system_spark.sources.writers.apply_changeset`
+    (upserts + deletes in one stage-and-swap rewrite).
+
+    Semantics are LAST-WRITER-WINS across micro-batches in stream
+    order — an upsert in batch 7 overwrites batch 3's value, a delete
+    removes it, a later upsert re-inserts it. Within one micro-batch a
+    key carrying both ops is rejected loudly (apply_changeset's
+    conflict guard), because that order is NOT defined. Replay safety:
+    apply_changeset is idempotent for upserts and deletes alike, so
+    foreachBatch's at-least-once delivery is effectively exactly-once.
+    """
+    from bigdata_tag_system_spark.sources.writers import apply_changeset
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changeset(
+            batch_df.sparkSession, batch_df, store_path,
+            key_cols=key_cols, op_col=op_col)
+
+    return run_foreach_batch_upsert(
+        change_stream, _apply, checkpoint_dir,
+        trigger_available_now=trigger_available_now)
+
+
 def stream_stream_attribution_join(
     left: DataFrame,
     right: DataFrame,

@@ -275,3 +275,75 @@ class TestRuleCoverage:
         # dead rule surfaces as zero coverage — the report's purpose
         assert got[2].matched == 0 and got[2].coverage_bp == 0
         assert got[1].tag_name == "pos"
+
+
+class TestCdcApplyStream:
+    def _write_batches(self, spark, tmp_path, batches):
+        import os
+
+        src = str(tmp_path / "cdc_src")
+        os.makedirs(src, exist_ok=True)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "user_id long, bal double, _op string").coalesce(1)
+            cdir = str(tmp_path / f"cdc_chunk{i}")
+            df.write.mode("overwrite").parquet(cdir)
+            part = [f for f in os.listdir(cdir)
+                    if f.endswith(".parquet")][0]
+            dst = f"{src}/{i}.parquet"
+            os.rename(f"{cdir}/{part}", dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        return src
+
+    def test_last_writer_wins_delete_and_reinsert(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.writers import write_parquet
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            run_cdc_apply_stream,
+        )
+
+        store = str(tmp_path / "store")
+        write_parquet(spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)],
+            "user_id long, bal double"), store)
+        src = self._write_batches(spark, tmp_path, [
+            [(1, 11.0, "upsert"), (2, None, "delete")],   # b0
+            [(1, 12.0, "upsert"), (4, 40.0, "upsert")],   # b1 overwrite
+            [(2, 22.0, "upsert"), (3, None, "delete")],   # b2 reinsert
+        ])
+        stream = (spark.readStream
+                  .schema("user_id long, bal double, _op string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = run_cdc_apply_stream(
+            stream, store, ["user_id"],
+            checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination(180)
+        got = sorted(map(tuple, spark.read.parquet(store).collect()))
+        # 1: b1 wins over b0; 2: deleted then reinserted; 3: deleted;
+        # 4: inserted fresh
+        assert got == [(1, 12.0), (2, 22.0), (4, 40.0)]
+
+    def test_in_batch_conflict_fails_loudly(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from bigdata_tag_system_spark.sources.writers import write_parquet
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            run_cdc_apply_stream,
+        )
+
+        store = str(tmp_path / "store2")
+        write_parquet(spark.createDataFrame(
+            [(1, 10.0)], "user_id long, bal double"), store)
+        src = self._write_batches(spark, tmp_path, [
+            [(1, 11.0, "upsert"), (1, None, "delete")],
+        ])
+        stream = (spark.readStream
+                  .schema("user_id long, bal double, _op string")
+                  .parquet(src))
+        q = run_cdc_apply_stream(
+            stream, store, ["user_id"],
+            checkpoint_dir=str(tmp_path / "ckpt2"))
+        with pytest.raises(StreamingQueryException,
+                           match="both upsert and delete"):
+            q.awaitTermination(180)
