@@ -4836,6 +4836,22 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_cdc_apply_parity"] = stream_cdc_apply_parity
 
+    def text_cdc_chunks(spark, sf_dir):
+        # content-defined chunking census (the rsync/LBFS primitive at
+        # token granularity): boundary after every token with
+        # md5-60 % 8 == 0, chunk identity = hash of joined tokens,
+        # duplicated mass = tokens in chunks shared by ≥2 docs. Every
+        # boundary decision replays in the oracle — all-integer output
+        from bigdata_tag_system_spark.operators.text import cdc_chunk_stats
+
+        out = cdc_chunk_stats(_t(spark, sf_dir, "documents"),
+                              divisor=8, min_docs=2)
+        return out.select(
+            "doc_id", "n_tokens", "n_chunks", "dup_chunk_tokens",
+        ).orderBy("doc_id").limit(300)
+
+    q["text_cdc_chunks"] = text_cdc_chunks
+
     return q
 
 
@@ -8383,6 +8399,51 @@ def oracle_sql() -> dict[str, str]:
           AND (c_custkey % 10 = 5 OR c_custkey % 2 = 0
                OR c_custkey % 3 = 0)
         ORDER BY user_id
+    """
+
+    # CDC chunking replay: same md5-60 % 8 boundary rule, same chunk
+    # hashing (md5 of the space-joined token slice), same ≥2-doc
+    # duplication census — every boundary decision recomputed
+    o["text_cdc_chunks"] = f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, string_split({_NORM}, ' ') AS tk
+            FROM documents
+            WHERE text IS NOT NULL AND {_NORM} <> ''
+        ), c AS MATERIALIZED (
+            SELECT doc_id, tk, len(tk) AS n,
+                   list_concat([0], list_filter(
+                       range(1, len(tk) + 1),
+                       i -> (('0x' || substr(md5(tk[i]), 1, 15))::BIGINT
+                             % 8) = 0)) AS starts,
+                   list_concat(list_filter(
+                       range(1, len(tk) + 1),
+                       i -> (('0x' || substr(md5(tk[i]), 1, 15))::BIGINT
+                             % 8) = 0), [len(tk)]) AS ends
+            FROM t
+        ), rows_ AS MATERIALIZED (
+            SELECT doc_id, n,
+                   e - s AS clen,
+                   md5(array_to_string(tk[s + 1:e], ' ')) AS h
+            FROM (
+                SELECT doc_id, tk, n,
+                       unnest(list_transform(range(1, len(starts) + 1),
+                              j -> starts[j])) AS s,
+                       unnest(list_transform(range(1, len(ends) + 1),
+                              j -> ends[j])) AS e
+                FROM c
+            )
+            WHERE e > s
+        ), hot AS (
+            SELECT h, count(DISTINCT doc_id) AS docs FROM rows_ GROUP BY h
+        )
+        SELECT r.doc_id,
+               cast(max(r.n) AS BIGINT) AS n_tokens,
+               cast(count(*) AS BIGINT) AS n_chunks,
+               cast(coalesce(sum(CASE WHEN hot.docs >= 2 THEN r.clen
+                                 ELSE 0 END), 0) AS BIGINT)
+                   AS dup_chunk_tokens
+        FROM rows_ r JOIN hot ON hot.h = r.h
+        GROUP BY r.doc_id ORDER BY r.doc_id LIMIT 300
     """
 
     return o

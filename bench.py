@@ -127,6 +127,13 @@ def main() -> None:
         "sketch_kmv_intersect",    # bottom-k theta sketch + intersection
         "text_dup_coverage",       # duplicated-shingle interval coverage
         "emb_label_outliers",      # diagonal-Mahalanobis label outliers
+        # round-5 session additions
+        "join_bloom_prefilter",    # manual runtime-filter bloom prune
+        "sketch_cms_freq",         # mergeable Count-Min + point probes
+        "graph_kcore",             # iterative peeling to fixpoint
+        "ivm_join_delta",          # two-sided join-delta maintenance
+        "feat_target_encode",      # out-of-fold target encoding
+        "rule_coverage_report",    # one-scan per-rule coverage
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -802,3 +802,92 @@ def dup_shingle_coverage(
             .otherwise(F.lit(0.0)).alias("dup_frac"),
         )
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS dedup primitive, at
+    token granularity): cut AFTER every token whose hash ≡ 0 mod
+    ``divisor`` — so chunk boundaries are a pure function of LOCAL
+    content, and inserting a sentence re-chunks only its neighborhood
+    instead of shifting every downstream boundary the way fixed-size
+    windows do. Expected chunk length = ``divisor`` tokens.
+
+    Each chunk is identified by the hash of its joined tokens; a chunk
+    appearing in ≥ ``min_docs`` distinct documents is duplicated
+    content. Per document this reports the token mass inside such
+    chunks — the insertion-robust cousin of
+    :func:`dup_shingle_coverage` (which measures OVERLAPPING fixed-n
+    shingles, a different signal: shingles catch any repeated n-gram,
+    CDC chunks catch repeated variable-size blocks cheaply — one chunk
+    row per ~divisor tokens instead of one shingle row per token).
+
+    Scale shape: chunking is per-row map-only higher-order functions
+    (no explode until chunks exist, ~1/divisor the token count); the
+    only shuffle carries (chunk_hash → distinct-doc count) and the
+    join back on chunk_hash. Hashes are the portable md5-60 so the
+    oracle replays every boundary decision.
+
+    Output: ``(id, n_tokens, n_chunks, dup_chunk_tokens)`` — exact
+    integers, engine-portable.
+    """
+    from bigdata_tag_system_spark.functions.text import (
+        normalize_text,
+        portable_hash60,
+    )
+
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1, got {divisor}")
+    norm = normalize_text(text_col)
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.split(norm, " ").alias("_t"))
+        .where(F.array_join("_t", "") != "")
+        .withColumn("_n", F.size("_t"))
+    )
+    cuts = F.filter(
+        F.sequence(F.lit(1), F.col("_n")),
+        lambda i: F.pmod(
+            portable_hash60(F.element_at("_t", i)), F.lit(divisor)) == 0,
+    )
+    chunked = (
+        base.withColumn("_starts", F.concat(F.array(F.lit(0)), cuts))
+        .withColumn("_ends", F.concat(cuts, F.array(F.col("_n"))))
+        .withColumn(
+            "_chunks",
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_starts")),
+                    lambda j: F.struct(
+                        F.element_at("_starts", j).alias("s"),
+                        F.element_at("_ends", j).alias("e"),
+                    ),
+                ),
+                lambda c: c["e"] > c["s"],
+            ),
+        )
+    )
+    rows = chunked.select(
+        id_col, "_n", "_t",
+        F.explode("_chunks").alias("_c"),
+    ).select(
+        id_col, "_n",
+        (F.col("_c.e") - F.col("_c.s")).alias("_len"),
+        F.md5(F.array_join(
+            F.slice("_t", F.col("_c.s") + 1, F.col("_c.e") - F.col("_c.s")),
+            " ")).alias("_h"),
+    )
+    hot = rows.groupBy("_h").agg(
+        F.countDistinct(id_col).alias("_docs"))
+    joined = rows.join(hot, "_h")
+    return joined.groupBy(id_col).agg(
+        F.max("_n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_docs") >= min_docs, F.col("_len"))
+              .otherwise(F.lit(0))).alias("dup_chunk_tokens"),
+    )

@@ -347,3 +347,58 @@ class TestCdcApplyStream:
         with pytest.raises(StreamingQueryException,
                            match="both upsert and delete"):
             q.awaitTermination(180)
+
+
+class TestCdcChunking:
+    def test_duplicate_docs_fully_covered(self, spark):
+        from bigdata_tag_system_spark.operators.text import cdc_chunk_stats
+
+        df = spark.createDataFrame([
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different content with no shared chunks today"),
+            (4, ""), (5, None),
+        ], "doc_id long, text string")
+        got = {r.doc_id: r for r in cdc_chunk_stats(df, divisor=4).collect()}
+        # empty/null docs drop; identical docs are 100% duplicated mass
+        assert set(got) == {1, 2, 3}
+        assert got[1].dup_chunk_tokens == got[1].n_tokens == 8
+        assert got[2].dup_chunk_tokens == 8
+        assert got[3].dup_chunk_tokens == 0
+        assert got[1].n_chunks >= 1
+
+    def test_insertion_only_rechunks_locally(self, spark):
+        # THE content-defined property: prepending a sentence must not
+        # shift downstream chunk boundaries, so the tail chunks still
+        # dedup against the original (fixed-size windows would all
+        # shift and share nothing)
+        from bigdata_tag_system_spark.operators.text import cdc_chunk_stats
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lamda mu nu xi omicron pi rho sigma tau upsilon")
+        df = spark.createDataFrame(
+            [(1, base), (2, "brand new prefix sentence " + base)],
+            "doc_id long, text string")
+        got = {r.doc_id: r for r in cdc_chunk_stats(df, divisor=4).collect()}
+        # most of doc 1's mass is still found duplicated inside doc 2
+        assert got[1].dup_chunk_tokens >= got[1].n_tokens // 2
+
+    def test_chunks_partition_tokens(self, spark):
+        # chunk lengths sum to n_tokens — boundaries partition, never
+        # drop or double-count
+        from bigdata_tag_system_spark.operators.text import cdc_chunk_stats
+
+        df = spark.createDataFrame(
+            [(i, f"word{i} " * (i + 1)) for i in range(20)],
+            "doc_id long, text string")
+        out = cdc_chunk_stats(df, divisor=2, min_docs=99)
+        for r in out.collect():
+            assert r.dup_chunk_tokens == 0  # min_docs unreachable
+            assert r.n_tokens == r.doc_id + 1
+
+    def test_divisor_validation(self, spark):
+        from bigdata_tag_system_spark.operators.text import cdc_chunk_stats
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="divisor"):
+            cdc_chunk_stats(df, divisor=0)
