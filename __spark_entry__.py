@@ -4627,7 +4627,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-exact, not just the final match count
         from bigdata_tag_system_spark.operators.joins import (
             bloom_filter_bits,
-            bloom_prefilter,
+            bloom_flag,
         )
 
         m, k = 1 << 10, 3
@@ -4636,16 +4636,20 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         probe = _t(spark, sf_dir, "lineitem") \
             .select(F.col("l_partkey").alias("k"))
         words = bloom_filter_bits(dim, "k", m, k)
-        passed = bloom_prefilter(probe, "k", words, m, k)
-        matched = passed.join(F.broadcast(dim), "k", "left_semi")
-        a = probe.agg(F.count(F.lit(1)).alias("probe_rows"))
-        b = passed.agg(F.count(F.lit(1)).alias("bloom_pass"))
-        c = matched.agg(F.count(F.lit(1)).alias("match_rows"))
-        return a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c)) \
-            .select(
-                "probe_rows", "bloom_pass", "match_rows",
-                (F.col("bloom_pass") - F.col("match_rows"))
-                .alias("bloom_false_pos"))
+        # ONE probe scan: bloom test as a column + broadcast membership
+        # marker, all three counts from the same pass (a true match
+        # always passes the bloom, so match_rows == in_dim rows)
+        marked = bloom_flag(probe, "k", words, m, k).join(
+            F.broadcast(dim.withColumn("_in_dim", F.lit(1))), "k", "left")
+        return marked.agg(
+            F.count(F.lit(1)).alias("probe_rows"),
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+            .alias("bloom_pass"),
+            F.sum(F.when(F.col("_in_dim").isNotNull(), 1).otherwise(0))
+            .alias("match_rows"),
+            F.sum(F.when(
+                F.col("bloom_pass") & F.col("_in_dim").isNull(), 1)
+                .otherwise(0)).alias("bloom_false_pos"))
 
     q["join_bloom_prefilter"] = join_bloom_prefilter
 

@@ -176,6 +176,39 @@ def bloom_filter_bits(
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
+def bloom_flag(
+    big: DataFrame,
+    key: str,
+    words: list[int],
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+    flag_col: str = "bloom_pass",
+) -> DataFrame:
+    """``big`` plus a boolean ``flag_col``: does ``key`` pass the bloom
+    filter ``words``? The membership test as a COLUMN, so callers can
+    count/split/audit without a second scan (``bloom_prefilter`` is
+    the filtering specialization)."""
+    _bloom_params(num_bits, num_hashes)
+    if len(words) != num_bits // 64:
+        raise ValueError(
+            f"words has {len(words)} entries, expected {num_bits // 64}")
+    h1, h2 = _bloom_hash_cols(key, num_bits, num_hashes)
+    probed = big.withColumn("_h1", h1).withColumn("_h2", h2)
+    tests = []
+    for i in range(num_hashes):
+        p = f"((_h1 + {i} * _h2) & {num_bits - 1})"
+        tests.append(
+            f"(shiftrightunsigned(element_at(_bloom_w, "
+            f"cast(shiftright({p}, 6) as int) + 1), "
+            f"cast(({p} & 63) as int)) & 1) = 1"
+        )
+    return (
+        probed.withColumn("_bloom_w", F.array(*[F.lit(w) for w in words]))
+        .withColumn(flag_col, F.expr(" AND ".join(tests)))
+        .drop("_h1", "_h2", "_bloom_w")
+    )
+
+
 def bloom_prefilter(
     big: DataFrame,
     key: str,
@@ -194,26 +227,9 @@ def bloom_prefilter(
     of after it (the whole point: shuffle volume scales with the match
     rate, not the table size).
     """
-    log2m = _bloom_params(num_bits, num_hashes)
-    if len(words) != num_bits // 64:
-        raise ValueError(
-            f"words has {len(words)} entries, expected {num_bits // 64}")
-    h1, h2 = _bloom_hash_cols(key, num_bits, num_hashes)
-    probed = big.withColumn("_h1", h1).withColumn("_h2", h2)
-    tests = []
-    for i in range(num_hashes):
-        p = f"((_h1 + {i} * _h2) & {num_bits - 1})"
-        tests.append(
-            f"(shiftrightunsigned(element_at(_bloom_w, "
-            f"cast(shiftright({p}, 6) as int) + 1), "
-            f"cast(({p} & 63) as int)) & 1) = 1"
-        )
-    out = (
-        probed.withColumn("_bloom_w", F.array(*[F.lit(w) for w in words]))
-        .where(F.expr(" AND ".join(tests)))
-        .drop("_h1", "_h2", "_bloom_w")
-    )
-    return out
+    return bloom_flag(
+        big, key, words, num_bits, num_hashes, flag_col="_bloom_pass"
+    ).where(F.col("_bloom_pass")).drop("_bloom_pass")
 
 
 def join_delta(
