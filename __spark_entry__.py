@@ -52,6 +52,8 @@ _STREAM_DEDUP_CACHE: dict[str, str] = {}
 _STREAM_TOPK_CACHE: dict[str, str] = {}
 
 _STREAM_CDC_CACHE: dict[str, str] = {}
+
+_CSV_CACHE: dict[str, str] = {}
 # fixed deterministic 2×64 projection weights shared by the
 # emb_pca_project query and its oracle (tenth-steps, exactly
 # representable in binary-friendly decimal both engines parse alike)
@@ -4856,6 +4858,59 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_cdc_chunks"] = text_cdc_chunks
 
+    def sample_hash_split(spark, sf_dir):
+        # stable train/val/test assignment by USER (group-leakage-safe:
+        # all of a user's events land in one split), exact integer
+        # fences over the knuth-hash space — rerun/engine/arrival-order
+        # invariant, which randomSplit is not
+        from bigdata_tag_system_spark.operators.sampling import hash_split
+
+        ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+        out = hash_split(ev, "user_id")
+        return out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        ).orderBy("split")
+
+    q["sample_hash_split"] = sample_hash_split
+
+    def scan_csv_corrupt(spark, sf_dir):
+        # CSV ingest with quarantined garbage: documents' CSV-safe
+        # columns roundtrip plus three planted bad lines (bad id /
+        # bad int / wrong arity). PERMISSIVE semantics pinned exactly:
+        # only the malformed FIELD nulls out (row 2's id still parses),
+        # the raw line lands in _corrupt_record — row counts never
+        # change between engines or reruns
+        import os
+
+        from bigdata_tag_system_spark.sources.readers import read_csv_corpus
+
+        path = _CSV_CACHE.get(sf_dir)
+        if path is None:
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="csv_corpus_") + "/data"
+            docs = _t(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "source", "n_chars")
+            docs.write.mode("overwrite").option("header", "false").csv(tmp)
+            with open(tmp + "/zz_bad.csv", "w") as f:
+                f.write("badid,en,src1,7\n"
+                        "123456,de,src2,badchars\n"
+                        "tooshort,en\n")
+            _CSV_CACHE[sf_dir] = tmp
+            path = tmp
+        df = read_csv_corpus(
+            spark, path,
+            "doc_id bigint, lang string, source string, n_chars bigint")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("_corrupt_record").alias("n_corrupt"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.count("doc_id").alias("n_good_ids"),
+        )
+
+    q["scan_csv_corrupt"] = scan_csv_corrupt
+
     return q
 
 
@@ -8448,6 +8503,37 @@ def oracle_sql() -> dict[str, str]:
                    AS dup_chunk_tokens
         FROM rows_ r JOIN hot ON hot.h = r.h
         GROUP BY r.doc_id ORDER BY r.doc_id LIMIT 300
+    """
+
+    # hash-split replay: same knuth hash, same integer fences
+    _f1, _f2 = int((1 << 32) * 0.8), int((1 << 32) * 0.9)
+    o["sample_hash_split"] = f"""
+        WITH h AS (
+            SELECT event_id, user_id,
+                   (((user_id % 2147483648) * 2654435761) % 4294967296)
+                       AS hh
+            FROM events
+        ), s AS (
+            SELECT user_id,
+                   CASE WHEN hh < {_f1} THEN 'train'
+                        WHEN hh < {_f2} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        )
+        SELECT split, cast(count(*) AS BIGINT) AS n_rows,
+               cast(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM s GROUP BY split ORDER BY split
+    """
+
+    # CSV roundtrip + planted corruption, accounted closed-form:
+    # +3 rows, 3 corrupt, +7 chars (bad row 1's parseable n_chars),
+    # +1 good id (bad row 2's parseable doc_id)
+    o["scan_csv_corrupt"] = """
+        SELECT cast(count(*) + 3 AS BIGINT) AS n_rows,
+               cast(3 AS BIGINT) AS n_corrupt,
+               cast(sum(n_chars) + 7 AS BIGINT) AS chars_sum,
+               cast(count(doc_id) + 1 AS BIGINT) AS n_good_ids
+        FROM documents
     """
 
     return o

@@ -336,3 +336,47 @@ def epoch_oversample(
                 F.sequence(F.lit(0), F.col("_k") - 1)).alias("copy_idx"),
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test split by key hash — the assignment
+    every training pipeline needs to be STABLE across reruns, engines,
+    and data arrival order (``randomSplit`` gives none of those: it
+    re-rolls per partition layout).
+
+    Each key hashes once (:func:`knuth_hash`, portable integer math);
+    the split is fixed cumulative thresholds over the 2³² hash space,
+    computed in exact integer arithmetic (``floor(2³² · Σw)`` fences),
+    so a key's split NEVER changes when other rows come or go — and
+    all rows sharing a key (a user's events, a document's chunks) land
+    in the same split, which is exactly the group-leakage guarantee
+    k-fold assignment by row cannot give. Adds ``split`` (string).
+
+    Map-only: no shuffle, no RNG, no state. At 100 TB this is a free
+    scan predicate; at review time the oracle replays every fence.
+    """
+    if not weights or any(w <= 0 for w in weights):
+        raise ValueError(f"weights must be positive, got {weights!r}")
+    names = list(names) if names is not None else (
+        ["train", "val", "test"] if len(weights) == 3
+        else [f"split_{i}" for i in range(len(weights))])
+    if len(names) != len(weights):
+        raise ValueError(
+            f"{len(weights)} weights but {len(names)} names")
+    total = float(sum(weights))
+    fences = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w
+        fences.append(int(_MOD * (acc / total)))
+    h = knuth_hash(key, salt=salt)
+    expr = F.lit(names[-1])
+    for fence, name in zip(reversed(fences), reversed(names[:-1])):
+        expr = F.when(h < F.lit(fence), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

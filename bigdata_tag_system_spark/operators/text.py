@@ -813,8 +813,8 @@ def cdc_chunk_stats(
 ) -> DataFrame:
     """Content-defined chunking (the rsync/LBFS dedup primitive, at
     token granularity): cut AFTER every token whose hash ≡ 0 mod
-    ``divisor`` — so chunk boundaries are a pure function of LOCAL
-    content, and inserting a sentence re-chunks only its neighborhood
+    ``divisor`` — chunk boundaries are a pure function of LOCAL
+    content, so inserting a sentence re-chunks only its neighborhood
     instead of shifting every downstream boundary the way fixed-size
     windows do. Expected chunk length = ``divisor`` tokens.
 
@@ -823,19 +823,25 @@ def cdc_chunk_stats(
     content. Per document this reports the token mass inside such
     chunks — the insertion-robust cousin of
     :func:`dup_shingle_coverage` (which measures OVERLAPPING fixed-n
-    shingles, a different signal: shingles catch any repeated n-gram,
-    CDC chunks catch repeated variable-size blocks cheaply — one chunk
-    row per ~divisor tokens instead of one shingle row per token).
+    shingles: shingles catch any repeated n-gram, CDC chunks catch
+    repeated variable-size blocks at ~1/divisor the row volume).
 
-    Scale shape: chunking is per-row map-only higher-order functions
-    (no explode until chunks exist, ~1/divisor the token count); the
-    only shuffle carries (chunk_hash → distinct-doc count) and the
-    join back on chunk_hash. Hashes are the portable md5-60 so the
-    oracle replays every boundary decision.
+    Scale shape: deliberately RELATIONAL, not nested higher-order
+    functions — posexplode to one row per token (the per-token md5
+    runs once, in a flat codegen-able projection; an earlier HOF
+    formulation re-evaluated the boundary array inside a lambda,
+    turning O(n) hashing into O(n²) per document), then chunk ids by
+    one per-document running-count window, chunk content by one
+    groupBy — two exchanges on the same document key (AQE reuses the
+    layout), identical to the sibling shingle operator's documented
+    shuffle. Hashes are the portable md5-60 so the oracle replays
+    every boundary decision.
 
     Output: ``(id, n_tokens, n_chunks, dup_chunk_tokens)`` — exact
     integers, engine-portable.
     """
+    from pyspark.sql import Window
+
     from bigdata_tag_system_spark.functions.text import (
         normalize_text,
         portable_hash60,
@@ -848,43 +854,34 @@ def cdc_chunk_stats(
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.split(norm, " ").alias("_t"))
         .where(F.array_join("_t", "") != "")
-        .withColumn("_n", F.size("_t"))
     )
-    cuts = F.filter(
-        F.sequence(F.lit(1), F.col("_n")),
-        lambda i: F.pmod(
-            portable_hash60(F.element_at("_t", i)), F.lit(divisor)) == 0,
+    toks = base.select(
+        id_col, F.size("_t").alias("_n"),
+        F.posexplode("_t").alias("_pos", "_tok"),
+    ).withColumn(
+        "_is_cut",
+        (F.pmod(portable_hash60("_tok"), F.lit(divisor)) == 0)
+        .cast("int"),
     )
-    chunked = (
-        base.withColumn("_starts", F.concat(F.array(F.lit(0)), cuts))
-        .withColumn("_ends", F.concat(cuts, F.array(F.col("_n"))))
-        .withColumn(
-            "_chunks",
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_starts")),
-                    lambda j: F.struct(
-                        F.element_at("_starts", j).alias("s"),
-                        F.element_at("_ends", j).alias("e"),
-                    ),
-                ),
-                lambda c: c["e"] > c["s"],
-            ),
-        )
+    w = (
+        Window.partitionBy(id_col).orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    rows = chunked.select(
-        id_col, "_n", "_t",
-        F.explode("_chunks").alias("_c"),
-    ).select(
-        id_col, "_n",
-        (F.col("_c.e") - F.col("_c.s")).alias("_len"),
+    assigned = toks.withColumn(
+        "_chunk", F.coalesce(F.sum("_is_cut").over(w), F.lit(0)))
+    chunks = assigned.groupBy(id_col, "_chunk").agg(
+        F.max("_n").alias("_n"),
+        F.count(F.lit(1)).alias("_len"),
         F.md5(F.array_join(
-            F.slice("_t", F.col("_c.s") + 1, F.col("_c.e") - F.col("_c.s")),
-            " ")).alias("_h"),
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_pos"), F.col("_tok")))),
+                lambda s: s["_tok"],
+            ), " ")).alias("_h"),
     )
-    hot = rows.groupBy("_h").agg(
+    hot = chunks.groupBy("_h").agg(
         F.countDistinct(id_col).alias("_docs"))
-    joined = rows.join(hot, "_h")
+    joined = chunks.join(hot, "_h")
     return joined.groupBy(id_col).agg(
         F.max("_n").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_chunks"),

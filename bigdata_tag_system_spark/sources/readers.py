@@ -158,25 +158,57 @@ def read_jsonl_corpus(
     """
     reader = spark.read
     if schema is not None:
-        if isinstance(schema, StructType):
-            # add the corrupt field programmatically (on a copy — .add
-            # mutates); string-DDL append would reject StructType
-            # callers entirely
-            full = (schema if corrupt_col in schema.fieldNames()
-                    else StructType(
-                        list(schema.fields)
-                        + [StructField(corrupt_col, StringType())]))
-        else:
-            # don't duplicate a corrupt column the caller already declared
-            names = {
-                f.strip().split()[0].strip("`")
-                for f in schema.split(",") if f.strip()
-            }
-            full = (schema if corrupt_col in names
-                    else schema.rstrip() + f", {corrupt_col} string")
-        reader = reader.schema(full)
+        reader = reader.schema(_with_corrupt_col(schema, corrupt_col))
     return (
         reader.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
+    )
+
+
+def _with_corrupt_col(schema: str | StructType, corrupt_col: str):
+    """Schema + the corrupt-record column (idempotent, both forms)."""
+    if isinstance(schema, StructType):
+        return (schema if corrupt_col in schema.fieldNames()
+                else StructType(
+                    list(schema.fields)
+                    + [StructField(corrupt_col, StringType())]))
+    names = {
+        f.strip().split()[0].strip("`")
+        for f in schema.split(",") if f.strip()
+    }
+    return (schema if corrupt_col in names
+            else schema.rstrip() + f", {corrupt_col} string")
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    corrupt_col: str = "_corrupt_record",
+    header: bool = False,
+    sep: str = ",",
+) -> DataFrame:
+    """Read a CSV corpus with malformed lines CAPTURED, not dropped —
+    the CSV face of :func:`read_jsonl_corpus`, same contract: explicit
+    schema required (inference = a second full read locked to the
+    sample), ``PERMISSIVE`` + corrupt-record column (a type-mismatched
+    or wrong-arity line lands as NULL data + the raw line, so garbage
+    is counted and quarantined instead of silently lost — row counts
+    stay identical across engines and reruns).
+
+    CSV is line-splittable like JSONL (byte-range parallelism, no
+    column pruning/statistics), so the same rule applies at scale:
+    ingest format only — convert to parquet in the first hop.
+    Multi-line quoted fields are NOT enabled (``multiLine`` breaks
+    splittability: the whole file becomes one partition); corpora with
+    embedded newlines belong in JSONL/parquet.
+    """
+    return (
+        spark.read.schema(_with_corrupt_col(schema, corrupt_col))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", "true" if header else "false")
+        .option("sep", sep)
+        .csv(path)
     )

@@ -402,3 +402,91 @@ class TestCdcChunking:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="divisor"):
             cdc_chunk_stats(df, divisor=0)
+
+
+class TestHashSplit:
+    def test_group_coherent_stable_and_proportional(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import hash_split
+
+        df = spark.range(0, 40000).select(
+            (F.col("id") % 4000).alias("user_id"), F.col("id").alias("e"))
+        out = hash_split(df, "user_id")
+        # group coherence: every user sits in exactly one split
+        multi = (out.groupBy("user_id")
+                 .agg(F.countDistinct("split").alias("ns"))
+                 .where("ns > 1").count())
+        assert multi == 0
+        frac = {r.split: r.n for r in out.groupBy("split")
+                .agg(F.countDistinct("user_id").alias("n")).collect()}
+        assert abs(frac["train"] / 4000 - 0.8) < 0.03
+        assert abs(frac["val"] / 4000 - 0.1) < 0.02
+        assert abs(frac["test"] / 4000 - 0.1) < 0.02
+        # stability: subsetting the data never reassigns a key
+        sub = hash_split(df.where("user_id < 100"), "user_id")
+        full = {r.user_id: r.split
+                for r in out.where("user_id < 100")
+                .select("user_id", "split").distinct().collect()}
+        for r in sub.select("user_id", "split").distinct().collect():
+            assert full[r.user_id] == r.split
+
+    def test_custom_weights_and_validation(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import hash_split
+
+        df = spark.range(1000).select(F.col("id").alias("k"))
+        out = hash_split(df, "k", weights=(1, 1), names=("a", "b"))
+        got = {r.split for r in out.select("split").distinct().collect()}
+        assert got <= {"a", "b"}
+        with pytest.raises(ValueError, match="positive"):
+            hash_split(df, "k", weights=(1, 0))
+        with pytest.raises(ValueError, match="names"):
+            hash_split(df, "k", weights=(1, 1), names=("only",))
+
+
+class TestCsvCorpus:
+    def test_permissive_corrupt_capture(self, spark, tmp_path):
+        import os
+
+        from bigdata_tag_system_spark.sources.readers import read_csv_corpus
+
+        d = str(tmp_path / "csv")
+        os.makedirs(d)
+        with open(d + "/a.csv", "w") as f:
+            f.write("1,en,100\n2,de,200\n")
+        with open(d + "/b.csv", "w") as f:
+            f.write("bad,en,7\n3,fr,nope\n")
+        df = read_csv_corpus(
+            spark, d, "doc_id bigint, lang string, n_chars bigint")
+        all_rows = df.collect()
+        fr = next(r for r in all_rows if r.lang == "fr")
+        # only the malformed FIELD nulls out; the raw line is kept
+        assert fr.doc_id == 3 and fr.n_chars is None
+        assert fr._corrupt_record == "3,fr,nope"
+        # (counted client-side: Spark disallows plans whose referenced
+        # columns are ONLY the corrupt column — QUERY_ONLY_CORRUPT_
+        # RECORD_COLUMN — so aggregates must touch data columns too,
+        # as scan_csv_corrupt does)
+        assert sum(1 for r in all_rows
+                   if r._corrupt_record is None) == 2
+        assert len(all_rows) == 4
+
+    def test_structtype_schema_and_idempotent_corrupt_col(self, spark,
+                                                          tmp_path):
+        import os
+
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from bigdata_tag_system_spark.sources.readers import read_csv_corpus
+
+        d = str(tmp_path / "csv2")
+        os.makedirs(d)
+        with open(d + "/a.csv", "w") as f:
+            f.write("1,x\n")
+        st = StructType([StructField("id", LongType()),
+                         StructField("v", StringType()),
+                         StructField("_corrupt_record", StringType())])
+        df = read_csv_corpus(spark, d, st)
+        # caller-declared corrupt column is not duplicated
+        assert df.columns == ["id", "v", "_corrupt_record"]
+        assert df.count() == 1
