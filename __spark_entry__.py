@@ -4911,6 +4911,41 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scan_csv_corrupt"] = scan_csv_corrupt
 
+    def orders_assoc_rules(spark, sf_dir):
+        # market-basket association rules on co-purchase pairs:
+        # support / confidence / lift for the top-20 pairs, all in
+        # exact integer basis points (co·n·10⁴ ≤ ~3e10 — safely int64).
+        # One pair-join + two tiny broadcast joins; the pair space is
+        # bounded per order by basket size, not catalog size
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_partkey").alias("p")).distinct()
+        n1 = li.agg(F.countDistinct("o").alias("n_baskets"))
+        item = li.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+        a = li.withColumnRenamed("p", "p1")
+        b = li.withColumnRenamed("p", "p2")
+        pairs = (
+            a.join(b, "o").where(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("co"))
+        )
+        top = pairs.orderBy(F.desc("co"), "p1", "p2").limit(20)
+        enriched = (
+            top.join(F.broadcast(item.select(
+                F.col("p").alias("p1"), F.col("cnt").alias("cnt_a"))), "p1")
+            .join(F.broadcast(item.select(
+                F.col("p").alias("p2"), F.col("cnt").alias("cnt_b"))), "p2")
+            .crossJoin(F.broadcast(n1))
+        )
+        return enriched.select(
+            "p1", "p2", "co", "cnt_a", "cnt_b",
+            F.expr("(co * 10000) DIV n_baskets").alias("support_bp"),
+            F.expr("(co * 10000) DIV cnt_a").alias("conf_bp"),
+            F.expr("(co * n_baskets * 10000) DIV (cnt_a * cnt_b)")
+            .alias("lift_bp"),
+        ).orderBy(F.desc("co"), "p1", "p2")
+
+    q["orders_assoc_rules"] = orders_assoc_rules
+
     return q
 
 
@@ -8534,6 +8569,35 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(n_chars) + 7 AS BIGINT) AS chars_sum,
                cast(count(doc_id) + 1 AS BIGINT) AS n_good_ids
         FROM documents
+    """
+
+    # association-rule replay: same pair join, same integer bp math
+    o["orders_assoc_rules"] = """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), n1 AS (
+            SELECT cast(count(DISTINCT o) AS BIGINT) AS n_baskets FROM li
+        ), item AS (
+            SELECT p, cast(count(*) AS BIGINT) AS cnt FROM li GROUP BY p
+        ), pairs AS (
+            SELECT a.p AS p1, b.p AS p2, cast(count(*) AS BIGINT) AS co
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+        ), top AS (
+            SELECT * FROM pairs ORDER BY co DESC, p1, p2 LIMIT 20
+        )
+        SELECT t.p1, t.p2, t.co,
+               ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+               cast((t.co * 10000) // n1.n_baskets AS BIGINT)
+                   AS support_bp,
+               cast((t.co * 10000) // ia.cnt AS BIGINT) AS conf_bp,
+               cast((t.co * n1.n_baskets * 10000) // (ia.cnt * ib.cnt)
+                    AS BIGINT) AS lift_bp
+        FROM top t
+        JOIN item ia ON ia.p = t.p1
+        JOIN item ib ON ib.p = t.p2
+        CROSS JOIN n1
+        ORDER BY t.co DESC, t.p1, t.p2
     """
 
     return o

@@ -490,3 +490,26 @@ class TestCsvCorpus:
         # caller-declared corrupt column is not duplicated
         assert df.columns == ["id", "v", "_corrupt_record"]
         assert df.count() == 1
+
+
+class TestAssocRules:
+    def test_lift_formula_on_planted_baskets(self, spark):
+        import __spark_entry__ as e
+
+        # 4 baskets: {1,2} twice, {1,3}, {2,3} — co(1,2)=2,
+        # cnt(1)=3, cnt(2)=3, n=4 → conf(1→2)=2/3, lift=2·4/(3·3)=8/9
+        rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3),
+                (13, 2), (13, 3)]
+        df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        out = {(r.p1, r.p2): r for r in
+               e.queries()["orders_assoc_rules"](spark, d).collect()}
+        r12 = out[(1, 2)]
+        assert r12.co == 2 and r12.cnt_a == 3 and r12.cnt_b == 3
+        assert r12.support_bp == 2 * 10000 // 4
+        assert r12.conf_bp == 2 * 10000 // 3
+        assert r12.lift_bp == 2 * 4 * 10000 // 9
