@@ -4946,6 +4946,43 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_assoc_rules"] = orders_assoc_rules
 
+    def agg_unpivot(spark, sf_dir):
+        # wide→long reshape via the NATIVE unpivot/melt (the inverse of
+        # agg_pivot): per-nation segment counts pivoted wide, melted
+        # back to (nation, segment, cnt) — pivot's null holes become
+        # explicit zero rows, so the long relation is dense
+        segs = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+        wide = (
+            _t(spark, sf_dir, "customer")
+            .groupBy("c_nationkey").pivot("c_mktsegment", segs).count()
+        )
+        long = wide.unpivot(
+            ["c_nationkey"], segs, "segment", "cnt")
+        return long.select(
+            "c_nationkey", "segment",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        ).orderBy("c_nationkey", "segment")
+
+    q["agg_unpivot"] = agg_unpivot
+
+    def dedup_reciprocal_best(spark, sf_dir):
+        # mutual-best-match refinement over the exact Jaccard pairs
+        # (threshold dropped to 0.3 so hub documents with several
+        # counterparts exist — the case the filter is FOR); ranking on
+        # the unrounded score, ties to the smaller id, in both engines
+        from bigdata_tag_system_spark.operators.dedup import (
+            reciprocal_best_pairs,
+        )
+
+        pairs = D.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.3)
+        out = reciprocal_best_pairs(pairs)
+        return out.select(
+            "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"),
+        ).orderBy("id_a", "id_b")
+
+    q["dedup_reciprocal_best"] = dedup_reciprocal_best
+
     return q
 
 
@@ -8598,6 +8635,63 @@ def oracle_sql() -> dict[str, str]:
         JOIN item ib ON ib.p = t.p2
         CROSS JOIN n1
         ORDER BY t.co DESC, t.p1, t.p2
+    """
+
+    # unpivot replay: dense nation × segment grid with zero-filled holes
+    o["agg_unpivot"] = """
+        SELECT n.c_nationkey, s.segment,
+               cast(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        FROM (SELECT DISTINCT c_nationkey FROM customer) n
+        CROSS JOIN (VALUES ('AUTOMOBILE'), ('BUILDING'), ('MACHINERY'))
+            AS s(segment)
+        LEFT JOIN (
+            SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+            FROM customer GROUP BY 1, 2
+        ) c ON c.c_nationkey = n.c_nationkey
+           AND c.c_mktsegment = s.segment
+        ORDER BY 1, 2
+    """
+
+    # reciprocal-best replay: same pair relation at threshold 0.3,
+    # same (score desc, counterpart asc) argmax per id, same mutual join
+    o["dedup_reciprocal_best"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM sh
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a
+            JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT id_a, id_b, c * 1.0 / (sa.n + sb.n - c) AS j
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.3
+        ), sym AS (
+            SELECT id_a AS src, id_b AS dst, j FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst, j FROM pairs
+        ), best AS (
+            SELECT src, dst, j FROM (
+                SELECT src, dst, j, row_number() OVER (
+                    PARTITION BY src ORDER BY j DESC, dst) AS rn
+                FROM sym
+            ) WHERE rn = 1
+        )
+        SELECT a.src AS id_a, a.dst AS id_b, round(a.j, 4) AS jaccard
+        FROM best a JOIN best b ON a.dst = b.src AND a.src = b.dst
+        WHERE a.src < a.dst
+        ORDER BY id_a, id_b
     """
 
     return o

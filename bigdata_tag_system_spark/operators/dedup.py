@@ -1150,3 +1150,45 @@ def fuzzy_edit_pairs(
             "id_a", "id_b", guarded_dp.alias("dist"))
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+def reciprocal_best_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "jaccard",
+) -> DataFrame:
+    """Mutual-best-match filter over a scored pair relation: keep
+    (a, b) only when b is a's highest-scoring counterpart AND a is
+    b's — the record-linkage precision refinement (a boilerplate page
+    similar to 50 others is everyone's 2nd-best match and survives
+    threshold filters, but is almost nobody's MUTUAL best).
+
+    Ties break on the smaller counterpart id — a total order, so the
+    result is a pure function of the pair relation and an external
+    oracle replays it. Scale shape: symmetrize (map-only union), one
+    per-id window pass on the id key, one self-join of the best-match
+    relation (≤ one row per id). Never touches text.
+    """
+    from pyspark.sql import Window
+
+    sym = pairs.select(
+        F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"),
+        F.col(score_col).alias("_s"),
+    ).unionAll(pairs.select(
+        F.col(id_b).alias("_src"), F.col(id_a).alias("_dst"),
+        F.col(score_col).alias("_s"),
+    ))
+    w = Window.partitionBy("_src").orderBy(F.desc("_s"), F.asc("_dst"))
+    best = sym.withColumn("_rn", F.row_number().over(w)) \
+        .where(F.col("_rn") == 1).drop("_rn")
+    other = best.select(
+        F.col("_src").alias("_osrc"), F.col("_dst").alias("_odst"))
+    return (
+        best.where(F.col("_src") < F.col("_dst"))
+        .join(other,
+              (F.col("_dst") == F.col("_osrc"))
+              & (F.col("_src") == F.col("_odst")))
+        .select(F.col("_src").alias(id_a), F.col("_dst").alias(id_b),
+                F.col("_s").alias(score_col))
+    )

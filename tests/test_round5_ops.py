@@ -513,3 +513,32 @@ class TestAssocRules:
         assert r12.support_bp == 2 * 10000 // 4
         assert r12.conf_bp == 2 * 10000 // 3
         assert r12.lift_bp == 2 * 4 * 10000 // 9
+
+
+class TestReciprocalBest:
+    def test_hub_filtered_mutual_kept(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            reciprocal_best_pairs,
+        )
+
+        # 1↔2 mutual best (0.9); 3's best is 1 but 1 prefers 2 → 3
+        # drops; 4↔5 mutual (0.6)
+        pairs = spark.createDataFrame(
+            [(1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.5), (4, 5, 0.6)],
+            "id_a long, id_b long, jaccard double")
+        got = sorted((r.id_a, r.id_b, r.jaccard)
+                     for r in reciprocal_best_pairs(pairs).collect())
+        assert got == [(1, 2, 0.9), (4, 5, 0.6)]
+
+    def test_score_tie_breaks_to_smaller_id(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            reciprocal_best_pairs,
+        )
+
+        # 1 ties between 2 and 3 → smaller id (2) wins; 2's best is 1
+        pairs = spark.createDataFrame(
+            [(1, 2, 0.7), (1, 3, 0.7)],
+            "id_a long, id_b long, jaccard double")
+        got = [(r.id_a, r.id_b)
+               for r in reciprocal_best_pairs(pairs).collect()]
+        assert got == [(1, 2)]
