@@ -4983,6 +4983,21 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_reciprocal_best"] = dedup_reciprocal_best
 
+    def sim_tfidf_cosine(spark, sf_dir):
+        # sparse lexical cosine neighbors (the third similarity
+        # modality beside BM25 retrieval and dense-embedding cosine):
+        # integer rational-idf weights → exact integer dots/norms →
+        # one IEEE sqrt+divide = bit-identical cosines in any engine
+        from bigdata_tag_system_spark.operators.text import (
+            tfidf_cosine_topk,
+        )
+
+        out = tfidf_cosine_topk(
+            _t(spark, sf_dir, "documents"), k=3)
+        return out.orderBy("doc_id", "rank").limit(300)
+
+    q["sim_tfidf_cosine"] = sim_tfidf_cosine
+
     return q
 
 
@@ -8692,6 +8707,57 @@ def oracle_sql() -> dict[str, str]:
         FROM best a JOIN best b ON a.dst = b.src AND a.src = b.dst
         WHERE a.src < a.dst
         ORDER BY id_a, id_b
+    """
+
+    # sparse tf-idf cosine replay: same integer rational-idf weights,
+    # same stop-term pruning, same postings join and IEEE finish
+    o["sim_tfidf_cosine"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+            FROM documents WHERE {_NORM} <> ''
+        ), tf AS (
+            SELECT doc_id, term, cast(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, cast(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1
+        ), nd AS (
+            SELECT cast(count(*) AS BIGINT) AS n_docs FROM documents
+        ), posts AS (
+            SELECT doc_id, term,
+                   tf * ((nd.n_docs * 100) // df) AS w
+            FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+            WHERE df * 1.0 / nd.n_docs <= 0.5
+        ), norms AS (
+            SELECT doc_id, cast(sum(w * w) AS BIGINT) AS nrm
+            FROM posts GROUP BY 1
+        ), dots AS (
+            SELECT a.doc_id AS ia, b.doc_id AS ib,
+                   cast(sum(a.w * b.w) AS BIGINT) AS dot
+            FROM posts a
+            JOIN posts b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT ia, ib,
+                   dot / sqrt(cast(na.nrm AS DOUBLE)
+                              * cast(nb.nrm AS DOUBLE)) AS cos
+            FROM dots
+            JOIN norms na ON na.doc_id = ia
+            JOIN norms nb ON nb.doc_id = ib
+        ), sym AS (
+            SELECT ia, ib, cos FROM scored
+            UNION ALL
+            SELECT ib AS ia, ia AS ib, cos FROM scored
+        ), ranked AS (
+            SELECT ia AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY ia ORDER BY cos DESC, ib) AS rank,
+                   ib AS other_id, round(cos, 4) AS cosine
+            FROM sym
+        )
+        SELECT doc_id, rank, other_id, cosine
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank LIMIT 300
     """
 
     return o

@@ -888,3 +888,85 @@ def cdc_chunk_stats(
         F.sum(F.when(F.col("_docs") >= min_docs, F.col("_len"))
               .otherwise(F.lit(0))).alias("dup_chunk_tokens"),
     )
+
+
+def tfidf_cosine_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_df_ratio: float = 0.5,
+    idf_scale: int = 100,
+) -> DataFrame:
+    """Top-``k`` most-similar documents per document by SPARSE lexical
+    cosine over an inverted-index join — the third similarity modality
+    next to BM25 (query retrieval) and embedding cosine (dense): pure
+    corpus-internal lexical nearest neighbors.
+
+    Engine-exactness by construction: weights are INTEGER
+    ``tf · (N·idf_scale div df)`` (rational idf — ``ln`` differs by
+    1 ulp across engines and would flip quantized weights, so it is
+    deliberately avoided), dots and norms are exact integer sums
+    (order-free), and the final ``dot/sqrt(norm_a·norm_b)`` is one
+    IEEE-correctly-rounded op pair — bit-identical in any engine.
+
+    Scale shape: postings join keyed by term, with stop-term pruning
+    (``df/N > max_df_ratio`` dropped) bounding posting-list length —
+    the hot-bucket guard every set-similarity join needs; weights keep
+    int64 headroom for corpora to ~10⁶ docs at the default scale
+    (raise ``idf_scale`` only with headroom math: ``max_dot ≈
+    Σ tf²·(N·scale)²`` must stay under 2⁶³).
+
+    Output: ``(id, rank, other_id, cosine)``, rank 1..k per doc among
+    docs sharing ≥1 surviving term.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    posts = (
+        tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") / F.col("n_docs") <= F.lit(max_df_ratio))
+        .select(
+            F.col(id_col), "term",
+            F.expr(f"tf * ((n_docs * {int(idf_scale)}) DIV df)")
+            .alias("_w"),
+        )
+    )
+    norms = posts.groupBy(id_col).agg(
+        F.sum(F.col("_w") * F.col("_w")).alias("_norm"))
+    a = posts.select(F.col(id_col).alias("_ia"), "term",
+                     F.col("_w").alias("_wa"))
+    b = posts.select(F.col(id_col).alias("_ib"), "term",
+                     F.col("_w").alias("_wb"))
+    dots = (
+        a.join(b, "term").where(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col(id_col).alias("_ia"),
+                               F.col("_norm").alias("_na")), "_ia")
+        .join(norms.select(F.col(id_col).alias("_ib"),
+                           F.col("_norm").alias("_nb")), "_ib")
+        .select(
+            "_ia", "_ib",
+            (F.col("_dot")
+             / F.sqrt(F.col("_na").cast("double")
+                      * F.col("_nb").cast("double"))).alias("_cos"),
+        )
+    )
+    sym = scored.unionAll(scored.select(
+        F.col("_ib").alias("_ia"), F.col("_ia").alias("_ib"), "_cos"))
+    w = Window.partitionBy("_ia").orderBy(F.desc("_cos"), F.asc("_ib"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_ia").alias(id_col), "rank",
+                F.col("_ib").alias("other_id"),
+                F.round("_cos", 4).alias("cosine"))
+    )

@@ -542,3 +542,49 @@ class TestReciprocalBest:
         got = [(r.id_a, r.id_b)
                for r in reciprocal_best_pairs(pairs).collect()]
         assert got == [(1, 2)]
+
+
+class TestTfidfCosine:
+    def test_planted_corpus_exact_cosine(self, spark):
+        import math
+
+        from bigdata_tag_system_spark.operators.text import (
+            tfidf_cosine_topk,
+        )
+
+        # 4 docs; "apple banana" shared by docs 1,2; doc 3 disjoint
+        # from 1/2; "zeta" ties 3 and 4. max_df_ratio=0.5 with N=4
+        # prunes terms in >2 docs.
+        df = spark.createDataFrame([
+            (1, "apple banana"),
+            (2, "apple banana cherry"),
+            (3, "dog emu zeta"),
+            (4, "zeta"),
+        ], "doc_id long, text string")
+        out = {(r.doc_id, r.rank): r
+               for r in tfidf_cosine_topk(df, k=2).collect()}
+        # weights: w(term in d) = tf * (4*100 // df)
+        # doc1: apple,banana df=2 → w=200 each; norm=80000
+        # doc2: same + cherry df=1 → w=400; norm=240000
+        # dot(1,2) = 200*200*2 = 80000
+        want = 80000 / math.sqrt(80000 * 240000)
+        got = out[(1, 1)]
+        assert got.other_id == 2
+        assert abs(got.cosine - round(want, 4)) < 1e-9
+        # doc 4's only neighbor is 3 (zeta, df=2)
+        assert out[(4, 1)].other_id == 3
+        # no cross-cluster pairs exist
+        assert (1, 2) not in out or out[(1, 2)].other_id not in (3, 4)
+
+    def test_stop_term_pruned(self, spark):
+        from bigdata_tag_system_spark.operators.text import (
+            tfidf_cosine_topk,
+        )
+
+        # "the" in all 4 docs is pruned (df/N = 1 > 0.5) — docs that
+        # ONLY share "the" must not pair
+        df = spark.createDataFrame([
+            (1, "the apple"), (2, "the banana"),
+            (3, "the cherry"), (4, "the date"),
+        ], "doc_id long, text string")
+        assert tfidf_cosine_topk(df, k=3).count() == 0
