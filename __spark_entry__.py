@@ -54,6 +54,8 @@ _STREAM_TOPK_CACHE: dict[str, str] = {}
 _STREAM_CDC_CACHE: dict[str, str] = {}
 
 _CSV_CACHE: dict[str, str] = {}
+
+_VERSION_CACHE: dict[str, str] = {}
 # fixed deterministic 2×64 projection weights shared by the
 # emb_pca_project query and its oracle (tenth-steps, exactly
 # representable in binary-friendly decimal both engines parse alike)
@@ -4998,6 +5000,53 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_tfidf_cosine"] = sim_tfidf_cosine
 
+    def store_time_travel(spark, sf_dir):
+        # snapshot-isolation store: three versions written (base →
+        # delete+update → re-insert), every RETAINED version still
+        # queryable — per-version metrics union'd; the oracle derives
+        # each snapshot closed-form from the op history
+        from bigdata_tag_system_spark.sources.versioned import (
+            read_version,
+            write_version,
+        )
+
+        store = _VERSION_CACHE.get(sf_dir)
+        if store is None:
+            import tempfile
+
+            store = tempfile.mkdtemp(prefix="vstore_") + "/dim"
+            c = _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("k"), "c_acctbal")
+            v1 = c.where("k % 3 = 0").select(
+                F.col("k").alias("user_id"),
+                F.col("c_acctbal").alias("bal"))
+            write_version(v1, store)
+            v2 = v1.where("user_id % 15 != 0").select(
+                "user_id",
+                F.when(F.col("user_id") % 6 == 0,
+                       F.round(F.col("bal") * 2, 2))
+                .otherwise(F.col("bal")).alias("bal"))
+            write_version(v2, store)
+            ups = c.where("k % 9 = 0").select(
+                F.col("k").alias("user_id"),
+                F.round(F.col("c_acctbal") + 100, 2).alias("bal"))
+            v3 = v2.join(ups, "user_id", "left_anti").unionByName(ups)
+            write_version(v3, store)
+            _VERSION_CACHE[sf_dir] = store
+        outs = []
+        for v in (1, 2, 3):
+            outs.append(read_version(spark, store, v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("user_id").alias("id_sum"),
+                F.round(F.sum("bal"), 2).alias("bal_sum")))
+        out = outs[0]
+        for x in outs[1:]:
+            out = out.unionByName(x)
+        return out.orderBy("version")
+
+    q["store_time_travel"] = store_time_travel
+
     return q
 
 
@@ -8758,6 +8807,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, rank, other_id, cosine
         FROM ranked WHERE rank <= 3
         ORDER BY doc_id, rank LIMIT 300
+    """
+
+    # time-travel replay: each snapshot closed-form from the op history
+    o["store_time_travel"] = """
+        WITH v1 AS (
+            SELECT c_custkey AS k, c_acctbal AS bal
+            FROM customer WHERE c_custkey % 3 = 0
+        ), v2 AS (
+            SELECT k,
+                   CASE WHEN k % 6 = 0 THEN round(bal * 2, 2)
+                        ELSE bal END AS bal
+            FROM v1 WHERE k % 15 != 0
+        ), v3 AS (
+            SELECT c_custkey AS k,
+                   CASE WHEN c_custkey % 9 = 0
+                            THEN round(c_acctbal + 100, 2)
+                        WHEN c_custkey % 6 = 0
+                            THEN round(c_acctbal * 2, 2)
+                        ELSE c_acctbal END AS bal
+            FROM customer
+            WHERE c_custkey % 3 = 0
+              AND (c_custkey % 15 != 0 OR c_custkey % 9 = 0)
+        )
+        SELECT 1 AS version, cast(count(*) AS BIGINT) AS n_rows,
+               cast(sum(k) AS BIGINT) AS id_sum,
+               round(sum(bal), 2) AS bal_sum FROM v1
+        UNION ALL
+        SELECT 2, cast(count(*) AS BIGINT), cast(sum(k) AS BIGINT),
+               round(sum(bal), 2) FROM v2
+        UNION ALL
+        SELECT 3, cast(count(*) AS BIGINT), cast(sum(k) AS BIGINT),
+               round(sum(bal), 2) FROM v3
+        ORDER BY version
     """
 
     return o

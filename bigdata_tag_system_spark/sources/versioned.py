@@ -1,0 +1,108 @@
+"""Versioned parquet store with time travel — the snapshot-isolation
+storage pattern (what Delta/Iceberg provide) built from primitives, for
+deployments without a table format.
+
+Layout::
+
+    {path}/_manifest.json     -> {"current": N, "versions": [1..N]}
+    {path}/v1/  {path}/v2/ …  -> immutable parquet snapshots
+
+Invariants:
+
+- Snapshot dirs are IMMUTABLE once the manifest names them: a writer
+  never touches an existing ``v{n}``, so any reader that resolved a
+  version keeps a consistent view for the whole job regardless of
+  concurrent writes (snapshot isolation, reader-side).
+- The manifest flips via write-temp + ``os.replace`` — atomic on POSIX,
+  so readers see either the old or the new manifest, never a torn one.
+- Old versions stay readable until :func:`vacuum` removes them —
+  time travel (“what did the store say at version 3?”) is just
+  ``read_version(path, 3)``.
+
+At 100 TB each version is a full snapshot — the simplicity/space
+trade-off of this pattern vs Delta's delta logs; use it for dimension
+stores and rule catalogs (small, audited, rewritten whole), not for
+fact tables. The reference rewrites its MySQL store in place
+(``src/writers/mysql_writer.py``) and keeps no history at all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_manifest.json"
+
+
+def _read_manifest(path: str) -> dict:
+    p = os.path.join(path, _MANIFEST)
+    if not os.path.exists(p):
+        return {"current": 0, "versions": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._manifest")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
+def write_version(df: DataFrame, path: str) -> int:
+    """Write ``df`` as the next snapshot version; returns its number.
+
+    The snapshot lands fully in ``v{n}`` BEFORE the manifest flips to
+    it, so a crash mid-write leaves the store at the previous version
+    with an orphan directory — never a half-visible snapshot.
+    """
+    os.makedirs(path, exist_ok=True)
+    m = _read_manifest(path)
+    n = int(m["current"]) + 1
+    df.write.mode("errorifexists").parquet(os.path.join(path, f"v{n}"))
+    m["current"] = n
+    m["versions"] = list(m.get("versions", [])) + [n]
+    _write_manifest(path, m)
+    return n
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot — the current one, or any retained ``version``."""
+    m = _read_manifest(path)
+    if not m["versions"]:
+        raise ValueError(f"no versions at {path!r}")
+    v = int(m["current"]) if version is None else int(version)
+    if v not in m["versions"]:
+        raise ValueError(
+            f"version {v} not in store {path!r} (have {m['versions']})")
+    return spark.read.parquet(os.path.join(path, f"v{v}"))
+
+
+def history(path: str) -> list[int]:
+    """Retained version numbers, oldest first."""
+    return list(_read_manifest(path)["versions"])
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots; returns the
+    removed version numbers. The manifest flips BEFORE directories are
+    deleted, so a reader racing the vacuum either resolved a retained
+    version or fails loudly at manifest resolution — never reads a
+    half-deleted snapshot it resolved late."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    m = _read_manifest(path)
+    keep = m["versions"][-keep_last:]
+    drop = [v for v in m["versions"] if v not in keep]
+    m["versions"] = keep
+    _write_manifest(path, m)
+    for v in drop:
+        shutil.rmtree(os.path.join(path, f"v{v}"), ignore_errors=True)
+    return drop

@@ -588,3 +588,45 @@ class TestTfidfCosine:
             (3, "the cherry"), (4, "the date"),
         ], "doc_id long, text string")
         assert tfidf_cosine_topk(df, k=3).count() == 0
+
+
+class TestVersionedStore:
+    def test_time_travel_and_immutability(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.versioned import (
+            history, read_version, write_version,
+        )
+
+        store = str(tmp_path / "vs")
+        assert write_version(spark.createDataFrame(
+            [(1, 10.0)], "k long, v double"), store) == 1
+        assert write_version(spark.createDataFrame(
+            [(1, 11.0), (2, 20.0)], "k long, v double"), store) == 2
+        # current = latest; old version still intact
+        assert read_version(spark, store).count() == 2
+        [r] = read_version(spark, store, 1).collect()
+        assert (r.k, r.v) == (1, 10.0)
+        assert history(store) == [1, 2]
+        with pytest.raises(ValueError, match="not in store"):
+            read_version(spark, store, 7)
+
+    def test_vacuum_drops_old_keeps_current(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.versioned import (
+            history, read_version, vacuum, write_version,
+        )
+
+        store = str(tmp_path / "vs2")
+        for i in range(3):
+            write_version(spark.range(i + 1).toDF("k"), store)
+        assert vacuum(store, keep_last=1) == [1, 2]
+        assert history(store) == [3]
+        assert read_version(spark, store).count() == 3
+        with pytest.raises(ValueError, match="not in store"):
+            read_version(spark, store, 1)
+        with pytest.raises(ValueError, match="keep_last"):
+            vacuum(store, keep_last=0)
+
+    def test_empty_store_read_fails_loudly(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.versioned import read_version
+
+        with pytest.raises(ValueError, match="no versions"):
+            read_version(spark, str(tmp_path / "nothing"))
