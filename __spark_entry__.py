@@ -5047,6 +5047,26 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["store_time_travel"] = store_time_travel
 
+    def scan_python_datasource(spark, sf_dir):
+        # Spark 4 custom Python DataSource: the reader plans its own
+        # input partitions (parallel pull, not a driver loop); content
+        # is a pure function of row index, so the oracle recomputes it
+        # closed-form from a range() — partition planning is verified
+        # by the totals (no overlap, nothing missing)
+        from bigdata_tag_system_spark.sources.pyds import register
+
+        register(spark)
+        df = (spark.read.format("synthetic_events")
+              .option("rows", "10000").option("partitions", "8").load())
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_i").alias("value_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").alias("id_sum"),
+        ).orderBy("event_type")
+
+    q["scan_python_datasource"] = scan_python_datasource
+
     return q
 
 
@@ -8840,6 +8860,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT 3, cast(count(*) AS BIGINT), cast(sum(k) AS BIGINT),
                round(sum(bal), 2) FROM v3
         ORDER BY version
+    """
+
+    # python-datasource replay: row i is a pure function of i
+    o["scan_python_datasource"] = """
+        WITH g AS (
+            SELECT i.range AS i,
+                   CASE i.range % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                        WHEN 2 THEN 'purchase' ELSE 'error' END
+                       AS event_type,
+                   i.range % 97 AS user_id,
+                   (i.range * 31) % 1000 AS value_i
+            FROM range(10000) i
+        )
+        SELECT event_type, cast(count(*) AS BIGINT) AS n,
+               cast(sum(value_i) AS BIGINT) AS value_sum,
+               cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               cast(sum(i) AS BIGINT) AS id_sum
+        FROM g GROUP BY event_type ORDER BY event_type
     """
 
     return o

@@ -1,0 +1,78 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) — a
+deterministic synthetic-events generator, demonstrating the connector
+surface for systems with no built-in reader (internal feed APIs, custom
+binary formats, simulation inputs).
+
+Why it matters at scale: the reader plans its own INPUT PARTITIONS, so
+a 1000-executor cluster pulls the source in parallel — the difference
+between a connector and a driver-side `createDataFrame` loop. Rows are
+a pure function of (row index) — no RNG, no clock — so any engine can
+recompute the content closed-form (the correctness oracle does).
+
+Reference contrast: the reference's only extensible input is a JDBC
+table (`src/readers/`); this is the Spark-native answer for everything
+that isn't a database.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_DEFAULT_ROWS = 1000
+_DEFAULT_PARTS = 4
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events")`` after registration.
+
+    Options:
+      rows        total row count (default 1000)
+      partitions  input partitions to plan (default 4)
+
+    Row ``i`` (0-based, globally): ``event_id = i``,
+    ``user_id = i % 97``, ``event_type = types[i % 4]``,
+    ``value_i = (i * 31) % 1000`` — integer so downstream aggregates
+    are engine-exact.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return ("event_id bigint, user_id bigint, "
+                "event_type string, value_i bigint")
+
+    def reader(self, schema) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(
+            rows=int(self.options.get("rows", _DEFAULT_ROWS)),
+            parts=int(self.options.get("partitions", _DEFAULT_PARTS)),
+        )
+
+
+_TYPES = ["view", "click", "purchase", "error"]
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, rows: int, parts: int):
+        if rows < 0 or parts < 1:
+            raise ValueError(
+                f"rows must be >= 0 and partitions >= 1, "
+                f"got rows={rows}, partitions={parts}")
+        self.rows, self.parts = rows, parts
+
+    def partitions(self):
+        # contiguous index ranges — each executor task generates its
+        # slice independently; no partition overlaps, none missing
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition: InputPartition):
+        start = partition.value * self.rows // self.parts
+        end = (partition.value + 1) * self.rows // self.parts
+        for i in range(start, end):
+            yield (i, i % 97, _TYPES[i % 4], (i * 31) % 1000)
+
+
+def register(spark) -> None:
+    """Idempotently register the format with a session."""
+    spark.dataSource.register(SyntheticEventsDataSource)

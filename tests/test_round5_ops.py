@@ -630,3 +630,36 @@ class TestVersionedStore:
 
         with pytest.raises(ValueError, match="no versions"):
             read_version(spark, str(tmp_path / "nothing"))
+
+
+class TestPythonDataSource:
+    def test_partition_slices_cover_exactly(self, spark):
+        from bigdata_tag_system_spark.sources.pyds import register
+
+        register(spark)
+        df = (spark.read.format("synthetic_events")
+              .option("rows", "103").option("partitions", "7").load())
+        ids = sorted(r.event_id for r in df.select("event_id").collect())
+        # contiguous ranges: no overlap, nothing missing, any rows/parts
+        assert ids == list(range(103))
+        assert df.rdd.getNumPartitions() == 7
+
+    def test_content_is_pure_function_of_index(self, spark):
+        from bigdata_tag_system_spark.sources.pyds import register
+
+        register(spark)
+        df = (spark.read.format("synthetic_events")
+              .option("rows", "8").option("partitions", "3").load())
+        got = sorted(map(tuple, df.collect()))
+        types = ["view", "click", "purchase", "error"]
+        want = sorted((i, i % 97, types[i % 4], (i * 31) % 1000)
+                      for i in range(8))
+        assert got == want
+
+    def test_option_validation(self, spark):
+        from bigdata_tag_system_spark.sources.pyds import (
+            SyntheticEventsReader,
+        )
+
+        with pytest.raises(ValueError, match="partitions"):
+            SyntheticEventsReader(rows=10, parts=0)
