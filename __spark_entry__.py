@@ -5067,6 +5067,24 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scan_python_datasource"] = scan_python_datasource
 
+    def text_udtf_chunks(spark, sf_dir):
+        # Python UDTF (the §2.10 one-row→many-rows escape hatch) via
+        # SQL LATERAL — deliberately the slow-path twin of the native
+        # chunker, output a pure function of the row so the oracle
+        # replays it; the md5 identities pin the exact window contents
+        from bigdata_tag_system_spark.functions.udtf_ops import register
+
+        register(spark)
+        _prep(spark)
+        _t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+        return spark.sql("""
+            SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5
+            FROM _docs_udtf d, LATERAL chunk_text(d.text) c
+            ORDER BY d.doc_id, c.chunk_idx LIMIT 300
+        """)
+
+    q["text_udtf_chunks"] = text_udtf_chunks
+
     return q
 
 
@@ -8878,6 +8896,30 @@ def oracle_sql() -> dict[str, str]:
                cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
                cast(sum(i) AS BIGINT) AS id_sum
         FROM g GROUP BY event_type ORDER BY event_type
+    """
+
+    # UDTF replay: same 32-token windows over the same normalization,
+    # same md5 chunk identities
+    o["text_udtf_chunks"] = f"""
+        WITH t AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS tk
+            FROM documents WHERE text IS NOT NULL AND {_NORM} <> ''
+        ), c AS (
+            SELECT doc_id,
+                   unnest(range(0, cast(ceil(len(tk) / 32.0) AS INT)))
+                       AS chunk_idx,
+                   tk
+            FROM t
+        )
+        SELECT doc_id, cast(chunk_idx AS INT) AS chunk_idx,
+               cast(len(tk[chunk_idx * 32 + 1:
+                          least((chunk_idx + 1) * 32, len(tk))])
+                    AS INT) AS n_tokens,
+               md5(array_to_string(
+                   tk[chunk_idx * 32 + 1:
+                      least((chunk_idx + 1) * 32, len(tk))], ' '))
+                   AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_idx LIMIT 300
     """
 
     return o

@@ -108,6 +108,11 @@ _CATALOG_ALLOW = {
     "graph_bfs_depths": ["rdd_scan"],
     # k-core keep-sets are localCheckpoint-ed per peel round
     "graph_kcore": ["rdd_scan"],
+    # text_udtf_chunks IS the documented §2.10 slow-path demo: a Python
+    # UDTF is by definition a per-row Python round-trip; the catalog
+    # keeps exactly one such entry, with the native chunker as the
+    # production twin (operators/text.py:chunk_documents)
+    "text_udtf_chunks": ["python_row_udf"],
     "sample_shuffle_order": ["global_window"],
     "sim_hybrid_rrf": ["global_window"],
     # the RANGE window merges PER-BUCKET sketches — one row per day,

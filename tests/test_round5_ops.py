@@ -663,3 +663,26 @@ class TestPythonDataSource:
 
         with pytest.raises(ValueError, match="partitions"):
             SyntheticEventsReader(rows=10, parts=0)
+
+
+class TestChunkTextUdtf:
+    def test_matches_reference_windows(self, spark):
+        import hashlib
+
+        from bigdata_tag_system_spark.functions.udtf_ops import register
+
+        register(spark)
+        text = " ".join(f"w{i}" for i in range(70))  # 70 tokens → 3 chunks
+        spark.createDataFrame(
+            [(1, text), (2, None), (3, "  ")],
+            "doc_id long, text string").createOrReplaceTempView("u")
+        rows = spark.sql("""
+            SELECT doc_id, c.* FROM u, LATERAL chunk_text(text) c
+            ORDER BY doc_id, chunk_idx
+        """).collect()
+        # null/blank docs yield nothing
+        assert [r.doc_id for r in rows] == [1, 1, 1]
+        assert [r.n_tokens for r in rows] == [32, 32, 6]
+        toks = text.split()
+        want = hashlib.md5(" ".join(toks[64:70]).encode()).hexdigest()
+        assert rows[2].chunk_md5 == want
