@@ -5000,13 +5000,10 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_tfidf_cosine"] = sim_tfidf_cosine
 
-    def store_time_travel(spark, sf_dir):
-        # snapshot-isolation store: three versions written (base →
-        # delete+update → re-insert), every RETAINED version still
-        # queryable — per-version metrics union'd; the oracle derives
-        # each snapshot closed-form from the op history
+    def _ensure_version_store(spark, sf_dir):
+        # three snapshots: base → delete+update → re-insert; shared by
+        # the time-travel and version-diff queries
         from bigdata_tag_system_spark.sources.versioned import (
-            read_version,
             write_version,
         )
 
@@ -5033,6 +5030,18 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             v3 = v2.join(ups, "user_id", "left_anti").unionByName(ups)
             write_version(v3, store)
             _VERSION_CACHE[sf_dir] = store
+        return store
+
+    def store_time_travel(spark, sf_dir):
+        # snapshot-isolation store: three versions written (base →
+        # delete+update → re-insert), every RETAINED version still
+        # queryable — per-version metrics union'd; the oracle derives
+        # each snapshot closed-form from the op history
+        from bigdata_tag_system_spark.sources.versioned import (
+            read_version,
+        )
+
+        store = _ensure_version_store(spark, sf_dir)
         outs = []
         for v in (1, 2, 3):
             outs.append(read_version(spark, store, v).agg(
@@ -5046,6 +5055,26 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy("version")
 
     q["store_time_travel"] = store_time_travel
+
+    def store_version_diff(spark, sf_dir):
+        # change-data-feed between snapshots v1 → v3: deletes (k%15==0
+        # not re-inserted), updates (×2 and +100 rewrites — but a
+        # rewrite landing the IDENTICAL value, bal=0 doubled, is NOT a
+        # change: null-safe struct compare), zero inserts (v3 keys ⊆
+        # v1). Oracle re-derives the diff closed-form
+        from bigdata_tag_system_spark.sources.versioned import (
+            version_diff,
+        )
+
+        store = _ensure_version_store(spark, sf_dir)
+        d = version_diff(spark, store, 1, 3, ["user_id"])
+        return d.select(
+            "op", "user_id",
+            F.col("old.bal").alias("bal_old"),
+            F.col("new.bal").alias("bal_new"),
+        ).orderBy("user_id")
+
+    q["store_version_diff"] = store_version_diff
 
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
@@ -8878,6 +8907,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT 3, cast(count(*) AS BIGINT), cast(sum(k) AS BIGINT),
                round(sum(bal), 2) FROM v3
         ORDER BY version
+    """
+
+    # version-diff replay: full-outer v1↔v3 with null-safe inequality
+    o["store_version_diff"] = """
+        WITH v1 AS (
+            SELECT c_custkey AS k, c_acctbal AS bal
+            FROM customer WHERE c_custkey % 3 = 0
+        ), v3 AS (
+            SELECT c_custkey AS k,
+                   CASE WHEN c_custkey % 9 = 0
+                            THEN round(c_acctbal + 100, 2)
+                        WHEN c_custkey % 6 = 0
+                            THEN round(c_acctbal * 2, 2)
+                        ELSE c_acctbal END AS bal
+            FROM customer
+            WHERE c_custkey % 3 = 0
+              AND (c_custkey % 15 != 0 OR c_custkey % 9 = 0)
+        )
+        SELECT CASE WHEN v3.k IS NULL THEN 'delete'
+                    WHEN v1.k IS NULL THEN 'insert'
+                    ELSE 'update' END AS op,
+               coalesce(v1.k, v3.k) AS user_id,
+               v1.bal AS bal_old, v3.bal AS bal_new
+        FROM v1 FULL JOIN v3 ON v1.k = v3.k
+        WHERE v3.k IS NULL OR v1.k IS NULL
+           OR v1.bal IS DISTINCT FROM v3.bal
+        ORDER BY user_id
     """
 
     # python-datasource replay: row i is a pure function of i

@@ -134,6 +134,10 @@ def main() -> None:
         "ivm_join_delta",          # two-sided join-delta maintenance
         "feat_target_encode",      # out-of-fold target encoding
         "rule_coverage_report",    # one-scan per-rule coverage
+        "text_cdc_chunks",         # relational content-defined chunking
+        "sim_tfidf_cosine",        # sparse lexical cosine neighbors
+        "orders_assoc_rules",      # market-basket pair metrics
+        "dedup_reciprocal_best",   # mutual-best pair refinement
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -33,6 +33,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST = "_manifest.json"
 
@@ -106,3 +107,42 @@ def vacuum(path: str, keep_last: int = 1) -> list[int]:
     for v in drop:
         shutil.rmtree(os.path.join(path, f"v{v}"), ignore_errors=True)
     return drop
+
+
+def version_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between two retained snapshots: one row per
+    key whose state changed, ``op ∈ {insert, delete, update}`` with
+    the old/new value structs. The CDC extraction a versioned store
+    makes FREE — downstream consumers replay ``diff(v_from, v_to)``
+    instead of rescanning snapshots.
+
+    ``update`` means the non-key struct genuinely differs
+    (null-safe) — a rewrite that lands identical values is NOT a
+    change. One full-outer join on the key, no driver state.
+    """
+    a = read_version(spark, path, v_from)
+    b = read_version(spark, path, v_to)
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"schema drift between v{v_from} and v{v_to}: "
+            f"{sorted(a.columns)} vs {sorted(b.columns)}")
+    vals = [c for c in a.columns if c not in key_cols]
+    sa = a.select(*key_cols, F.struct(*vals).alias("old"))
+    sb = b.select(*key_cols, F.struct(*vals).alias("new"))
+    j = sa.join(sb, list(key_cols), "full_outer")
+    return j.select(
+        *key_cols,
+        F.when(F.col("new").isNull(), F.lit("delete"))
+        .when(F.col("old").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update")).alias("op"),
+        "old", "new",
+    ).where(
+        F.col("old").isNull() | F.col("new").isNull()
+        | ~F.col("old").eqNullSafe(F.col("new"))
+    )

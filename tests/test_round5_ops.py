@@ -686,3 +686,39 @@ class TestChunkTextUdtf:
         toks = text.split()
         want = hashlib.md5(" ".join(toks[64:70]).encode()).hexdigest()
         assert rows[2].chunk_md5 == want
+
+
+class TestVersionDiff:
+    def test_ops_and_identical_rewrite_excluded(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.versioned import (
+            version_diff, write_version,
+        )
+
+        store = str(tmp_path / "vd")
+        write_version(spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)],
+            "k long, v double"), store)
+        write_version(spark.createDataFrame(
+            [(1, 10.0), (3, 33.0), (4, 40.0)],
+            "k long, v double"), store)
+        got = {r.k: (r.op, r.old, r.new)
+               for r in version_diff(spark, store, 1, 2, ["k"]).collect()}
+        # key 1 rewritten with the SAME value → not a change
+        assert 1 not in got
+        assert got[2][0] == "delete" and got[2][2] is None
+        assert got[3][0] == "update" and got[3][1].v == 30.0 \
+            and got[3][2].v == 33.0
+        assert got[4][0] == "insert" and got[4][1] is None
+
+    def test_schema_drift_rejected(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.versioned import (
+            version_diff, write_version,
+        )
+
+        store = str(tmp_path / "vd2")
+        write_version(spark.createDataFrame([(1, 1.0)], "k long, v double"),
+                      store)
+        write_version(spark.createDataFrame([(1, "x")], "k long, w string"),
+                      store)
+        with pytest.raises(ValueError, match="schema drift"):
+            version_diff(spark, store, 1, 2, ["k"])
