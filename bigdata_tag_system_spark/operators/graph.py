@@ -285,11 +285,14 @@ def kcore(
 
     Scale shape: the symmetrized distinct edge list is persisted
     pre-partitioned on the vertex key once; each round is one
-    map-side-combinable degree count plus two semi joins on that same
-    key (AQE reuses the layout), and the edge set only SHRINKS —
-    round cost is monotone decreasing. Convergence = no vertex removed,
-    detected by comparing surviving-vertex counts (one scalar action
-    per round, the same driver-loop contract as BFS/PageRank).
+    map-side-combinable degree count (zero Exchange — the layout
+    survives the joins) plus two BROADCAST anti joins against the set
+    of vertices removed THIS round — which shrinks geometrically, so
+    after round one the per-round cost is a broadcast of a few ids,
+    never a reshuffle of the edge list (the semi-join-on-survivors
+    formulation re-exchanged every surviving edge by ``_v`` each
+    round). Convergence = no vertex removed (one scalar action per
+    round, the same driver-loop contract as BFS/PageRank).
     ``max_rounds`` raises rather than silently truncating (a path graph
     peels one layer per round under k=2). Returns (node, degree) of
     the k-core, degree measured INSIDE the core.
@@ -308,18 +311,18 @@ def kcore(
         n_prev = None
         for _ in range(max_rounds):
             deg = live.groupBy("_u").agg(F.count(F.lit(1)).alias("degree"))
-            keep = deg.where(F.col("degree") >= k) \
-                .localCheckpoint(eager=True)
+            deg = deg.localCheckpoint(eager=True)
+            keep = deg.where(F.col("degree") >= k)
             n = keep.count()
             if n == n_prev or n == 0:
                 return keep.select(F.col("_u").alias("node"), "degree")
             n_prev = n
-            nodes = keep.select("_u")
+            removed = F.broadcast(deg.where(F.col("degree") < k)
+                                  .select("_u"))
             nxt = (
-                live.join(nodes, "_u", "left_semi")
-                .join(nodes.select(F.col("_u").alias("_v")), "_v",
-                      "left_semi")
-                .repartition("_u")
+                live.join(removed, "_u", "left_anti")
+                .join(removed.select(F.col("_u").alias("_v")), "_v",
+                      "left_anti")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             nxt.count()  # materialize before dropping the parent
