@@ -5076,6 +5076,18 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["store_version_diff"] = store_version_diff
 
+    def text_lang_confusion(spark, sf_dir):
+        # language-ID quality readout: detected vs labeled language
+        # cross-tab — the precision/recall raw material for the
+        # stopword-vote heuristic, per (label, detection) cell
+        d = _t(spark, sf_dir, "documents")
+        return d.groupBy(
+            "lang", T.detect_language("text").alias("detected_lang"),
+        ).agg(F.count(F.lit(1)).alias("n")) \
+            .orderBy("lang", "detected_lang")
+
+    q["text_lang_confusion"] = text_lang_confusion
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -8934,6 +8946,19 @@ def oracle_sql() -> dict[str, str]:
         WHERE v3.k IS NULL OR v1.k IS NULL
            OR v1.bal IS DISTINCT FROM v3.bal
         ORDER BY user_id
+    """
+
+    # langid confusion replay: same stopword vote, same tie-break
+    o["text_lang_confusion"] = f"""
+        WITH t AS (SELECT doc_id, lang,
+                          string_split({_NORM}, ' ') AS toks
+                   FROM documents),
+             s AS (SELECT doc_id, lang, {_lang_scores} FROM t)
+        SELECT lang,
+               CASE WHEN {_best} > 0 THEN CASE {_pick} END
+                    ELSE 'und' END AS detected_lang,
+               cast(count(*) AS BIGINT) AS n
+        FROM s GROUP BY 1, 2 ORDER BY lang, detected_lang
     """
 
     # python-datasource replay: row i is a pure function of i
