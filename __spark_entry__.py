@@ -5088,6 +5088,30 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_lang_confusion"] = text_lang_confusion
 
+    def sample_token_mixture(spark, sf_dir):
+        # token-denominated mixture: per-source budgets consumed in
+        # deterministic knuth-hash order, strict (the straddling doc
+        # is dropped) — kept token totals must come in ≤ budget, and
+        # the SELECTION (not just totals) is value-hashed via id_sum
+        from bigdata_tag_system_spark.functions.text import token_count
+        from bigdata_tag_system_spark.operators.sampling import (
+            token_budget_mixture,
+        )
+
+        d = _t(spark, sf_dir, "documents").where("text IS NOT NULL") \
+            .select("doc_id", "source",
+                    token_count("text").alias("n_tokens"))
+        kept = token_budget_mixture(
+            d, budgets={"src0": 2000, "src1": 1500, "src2": 1000},
+            default_budget=500)
+        return kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        ).orderBy("source")
+
+    q["sample_token_mixture"] = sample_token_mixture
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -8959,6 +8983,37 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'und' END AS detected_lang,
                cast(count(*) AS BIGINT) AS n
         FROM s GROUP BY 1, 2 ORDER BY lang, detected_lang
+    """
+
+    # token-mixture replay: same knuth hash order, same strict budgets
+    o["sample_token_mixture"] = f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CASE WHEN {_NORM} = '' THEN 0
+                        ELSE len(string_split({_NORM}, ' ')) END
+                       AS n_tokens
+            FROM documents WHERE text IS NOT NULL
+        ), h AS (
+            SELECT *,
+                   (((doc_id % 2147483648) * 2654435761) % 4294967296)
+                       AS hh,
+                   CASE source WHEN 'src0' THEN 2000
+                        WHEN 'src1' THEN 1500
+                        WHEN 'src2' THEN 1000 ELSE 500 END AS budget
+            FROM d
+        ), c AS (
+            SELECT *,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY hh, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM h
+        )
+        SELECT source, cast(count(*) AS BIGINT) AS docs_kept,
+               cast(sum(n_tokens) AS BIGINT) AS tokens_kept,
+               cast(sum(doc_id) AS BIGINT) AS id_sum
+        FROM c WHERE cum <= budget
+        GROUP BY source ORDER BY source
     """
 
     # python-datasource replay: row i is a pure function of i

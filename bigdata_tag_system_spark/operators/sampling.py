@@ -380,3 +380,45 @@ def hash_split(
     for fence, name in zip(reversed(fences), reversed(names[:-1])):
         expr = F.when(h < F.lit(fence), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Select documents per source under a TOKEN budget — the unit
+    training mixtures are actually denominated in (a 10-doc source of
+    books outweighs a 1000-doc source of tweets by tokens, which is
+    what the loss sees; row-count mixtures get this wrong).
+
+    Docs are taken in deterministic :func:`knuth_hash` order within
+    each source (an unbiased, rerun/engine-stable shuffle) while the
+    running token total stays ≤ the source's budget; the doc that
+    would cross the line is dropped (strict budgets — a 1M-token
+    budget never yields 1.4M because a long doc straddled it).
+    Sources absent from ``budgets`` get ``default_budget`` (0 ⇒
+    excluded).
+
+    One window pass per source key — no global sort, no driver state;
+    budgets ship as a literal CASE (catalog-sized, not data-sized).
+    """
+    if any(b < 0 for b in budgets.values()) or default_budget < 0:
+        raise ValueError("budgets must be non-negative")
+    budget_col = F.lit(int(default_budget))
+    for src, b in sorted(budgets.items()):
+        budget_col = F.when(
+            F.col(source_col) == src, F.lit(int(b))).otherwise(budget_col)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(knuth_hash(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum", F.sum(tokens_col).over(w))
+        .where(F.col("_cum") <= budget_col)
+        .drop("_cum")
+    )

@@ -722,3 +722,42 @@ class TestVersionDiff:
                       store)
         with pytest.raises(ValueError, match="schema drift"):
             version_diff(spark, store, 1, 2, ["k"])
+
+
+class TestTokenBudgetMixture:
+    def test_strict_budget_and_deterministic_order(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            token_budget_mixture,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a", 10) for i in range(20)]
+            + [(100 + i, "b", 7) for i in range(10)],
+            "doc_id long, source string, n_tokens long")
+        kept = token_budget_mixture(
+            df, budgets={"a": 35, "b": 100}, default_budget=0)
+        rows = kept.collect()
+        a_toks = sum(r.n_tokens for r in rows if r.source == "a")
+        b_toks = sum(r.n_tokens for r in rows if r.source == "b")
+        # strict: 35-token budget over 10-token docs keeps exactly 3
+        assert a_toks == 30
+        assert b_toks == 70  # all 10 docs fit
+        # rerun is identical (deterministic hash order)
+        again = token_budget_mixture(
+            df, budgets={"a": 35, "b": 100}, default_budget=0)
+        assert sorted(r.doc_id for r in rows) == \
+            sorted(r.doc_id for r in again.collect())
+
+    def test_default_budget_and_validation(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            token_budget_mixture,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x", 5)], "doc_id long, source string, n_tokens long")
+        # unknown source with default 0 → excluded entirely
+        assert token_budget_mixture(df, budgets={"a": 10}).count() == 0
+        assert token_budget_mixture(
+            df, budgets={}, default_budget=5).count() == 1
+        with pytest.raises(ValueError, match="non-negative"):
+            token_budget_mixture(df, budgets={"a": -1})
