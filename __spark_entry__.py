@@ -5112,6 +5112,23 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_token_mixture"] = sample_token_mixture
 
+    def sketch_hist_quantiles(spark, sf_dir):
+        # mergeable-quantile rollup: per-MONTH fixed-fence histograms
+        # merged by counter addition, rational-rank midpoint estimates
+        # (integer end to end), exact percentile riding along with a
+        # one-bucket-width error bound — the t-digest/KLL pattern with
+        # engine-exact math
+        from bigdata_tag_system_spark.operators.sketches import (
+            histogram_rollup_quantiles,
+        )
+
+        ev = _t(spark, sf_dir, "events").select(
+            "value", F.month("ts").alias("m"))
+        return histogram_rollup_quantiles(
+            ev, "value", "m", lo=0.0, hi=500.0, buckets=64)
+
+    q["sketch_hist_quantiles"] = sketch_hist_quantiles
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9014,6 +9031,54 @@ def oracle_sql() -> dict[str, str]:
                cast(sum(doc_id) AS BIGINT) AS id_sum
         FROM c WHERE cum <= budget
         GROUP BY source ORDER BY source
+    """
+
+    # histogram-quantile replay: same fixed fences [0,500]·100, same
+    # 64-bucket integer positioning, same rational ranks and midpoints;
+    # merge invariance means the oracle can skip the month partitioning
+    o["sketch_hist_quantiles"] = """
+        WITH v AS (
+            SELECT least(greatest(
+                       cast(round(value * 100) AS BIGINT), 0), 50000)
+                   AS fv
+            FROM events WHERE value IS NOT NULL
+        ), m AS (
+            SELECT least(greatest((fv * 64) // 50001, 0), 63) AS b,
+                   cast(count(*) AS BIGINT) AS c
+            FROM v GROUP BY 1
+        ), cum AS (
+            SELECT b, c,
+                   sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cm
+            FROM m
+        ), n1 AS (
+            SELECT cast(sum(c) AS BIGINT) AS n FROM m
+        ), t AS (
+            SELECT q.q_num, q.q_den,
+                   (n1.n * q.q_num + q.q_den - 1) // q.q_den AS r
+            FROM n1, (VALUES (1, 2), (9, 10), (99, 100))
+                 AS q(q_num, q_den)
+        ), hit AS (
+            SELECT q_num, q_den, min(b) AS hb
+            FROM t JOIN cum ON cum.cm >= t.r GROUP BY 1, 2
+        ), ex AS (
+            SELECT quantile_cont(value, 0.5) AS x_1_2,
+                   quantile_cont(value, 0.9) AS x_9_10,
+                   quantile_cont(value, 0.99) AS x_99_100
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT q_num, q_den,
+               (0 + ((2 * hb + 1) * 50001) // 128) / 100.0 AS est,
+               round(CASE WHEN q_num = 1 THEN x_1_2
+                          WHEN q_num = 9 THEN x_9_10
+                          ELSE x_99_100 END, 4) AS exact,
+               abs((0 + ((2 * hb + 1) * 50001) // 128) / 100.0
+                   - CASE WHEN q_num = 1 THEN x_1_2
+                          WHEN q_num = 9 THEN x_9_10
+                          ELSE x_99_100 END)
+                   <= 50001 / (64.0 * 100) AS within_w
+        FROM hit CROSS JOIN ex
+        ORDER BY q_num, q_den
     """
 
     # python-datasource replay: row i is a pure function of i

@@ -693,3 +693,101 @@ def cms_estimate(
     joined = pos.join(F.broadcast(cms), ["row_i", "bucket"], "left")
     return joined.groupBy(*probe.columns).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+
+
+def histogram_rollup_quantiles(
+    df: DataFrame,
+    col: str,
+    partition_col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 64,
+    scale: int = 100,
+    qs: Sequence[tuple[int, int]] = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """Quantile estimates from MERGED per-partition histogram sketches
+    — the mergeable-quantiles pattern (t-digest/KLL shape) with
+    engine-exact arithmetic end to end.
+
+    The key design difference from :func:`histogram_equi_width`:
+    bucket geometry is FIXED by caller-supplied ``[lo, hi]`` fences,
+    not data-dependent min/max — that is what makes per-partition
+    histograms mergeable by counter addition (day→month→year rollups
+    with no raw-value rescan; two histograms over different days share
+    the same buckets). Out-of-range values clamp into the edge
+    buckets, so the estimate degrades loudly at the fences instead of
+    breaking mergeability.
+
+    All positioning is integer: values fixed-pointed at ``scale``,
+    bucket ids by 64-bit ``DIV``, target ranks as ``ceil(N·num/den)``
+    from RATIONAL quantiles (no float rank), estimate = bucket
+    midpoint. The exact quantile (both engines' linear-interpolation
+    ``percentile``) rides along with an error bound: the midpoint sits ≤ w/2
+    from any value in its bucket, and linear interpolation can add up
+    to the local data spacing — so the checked bound is one full
+    bucket width ``w`` (tight in practice: a rank landing at a bucket
+    edge with interpolation across a spacing gap).
+
+    Output per quantile: ``(q_num, q_den, est, exact, within_w)``.
+    """
+    from pyspark.sql import Window
+
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    lo_fp, hi_fp = int(round(lo * scale)), int(round(hi * scale))
+    if hi_fp <= lo_fp:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    span = hi_fp - lo_fp + 1
+    v = F.round(F.col(col) * scale).cast("long")
+    clamped = F.greatest(F.least(v, F.lit(hi_fp)), F.lit(lo_fp))
+    bucket = F.expr(
+        f"least(greatest(((_v - {lo_fp}) * {int(buckets)}) DIV {span}, 0), "
+        f"{int(buckets) - 1})")
+    per_part = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(partition_col).alias("_p"), clamped.alias("_v"))
+        .groupBy("_p", bucket.cast("int").alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    merged = per_part.groupBy("_b").agg(F.sum("_c").alias("_c"))
+    # cumulative over ≤`buckets` rows — bounded by construction
+    cum = merged.withColumn(
+        "_cum", F.sum("_c").over(
+            Window.orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    n1 = merged.agg(F.sum("_c").alias("_n"))
+    want = F.explode(F.array(*[
+        F.struct(F.lit(num).alias("q_num"), F.lit(den).alias("q_den"))
+        for num, den in qs
+    ])).alias("_q")
+    targets = n1.select(want, "_n").select(
+        "_q.q_num", "_q.q_den", "_n",
+        F.expr("(_n * q_num + q_den - 1) DIV q_den").alias("_rank"))
+    hit = (
+        targets.join(F.broadcast(cum), F.col("_cum") >= F.col("_rank"))
+        .groupBy("q_num", "q_den")
+        .agg(F.min("_b").alias("_hb"))
+    )
+    exact = df.where(F.col(col).isNotNull()).agg(*[
+        F.expr(f"percentile({col}, {num}/{den})")
+        .alias(f"_x_{num}_{den}")
+        for num, den in qs
+    ])
+    est_fp = (F.lit(lo_fp)
+              + F.expr(f"((2 * _hb + 1) * {span}) DIV {2 * int(buckets)}"))
+    w_tol = span / (float(buckets) * scale)
+    out = hit.crossJoin(F.broadcast(exact)).select(
+        "q_num", "q_den",
+        (est_fp / F.lit(float(scale))).alias("est"),
+        F.expr(
+            "CASE " + " ".join(
+                f"WHEN q_num = {num} AND q_den = {den} "
+                f"THEN _x_{num}_{den}" for num, den in qs)
+            + " END").alias("exact"),
+    )
+    return out.select(
+        "q_num", "q_den", "est",
+        F.round("exact", 4).alias("exact"),
+        (F.abs(F.col("est") - F.col("exact")) <= F.lit(w_tol))
+        .alias("within_w"),
+    ).orderBy("q_num", "q_den")

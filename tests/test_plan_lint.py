@@ -113,6 +113,9 @@ _CATALOG_ALLOW = {
     # keeps exactly one such entry, with the native chunker as the
     # production twin (operators/text.py:chunk_documents)
     "text_udtf_chunks": ["python_row_udf"],
+    # cumulative pass runs over the MERGED histogram — ≤`buckets` (64)
+    # rows by construction, like the bucket-offset table
+    "sketch_hist_quantiles": ["global_window"],
     "sample_shuffle_order": ["global_window"],
     "sim_hybrid_rrf": ["global_window"],
     # the RANGE window merges PER-BUCKET sketches — one row per day,

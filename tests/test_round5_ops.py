@@ -761,3 +761,53 @@ class TestTokenBudgetMixture:
             df, budgets={}, default_budget=5).count() == 1
         with pytest.raises(ValueError, match="non-negative"):
             token_budget_mixture(df, budgets={"a": -1})
+
+
+class TestHistogramRollupQuantiles:
+    def test_merge_invariance_and_error_bound(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            histogram_rollup_quantiles,
+        )
+
+        df = spark.range(0, 10000).select(
+            (F.col("id") % 5).alias("p"),
+            (F.col("id") % 100 / 1.0).alias("value"))
+        out = histogram_rollup_quantiles(
+            df, "value", "p", lo=0.0, hi=100.0, buckets=50)
+        rows = {(r.q_num, r.q_den): r for r in out.collect()}
+        assert set(rows) == {(1, 2), (9, 10), (99, 100)}
+        for r in rows.values():
+            # midpoint estimate within one bucket width of the exact
+            assert r.within_w, (r.q_num, r.est, r.exact)
+        # single-partition build gives identical estimates (merge
+        # invariance: fixed fences → same buckets)
+        one = histogram_rollup_quantiles(
+            df.withColumn("p", F.lit(0)), "value", "p",
+            lo=0.0, hi=100.0, buckets=50)
+        assert {(r.q_num, r.est) for r in one.collect()} == \
+            {(r.q_num, r.est) for r in rows.values()}
+
+    def test_out_of_fence_values_clamp(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            histogram_rollup_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [(0, -50.0), (0, 5.0), (0, 999.0)], "p long, value double")
+        out = histogram_rollup_quantiles(
+            df, "value", "p", lo=0.0, hi=10.0, buckets=10,
+            qs=((1, 2),))
+        [r] = out.collect()
+        # median of {clamp(-50)=0, 5, clamp(999)=10} → middle bucket
+        assert 4.0 <= r.est <= 6.5
+
+    def test_validation(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            histogram_rollup_quantiles,
+        )
+
+        df = spark.createDataFrame([(0, 1.0)], "p long, value double")
+        with pytest.raises(ValueError, match="buckets"):
+            histogram_rollup_quantiles(df, "value", "p", 0, 1, buckets=0)
+        with pytest.raises(ValueError, match="hi > lo"):
+            histogram_rollup_quantiles(df, "value", "p", 5, 5)
