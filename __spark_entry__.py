@@ -5129,6 +5129,37 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_hist_quantiles"] = sketch_hist_quantiles
 
+    def events_user_lifecycle(spark, sf_dir):
+        # growth-accounting board: each (user, active-day) classified
+        # by the gap to the user's PREVIOUS active day — new (first
+        # ever), retained (yesterday), returning (2-30d), resurrected
+        # (>30d); one distinct + one per-user window + one day rollup
+        days = _t(spark, sf_dir, "events").select(
+            "user_id", F.to_date("ts").alias("d")).distinct()
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("d")
+        gap = F.datediff(F.col("d"), F.lag("d").over(w))
+        cls = (
+            F.when(gap.isNull(), "new")
+            .when(gap == 1, "retained")
+            .when(gap <= 30, "returning")
+            .otherwise("resurrected")
+        )
+        lab = days.withColumn("cls", cls)
+        return lab.groupBy("d").agg(
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+            .alias("new_users"),
+            F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0))
+            .alias("retained"),
+            F.sum(F.when(F.col("cls") == "returning", 1).otherwise(0))
+            .alias("returning"),
+            F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0))
+            .alias("resurrected"),
+        ).orderBy("d").limit(200)
+
+    q["events_user_lifecycle"] = events_user_lifecycle
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9079,6 +9110,36 @@ def oracle_sql() -> dict[str, str]:
                    <= 50001 / (64.0 * 100) AS within_w
         FROM hit CROSS JOIN ex
         ORDER BY q_num, q_den
+    """
+
+    # lifecycle replay: same gap classification over distinct user-days
+    o["events_user_lifecycle"] = """
+        WITH days AS (
+            SELECT DISTINCT user_id, cast(ts AS DATE) AS d FROM events
+        ), g AS (
+            SELECT d,
+                   date_diff('day',
+                             lag(d) OVER (PARTITION BY user_id ORDER BY d),
+                             d) AS gap
+            FROM days
+        ), c AS (
+            SELECT d,
+                   CASE WHEN gap IS NULL THEN 'new'
+                        WHEN gap = 1 THEN 'retained'
+                        WHEN gap <= 30 THEN 'returning'
+                        ELSE 'resurrected' END AS cls
+            FROM g
+        )
+        SELECT d,
+               cast(count(CASE WHEN cls = 'new' THEN 1 END) AS BIGINT)
+                   AS new_users,
+               cast(count(CASE WHEN cls = 'retained' THEN 1 END) AS BIGINT)
+                   AS retained,
+               cast(count(CASE WHEN cls = 'returning' THEN 1 END) AS BIGINT)
+                   AS returning,
+               cast(count(CASE WHEN cls = 'resurrected' THEN 1 END)
+                    AS BIGINT) AS resurrected
+        FROM c GROUP BY d ORDER BY d LIMIT 200
     """
 
     # python-datasource replay: row i is a pure function of i
