@@ -5160,6 +5160,35 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_lifecycle"] = events_user_lifecycle
 
+    def rule_sql_pushdown(spark, sf_dir):
+        # one rule, three engines: the compiled Column, the rendered
+        # ANSI WHERE parsed back by Spark SQL, and (in the oracle) the
+        # SAME rendered string executed by DuckDB. n_both counts the
+        # conjunction, so count equality proves set equality
+        from bigdata_tag_system_spark.rules.compiler import (
+            compile_rule,
+            rule_to_sql,
+        )
+
+        c = _t(spark, sf_dir, "customer")
+        outs = []
+        for r in _FLAGSHIP_RULES:
+            where = rule_to_sql(r["rule_conditions"], as_of=AS_OF)
+            col = compile_rule(r["rule_conditions"], as_of=AS_OF)
+            outs.append(c.agg(
+                F.lit(int(r["rule_id"])).alias("rule_id"),
+                F.sum(F.when(F.expr(where), 1).otherwise(0))
+                .alias("n_sql"),
+                F.sum(F.when(col, 1).otherwise(0)).alias("n_col"),
+                F.sum(F.when(F.expr(where) & col, 1).otherwise(0))
+                .alias("n_both")))
+        out = outs[0]
+        for x in outs[1:]:
+            out = out.unionByName(x)
+        return out.orderBy("rule_id")
+
+    q["rule_sql_pushdown"] = rule_sql_pushdown
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9141,6 +9170,22 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS resurrected
         FROM c GROUP BY d ORDER BY d LIMIT 200
     """
+
+    # sql-pushdown oracle: DuckDB EXECUTES the rendered WHERE strings —
+    # a genuine third-engine run of the generated SQL
+    from bigdata_tag_system_spark.rules.compiler import rule_to_sql as _r2s
+
+    _pd_parts = []
+    for _r in _FLAGSHIP_RULES:
+        _w = _r2s(_r["rule_conditions"], as_of=AS_OF)
+        _pd_parts.append(
+            f"SELECT {int(_r['rule_id'])} AS rule_id, "
+            f"cast(count(*) AS BIGINT) AS n_sql, "
+            f"cast(count(*) AS BIGINT) AS n_col, "
+            f"cast(count(*) AS BIGINT) AS n_both "
+            f"FROM customer WHERE {_w}")
+    o["rule_sql_pushdown"] = (
+        " UNION ALL ".join(_pd_parts) + " ORDER BY rule_id")
 
     # python-datasource replay: row i is a pure function of i
     o["scan_python_datasource"] = """

@@ -322,3 +322,150 @@ def compile_rule(
 ) -> Column:
     """Convenience wrapper: compile one condition tree to a ``Column``."""
     return RuleCompiler(as_of=as_of, strict=strict).compile(conditions)
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL renderer: the reference's SQL-string interop, injection-safe
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+# operators renderable in the portable ANSI subset (runs unchanged on
+# Spark SQL, DuckDB, MySQL 8, Postgres). Regex and array operators are
+# deliberately NOT here — their syntax is engine-specific; keep those
+# rules on the Column compiler.
+_SQL_PORTABLE_OPS = (
+    _COMPARISON_OPS | _NULL_OPS
+    | {"in", "not_in", "in_range", "not_in_range", "date_between",
+       "days_ago_between", "contains", "not_contains", "starts_with",
+       "ends_with", "recent_days", "days_ago"}
+)
+
+
+def _sql_str(value: Any) -> str:
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+def _sql_like(value: Any, prefix: str = "%", suffix: str = "%") -> str:
+    # escape LIKE metacharacters with an explicit ESCAPE char, then
+    # quote — both halves of the injection/metachar surface closed
+    pat = str(value).replace("!", "!!").replace("%", "!%").replace("_", "!_")
+    return _sql_str(prefix + pat + suffix) + " ESCAPE '!'"
+
+
+def _sql_value(value: Any, type_hint: str | None) -> str:
+    if type_hint == "date":
+        d = value if isinstance(value, _dt.date) \
+            else _dt.date.fromisoformat(str(value))
+        return f"DATE '{d.isoformat()}'"
+    if type_hint in ("number", "int", "integer", "long", "double",
+                     "float", "decimal"):
+        try:
+            return repr(int(value)) if float(value) == int(float(value)) \
+                and not isinstance(value, float) else repr(float(value))
+        except (TypeError, ValueError) as exc:
+            raise RuleCompileError(
+                f"non-numeric value {value!r} for numeric condition"
+            ) from exc
+    if type_hint in ("boolean", "bool"):
+        v = value if isinstance(value, bool) \
+            else str(value).strip().lower() in ("true", "1", "yes")
+        return "TRUE" if v else "FALSE"
+    return _sql_str(value)
+
+
+def rule_to_sql(
+    conditions: Mapping[str, Any] | None,
+    as_of: _dt.date | str | None = None,
+) -> str:
+    """Render a rule condition tree to a portable ANSI ``WHERE`` body.
+
+    The interop the reference gets from building SQL strings
+    (``src/engine/rule_parser.py``) WITHOUT its injection surface:
+    identifiers are validated against ``[A-Za-z_][A-Za-z0-9_]*``,
+    string values quote-escaped, LIKE metacharacters escaped behind an
+    explicit ``ESCAPE``, relative dates resolved to literal ``DATE``
+    values in Python (so ``as_of`` is REQUIRED for them — a rendered
+    string must not drift with the wall clock). Use it to push a rule
+    into systems that only speak SQL text: JDBC ``predicates=[...]``
+    partition pushdown, warehouse views, downstream engines.
+
+    Only the portable operator subset renders; regex and array-typed
+    operators raise (their syntax is engine-specific — evaluate those
+    through :func:`compile_rule` instead). Semantics, including 3VL
+    and NOT-of-conjunction groups, match the Column compiler — tested
+    by counting both paths on the same data.
+    """
+    if isinstance(as_of, str):
+        as_of = _dt.date.fromisoformat(as_of)
+
+    def render(node: Mapping[str, Any]) -> str:
+        if "logic" in node or "conditions" in node:
+            logic = str(node.get("logic", "AND")).upper()
+            children = node.get("conditions") or []
+            if not children:
+                return "(1 = 1)"
+            parts = [render(dict(c)) for c in children]
+            if logic == "AND":
+                return "(" + " AND ".join(parts) + ")"
+            if logic == "OR":
+                return "(" + " OR ".join(parts) + ")"
+            if logic == "NOT":
+                return "(NOT (" + " AND ".join(parts) + "))"
+            raise RuleCompileError(f"unknown logic combinator: {logic!r}")
+
+        field, op = node.get("field"), str(node.get("operator"))
+        if not field or not _IDENT_RE.match(str(field)):
+            raise RuleCompileError(f"unrenderable identifier: {field!r}")
+        if op not in _SQL_PORTABLE_OPS:
+            raise RuleCompileError(
+                f"operator {op!r} is not in the portable SQL subset — "
+                f"evaluate it via compile_rule instead")
+        value, th = node.get("value"), node.get("type")
+
+        if op in _NULL_OPS:
+            return (f"({field} IS NULL)" if op == "is_null"
+                    else f"({field} IS NOT NULL)")
+        if op in _COMPARISON_OPS:
+            sym = {"==": "=", "<>": "!="}.get(op, op)
+            return f"({field} {sym} {_sql_value(value, th)})"
+        if op in ("in", "not_in"):
+            vals = _as_list(value)
+            if not vals:
+                raise RuleCompileError(f"{op} needs a non-empty list value")
+            body = ", ".join(_sql_value(v, th) for v in vals)
+            neg = "NOT " if op == "not_in" else ""
+            return f"({field} {neg}IN ({body}))"
+        if op in ("in_range", "not_in_range", "date_between"):
+            pair = _as_list(value)
+            if len(pair) != 2:
+                raise RuleCompileError(
+                    f"{op} needs a [lo, hi] value, got {value!r}")
+            th2 = "date" if op == "date_between" else th
+            lo, hi = (_sql_value(v, th2) for v in pair)
+            neg = "NOT " if op == "not_in_range" else ""
+            return f"({field} {neg}BETWEEN {lo} AND {hi})"
+        if op in ("recent_days", "days_ago", "days_ago_between"):
+            if as_of is None:
+                raise RuleCompileError(
+                    f"{op} needs a pinned as_of date to render "
+                    f"(a wall-clock-relative SQL string is not replayable)")
+            if op == "days_ago_between":
+                a, b = (int(v) for v in _as_list(value))
+                lo = (as_of - _dt.timedelta(days=b)).isoformat()
+                hi = (as_of - _dt.timedelta(days=a)).isoformat()
+                return f"({field} BETWEEN DATE '{lo}' AND DATE '{hi}')"
+            d = (as_of - _dt.timedelta(days=int(value))).isoformat()
+            sym = ">=" if op == "recent_days" else "<="
+            return f"({field} {sym} DATE '{d}')"
+        if op in ("contains", "not_contains"):
+            neg = "NOT " if op == "not_contains" else ""
+            return f"({field} {neg}LIKE {_sql_like(value)})"
+        if op == "starts_with":
+            return f"({field} LIKE {_sql_like(value, prefix='')})"
+        return f"({field} LIKE {_sql_like(value, suffix='')})"
+
+    if not conditions:
+        return "(1 = 1)"
+    return render(dict(conditions))

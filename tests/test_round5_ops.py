@@ -811,3 +811,66 @@ class TestHistogramRollupQuantiles:
             histogram_rollup_quantiles(df, "value", "p", 0, 1, buckets=0)
         with pytest.raises(ValueError, match="hi > lo"):
             histogram_rollup_quantiles(df, "value", "p", 5, 5)
+
+
+class TestRuleToSql:
+    def test_injection_and_metachars_neutralized(self, spark):
+        from bigdata_tag_system_spark.rules.compiler import (
+            RuleCompileError, rule_to_sql,
+        )
+
+        # quotes in values are escaped, not interpolated
+        w = rule_to_sql({"field": "name", "operator": "=",
+                         "value": "x'; DROP TABLE t; --",
+                         "type": "string"})
+        assert "''" in w and "DROP" in w  # quoted payload, inert
+        df = spark.createDataFrame(
+            [("x'; DROP TABLE t; --",), ("safe",)], "name string")
+        assert df.where(F.expr(w)).count() == 1
+        # LIKE metachars in contains() match literally
+        w2 = rule_to_sql({"field": "name", "operator": "contains",
+                          "value": "100%", "type": "string"})
+        df2 = spark.createDataFrame(
+            [("give 100%",), ("give 1000",)], "name string")
+        assert df2.where(F.expr(w2)).count() == 1
+        # bad identifiers refuse to render
+        with pytest.raises(RuleCompileError, match="identifier"):
+            rule_to_sql({"field": "a; DROP", "operator": "=", "value": 1})
+
+    def test_relative_dates_need_pinned_as_of(self):
+        from bigdata_tag_system_spark.rules.compiler import (
+            RuleCompileError, rule_to_sql,
+        )
+
+        cond = {"field": "d", "operator": "recent_days", "value": 30,
+                "type": "date"}
+        with pytest.raises(RuleCompileError, match="as_of"):
+            rule_to_sql(cond)
+        w = rule_to_sql(cond, as_of="2024-03-31")
+        assert w == "(d >= DATE '2024-03-01')"
+
+    def test_nonportable_ops_refuse(self):
+        from bigdata_tag_system_spark.rules.compiler import (
+            RuleCompileError, rule_to_sql,
+        )
+
+        with pytest.raises(RuleCompileError, match="portable"):
+            rule_to_sql({"field": "x", "operator": "matches",
+                         "value": "a.*b"})
+
+    def test_group_semantics_match_column_compiler(self, spark):
+        from bigdata_tag_system_spark.rules.compiler import (
+            compile_rule, rule_to_sql,
+        )
+
+        rule = {"logic": "NOT", "conditions": [
+            {"field": "a", "operator": ">", "value": 3, "type": "number"},
+            {"field": "b", "operator": "in", "value": ["x", "y"],
+             "type": "string"},
+        ]}
+        df = spark.createDataFrame(
+            [(5, "x"), (5, "z"), (1, "x"), (None, "x")],
+            "a long, b string")
+        n_sql = df.where(F.expr(rule_to_sql(rule))).count()
+        n_col = df.where(compile_rule(rule)).count()
+        assert n_sql == n_col == 2
