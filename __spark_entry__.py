@@ -5189,6 +5189,29 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rule_sql_pushdown"] = rule_sql_pushdown
 
+    def events_activity_streaks(spark, sf_dir):
+        # longest consecutive-active-day streak per user via the
+        # date-minus-row_number island key, rolled into a distribution
+        # (streak length → user count); two window passes on the user
+        # key, no self-joins
+        from pyspark.sql import Window
+
+        days = _t(spark, sf_dir, "events").select(
+            "user_id", F.to_date("ts").alias("d")).distinct()
+        rn = F.row_number().over(
+            Window.partitionBy("user_id").orderBy("d"))
+        grp = F.date_sub(F.col("d"), rn)
+        streaks = days.withColumn("_g", grp) \
+            .groupBy("user_id", "_g") \
+            .agg(F.count(F.lit(1)).alias("len"))
+        best = streaks.groupBy("user_id").agg(
+            F.max("len").alias("max_streak"))
+        return best.groupBy("max_streak").agg(
+            F.count(F.lit(1)).alias("n_users"),
+        ).orderBy("max_streak")
+
+    q["events_activity_streaks"] = events_activity_streaks
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9186,6 +9209,25 @@ def oracle_sql() -> dict[str, str]:
             f"FROM customer WHERE {_w}")
     o["rule_sql_pushdown"] = (
         " UNION ALL ".join(_pd_parts) + " ORDER BY rule_id")
+
+    # streak replay: same island key (date minus row_number)
+    o["events_activity_streaks"] = """
+        WITH days AS (
+            SELECT DISTINCT user_id, cast(ts AS DATE) AS d FROM events
+        ), g AS (
+            SELECT user_id,
+                   d - to_days(cast(row_number() OVER (
+                       PARTITION BY user_id ORDER BY d) AS INT)) AS grp
+            FROM days
+        ), s AS (
+            SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2
+        ), b AS (
+            SELECT user_id, max(len) AS max_streak FROM s GROUP BY 1
+        )
+        SELECT cast(max_streak AS BIGINT) AS max_streak,
+               cast(count(*) AS BIGINT) AS n_users
+        FROM b GROUP BY 1 ORDER BY 1
+    """
 
     # python-datasource replay: row i is a pure function of i
     o["scan_python_datasource"] = """
