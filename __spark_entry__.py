@@ -5212,6 +5212,31 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_activity_streaks"] = events_activity_streaks
 
+    def func_hof_battery(spark, sf_dir):
+        # higher-order-function battery over per-order quantity arrays:
+        # transform / filter / exists / forall / aggregate / zip_with
+        # in one projection — every lambda touches only its bound
+        # variable (the [[hof-lambda-reeval]] rule); all-integer output
+        arr = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", F.col("l_quantity").cast("int").alias("q")
+        ).groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_list("q")).alias("qs"))
+        return arr.select(
+            "l_orderkey",
+            F.aggregate("qs", F.lit(0),
+                        lambda acc, x: acc + x).alias("q_sum"),
+            F.array_max(
+                F.transform("qs", lambda x: x * 2)).alias("max_doubled"),
+            F.size(F.filter("qs", lambda x: x > 25)).alias("n_big"),
+            F.exists("qs", lambda x: x == 40).cast("int").alias("has_40"),
+            F.forall("qs", lambda x: x > 0).cast("int").alias("all_pos"),
+            F.array_max(F.zip_with(
+                "qs", F.reverse("qs"), lambda a, b: a + b))
+            .alias("max_symmetric_sum"),
+        ).orderBy("l_orderkey").limit(200)
+
+    q["func_hof_battery"] = func_hof_battery
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9227,6 +9252,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT cast(max_streak AS BIGINT) AS max_streak,
                cast(count(*) AS BIGINT) AS n_users
         FROM b GROUP BY 1 ORDER BY 1
+    """
+
+    # HOF replay via DuckDB list functions (zip_with with reverse ≡
+    # positional a[i] + a[n+1-i] over a range transform)
+    o["func_hof_battery"] = """
+        WITH a AS (
+            SELECT l_orderkey,
+                   list_sort(list(cast(l_quantity AS INT))) AS qs
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_orderkey,
+               cast(list_sum(qs) AS INT) AS q_sum,
+               cast(list_max(list_transform(qs, x -> x * 2)) AS INT)
+                   AS max_doubled,
+               cast(len(list_filter(qs, x -> x > 25)) AS INT) AS n_big,
+               cast(list_contains(qs, 40) AS INT) AS has_40,
+               cast(len(list_filter(qs, x -> x <= 0)) = 0 AS INT)
+                   AS all_pos,
+               cast(list_max(list_transform(
+                   range(1, len(qs) + 1),
+                   i -> qs[i] + qs[len(qs) + 1 - i])) AS INT)
+                   AS max_symmetric_sum
+        FROM a ORDER BY l_orderkey LIMIT 200
     """
 
     # python-datasource replay: row i is a pure function of i
