@@ -5237,6 +5237,63 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["func_hof_battery"] = func_hof_battery
 
+    def stats_wilson_ci(spark, sf_dir):
+        # Wilson 95% score interval per event type for the high-value
+        # share — the small-n-safe proportion interval (normal approx
+        # collapses at p̂→0/1); pure closed-form IEEE math from integer
+        # counts, deterministic in any engine
+        z = 1.959963984540054
+        ev = _t(spark, sf_dir, "events")
+        agg = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") >= 50, 1).otherwise(0))
+            .alias("k"))
+        p = F.col("k") / F.col("n")
+        denom = 1 + F.lit(z * z) / F.col("n")
+        center = (p + F.lit(z * z) / (2 * F.col("n"))) / denom
+        half = (F.lit(z) * F.sqrt(
+            p * (1 - p) / F.col("n")
+            + F.lit(z * z) / (4 * F.col("n") * F.col("n"))) / denom)
+        return agg.select(
+            "event_type", "n", "k",
+            F.round(center - half, 4).alias("lo"),
+            F.round(center + half, 4).alias("hi"),
+        ).orderBy("event_type")
+
+    q["stats_wilson_ci"] = stats_wilson_ci
+
+    def audit_benford(spark, sf_dir):
+        # Benford first-digit audit over order totals — the classic
+        # fabricated-data screen; digit via string ops (no float log),
+        # chi-square against the Benford expectation from integer
+        # counts, one aggregate pass
+        import math
+
+        o_ = _t(spark, sf_dir, "orders").where("o_totalprice > 0")
+        # first significant digit is invariant under ×100, and
+        # INTEGER-to-string is exact in every engine (double-to-string
+        # formatting is not)
+        digit = F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1).cast("int")
+        counts = o_.select(digit.alias("d")) \
+            .groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+        tot = counts.agg(F.sum("cnt").alias("n"))
+        exp_case = "cast(CASE d " + " ".join(
+            f"WHEN {i} THEN {math.log10(1 + 1 / i)!r}"
+            for i in range(1, 10)) + " END AS DOUBLE)"
+        return counts.crossJoin(F.broadcast(tot)).select(
+            "d", "cnt",
+            F.round(F.col("cnt") / F.col("n"), 4).alias("observed"),
+            F.round(F.expr(exp_case), 4).alias("benford"),
+            F.round(
+                (F.col("cnt") - F.col("n") * F.expr(exp_case))
+                * (F.col("cnt") - F.col("n") * F.expr(exp_case))
+                / (F.col("n") * F.expr(exp_case)), 4).alias("chi2_term"),
+        ).orderBy("d")
+
+    q["audit_benford"] = audit_benford
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9275,6 +9332,52 @@ def oracle_sql() -> dict[str, str]:
                    i -> qs[i] + qs[len(qs) + 1 - i])) AS INT)
                    AS max_symmetric_sum
         FROM a ORDER BY l_orderkey LIMIT 200
+    """
+
+    # Wilson replay: identical closed form from identical integer counts
+    _z = 1.959963984540054
+    o["stats_wilson_ci"] = f"""
+        WITH a AS (
+            SELECT event_type, cast(count(*) AS BIGINT) AS n,
+                   cast(count(CASE WHEN value >= 50 THEN 1 END) AS BIGINT)
+                       AS k
+            FROM events GROUP BY 1
+        )
+        SELECT event_type, n, k,
+               round(((k * 1.0 / n) + {_z}*{_z} / (2 * n))
+                     / (1 + {_z}*{_z} / n)
+                     - {_z} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                   + {_z}*{_z} / (4.0 * n * n))
+                       / (1 + {_z}*{_z} / n), 4) AS lo,
+               round(((k * 1.0 / n) + {_z}*{_z} / (2 * n))
+                     / (1 + {_z}*{_z} / n)
+                     + {_z} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                   + {_z}*{_z} / (4.0 * n * n))
+                       / (1 + {_z}*{_z} / n), 4) AS hi
+        FROM a ORDER BY event_type
+    """
+
+    # Benford replay: same integer-string first digit, same log10
+    # expectation constants
+    import math as _math
+
+    _benford_case = "cast(CASE d " + " ".join(
+        f"WHEN {i} THEN {_math.log10(1 + 1 / i)!r}" for i in range(1, 10)
+    ) + " END AS DOUBLE)"
+    o["audit_benford"] = f"""
+        WITH c AS (
+            SELECT cast(substr(cast(cast(round(o_totalprice * 100)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
+                   cast(count(*) AS BIGINT) AS cnt
+            FROM orders WHERE o_totalprice > 0 GROUP BY 1
+        ), t AS (SELECT cast(sum(cnt) AS BIGINT) AS n FROM c)
+        SELECT d, cnt,
+               round(cnt * 1.0 / n, 4) AS observed,
+               round({_benford_case}, 4) AS benford,
+               round((cnt - n * ({_benford_case}))
+                     * (cnt - n * ({_benford_case}))
+                     / (n * ({_benford_case})), 4) AS chi2_term
+        FROM c CROSS JOIN t ORDER BY d
     """
 
     # python-datasource replay: row i is a pure function of i
