@@ -221,9 +221,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # rollups, the remaining stream parities, store changeset, corrupt-record
 # scan, partition pruning) plus text_repetition, whose r4 hash mismatch is
 # fixed this round (integer numerators) and must be driver-confirmed.
-# Positions 51-89 hold the other 39 never-checked entries IN ORDER — they
-# are the round-6 window verbatim (move them to the top next round), which
-# closes driver coverage to 235/235.
+# Positions 51-89 hold the other 39 pre-round-5 never-checked entries IN
+# ORDER. ROUND-6 WINDOW PLAN: promote positions 51-89 to the top plus 11
+# of the round-5 session additions (stream_topk_parity,
+# join_bloom_prefilter, sketch_cms_freq, graph_kcore, ivm_join_delta,
+# feat_target_encode, rule_coverage_report, stream_cdc_apply_parity,
+# text_cdc_chunks, sample_hash_split, scan_csv_corrupt) = 50; the
+# remaining ~15 round-5 additions (orders_assoc_rules, agg_unpivot,
+# dedup_reciprocal_best, sim_tfidf_cosine, store_time_travel,
+# store_version_diff, scan_python_datasource, text_udtf_chunks,
+# text_lang_confusion, sample_token_mixture, sketch_hist_quantiles,
+# events_user_lifecycle, rule_sql_pushdown, events_activity_streaks,
+# func_hof_battery, stats_wilson_ci, audit_benford) are the round-7
+# window, closing full driver coverage.
 _DRIVER_FIRST = [
     # -- r4 red row, re-fixed this round (engine-exact integer counts) --
     "text_repetition",
