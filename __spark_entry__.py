@@ -56,6 +56,8 @@ _STREAM_CDC_CACHE: dict[str, str] = {}
 _CSV_CACHE: dict[str, str] = {}
 
 _VERSION_CACHE: dict[str, str] = {}
+
+_STREAM_HIST_CACHE: dict[str, str] = {}
 # fixed deterministic 2×64 projection weights shared by the
 # emb_pca_project query and its oracle (tenth-steps, exactly
 # representable in binary-friendly decimal both engines parse alike)
@@ -5304,6 +5306,61 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audit_benford"] = audit_benford
 
+    def stream_hist_parity(spark, sf_dir):
+        # COMPLETE-mode global stateful aggregation (the third output
+        # mode, next to the cataloged update/append parities): fixed-
+        # fence value buckets counted over the whole stream, each
+        # trigger overwriting the sink with the full state — the final
+        # table must equal the batch GROUP BY exactly. State is bounded
+        # by the 64-bucket geometry, not by stream cardinality
+        import os
+        import shutil
+        import tempfile
+
+        _prep(spark)
+        out_dir = _STREAM_HIST_CACHE.get(sf_dir)
+        if out_dir is None:
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            tmp = tempfile.mkdtemp(prefix="stream_hist_")
+            src_dir = tmp + "/src"
+            os.makedirs(src_dir)
+            try:
+                os.link(f"{sf_dir}/events.parquet",
+                        f"{src_dir}/events.parquet")
+            except OSError:
+                shutil.copy(f"{sf_dir}/events.parquet",
+                            f"{src_dir}/events.parquet")
+            stream = spark.readStream.schema(schema) \
+                .option("maxFilesPerTrigger", "1").parquet(src_dir)
+            fv = F.least(F.greatest(
+                F.round(F.col("value") * 100).cast("long"),
+                F.lit(0)), F.lit(50000))
+            hist = (
+                stream.where(F.col("value").isNotNull())
+                .select(fv.alias("_fv"))
+                .select(
+                    F.expr("least(greatest((_fv * 64) DIV 50001, 0), 63)")
+                    .cast("int").alias("bucket"))
+                .groupBy("bucket").count()
+            )
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            q_ = (
+                hist.writeStream.outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(
+                    lambda batch, bid:
+                        batch.write.mode("overwrite").parquet(out))
+                .start()
+            )
+            q_.awaitTermination()
+            _STREAM_HIST_CACHE[sf_dir] = out
+            out_dir = out
+        return spark.read.parquet(out_dir).select(
+            "bucket", F.col("count").alias("cnt")).orderBy("bucket")
+
+    q["stream_hist_parity"] = stream_hist_parity
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9388,6 +9445,20 @@ def oracle_sql() -> dict[str, str]:
                      * (cnt - n * ({_benford_case}))
                      / (n * ({_benford_case})), 4) AS chi2_term
         FROM c CROSS JOIN t ORDER BY d
+    """
+
+    # complete-mode streaming histogram == batch bucket counts
+    o["stream_hist_parity"] = """
+        WITH v AS (
+            SELECT least(greatest(
+                       cast(round(value * 100) AS BIGINT), 0), 50000)
+                   AS fv
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT cast(least(greatest((fv * 64) // 50001, 0), 63) AS INT)
+                   AS bucket,
+               cast(count(*) AS BIGINT) AS cnt
+        FROM v GROUP BY 1 ORDER BY 1
     """
 
     # python-datasource replay: row i is a pure function of i
