@@ -5361,6 +5361,34 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_hist_parity"] = stream_hist_parity
 
+    def ts_backtest_snaive(spark, sf_dir):
+        # seasonal-naive forecast backtest: ŷ(d) = y(d-7) per user-day
+        # series — THE baseline every forecaster must beat; per-weekday
+        # absolute-error board in exact cents (lag-7 via window on the
+        # user key, no self-join)
+        from pyspark.sql import Window
+
+        daily = _t(spark, sf_dir, "events").groupBy(
+            "user_id", F.to_date("ts").alias("d")).agg(
+            F.round(F.sum("value") * 100).cast("long").alias("cents"))
+        w = Window.partitionBy("user_id").orderBy("d")
+        lag7 = daily.withColumn("_pd", F.lag("d", 7).over(w)) \
+            .withColumn("_pv", F.lag("cents", 7).over(w))
+        # only rows whose 7-back OBSERVATION is exactly 7 calendar days
+        # earlier qualify (gappy series would otherwise compare
+        # different weekdays)
+        scored = lag7.where(
+            F.col("_pd").isNotNull()
+            & (F.datediff(F.col("d"), F.col("_pd")) == 7))
+        return scored.groupBy(F.dayofweek("d").alias("dow")).agg(
+            F.count(F.lit(1)).alias("n_predictions"),
+            F.sum(F.abs(F.col("cents") - F.col("_pv")))
+            .alias("abs_err_cents"),
+            F.sum("cents").alias("actual_cents"),
+        ).orderBy("dow")
+
+    q["ts_backtest_snaive"] = ts_backtest_snaive
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9459,6 +9487,30 @@ def oracle_sql() -> dict[str, str]:
                    AS bucket,
                cast(count(*) AS BIGINT) AS cnt
         FROM v GROUP BY 1 ORDER BY 1
+    """
+
+    # seasonal-naive replay: lag-7 OBSERVATION must be exactly 7
+    # calendar days back; DuckDB dayofweek is 0-based vs Spark's 1-based
+    o["ts_backtest_snaive"] = """
+        WITH daily AS (
+            SELECT user_id, cast(ts AS DATE) AS d,
+                   cast(round(sum(value) * 100) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            SELECT user_id, d, cents,
+                   lag(d, 7) OVER (PARTITION BY user_id ORDER BY d)
+                       AS pd,
+                   lag(cents, 7) OVER (PARTITION BY user_id ORDER BY d)
+                       AS pv
+            FROM daily
+        )
+        SELECT cast(dayofweek(d) + 1 AS INT) AS dow,
+               cast(count(*) AS BIGINT) AS n_predictions,
+               cast(sum(abs(cents - pv)) AS BIGINT) AS abs_err_cents,
+               cast(sum(cents) AS BIGINT) AS actual_cents
+        FROM lagged
+        WHERE pd IS NOT NULL AND date_diff('day', pd, d) = 7
+        GROUP BY 1 ORDER BY 1
     """
 
     # python-datasource replay: row i is a pure function of i
