@@ -5389,6 +5389,36 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_backtest_snaive"] = ts_backtest_snaive
 
+    def events_bot_signals(spark, sf_dir):
+        # behavioral bot screen: burst rate (max events in any one
+        # minute), night share, and type diversity per user — integer
+        # signals, threshold census over the flag lattice. The
+        # ingest-side cousin of the text-quality gates
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id",
+            F.date_trunc("minute", "ts").alias("minute"),
+            F.hour("ts").alias("h"), "event_type")
+        per_min = ev.groupBy("user_id", "minute").agg(
+            F.count(F.lit(1)).alias("c"))
+        burst = per_min.groupBy("user_id").agg(
+            F.max("c").alias("max_per_minute"))
+        base = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("h") < 6, 1).otherwise(0)).alias("night"),
+            F.countDistinct("event_type").alias("n_types"))
+        j = base.join(burst, "user_id")
+        flags = j.select(
+            (F.col("max_per_minute") >= 2).cast("int").alias("bursty"),
+            (F.col("night") * 4 > F.col("n")).cast("int")
+            .alias("nocturnal"),
+            (F.col("n") > 70).cast("int").alias("high_volume"),
+        )
+        return flags.groupBy("bursty", "nocturnal", "high_volume").agg(
+            F.count(F.lit(1)).alias("n_users"),
+        ).orderBy("bursty", "nocturnal", "high_volume")
+
+    q["events_bot_signals"] = events_bot_signals
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9511,6 +9541,31 @@ def oracle_sql() -> dict[str, str]:
         FROM lagged
         WHERE pd IS NOT NULL AND date_diff('day', pd, d) = 7
         GROUP BY 1 ORDER BY 1
+    """
+
+    # bot-signal replay: same integer thresholds over the same signals
+    o["events_bot_signals"] = """
+        WITH pm AS (
+            SELECT user_id, date_trunc('minute', ts) AS m,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), burst AS (
+            SELECT user_id, max(c) AS max_per_minute FROM pm GROUP BY 1
+        ), base AS (
+            SELECT user_id, count(*) AS n,
+                   count(CASE WHEN extract(hour FROM ts) < 6 THEN 1 END)
+                       AS night,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY 1
+        ), f AS (
+            SELECT cast(b.max_per_minute >= 2 AS INT) AS bursty,
+                   cast(a.night * 4 > a.n AS INT) AS nocturnal,
+                   cast(a.n > 70 AS INT) AS high_volume
+            FROM base a JOIN burst b USING (user_id)
+        )
+        SELECT bursty, nocturnal, high_volume,
+               cast(count(*) AS BIGINT) AS n_users
+        FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """
 
     # python-datasource replay: row i is a pure function of i
