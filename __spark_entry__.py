@@ -5419,6 +5419,25 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_bot_signals"] = events_bot_signals
 
+    def dedup_threshold_sweep(spark, sf_dir):
+        # threshold-selection tooling: the pair-similarity histogram
+        # (0.05-wide Jaccard bins over all pairs ≥ 0.3) from ONE pass
+        # of the exact prefix-filtered pair join — pick the dedup
+        # threshold from the valley, instead of rerunning the join per
+        # candidate threshold. Bin ids in exact integer math
+        pairs = D.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.3)
+        # jaccard is ONE IEEE division of exact integer set sizes —
+        # bit-identical in any engine, so floor(j*20) bins agree
+        # deterministically even at representation boundaries
+        return pairs.select(
+            F.floor(F.col("jaccard") * 20).cast("int").alias("bin")
+        ).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+        ).orderBy("bin")
+
+    q["dedup_threshold_sweep"] = dedup_threshold_sweep
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9566,6 +9585,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT bursty, nocturnal, high_volume,
                cast(count(*) AS BIGINT) AS n_users
         FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+    # threshold-sweep replay: same pair machinery, same float-identical
+    # jaccard, same floor(j*20) bins
+    o["dedup_threshold_sweep"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM sh
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a
+            JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT c * 1.0 / (sa.n + sb.n - c) AS j
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.3
+        )
+        SELECT cast(floor(j * 20) AS INT) AS bin,
+               cast(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1 ORDER BY 1
     """
 
     # python-datasource replay: row i is a pure function of i
