@@ -1,9 +1,19 @@
-from bigdata_tag_system_spark.operators.tagging import TagEngine, tag_assignments, tag_profiles
-from bigdata_tag_system_spark.operators.merge import merge_profiles, MergeStrategy
 from bigdata_tag_system_spark.operators.joins import (
+    adaptive_join,
+    bloom_filter_bits,
+    bloom_flag,
+    bloom_prefilter,
     bucketed_table,
+    join_delta,
     salted_join,
+    skew_stats,
     write_bucketed,
+)
+from bigdata_tag_system_spark.operators.merge import MergeStrategy, merge_profiles
+from bigdata_tag_system_spark.operators.tagging import (
+    TagEngine,
+    tag_assignments,
+    tag_profiles,
 )
 
 __all__ = [
@@ -13,6 +23,12 @@ __all__ = [
     "merge_profiles",
     "MergeStrategy",
     "salted_join",
+    "adaptive_join",
+    "skew_stats",
     "write_bucketed",
     "bucketed_table",
+    "bloom_filter_bits",
+    "bloom_flag",
+    "bloom_prefilter",
+    "join_delta",
 ]
