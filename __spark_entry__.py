@@ -5438,6 +5438,30 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_threshold_sweep"] = dedup_threshold_sweep
 
+    def emb_label_centroid_dist(spark, sf_dir):
+        # inter-class geometry: pairwise L2 between per-label centroids
+        # (embedding drift / class-separation readout). Centroids via
+        # one posexplode + (label, dim) agg — map-side combinable, no
+        # vector collect; the pair join runs on |labels|² tiny rows
+        emb = _t(spark, sf_dir, "embeddings")
+        dims = emb.select(
+            "label", F.posexplode("embedding").alias("dim", "x"))
+        cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+        a = cent.select(F.col("label").alias("la"), "dim",
+                        F.col("c").alias("ca"))
+        b = cent.select(F.col("label").alias("lb"), "dim",
+                        F.col("c").alias("cb"))
+        return (
+            a.join(b, "dim").where(F.col("la") < F.col("lb"))
+            .groupBy("la", "lb")
+            .agg(F.round(F.sqrt(F.sum(
+                (F.col("ca") - F.col("cb"))
+                * (F.col("ca") - F.col("cb")))), 4).alias("l2"))
+            .orderBy("la", "lb")
+        )
+
+    q["emb_label_centroid_dist"] = emb_label_centroid_dist
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9616,6 +9640,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT cast(floor(j * 20) AS INT) AS bin,
                cast(count(*) AS BIGINT) AS n_pairs
         FROM pairs GROUP BY 1 ORDER BY 1
+    """
+
+    # centroid-distance replay: same per-(label, dim) means, same
+    # pairwise L2 (round(4) absorbs summation-order float noise)
+    o["emb_label_centroid_dist"] = """
+        WITH d AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS x
+            FROM embeddings
+        ), c AS (
+            SELECT label, dim, avg(x) AS c FROM d GROUP BY 1, 2
+        )
+        SELECT a.label AS la, b.label AS lb,
+               round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 4) AS l2
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     # python-datasource replay: row i is a pure function of i
