@@ -58,6 +58,8 @@ _CSV_CACHE: dict[str, str] = {}
 _VERSION_CACHE: dict[str, str] = {}
 
 _STREAM_HIST_CACHE: dict[str, str] = {}
+
+_SCHEMA_MERGE_CACHE: dict[str, str] = {}
 # fixed deterministic 2×64 projection weights shared by the
 # emb_pca_project query and its oracle (tenth-steps, exactly
 # representable in binary-friendly decimal both engines parse alike)
@@ -5462,6 +5464,65 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_label_centroid_dist"] = emb_label_centroid_dist
 
+    def text_novelty_curve(spark, sf_dir):
+        # corpus-order novelty: a doc's shingle is NOVEL iff no
+        # earlier doc (smaller doc_id) contains it — the redundancy
+        # curve a curation pipeline watches as the corpus grows. One
+        # (shingle → min doc) aggregate + one join back; exact
+        # integer fractions
+        from bigdata_tag_system_spark.functions.text import (
+            normalize_text,
+        )
+
+        toks = F.split(normalize_text("text"), " ")
+        sh = F.array_distinct(F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, 3), " ")))
+        d = _t(spark, sf_dir, "documents") \
+            .where("text IS NOT NULL") \
+            .select("doc_id", F.explode(sh).alias("g"))
+        first = d.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+        j = d.join(first, "g")
+        return j.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0)).alias("novel"),
+        ).orderBy("doc_id").limit(300)
+
+    q["text_novelty_curve"] = text_novelty_curve
+
+    def scan_schema_merge(spark, sf_dir):
+        # schema-evolution read: two parquet batches with DIFFERENT
+        # columns (a,b) then (a,c) union under mergeSchema — absent
+        # columns surface as nulls, nothing dropped, nothing invented.
+        # The drift-tolerant ingest contract, closed-form oracle
+        import tempfile
+
+        path = _SCHEMA_MERGE_CACHE.get(sf_dir)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="schema_merge_") + "/data"
+            c = _t(spark, sf_dir, "customer")
+            c.where("c_custkey % 2 = 0").select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_acctbal").alias("bal")) \
+                .write.mode("overwrite").parquet(path + "/batch=1")
+            c.where("c_custkey % 2 = 1").select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_mktsegment").alias("seg")) \
+                .write.mode("overwrite").parquet(path + "/batch=2")
+            _SCHEMA_MERGE_CACHE[sf_dir] = path
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("bal").alias("n_bal"),
+            F.count("seg").alias("n_seg"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.sum("bal"), 2).alias("bal_sum"),
+        )
+
+    q["scan_schema_merge"] = scan_schema_merge
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9657,6 +9718,40 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 4) AS l2
         FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # novelty replay: same 3-token shingles, same min-doc-id rule
+    o["text_novelty_curve"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' ')))) AS g
+            FROM toks
+        ), first_ AS (
+            SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+        )
+        SELECT s.doc_id,
+               cast(count(*) AS BIGINT) AS n_shingles,
+               cast(count(CASE WHEN f.first_doc = s.doc_id THEN 1 END)
+                    AS BIGINT) AS novel
+        FROM sh s JOIN first_ f ON f.g = s.g
+        GROUP BY s.doc_id ORDER BY s.doc_id LIMIT 300
+    """
+
+    # schema-merge oracle, closed-form: evens carry bal, odds carry seg
+    o["scan_schema_merge"] = """
+        SELECT cast(count(*) AS BIGINT) AS n_rows,
+               cast(count(CASE WHEN c_custkey % 2 = 0 THEN 1 END)
+                    AS BIGINT) AS n_bal,
+               cast(count(CASE WHEN c_custkey % 2 = 1 THEN 1 END)
+                    AS BIGINT) AS n_seg,
+               cast(sum(c_custkey) AS BIGINT) AS k_sum,
+               round(sum(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal END),
+                     2) AS bal_sum
+        FROM customer
     """
 
     # python-datasource replay: row i is a pure function of i
