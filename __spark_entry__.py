@@ -5523,6 +5523,24 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scan_schema_merge"] = scan_schema_merge
 
+    def events_transition_entropy(spark, sf_dir):
+        # per-state conditional entropy H(next | state) of the
+        # user-journey Markov chain — the predictability signal behind
+        # next-event models (H≈0: deterministic flows; H≈log2(K):
+        # uniform noise). Counts from one transition pass; entropy =
+        # Σ -p·log2(p) over ≤K² tiny rows
+        out = FE.event_transitions(_t(spark, sf_dir, "events"))
+        tot = out.groupBy("from_type").agg(
+            F.sum("n").alias("n_out"))
+        j = out.join(tot, "from_type")
+        p = F.col("n") / F.col("n_out")
+        return j.groupBy("from_type").agg(
+            F.max("n_out").alias("n_out"),
+            F.round(F.sum(-p * F.log2(p)), 4).alias("entropy_bits"),
+        ).orderBy("from_type")
+
+    q["events_transition_entropy"] = events_transition_entropy
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -6442,6 +6460,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events) t
         WHERE from_type IS NOT NULL
         GROUP BY from_type, to_type ORDER BY from_type, to_type
+    """
+
+    # entropy replay: same transition counts, same -p*log2(p) fold
+    o["events_transition_entropy"] = """
+        WITH t AS (
+            SELECT from_type, to_type, count(*) AS n FROM (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS from_type,
+                       event_type AS to_type
+                FROM events) x
+            WHERE from_type IS NOT NULL
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT from_type, cast(sum(n) AS BIGINT) AS n_out
+            FROM t GROUP BY 1
+        )
+        SELECT t.from_type, max(tot.n_out) AS n_out,
+               round(sum(-(t.n * 1.0 / tot.n_out)
+                         * log2(t.n * 1.0 / tot.n_out)), 4)
+                   AS entropy_bits
+        FROM t JOIN tot USING (from_type)
+        GROUP BY t.from_type ORDER BY t.from_type
     """
 
     o["ts_asof_join"] = """
