@@ -874,3 +874,90 @@ class TestRuleToSql:
         n_sql = df.where(F.expr(rule_to_sql(rule))).count()
         n_col = df.where(compile_rule(rule)).count()
         assert n_sql == n_col == 2
+
+
+class TestNativeBoards:
+    """Planted-data ground truths for the round-5 native-ops boards
+    (oracle value-hash is the primary check; these pin the SEMANTICS
+    on adversarial micro-cases the synthetic corpus may not hit)."""
+
+    def _events_dir(self, spark, tmp_path, rows):
+        import os
+
+        d = str(tmp_path / "evd")
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts string, "
+            "event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts")) \
+            .write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return d
+
+    def test_lifecycle_classes(self, spark, tmp_path):
+        import __spark_entry__ as e
+
+        rows = [
+            (1, 1, "2024-01-01 10:00:00", "view", 1.0),   # new
+            (2, 1, "2024-01-02 10:00:00", "view", 1.0),   # retained
+            (3, 1, "2024-01-10 10:00:00", "view", 1.0),   # returning
+            (4, 1, "2024-03-01 10:00:00", "view", 1.0),   # resurrected
+            (5, 2, "2024-01-02 12:00:00", "view", 1.0),   # new
+        ]
+        d = self._events_dir(spark, tmp_path, rows)
+        got = {str(r.d): (r.new_users, r.retained, r.returning,
+                          r.resurrected)
+               for r in e.queries()["events_user_lifecycle"](spark, d)
+               .collect()}
+        assert got["2024-01-01"] == (1, 0, 0, 0)
+        assert got["2024-01-02"] == (1, 1, 0, 0)
+        assert got["2024-01-10"] == (0, 0, 1, 0)
+        assert got["2024-03-01"] == (0, 0, 0, 1)
+
+    def test_streak_distribution(self, spark, tmp_path):
+        import __spark_entry__ as e
+
+        # user 1: 3-day streak + isolated day (max 3); user 2: 1 day
+        rows = [
+            (1, 1, "2024-01-01 10:00:00", "view", 1.0),
+            (2, 1, "2024-01-02 10:00:00", "view", 1.0),
+            (3, 1, "2024-01-03 10:00:00", "view", 1.0),
+            (4, 1, "2024-02-01 10:00:00", "view", 1.0),
+            (5, 2, "2024-01-05 10:00:00", "view", 1.0),
+        ]
+        d = self._events_dir(spark, tmp_path, rows)
+        got = {r.max_streak: r.n_users
+               for r in e.queries()["events_activity_streaks"](spark, d)
+               .collect()}
+        assert got == {1: 1, 3: 1}
+
+    def test_wilson_interval_closed_form(self, spark, tmp_path):
+        import __spark_entry__ as e
+
+        # one type, 4 events, 1 "high value" → p̂=0.25, n=4
+        rows = [(i, 1, f"2024-01-01 10:00:0{i}", "view",
+                 60.0 if i == 0 else 1.0) for i in range(4)]
+        d = self._events_dir(spark, tmp_path, rows)
+        [r] = e.queries()["stats_wilson_ci"](spark, d).collect()
+        z = 1.959963984540054
+        p, n = 0.25, 4
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5) / denom
+        assert (r.n, r.k) == (4, 1)
+        assert abs(r.lo - round(center - half, 4)) < 1e-9
+        assert abs(r.hi - round(center + half, 4)) < 1e-9
+
+    def test_transition_entropy_planted_chain(self, spark, tmp_path):
+        import __spark_entry__ as e
+
+        # from 'a': always → 'b' (H=0); from 'b': 50/50 b→a / b→c (H=1)
+        seq = ["a", "b", "a", "b", "c"]
+        rows = [(i, 1, f"2024-01-01 10:00:0{i}", t, 1.0)
+                for i, t in enumerate(seq)]
+        d = self._events_dir(spark, tmp_path, rows)
+        got = {r.from_type: (r.n_out, r.entropy_bits)
+               for r in e.queries()["events_transition_entropy"](spark, d)
+               .collect()}
+        assert got["a"] == (2, 0.0)
+        assert got["b"] == (2, 1.0)
