@@ -5541,6 +5541,20 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_transition_entropy"] = events_transition_entropy
 
+    def dedup_minhash_portable(spark, sf_dir):
+        # MinHash+LSH whose CANDIDATE math the oracle replays byte-for
+        # -byte (md5-60 signatures, md5 band keys) — deliberately small
+        # signature (k=8, r=2 ⇒ ~68% recall at j=0.5) so the survivor
+        # set genuinely differs from the exact pair set and the replay
+        # audits the banding, not a tautology
+        out = D.minhash_portable_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.5)
+        return out.select(
+            "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"),
+        ).orderBy("id_a", "id_b")
+
+    q["dedup_minhash_portable"] = dedup_minhash_portable
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -6483,6 +6497,7 @@ def oracle_sql() -> dict[str, str]:
         FROM t JOIN tot USING (from_type)
         GROUP BY t.from_type ORDER BY t.from_type
     """
+
 
     o["ts_asof_join"] = """
         SELECT l.event_id, round(r.value, 2) AS purchase_value
@@ -9834,6 +9849,52 @@ def oracle_sql() -> dict[str, str]:
                       least((chunk_idx + 1) * 32, len(tk))], ' '))
                    AS chunk_md5
         FROM c ORDER BY doc_id, chunk_idx LIMIT 300
+    """
+
+    # portable-minhash replay: same per-(doc,i) min of md5-60("{i}|{g}"),
+    # same comma-joined md5 band keys, same candidate join, same exact
+    # verification
+    o["dedup_minhash_portable"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), sh AS MATERIALIZED (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS MATERIALIZED (
+            SELECT doc_id, unnest(s) AS g FROM sh
+        ), hashes AS (
+            SELECT doc_id, i.i AS i,
+                   min(('0x' || substr(md5(cast(i.i AS VARCHAR)
+                        || '|' || g), 1, 15))::BIGINT) AS mh
+            FROM ex, range(8) i(i) GROUP BY 1, 2
+        ), bands AS MATERIALIZED (
+            SELECT doc_id, i // 2 AS band,
+                   md5(string_agg(cast(mh AS VARCHAR), ','
+                       ORDER BY i)) AS bk
+            FROM hashes GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bk = b.bk
+                        AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM sh
+        ), common AS (
+            SELECT c.id_a, c.id_b, count(*) AS cc
+            FROM cand c
+            JOIN ex ea ON ea.doc_id = c.id_a
+            JOIN ex eb ON eb.doc_id = c.id_b AND ea.g = eb.g
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(cc * 1.0 / (sa.n + sb.n - cc), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE cc * 1.0 / (sa.n + sb.n - cc) >= 0.5
+        ORDER BY id_a, id_b
     """
 
     return o

@@ -1192,3 +1192,67 @@ def reciprocal_best_pairs(
         .select(F.col("_src").alias(id_a), F.col("_dst").alias(id_b),
                 F.col("_s").alias(score_col))
     )
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with a fully PORTABLE signature: hash
+    ``i`` of a document is ``min`` over its shingles of the md5-60 hash
+    of ``"{i}|{shingle}"``, band keys are md5 over the comma-joined
+    signature slice — every byte recomputable by an external SQL
+    engine, so the ORACLE REPLAYS THE CANDIDATE GENERATION ITSELF, not
+    just the exact-verified survivors (the xxhash64 default,
+    :func:`minhash_dedup`, verifies its output against the exact pair
+    set instead — cheaper per row, but its S-curve is taken on faith).
+
+    Output = candidate pairs (≥1 shared band) passing exact-Jaccard
+    verification at ``threshold``. With a deliberately small signature
+    (k=8, r=2 ⇒ recall at j=0.5 ≈ 68%) the result genuinely DIFFERS
+    from the exact pair set — which is exactly what makes the replay a
+    bit-level audit of the banding math rather than a tautology.
+
+    Scale shape mirrors the default: per-(doc, i) min-hash is one
+    map-side-combining aggregate over (shingles × k) rows, band keys
+    one more; the self-join runs on band buckets only.
+    """
+    if num_hashes % rows_per_band:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide into bands of "
+            f"rows_per_band={rows_per_band}")
+    from bigdata_tag_system_spark.functions.text import portable_hash60
+
+    sh = _shingle_df(df, text_col, id_col, shingle_n)
+    ex = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    idx = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)]))
+    hashed = ex.select(
+        F.col(id_col), F.col("_s"), idx.alias("_i"),
+    ).select(
+        id_col, "_i",
+        portable_hash60(
+            F.concat(F.col("_i").cast("string"), F.lit("|"),
+                     F.col("_s"))).alias("_h"),
+    )
+    sig = hashed.groupBy(id_col, "_i").agg(F.min("_h").alias("_mh"))
+    bkeys = (
+        sig.withColumn("_band", F.expr(f"_i DIV {int(rows_per_band)}"))
+        .groupBy(id_col, "_band")
+        .agg(F.md5(F.concat_ws(",", F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_mh"))),
+            lambda s: s["_mh"].cast("string")))).alias("_bk"))
+    )
+    a = bkeys.select(F.col(id_col).alias("id_a"), "_band", "_bk")
+    b = bkeys.select(F.col(id_col).alias("id_b"), "_band", "_bk")
+    cand = (
+        a.join(b, ["_band", "_bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    scored = _jaccard_on_pairs_sh(cand, sh, id_col)
+    return scored.where(F.col("jaccard") >= threshold)

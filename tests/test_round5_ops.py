@@ -961,3 +961,57 @@ class TestNativeBoards:
                .collect()}
         assert got["a"] == (2, 0.0)
         assert got["b"] == (2, 1.0)
+
+
+class TestPortableMinhash:
+    def test_survivors_subset_of_exact_and_replica_signature(self, spark):
+        import hashlib
+
+        from bigdata_tag_system_spark.operators.dedup import (
+            minhash_portable_pairs, ngram_jaccard_pairs,
+        )
+
+        docs = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "a completely different document about query engines"),
+            (4, "the quick brown fox jumps over the lazy cat today"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        port = {(r.id_a, r.id_b)
+                for r in minhash_portable_pairs(df, threshold=0.5)
+                .collect()}
+        exact = {(r.id_a, r.id_b)
+                 for r in ngram_jaccard_pairs(df, threshold=0.5)
+                 .collect()}
+        # exact verification ⇒ survivors ⊆ exact pairs; identical docs
+        # share every band ⇒ (1,2) always survives
+        assert port <= exact
+        assert (1, 2) in port
+        # replica: hash 0 of doc 3 == min over its shingles of
+        # md5-60("0|shingle") — the byte contract the oracle relies on
+        toks = docs[2][1].split()
+        sh = {" ".join(toks[i:i + 3])
+              for i in range(max(len(toks) - 3, 0) + 1)}
+        want = min(int(hashlib.md5(f"0|{g}".encode()).hexdigest()[:15],
+                       16) for g in sh)
+        from bigdata_tag_system_spark.functions.text import (
+            portable_hash60,
+        )
+        from bigdata_tag_system_spark.operators.dedup import _shingle_df
+
+        got = (_shingle_df(df.where("doc_id = 3"), "text", "doc_id", 3)
+               .select(F.explode("_sh").alias("g"))
+               .select(F.min(portable_hash60(
+                   F.concat(F.lit("0|"), F.col("g")))).alias("m"))
+               .collect()[0].m)
+        assert got == want
+
+    def test_band_shape_validation(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            minhash_portable_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="divide"):
+            minhash_portable_pairs(df, num_hashes=7, rows_per_band=2)
