@@ -138,6 +138,12 @@ def main() -> None:
         "sim_tfidf_cosine",        # sparse lexical cosine neighbors
         "orders_assoc_rules",      # market-basket pair metrics
         "dedup_reciprocal_best",   # mutual-best pair refinement
+        "sample_token_mixture",    # token-denominated mixture selection
+        "sketch_hist_quantiles",   # mergeable histogram quantile rollup
+        "dedup_minhash_portable",  # oracle-replayable LSH banding
+        "events_user_lifecycle",   # growth-accounting board
+        "func_hof_battery",        # HOF projection battery
+        "text_novelty_curve",      # corpus-order novelty census
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
