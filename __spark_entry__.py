@@ -5555,6 +5555,60 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_portable"] = dedup_minhash_portable
 
+    def orders_aging_report(spark, sf_dir):
+        # operational aging: non-final orders bucketed by age at the
+        # pinned as-of date (30/90/365-day fences, integer datediff —
+        # no wall clock anywhere), counts + value per (status, bucket)
+        o_ = _t(spark, sf_dir, "orders").where("o_orderstatus != 'F'")
+        age = F.datediff(F.lit(AS_OF), F.col("o_orderdate"))
+        bucket = (
+            F.when(age <= 30, "0-30d")
+            .when(age <= 90, "31-90d")
+            .when(age <= 365, "91-365d")
+            .otherwise(">1y")
+        )
+        return o_.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            bucket.alias("age_bucket"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("value"),
+        ).orderBy("status", "age_bucket")
+
+    q["orders_aging_report"] = orders_aging_report
+
+    def orders_share_of_region(spark, sf_dir):
+        # ratio-to-parent rollup: each nation's order revenue as basis
+        # points of its region — exact integer cents and integer bp,
+        # dims broadcast, one fact aggregate
+        o_ = _t(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"))
+        c = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+        n = _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_name").alias("nation"), "n_regionkey")
+        r = _t(spark, sf_dir, "region").select(
+            F.col("r_regionkey").alias("n_regionkey"),
+            F.col("r_name").alias("region"))
+        per_nation = (
+            o_.join(F.broadcast(c), "o_custkey")
+            .join(F.broadcast(n), "c_nationkey")
+            .join(F.broadcast(r), "n_regionkey")
+            .groupBy("region", "nation")
+            .agg(F.sum("cents").alias("cents"))
+        )
+        per_region = per_nation.groupBy("region").agg(
+            F.sum("cents").alias("region_cents"))
+        return per_nation.join(per_region, "region").select(
+            "region", "nation", "cents",
+            F.expr("(cents * 10000) DIV region_cents").alias("share_bp"),
+        ).orderBy("region", "nation")
+
+    q["orders_share_of_region"] = orders_share_of_region
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9895,6 +9949,46 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE cc * 1.0 / (sa.n + sb.n - cc) >= 0.5
         ORDER BY id_a, id_b
+    """
+
+    # aging replay: same pinned as-of fences
+    o["orders_aging_report"] = f"""
+        WITH o_ AS (
+            SELECT o_orderstatus AS status,
+                   date_diff('day', o_orderdate, DATE '{AS_OF}') AS age,
+                   o_totalprice
+            FROM orders WHERE o_orderstatus != 'F'
+        )
+        SELECT status,
+               CASE WHEN age <= 30 THEN '0-30d'
+                    WHEN age <= 90 THEN '31-90d'
+                    WHEN age <= 365 THEN '91-365d'
+                    ELSE '>1y' END AS age_bucket,
+               cast(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS value
+        FROM o_ GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # share-of-parent replay: exact cents, integer bp
+    o["orders_share_of_region"] = """
+        WITH pn AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   cast(sum(cast(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2
+        ), pr AS (
+            SELECT region, cast(sum(cents) AS BIGINT) AS region_cents
+            FROM pn GROUP BY 1
+        )
+        SELECT pn.region, pn.nation, pn.cents,
+               cast((pn.cents * 10000) // pr.region_cents AS BIGINT)
+                   AS share_bp
+        FROM pn JOIN pr USING (region)
+        ORDER BY pn.region, pn.nation
     """
 
     return o
