@@ -5609,6 +5609,39 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_share_of_region"] = orders_share_of_region
 
+    def events_conversion_lag(spark, sf_dir):
+        # time-to-convert board: each purchase matched to the SAME
+        # user's latest preceding click within 2h (the as-of shape),
+        # lag percentiles in exact integer MICROSECONDS (interpolated
+        # percentile over ints is engine-identical; second-truncation
+        # would diverge on sub-second data)
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf_dir, "events")
+        clicks = ev.where("event_type = 'click'").select(
+            "user_id", F.col("ts").alias("c_ts"))
+        buys = ev.where("event_type = 'purchase'").select(
+            "user_id", F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"))
+        j = buys.join(clicks, "user_id").where(
+            (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS")))
+        w = Window.partitionBy("p_id").orderBy(F.desc("c_ts"))
+        best = j.withColumn("_rn", F.row_number().over(w)) \
+            .where("_rn = 1")
+        lag_us = (F.unix_micros(F.col("p_ts").cast("timestamp"))
+                  - F.unix_micros(F.col("c_ts").cast("timestamp")))
+        return best.select(lag_us.alias("lag_us")).agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.expr("cast(percentile(lag_us, 0.5) as bigint)")
+            .alias("p50_us"),
+            F.expr("cast(percentile(lag_us, 0.9) as bigint)")
+            .alias("p90_us"),
+            F.max("lag_us").alias("max_us"),
+        )
+
+    q["events_conversion_lag"] = events_conversion_lag
+
     def scan_python_datasource(spark, sf_dir):
         # Spark 4 custom Python DataSource: the reader plans its own
         # input partitions (parallel pull, not a driver loop); content
@@ -9989,6 +10022,33 @@ def oracle_sql() -> dict[str, str]:
                    AS share_bp
         FROM pn JOIN pr USING (region)
         ORDER BY pn.region, pn.nation
+    """
+
+    # conversion-lag replay: same as-of match, integer microseconds
+    o["events_conversion_lag"] = """
+        WITH clicks AS (
+            SELECT user_id, ts AS c_ts FROM events
+            WHERE event_type = 'click'
+        ), buys AS (
+            SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+            WHERE event_type = 'purchase'
+        ), j AS (
+            SELECT b.p_id, b.p_ts, c.c_ts,
+                   row_number() OVER (PARTITION BY b.p_id
+                                      ORDER BY c.c_ts DESC) AS rn
+            FROM buys b
+            JOIN clicks c ON c.user_id = b.user_id
+                         AND c.c_ts <= b.p_ts
+                         AND c.c_ts >= b.p_ts - INTERVAL 2 HOUR
+        ), l AS (
+            SELECT epoch_us(p_ts) - epoch_us(c_ts) AS lag_us
+            FROM j WHERE rn = 1
+        )
+        SELECT cast(count(*) AS BIGINT) AS n_conversions,
+               cast(quantile_cont(lag_us, 0.5) AS BIGINT) AS p50_us,
+               cast(quantile_cont(lag_us, 0.9) AS BIGINT) AS p90_us,
+               cast(max(lag_us) AS BIGINT) AS max_us
+        FROM l
     """
 
     return o
