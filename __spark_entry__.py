@@ -218,58 +218,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
-# The driver records only the first ~50 registry entries per round. Round-5
-# rotation: after r1-r4 the union of driver-checked names was 147/235; this
-# window is drawn ENTIRELY from the 88 never-driver-checked entries (all 19
-# remaining TPC-H queries, the graph family, stats_*, SCD2, audits, HLL
-# rollups, the remaining stream parities, store changeset, corrupt-record
-# scan, partition pruning) plus text_repetition, whose r4 hash mismatch is
-# fixed this round (integer numerators) and must be driver-confirmed.
-# Positions 51-89 hold the other 39 pre-round-5 never-checked entries IN
-# ORDER. ROUND-6 WINDOW PLAN: promote positions 51-89 to the top plus 11
-# of the round-5 session additions (stream_topk_parity,
-# join_bloom_prefilter, sketch_cms_freq, graph_kcore, ivm_join_delta,
+# The driver records only the first ~50 registry entries per round.
+# ROUND-6 WINDOW (catalog = 290 after the 4 driver-environment probes;
+# driver-checked union r1-r5 = 196, never-checked = 94):
+#   * 3 held-in r5 hash-reds, re-fixed this round: text_repetition +
+#     tpch_q12 (their oracles emitted naked DuckDB HUGEINT from
+#     sum(<int>) — the ONLY 2 un-cast oracles in the catalog besides
+#     store_compact_parity, also fixed; every driver-green oracle casts
+#     ::BIGINT) and customer_cohort_ltv (float half-cent rounding tie —
+#     now integer cents end to end).
+#   * 4 probes, one suspect construct each (probe_hugeint_canary,
+#     probe_ts_interval, probe_round_ties, probe_token_grams). The
+#     canary's oracle deliberately keeps the naked-HUGEINT shape: red
+#     canary + green siblings = diagnosis confirmed in the driver env.
+#   * the 39 pre-round-5 never-checked entries promoted from positions
+#     51-89 of the r5 ordering, as planned.
+#   * 4 round-5 additions: stream_topk_parity, join_bloom_prefilter,
+#     sketch_cms_freq, graph_kcore.
+# ROUND-7 WINDOW PLAN: the remaining 47 never-checked entries (listed —
+# 47 <= 50, closing 290/290 driver coverage with 3 spare slots for any
+# r6 red re-checks): events_funnel_chain, stream_dedup_parity,
+# emb_pq_adc_topk, store_compact_parity, events_last_touch,
+# events_linear_attribution, sketch_kmv_intersect, text_dup_coverage,
+# emb_label_outliers, quality_psi_drift, ts_gap_fill, ivm_join_delta,
 # feat_target_encode, rule_coverage_report, stream_cdc_apply_parity,
-# text_cdc_chunks, sample_hash_split, scan_csv_corrupt) = 50; the
-# remaining ~15 round-5 additions (orders_assoc_rules, agg_unpivot,
-# dedup_reciprocal_best, sim_tfidf_cosine, store_time_travel,
-# store_version_diff, scan_python_datasource, text_udtf_chunks,
+# text_cdc_chunks, sample_hash_split, scan_csv_corrupt,
+# orders_assoc_rules, agg_unpivot, dedup_reciprocal_best,
+# sim_tfidf_cosine, store_time_travel, store_version_diff,
 # text_lang_confusion, sample_token_mixture, sketch_hist_quantiles,
 # events_user_lifecycle, rule_sql_pushdown, events_activity_streaks,
-# func_hof_battery, stats_wilson_ci, audit_benford) are the round-7
-# window, closing full driver coverage.
+# func_hof_battery, stats_wilson_ci, audit_benford, stream_hist_parity,
+# ts_backtest_snaive, events_bot_signals, dedup_threshold_sweep,
+# emb_label_centroid_dist, text_novelty_curve, scan_schema_merge,
+# events_transition_entropy, dedup_minhash_portable, orders_aging_report,
+# orders_share_of_region, events_conversion_lag, scan_python_datasource,
+# text_udtf_chunks.
 _DRIVER_FIRST = [
-    # -- r4 red row, re-fixed this round (engine-exact integer counts) --
-    "text_repetition",
-    # -- TPC-H: the 19 queries never driver-checked (q5/q13/q17/q21
-    # were green in r4) --
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q22", "tpch_q1_incremental",
-    # -- graph family (iterative, heaviest plans in the repo) --
-    "graph_bfs_depths", "graph_triangles", "graph_event_pagerank",
-    "graph_part_hierarchy",
-    # -- statistics battery --
-    "stats_chi_square", "stats_ab_ztest", "stats_moments",
-    "stats_correlations",
-    # -- streaming parities not yet driver-checked --
-    "stream_ewma_parity", "stream_join_parity", "stream_join_outer_parity",
-    # -- storage / scan paths --
-    "store_apply_changeset", "scan_jsonl_corrupt", "scan_partition_pruned",
-    # -- SCD2 + audits + sketch rollups --
-    "dim_scd2_orders", "dim_scd2_pit_join",
-    "audit_referential", "audit_expectations",
-    "sketch_hll_rollup", "sketch_hll_sliding",
-    # -- analytics boards --
-    "events_funnel_windowed", "customer_rfm_segments",
-    "customer_cohort_ltv", "customer_revenue_concentration",
-    "events_survival_km", "sample_weighted_aes",
-    "events_session_window_native", "window_battery",
-    "events_cusum_shift", "emb_pca_project",
-    # -- positions 51-89: the ROUND-6 WINDOW — the remaining 39
-    # never-driver-checked entries; promote this block to the top of
-    # _DRIVER_FIRST next round to reach 235/235 driver coverage --
+    # -- held-in r5 reds (fixed this round; see comment above) --
+    "text_repetition", "tpch_q12", "customer_cohort_ltv",
+    # -- driver-environment probes --
+    "probe_hugeint_canary", "probe_ts_interval", "probe_round_ties",
+    "probe_token_grams",
+    # -- the 39 promoted never-checked entries (r5 positions 51-89) --
     "rule_regex_match", "rule_asof_sweep",
     "scenario_all_tag_subset", "scenario_keys_overwrite", "join_salted",
     "func_string_battery", "func_math_battery", "func_date_battery",
@@ -284,6 +274,10 @@ _DRIVER_FIRST = [
     "events_path_trigrams", "text_quality_tiers", "tag_cooccurrence",
     "dedup_rates_by_source", "events_user_deciles", "events_user_trend",
     "events_ewma_value", "events_value_gini", "events_user_entropy",
+    # -- round-5 additions (first 4 of the VERDICT's list; the other 4
+    # are in the round-7 window above) --
+    "stream_topk_parity", "join_bloom_prefilter", "sketch_cms_freq",
+    "graph_kcore",
 ]
 
 
@@ -2912,31 +2906,48 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for each (cohort, months-since) cell, cumulative revenue per
         # cohort member. Two aggs sharing the custkey shuffle + a
         # cumulative window per cohort (cohort×month cells — bounded
-        # by the calendar squared, not by customers)
+        # by the calendar squared, not by customers).
+        # r5 driver-red postmortem: round(sum(double)/n, 2) is a genuine
+        # cross-engine float boundary (summation order flips a half-cent
+        # tie), and months_between over DST-exposed timestamps can land
+        # at 2.9999. Everything here is now INTEGER end to end: revenue
+        # in cents (prices are cent-exact doubles, so round()+cast is
+        # identical in both engines), months via (y2-y1)*12+(m2-m1) on
+        # date parts, per-user LTV by integer division — zero floats.
         from pyspark.sql import Window
 
-        o = _t(spark, sf_dir, "orders")
+        o = _t(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.year("o_orderdate").alias("oy"),
+            F.month("o_orderdate").alias("om"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            .alias("cents"))
         first = o.groupBy("o_custkey").agg(
-            F.date_trunc("month", F.min("o_orderdate")).alias("cohort"))
-        sized = first.groupBy("cohort").agg(
+            F.min(F.col("oy") * 12 + F.col("om")).alias("c0"))
+        sized = first.groupBy("c0").agg(
             F.count(F.lit(1)).alias("cohort_size"))
-        j = o.join(first, "o_custkey")
         cells = (
-            j.groupBy(
-                "cohort",
-                (F.months_between(
-                    F.date_trunc("month", "o_orderdate"),
-                    F.col("cohort"))).cast("long").alias("months_since"))
-            .agg(F.sum("o_totalprice").alias("rev")))
-        w = (Window.partitionBy("cohort").orderBy("months_since")
+            o.join(first, "o_custkey")
+            .groupBy(
+                "c0",
+                (F.col("oy") * 12 + F.col("om") - F.col("c0"))
+                .cast("long").alias("months_since"))
+            .agg(F.sum("cents").alias("rev_cents")))
+        w = (Window.partitionBy("c0").orderBy("months_since")
              .rowsBetween(Window.unboundedPreceding, 0))
+        cum = (
+            cells.join(F.broadcast(sized), "c0")
+            .select("c0", "months_since", "cohort_size",
+                    F.sum("rev_cents").over(w).alias("cum_cents")))
         return (
-            cells.join(F.broadcast(sized), "cohort")
-            .select(
-                F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            cum.select(
+                F.format_string(
+                    "%04d-%02d",
+                    F.expr("(c0 - 1) div 12"),
+                    (F.col("c0") - 1) % 12 + 1).alias("cohort"),
                 "months_since",
-                F.round(F.sum("rev").over(w) / F.col("cohort_size"), 2)
-                .alias("cum_ltv_per_user"))
+                F.expr("cum_cents div cohort_size")
+                .alias("ltv_cents_per_user"))
             .where(F.col("months_since") <= 12)
             .orderBy("cohort", "months_since")
         )
@@ -3623,19 +3634,27 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and "late" is shipped >60 days after the order date): per
         # status, how many late lines carried urgent vs other orders.
         # One orderkey join, one tiny agg — the CASE-count pattern.
+        # r5 driver-red postmortem: version/TZ-robust date math — compare
+        # DATE-cast columns with an integer datediff instead of
+        # timestamp + INTERVAL (engine-dependent near DST/boundaries),
+        # and keep counts BIGINT on both sides (the oracle previously
+        # emitted naked DuckDB HUGEINT from sum(CASE), which the driver
+        # comparator canonicalizes differently than BIGINT)
         li = _t(spark, sf_dir, "lineitem").where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date")))
         orders = _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderdate", "o_orderpriority")
         high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
         return (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .where(F.col("l_shipdate")
-                   > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .where(F.datediff(F.to_date("l_shipdate"),
+                              F.to_date("o_orderdate")) > 60)
             .groupBy("l_linestatus")
-            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count"))
             .orderBy("l_linestatus")
         )
 
@@ -4448,7 +4467,9 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
                 F.sum("o_orderkey").alias("key_sum"),
-                F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+                # integer cents: exact regardless of summation order
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .alias("price_cents"),
             )
             .orderBy("month")
         )
@@ -5680,6 +5701,76 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_udtf_chunks"] = text_udtf_chunks
 
+    # -- driver-environment probes (round 6) ------------------------------
+    # The r4/r5 driver reds (text_repetition, tpch_q12, customer_cohort_
+    # ltv) pass the local gate byte-for-byte, so the divergence lives in
+    # the driver's engine builds / comparator, not in the queries. Each
+    # probe exercises exactly ONE suspect construct over a tiny, fully
+    # deterministic relation: whichever probe row goes red in
+    # CORRECTNESS_r06.json names the diverging construct.
+
+    def probe_hugeint_canary(spark, sf_dir):
+        # DIAGNOSTIC CANARY — the oracle twin deliberately emits a naked
+        # DuckDB HUGEINT (sum of integers, no ::BIGINT cast), the exact
+        # shape the r4/r5 text_repetition/tpch_q12 oracles had. Locally
+        # our fetchall() path reads HUGEINT as a plain int and this is
+        # green; if the DRIVER records it red while probe_ts_interval /
+        # probe_round_ties stay green, the HUGEINT canonicalization
+        # diagnosis is confirmed. (Every real oracle now casts ::BIGINT;
+        # this is the one deliberate exception, allowlisted in the gate.)
+        return _t(spark, sf_dir, "orders").agg(
+            F.sum(F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0))
+            .cast("long").alias("even_orders"))
+
+    q["probe_hugeint_canary"] = probe_hugeint_canary
+
+    def probe_ts_interval(spark, sf_dir):
+        # timestamp + INTERVAL arithmetic on both sides (the construct
+        # the r5 tpch_q12 used; q12 itself now uses DATE datediff)
+        return _t(spark, sf_dir, "orders").where(
+            F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            > F.lit("1996-03-01").cast("timestamp")
+        ).agg(F.count(F.lit(1)).alias("n_after"))
+
+    q["probe_ts_interval"] = probe_ts_interval
+
+    def probe_round_ties(spark, sf_dir):
+        # float formatting + tie rounding where the engines ARE supposed
+        # to agree: raw IEEE division (bit-identical everywhere) and
+        # banker's rounding at EXACT binary ties (eighths are exactly
+        # representable, so bround and roundbankers see the same tie).
+        # NOTE measured this session: plain round(x, 2) at half-cent
+        # ties genuinely DIFFERS between Spark (rounds the shortest
+        # decimal repr half-up: 0.145 -> 0.15) and DuckDB (rounds the
+        # binary value: 0.14499... -> 0.14) — that divergence is cross-
+        # engine fact, not driver drift, and is why catalog queries
+        # never emit round(sum(double)) at tie-exposed magnitudes. A red
+        # HERE means the driver's builds changed float division,
+        # formatting, or HALF_EVEN tie-breaking.
+        return (spark.range(400)
+                .select(F.col("id").alias("k"),
+                        (F.col("id") / 200.0).alias("raw"),
+                        F.bround(F.col("id") / 8.0, 2).alias("be"))
+                .orderBy("k"))
+
+    q["probe_round_ties"] = probe_round_ties
+
+    def probe_token_grams(spark, sf_dir):
+        # md5 of the positional bigram stream per doc — the full
+        # normalize → split → n-gram construction both dialects use; a
+        # red localizes divergence to tokenization/gram assembly rather
+        # than the downstream counting
+        from bigdata_tag_system_spark.functions.text import (
+            ngrams_from_tokens, tokens)
+
+        d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+        return d.select(
+            "doc_id",
+            F.md5(F.array_join(ngrams_from_tokens(tokens("text"), 2), "|"))
+            .alias("grams_md5")).orderBy("doc_id")
+
+    q["probe_token_grams"] = probe_token_grams
+
     return q
 
 
@@ -5776,32 +5867,34 @@ def oracle_sql() -> dict[str, str]:
         FROM risk ORDER BY life_days
     """
 
+    # integer end to end (cents, month-index arithmetic, integer
+    # division): no float ever reaches the output, so no cross-engine
+    # summation-order or rounding-tie divergence is possible
     o["customer_cohort_ltv"] = """
-        WITH first_o AS (
+        WITH o AS (
             SELECT o_custkey,
-                   date_trunc('month', min(o_orderdate)) AS cohort
-            FROM orders GROUP BY o_custkey),
+                   year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders),
+        first_o AS (
+            SELECT o_custkey, min(ym) AS c0 FROM o GROUP BY o_custkey),
         sized AS (
-            SELECT cohort, count(*) AS cohort_size
-            FROM first_o GROUP BY cohort),
+            SELECT c0, count(*) AS cohort_size FROM first_o GROUP BY c0),
         cells AS (
-            SELECT f.cohort,
-                   datediff('month', f.cohort,
-                            date_trunc('month', o.o_orderdate))
-                       AS months_since,
-                   sum(o.o_totalprice) AS rev
-            FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
-            GROUP BY f.cohort, months_since),
+            SELECT f.c0, CAST(o.ym - f.c0 AS BIGINT) AS months_since,
+                   CAST(sum(o.cents) AS BIGINT) AS rev_cents
+            FROM o JOIN first_o f ON o.o_custkey = f.o_custkey
+            GROUP BY f.c0, months_since),
         cum AS (
-            SELECT c.cohort, c.months_since,
-                   sum(c.rev) OVER (PARTITION BY c.cohort
-                       ORDER BY c.months_since
-                       ROWS UNBOUNDED PRECEDING) / s.cohort_size
-                       AS ltv
-            FROM cells c JOIN sized s ON c.cohort = s.cohort)
-        SELECT strftime(cohort, '%Y-%m') AS cohort,
-               months_since::BIGINT AS months_since,
-               round(ltv, 2) AS cum_ltv_per_user
+            SELECT c.c0, c.months_since, s.cohort_size,
+                   CAST(sum(c.rev_cents) OVER (PARTITION BY c.c0
+                        ORDER BY c.months_since
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM cells c JOIN sized s ON c.c0 = s.c0)
+        SELECT printf('%04d-%02d', (c0 - 1) // 12, (c0 - 1) % 12 + 1)
+                   AS cohort,
+               months_since,
+               cum_cents // cohort_size AS ltv_cents_per_user
         FROM cum WHERE months_since <= 12
         ORDER BY cohort, months_since
     """
@@ -6805,9 +6898,10 @@ def oracle_sql() -> dict[str, str]:
         ), per AS (
             SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
         )
-        SELECT doc_id, sum(c) AS n_grams,
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
                max(c) AS top_gram_c,
-               coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_gram_c
+               CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+                   AS dup_gram_c
         FROM per GROUP BY doc_id ORDER BY doc_id LIMIT 300
     """
 
@@ -8260,14 +8354,14 @@ def oracle_sql() -> dict[str, str]:
 
     o["tpch_q12"] = """
         SELECT l_linestatus,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1997-01-01'
-          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        WHERE l_shipdate::DATE >= DATE '1996-01-01'
+          AND l_shipdate::DATE < DATE '1997-01-01'
+          AND datediff('day', o_orderdate::DATE, l_shipdate::DATE) > 60
         GROUP BY l_linestatus ORDER BY l_linestatus
     """
 
@@ -8733,8 +8827,9 @@ def oracle_sql() -> dict[str, str]:
     o["store_compact_parity"] = """
         SELECT strftime(o_orderdate, '%Y-%m') AS month,
                count(*) AS n_orders,
-               sum(o_orderkey) AS key_sum,
-               round(sum(o_totalprice), 2) AS price_sum
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS price_cents
         FROM orders GROUP BY 1 ORDER BY month
     """
 
@@ -10049,6 +10144,35 @@ def oracle_sql() -> dict[str, str]:
                cast(quantile_cont(lag_us, 0.9) AS BIGINT) AS p90_us,
                cast(max(lag_us) AS BIGINT) AS max_us
         FROM l
+    """
+
+    # -- driver-environment probes (round 6): one suspect construct each --
+    # DELIBERATELY un-cast: sum(int) -> HUGEINT, the shape the red r4/r5
+    # oracles had (see probe_hugeint_canary docstring in _build_queries)
+    o["probe_hugeint_canary"] = """
+        SELECT sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                   AS even_orders
+        FROM orders
+    """
+    o["probe_ts_interval"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_after FROM orders
+        WHERE o_orderdate + INTERVAL 60 DAY > TIMESTAMP '1996-03-01'
+    """
+    o["probe_round_ties"] = """
+        SELECT r AS k, r / 200.0 AS raw, roundbankers(r / 8.0, 2) AS be
+        FROM range(400) t(r) ORDER BY k
+    """
+    o["probe_token_grams"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t
+            FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+        )
+        SELECT doc_id,
+               md5(array_to_string(list_transform(
+                   range(0, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i+1:i+2], ' ')), '|'))
+                   AS grams_md5
+        FROM toks ORDER BY doc_id
     """
 
     return o

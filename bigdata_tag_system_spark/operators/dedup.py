@@ -181,7 +181,7 @@ def _band_join(
     carry_cols: tuple[str, ...] = (),
     extra_pred: Column | None = None,
     max_bucket_size: int | None = 10_000,
-    on_overflow: str = "truncate",
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs whose signatures agree on ≥1 band.
 
@@ -195,12 +195,19 @@ def _band_join(
     at 100 TB. This mirrors the capped state of the streaming path
     (``streaming/lsh_stream.py:_bucket_fn_factory``). ``on_overflow``:
 
-    - ``"truncate"`` (default): keep the ``max_bucket_size`` smallest ids
-      per bucket (deterministic). Members beyond the cap lose candidacy
+    - ``"error"`` (default): fail the job loudly on the first over-cap
+      bucket. The loud default means a hot band can never SILENTLY
+      change which pairs an existing caller sees — truncation is an
+      explicit opt-in (the r5 default of silent truncate was flagged in
+      review as changing the previously exact public API without
+      signal).
+    - ``"truncate"``: keep the ``max_bucket_size`` smallest ids per
+      bucket (deterministic). Members beyond the cap lose candidacy
       *through that band only* — they can still pair via their other
       bands; run ``exact_dedup`` first (as ``dedup_pipeline_keep`` does)
-      so identical copies never reach LSH.
-    - ``"error"``: fail the job loudly on the first over-cap bucket.
+      so identical copies never reach LSH. This is what the batch
+      pipeline entry points pass explicitly: bounded latency beats
+      exactness on mass-duplicated boilerplate.
 
     The cap rides the same hash-partitioning the self-join needs anyway
     (one window over the join key), so it adds no extra shuffle of the
@@ -276,11 +283,13 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int | None = 10_000,
-    on_overflow: str = "truncate",
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Distinct (id_a < id_b) candidate pairs sharing ≥1 LSH band bucket.
 
-    Hot-bucket behavior: see :func:`_band_join` (``max_bucket_size``)."""
+    Hot-bucket behavior: see :func:`_band_join` (``max_bucket_size``) —
+    loud by default; pass ``on_overflow="truncate"`` to opt into
+    deterministic recall loss on over-cap buckets."""
     sigs = minhash_signature_df(df, text_col, id_col, num_hashes, shingle_n)
     return _band_join(sigs, id_col, num_hashes, bands,
                       max_bucket_size=max_bucket_size, on_overflow=on_overflow)
@@ -347,7 +356,10 @@ def minhash_dedup(
     sigs = _sig_from_hashed(hs, id_col, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = _band_join(sigs, id_col, num_hashes, bands)
+    # pipeline path: explicit truncate — bounded hot-band latency is the
+    # contract here (exact_dedup upstream keeps identical copies out)
+    cands = _band_join(sigs, id_col, num_hashes, bands,
+                       on_overflow="truncate")
     return _jaccard_on_pairs_sh(
         cands, hs.withColumnRenamed("_hs", "_sh"), id_col
     ).where(F.col("jaccard") >= threshold)
@@ -802,7 +814,8 @@ def minhash_dedup_incremental(
     # THEY were the arriving batch
     cands = _band_join(
         full, id_col, num_hashes, bands, carry_cols=("_new",),
-        extra_pred=F.col("a._new") | F.col("b._new"))
+        extra_pred=F.col("a._new") | F.col("b._new"),
+        on_overflow="truncate")
     sh = full.select(F.col(id_col), F.col("_hs").alias("_sh"))
     return _jaccard_on_pairs_sh(cands, sh, id_col) \
         .where(F.col("jaccard") >= threshold)

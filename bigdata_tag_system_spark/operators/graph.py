@@ -269,12 +269,30 @@ def bfs_depths(
         sym.unpersist()
 
 
+def _peel_removed(live: DataFrame, removed: DataFrame,
+                  force_broadcast: bool) -> DataFrame:
+    """One peel step: drop edges touching ``removed`` vertices on either
+    end. ``force_broadcast=True`` pins both anti joins to broadcast
+    (right for the geometrically-shrinking later rounds); ``False``
+    leaves the strategy to the planner/AQE (right when the removal set
+    is a large fraction of the graph — round one of a power-law graph
+    under any realistic k removes MOST vertices, and a forced broadcast
+    ignores autoBroadcastJoinThreshold, collecting that majority to the
+    driver and shipping it to every executor)."""
+    r = F.broadcast(removed) if force_broadcast else removed
+    return (
+        live.join(r, "_u", "left_anti")
+        .join(r.select(F.col("_u").alias("_v")), "_v", "left_anti")
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 64,
+    broadcast_removal_limit: int = 1_000_000,
 ) -> DataFrame:
     """The k-core of an undirected graph — the maximal subgraph where
     every vertex keeps degree ≥ k — by iterative peeling (Matula &
@@ -286,12 +304,17 @@ def kcore(
     Scale shape: the symmetrized distinct edge list is persisted
     pre-partitioned on the vertex key once; each round is one
     map-side-combinable degree count (zero Exchange — the layout
-    survives the joins) plus two BROADCAST anti joins against the set
-    of vertices removed THIS round — which shrinks geometrically, so
-    after round one the per-round cost is a broadcast of a few ids,
-    never a reshuffle of the edge list (the semi-join-on-survivors
-    formulation re-exchanged every surviving edge by ``_v`` each
-    round). Convergence = no vertex removed (one scalar action per
+    survives the joins) plus two anti joins against the set of vertices
+    removed THIS round. The removal set shrinks geometrically AFTER the
+    first round, so later rounds force a broadcast of a few ids — but
+    round ONE of a power-law graph removes most of the graph at once,
+    and a forced broadcast there collects that majority to the driver
+    (ignoring autoBroadcastJoinThreshold): any round whose removal
+    count exceeds ``broadcast_removal_limit`` therefore falls back to a
+    planner-chosen (shuffle) anti join instead (r5 review finding).
+    The semi-join-on-survivors formulation was rejected earlier for
+    re-exchanging every surviving edge by ``_v`` each round.
+    Convergence = no vertex removed (one scalar action per
     round, the same driver-loop contract as BFS/PageRank).
     ``max_rounds`` raises rather than silently truncating (a path graph
     peels one layer per round under k=2). Returns (node, degree) of
@@ -316,13 +339,14 @@ def kcore(
             n = keep.count()
             if n == n_prev or n == 0:
                 return keep.select(F.col("_u").alias("node"), "degree")
+            # deg is checkpointed: this count is a cheap local action
+            n_removed = deg.count() - n
             n_prev = n
-            removed = F.broadcast(deg.where(F.col("degree") < k)
-                                  .select("_u"))
+            removed = deg.where(F.col("degree") < k).select("_u")
             nxt = (
-                live.join(removed, "_u", "left_anti")
-                .join(removed.select(F.col("_u").alias("_v")), "_v",
-                      "left_anti")
+                _peel_removed(
+                    live, removed,
+                    force_broadcast=n_removed <= broadcast_removal_limit)
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             nxt.count()  # materialize before dropping the parent

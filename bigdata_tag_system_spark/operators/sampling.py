@@ -344,6 +344,7 @@ def hash_split(
     weights: Sequence[float] = (0.8, 0.1, 0.1),
     names: Sequence[str] | None = None,
     salt: int = 0,
+    portable: bool = True,
 ) -> DataFrame:
     """Deterministic train/val/test split by key hash — the assignment
     every training pipeline needs to be STABLE across reruns, engines,
@@ -360,6 +361,12 @@ def hash_split(
 
     Map-only: no shuffle, no RNG, no state. At 100 TB this is a free
     scan predicate; at review time the oracle replays every fence.
+
+    ``portable=True`` (the oracle-replayable Knuth hash) requires an
+    integral key column and raises otherwise — a string key silently
+    ``cast('long')``-ing to NULL would land every row in the last
+    split; pass ``portable=False`` to split on xxhash64, which hashes
+    any type (engine-stable, just not replayable in plain SQL).
     """
     if not weights or any(w <= 0 for w in weights):
         raise ValueError(f"weights must be positive, got {weights!r}")
@@ -375,7 +382,7 @@ def hash_split(
     for w in weights[:-1]:
         acc += w
         fences.append(int(_MOD * (acc / total)))
-    h = knuth_hash(key, salt=salt)
+    h = _pick_hash(df, key, portable)(key, salt=salt)
     expr = F.lit(names[-1])
     for fence, name in zip(reversed(fences), reversed(names[:-1])):
         expr = F.when(h < F.lit(fence), F.lit(name)).otherwise(expr)
@@ -389,6 +396,7 @@ def token_budget_mixture(
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     default_budget: int = 0,
+    portable: bool = True,
 ) -> DataFrame:
     """Select documents per source under a TOKEN budget — the unit
     training mixtures are actually denominated in (a 10-doc source of
@@ -405,16 +413,22 @@ def token_budget_mixture(
 
     One window pass per source key — no global sort, no driver state;
     budgets ship as a literal CASE (catalog-sized, not data-sized).
+
+    ``portable=True`` (Knuth hash order, SQL-replayable) requires an
+    integral ``id_col`` and raises otherwise — a string id silently
+    hashing to NULL would degrade the "unbiased deterministic shuffle"
+    to plain id order; ``portable=False`` orders by xxhash64 instead.
     """
     if any(b < 0 for b in budgets.values()) or default_budget < 0:
         raise ValueError("budgets must be non-negative")
+    order_hash = _pick_hash(df, id_col, portable)
     budget_col = F.lit(int(default_budget))
     for src, b in sorted(budgets.items()):
         budget_col = F.when(
             F.col(source_col) == src, F.lit(int(b))).otherwise(budget_col)
     w = (
         Window.partitionBy(source_col)
-        .orderBy(knuth_hash(F.col(id_col)), F.col(id_col))
+        .orderBy(order_hash(F.col(id_col)), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -541,8 +541,20 @@ def kmv_intersect_check(
         .otherwise(F.lit(float(k - 1)) * F.lit(scale) / F.col("_kth"))
         .alias("_est"),
     )
-    a = per_g.where(F.col("_g") == group_a)
-    b = per_g.where(F.col("_g") == group_b)
+    # seed each requested group with a guaranteed row: a group with no
+    # rows in df must report est 0.0 / empty sketch, not annihilate the
+    # whole report through the 1-row cross joins below (reviewed r5)
+    def _seeded(group_name):
+        seed = df.sparkSession.range(1).select(
+            F.lit(group_name).alias("_g"))
+        return seed.join(per_g, "_g", "left").select(
+            "_g",
+            F.coalesce("_hs", F.array().cast("array<bigint>")).alias("_hs"),
+            F.coalesce("_est", F.lit(0.0)).alias("_est"),
+        )
+
+    a = _seeded(group_a)
+    b = _seeded(group_b)
     merged = (
         a.select(F.explode("_hs").alias("_h"), F.lit(1).alias("_in_a"),
                  F.lit(0).alias("_in_b"))
@@ -560,7 +572,10 @@ def kmv_intersect_check(
         )), 1, k)
     union_stats = merged.agg(arr.alias("_arr")).select(
         F.size("_arr").alias("_un"),
-        F.element_at("_arr", -1)["_h"].alias("_ukth"),
+        # try_: an EMPTY union sketch (both groups absent) must yield
+        # NULL here, not an ANSI array-index error; the _ukth branch is
+        # only taken when _un >= k > 0 anyway
+        F.try_element_at("_arr", F.lit(-1))["_h"].alias("_ukth"),
         F.aggregate(
             "_arr", F.lit(0),
             lambda acc, x: acc + x["_both"]).alias("_nboth"),
@@ -584,9 +599,10 @@ def kmv_intersect_check(
             F.max(F.when(F.col("_g") == group_b, 1).otherwise(0)).alias("_ib"),
         )
         .agg(
-            F.sum("_ia").alias("exact_a"),
-            F.sum("_ib").alias("exact_b"),
-            F.sum(F.col("_ia") * F.col("_ib")).alias("exact_intersect"),
+            F.coalesce(F.sum("_ia"), F.lit(0)).cast("long").alias("exact_a"),
+            F.coalesce(F.sum("_ib"), F.lit(0)).cast("long").alias("exact_b"),
+            F.coalesce(F.sum(F.col("_ia") * F.col("_ib")), F.lit(0))
+            .cast("long").alias("exact_intersect"),
         )
     )
     return (
@@ -596,7 +612,10 @@ def kmv_intersect_check(
             F.lit(group_b).alias("group_b"),
             "est_a", "est_b",
             F.round("_est_u", 2).alias("est_union"),
-            F.round(F.col("_nboth") / F.col("_usize") * F.col("_est_u"), 2)
+            # empty union sketch (both groups absent): 0/0 would NULL out
+            F.when(F.col("_usize") == 0, F.lit(0.0))
+            .otherwise(F.round(
+                F.col("_nboth") / F.col("_usize") * F.col("_est_u"), 2))
             .alias("est_intersect"),
             "exact_a", "exact_b", "exact_intersect",
         )

@@ -23,10 +23,24 @@ On Delta-capable clusters this maps 1:1 onto ``MERGE INTO``.
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
+
+# plain or schema-qualified SQL identifier (the only shapes the DBAPI
+# sinks interpolate into statement text; values always bind-param)
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
+
+
+def _check_table_ident(table: str) -> str:
+    """Validate a table name (optionally ``schema.table``) before it is
+    interpolated into DELETE/INSERT text — same rule the column
+    identifiers get; everything else goes through bind parameters."""
+    if not _IDENT_RE.match(table):
+        raise ValueError(f"invalid table identifier: {table!r}")
+    return table
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: Sequence[str] | None = None) -> None:
@@ -94,6 +108,7 @@ def dbapi_write(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    _check_table_ident(table)
     cols = list(df.columns)
     ph = ", ".join(["%s" if dialect == "mysql" else "?"] * len(cols))
     sql = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({ph})"
@@ -145,6 +160,7 @@ def dbapi_delete_by_date(
     """
     if not date_col.replace("_", "").isalnum():
         raise ValueError(f"invalid column identifier: {date_col!r}")
+    _check_table_ident(table)
     ph = "%s" if dialect == "mysql" else "?"
     conn = connection_factory()
     try:
@@ -186,6 +202,7 @@ def dbapi_delete_by_keys(
     """
     if not key_col.replace("_", "").isalnum():
         raise ValueError(f"invalid column identifier: {key_col!r}")
+    _check_table_ident(table)
     ph = "%s" if dialect == "mysql" else "?"
 
     def _delete_chunked(conn, vals) -> int:
@@ -328,6 +345,7 @@ def validate_store_contains(
 # ---------------------------------------------------------------------------
 
 def _upsert_sql(dialect: str, table: str, cols: Sequence[str], key_cols: Sequence[str]) -> str:
+    _check_table_ident(table)
     collist = ", ".join(cols)
     placeholders = ", ".join(["%s" if dialect == "mysql" else "?"] * len(cols))
     update_cols = [c for c in cols if c not in key_cols]

@@ -358,7 +358,8 @@ class TestBandBucketCap:
 
         df = self._degenerate(spark, 300)
         capped = minhash_candidate_pairs(
-            df, num_hashes=16, bands=4, max_bucket_size=16)
+            df, num_hashes=16, bands=4, max_bucket_size=16,
+            on_overflow="truncate")
         # kept members are the 16 smallest ids in every band's bucket, so
         # candidates are exactly C(16,2) pairs, not C(300,2)=44850
         assert capped.count() == 16 * 15 // 2
@@ -396,6 +397,20 @@ class TestBandBucketCap:
         assert capped == uncapped
         for i in range(5):
             assert (i, 100 + i) in capped
+
+    def test_default_is_loud_not_silent_truncation(self, spark):
+        # the public API must never SILENTLY drop candidacy: with no
+        # explicit on_overflow, an over-cap bucket fails the job
+        import pytest as _pytest
+        from bigdata_tag_system_spark.operators.dedup import (
+            minhash_candidate_pairs,
+        )
+
+        df = self._degenerate(spark, 64)
+        with _pytest.raises(Exception) as ei:
+            minhash_candidate_pairs(
+                df, num_hashes=16, bands=4, max_bucket_size=16).count()
+        assert "max_bucket_size" in str(ei.value)
 
     def test_bad_mode_rejected(self, spark):
         import pytest as _pytest

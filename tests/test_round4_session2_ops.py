@@ -986,6 +986,29 @@ class TestKmvIntersect:
         assert abs(r.est_intersect - 1000) / 1000 < 0.5
         assert (r.exact_a, r.exact_b, r.exact_intersect) == (3000, 3000, 1000)
 
+    def test_absent_group_reports_zero_row_not_empty(self, spark):
+        # a requested group with no rows must yield ONE report row with
+        # zero estimates, not an empty DataFrame (the 1-row cross joins
+        # previously annihilated the result; reviewed r5)
+        from bigdata_tag_system_spark.operators.sketches import (
+            kmv_intersect_check,
+        )
+
+        rows = [("a", i) for i in range(40)]
+        df = spark.createDataFrame(rows, "g string, k long")
+        [r] = kmv_intersect_check(
+            df, "a", "nope", key_col="k", group_col="g", k=256).collect()
+        assert (r.est_a, r.est_b) == (40.0, 0.0)
+        assert r.est_union == 40.0
+        assert r.est_intersect == 0.0
+        assert (r.exact_a, r.exact_b, r.exact_intersect) == (40, 0, 0)
+        # both groups absent: still one all-zero row
+        [r2] = kmv_intersect_check(
+            df, "x", "y", key_col="k", group_col="g", k=256).collect()
+        assert (r2.est_a, r2.est_b, r2.est_union, r2.est_intersect) == (
+            0.0, 0.0, 0.0, 0.0)
+        assert (r2.exact_a, r2.exact_b, r2.exact_intersect) == (0, 0, 0)
+
 
 class TestPopulationStability:
     def test_psi_matches_closed_form(self, spark):

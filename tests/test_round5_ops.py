@@ -172,6 +172,45 @@ class TestKCore:
         with pytest.raises(ValueError, match="k must be"):
             kcore(path, 0)
 
+    def test_first_peel_majority_removal_plans_no_broadcast(self, spark):
+        # low-degree-majority graph (star arms: every leaf has degree 1)
+        # + K4 core: round one removes MOST vertices. Above the limit
+        # the peel must NOT force a broadcast of that majority — with
+        # auto-broadcast disabled, the fallback path plans a shuffle
+        # anti join (r5 review: a forced broadcast ignores
+        # autoBroadcastJoinThreshold, collecting most of a 100 TB graph)
+        from bigdata_tag_system_spark.operators.graph import (
+            _peel_removed,
+            kcore,
+        )
+
+        live = spark.createDataFrame(
+            [(i, i + 1) for i in range(50)], "src long, dst long"
+        ).selectExpr("src as _u", "dst as _v")
+        removed = live.select("_u").distinct().limit(40)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan_forced = _peel_removed(
+                live, removed, force_broadcast=True
+            )._jdf.queryExecution().executedPlan().toString()
+            plan_fallback = _peel_removed(
+                live, removed, force_broadcast=False
+            )._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "BroadcastHashJoin" in plan_forced
+        assert "BroadcastHashJoin" not in plan_fallback
+        # end-to-end: a tiny limit routes round one through the fallback
+        # and the k-core result is unchanged
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        arms = [(0, 100 + i) for i in range(30)]
+        g = spark.createDataFrame(k4 + arms, "src long, dst long")
+        got = sorted(
+            (r.node, r.degree)
+            for r in kcore(g, 3, broadcast_removal_limit=2).collect())
+        assert got == [(i, 3) for i in range(4)]
+
 
 class TestJoinDelta:
     def test_quadrants_reassemble_full_join(self, spark):
@@ -428,6 +467,27 @@ class TestHashSplit:
                 .select("user_id", "split").distinct().collect()}
         for r in sub.select("user_id", "split").distinct().collect():
             assert full[r.user_id] == r.split
+
+    def test_string_key_rejected_under_portable(self, spark):
+        # a string key would cast('long') -> NULL and silently land every
+        # row in the last split; must raise instead (reviewed r5)
+        import pytest as _pytest
+        from bigdata_tag_system_spark.operators.sampling import hash_split
+
+        df = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(10)], "user_id string, e long")
+        with _pytest.raises(ValueError, match="integral"):
+            hash_split(df, "user_id")
+        # xxhash64 path hashes any type: all three splits still reachable
+        out = hash_split(
+            spark.createDataFrame(
+                [(f"u{i}", i) for i in range(4000)],
+                "user_id string, e long"),
+            "user_id", portable=False)
+        frac = {r.split: r.n for r in out.groupBy("split")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert abs(frac.get("train", 0) / 4000 - 0.8) < 0.05
+        assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
 
     def test_custom_weights_and_validation(self, spark):
         from bigdata_tag_system_spark.operators.sampling import hash_split
@@ -747,6 +807,24 @@ class TestTokenBudgetMixture:
             df, budgets={"a": 35, "b": 100}, default_budget=0)
         assert sorted(r.doc_id for r in rows) == \
             sorted(r.doc_id for r in again.collect())
+
+    def test_string_id_rejected_under_portable(self, spark):
+        # string ids hash to NULL under the Knuth hash — the 'unbiased
+        # deterministic shuffle' would silently become plain id order;
+        # must raise, and portable=False must still work (reviewed r5)
+        import pytest as _pytest
+        from bigdata_tag_system_spark.operators.sampling import (
+            token_budget_mixture,
+        )
+
+        df = spark.createDataFrame(
+            [(f"d{i}", "a", 10) for i in range(20)],
+            "doc_id string, source string, n_tokens long")
+        with _pytest.raises(ValueError, match="integral"):
+            token_budget_mixture(df, budgets={"a": 50})
+        kept = token_budget_mixture(
+            df, budgets={"a": 50}, portable=False).collect()
+        assert sum(r.n_tokens for r in kept) == 50
 
     def test_default_budget_and_validation(self, spark):
         from bigdata_tag_system_spark.operators.sampling import (

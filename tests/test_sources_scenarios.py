@@ -317,6 +317,16 @@ class TestUpsertSinks:
             dbapi_delete_by_keys(
                 ["u1"], _sqlite_conn, "user_tags",
                 key_col="user_id OR 1=1", dialect="sqlite")
+        # the TABLE is interpolated too and gets the same rule
+        # (schema-qualified names stay legal); reviewed r5
+        with pytest.raises(ValueError, match="table identifier"):
+            dbapi_delete_by_date(
+                _sqlite_conn, "user_tags; DROP TABLE x", "2024-07-12",
+                dialect="sqlite")
+        with pytest.raises(ValueError, match="table identifier"):
+            dbapi_delete_by_keys(
+                ["u1"], _sqlite_conn, "user_tags WHERE 1=1 --",
+                dialect="sqlite")
         assert dbapi_delete_by_keys(
             [], _sqlite_conn, "user_tags", dialect="sqlite") == 0
 

@@ -90,6 +90,22 @@ def main():
             print(f"weak  {name}: rows={len(srows)} (no oracle)")
             continue
         try:
+            # type-check BEFORE fetching: DuckDB sum(<integer>) returns
+            # HUGEINT, which our fetchall() path reads as a plain Python
+            # int (hash-identical to Spark's long) but the DRIVER's
+            # comparator canonicalizes differently — the r4/r5
+            # text_repetition + tpch_q12 driver-reds were exactly this.
+            # Every oracle must cast integer aggregates to BIGINT.
+            otypes = [str(t) for t in con.sql(oracles[name]).types]
+            hbad = [t for t in otypes if "HUGEINT" in t]
+            # probe_hugeint_canary is the ONE deliberate naked-HUGEINT
+            # oracle (a driver-environment diagnostic; see its docstring)
+            if name == "probe_hugeint_canary":
+                hbad = []
+            if hbad:
+                print(f"FAIL  {name}: oracle emits {hbad} — cast ::BIGINT")
+                failed.append(name)
+                continue
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
