@@ -2829,7 +2829,11 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         loo_mean = (F.col("s") - F.col("n")) / (F.col("k") - 1)
         loo_var = ((F.col("q") - F.col("n") * F.col("n"))
                    / (F.col("k") - 1) - loo_mean * loo_mean)
-        z = (F.col("n") - loo_mean) / F.sqrt(loo_var)
+        # nullif: a zero-variance baseline (all same-weekday counts
+        # equal — happens at tiny SFs) must yield NULL z and drop at the
+        # |z| filter, not an ANSI divide-by-zero (caught by the sf0.001
+        # whole-catalog smoke test)
+        z = (F.col("n") - loo_mean) / F.nullif(F.sqrt(loo_var), F.lit(0.0))
         return (
             j.where(F.col("k") >= 3)
             .select("event_type",
@@ -5946,9 +5950,10 @@ def oracle_sql() -> dict[str, str]:
               ON w.event_type = b.event_type AND w.wd = b.wd)
         SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
                n::BIGINT AS n,
-               round((n - loo_mean) / sqrt(loo_var), 4) AS z
+               round((n - loo_mean) / nullif(sqrt(loo_var), 0), 4) AS z
         FROM j
-        WHERE k >= 3 AND abs((n - loo_mean) / sqrt(loo_var)) > 2.0
+        WHERE k >= 3
+          AND abs((n - loo_mean) / nullif(sqrt(loo_var), 0)) > 2.0
         ORDER BY event_type, day
     """
 
