@@ -235,6 +235,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     51-89 of the r5 ordering, as planned.
 #   * 4 round-5 additions: stream_topk_parity, join_bloom_prefilter,
 #     sketch_cms_freq, graph_kcore.
+# De-risking sweep (r6, tools/float_sweep.py): every one of the 94
+# never-driver-checked entries compared Spark-vs-DuckDB at FULL float
+# precision (no %.6g canonicalization) at sf0.01 — ALL BIT-EXACT, so no
+# latent rounding-tie red of the customer_cohort_ltv class is waiting in
+# the r6/r7 windows.
 # ROUND-7 WINDOW PLAN: the remaining 47 never-checked entries (listed —
 # 47 <= 50, closing 290/290 driver coverage with 3 spare slots for any
 # r6 red re-checks): events_funnel_chain, stream_dedup_parity,
