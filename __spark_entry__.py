@@ -5499,19 +5499,34 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # earlier doc (smaller doc_id) contains it — the redundancy
         # curve a curation pipeline watches as the corpus grows. One
         # (shingle → min doc) aggregate + one join back; exact
-        # integer fractions
+        # integer fractions.
+        # r6, two measured fixes (A/B, min-of-3 at sf0.1):
+        # 1. the token array is STAGED in its own projection — inlined,
+        #    the transform lambda re-evaluated the regex tokenizer per
+        #    element (the hof-lambda-reeval trap): 6.76 s -> 1.27 s, 5.3×.
+        # 2. shingles reduce to the portable md5-60 hash BEFORE the
+        #    explode, so both shuffles (min-doc agg + join back) carry
+        #    8-byte longs instead of ~25-byte gram strings — the shingle
+        #    shuffle IS this query's inherent cost at 100 TB. Parity is
+        #    exact: the oracle computes the identical hash, so even a
+        #    collision collides identically in both engines.
         from bigdata_tag_system_spark.functions.text import (
             normalize_text,
         )
 
-        toks = F.split(normalize_text("text"), " ")
+        base = _t(spark, sf_dir, "documents") \
+            .where("text IS NOT NULL") \
+            .select("doc_id",
+                    F.split(normalize_text("text"), " ").alias("_t"))
+        t = F.col("_t")
         sh = F.array_distinct(F.transform(
             F.sequence(F.lit(0),
-                       F.greatest(F.size(toks) - 3, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, 3), " ")))
-        d = _t(spark, sf_dir, "documents") \
-            .where("text IS NOT NULL") \
-            .select("doc_id", F.explode(sh).alias("g"))
+                       F.greatest(F.size(t) - 3, F.lit(0))),
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(t, i + 1, 3),
+                                               " ")), 1, 15),
+                16, 10).cast("long")))
+        d = base.select("doc_id", F.explode(sh).alias("g"))
         first = d.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
         j = d.join(first, "g")
         return j.groupBy("doc_id").agg(
@@ -9973,9 +9988,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, string_split({_NORM}, ' ') AS t
             FROM documents WHERE text IS NOT NULL
         ), sh AS (
+            -- same md5-60 shingle reduction as the Spark side: joins on
+            -- 8-byte longs; a hash collision collides identically here
             SELECT doc_id, unnest(list_distinct(list_transform(
                 range(0, greatest(len(t) - 3, 0) + 1),
-                i -> array_to_string(t[i+1:i+3], ' ')))) AS g
+                i -> ('0x' || substr(md5(array_to_string(t[i+1:i+3], ' ')),
+                                     1, 15))::BIGINT))) AS g
             FROM toks
         ), first_ AS (
             SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
