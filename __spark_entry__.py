@@ -100,6 +100,17 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+# tables whose downstream work is CPU-heavy PER ROW (tokenize/shingle/
+# hash/vector math): a single-row-group parquet file scans as ONE
+# partition, serializing that work on one core until the first shuffle
+# (measured r6: the whole text/dedup family ran its map stage
+# single-threaded — minhash_portable 6.75 s -> 4.06 s once spread).
+# The repartition is CONDITIONAL on the scan being narrower than the
+# cluster: at 100 TB these tables arrive as thousands of splits and the
+# condition is false, so no extra shuffle ever ships full text at scale.
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prep(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -108,6 +119,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for f_ in df.schema.fields:
             if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in _SPREAD_TABLES:
+        cores = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < cores:
+            df = df.repartition(cores)
     return df
 
 
