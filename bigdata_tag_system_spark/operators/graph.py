@@ -332,15 +332,29 @@ def kcore(
     live = sym.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n_prev = None
+        prev_live = None
         for _ in range(max_rounds):
             deg = live.groupBy("_u").agg(F.count(F.lit(1)).alias("degree"))
+            # this eager checkpoint is the ONE job of the round: it
+            # materializes `live` (the previous round's anti-join) into
+            # its persist and aggregates degrees in the same pass — only
+            # now is the previous round's input safe to drop
             deg = deg.localCheckpoint(eager=True)
+            if prev_live is not None:
+                prev_live.unpersist()
+                prev_live = None
             keep = deg.where(F.col("degree") >= k)
-            n = keep.count()
+            # ONE action per decision: (surviving, removed) in a single
+            # aggregate over the checkpointed degrees — two .count()
+            # jobs per round double the per-round scheduling cost that
+            # dominates this operator at small SFs
+            [(n, n_removed)] = deg.agg(
+                F.sum(F.when(F.col("degree") >= k, 1).otherwise(0)),
+                F.sum(F.when(F.col("degree") < k, 1).otherwise(0)),
+            ).collect()
+            n, n_removed = int(n or 0), int(n_removed or 0)
             if n == n_prev or n == 0:
                 return keep.select(F.col("_u").alias("node"), "degree")
-            # deg is checkpointed: this count is a cheap local action
-            n_removed = deg.count() - n
             n_prev = n
             removed = deg.where(F.col("degree") < k).select("_u")
             nxt = (
@@ -349,11 +363,16 @@ def kcore(
                     force_broadcast=n_removed <= broadcast_removal_limit)
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            nxt.count()  # materialize before dropping the parent
-            live.unpersist()
+            # no materializing count here: the next round's eager deg
+            # checkpoint computes nxt into its persist in the same job,
+            # and `live` stays persisted until then (dropped above) —
+            # one scheduled job per round instead of three
+            prev_live = live
             live = nxt
         raise RuntimeError(
             f"k-core peeling did not converge in {max_rounds} rounds — "
             f"raise max_rounds for deep degeneracy orderings")
     finally:
         live.unpersist()
+        if prev_live is not None:
+            prev_live.unpersist()
