@@ -98,6 +98,11 @@ def _prep(spark: SparkSession) -> None:
     """Session prep that must not depend on who built the session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin evaluation semantics to the tested configuration: every local
+    # gate/pytest run executes under Spark 4's ANSI default (true); a
+    # driver session built with ANSI off would change cast/overflow/
+    # divide-by-zero behavior for the exact same plans
+    spark.conf.set("spark.sql.ansi.enabled", "true")
 
 
 # tables whose downstream work is CPU-heavy PER ROW (tokenize/shingle/
