@@ -110,24 +110,54 @@ def _prep(spark: SparkSession) -> None:
 # partition, serializing that work on one core until the first shuffle
 # (measured r6: the whole text/dedup family ran its map stage
 # single-threaded — minhash_portable 6.75 s -> 4.06 s once spread).
-# The repartition is CONDITIONAL on the scan being narrower than the
-# cluster: at 100 TB these tables arrive as thousands of splits and the
-# condition is false, so no extra shuffle ever ships full text at scale.
+# The gate is an ABSOLUTE input-size threshold (r6 used "scan partitions
+# < defaultParallelism", which on a cluster whose parallelism exceeds
+# the split count would still shuffle the full text — and df.rdd forced
+# a plan->RDD conversion per call). Below _SPREAD_MAX_BYTES the whole
+# table fits in a handful of row groups and the one-time shuffle is
+# cheap; above it the scan already yields >= threshold/maxPartitionBytes
+# splits, so Spark parallelizes natively and we never reshuffle full
+# text at scale. Size is read from the filesystem (local stat, cached),
+# never by materializing the plan.
 _SPREAD_TABLES = {"documents", "embeddings"}
+_SPREAD_MAX_BYTES = 256 * 1024 * 1024  # ~2 default 128M splits
+_SPREAD_SIZE_CACHE: dict[str, int] = {}
+
+
+def _input_bytes(path: str) -> int:
+    """Total bytes under a LOCAL parquet path (file or directory); -1
+    when the path isn't on the local filesystem (object stores arrive
+    pre-split, so the spread gate treats unknown as 'big')."""
+    sz = _SPREAD_SIZE_CACHE.get(path)
+    if sz is None:
+        import os
+        p = path.removeprefix("file:")
+        try:
+            if os.path.isdir(p):
+                sz = sum(
+                    os.path.getsize(os.path.join(root, fn))
+                    for root, _, files in os.walk(p) for fn in files)
+            else:
+                sz = os.path.getsize(p)
+        except OSError:
+            sz = -1
+        _SPREAD_SIZE_CACHE[path] = sz
+    return sz
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prep(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events":
         # parquet TIMESTAMP(NANOS) arrives as long under nanosAsLong
         for f_ in df.schema.fields:
             if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if name in _SPREAD_TABLES:
-        cores = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < cores:
-            df = df.repartition(cores)
+        nbytes = _input_bytes(path)
+        if 0 <= nbytes <= _SPREAD_MAX_BYTES:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
@@ -239,70 +269,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver records only the first ~50 registry entries per round.
-# ROUND-6 WINDOW (catalog = 290 after the 4 driver-environment probes;
-# driver-checked union r1-r5 = 196, never-checked = 94):
-#   * 3 held-in r5 hash-reds, re-fixed this round: text_repetition +
-#     tpch_q12 (their oracles emitted naked DuckDB HUGEINT from
-#     sum(<int>) — the ONLY 2 un-cast oracles in the catalog besides
-#     store_compact_parity, also fixed; every driver-green oracle casts
-#     ::BIGINT) and customer_cohort_ltv (float half-cent rounding tie —
-#     now integer cents end to end).
-#   * 4 probes, one suspect construct each (probe_hugeint_canary,
-#     probe_ts_interval, probe_round_ties, probe_token_grams). The
-#     canary's oracle deliberately keeps the naked-HUGEINT shape: red
-#     canary + green siblings = diagnosis confirmed in the driver env.
-#   * the 39 pre-round-5 never-checked entries promoted from positions
-#     51-89 of the r5 ordering, as planned.
-#   * 4 round-5 additions: stream_topk_parity, join_bloom_prefilter,
-#     sketch_cms_freq, graph_kcore.
-# De-risking sweep (r6, tools/float_sweep.py): every one of the 94
-# never-driver-checked entries compared Spark-vs-DuckDB at FULL float
-# precision (no %.6g canonicalization) at sf0.01 — ALL BIT-EXACT, so no
-# latent rounding-tie red of the customer_cohort_ltv class is waiting in
-# the r6/r7 windows.
-# ROUND-7 WINDOW PLAN: the remaining 47 never-checked entries (listed —
-# 47 <= 50, closing 290/290 driver coverage with 3 spare slots for any
-# r6 red re-checks): events_funnel_chain, stream_dedup_parity,
-# emb_pq_adc_topk, store_compact_parity, events_last_touch,
-# events_linear_attribution, sketch_kmv_intersect, text_dup_coverage,
-# emb_label_outliers, quality_psi_drift, ts_gap_fill, ivm_join_delta,
-# feat_target_encode, rule_coverage_report, stream_cdc_apply_parity,
-# text_cdc_chunks, sample_hash_split, scan_csv_corrupt,
-# orders_assoc_rules, agg_unpivot, dedup_reciprocal_best,
-# sim_tfidf_cosine, store_time_travel, store_version_diff,
-# text_lang_confusion, sample_token_mixture, sketch_hist_quantiles,
-# events_user_lifecycle, rule_sql_pushdown, events_activity_streaks,
-# func_hof_battery, stats_wilson_ci, audit_benford, stream_hist_parity,
-# ts_backtest_snaive, events_bot_signals, dedup_threshold_sweep,
-# emb_label_centroid_dist, text_novelty_curve, scan_schema_merge,
-# events_transition_entropy, dedup_minhash_portable, orders_aging_report,
-# orders_share_of_region, events_conversion_lag, scan_python_datasource,
-# text_udtf_chunks.
+# ROUND-7 WINDOW (catalog = 290 entering the round; driver-checked
+# union r1-r6 = 243 of 290, never-checked = 47):
+#   * ALL 47 remaining never-checked entries — this closes driver
+#     coverage at 290/290 (every catalog entry checked at least once
+#     across r1-r7).
+#   * r6 went 49/50 green; the one red was probe_hugeint_canary, a
+#     DELIBERATE diagnostic (naked-HUGEINT oracle) whose red + green
+#     siblings CONFIRMED the r4/r5 divergence diagnosis. Diagnosis done
+#     — the canary is retired from the scored window (stays in the
+#     catalog + local gate allowlist), exactly as the r6 ADVICE asked.
+#   * the remaining ~3 slots carry the new round-7 additions so they
+#     get driver-checked in the round they land.
+# De-risking sweep (r6, tools/float_sweep.py, full-precision float
+# compare at sf0.01): all 47 of these were BIT-EXACT vs DuckDB, so no
+# latent rounding-tie red of the customer_cohort_ltv class is waiting.
+# ROUND-8+ WINDOW PLAN: with 290/290 closed, subsequent windows carry
+# (a) any r7 reds held in until green, (b) all new catalog entries of
+# the round, (c) rotation of the oldest last-green rows for re-checks.
 _DRIVER_FIRST = [
-    # -- held-in r5 reds (fixed this round; see comment above) --
-    "text_repetition", "tpch_q12", "customer_cohort_ltv",
-    # -- driver-environment probes --
-    "probe_hugeint_canary", "probe_ts_interval", "probe_round_ties",
-    "probe_token_grams",
-    # -- the 39 promoted never-checked entries (r5 positions 51-89) --
-    "rule_regex_match", "rule_asof_sweep",
-    "scenario_all_tag_subset", "scenario_keys_overwrite", "join_salted",
-    "func_string_battery", "func_math_battery", "func_date_battery",
-    "events_transitions", "events_dwell_stats", "text_token_entropy",
-    "text_url_domains", "text_source_report", "text_url_blocklist",
-    "dedup_cluster_sizes", "sample_iqr_filter", "sketch_bitmap_distinct",
-    "agg_histogram", "events_mad_outliers", "events_islands",
-    "events_rolling_window", "text_top_bigrams", "text_source_kl",
-    "sample_epoch_oversample", "events_type_percentiles",
-    "events_rollup_parity", "text_bigram_lm", "orders_monthly_yoy",
-    "events_weekday_anomaly", "events_session_stats",
-    "events_path_trigrams", "text_quality_tiers", "tag_cooccurrence",
-    "dedup_rates_by_source", "events_user_deciles", "events_user_trend",
-    "events_ewma_value", "events_value_gini", "events_user_entropy",
-    # -- round-5 additions (first 4 of the VERDICT's list; the other 4
-    # are in the round-7 window above) --
-    "stream_topk_parity", "join_bloom_prefilter", "sketch_cms_freq",
-    "graph_kcore",
+    # -- the 47 never-checked entries (closing 290/290) --
+    "events_funnel_chain", "stream_dedup_parity", "emb_pq_adc_topk",
+    "store_compact_parity", "events_last_touch",
+    "events_linear_attribution", "sketch_kmv_intersect",
+    "text_dup_coverage", "emb_label_outliers", "quality_psi_drift",
+    "ts_gap_fill", "ivm_join_delta", "feat_target_encode",
+    "rule_coverage_report", "stream_cdc_apply_parity", "text_cdc_chunks",
+    "sample_hash_split", "scan_csv_corrupt", "orders_assoc_rules",
+    "agg_unpivot", "dedup_reciprocal_best", "sim_tfidf_cosine",
+    "store_time_travel", "store_version_diff", "text_lang_confusion",
+    "sample_token_mixture", "sketch_hist_quantiles",
+    "events_user_lifecycle", "rule_sql_pushdown",
+    "events_activity_streaks", "func_hof_battery", "stats_wilson_ci",
+    "audit_benford", "stream_hist_parity", "ts_backtest_snaive",
+    "events_bot_signals", "dedup_threshold_sweep",
+    "emb_label_centroid_dist", "text_novelty_curve", "scan_schema_merge",
+    "events_transition_entropy", "dedup_minhash_portable",
+    "orders_aging_report", "orders_share_of_region",
+    "events_conversion_lag", "scan_python_datasource", "text_udtf_chunks",
+    # -- round-7 additions (driver-checked the round they land) --
+    "sketch_hll_portable", "audit_key_skew", "sample_pack_bins",
 ]
 
 
@@ -5756,12 +5762,16 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def probe_hugeint_canary(spark, sf_dir):
         # DIAGNOSTIC CANARY — the oracle twin deliberately emits a naked
         # DuckDB HUGEINT (sum of integers, no ::BIGINT cast), the exact
-        # shape the r4/r5 text_repetition/tpch_q12 oracles had. Locally
-        # our fetchall() path reads HUGEINT as a plain int and this is
-        # green; if the DRIVER records it red while probe_ts_interval /
-        # probe_round_ties stay green, the HUGEINT canonicalization
-        # diagnosis is confirmed. (Every real oracle now casts ::BIGINT;
-        # this is the one deliberate exception, allowlisted in the gate.)
+        # shape the r4/r5 text_repetition/tpch_q12 oracles had. It is
+        # EXPECTED RED under any comparator that canonicalizes by dtype
+        # (HUGEINT != BIGINT): CORRECTNESS_r06.json recorded exactly
+        # that — hash_match=false with rows/schema green — while its
+        # siblings probe_ts_interval / probe_round_ties stayed green,
+        # CONFIRMING the HUGEINT diagnosis. Diagnosis done; the canary
+        # is retired from the scored driver window as of round 7 (it
+        # stays in the catalog, allowlisted in the local gate, so the
+        # construct remains probeable on demand). Every real oracle
+        # casts ::BIGINT; this is the one deliberate exception.
         return _t(spark, sf_dir, "orders").agg(
             F.sum(F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0))
             .cast("long").alias("even_orders"))
@@ -5807,13 +5817,63 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from bigdata_tag_system_spark.functions.text import (
             ngrams_from_tokens, tokens)
 
-        d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+        d = _t(spark, sf_dir, "documents").where(
+            (F.col("doc_id") < 100) & F.col("text").isNotNull())
         return d.select(
             "doc_id",
             F.md5(F.array_join(ngrams_from_tokens(tokens("text"), 2), "|"))
             .alias("grams_md5")).orderBy("doc_id")
 
     q["probe_token_grams"] = probe_token_grams
+
+    # -- round-7 additions ------------------------------------------------
+
+    def sketch_hll_portable(spark, sf_dir):
+        # HyperLogLog with EXPLICIT md5-60 registers: the oracle replays
+        # register construction, the exact-integer Z numerator, AND the
+        # single-divide raw estimator byte-for-byte (regs_md5 digests
+        # the whole register vector) — the auditable twin of Spark's
+        # opaque approx_count_distinct, same mergeable-register design
+        from bigdata_tag_system_spark.operators.sketches import (
+            hll_register_sketch,
+        )
+
+        ev = _t(spark, sf_dir, "events").select("user_id")
+        return hll_register_sketch(ev, "user_id", b=8)
+
+    q["sketch_hll_portable"] = sketch_hll_portable
+
+    def audit_key_skew(spark, sf_dir):
+        # pre-shuffle skew diagnosis for events.user_id as a join key:
+        # max/mean fixed-point ratio, top-10 heavy-hitter share, and the
+        # salt fan-out that would cap the hottest key at 50 rows/task
+        # (tiny target so the recommendation is exercised at test SF) —
+        # all integer arithmetic, one count-aggregate pass
+        from bigdata_tag_system_spark.operators.quality import (
+            key_skew_report,
+        )
+
+        ev = _t(spark, sf_dir, "events").select("user_id")
+        return key_skew_report(ev, "user_id", target_rows_per_task=50)
+
+    q["audit_key_skew"] = audit_key_skew
+
+    def sample_pack_bins(spark, sf_dir):
+        # concat-then-chunk packing layout at a 2048-token budget over 8
+        # knuth-hash shards: bins, straddling docs (selection checksummed
+        # via id-sum), tail waste and fill% — computed from one windowed
+        # cum-sum per shard, no token stream materialized
+        from bigdata_tag_system_spark.functions.text import token_count
+        from bigdata_tag_system_spark.operators.sampling import (
+            pack_concat_chunks,
+        )
+
+        d = _t(spark, sf_dir, "documents").where("text IS NOT NULL") \
+            .select("doc_id", token_count("text").alias("n_tokens"))
+        return pack_concat_chunks(
+            d, "n_tokens", budget=2048, n_shards=8, id_col="doc_id")
+
+    q["sample_pack_bins"] = sample_pack_bins
 
     return q
 
@@ -10221,6 +10281,119 @@ def oracle_sql() -> dict[str, str]:
                    i -> array_to_string(t[i+1:i+2], ' ')), '|'))
                    AS grams_md5
         FROM toks ORDER BY doc_id
+    """
+
+    # -- round-7 additions --------------------------------------------
+    # full HLL replay: md5-60 hash -> register = low 8 bits, rho =
+    # 53 - bitlength(remaining 52 bits); Z numerator exact in int64;
+    # the estimator divide is the IDENTICAL float expression text as
+    # the Spark side (operators/sketches.py hll_register_sketch), so
+    # the one float op is bit-identical
+    o["sketch_hll_portable"] = """
+        WITH h AS (
+            SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) AS h,
+                   user_id
+            FROM events WHERE user_id IS NOT NULL
+        ), r AS (
+            SELECT h % 256 AS reg,
+                   CASE WHEN h // 256 = 0 THEN 53
+                        ELSE 53 - length(bin(h // 256)) END AS rho
+            FROM h
+        ), m AS (
+            SELECT reg, max(rho) AS mr FROM r GROUP BY reg
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS hit,
+                   CAST(sum(CAST(pow(2.0, 53 - mr) AS BIGINT))
+                        AS BIGINT) AS zp,
+                   md5(string_agg(
+                       lpad(CAST(reg AS VARCHAR), 3, '0') || ':'
+                           || CAST(mr AS VARCHAR), ','
+                       ORDER BY reg)) AS regs_md5
+            FROM m
+        ), e AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS exact_distinct
+            FROM events WHERE user_id IS NOT NULL
+        ), z AS (
+            SELECT CAST(256 AS BIGINT) AS m, hit AS registers_hit,
+                   256 - hit AS zero_registers,
+                   zp + (256 - hit) * 9007199254740992 AS z_int,
+                   regs_md5, exact_distinct
+            FROM s, e
+        )
+        SELECT m, registers_hit, zero_registers, z_int,
+               CAST(FLOOR((0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0))
+                    * 256.0e0 * 256.0e0 * 9007199254740992.0e0
+                    / CAST(z_int AS DOUBLE)) AS BIGINT) AS est_raw,
+               exact_distinct, regs_md5
+        FROM z
+    """
+
+    o["audit_key_skew"] = """
+        WITH c AS (
+            SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ), t AS (
+            SELECT CAST(sum(c) AS BIGINT) AS top_c
+            FROM (SELECT c FROM c ORDER BY c DESC, k LIMIT 10)
+        ), s AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS max_cnt
+            FROM c
+        )
+        SELECT n_rows, n_keys, max_cnt,
+               n_rows // n_keys AS avg_cnt,
+               (max_cnt * 100) // greatest(n_rows // n_keys, 1)
+                   AS skew_x100,
+               (top_c * 100) // n_rows AS topn_share_pct,
+               (max_cnt + 50 - 1) // 50 AS rec_salt
+        FROM s, t
+    """
+
+    o["sample_pack_bins"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN {_NORM} = '' THEN 0
+                        ELSE len(string_split({_NORM}, ' ')) END
+                       AS n_tokens
+            FROM documents WHERE text IS NOT NULL
+        ), h AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n,
+                   (((doc_id % 2147483648) * 2654435761) % 4294967296)
+                       AS hh
+            FROM d WHERE n_tokens > 0
+        ), sh AS (
+            SELECT *, hh % 8 AS shard FROM h
+        ), c AS (
+            SELECT shard, doc_id, n,
+                   sum(n) OVER (
+                       PARTITION BY shard ORDER BY hh, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM sh
+        ), b AS (
+            SELECT shard, doc_id, n, cum,
+                   (cum - n) // 2048 AS fb, (cum - 1) // 2048 AS lb
+            FROM c
+        ), g AS (
+            SELECT shard, CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(n) AS BIGINT) AS tokens,
+                   CAST(sum(CASE WHEN lb > fb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS straddled,
+                   CAST(sum(CASE WHEN lb > fb THEN doc_id ELSE 0 END)
+                        AS BIGINT) AS straddle_id_sum
+            FROM b GROUP BY shard
+        )
+        SELECT shard, docs, tokens,
+               (tokens + 2048 - 1) // 2048 AS n_bins,
+               straddled, straddle_id_sum,
+               ((tokens + 2048 - 1) // 2048) * 2048 - tokens
+                   AS tail_waste,
+               (tokens * 100) // (((tokens + 2048 - 1) // 2048) * 2048)
+                   AS fill_pct
+        FROM g ORDER BY shard
     """
 
     return o

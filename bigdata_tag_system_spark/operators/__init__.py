@@ -10,6 +10,9 @@ from bigdata_tag_system_spark.operators.joins import (
     write_bucketed,
 )
 from bigdata_tag_system_spark.operators.merge import MergeStrategy, merge_profiles
+from bigdata_tag_system_spark.operators.quality import key_skew_report
+from bigdata_tag_system_spark.operators.sampling import pack_concat_chunks
+from bigdata_tag_system_spark.operators.sketches import hll_register_sketch
 from bigdata_tag_system_spark.operators.tagging import (
     TagEngine,
     tag_assignments,
@@ -31,4 +34,7 @@ __all__ = [
     "bloom_flag",
     "bloom_prefilter",
     "join_delta",
+    "key_skew_report",
+    "pack_concat_chunks",
+    "hll_register_sketch",
 ]

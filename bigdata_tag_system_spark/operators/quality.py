@@ -181,3 +181,63 @@ def population_stability(
             .alias("contrib"),
         )
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    target_rows_per_task: int = 10_000_000,
+    top_n: int = 10,
+) -> DataFrame:
+    """One-row shuffle-skew diagnosis for a prospective join/groupBy key.
+
+    At 100 TB the single most common cause of a stuck stage is one hot
+    key: every row for it lands in one shuffle partition and one task
+    runs for hours while 999 executors idle. This audit answers, from
+    ONE aggregation pass over (key -> count), the questions you ask
+    before shipping that shuffle:
+
+    - ``max_cnt`` / ``skew_x100`` (max over mean, x100): is the
+      heaviest key out of line with the typical one?
+    - ``topn_share_pct``: do the top ``top_n`` keys own so much of the
+      table that salting (or a broadcast of the OTHER side) is
+      mandatory?
+    - ``rec_salt``: ceil(max_cnt / target_rows_per_task) — the salt
+      fan-out that caps the hottest key's per-task row count at the
+      target; 1 means no salting needed.
+
+    Everything is integer arithmetic (integer division for the mean,
+    x100 fixed-point for ratios), so an external SQL oracle reproduces
+    the row byte-for-byte. The per-key counts aggregate map-side
+    (partial counts merge associatively); the top-N step sorts only
+    the distinct-key relation, never data rows.
+
+    Relation to ``operators.joins.skew_stats``: that helper collects
+    (share, top-k) to the DRIVER for an imperative salt-or-broadcast
+    decision inside ``adaptive_join``; this one stays a DataFrame —
+    schedulable, oracle-checkable, and composable into audit reports.
+    """
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_c")))
+    top = (counts.orderBy(F.col("_c").desc(), F.col("_k"))
+           .limit(int(top_n))
+           .agg(F.sum("_c").alias("_top_c")))
+    return (
+        counts.agg(
+            F.sum("_c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("_c").alias("max_cnt"))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_rows", "n_keys", "max_cnt",
+            F.expr("n_rows DIV n_keys").alias("avg_cnt"),
+            # vs the floored mean, NOT (max*100*n_keys)/n_rows — that
+            # product can exceed int64 at petabyte row counts
+            F.expr("(max_cnt * 100) DIV greatest(n_rows DIV n_keys, 1)")
+            .alias("skew_x100"),
+            F.expr("(_top_c * 100) DIV n_rows").alias("topn_share_pct"),
+            F.expr(f"(max_cnt + {int(target_rows_per_task)} - 1) "
+                   f"DIV {int(target_rows_per_task)}").alias("rec_salt"),
+        ))

@@ -436,3 +436,78 @@ def token_budget_mixture(
         .where(F.col("_cum") <= budget_col)
         .drop("_cum")
     )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing report, one row per shard.
+
+    The standard LLM-pretraining packing scheme: documents are laid out
+    in a deterministic order, token streams concatenated, and the
+    stream cut into fixed ``budget``-token windows; a document whose
+    span crosses a cut boundary "straddles" (it will be split across
+    two training sequences). This operator computes, WITHOUT
+    materializing any token stream, the packing layout per shard:
+
+    - shard = hash(id) % n_shards (portable Knuth hash by default, so
+      an external SQL engine reproduces the exact same layout);
+    - within a shard, docs are ordered by (hash, id) — a deterministic
+      shuffle, the same low-discrepancy order the samplers use;
+    - doc spans come from a running token sum: first_bin =
+      cum_before DIV budget, last_bin = (cum_before + n - 1) DIV
+      budget; straddle = last_bin > first_bin.
+
+    Output per shard: docs, tokens, n_bins (= ceil(tokens/budget)),
+    straddled docs + an id-sum checksum of WHICH docs straddle,
+    tail_waste (pad tokens in the final bin) and fill_pct — all
+    integers, fully oracle-replayable.
+
+    Scale: the only state is one window cum-sum PARTITIONED BY shard —
+    shards are independent, so parallelism = n_shards (set it to the
+    cluster's task count; each shard's window is a single sorted run).
+    No global sort, no collect; zero-token docs are excluded up front
+    (they occupy no stream positions).
+    """
+    hash_fn = _pick_hash(df, id_col, portable)
+    from pyspark.sql import Window
+
+    b = int(budget)
+    d = (df.where(F.col(token_col).isNotNull() & (F.col(token_col) > 0))
+         .select(F.col(id_col).alias("_id"),
+                 F.col(token_col).cast("long").alias("_n"),
+                 hash_fn(id_col).alias("_h")))
+    d = d.withColumn("_shard", F.pmod(F.col("_h"), F.lit(int(n_shards))))
+    w = (Window.partitionBy("_shard").orderBy("_h", "_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn("_cum", F.sum("_n").over(w))
+    d = d.select(
+        "_shard", "_id", "_n", "_cum",
+        (F.col("_cum") - F.col("_n")).alias("_before"))
+    d = d.select(
+        "_shard", "_id", "_n", "_cum",
+        F.expr(f"_before DIV {b}").alias("_fb"),
+        F.expr(f"(_cum - 1) DIV {b}").alias("_lb"))
+    return (
+        d.groupBy("_shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("_n").alias("tokens"),
+            F.sum(F.when(F.col("_lb") > F.col("_fb"), 1).otherwise(0))
+            .alias("straddled"),
+            F.sum(F.when(F.col("_lb") > F.col("_fb"), F.col("_id"))
+                  .otherwise(0)).alias("straddle_id_sum"))
+        .select(
+            F.col("_shard").alias("shard"), "docs", "tokens",
+            F.expr(f"(tokens + {b} - 1) DIV {b}").alias("n_bins"),
+            "straddled", "straddle_id_sum",
+            (F.expr(f"((tokens + {b} - 1) DIV {b}) * {b}")
+             - F.col("tokens")).alias("tail_waste"),
+            F.expr(f"(tokens * 100) DIV (((tokens + {b} - 1) DIV {b}) * {b})")
+            .alias("fill_pct"))
+        .orderBy("shard"))

@@ -810,3 +810,101 @@ def histogram_rollup_quantiles(
         (F.abs(F.col("est") - F.col("exact")) <= F.lit(w_tol))
         .alias("within_w"),
     ).orderBy("q_num", "q_den")
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (explicit registers, oracle-replayable)
+# ---------------------------------------------------------------------------
+
+def hll_register_sketch(
+    df: DataFrame,
+    col: str,
+    b: int = 8,
+) -> DataFrame:
+    """One-row HyperLogLog readout with EXPLICIT registers: estimate,
+    exact distinct, and an md5 digest of the full register vector.
+
+    Spark already ships HLL++ (``approx_count_distinct``), but its
+    registers are opaque — nothing outside the JVM can audit them.
+    This variant builds the registers from the portable md5-60 hash
+    (functions.text.portable_hash60), so an independent SQL engine
+    replays the ENTIRE sketch byte-for-byte: register index = low
+    ``b`` bits, rho = leading-zero count of the remaining 60-b bits
+    + 1 (computed as bit-length arithmetic on the integer, no float
+    log), estimate = the standard alpha*m^2/Z with Z kept as an
+    EXACT integer numerator (sum of powers of two <= 2^61, inside
+    int64) and exactly one float divide at the end — bit-identical
+    IEEE across engines.
+
+    Scale: one map-side-combinable groupBy over (register) — m <= 2^b
+    groups — then a single-row rollup. The register vector (m rows)
+    is tiny by construction; no collect of data rows anywhere.
+    Reference has no sketch subsystem; this generalizes its
+    count-style readouts (src/engine/tag_computer.py) to the
+    mergeable-sketch pattern a 100 TB profile store needs.
+
+    Estimator note: emits the RAW HLL estimator (no small-range
+    linear-counting branch — that needs ln(), whose libm rounding
+    is not contractually identical across engines). The zero-register
+    count rides along so a caller can apply any correction they like.
+    """
+    from bigdata_tag_system_spark.functions.text import portable_hash60
+
+    m = 1 << b
+    wbits = 60 - b
+    rho_max = wbits + 1
+    h = portable_hash60(F.col(col).cast("string"))
+    w = F.expr(f"_h DIV {m}")
+
+    hashed = df.where(F.col(col).isNotNull()).select(
+        h.alias("_h"), F.col(col).alias("_k"))
+    regs = (
+        hashed
+        .select(
+            F.pmod(F.col("_h"), F.lit(m)).alias("_reg"),
+            F.when(w == 0, F.lit(rho_max))
+            .otherwise(F.lit(rho_max) - F.length(F.bin(w)))
+            .alias("_rho"),
+            "_k")
+        .groupBy("_reg")
+        .agg(F.max("_rho").alias("_m")))
+
+    # Z_int = sum over ALL m registers of 2^(rho_max - M_j); absent
+    # registers carry M_j = 0. pow(2, k) for integer k <= 53 is an
+    # exact IEEE double in every engine; the cast back to long is
+    # therefore exact too.
+    present = regs.agg(
+        F.count(F.lit(1)).alias("_hit"),
+        F.sum(F.expr(f"CAST(pow(2.0, {rho_max} - _m) AS BIGINT)"))
+        .alias("_zp"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(
+            F.concat_ws(":", F.lpad(F.col("_reg").cast("string"), 3, "0"),
+                        F.col("_m").cast("string")))), ",")).alias("regs_md5"))
+    exact = hashed.agg(
+        F.count_distinct(F.col("_k")).alias("exact_distinct"))
+
+    # e0-suffixed literals parse as DOUBLE in BOTH Spark and DuckDB —
+    # a bare 0.7213 is DECIMAL in each engine's ANSI dialect, and
+    # decimal division scale rules differ across engines
+    alpha_expr = "(0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0))".format(m=m)
+    # empty input: sum() is NULL but every register still contributes
+    # 2^rho_max, so coalesce the present-register term to 0
+    z_full = (F.coalesce(F.col("_zp"), F.lit(0).cast("long"))
+              + (F.lit(m) - F.col("_hit")) * F.lit(1 << rho_max).cast("long"))
+    out = present.crossJoin(F.broadcast(exact)).select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("_hit").alias("registers_hit"),
+        (F.lit(m) - F.col("_hit")).alias("zero_registers"),
+        z_full.alias("z_int"),
+        "regs_md5",
+        "exact_distinct",
+    )
+    # one float multiply chain + one divide, identical text on both
+    # sides: parsed-literal doubles and left-to-right evaluation make
+    # the result bit-identical across engines
+    est = (f"CAST(FLOOR({alpha_expr} * {m}.0e0 * {m}.0e0 "
+           f"* {float(1 << rho_max):.1f}e0 / CAST(z_int AS DOUBLE)) "
+           f"AS BIGINT)")
+    return out.select(
+        "m", "registers_hit", "zero_registers", "z_int",
+        F.expr(est).alias("est_raw"), "exact_distinct", "regs_md5")

@@ -25,14 +25,21 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 qs, oracles = entry._build_queries(), entry.oracle_sql()
 
 def canonkey(row, order):
-    out=[]
+    # primary key canonicalizes floats at %.6g (matches the gate's view
+    # of "the same row" on both sides); the FULL-precision repr is a
+    # tiebreak so two rows that tie at 6 sig digits but differ in raw
+    # value still sort identically on both sides — without it the zip
+    # could misalign exactly the rows this sweep exists to catch
+    coarse, fine = [], []
     for i in order:
-        v=row[i]
-        if isinstance(v,float):
-            out.append(f"{v:.6g}")
+        v = row[i]
+        if isinstance(v, float):
+            coarse.append(f"{v:.6g}")
+            fine.append(repr(v))
         else:
-            out.append(str(v))
-    return "|".join(out)
+            coarse.append(str(v))
+            fine.append(str(v))
+    return ("|".join(coarse), "|".join(fine))
 
 for name in NAMES:
     if name not in oracles: 
