@@ -40,6 +40,8 @@ _STREAM_PARITY_CACHE: dict[str, str] = {}
 _STREAM_WINDOW_CACHE: dict[str, str] = {}
 # stateful-sessionize streaming replay outputs, keyed by sf_dir
 _STREAM_SESSION_CACHE: dict[str, str] = {}
+# native session_window streaming replay outputs, keyed by sf_dir
+_STREAM_SESSION_NATIVE_CACHE: dict[str, str] = {}
 # stream-stream join replay outputs, keyed by sf_dir (stream_join_parity)
 _STREAM_JOIN_CACHE: dict[str, str] = {}
 
@@ -2572,6 +2574,81 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("user_id", "session_start_ms")
 
     q["stream_sessionize_parity"] = stream_sessionize_parity
+
+    def stream_session_native_parity(spark, sf_dir):
+        # Spark's NATIVE session_window sessionizer (JVM state store,
+        # engine-managed merge/eviction) replayed availableNow over the
+        # events table in THREE event-time-ordered chunks so sessions
+        # genuinely extend across micro-batch boundaries. Session
+        # windows only support APPEND mode: a session is emitted
+        # exactly once, when the watermark passes its end (last event
+        # + gap) — so the final no-data batch's watermark
+        # (max ts − 30 min) withholds tail sessions still inside the
+        # horizon. Oracle = batch gap-island sessionization (new
+        # session when ts - prev > 60 min — the gap boundary is
+        # INCLUSIVE, pinned by a planted pytest; end = last ts + gap)
+        # restricted to sessions the final watermark finalized; value
+        # in integer cents.
+        import os
+        import tempfile
+
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            session_window_aggregates,
+        )
+
+        _prep(spark)
+        out_dir = _STREAM_SESSION_NATIVE_CACHE.get(sf_dir)
+        if out_dir is None:
+            ev = _t(spark, sf_dir, "events")
+            schema = ev.schema
+            tmp = tempfile.mkdtemp(prefix="stream_sessnat_")
+            src_dir = tmp + "/src"
+            os.makedirs(src_dir)
+            cuts = ["2024-01-11", "2024-01-21"]
+            ranges = [
+                ev.where(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+                ev.where((F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+                         & (F.col("ts") < F.lit(cuts[1])
+                            .cast("timestamp"))),
+                ev.where(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+            ]
+            for i, chunk in enumerate(ranges):
+                cdir = f"{src_dir}/chunk{i}"
+                chunk.coalesce(1).write.mode("overwrite").parquet(cdir)
+                part = [f for f in os.listdir(cdir)
+                        if f.endswith(".parquet")][0]
+                dst = f"{src_dir}/{i}.parquet"
+                os.rename(f"{cdir}/{part}", dst)
+                os.utime(dst, (1_000_000 + i * 1000,
+                               1_000_000 + i * 1000))
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("latestFirst", "false")
+                .parquet(src_dir + "/[0-9]*.parquet")
+            )
+            sessions = session_window_aggregates(
+                stream, gap="60 minutes", watermark="30 minutes")
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            query = (
+                sessions.writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(
+                    lambda batch, _bid:
+                        batch.write.mode("append").parquet(out))
+                .start()
+            )
+            query.awaitTermination()
+            _STREAM_SESSION_NATIVE_CACHE[sf_dir] = out
+            out_dir = out
+        replayed = spark.read.parquet(out_dir)
+        return replayed.select(
+            "user_id", "session_start_ms", "session_end_ms",
+            "event_count", "value_cents",
+        ).orderBy("user_id", "session_start_ms")
+
+    q["stream_session_native_parity"] = stream_session_native_parity
 
     def stream_ewma_parity(spark, sf_dir):
         # the stateful-recursion EWMA (S'=β·S+v carried in
@@ -10350,6 +10427,47 @@ def oracle_sql() -> dict[str, str]:
                (top_c * 100) // n_rows AS topn_share_pct,
                (max_cnt + 50 - 1) // 50 AS rec_salt
         FROM s, t
+    """
+
+    # native session_window replay: batch gap-island sessionization is
+    # the exact fixpoint of the streaming session store after the final
+    # availableNow batch (UPDATE mode + last-write-wins per session
+    # start); half-open window semantics => a new session when
+    # ts - prev >= gap; session end = last event + gap
+    o["stream_session_native_parity"] = """
+        WITH e AS (
+            SELECT user_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), o1 AS (
+            SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          AS pts
+            FROM e
+        ), m AS (
+            -- INCLUSIVE gap boundary: an event exactly gap after its
+            -- predecessor MERGES (measured against session_window on a
+            -- planted fixture; tests/test_round7_ops.py pins it)
+            SELECT *, CASE WHEN pts IS NULL
+                                OR ts > pts + INTERVAL 60 MINUTE
+                           THEN 1 ELSE 0 END AS brk
+            FROM o1
+        ), s AS (
+            SELECT *, sum(brk) OVER (
+                          PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sid
+            FROM m
+        )
+        SELECT user_id,
+               epoch_ms(min(ts))::BIGINT AS session_start_ms,
+               epoch_ms(max(ts) + INTERVAL 60 MINUTE)::BIGINT
+                   AS session_end_ms,
+               CAST(count(*) AS BIGINT) AS event_count,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, sid
+        HAVING max(ts) + INTERVAL 60 MINUTE
+               < (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+        ORDER BY user_id, session_start_ms
     """
 
     o["sample_pack_bins"] = f"""

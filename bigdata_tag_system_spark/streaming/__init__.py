@@ -1,4 +1,5 @@
 from bigdata_tag_system_spark.streaming.rule_stream import (
+    session_window_aggregates,
     streaming_exact_dedup,
     streaming_tag_assignments,
     tag_stream_with_rule_reload,
@@ -16,4 +17,5 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_minhash_candidates",
     "sessionize_stream",
+    "session_window_aggregates",
 ]

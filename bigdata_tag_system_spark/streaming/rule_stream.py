@@ -96,6 +96,57 @@ def windowed_event_aggregates(
     )
 
 
+def session_window_aggregates(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "60 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user SESSION-window aggregates via Spark's native
+    ``session_window`` — the engine-managed counterpart of the custom
+    ``streaming.stateful.sessionize_stream``.
+
+    Two sessionizers on purpose: ``session_window`` is the idiomatic
+    path (state merging, watermark eviction, and window coalescing all
+    inside the JVM state store — no Python worker in the loop), while
+    the ``applyInPandasWithState`` variant exists for semantics the
+    native operator can't express (per-session custom payloads,
+    non-gap close rules). When plain gap sessionization is what you
+    need, THIS is the one to run at 100 TB: state is keyed
+    (user, session), merged natively, and bounded by the watermark.
+
+    Streaming session windows are APPEND-mode only (Spark emits a
+    session exactly once, when the watermark passes last event + gap;
+    sessions still open inside the watermark horizon at stream end are
+    withheld) — see ``stream_session_native_parity`` for the replay
+    contract and its batch oracle.
+
+    ``value`` is aggregated in integer CENTS (round-then-cast, exact
+    for cent-denominated doubles), so the output is summation-order-
+    independent and byte-comparable across engines.
+    """
+    return (
+        ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .alias("value_cents"),
+        )
+        .select(
+            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+            user_col,
+            "event_count",
+            "value_cents",
+        )
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

@@ -157,3 +157,48 @@ class TestPackConcatChunks:
             1 for s, e in spans if (s // 100) != ((e - 1) // 100))
         assert row["straddled"] == expect
         assert row["n_bins"] == 5
+
+
+# ---------------------------------------------------------------------------
+# session_window_aggregates (batch semantics on a planted fixture;
+# the streaming replay is covered by stream_session_native_parity)
+# ---------------------------------------------------------------------------
+
+class TestSessionWindowAggregates:
+    def test_planted_sessions(self, spark):
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            session_window_aggregates,
+        )
+
+        rows = [
+            # user 1: two events 30 min apart -> one session; an event
+            # exactly 60 min after the previous MERGES (gap boundary is
+            # inclusive — this pins the semantics the oracle replays);
+            # an event 60 min + 1 s later opens a NEW session
+            (1, "2024-01-01 10:00:00", 1.00),
+            (1, "2024-01-01 10:30:00", 2.00),
+            (1, "2024-01-01 11:30:00", 4.00),
+            (1, "2024-01-01 12:30:01", 8.00),
+            # user 2: single event
+            (2, "2024-01-01 09:00:00", 0.50),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {(r["user_id"], r["session_start_ms"]): r
+               for r in session_window_aggregates(df).collect()}
+        assert len(out) == 3
+        import datetime as dt
+
+        def ms(s):
+            return int(dt.datetime.fromisoformat(s + "+00:00")
+                       .timestamp() * 1000)
+
+        s1 = out[(1, ms("2024-01-01 10:00:00"))]
+        assert s1["event_count"] == 3 and s1["value_cents"] == 700
+        # session end = last event + gap
+        assert s1["session_end_ms"] == ms("2024-01-01 12:30:00")
+        s2 = out[(1, ms("2024-01-01 12:30:01"))]
+        assert s2["event_count"] == 1 and s2["value_cents"] == 800
+        s3 = out[(2, ms("2024-01-01 09:00:00"))]
+        assert s3["event_count"] == 1 and s3["value_cents"] == 50
