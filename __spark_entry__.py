@@ -5935,6 +5935,51 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audit_key_skew"] = audit_key_skew
 
+    def graph_lpa_communities(spark, sf_dir):
+        # synchronous label propagation on the co-purchase part graph,
+        # 3 fixed rounds, most-frequent-neighbor-label with min-label
+        # ties — fully deterministic, so the oracle unrolls the same 3
+        # rounds as CTEs and matches the assignment byte-for-byte
+        from bigdata_tag_system_spark.operators.graph import (
+            label_propagation,
+        )
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey")
+        a = li.withColumnRenamed("l_partkey", "p1")
+        b = li.withColumnRenamed("l_partkey", "p2")
+        edges = (
+            a.join(b, "l_orderkey")
+            .where(F.col("p1") < F.col("p2"))
+            .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        )
+        return label_propagation(edges, rounds=3).orderBy("node")
+
+    q["graph_lpa_communities"] = graph_lpa_communities
+
+    def feat_hash_features(spark, sf_dir):
+        # hashing-trick encoding of customer categoricals into 64
+        # signed buckets; readout = per-bucket histogram with an
+        # id-weighted checksum so every (id, bucket, sign) assignment
+        # is pinned, not just the totals
+        from bigdata_tag_system_spark.operators.features import (
+            hashed_features,
+        )
+
+        c = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment",
+            F.col("c_nationkey").cast("string").alias("c_nation"))
+        f = hashed_features(
+            c, ["c_mktsegment", "c_nation"], dims=64, id_col="c_custkey")
+        return (f.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n_ids"),
+                     F.sum("weight").alias("w_sum"),
+                     F.sum(F.col("id") * F.col("weight"))
+                     .alias("id_w_sum"))
+                .orderBy("bucket"))
+
+    q["feat_hash_features"] = feat_hash_features
+
     def sample_pack_bins(spark, sf_dir):
         # concat-then-chunk packing layout at a 2048-token budget over 8
         # knuth-hash shards: bins, straddling docs (selection checksummed
@@ -10468,6 +10513,79 @@ def oracle_sql() -> dict[str, str]:
         HAVING max(ts) + INTERVAL 60 MINUTE
                < (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
         ORDER BY user_id, session_start_ms
+    """
+
+    # 3 LPA rounds unrolled; tie rule = max count then MIN label,
+    # expressed as min(lbl) over the max-count window on both sides
+    o["graph_lpa_communities"] = """
+        WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+        ),
+        sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        lab0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym),
+        v1 AS (
+            SELECT s.a AS node, lab.lbl, count(*) AS c
+            FROM sym s JOIN lab0 lab ON s.b = lab.node GROUP BY 1, 2
+        ),
+        lab1 AS (
+            SELECT node, min(lbl) AS lbl FROM (
+                SELECT node, lbl, c,
+                       max(c) OVER (PARTITION BY node) AS mc
+                FROM v1) WHERE c = mc GROUP BY node
+        ),
+        v2 AS (
+            SELECT s.a AS node, lab.lbl, count(*) AS c
+            FROM sym s JOIN lab1 lab ON s.b = lab.node GROUP BY 1, 2
+        ),
+        lab2 AS (
+            SELECT node, min(lbl) AS lbl FROM (
+                SELECT node, lbl, c,
+                       max(c) OVER (PARTITION BY node) AS mc
+                FROM v2) WHERE c = mc GROUP BY node
+        ),
+        v3 AS (
+            SELECT s.a AS node, lab.lbl, count(*) AS c
+            FROM sym s JOIN lab2 lab ON s.b = lab.node GROUP BY 1, 2
+        ),
+        lab3 AS (
+            SELECT node, min(lbl) AS lbl FROM (
+                SELECT node, lbl, c,
+                       max(c) OVER (PARTITION BY node) AS mc
+                FROM v3) WHERE c = mc GROUP BY node
+        )
+        SELECT node, lbl AS label FROM lab3 ORDER BY node
+    """
+
+    # hashing-trick replay: md5-60 of 'col=value', bucket = low bits
+    # mod 64, sign = next hash bit; per-bucket histogram + id-weighted
+    # checksum pins every assignment
+    o["feat_hash_features"] = """
+        WITH f AS (
+            SELECT c_custkey AS id,
+                   CAST(('0x' || substr(md5('c_mktsegment='
+                        || c_mktsegment), 1, 15)) AS BIGINT) AS h
+            FROM customer WHERE c_mktsegment IS NOT NULL
+            UNION ALL
+            SELECT c_custkey AS id,
+                   CAST(('0x' || substr(md5('c_nation='
+                        || CAST(c_nationkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h
+            FROM customer WHERE c_nationkey IS NOT NULL
+        ), p AS (
+            SELECT id, h % 64 AS bucket,
+                   CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS w
+            FROM f
+        ), g AS (
+            SELECT id, bucket, CAST(sum(w) AS BIGINT) AS weight
+            FROM p GROUP BY 1, 2
+        )
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_ids,
+               CAST(sum(weight) AS BIGINT) AS w_sum,
+               CAST(sum(id * weight) AS BIGINT) AS id_w_sum
+        FROM g GROUP BY bucket ORDER BY bucket
     """
 
     o["sample_pack_bins"] = f"""

@@ -148,6 +148,11 @@ def main() -> None:
         "events_user_lifecycle",   # growth-accounting board
         "func_hof_battery",        # HOF projection battery
         "text_novelty_curve",      # corpus-order novelty census
+        # round-7 additions
+        "sketch_hll_portable",     # explicit-register HLL replay
+        "audit_key_skew",          # pre-shuffle hot-key diagnosis
+        "sample_pack_bins",        # concat-then-chunk packing layout
+        "stream_session_native_parity",  # native session_window replay
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -736,3 +736,49 @@ def target_encode(
         .drop("_prior")
     )
     return df.join(F.broadcast(stats), [category_col, fold_col], "left")
+
+
+def hashed_features(
+    df: DataFrame,
+    cols: Sequence[str],
+    dims: int = 1024,
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Hashing-trick featurizer: sparse (id, bucket, weight) rows.
+
+    The fixed-vocabulary-free encoder (Weinberger et al. 2009) a
+    100 TB feature pipeline needs: no fitted dictionary to broadcast
+    or keep consistent across days — bucket = hash("col=value") mod
+    ``dims``, sign = the next hash bit (the signed variant keeps
+    collision noise zero-mean, so colliding categories cancel in
+    expectation instead of piling up). Pure per-row projection + one
+    aggregate: map-side combinable, no fitted state, no shuffle beyond
+    the final (id, bucket) groupBy, deterministic across runs AND
+    engines — the hash is the portable md5-60
+    (``functions.text.portable_hash60``), so a SQL oracle reproduces
+    every bucket and sign exactly.
+
+    NULL values contribute nothing (standard hashing-trick treatment:
+    absence is the zero vector, not a "NULL" category). Repeated
+    (id, col, value) rows vote repeatedly — counts, not presence.
+    """
+    from functools import reduce
+
+    from bigdata_tag_system_spark.functions.text import portable_hash60
+
+    d = int(dims)
+    parts = []
+    for c in cols:
+        key = F.concat(F.lit(c + "="), F.col(c).cast("string"))
+        parts.append(
+            df.where(F.col(c).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    portable_hash60(key).alias("_h"))
+            .select(
+                "id",
+                F.pmod(F.col("_h"), F.lit(d)).alias("bucket"),
+                F.when(F.expr(f"(_h DIV {d}) % 2 = 0"), F.lit(1))
+                .otherwise(F.lit(-1)).alias("_w")))
+    u = reduce(DataFrame.unionAll, parts)
+    return (u.groupBy("id", "bucket")
+            .agg(F.sum("_w").cast("long").alias("weight")))

@@ -376,3 +376,56 @@ def kcore(
         live.unpersist()
         if prev_live is not None:
             prev_live.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities: ``rounds`` fixed
+    iterations, every node adopts the most frequent label among its
+    neighbors, ties break to the SMALLEST label.
+
+    Fully deterministic by construction (synchronous update + total
+    tie order), which is what makes the result oracle-checkable — a
+    SQL engine can unroll the same ``rounds`` as CTEs and reproduce
+    the assignment byte-for-byte. The classic LPA caveat applies and
+    is deliberate: synchronous updates can oscillate on bipartite
+    structures, so this is a FIXED-BUDGET community sketch (the
+    standard corpus-curation use: group near-duplicate domains /
+    co-purchase clusters for sampling weights), not a convergence
+    claim. Production runs pick rounds ~3-5; more rounds only sharpen
+    already-dense communities.
+
+    Scale shape: per round, ONE shuffle join (labels onto the
+    symmetric edge list, key = node) + one two-level aggregate; the
+    edge list is computed once, persisted, and never mutated. Labels
+    are (node, long) — the narrow relation the 100 TB path wants.
+    Self-loops dropped; multi-edges collapse (unweighted votes).
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+         .distinct())
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.persist()
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")))
+    try:
+        for _ in range(int(rounds)):
+            votes = (
+                sym.join(labels.withColumnRenamed("node", "b"), "b")
+                .groupBy(F.col("a").alias("node"), "lbl")
+                .agg(F.count(F.lit(1)).alias("_c")))
+            labels = (
+                votes.groupBy("node")
+                .agg(F.max(F.struct(F.col("_c"),
+                                    (-F.col("lbl")).alias("_neg")))
+                     .alias("_w"))
+                .select("node", (-F.col("_w._neg")).alias("lbl"))
+                .localCheckpoint(eager=False))
+        return labels.select("node", F.col("lbl").alias("label"))
+    finally:
+        sym.unpersist()

@@ -108,6 +108,8 @@ _CATALOG_ALLOW = {
     "graph_bfs_depths": ["rdd_scan"],
     # k-core keep-sets are localCheckpoint-ed per peel round
     "graph_kcore": ["rdd_scan"],
+    # LPA labels are localCheckpoint-ed per round, same loop discipline
+    "graph_lpa_communities": ["rdd_scan"],
     # text_udtf_chunks IS the documented §2.10 slow-path demo: a Python
     # UDTF is by definition a per-row Python round-trip; the catalog
     # keeps exactly one such entry, with the native chunker as the

@@ -202,3 +202,79 @@ class TestSessionWindowAggregates:
         assert s2["event_count"] == 1 and s2["value_cents"] == 800
         s3 = out[(2, ms("2024-01-01 09:00:00"))]
         assert s3["event_count"] == 1 and s3["value_cents"] == 50
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+class TestLabelPropagation:
+    def test_two_triangles_with_bridge(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            label_propagation,
+        )
+
+        # two triangles joined by one bridge edge; hand-simulated
+        # 3 synchronous rounds (min-label ties) settle to communities
+        # {1,2,3}->1 and {4,5,6}->3
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+            "src bigint, dst bigint")
+        got = {r["node"]: r["label"]
+               for r in label_propagation(edges, rounds=3).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+    def test_self_loops_and_duplicates_ignored(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (1, 1)], "src bigint, dst bigint")
+        got = {r["node"]: r["label"]
+               for r in label_propagation(edges, rounds=2).collect()}
+        # single undirected edge: each adopts the other's label each
+        # round; after 2 rounds both are back to their own
+        assert got == {1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# hashed_features
+# ---------------------------------------------------------------------------
+
+class TestHashedFeatures:
+    def test_hash_and_sign_match_reference_md5(self, spark):
+        import hashlib
+
+        from bigdata_tag_system_spark.operators.features import (
+            hashed_features,
+        )
+
+        df = spark.createDataFrame(
+            [(7, "BUILDING")], "user_id bigint, seg string")
+        row = hashed_features(df, ["seg"], dims=64).first()
+        h = int(hashlib.md5(b"seg=BUILDING").hexdigest()[:15], 16)
+        assert row["id"] == 7
+        assert row["bucket"] == h % 64
+        assert row["weight"] == (1 if (h // 64) % 2 == 0 else -1)
+
+    def test_nulls_contribute_nothing(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            hashed_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None, "x"), (2, "a", None)],
+            "user_id bigint, c1 string, c2 string")
+        out = hashed_features(df, ["c1", "c2"], dims=16).collect()
+        assert len(out) == 2  # one feature per row, NULLs dropped
+
+    def test_repeated_values_accumulate(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            hashed_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "a")], "user_id bigint, c string")
+        row = hashed_features(df, ["c"], dims=16).first()
+        assert abs(row["weight"]) == 3  # counts, not presence
