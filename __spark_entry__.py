@@ -5980,6 +5980,21 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["feat_hash_features"] = feat_hash_features
 
+    def sample_temperature_alloc(spark, sf_dir):
+        # alpha=0.5 temperature mixture over documents.source at a
+        # 3000-doc budget: weights from IEEE-correctly-rounded sqrt
+        # fixed-pointed to int64, largest-remainder integer rounding —
+        # allocations sum to the budget exactly and replay byte-for-
+        # byte in any engine
+        from bigdata_tag_system_spark.operators.sampling import (
+            temperature_allocation,
+        )
+
+        d = _t(spark, sf_dir, "documents").select("source")
+        return temperature_allocation(d, "source", budget=3000, alpha=0.5)
+
+    q["sample_temperature_alloc"] = sample_temperature_alloc
+
     def sample_pack_bins(spark, sf_dir):
         # concat-then-chunk packing layout at a 2048-token budget over 8
         # knuth-hash shards: bins, straddling docs (selection checksummed
@@ -10586,6 +10601,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(weight) AS BIGINT) AS w_sum,
                CAST(sum(id * weight) AS BIGINT) AS id_w_sum
         FROM g GROUP BY bucket ORDER BY bucket
+    """
+
+    # temperature-mixture replay: sqrt is correctly rounded by IEEE 754
+    # (bit-identical across engines), then everything is int64
+    o["sample_temperature_alloc"] = """
+        WITH c AS (
+            SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents WHERE source IS NOT NULL GROUP BY source
+        ), w AS (
+            SELECT grp, n_docs,
+                   CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS w_fixed
+            FROM c
+        ), t AS (
+            SELECT CAST(sum(w_fixed) AS BIGINT) AS w_total FROM w
+        ), j AS (
+            SELECT grp, n_docs, w_fixed,
+                   (3000 * w_fixed) // w_total AS base,
+                   (3000 * w_fixed) % w_total AS rem
+            FROM w, t
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY rem DESC, grp) AS rk,
+                   (SELECT 3000 - sum(base) FROM j) AS leftover
+            FROM j
+        )
+        SELECT grp, n_docs, w_fixed,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM r ORDER BY grp
     """
 
     o["sample_pack_bins"] = f"""

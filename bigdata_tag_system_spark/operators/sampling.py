@@ -511,3 +511,78 @@ def pack_concat_chunks(
             F.expr(f"(tokens * 100) DIV (((tokens + {b} - 1) DIV {b}) * {b})")
             .alias("fill_pct"))
         .orderBy("shard"))
+
+
+def temperature_allocation(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture allocation: how many docs to draw
+    from each source so group g gets share ∝ n_g^alpha (the
+    multilingual/LLM corpus-balancing scheme — alpha=1 is proportional,
+    alpha→0 uniform; mT5/UNIMAX-style upsampling of small sources).
+
+    Exact integer allocation by LARGEST-REMAINDER (Hamilton) rounding:
+    base_g = budget·w_g div W, then the budget − Σbase leftovers go to
+    the largest remainders (ties → smallest group key). Output sums to
+    ``budget`` exactly.
+
+    Portability design: alpha is restricted to {0.25, 0.5, 0.75} —
+    weights come from IEEE-754 ``sqrt`` (CORRECTLY ROUNDED by the
+    standard, hence bit-identical in every engine), composed as
+    sqrt(n), sqrt(sqrt(n)), sqrt(n)·sqrt(sqrt(n)); a general
+    ``pow(n, alpha)`` is libm-dependent and NOT cross-engine stable.
+    The weight is then fixed-pointed (floor(w·10^6)) so every
+    downstream step — W, base, remainder, rank — is pure int64
+    arithmetic an oracle replays byte-for-byte.
+
+    Scale shape: one count aggregate over the data, then ALL work
+    happens on the per-group relation (≤ thousands of rows); the rank
+    window runs over groups, never data rows. budget·w_fixed must fit
+    int64: budget ≤ ~10^5 with w_fixed ≤ 10^12 (n ≤ 10^12 rows/group)
+    — beyond that, drop FIXED_SCALE a decade.
+    """
+    from pyspark.sql import Window
+
+    FIXED = 1_000_000
+    b = int(budget)
+    if alpha == 0.5:
+        w_expr = "sqrt(cast(n_docs as double))"
+    elif alpha == 0.25:
+        w_expr = "sqrt(sqrt(cast(n_docs as double)))"
+    elif alpha == 0.75:
+        w_expr = ("sqrt(cast(n_docs as double)) "
+                  "* sqrt(sqrt(cast(n_docs as double)))")
+    else:
+        raise ValueError(
+            f"alpha must be one of 0.25, 0.5, 0.75 (IEEE-sqrt-"
+            f"composable, engine-portable); got {alpha}")
+
+    counts = (df.where(F.col(group_col).isNotNull())
+              .groupBy(F.col(group_col).alias("grp"))
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    weighted = counts.select(
+        "grp", "n_docs",
+        F.expr(f"CAST(floor(({w_expr}) * {FIXED}) AS BIGINT)")
+        .alias("w_fixed"))
+    tot = weighted.agg(F.sum("w_fixed").alias("w_total"),
+                       F.count(F.lit(1)).alias("n_groups"))
+    j = weighted.crossJoin(F.broadcast(tot)).select(
+        "grp", "n_docs", "w_fixed",
+        F.expr(f"({b} * w_fixed) DIV w_total").alias("base"),
+        F.expr(f"({b} * w_fixed) % w_total").alias("rem"))
+    leftover = F.lit(b) - F.sum("base").over(
+        Window.partitionBy())  # over the group relation only
+    ranked = j.withColumn(
+        "_rk", F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("grp"))))
+    return (ranked
+            .withColumn("_left", leftover)
+            .select(
+                "grp", "n_docs", "w_fixed",
+                (F.col("base")
+                 + F.when(F.col("_rk") <= F.col("_left"), 1)
+                 .otherwise(0)).alias("alloc"))
+            .orderBy("grp"))

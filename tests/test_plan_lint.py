@@ -132,6 +132,9 @@ _CATALOG_ALLOW = {
     "customer_rfm_segments": ["global_window"],
     # lag(12) over the month series — calendar-bounded rows
     "orders_monthly_yoy": ["global_window"],
+    # largest-remainder rank runs over the per-GROUP relation
+    # (≤ #sources rows), never data rows
+    "sample_temperature_alloc": ["global_window"],
     # Pareto deciles are a global revenue ranking by definition (see
     # customer_rfm_segments above for the fence-based scale path)
     "customer_revenue_concentration": ["global_window"],

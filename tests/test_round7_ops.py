@@ -278,3 +278,65 @@ class TestHashedFeatures:
             [(1, "a"), (1, "a"), (1, "a")], "user_id bigint, c string")
         row = hashed_features(df, ["c"], dims=16).first()
         assert abs(row["weight"]) == 3  # counts, not presence
+
+
+# ---------------------------------------------------------------------------
+# temperature_allocation
+# ---------------------------------------------------------------------------
+
+class TestTemperatureAllocation:
+    def test_sums_to_budget_and_flattens(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            temperature_allocation,
+        )
+
+        # 10000 'big' rows vs 100 'small': alpha=0.5 weights 100:10,
+        # so small gets ~10/110 of the budget (vs ~1% proportional)
+        df = spark.range(10100).select(
+            F.when(F.col("id") < 10000, "big").otherwise("small")
+            .alias("src"))
+        out = {r["grp"]: r for r in temperature_allocation(
+            df, "src", budget=1000, alpha=0.5).collect()}
+        assert out["big"]["alloc"] + out["small"]["alloc"] == 1000
+        # sqrt flattening: small's share ~91, far above proportional ~10
+        assert 85 <= out["small"]["alloc"] <= 95
+        assert out["big"]["n_docs"] == 10000
+
+    def test_alpha_one_quarter_flattens_more(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            temperature_allocation,
+        )
+
+        df = spark.range(10100).select(
+            F.when(F.col("id") < 10000, "big").otherwise("small")
+            .alias("src"))
+        half = {r["grp"]: r["alloc"] for r in temperature_allocation(
+            df, "src", budget=1000, alpha=0.5).collect()}
+        quarter = {r["grp"]: r["alloc"] for r in temperature_allocation(
+            df, "src", budget=1000, alpha=0.25).collect()}
+        assert quarter["small"] > half["small"]
+        assert sum(quarter.values()) == 1000
+
+    def test_unsupported_alpha_raises(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            temperature_allocation,
+        )
+
+        df = spark.range(10).select(F.lit("a").alias("src"))
+        with pytest.raises(ValueError):
+            temperature_allocation(df, "src", budget=10, alpha=0.7)
+
+    def test_largest_remainder_exactness(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            temperature_allocation,
+        )
+
+        # three equal groups, budget 10: 10/3 each -> 3/3/3 + 1 to the
+        # largest remainder (all equal -> smallest key wins the extra)
+        df = spark.range(30).select(
+            F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+            .alias("src"))
+        out = {r["grp"]: r["alloc"] for r in temperature_allocation(
+            df, "src", budget=10, alpha=0.5).collect()}
+        assert sum(out.values()) == 10
+        assert out == {"s0": 4, "s1": 3, "s2": 3}
