@@ -286,9 +286,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # De-risking sweep (r6, tools/float_sweep.py, full-precision float
 # compare at sf0.01): all 47 of these were BIT-EXACT vs DuckDB, so no
 # latent rounding-tie red of the customer_cohort_ltv class is waiting.
-# ROUND-8+ WINDOW PLAN: with 290/290 closed, subsequent windows carry
-# (a) any r7 reds held in until green, (b) all new catalog entries of
-# the round, (c) rotation of the oldest last-green rows for re-checks.
+# ROUND-8 WINDOW PLAN: with the pre-r7 catalog closed at 290/290,
+# the r8 window carries (a) any r7 reds held in until green, (b) the
+# round-7 additions landed AFTER the window froze at 50 —
+# stream_session_native_parity, graph_lpa_communities,
+# feat_hash_features, sample_temperature_alloc, dedup_split_leakage,
+# sketch_cms_join_size —
+# (c) rotation of the oldest last-green rows (r1/r2 vintage first)
+# into the remaining ~40 slots for re-checks.
 _DRIVER_FIRST = [
     # -- the 47 never-checked entries (closing 290/290) --
     "events_funnel_chain", "stream_dedup_parity", "emb_pq_adc_topk",
@@ -5703,6 +5708,23 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_portable"] = dedup_minhash_portable
 
+    def dedup_split_leakage(spark, sf_dir):
+        # eval-contamination audit: portable MinHash near-dup pairs
+        # joined against the portable hash split — cross_split=true
+        # rows are test docs reachable from train via a near-duplicate;
+        # id-sum checksum pins WHICH pairs leak. Both building blocks
+        # (banding math, split fences) are independently oracle-proven;
+        # this replays their COMPOSITION end to end.
+        from bigdata_tag_system_spark.operators.sampling import hash_split
+
+        pairs = D.minhash_portable_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.5)
+        splits = hash_split(
+            _t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+        return D.split_leakage_report(pairs, splits)
+
+    q["dedup_split_leakage"] = dedup_split_leakage
+
     def orders_aging_report(spark, sf_dir):
         # operational aging: non-final orders bucketed by age at the
         # pinned as-of date (30/90/365-day fences, integer datediff —
@@ -5979,6 +6001,34 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("bucket"))
 
     q["feat_hash_features"] = feat_hash_features
+
+    def sketch_cms_join_size(spark, sf_dir):
+        # planner-style join-cardinality estimate WITHOUT touching the
+        # fact tables: CMS inner product (min over depth rows of
+        # Σ a·b per bucket) for events ⋈ orders on the customer key,
+        # vs the exact Σ n_a(k)·n_b(k); overcount is the one-sided CMS
+        # error, integer end to end
+        from bigdata_tag_system_spark.operators.sketches import (
+            cms_build, cms_join_size,
+        )
+
+        ev = _t(spark, sf_dir, "events").select(
+            F.col("user_id").alias("k"))
+        od = _t(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("k"))
+        est = cms_join_size(
+            cms_build(ev, "k", width=256, depth=3),
+            cms_build(od, "k", width=256, depth=3), depth=3)
+        na = ev.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+        nb = od.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+        exact = na.join(nb, "k").agg(
+            F.sum(F.col("na") * F.col("nb")).alias("exact_join_size"))
+        return est.crossJoin(F.broadcast(exact)).select(
+            "est_join_size", "exact_join_size",
+            (F.col("est_join_size") - F.col("exact_join_size"))
+            .alias("overcount"))
+
+    q["sketch_cms_join_size"] = sketch_cms_join_size
 
     def sample_temperature_alloc(spark, sf_dir):
         # alpha=0.5 temperature mixture over documents.source at a
@@ -10324,6 +10374,71 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY id_a, id_b
     """
 
+    # leakage-audit replay: the portable-minhash candidate CTEs verbatim
+    # (independently proven by dedup_minhash_portable) composed with the
+    # hash_split fences (proven by sample_hash_split) — pins the
+    # end-to-end composition, per split combination with id-sum
+    o["dedup_split_leakage"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), sh AS MATERIALIZED (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS MATERIALIZED (
+            SELECT doc_id, unnest(s) AS g FROM sh
+        ), hashes AS (
+            SELECT doc_id, i.i AS i,
+                   min(('0x' || substr(md5(cast(i.i AS VARCHAR)
+                        || '|' || g), 1, 15))::BIGINT) AS mh
+            FROM ex, range(8) i(i) GROUP BY 1, 2
+        ), bands AS MATERIALIZED (
+            SELECT doc_id, i // 2 AS band,
+                   md5(string_agg(cast(mh AS VARCHAR), ','
+                       ORDER BY i)) AS bk
+            FROM hashes GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bk = b.bk
+                        AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM sh
+        ), common AS (
+            SELECT c.id_a, c.id_b, count(*) AS cc
+            FROM cand c
+            JOIN ex ea ON ea.doc_id = c.id_a
+            JOIN ex eb ON eb.doc_id = c.id_b AND ea.g = eb.g
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT id_a, id_b
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE cc * 1.0 / (sa.n + sb.n - cc) >= 0.5
+        ), sp AS (
+            SELECT doc_id,
+                   CASE WHEN hh < 3435973836 THEN 'train'
+                        WHEN hh < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         (((doc_id % 2147483648) * 2654435761)
+                              % 4294967296) AS hh
+                  FROM documents)
+        ), j AS (
+            SELECT p.id_a, p.id_b, a.split AS sa, b.split AS sb
+            FROM pairs p
+            JOIN sp a ON a.doc_id = p.id_a
+            JOIN sp b ON b.doc_id = p.id_b
+        )
+        SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+               least(sa, sb) != greatest(sa, sb) AS cross_split,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(id_a + id_b) AS BIGINT) AS pair_id_sum
+        FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """
+
     # aging replay: same pinned as-of fences
     o["orders_aging_report"] = f"""
         WITH o_ AS (
@@ -10601,6 +10716,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(weight) AS BIGINT) AS w_sum,
                CAST(sum(id * weight) AS BIGINT) AS id_w_sum
         FROM g GROUP BY bucket ORDER BY bucket
+    """
+
+    # CMS inner-product replay: same double-hash positions as
+    # sketch_cms_freq, per-row Σ a·b, min over rows incl. zero rows
+    o["sketch_cms_join_size"] = """
+        WITH kha AS (
+            SELECT k,
+                   ('0x' || substr(md5(cast(k AS VARCHAR)), 1, 15))::BIGINT
+                       AS h
+            FROM (SELECT DISTINCT user_id AS k FROM events
+                  WHERE user_id IS NOT NULL)
+        ), cmsa AS (
+            SELECT i.i AS row_i,
+                   ((kha.h & 255) + i.i * (((kha.h >> 8) & 255) * 2 + 1))
+                       & 255 AS bucket,
+                   cast(count(*) AS BIGINT) AS cnt
+            FROM events e JOIN kha ON kha.k = e.user_id, range(3) i(i)
+            GROUP BY 1, 2
+        ), khb AS (
+            SELECT k,
+                   ('0x' || substr(md5(cast(k AS VARCHAR)), 1, 15))::BIGINT
+                       AS h
+            FROM (SELECT DISTINCT o_custkey AS k FROM orders
+                  WHERE o_custkey IS NOT NULL)
+        ), cmsb AS (
+            SELECT i.i AS row_i,
+                   ((khb.h & 255) + i.i * (((khb.h >> 8) & 255) * 2 + 1))
+                       & 255 AS bucket,
+                   cast(count(*) AS BIGINT) AS cnt
+            FROM orders o JOIN khb ON khb.k = o.o_custkey, range(3) i(i)
+            GROUP BY 1, 2
+        ), ip AS (
+            SELECT a.row_i, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+            FROM cmsa a JOIN cmsb b
+                 ON a.row_i = b.row_i AND a.bucket = b.bucket
+            GROUP BY 1
+        ), est AS (
+            SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT)
+                       AS est_join_size
+            FROM range(3) r(row_i) LEFT JOIN ip ON ip.row_i = r.row_i
+        ), ex AS (
+            SELECT CAST(sum(na.c * nb.c) AS BIGINT) AS exact_join_size
+            FROM (SELECT user_id AS k, count(*) AS c FROM events
+                  WHERE user_id IS NOT NULL GROUP BY 1) na
+            JOIN (SELECT o_custkey AS k, count(*) AS c FROM orders
+                  WHERE o_custkey IS NOT NULL GROUP BY 1) nb USING (k)
+        )
+        SELECT est_join_size, exact_join_size,
+               est_join_size - exact_join_size AS overcount
+        FROM est, ex
     """
 
     # temperature-mixture replay: sqrt is correctly rounded by IEEE 754

@@ -1269,3 +1269,50 @@ def minhash_portable_pairs(
     )
     scored = _jaccard_on_pairs_sh(cand, sh, id_col)
     return scored.where(F.col("jaccard") >= threshold)
+
+
+def split_leakage_report(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test contamination audit: near-duplicate pairs that CROSS
+    a split boundary.
+
+    A hash split can guarantee a KEY never lands in two splits, but it
+    cannot know that two different keys carry near-identical text —
+    the classic eval-contamination path (the test set "leaks" via a
+    near-dup of a training doc), and the reason dedup must run BEFORE
+    or ACROSS the split, not within each split independently. This
+    audit joins any near-dup pair relation (MinHash/SimHash/fuzzy —
+    whatever the pipeline produced) against the split assignment and
+    reports, per unordered split combination, the pair count and an
+    id-sum checksum (so the oracle pins WHICH pairs leak, not just how
+    many). ``cross_split = true`` rows are the contamination.
+
+    Scale shape: two broadcast-or-shuffle hash joins of the PAIR
+    relation (already banded/filtered — orders of magnitude smaller
+    than the corpus) against the narrow (id, split) relation, then a
+    ≤ |splits|² rollup. Nothing rescans text.
+    """
+    s = splits.select(F.col(id_col), F.col(split_col))
+    j = (
+        pairs.select(id_a, id_b)
+        .join(s.withColumnRenamed(id_col, id_a)
+              .withColumnRenamed(split_col, "_sa"), id_a)
+        .join(s.withColumnRenamed(id_col, id_b)
+              .withColumnRenamed(split_col, "_sb"), id_b))
+    lo = F.least("_sa", "_sb")
+    hi = F.greatest("_sa", "_sb")
+    return (
+        j.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum(F.col(id_a) + F.col(id_b)).alias("pair_id_sum"))
+        .select("split_lo", "split_hi",
+                (F.col("split_lo") != F.col("split_hi"))
+                .alias("cross_split"),
+                "n_pairs", "pair_id_sum")
+        .orderBy("split_lo", "split_hi"))

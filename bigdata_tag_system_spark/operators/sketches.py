@@ -908,3 +908,43 @@ def hll_register_sketch(
     return out.select(
         "m", "registers_hit", "zero_registers", "z_int",
         F.expr(est).alias("est_raw"), "exact_distinct", "regs_md5")
+
+
+def cms_join_size(
+    cms_a: DataFrame,
+    cms_b: DataFrame,
+    depth: int = 3,
+) -> DataFrame:
+    """Join-cardinality estimate from two Count-Min sketches built on
+    the SAME (width, depth, hash family): |R ⋈ S| on the sketched key
+    is estimated as min over the ``depth`` rows of the counter inner
+    product Σ_bucket a[row,bucket]·b[row,bucket] (Cormode &
+    Muthukrishnan's inner-product query; one-sided like the point
+    estimate: est ≥ true, error ≤ N_a·N_b/width per row whp).
+
+    This is the planner's question — "how big is this join going to
+    be?" — answered from two ≤ depth×width relations WITHOUT touching
+    either fact table: sketches built per partition as data lands
+    (cms_build/cms_merge) price any prospective join over any
+    partition union. Everything is int64 counter arithmetic, so an
+    external oracle replays the estimate exactly; pair it with the
+    exact join count at test scale to measure the overestimate.
+
+    Scale shape: the sketch join is (depth×width) × (depth×width) on
+    (row_i, bucket) — constant-size work regardless of fact volume.
+    """
+    prod = (
+        cms_a.select("row_i", "bucket", F.col("cnt").alias("_ca"))
+        .join(cms_b.select("row_i", "bucket", F.col("cnt").alias("_cb")),
+              ["row_i", "bucket"])
+        .groupBy("row_i")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip")))
+    # a hash row with NO shared buckets contributes inner product 0 —
+    # reinstate missing rows so min() sees them
+    rows = F.broadcast(
+        prod.sparkSession.range(int(depth)).select(
+            F.col("id").cast("int").alias("row_i")))
+    return (
+        rows.join(prod, "row_i", "left")
+        .agg(F.min(F.coalesce(F.col("_ip"), F.lit(0).cast("long")))
+             .alias("est_join_size")))

@@ -340,3 +340,95 @@ class TestTemperatureAllocation:
             df, "src", budget=10, alpha=0.5).collect()}
         assert sum(out.values()) == 10
         assert out == {"s0": 4, "s1": 3, "s2": 3}
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_report
+# ---------------------------------------------------------------------------
+
+class TestSplitLeakageReport:
+    def test_planted_cross_split_pairs(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            split_leakage_report,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6)], "id_a bigint, id_b bigint")
+        splits = spark.createDataFrame(
+            [(1, "train"), (2, "test"), (3, "train"), (4, "train"),
+             (5, "val"), (6, "test")], "doc_id bigint, split string")
+        out = {(r["split_lo"], r["split_hi"]): r
+               for r in split_leakage_report(pairs, splits).collect()}
+        assert out[("test", "train")]["cross_split"] is True
+        assert out[("test", "train")]["n_pairs"] == 1
+        assert out[("test", "train")]["pair_id_sum"] == 3
+        assert out[("train", "train")]["cross_split"] is False
+        assert out[("test", "val")]["n_pairs"] == 1
+        assert len(out) == 3
+
+    def test_pairs_missing_split_drop(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            split_leakage_report,
+        )
+
+        # inner joins: a pair whose member has no split row vanishes
+        # (the audit only speaks about assigned docs)
+        pairs = spark.createDataFrame(
+            [(1, 99)], "id_a bigint, id_b bigint")
+        splits = spark.createDataFrame(
+            [(1, "train")], "doc_id bigint, split string")
+        assert split_leakage_report(pairs, splits).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# cms_join_size
+# ---------------------------------------------------------------------------
+
+class TestCmsJoinSize:
+    def test_one_sided_and_tight_when_sparse(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            cms_build, cms_join_size,
+        )
+
+        # 50 keys on each side, skewed counts; width=256 >> keys so
+        # collisions are rare and the estimate should be close
+        a = spark.range(500).select((F.col("id") % 50).alias("k"))
+        b = spark.range(200).select((F.col("id") % 40).alias("k"))
+        est = cms_join_size(
+            cms_build(a, "k", width=256, depth=3),
+            cms_build(b, "k", width=256, depth=3), depth=3
+        ).first()["est_join_size"]
+        na = {r["k"]: r["cnt"] for r in
+              a.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        nb = {r["k"]: r["cnt"] for r in
+              b.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        exact = sum(na[k] * nb[k] for k in na if k in nb)
+        assert est >= exact          # CMS inner product never undercounts
+        assert est <= exact * 2      # and is tight at this sparsity
+
+    def test_disjoint_keys_can_reach_zero(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            cms_build, cms_join_size,
+        )
+
+        # one key per side, different values: if ANY of the 3 hash rows
+        # separates them the min is 0; equal est>0 would require all 3
+        # rows to collide (prob (1/256)^3)
+        a = spark.range(10).select(F.lit(1).alias("k"))
+        b = spark.range(10).select(F.lit(2).alias("k"))
+        est = cms_join_size(
+            cms_build(a, "k", width=256, depth=3),
+            cms_build(b, "k", width=256, depth=3), depth=3
+        ).first()["est_join_size"]
+        assert est == 0
+
+    def test_empty_side_gives_zero(self, spark):
+        from bigdata_tag_system_spark.operators.sketches import (
+            cms_build, cms_join_size,
+        )
+
+        a = spark.range(10).select(F.lit(1).alias("k"))
+        b = spark.range(0).select(F.col("id").alias("k"))
+        est = cms_join_size(
+            cms_build(a, "k"), cms_build(b, "k")).first()
+        assert est["est_join_size"] == 0
