@@ -291,7 +291,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-7 additions landed AFTER the window froze at 50 —
 # stream_session_native_parity, graph_lpa_communities,
 # feat_hash_features, sample_temperature_alloc, dedup_split_leakage,
-# sketch_cms_join_size —
+# sketch_cms_join_size, ts_ohlc_bars, customer_retention_matrix —
 # (c) rotation of the oldest last-green rows (r1/r2 vintage first)
 # into the remaining ~40 slots for re-checks.
 _DRIVER_FIRST = [
@@ -6002,6 +6002,52 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["feat_hash_features"] = feat_hash_features
 
+    def ts_ohlc_bars(spark, sf_dir):
+        # hypertable-style OHLC downsample: per (user<50, hour) bars
+        # with open/close resolved over the TOTAL order (ts, event_id)
+        # — tie-safe and layout-independent; values pass through as raw
+        # parquet doubles (no float arithmetic), volume is the count
+        from bigdata_tag_system_spark.operators.timeseries import (
+            ohlc_bars,
+        )
+
+        ev = _t(spark, sf_dir, "events").where("user_id < 50")
+        out = ohlc_bars(ev, bucket="1 hour", seq_col="event_id")
+        return out.select(
+            "user_id", "bucket_id", "open", "high", "low", "close",
+            "volume",
+        ).orderBy("user_id", "bucket_id")
+
+    q["ts_ohlc_bars"] = ts_ohlc_bars
+
+    def customer_retention_matrix(spark, sf_dir):
+        # classic cohort retention grid: cohort = month of first order,
+        # cell = share (basis points, integer) of the cohort placing an
+        # order at each month offset; integer month arithmetic
+        # (the customer_cohort_ltv lesson: no months_between floats)
+        o_ = _t(spark, sf_dir, "orders").select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .alias("m"))
+        months = o_.distinct()
+        first = months.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+        cohort_n = first.groupBy("m0").agg(
+            F.count(F.lit(1)).alias("cohort_size"))
+        act = (months.join(first, "o_custkey")
+               .select("m0", (F.col("m") - F.col("m0")).alias("off")))
+        grid = act.groupBy("m0", "off").agg(
+            F.count(F.lit(1)).alias("active"))
+        return (grid.join(F.broadcast(cohort_n), "m0")
+                .select(
+                    F.expr("m0 DIV 12").alias("cohort_year"),
+                    F.expr("m0 % 12 + 1").alias("cohort_month"),
+                    "off", "active", "cohort_size",
+                    F.expr("(active * 10000) DIV cohort_size")
+                    .alias("retention_bp"))
+                .orderBy("cohort_year", "cohort_month", "off"))
+
+    q["customer_retention_matrix"] = customer_retention_matrix
+
     def sketch_cms_join_size(spark, sf_dir):
         # planner-style join-cardinality estimate WITHOUT touching the
         # fact tables: CMS inner product (min over depth rows of
@@ -10716,6 +10762,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(weight) AS BIGINT) AS w_sum,
                CAST(sum(id * weight) AS BIGINT) AS id_w_sum
         FROM g GROUP BY bucket ORDER BY bucket
+    """
+
+    # OHLC replay: same hour bucket (floor of epoch seconds / 3600 —
+    # nested-floor equivalence holds for positive epochs), open/close
+    # via row_number over the (ts, event_id) total order
+    o["ts_ohlc_bars"] = """
+        WITH e AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_id,
+                   ts, event_id, value
+            FROM events
+            WHERE user_id < 50 AND ts IS NOT NULL AND value IS NOT NULL
+        ), o_ AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY user_id, bucket_id
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY user_id, bucket_id
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e
+        )
+        SELECT user_id, bucket_id,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(count(*) AS BIGINT) AS volume
+        FROM o_ GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # retention-matrix replay: integer month index end to end
+    o["customer_retention_matrix"] = """
+        WITH m AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(year(o_orderdate) * 12
+                        + month(o_orderdate) - 1 AS BIGINT) AS m
+            FROM orders
+        ), f AS (
+            SELECT o_custkey, min(m) AS m0 FROM m GROUP BY 1
+        ), cs AS (
+            SELECT m0, CAST(count(*) AS BIGINT) AS cohort_size
+            FROM f GROUP BY 1
+        ), a AS (
+            SELECT f.m0, m.m - f.m0 AS off
+            FROM m JOIN f USING (o_custkey)
+        ), g AS (
+            SELECT m0, off, CAST(count(*) AS BIGINT) AS active
+            FROM a GROUP BY 1, 2
+        )
+        SELECT g.m0 // 12 AS cohort_year, g.m0 % 12 + 1 AS cohort_month,
+               off, active, cohort_size,
+               (active * 10000) // cohort_size AS retention_bp
+        FROM g JOIN cs USING (m0)
+        ORDER BY cohort_year, cohort_month, off
     """
 
     # CMS inner-product replay: same double-hash positions as

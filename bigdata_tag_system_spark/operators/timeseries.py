@@ -296,3 +296,47 @@ def gap_fill_daily(
         F.round(pv, 4).alias("v_ffill"),
         F.round(interp, 4).alias("v_interp"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    bucket: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Downsample a tick/event stream into OHLC bars — the hypertable
+    continuous-aggregate shape: per (key, time bucket), the first
+    (open) and last (close) value in EVENT order plus high/low/volume.
+
+    Determinism contract: open/close are resolved by ``min_by`` /
+    ``max_by`` over the TOTAL order (ts, seq) — two events sharing a
+    timestamp are tie-broken by ``seq_col`` (an event id), never by
+    arrival order, so the bars are identical across runs, partition
+    layouts, and engines. Without ``seq_col`` a same-(key,ts) tie
+    would be layout-dependent; pass one whenever ts can repeat.
+
+    Scale shape: ONE map-side-combinable aggregate keyed
+    (key, bucket) — min/max/min_by/max_by/count/sum all merge
+    associatively, so this is the day-zero rollup a 100 TB hypertable
+    maintains incrementally (re-aggregate only the buckets a late
+    batch touches; the merge is the same operators over partial bars).
+    """
+    secs = _parse_bucket_seconds(bucket, "ohlc_bars")
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / secs)
+         .cast("long").alias("bucket_id"))
+    order = (F.struct(F.col(ts_col), F.col(seq_col))
+             if seq_col else F.col(ts_col))
+    return (
+        df.where(F.col(ts_col).isNotNull()
+                 & F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col), b)
+        .agg(
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), order).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum(value_col).alias("value_sum"),
+        ))

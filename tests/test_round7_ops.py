@@ -432,3 +432,51 @@ class TestCmsJoinSize:
         est = cms_join_size(
             cms_build(a, "k"), cms_build(b, "k")).first()
         assert est["est_join_size"] == 0
+
+
+# ---------------------------------------------------------------------------
+# ohlc_bars
+# ---------------------------------------------------------------------------
+
+class TestOhlcBars:
+    def test_planted_bar_with_ts_tie(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            ohlc_bars,
+        )
+
+        rows = [
+            # one user, one hour; two events share the SAME ts — the
+            # seq column (event_id) must break the tie for open/close
+            (1, 10, "2024-01-01 10:00:05", 5.0),
+            (1, 11, "2024-01-01 10:00:05", 7.0),
+            (1, 12, "2024-01-01 10:59:59", 2.0),
+            (1, 13, "2024-01-01 11:00:00", 9.0),  # next bar
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r["bucket_id"]: r for r in ohlc_bars(
+            df, bucket="1 hour", seq_col="event_id").collect()}
+        assert len(out) == 2
+        bar = [v for v in out.values() if v["volume"] == 3][0]
+        assert bar["open"] == 5.0    # event_id 10 wins the ts tie
+        assert bar["close"] == 2.0
+        assert bar["high"] == 7.0 and bar["low"] == 2.0
+        nxt = [v for v in out.values() if v["volume"] == 1][0]
+        assert nxt["open"] == nxt["close"] == 9.0
+
+    def test_bars_merge_across_partitionings(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            ohlc_bars,
+        )
+
+        rows = [(i % 3, i, f"2024-01-01 0{i % 9}:10:00", float(i))
+                for i in range(27)]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        a = sorted(map(tuple, ohlc_bars(
+            df, seq_col="event_id").collect()))
+        b = sorted(map(tuple, ohlc_bars(
+            df.repartition(7), seq_col="event_id").collect()))
+        assert a == b
