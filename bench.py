@@ -153,6 +153,13 @@ def main() -> None:
         "audit_key_skew",          # pre-shuffle hot-key diagnosis
         "sample_pack_bins",        # concat-then-chunk packing layout
         "stream_session_native_parity",  # native session_window replay
+        "graph_lpa_communities",   # fixed-round label propagation
+        "feat_hash_features",      # signed hashing-trick encoding
+        "sample_temperature_alloc",  # n^alpha mixture allocation
+        "dedup_split_leakage",     # cross-split contamination audit
+        "sketch_cms_join_size",    # CMS inner-product join estimate
+        "ts_ohlc_bars",            # hypertable OHLC downsample
+        "customer_retention_matrix",  # cohort retention grid
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
