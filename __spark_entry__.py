@@ -291,7 +291,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-7 additions landed AFTER the window froze at 50 —
 # stream_session_native_parity, graph_lpa_communities,
 # feat_hash_features, sample_temperature_alloc, dedup_split_leakage,
-# sketch_cms_join_size, ts_ohlc_bars, customer_retention_matrix —
+# sketch_cms_join_size, ts_ohlc_bars, customer_retention_matrix,
+# sketch_hll_grouped —
 # (c) rotation of the oldest last-green rows (r1/r2 vintage first)
 # into the remaining ~40 slots for re-checks.
 _DRIVER_FIRST = [
@@ -5942,6 +5943,22 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_hll_portable"] = sketch_hll_portable
 
+    def sketch_hll_grouped(spark, sf_dir):
+        # per-event_type distinct-user HLL: one register vector per
+        # group (the per-day/per-source rollup shape — grouped vectors
+        # merge by register-wise max); every group's registers, exact
+        # Z numerator, and raw estimate replayed by the oracle
+        from bigdata_tag_system_spark.operators.sketches import (
+            hll_register_sketch,
+        )
+
+        ev = _t(spark, sf_dir, "events").where(
+            "event_type IS NOT NULL").select("event_type", "user_id")
+        return hll_register_sketch(
+            ev, "user_id", b=8, group_col="event_type")
+
+    q["sketch_hll_grouped"] = sketch_hll_grouped
+
     def audit_key_skew(spark, sf_dir):
         # pre-shuffle skew diagnosis for events.user_id as a join key:
         # max/mean fixed-point ratio, top-10 heavy-hitter share, and the
@@ -10626,6 +10643,50 @@ def oracle_sql() -> dict[str, str]:
                     / CAST(z_int AS DOUBLE)) AS BIGINT) AS est_raw,
                exact_distinct, regs_md5
         FROM z
+    """
+
+    o["sketch_hll_grouped"] = """
+        WITH h AS (
+            SELECT event_type, user_id,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) AS h
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ), r AS (
+            SELECT event_type, h % 256 AS reg,
+                   CASE WHEN h // 256 = 0 THEN 53
+                        ELSE 53 - length(bin(h // 256)) END AS rho
+            FROM h
+        ), m AS (
+            SELECT event_type, reg, max(rho) AS mr
+            FROM r GROUP BY 1, 2
+        ), s AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS hit,
+                   CAST(sum(CAST(pow(2.0, 53 - mr) AS BIGINT))
+                        AS BIGINT) AS zp,
+                   md5(string_agg(
+                       lpad(CAST(reg AS VARCHAR), 3, '0') || ':'
+                           || CAST(mr AS VARCHAR), ','
+                       ORDER BY reg)) AS regs_md5
+            FROM m GROUP BY 1
+        ), e AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS exact_distinct
+            FROM h GROUP BY 1
+        ), z AS (
+            SELECT s.event_type, CAST(256 AS BIGINT) AS m,
+                   hit AS registers_hit, 256 - hit AS zero_registers,
+                   zp + (256 - hit) * 9007199254740992 AS z_int,
+                   regs_md5, exact_distinct
+            FROM s JOIN e USING (event_type)
+        )
+        SELECT event_type, m, registers_hit, zero_registers, z_int,
+               CAST(FLOOR((0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0))
+                    * 256.0e0 * 256.0e0 * 9007199254740992.0e0
+                    / CAST(z_int AS DOUBLE)) AS BIGINT) AS est_raw,
+               exact_distinct, regs_md5
+        FROM z ORDER BY event_type
     """
 
     o["audit_key_skew"] = """

@@ -820,9 +820,14 @@ def hll_register_sketch(
     df: DataFrame,
     col: str,
     b: int = 8,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """One-row HyperLogLog readout with EXPLICIT registers: estimate,
-    exact distinct, and an md5 digest of the full register vector.
+    """HyperLogLog readout with EXPLICIT registers: estimate, exact
+    distinct, and an md5 digest of the full register vector — one row
+    globally, or one row per ``group_col`` value (the per-day /
+    per-source rollup shape: grouped register vectors MERGE by
+    register-wise max, so any union of groups re-estimates without
+    rescanning rows).
 
     Spark already ships HLL++ (``approx_count_distinct``), but its
     registers are opaque — nothing outside the JVM can audit them.
@@ -856,48 +861,60 @@ def hll_register_sketch(
     h = portable_hash60(F.col(col).cast("string"))
     w = F.expr(f"_h DIV {m}")
 
+    g = F.col(group_col) if group_col else F.lit("_all")
     hashed = df.where(F.col(col).isNotNull()).select(
-        h.alias("_h"), F.col(col).alias("_k"))
+        g.alias("_g"), h.alias("_h"), F.col(col).alias("_k"))
     regs = (
         hashed
         .select(
+            "_g",
             F.pmod(F.col("_h"), F.lit(m)).alias("_reg"),
             F.when(w == 0, F.lit(rho_max))
             .otherwise(F.lit(rho_max) - F.length(F.bin(w)))
             .alias("_rho"),
             "_k")
-        .groupBy("_reg")
+        .groupBy("_g", "_reg")
         .agg(F.max("_rho").alias("_m")))
 
     # Z_int = sum over ALL m registers of 2^(rho_max - M_j); absent
     # registers carry M_j = 0. pow(2, k) for integer k <= 53 is an
     # exact IEEE double in every engine; the cast back to long is
     # therefore exact too.
-    present = regs.agg(
+    present = regs.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_hit"),
         F.sum(F.expr(f"CAST(pow(2.0, {rho_max} - _m) AS BIGINT)"))
         .alias("_zp"),
         F.md5(F.array_join(F.array_sort(F.collect_list(
             F.concat_ws(":", F.lpad(F.col("_reg").cast("string"), 3, "0"),
                         F.col("_m").cast("string")))), ",")).alias("regs_md5"))
-    exact = hashed.agg(
+    exact = hashed.groupBy("_g").agg(
         F.count_distinct(F.col("_k")).alias("exact_distinct"))
 
     # e0-suffixed literals parse as DOUBLE in BOTH Spark and DuckDB —
     # a bare 0.7213 is DECIMAL in each engine's ANSI dialect, and
     # decimal division scale rules differ across engines
     alpha_expr = "(0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0))".format(m=m)
-    # empty input: sum() is NULL but every register still contributes
-    # 2^rho_max, so coalesce the present-register term to 0
+    # global mode keeps its one-row contract even on EMPTY input (all
+    # registers zero) via a seed row; grouped mode emits only observed
+    # groups (an absent group has no meaningful register vector)
+    if group_col is None:
+        base = df.sparkSession.range(1).select(F.lit("_all").alias("_g"))
+    else:
+        base = hashed.select("_g").distinct()
+    joined = (base.join(present, "_g", "left")
+              .join(exact, "_g", "left"))
+    hit = F.coalesce(F.col("_hit"), F.lit(0).cast("long"))
     z_full = (F.coalesce(F.col("_zp"), F.lit(0).cast("long"))
-              + (F.lit(m) - F.col("_hit")) * F.lit(1 << rho_max).cast("long"))
-    out = present.crossJoin(F.broadcast(exact)).select(
+              + (F.lit(m) - hit) * F.lit(1 << rho_max).cast("long"))
+    out = joined.select(
+        "_g",
         F.lit(m).cast("long").alias("m"),
-        F.col("_hit").alias("registers_hit"),
-        (F.lit(m) - F.col("_hit")).alias("zero_registers"),
+        hit.alias("registers_hit"),
+        (F.lit(m) - hit).alias("zero_registers"),
         z_full.alias("z_int"),
-        "regs_md5",
-        "exact_distinct",
+        F.coalesce(F.col("regs_md5"), F.md5(F.lit(""))).alias("regs_md5"),
+        F.coalesce(F.col("exact_distinct"), F.lit(0).cast("long"))
+        .alias("exact_distinct"),
     )
     # one float multiply chain + one divide, identical text on both
     # sides: parsed-literal doubles and left-to-right evaluation make
@@ -905,9 +922,12 @@ def hll_register_sketch(
     est = (f"CAST(FLOOR({alpha_expr} * {m}.0e0 * {m}.0e0 "
            f"* {float(1 << rho_max):.1f}e0 / CAST(z_int AS DOUBLE)) "
            f"AS BIGINT)")
-    return out.select(
-        "m", "registers_hit", "zero_registers", "z_int",
-        F.expr(est).alias("est_raw"), "exact_distinct", "regs_md5")
+    cols = ([F.col("_g").alias(group_col)] if group_col else []) + [
+        F.col("m"), F.col("registers_hit"), F.col("zero_registers"),
+        F.col("z_int"), F.expr(est).alias("est_raw"),
+        F.col("exact_distinct"), F.col("regs_md5")]
+    out = out.select(*cols)
+    return out.orderBy(group_col) if group_col else out
 
 
 def cms_join_size(

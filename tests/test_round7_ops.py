@@ -480,3 +480,50 @@ class TestOhlcBars:
         b = sorted(map(tuple, ohlc_bars(
             df.repartition(7), seq_col="event_id").collect()))
         assert a == b
+
+
+class TestHllGrouped:
+    def test_grouped_matches_per_group_global(self, spark):
+        # each group's row must equal the GLOBAL sketch of that
+        # group's rows alone — grouping changes bookkeeping, not math
+        df = spark.range(3000).select(
+            F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("g"),
+            (F.col("id") % 700).alias("k"))
+        grouped = {r["g"]: r for r in hll_register_sketch(
+            df, "k", b=8, group_col="g").collect()}
+        for gname in ["a", "b"]:
+            solo = hll_register_sketch(
+                df.where(F.col("g") == gname), "k", b=8).first()
+            assert grouped[gname]["regs_md5"] == solo["regs_md5"]
+            assert grouped[gname]["est_raw"] == solo["est_raw"]
+            assert (grouped[gname]["exact_distinct"]
+                    == solo["exact_distinct"])
+
+    def test_register_max_merge_across_groups(self, spark):
+        # merging two groups' register vectors by register-wise max
+        # must reproduce the global sketch over their union — the
+        # rollup contract
+        df = spark.range(2000).select(
+            F.when(F.col("id") < 1000, "d1").otherwise("d2").alias("g"),
+            F.col("id").alias("k"))
+        # recompute registers directly to merge them
+        from bigdata_tag_system_spark.functions.text import (
+            portable_hash60,
+        )
+
+        h = portable_hash60(F.col("k").cast("string"))
+        regs = (df.select("g", F.pmod(h, F.lit(256)).alias("reg"),
+                          h.alias("_h"))
+                .withColumn(
+                    "rho",
+                    F.when(F.expr("_h DIV 256") == 0, F.lit(53))
+                    .otherwise(F.lit(53)
+                               - F.length(F.bin(F.expr("_h DIV 256")))))
+                .groupBy("g", "reg").agg(F.max("rho").alias("mr")))
+        merged = regs.groupBy("reg").agg(F.max("mr").alias("mr"))
+        merged_md5 = merged.agg(F.md5(F.array_join(F.array_sort(
+            F.collect_list(F.concat_ws(
+                ":", F.lpad(F.col("reg").cast("string"), 3, "0"),
+                F.col("mr").cast("string")))), ","))).first()[0]
+        global_row = hll_register_sketch(df, "k", b=8).first()
+        assert merged_md5 == global_row["regs_md5"]
