@@ -292,7 +292,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stream_session_native_parity, graph_lpa_communities,
 # feat_hash_features, sample_temperature_alloc, dedup_split_leakage,
 # sketch_cms_join_size, ts_ohlc_bars, customer_retention_matrix,
-# sketch_hll_grouped —
+# sketch_hll_grouped, graph_edge_jaccard —
 # (c) rotation of the oldest last-green rows (r1/r2 vintage first)
 # into the remaining ~40 slots for re-checks.
 _DRIVER_FIRST = [
@@ -5974,6 +5974,27 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audit_key_skew"] = audit_key_skew
 
+    def graph_edge_jaccard(spark, sf_dir):
+        # link-prediction readout: top-100 co-purchase edges by common
+        # neighbors (= triangles through the edge, enumerated hub-safe
+        # via the degree orientation) with integer Jaccard basis points
+        from bigdata_tag_system_spark.operators.graph import (
+            edge_common_neighbors,
+        )
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey")
+        a = li.withColumnRenamed("l_partkey", "p1")
+        b = li.withColumnRenamed("l_partkey", "p2")
+        edges = (
+            a.join(b, "l_orderkey")
+            .where(F.col("p1") < F.col("p2"))
+            .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        )
+        return edge_common_neighbors(edges, top_n=100)
+
+    q["graph_edge_jaccard"] = graph_edge_jaccard
+
     def graph_lpa_communities(spark, sf_dir):
         # synchronous label propagation on the co-purchase part graph,
         # 3 fixed rounds, most-frequent-neighbor-label with min-label
@@ -10750,6 +10771,44 @@ def oracle_sql() -> dict[str, str]:
         HAVING max(ts) + INTERVAL 60 MINUTE
                < (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
         ORDER BY user_id, session_start_ms
+    """
+
+    # edge-jaccard replay: literal a<b<c triple join enumerates
+    # triangles, each credited to its three edges; degrees over the
+    # deduped undirected edge set; integer basis points
+    o["graph_edge_jaccard"] = """
+        WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+            ) GROUP BY 1
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        te AS (
+            SELECT x AS a, y AS b FROM tri
+            UNION ALL SELECT x, z FROM tri
+            UNION ALL SELECT y, z FROM tri
+        ),
+        c AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors
+            FROM te GROUP BY 1, 2
+        )
+        SELECT c.a AS id_a, c.b AS id_b, common_neighbors,
+               da.d AS deg_a, db.d AS deg_b,
+               (common_neighbors * 10000)
+                   // (da.d + db.d - common_neighbors) AS jaccard_bp
+        FROM c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
+        ORDER BY common_neighbors DESC, id_a, id_b LIMIT 100
     """
 
     # 3 LPA rounds unrolled; tie rule = max count then MIN label,

@@ -429,3 +429,84 @@ def label_propagation(
         return labels.select("node", F.col("lbl").alias("label"))
     finally:
         sym.unpersist()
+
+
+def edge_common_neighbors(
+    edges: DataFrame,
+    top_n: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-edge common-neighbor count and Jaccard link strength — the
+    classic link-prediction / community-strength feature (an edge whose
+    endpoints share many neighbors is intra-community; one with none is
+    a bridge).
+
+    common(a,b) is exactly the number of triangles containing edge
+    {a,b}, so it is computed the hub-safe way: degree-ordered
+    orientation (see :func:`triangle_count` — wedge fan-out is
+    O(√|E|)-bounded per node on ANY degree distribution), each closed
+    wedge credited to its three edges. The naive per-edge neighborhood
+    intersection join fans out Σ_edges min(d_a, d_b) — a power-law
+    killer this formulation avoids. jaccard_bp = 10000·c/(d_a+d_b−c),
+    integer basis points (degrees over the deduped undirected edge
+    set). Returns the ``top_n`` strongest edges by
+    (common desc, id_a, id_b) — a bounded TakeOrdered, no global sort.
+    """
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .select(F.least("_a", "_b").alias("_a"),
+                F.greatest("_a", "_b").alias("_b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_a").alias("_n"))
+        .unionAll(e.select(F.col("_b").alias("_n")))
+        .groupBy("_n").agg(F.count(F.lit(1)).alias("_d"))
+    )
+    da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
+    ranked = e.join(da, "_a").join(db, "_b")
+    fwd = ranked.select(
+        F.when((F.col("_da") < F.col("_db"))
+               | ((F.col("_da") == F.col("_db"))
+                  & (F.col("_a") < F.col("_b"))),
+               F.struct(F.col("_a").alias("u"), F.col("_b").alias("v")))
+        .otherwise(
+            F.struct(F.col("_b").alias("u"), F.col("_a").alias("v")))
+        .alias("_e")
+    ).select("_e.u", "_e.v")
+    w1 = fwd.select(F.col("u"), F.col("v").alias("x"))
+    w2 = fwd.select(F.col("u"), F.col("v").alias("y"))
+    wedges = (w1.join(w2, "u")
+              .where(F.col("x") < F.col("y")))
+    closing = fwd.unionAll(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    tri = wedges.join(
+        closing.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"], "left_semi")
+    # credit each triangle (u, x, y) to its three canonical edges
+    te = tri.select(F.explode(F.array(
+        F.struct(F.least("u", "x").alias("a"),
+                 F.greatest("u", "x").alias("b")),
+        F.struct(F.least("u", "y").alias("a"),
+                 F.greatest("u", "y").alias("b")),
+        F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+    )).alias("_t")).select("_t.a", "_t.b")
+    counts = te.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"))
+    out = (
+        counts
+        .join(deg.select(F.col("_n").alias("a"),
+                         F.col("_d").alias("deg_a")), "a")
+        .join(deg.select(F.col("_n").alias("b"),
+                         F.col("_d").alias("deg_b")), "b")
+        .select(
+            F.col("a").alias("id_a"), F.col("b").alias("id_b"),
+            "common_neighbors", "deg_a", "deg_b",
+            F.expr("(common_neighbors * 10000) DIV "
+                   "(deg_a + deg_b - common_neighbors)")
+            .alias("jaccard_bp")))
+    return out.orderBy(
+        F.col("common_neighbors").desc(), "id_a", "id_b").limit(int(top_n))

@@ -527,3 +527,37 @@ class TestHllGrouped:
                 F.col("mr").cast("string")))), ","))).first()[0]
         global_row = hll_register_sketch(df, "k", b=8).first()
         assert merged_md5 == global_row["regs_md5"]
+
+
+class TestEdgeCommonNeighbors:
+    def test_two_triangles_with_bridge(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            edge_common_neighbors,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+            "src bigint, dst bigint")
+        out = {(r["id_a"], r["id_b"]): r
+               for r in edge_common_neighbors(edges, top_n=10).collect()}
+        # every triangle edge has exactly 1 common neighbor; the
+        # bridge (3,4) has none and is absent from the census
+        assert len(out) == 6 and (3, 4) not in out
+        assert out[(1, 2)]["common_neighbors"] == 1
+        # deg(1)=2, deg(2)=2: j = 10000*1/(2+2-1) = 3333
+        assert out[(1, 2)]["jaccard_bp"] == 3333
+        # deg(2)=2, deg(3)=3: j = 10000*1/(2+3-1) = 2500
+        assert out[(2, 3)]["jaccard_bp"] == 2500
+
+    def test_k4_every_edge_has_two(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            edge_common_neighbors,
+        )
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        edges = spark.createDataFrame(k4, "src bigint, dst bigint")
+        rows = edge_common_neighbors(edges, top_n=10).collect()
+        assert len(rows) == 6
+        assert all(r["common_neighbors"] == 2 for r in rows)
+        # deg 3 everywhere: j = 20000 // (3+3-2) = 5000
+        assert all(r["jaccard_bp"] == 5000 for r in rows)
