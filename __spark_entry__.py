@@ -292,7 +292,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stream_session_native_parity, graph_lpa_communities,
 # feat_hash_features, sample_temperature_alloc, dedup_split_leakage,
 # sketch_cms_join_size, ts_ohlc_bars, customer_retention_matrix,
-# sketch_hll_grouped, graph_edge_jaccard —
+# sketch_hll_grouped, graph_edge_jaccard, audit_null_profile —
 # (c) rotation of the oldest last-green rows (r1/r2 vintage first)
 # into the remaining ~40 slots for re-checks.
 _DRIVER_FIRST = [
@@ -5959,6 +5959,18 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_hll_grouped"] = sketch_hll_grouped
 
+    def audit_null_profile(spark, sf_dir):
+        # ANALYZE-style per-column profile of orders from ONE scan:
+        # completeness (integer basis points) + exact cardinality,
+        # unrolled to a row per column — the dbt-profiler/Deequ shape
+        from bigdata_tag_system_spark.operators.quality import (
+            null_profile,
+        )
+
+        return null_profile(_t(spark, sf_dir, "orders"))
+
+    q["audit_null_profile"] = audit_null_profile
+
     def audit_key_skew(spark, sf_dir):
         # pre-shuffle skew diagnosis for events.user_id as a join key:
         # max/mean fixed-point ratio, top-10 heavy-hitter share, and the
@@ -10709,6 +10721,17 @@ def oracle_sql() -> dict[str, str]:
                exact_distinct, regs_md5
         FROM z ORDER BY event_type
     """
+
+    _NP = ("SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,"
+           " CAST(count(*) - count({c}) AS BIGINT) AS nulls,"
+           " ((count(*) - count({c})) * 10000) // count(*) AS null_bp,"
+           " CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct"
+           " FROM orders")
+    o["audit_null_profile"] = " UNION ALL ".join(
+        _NP.format(c=c) for c in [
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ]) + " ORDER BY col_name"
 
     o["audit_key_skew"] = """
         WITH c AS (

@@ -241,3 +241,44 @@ def key_skew_report(
             F.expr(f"(max_cnt + {int(target_rows_per_task)} - 1) "
                    f"DIV {int(target_rows_per_task)}").alias("rec_salt"),
         ))
+
+
+def null_profile(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-column completeness/cardinality profile from ONE scan:
+    (col_name, n_rows, nulls, null_bp, n_distinct) — the ANALYZE-style
+    table profile a catalog keeps per partition-day (dbt
+    `dbt_profiler` / Deequ `ColumnProfilerRunner` shape).
+
+    All metrics for all columns compute in a single aggregate pass
+    (count + count(col) + count(DISTINCT col) per column), then unroll
+    to one row per column via a literal struct array — no per-column
+    rescans. Exact distincts here (oracle-comparable at test scale);
+    at 100 TB swap ``approx_count_distinct`` — same plan shape, the
+    multi-distinct Expand disappears and the pass goes fully
+    map-side-combinable.
+
+    ``null_bp`` is integer basis points (nulls·10000 div n_rows; 0
+    for an empty table).
+    """
+    names = list(cols) if cols else list(df.columns)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(names):
+        aggs.append(F.count(F.col(c)).alias(f"_nn{i}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd{i}"))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn{i}")).alias("nulls"),
+            F.when(F.col("_n") > 0,
+                   F.expr(f"((_n - _nn{i}) * 10000) DIV _n"))
+            .otherwise(F.lit(0).cast("long")).alias("null_bp"),
+            F.col(f"_nd{i}").alias("n_distinct"),
+        )
+        for i, c in enumerate(names)
+    ])
+    return one.select(F.inline(rows)).orderBy("col_name")

@@ -561,3 +561,29 @@ class TestEdgeCommonNeighbors:
         assert all(r["common_neighbors"] == 2 for r in rows)
         # deg 3 everywhere: j = 20000 // (3+3-2) = 5000
         assert all(r["jaccard_bp"] == 5000 for r in rows)
+
+
+class TestNullProfile:
+    def test_planted_nulls_and_cardinality(self, spark):
+        from bigdata_tag_system_spark.operators.quality import (
+            null_profile,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (None, "b")],
+            "x bigint, y string")
+        out = {r["col_name"]: r for r in null_profile(df).collect()}
+        assert out["x"]["n_rows"] == 4
+        assert out["x"]["nulls"] == 1
+        assert out["x"]["null_bp"] == 2500
+        assert out["x"]["n_distinct"] == 3
+        assert out["y"]["nulls"] == 1 and out["y"]["n_distinct"] == 2
+
+    def test_empty_table(self, spark):
+        from bigdata_tag_system_spark.operators.quality import (
+            null_profile,
+        )
+
+        df = spark.range(0).select(F.col("id").alias("x"))
+        row = null_profile(df).first()
+        assert row["n_rows"] == 0 and row["null_bp"] == 0
