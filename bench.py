@@ -160,6 +160,9 @@ def main() -> None:
         "sketch_cms_join_size",    # CMS inner-product join estimate
         "ts_ohlc_bars",            # hypertable OHLC downsample
         "customer_retention_matrix",  # cohort retention grid
+        "graph_edge_jaccard",      # per-edge triangle-credit Jaccard
+        "sketch_hll_grouped",      # per-group register vectors
+        "audit_null_profile",      # one-pass column profile
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
