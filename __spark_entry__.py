@@ -329,7 +329,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # stream_session_native_parity, graph_lpa_communities,
 # feat_hash_features, sample_temperature_alloc, dedup_split_leakage,
 # sketch_cms_join_size, ts_ohlc_bars, customer_retention_matrix,
-# sketch_hll_grouped, graph_edge_jaccard, audit_null_profile —
+# sketch_hll_grouped, graph_edge_jaccard, audit_null_profile,
+# text_bigram_lift —
 # (c) rotation of the oldest last-green rows (r1/r2 vintage first)
 # into the remaining ~40 slots for re-checks.
 _DRIVER_FIRST = [
@@ -2344,6 +2345,48 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["text_top_bigrams"] = text_top_bigrams
+
+    def text_bigram_lift(spark, sf_dir):
+        # collocation mining by LIFT instead of raw count: lift(x,y) =
+        # c_xy·N / (c_x·c_y) ranks "new york" above "of the" — the
+        # PMI ranking without PMI's log (libm log is not cross-engine
+        # stable; lift is a monotone transform of PMI for a fixed
+        # corpus, so the RANKING is identical). x1000 fixed point,
+        # int64-safe at test scale (c_xy·N·1000 ≤ ~1e15; at 100 TB
+        # token counts, compute the ratio in double — the ranking
+        # tolerance is then 1 ulp, documented). min support 5 kills
+        # noise pairs; ties break lexicographically.
+        from bigdata_tag_system_spark.functions.text import (
+            ngrams_from_tokens, token_count, tokens,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        toks = d.where(token_count("text") >= 2).select(
+            tokens("text").alias("_t"))
+        uni = (toks.select(F.explode("_t").alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+        n_tok = uni.agg(F.sum("c").alias("n"))
+        bi = (toks.select(F.explode(
+                  ngrams_from_tokens(F.col("_t"), 2)).alias("bigram"))
+              .groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+              .where(F.col("c_xy") >= 5))
+        parts = F.split("bigram", " ")
+        bi = bi.select("bigram", "c_xy",
+                       parts.getItem(0).alias("_x"),
+                       parts.getItem(1).alias("_y"))
+        out = (bi
+               .join(uni.select(F.col("w").alias("_x"),
+                                F.col("c").alias("c_x")), "_x")
+               .join(uni.select(F.col("w").alias("_y"),
+                                F.col("c").alias("c_y")), "_y")
+               .crossJoin(F.broadcast(n_tok))
+               .select("bigram", "c_xy", "c_x", "c_y",
+                       F.expr("(c_xy * n * 1000) DIV (c_x * c_y)")
+                       .alias("lift_x1000")))
+        return out.orderBy(
+            F.desc("lift_x1000"), "bigram").limit(50)
+
+    q["text_bigram_lift"] = text_bigram_lift
 
     def text_source_kl(spark, sf_dir):
         # per-language KL(p_lang || corpus) over token distributions —
@@ -8160,6 +8203,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.t || ' ' || b.t AS bigram, count(*) AS n
         FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """
+
+    # lift replay: same tokenizer, unigram/bigram counts, x1000 integer
+    # lift ranking (lift is a monotone transform of PMI — log-free)
+    o["text_bigram_lift"] = f"""
+        WITH toks AS (
+            SELECT string_split({_NORM}, ' ') AS t
+            FROM documents
+            WHERE len(string_split({_NORM}, ' ')) >= 2
+        ), uni AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ), n1 AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n FROM uni
+        ), bi AS (
+            SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM (
+                SELECT unnest(list_transform(
+                    range(0, greatest(len(t) - 2, 0) + 1),
+                    i -> array_to_string(t[i+1:i+2], ' '))) AS bigram
+                FROM toks)
+            GROUP BY bigram HAVING count(*) >= 5
+        ), sp AS (
+            SELECT bigram, c_xy,
+                   string_split(bigram, ' ')[1] AS x,
+                   string_split(bigram, ' ')[2] AS y
+            FROM bi
+        )
+        SELECT sp.bigram, sp.c_xy, ux.c AS c_x, uy.c AS c_y,
+               (sp.c_xy * n1.n * 1000) // (ux.c * uy.c) AS lift_x1000
+        FROM sp
+        JOIN uni ux ON ux.w = sp.x
+        JOIN uni uy ON uy.w = sp.y, n1
+        ORDER BY lift_x1000 DESC, bigram LIMIT 50
     """
 
     # per-language KL(p_lang || corpus) over token distributions; the
