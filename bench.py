@@ -163,6 +163,7 @@ def main() -> None:
         "graph_edge_jaccard",      # per-edge triangle-credit Jaccard
         "sketch_hll_grouped",      # per-group register vectors
         "audit_null_profile",      # one-pass column profile
+        "text_bigram_lift",        # log-free collocation ranking
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
