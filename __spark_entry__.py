@@ -333,28 +333,50 @@ def entry(spark: SparkSession) -> DataFrame:
 # text_bigram_lift —
 # (c) rotation of the oldest last-green rows (r1/r2 vintage first)
 # into the remaining ~40 slots for re-checks.
+# ROUND-8 WINDOW (executing the r7 VERDICT plan verbatim):
+#   * the 12 entries added after the r7 window froze (the only
+#     never-driver-checked catalog rows) — green here closes
+#     305/305 ever-driver-certified;
+#   * graph_triangles + graph_kcore: the two co-purchase graph
+#     consumers re-plumbed by a0cdc68 not already in the 12
+#     (edge_jaccard / lpa ARE the other two);
+#   * sample_seeded, now carrying a driver-checkable bounds oracle
+#     (r7 VERDICT Next #6) instead of `no_oracle`;
+#   * new round-8 additions (driver-checked the round they land);
+#   * remaining slots: oldest last-green rows (r2 vintage rule_*
+#     battery) rotated in for re-confirmation.
 _DRIVER_FIRST = [
-    # -- the 47 never-checked entries (closing 290/290) --
-    "events_funnel_chain", "stream_dedup_parity", "emb_pq_adc_topk",
-    "store_compact_parity", "events_last_touch",
-    "events_linear_attribution", "sketch_kmv_intersect",
-    "text_dup_coverage", "emb_label_outliers", "quality_psi_drift",
-    "ts_gap_fill", "ivm_join_delta", "feat_target_encode",
-    "rule_coverage_report", "stream_cdc_apply_parity", "text_cdc_chunks",
-    "sample_hash_split", "scan_csv_corrupt", "orders_assoc_rules",
-    "agg_unpivot", "dedup_reciprocal_best", "sim_tfidf_cosine",
-    "store_time_travel", "store_version_diff", "text_lang_confusion",
-    "sample_token_mixture", "sketch_hist_quantiles",
-    "events_user_lifecycle", "rule_sql_pushdown",
-    "events_activity_streaks", "func_hof_battery", "stats_wilson_ci",
-    "audit_benford", "stream_hist_parity", "ts_backtest_snaive",
-    "events_bot_signals", "dedup_threshold_sweep",
-    "emb_label_centroid_dist", "text_novelty_curve", "scan_schema_merge",
-    "events_transition_entropy", "dedup_minhash_portable",
-    "orders_aging_report", "orders_share_of_region",
-    "events_conversion_lag", "scan_python_datasource", "text_udtf_chunks",
-    # -- round-7 additions (driver-checked the round they land) --
-    "sketch_hll_portable", "audit_key_skew", "sample_pack_bins",
+    # -- the 12 never-driver-checked r7 additions --
+    "text_bigram_lift", "stream_session_native_parity",
+    "dedup_split_leakage", "sketch_hll_grouped", "audit_null_profile",
+    "graph_edge_jaccard", "graph_lpa_communities", "feat_hash_features",
+    "ts_ohlc_bars", "customer_retention_matrix", "sketch_cms_join_size",
+    "sample_temperature_alloc",
+    # -- co-purchase graph consumers re-confirmed after a0cdc68 --
+    "graph_triangles", "graph_kcore",
+    # -- P19 sampling, now bounds-oracled (was rows-only) --
+    "sample_seeded",
+    # -- round-8 additions (driver-checked the round they land) --
+    "mm_decode_features",
+    "mm_decode_audio",
+    "events_rfm_segments",
+    "text_minhash_containment_graph",
+    "orders_pareto_cumshare",
+    "ts_anomaly_mad",
+    "feat_quantile_bins",
+    "graph_copurchase_pagerank",
+    "text_zipf_fit",
+    "agg_grouping_sets",
+    "events_session_overlap",
+    "dedup_lsh_bucket_stats",
+    # -- oldest last-green (r2 vintage) rotated in for re-check --
+    "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
+    "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
+    "rule_not_contains", "rule_starts_with", "rule_ends_with",
+    "rule_recent_days", "rule_days_ago", "rule_days_ago_between",
+    "rule_date_between", "rule_and", "rule_or", "rule_not_group",
+    "rule_nested_groups", "rule_empty_select_all", "rule_is_null",
+    "rule_array_contains",
 ]
 
 
@@ -530,10 +552,35 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_part_hierarchy"] = graph_part_hierarchy
 
-    # rows-only: sampling is engine-specific (seeded, not portable)
+    # P19 seeded sampling, driver-checkable via a bounds oracle
+    # (r7 VERDICT Next #6): the RNG stream is engine-specific so the
+    # sampled SET can't be replayed in SQL, but its INVARIANTS can —
+    # the Spark side verifies its own sample (Chernoff-style ±6σ
+    # binomial fence on the count, duplicate-freedom, subset-of-source
+    # via anti-join) and emits booleans; the oracle emits the same
+    # booleans as literals plus the deterministic source count. Any
+    # sampling defect flips a boolean → hash red.
     def rule_sample(spark, sf_dir):
-        return _t(spark, sf_dir, "customer").sample(fraction=0.3, seed=42) \
-            .select("c_custkey").orderBy("c_custkey")
+        frac = 0.3
+        src = _t(spark, sf_dir, "customer").select("c_custkey")
+        samp = src.sample(fraction=frac, seed=42)
+        n_src = src.agg(F.count(F.lit(1)).alias("n_source"))
+        s = samp.agg(F.count(F.lit(1)).alias("_n"),
+                     F.countDistinct("c_custkey").alias("_nd"))
+        stray = samp.join(src, "c_custkey", "left_anti") \
+            .agg(F.count(F.lit(1)).alias("_stray"))
+        mu = F.col("n_source") * F.lit(frac)
+        sigma = F.sqrt(F.col("n_source") * F.lit(frac * (1.0 - frac)))
+        return (
+            n_src.crossJoin(s).crossJoin(stray)
+            .select(
+                "n_source",
+                ((F.col("_n") >= mu - 6 * sigma)
+                 & (F.col("_n") <= mu + 6 * sigma)).alias("within_fences"),
+                (F.col("_nd") == F.col("_n")).alias("dup_free"),
+                (F.col("_stray") == 0).alias("all_from_source"),
+            )
+        )
 
     q["sample_seeded"] = rule_sample
 
@@ -7740,6 +7787,16 @@ def oracle_sql() -> dict[str, str]:
                 f"% 4294967296")
 
     _M = 4294967296
+    # P19 bounds oracle: the sampled set is engine RNG, but its
+    # invariants are portable — Spark proves them and emits booleans,
+    # the oracle states them as literals (see rule_sample docstring).
+    o["sample_seeded"] = """
+        SELECT count(*) AS n_source,
+               true AS within_fences,
+               true AS dup_free,
+               true AS all_from_source
+        FROM customer
+    """
     o["sample_stratified_hash"] = f"""
         SELECT c_mktsegment, count(*) AS cnt FROM customer
         WHERE {_kh('c_custkey', 7)} <

