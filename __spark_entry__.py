@@ -2303,6 +2303,110 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_payload_chunks"] = mm_payload_chunks
 
+    # ---- REAL decode paths (r7 VERDICT Next #3): registry-decoded
+    # planted payloads, oracle = closed-form from the generator ----
+    def mm_decode_features(spark, sf_dir):
+        # Plant genuine binary-PGM images (header + raster built
+        # byte-exactly via char()+ISO-8859-1 encode, pixel i of image m
+        # = (m*31 + i*7) % 256), then decode through the
+        # register_decoder() hook — the real byte->pixels parser, not
+        # the digest stub. Stats are integers exact in float32, so the
+        # FEATURE_SCHEMA round-trip is bit-exact.
+        from bigdata_tag_system_spark.operators.multimodal import (
+            decode_pgm, extract_features, register_decoder)
+
+        register_decoder("pgm", decode_pgm)
+        docs = _t(spark, sf_dir, "documents").select("doc_id") \
+            .orderBy("doc_id").limit(200)
+        mid = F.col("doc_id")
+        w = (F.lit(8) + mid % 5).cast("int")    # 8..12
+        h = (F.lit(6) + mid % 4).cast("int")    # 6..9
+        n_px = (w * h).cast("int")
+        pix = F.array_join(
+            F.transform(F.sequence(F.lit(0), n_px - 1),
+                        lambda i: F.char((mid * 31 + i * 7) % 256)), "")
+        header = F.concat(F.lit("P5\n"), w.cast("string"), F.lit(" "),
+                          h.cast("string"), F.lit("\n255\n"))
+        media = docs.select(
+            mid.alias("media_id"), F.lit("pgm").alias("modality"),
+            F.encode(F.concat(header, pix), "ISO-8859-1").alias("payload"),
+            F.lit("image/x-portable-graymap").alias("mime_type"),
+            w.alias("width"), h.alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"))
+        f = F.col("feature")
+        return extract_features(media).select(
+            "media_id",
+            f[0].cast("int").alias("width"),
+            f[1].cast("int").alias("height"),
+            f[2].cast("int").alias("maxval"),
+            f[3].cast("long").alias("n_px"),
+            f[4].cast("long").alias("px_sum"),
+            f[5].cast("long").alias("px_sumsq"),
+            f[6].cast("int").alias("px_min"),
+            f[7].cast("int").alias("px_max"),
+        ).orderBy("media_id")
+
+    q["mm_decode_features"] = mm_decode_features
+
+    def mm_decode_audio(spark, sf_dir):
+        # Plant genuine stereo RIFF/WAVE PCM16 clips (full 44-byte
+        # header + interleaved LE int16 frames, sample i of clip m =
+        # ((m*7 + i*13) % 512) - 256, channel = i % 2) and decode via
+        # the registered WAV parser. Amplitude 512 keeps per-channel
+        # sumsq < 2^24, exact in float32.
+        from bigdata_tag_system_spark.operators.multimodal import (
+            decode_wav_pcm16, extract_features, register_decoder)
+
+        register_decoder("wav", decode_wav_pcm16)
+
+        def le(col, nbytes):
+            return F.concat(*[
+                F.char(F.floor(col / F.lit(256 ** k)).cast("long") % 256)
+                for k in range(nbytes)])
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id") \
+            .orderBy("doc_id").limit(200)
+        mid = F.col("doc_id")
+        n_frames = (F.lit(40) + mid % 23).cast("int")   # 40..62
+        data_bytes = n_frames * 4                        # 2ch * 2B
+
+        def sample_le16(i):
+            v = (mid * 7 + i * 13) % 512 - 256
+            u = ((v % 65536) + 65536) % 65536
+            return le(u, 2)
+
+        frames = F.array_join(
+            F.transform(F.sequence(F.lit(0), 2 * n_frames - 1),
+                        sample_le16), "")
+        header = F.concat(
+            F.lit("RIFF"), le(data_bytes + 36, 4), F.lit("WAVEfmt "),
+            le(F.lit(16), 4), le(F.lit(1), 2), le(F.lit(2), 2),
+            le(F.lit(8000), 4), le(F.lit(32000), 4), le(F.lit(4), 2),
+            le(F.lit(16), 2), F.lit("data"), le(data_bytes, 4))
+        media = docs.select(
+            mid.alias("media_id"), F.lit("wav").alias("modality"),
+            F.encode(F.concat(header, frames), "ISO-8859-1")
+             .alias("payload"),
+            F.lit("audio/wav").alias("mime_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (n_frames * 1000 / 8000).cast("int").alias("duration_ms"))
+        f = F.col("feature")
+        return extract_features(media).select(
+            "media_id",
+            f[0].cast("int").alias("n_channels"),
+            f[1].cast("int").alias("sample_rate"),
+            f[2].cast("long").alias("n_frames"),
+            f[3].cast("long").alias("ch0_sum"),
+            f[4].cast("long").alias("ch0_sumsq"),
+            f[5].cast("int").alias("ch0_peak"),
+            f[6].cast("long").alias("ch1_sum"),
+            f[7].cast("long").alias("ch1_sumsq"),
+            f[8].cast("int").alias("ch1_peak"),
+        ).orderBy("media_id")
+
+    q["mm_decode_audio"] = mm_decode_audio
+
     def dedup_fuzzy_edit(spark, sf_dir):
         # character-level near-dup: banded length blocking + bounded-DP
         # Levenshtein verify — catches intra-word edit clones that
@@ -7945,6 +8049,55 @@ def oracle_sql() -> dict[str, str]:
                     ELSE least(100, len - CAST(i AS INT) * 100) END AS n_bytes
         FROM (SELECT media_id, len, unnest(range(0, k)) AS i FROM base)
         ORDER BY media_id, chunk_id
+    """
+
+    # closed-form replay of the PGM generator: pixel i of image m is
+    # (m*31 + i*7) % 256 over an (8 + m%5) x (6 + m%4) raster — the
+    # Spark side must round-trip those bytes through a genuine P5
+    # parse to reproduce these integer stats
+    o["mm_decode_features"] = """
+        WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+        dims AS (
+            SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h FROM d
+        ), px AS (
+            SELECT doc_id, w, h, (doc_id * 31 + i * 7) % 256 AS v
+            FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i
+                  FROM dims)
+        )
+        SELECT doc_id AS media_id,
+               CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+               255 AS maxval,
+               count(*) AS n_px,
+               CAST(sum(v) AS BIGINT) AS px_sum,
+               CAST(sum(v * v) AS BIGINT) AS px_sumsq,
+               CAST(min(v) AS INT) AS px_min,
+               CAST(max(v) AS INT) AS px_max
+        FROM px GROUP BY doc_id ORDER BY media_id
+    """
+
+    # closed-form replay of the WAV generator: interleaved stereo
+    # sample i of clip m is ((m*7 + i*13) % 512) - 256, channel i % 2,
+    # 40 + m%23 frames @8kHz — the Spark side must parse the RIFF
+    # container + PCM16 frames to reproduce these per-channel stats
+    o["mm_decode_audio"] = """
+        WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+        nf AS (SELECT doc_id, 40 + doc_id % 23 AS n_frames FROM d),
+        s AS (
+            SELECT doc_id, n_frames, i % 2 AS ch,
+                   ((doc_id * 7 + i * 13) % 512) - 256 AS v
+            FROM (SELECT doc_id, n_frames, unnest(range(0, 2 * n_frames)) AS i
+                  FROM nf)
+        )
+        SELECT doc_id AS media_id,
+               2 AS n_channels, 8000 AS sample_rate,
+               CAST(max(n_frames) AS BIGINT) AS n_frames,
+               CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS ch0_sum,
+               CAST(sum(CASE WHEN ch = 0 THEN v * v ELSE 0 END) AS BIGINT) AS ch0_sumsq,
+               CAST(max(CASE WHEN ch = 0 THEN abs(v) ELSE 0 END) AS INT) AS ch0_peak,
+               CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS ch1_sum,
+               CAST(sum(CASE WHEN ch = 1 THEN v * v ELSE 0 END) AS BIGINT) AS ch1_sumsq,
+               CAST(max(CASE WHEN ch = 1 THEN abs(v) ELSE 0 END) AS INT) AS ch1_peak
+        FROM s GROUP BY doc_id ORDER BY media_id
     """
 
     # fitted-IVF store with nprobe = num_buckets: bucketing only prunes,

@@ -202,3 +202,102 @@ def decode_or_raise(modality: str) -> Callable[[bytes], list[float]]:
             "available in this environment — register_decoder() in deployment"
         )
     return _DECODER[modality]
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders (pure Python, no media libs): binary PGM and WAV PCM16.
+# These are genuine byte→pixels / byte→samples parsers, registered via
+# register_decoder() — the deployment hook stops being stub-only.
+# Feature values are integer statistics chosen to stay exactly
+# representable in float32 (|x| < 2^24), so the FEATURE_SCHEMA
+# ArrayType(FloatType) round-trip is bit-exact and oracle-checkable.
+# ---------------------------------------------------------------------------
+
+def decode_pgm(payload: bytes) -> list[float]:
+    """Decode a binary PGM (P5) image and return integer pixel stats.
+
+    Full parse: 'P5' magic, whitespace/comment-tolerant ASCII header
+    (width height maxval), exactly one whitespace byte, then the
+    width*height single-byte raster (maxval < 256 only — the 2-byte
+    raster variant is out of scope here).
+
+    Feature layout (all integers, exact in float32 for rasters up to
+    ~2^24/maxval² pixels): [width, height, maxval, n_px, px_sum,
+    px_sumsq, px_min, px_max].
+    """
+    if len(payload) < 2 or payload[0:2] != b"P5":
+        raise ValueError("decode_pgm: not a binary PGM (missing P5 magic)")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos] in b" \t\r\n":
+            pos += 1
+        if pos < len(payload) and payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos] in b"0123456789":
+            pos += 1
+        if pos == start:
+            raise ValueError("decode_pgm: malformed header")
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"decode_pgm: unsupported maxval {maxval}")
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    raster = payload[pos:pos + width * height]
+    if len(raster) != width * height:
+        raise ValueError(
+            f"decode_pgm: raster truncated ({len(raster)} of "
+            f"{width * height} bytes)")
+    px_sum = sum(raster)
+    px_sumsq = sum(v * v for v in raster)
+    return [float(x) for x in (
+        width, height, maxval, len(raster), px_sum, px_sumsq,
+        min(raster), max(raster))]
+
+
+def decode_wav_pcm16(payload: bytes) -> list[float]:
+    """Decode a RIFF/WAVE PCM16 payload into per-channel sample stats.
+
+    Full parse: RIFF/WAVE container with a proper chunk walk (word
+    padding honored), 'fmt ' audio_format=1 / bits=16 validation,
+    'data' chunk unpacked as interleaved little-endian int16 frames.
+
+    Feature layout: [n_channels, sample_rate, n_frames] followed by
+    [sum, sumsq, peak] per channel (exact in float32 for short clips
+    at the amplitudes the catalog plants).
+    """
+    import struct
+
+    if len(payload) < 12 or payload[0:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav_pcm16: not a RIFF/WAVE payload")
+    pos, fmt_chunk, data_chunk = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data_chunk = body
+    if fmt_chunk is None or data_chunk is None:
+        raise ValueError("decode_wav_pcm16: missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _brate, _balign, bits = struct.unpack(
+        "<HHIIHH", fmt_chunk[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"decode_wav_pcm16: only PCM16 supported "
+            f"(fmt={audio_fmt}, bits={bits})")
+    samples = struct.unpack(f"<{len(data_chunk) // 2}h",
+                            data_chunk[:len(data_chunk) & ~1])
+    if n_ch < 1 or len(samples) % n_ch:
+        raise ValueError("decode_wav_pcm16: ragged final frame")
+    feats = [float(n_ch), float(rate), float(len(samples) // n_ch)]
+    for c in range(n_ch):
+        ch = samples[c::n_ch]
+        feats += [float(sum(ch)), float(sum(v * v for v in ch)),
+                  float(max((abs(v) for v in ch), default=0))]
+    return feats
