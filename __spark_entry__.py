@@ -376,7 +376,13 @@ _DRIVER_FIRST = [
     "rule_recent_days", "rule_days_ago", "rule_days_ago_between",
     "rule_date_between", "rule_and", "rule_or", "rule_not_group",
     "rule_nested_groups", "rule_empty_select_all", "rule_is_null",
-    "rule_array_contains",
+    "rule_array_contains", "rule_contains_any", "rule_contains_all",
+    "rule_disjoint", "tag_assignments", "tag_merge_union",
+    "scenario_incremental", "cross_table_rule", "tag_enriched",
+    "upsert_merge", "delete_rewrite", "scan_count",
+    # (tail re-checks past slot 50 fall out of the window as the
+    # round-8 additions above land — they are re-confirmations, not
+    # certification debt, so displacement is free)
 ]
 
 
