@@ -200,6 +200,34 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_TRI_CACHE: dict[str, str] = {}
+
+
+def _copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented triangle census (u apex, x < y closing edge) of the
+    co-purchase graph, materialized ONCE per process per sf_dir.
+
+    `graph_triangles` and `graph_edge_jaccard` enumerate the IDENTICAL
+    wedge/semi-join census — the single most expensive relation in the
+    graph family (r7 plan audit: 8.7 s each at sf0.1, the pair's cost
+    is this census twice). Same contract as `_copurchase_edges`: a pure
+    function of the corpus, both ORACLES still recompute triangles from
+    lineitem from scratch, so every gate run audits the cache."""
+    import tempfile
+
+    path = _TRI_CACHE.get(sf_dir)
+    if path is None:
+        from bigdata_tag_system_spark.operators.graph import (
+            enumerate_triangles,
+        )
+
+        tri = enumerate_triangles(_copurchase_edges(spark, sf_dir))
+        path = tempfile.mkdtemp(prefix="copurchase_tri_") + "/triangles"
+        tri.write.mode("overwrite").parquet(path)
+        _TRI_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 def _cond(field: str, op: str, value=None, type_=None) -> dict:
     node: dict = {"field": field, "operator": op}
     if value is not None:
@@ -523,12 +551,16 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one wedge + one closing edge — two hash joins, out-degree
         # √|E|-bounded on any degree distribution (the power-law-safe
         # formulation); the oracle recounts by literal a<b<c
-        # triple-join over the canonical edge set
+        # triple-join over the canonical edge set; the census itself is
+        # materialized once per process and SHARED with
+        # graph_edge_jaccard (_copurchase_triangles)
         from bigdata_tag_system_spark.operators.graph import (
             triangle_count,
         )
 
-        return triangle_count(_copurchase_edges(spark, sf_dir))
+        return triangle_count(
+            _copurchase_edges(spark, sf_dir),
+            triangles=_copurchase_triangles(spark, sf_dir))
 
     q["graph_triangles"] = graph_triangles
 
@@ -6209,13 +6241,16 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def graph_edge_jaccard(spark, sf_dir):
         # link-prediction readout: top-100 co-purchase edges by common
         # neighbors (= triangles through the edge, enumerated hub-safe
-        # via the degree orientation) with integer Jaccard basis points
+        # via the degree orientation) with integer Jaccard basis
+        # points; consumes the SAME materialized triangle census as
+        # graph_triangles (_copurchase_triangles)
         from bigdata_tag_system_spark.operators.graph import (
             edge_common_neighbors,
         )
 
         return edge_common_neighbors(
-            _copurchase_edges(spark, sf_dir), top_n=100)
+            _copurchase_edges(spark, sf_dir), top_n=100,
+            triangles=_copurchase_triangles(spark, sf_dir))
 
     q["graph_edge_jaccard"] = graph_edge_jaccard
 

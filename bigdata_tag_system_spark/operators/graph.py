@@ -87,47 +87,31 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
-def triangle_count(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    persist_edges: bool = False,
-) -> DataFrame:
-    """Global triangle count by degree-ordered edge orientation — the
-    MapReduce-classic formulation (Suri & Vassilvitskii, WWW'11).
-
-    Every undirected edge is oriented from its lower-(degree, id)
-    endpoint to the higher one, which turns the triangle into exactly
-    one wedge (u→v, u→w with rank(v) < rank(w)) plus one closing edge
-    (v→w). Counting is then two hash joins on oriented edges: the wedge
-    self-join fans out ~Σ d_out(u)², and because orientation caps
-    d_out(u) at O(√|E|) for ANY degree distribution, a celebrity node
-    with 10M neighbors contributes √-bounded wedges instead of 10M² —
-    the property that makes this safe on power-law graphs at 100 TB.
-    Returns one row: (n_nodes, n_edges, n_triangles).
-    """
-    # the canonical edge set feeds several plan branches; measured at
-    # the test scale, Spark's exchange reuse already dedupes them and
-    # an unconditional persist is NET NEGATIVE (1.58 s -> 1.82 s on the
-    # co-purchase census) — so caching is opt-in for callers whose edge
-    # BUILD is expensive (a wide fact self-join that exchange reuse
-    # cannot cover because the consumers need different keys)
-    e = (
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Dedup to the undirected canonical edge set (_a < _b, no loops)."""
+    return (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .where(F.col("_a") != F.col("_b"))
         .select(F.least("_a", "_b").alias("_a"),
                 F.greatest("_a", "_b").alias("_b"))
         .distinct()
     )
-    if persist_edges:
-        from pyspark import StorageLevel
 
-        e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    deg = (
+
+def _degrees(e: DataFrame) -> DataFrame:
+    """(_n, _d) degrees over a canonical undirected edge set."""
+    return (
         e.select(F.col("_a").alias("_n"))
         .unionAll(e.select(F.col("_b").alias("_n")))
         .groupBy("_n").agg(F.count(F.lit(1)).alias("_d"))
     )
+
+
+def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """One row per triangle (u, x, y) over canonical edges ``e``:
+    u is the wedge apex under (degree, id) orientation, x < y the
+    closing edge. Each triangle appears EXACTLY once (its apex is
+    unique), so downstream consumers may count or explode freely."""
     da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
     db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
     ranked = e.join(da, "_a").join(db, "_b")
@@ -144,14 +128,68 @@ def triangle_count(
     w1 = fwd.select(F.col("u"), F.col("v").alias("x"))
     w2 = fwd.select(F.col("u"), F.col("v").alias("y"))
     wedges = (w1.join(w2, "u")
-              .where(F.col("x") < F.col("y"))
-              .select(F.col("x").alias("u"), F.col("y").alias("v")))
+              .where(F.col("x") < F.col("y")))
     closing = fwd.unionAll(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # a wedge (x,y) closes iff the undirected edge {x,y} exists; the
     # closing set carries both directions so the semi join needs no
     # least/greatest re-canonicalization
-    tri = wedges.join(closing, ["u", "v"], "left_semi")
+    return wedges.join(
+        closing.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"], "left_semi").select("u", "x", "y")
+
+
+def enumerate_triangles(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Materializable triangle census: one (u, x, y) row per triangle,
+    degree-ordered orientation (see :func:`triangle_count` for the
+    O(√|E|) wedge bound). This is the relation `graph_triangles` and
+    `graph_edge_jaccard` SHARE — enumerate once, let every consumer
+    count / explode its own view (r7 VERDICT Next #4)."""
+    e = _canonical_edges(edges, src, dst)
+    return _oriented_triangles(e, _degrees(e))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    persist_edges: bool = False,
+    triangles: DataFrame | None = None,
+) -> DataFrame:
+    """Global triangle count by degree-ordered edge orientation — the
+    MapReduce-classic formulation (Suri & Vassilvitskii, WWW'11).
+
+    Every undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, which turns the triangle into exactly
+    one wedge (u→v, u→w with rank(v) < rank(w)) plus one closing edge
+    (v→w). Counting is then two hash joins on oriented edges: the wedge
+    self-join fans out ~Σ d_out(u)², and because orientation caps
+    d_out(u) at O(√|E|) for ANY degree distribution, a celebrity node
+    with 10M neighbors contributes √-bounded wedges instead of 10M² —
+    the property that makes this safe on power-law graphs at 100 TB.
+    Returns one row: (n_nodes, n_edges, n_triangles).
+
+    ``triangles``: a precomputed :func:`enumerate_triangles` relation
+    (e.g. materialized once and shared with edge_common_neighbors);
+    when given, only the cheap node/edge counts are recomputed here.
+    """
+    # the canonical edge set feeds several plan branches; measured at
+    # the test scale, Spark's exchange reuse already dedupes them and
+    # an unconditional persist is NET NEGATIVE (1.58 s -> 1.82 s on the
+    # co-purchase census) — so caching is opt-in for callers whose edge
+    # BUILD is expensive (a wide fact self-join that exchange reuse
+    # cannot cover because the consumers need different keys)
+    e = _canonical_edges(edges, src, dst)
+    if persist_edges:
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = _degrees(e)
+    tri = triangles if triangles is not None else _oriented_triangles(e, deg)
     counts = e.agg(
         F.count(F.lit(1)).alias("n_edges")).crossJoin(
         F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))).crossJoin(
@@ -436,6 +474,7 @@ def edge_common_neighbors(
     top_n: int = 100,
     src: str = "src",
     dst: str = "dst",
+    triangles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-edge common-neighbor count and Jaccard link strength — the
     classic link-prediction / community-strength feature (an edge whose
@@ -452,40 +491,14 @@ def edge_common_neighbors(
     integer basis points (degrees over the deduped undirected edge
     set). Returns the ``top_n`` strongest edges by
     (common desc, id_a, id_b) — a bounded TakeOrdered, no global sort.
+
+    ``triangles``: a precomputed :func:`enumerate_triangles` relation
+    shared with triangle_count; when given, only degrees and the
+    per-edge credit aggregation run here.
     """
-    e = (
-        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
-        .where(F.col("_a") != F.col("_b"))
-        .select(F.least("_a", "_b").alias("_a"),
-                F.greatest("_a", "_b").alias("_b"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("_a").alias("_n"))
-        .unionAll(e.select(F.col("_b").alias("_n")))
-        .groupBy("_n").agg(F.count(F.lit(1)).alias("_d"))
-    )
-    da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
-    db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
-    ranked = e.join(da, "_a").join(db, "_b")
-    fwd = ranked.select(
-        F.when((F.col("_da") < F.col("_db"))
-               | ((F.col("_da") == F.col("_db"))
-                  & (F.col("_a") < F.col("_b"))),
-               F.struct(F.col("_a").alias("u"), F.col("_b").alias("v")))
-        .otherwise(
-            F.struct(F.col("_b").alias("u"), F.col("_a").alias("v")))
-        .alias("_e")
-    ).select("_e.u", "_e.v")
-    w1 = fwd.select(F.col("u"), F.col("v").alias("x"))
-    w2 = fwd.select(F.col("u"), F.col("v").alias("y"))
-    wedges = (w1.join(w2, "u")
-              .where(F.col("x") < F.col("y")))
-    closing = fwd.unionAll(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    tri = wedges.join(
-        closing.select(F.col("u").alias("x"), F.col("v").alias("y")),
-        ["x", "y"], "left_semi")
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    tri = triangles if triangles is not None else _oriented_triangles(e, deg)
     # credit each triangle (u, x, y) to its three canonical edges
     te = tri.select(F.explode(F.array(
         F.struct(F.least("u", "x").alias("a"),
