@@ -387,16 +387,16 @@ _DRIVER_FIRST = [
     # -- round-8 additions (driver-checked the round they land) --
     "mm_decode_features",
     "mm_decode_audio",
-    "events_rfm_segments",
-    "text_minhash_containment_graph",
-    "orders_pareto_cumshare",
-    "ts_anomaly_mad",
-    "feat_quantile_bins",
-    "graph_copurchase_pagerank",
     "text_zipf_fit",
-    "agg_grouping_sets",
-    "events_session_overlap",
     "dedup_lsh_bucket_stats",
+    "events_concurrency",
+    "scan_orc_roundtrip",
+    "ts_autocorrelation",
+    "quality_ks_drift",
+    "text_bigram_perplexity",
+    "ts_seasonal_decompose",
+    "feat_woe_encode",
+    "graph_assortativity",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
