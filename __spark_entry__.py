@@ -201,6 +201,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRI_CACHE: dict[str, str] = {}
+_ORC_CACHE: dict[str, str] = {}
 
 
 def _copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,7 +394,7 @@ _DRIVER_FIRST = [
     "scan_orc_roundtrip",
     "ts_autocorrelation",
     "quality_ks_drift",
-    "text_bigram_perplexity",
+    "text_cross_ppl",
     "ts_seasonal_decompose",
     "feat_woe_encode",
     "graph_assortativity",
@@ -2576,6 +2577,18 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.desc("lift_x1000"), "bigram").limit(50)
 
     q["text_bigram_lift"] = text_bigram_lift
+
+    def text_zipf_fit(spark, sf_dir):
+        # corpus Zipf fingerprint: ln-ln OLS over the top-100 token
+        # spectrum (TakeOrdered keeps the rank window bounded)
+        out = T.zipf_fit(_t(spark, sf_dir, "documents"), top_n=100)
+        return out.select(
+            "n_terms",
+            F.round("slope", 4).alias("slope"),
+            F.round("intercept", 4).alias("intercept"),
+            F.round("r2", 4).alias("r2"))
+
+    q["text_zipf_fit"] = text_zipf_fit
 
     def text_source_kl(spark, sf_dir):
         # per-language KL(p_lang || corpus) over token distributions —
@@ -6268,6 +6281,77 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_lpa_communities"] = graph_lpa_communities
 
+    def graph_assortativity(spark, sf_dir):
+        # degree assortativity of the co-purchase graph: Pearson over
+        # endpoint degrees on the symmetric edge list, every moment an
+        # integer sum (one float division at the end); consumes the
+        # cached edge table like the other four graph queries
+        from bigdata_tag_system_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        out = degree_assortativity(_copurchase_edges(spark, sf_dir))
+        return out.select(
+            "n_nodes", "n_edges",
+            F.round("assortativity", 4).alias("assortativity"))
+
+    q["graph_assortativity"] = graph_assortativity
+
+    def feat_woe_encode(spark, sf_dir):
+        # weight-of-evidence + IV decomposition of order priority vs
+        # the F-status target — one hash agg + broadcast totals
+        from bigdata_tag_system_spark.operators.features import (
+            woe_encode,
+        )
+
+        o_ = _t(spark, sf_dir, "orders").withColumn(
+            "is_f", F.col("o_orderstatus") == "F")
+        out = woe_encode(o_, "o_orderpriority", "is_f")
+        return out.select(
+            F.col("o_orderpriority").alias("category"),
+            "n", "n_pos", "n_neg",
+            F.round("woe", 4).alias("woe"),
+            F.round("iv_term", 6).alias("iv_term"),
+        ).orderBy("category")
+
+    q["feat_woe_encode"] = feat_woe_encode
+
+    def quality_ks_drift(spark, sf_dir):
+        # exact two-sample KS between purchase and click value
+        # distributions, integer basis points via the bucketed
+        # two-level ECDF (no single-partition window over data rows)
+        from bigdata_tag_system_spark.operators.quality import ks_drift
+
+        return ks_drift(_t(spark, sf_dir, "events"), "value",
+                        "event_type", "purchase", "click")
+
+    q["quality_ks_drift"] = quality_ks_drift
+
+    def scan_orc_roundtrip(spark, sf_dir):
+        # ORC source/sink parity: events staged to ORC once per
+        # process, read back, aggregated — proves the columnar
+        # round-trip (schema incl. ns-timestamps + doubles) and adds
+        # the third file format beside parquet and CSV/JSONL
+        path = _ORC_CACHE.get(sf_dir)
+        if path is None:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="orc_events_") + "/events"
+            _t(spark, sf_dir, "events").write.mode("overwrite").orc(path)
+            _ORC_CACHE[sf_dir] = path
+        df = spark.read.orc(path)
+        return (
+            df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 2).alias("value_sum"),
+                 F.min(F.to_date("ts")).cast("string").alias("first_day"),
+                 F.max(F.to_date("ts")).cast("string").alias("last_day"))
+            .orderBy("event_type")
+        )
+
+    q["scan_orc_roundtrip"] = scan_orc_roundtrip
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -6658,6 +6742,40 @@ def oracle_sql() -> dict[str, str]:
                 JOIN e e2 ON e2.s = e1.t
                 JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t)
                    AS n_triangles
+    """
+
+    # same co-purchase edge CTE; r = (n·Sxy − Sx²)/(n·Sxx − Sx²) over
+    # the symmetric (x, y) degree pairs — integer moments, one division
+    o["graph_assortativity"] = """
+        WITH e AS (
+            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS s,
+                   greatest(a.l_partkey, b.l_partkey) AS t
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+        deg AS (
+            SELECT n, count(*) AS d FROM
+                (SELECT s AS n FROM e UNION ALL SELECT t FROM e)
+            GROUP BY n),
+        sym AS (
+            SELECT ds.d AS x, dt.d AS y
+            FROM e JOIN deg ds ON ds.n = e.s JOIN deg dt ON dt.n = e.t
+            UNION ALL
+            SELECT dt.d, ds.d
+            FROM e JOIN deg ds ON ds.n = e.s JOIN deg dt ON dt.n = e.t),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM sym)
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                     ELSE CAST(n * sxy - sx * sx AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE) END, 4)
+                   AS assortativity
+        FROM m
     """
 
     o["graph_part_hierarchy"] = """
@@ -8092,6 +8210,60 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY media_id, chunk_id
     """
 
+    # WOE/IV replay: same smoothing-in-numerators convention
+    o["feat_woe_encode"] = """
+        WITH per AS (
+            SELECT o_orderpriority AS category,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_pos
+            FROM orders GROUP BY 1),
+        t AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS pt,
+                     CAST(sum(n - n_pos) AS DOUBLE) AS nt FROM per)
+        SELECT category, n, n_pos, n - n_pos AS n_neg,
+               round(ln(((n_pos + 0.5) / pt)
+                        / ((n - n_pos + 0.5) / nt)), 4) AS woe,
+               round((((n_pos + 0.5) / pt) - ((n - n_pos + 0.5) / nt))
+                     * ln(((n_pos + 0.5) / pt)
+                          / ((n - n_pos + 0.5) / nt)), 6) AS iv_term
+        FROM per, t ORDER BY category
+    """
+
+    # exact integer KS replay: per-value counts, one cumulative pass,
+    # d_bp = (10000 * max|Fa*nb - Fb*na|) // (na*nb)
+    o["quality_ks_drift"] = """
+        WITH g AS (
+            SELECT value AS v,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                            ELSE 0 END) AS BIGINT) AS cb
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+              AND value IS NOT NULL
+            GROUP BY value),
+        t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b,
+                     count(*) AS n_values FROM g),
+        c AS (SELECT sum(ca) OVER (ORDER BY v) AS fa,
+                     sum(cb) OVER (ORDER BY v) AS fb FROM g),
+        m AS (SELECT max(abs(fa * (SELECT n_b FROM t)
+                             - fb * (SELECT n_a FROM t))) AS mx FROM c)
+        SELECT t.n_a, t.n_b, t.n_values,
+               CAST((10000 * m.mx) // (t.n_a * t.n_b) AS BIGINT) AS d_bp
+        FROM t, m
+    """
+
+    # the ORC round-trip must reproduce the parquet-derived aggregate
+    o["scan_orc_roundtrip"] = """
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS value_sum,
+               CAST(CAST(min(ts) AS DATE) AS VARCHAR) AS first_day,
+               CAST(CAST(max(ts) AS DATE) AS VARCHAR) AS last_day
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
     # closed-form replay of the PGM generator: pixel i of image m is
     # (m*31 + i*7) % 256 over an (8 + m%5) x (6 + m%4) raster — the
     # Spark side must round-trip those bytes through a genuine P5
@@ -8491,6 +8663,38 @@ def oracle_sql() -> dict[str, str]:
 
     # per-language KL(p_lang || corpus) over token distributions; the
     # corpus totals re-aggregate the (lang, token) counts — p>0 => q>0
+    # Zipf replay: same tokenizer, (count desc, token) top-100 spectrum,
+    # ln-ln OLS closed forms — slope/intercept/r2 rounded to 4
+    o["text_zipf_fit"] = f"""
+        WITH freq AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+                SELECT unnest(string_split({_NORM}, ' ')) AS w
+                FROM documents WHERE text IS NOT NULL)
+            WHERE w != ''
+            GROUP BY w ORDER BY f DESC, w LIMIT 100
+        ), ranked AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+            FROM freq
+        ), pts AS (
+            SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+            FROM ranked
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM pts)
+        SELECT n AS n_terms,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                   AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      * sx) / n, 4) AS intercept,
+               round(CASE WHEN n * syy - sy * sy = 0 THEN NULL
+                     ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                          / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     END, 4) AS r2
+        FROM s
+    """
+
     o["text_source_kl"] = f"""
         WITH gt AS (
             SELECT lang, t, count(*) AS c FROM (

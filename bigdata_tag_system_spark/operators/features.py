@@ -782,3 +782,44 @@ def hashed_features(
     u = reduce(DataFrame.unionAll, parts)
     return (u.groupBy("id", "bucket")
             .agg(F.sum("_w").cast("long").alias("weight")))
+
+
+def woe_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence encoding per category + the information-value
+    decomposition — the credit-scoring-standard supervised categorical
+    encoder (sibling of :func:`target_encode`, which yields posterior
+    means; WOE yields log-odds, the right feature for linear/logit
+    models, and IV ranks the column's predictive power).
+
+    ``woe(c) = ln(((pos_c + s) / pos_tot) / ((neg_c + s) / neg_tot))``
+    with additive smoothing ``s`` in the numerators only (documented
+    convention, replayed literally by the oracle); ``iv_term(c) =
+    ((pos_c + s)/pos_tot − (neg_c + s)/neg_tot) · woe(c)`` so
+    ``Σ iv_term`` is the column IV. One hash aggregate over the fact
+    table + a broadcast 1-row totals join — no shuffle beyond the
+    groupBy, no iteration.
+
+    ``target_col`` must be 0/1-coercible (booleans welcome).
+    """
+    t = F.col(target_col).cast("int")
+    per = df.groupBy(category_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).alias("n_pos"))
+    per = per.withColumn("n_neg", F.col("n") - F.col("n_pos"))
+    tot = per.agg(F.sum("n_pos").alias("_pt"),
+                  F.sum("n_neg").alias("_nt"))
+    s = F.lit(float(smoothing))
+    pr = (F.col("n_pos") + s) / F.col("_pt")
+    nr = (F.col("n_neg") + s) / F.col("_nt")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            category_col, "n", "n_pos", "n_neg",
+            F.log(pr / nr).alias("woe"),
+            ((pr - nr) * F.log(pr / nr)).alias("iv_term"))
+    )

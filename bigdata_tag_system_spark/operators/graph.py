@@ -523,3 +523,51 @@ def edge_common_neighbors(
             .alias("jaccard_bp")))
     return out.orderBy(
         F.col("common_neighbors").desc(), "id_a", "id_b").limit(int(top_n))
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity of an undirected graph — the Pearson
+    correlation of endpoint degrees over edges (Newman 2002, simplified
+    to RAW degree rather than excess degree; the convention is
+    documented because the oracle replays it literally). r > 0: hubs
+    link to hubs (social nets); r < 0: hubs link to leaves
+    (hub-and-spoke catalogs, most co-purchase graphs).
+
+    Every moment is an INTEGER sum over the symmetric edge list (each
+    undirected edge contributes both (dᵃ,dᵇ) and (dᵇ,dᵃ), making the
+    two marginals identical, so only Sx/Sxx/Sxy are needed) — one
+    degree aggregation, two degree joins, one 1-row aggregate; the
+    single float division happens once at the end. Returns one row:
+    (n_nodes, n_edges, assortativity).
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
+    ed = e.join(da, "_a").join(db, "_b")
+    sym = ed.select(F.col("_da").alias("x"), F.col("_db").alias("y")) \
+        .unionAll(ed.select(F.col("_db").alias("x"),
+                            F.col("_da").alias("y")))
+    sums = sym.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    nedge = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        nodes.crossJoin(F.broadcast(nedge)).crossJoin(F.broadcast(sums))
+        .select(
+            "n_nodes", "n_edges",
+            F.when(den != 0,
+                   num.cast("double") / den.cast("double"))
+            .alias("assortativity"),
+        )
+    )

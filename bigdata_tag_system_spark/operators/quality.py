@@ -282,3 +282,82 @@ def null_profile(
         for i, c in enumerate(names)
     ])
     return one.select(F.inline(rows)).orderBy("col_name")
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    ``value_col`` distributions of two groups — the distribution-shape
+    complement to :func:`population_stability` (PSI sees binned mass
+    shifts; KS sees the worst-case CDF gap, including shifts inside a
+    bin).
+
+    ``D = max over observed v of |F_a(v) − F_b(v)|``, computed EXACTLY
+    in integers: per-value counts, a two-level cumulative sum — values
+    are range-bucketed (equal-width fences off a 1-row min/max
+    aggregate), cumulated per bucket by an ordinary partitioned window,
+    then stitched with per-bucket offsets whose own cumulative runs
+    over the ≤``n_buckets``-row bucket-total relation (the
+    sample_shuffle_order pattern: dense global ECDF with NO
+    single-partition window over data rows). The statistic is reported
+    in basis points, ``d_bp = (10000 · max|c_a·n_b − c_b·n_a|) DIV
+    (n_a·n_b)`` — integer arithmetic end to end, no float hash risk.
+
+    Returns one row: (n_a, n_b, n_values, d_bp).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    tagged = (
+        df.where(F.col(group_col).isin([group_a, group_b])
+                 & v.isNotNull())
+        .select(v.alias("_v"),
+                (F.col(group_col) == group_a).cast("long").alias("_a"))
+    )
+    g = tagged.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_cb"))
+    rng = g.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    bucket = F.when(
+        F.col("_hi") == F.col("_lo"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("_v") - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo")) * n_buckets)
+            .cast("int")))
+    gb = g.crossJoin(F.broadcast(rng)).withColumn("_b", bucket)
+    w = (Window.partitionBy("_b").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = gb.select(
+        "_b", "_v",
+        F.sum("_ca").over(w).alias("_fa"),
+        F.sum("_cb").over(w).alias("_fb"))
+    btot = gb.groupBy("_b").agg(
+        F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb"))
+    wb = (Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = btot.select(
+        "_b",
+        F.coalesce(F.sum("_ta").over(wb), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("_tb").over(wb), F.lit(0)).alias("_ob"))
+    tot = g.agg(F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b"),
+                F.count(F.lit(1)).alias("n_values"))
+    gap = F.abs((F.col("_oa") + F.col("_fa")) * F.col("n_b")
+                - (F.col("_ob") + F.col("_fb")) * F.col("n_a"))
+    return (
+        cum.join(F.broadcast(off), "_b")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"),
+             F.first("n_values").alias("n_values"),
+             F.max(gap).alias("_m"))
+        .select(
+            "n_a", "n_b", "n_values",
+            F.expr("(10000 * _m) DIV (n_a * n_b)").alias("d_bp"))
+    )

@@ -970,3 +970,59 @@ def tfidf_cosine_topk(
                 F.col("_ib").alias("other_id"),
                 F.round("_cos", 4).alias("cosine"))
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: OLS of
+    ln(frequency) on ln(rank) over the ``top_n`` most frequent tokens.
+    A natural-language corpus sits near slope −1; heavily templated or
+    deduplicated-to-death corpora drift flat (slope → 0) and
+    boilerplate-dominated ones drift steep — a one-row corpus
+    fingerprint for curation dashboards.
+
+    Scale shape: one tokenize+explode → token hash-agg →
+    TakeOrderedAndProject(top_n) — the rank window then runs over a
+    BOUNDED ≤ top_n-row relation (never the full vocabulary), and the
+    fit is a single 1-row aggregate of its logs. Ties rank
+    deterministically by (count desc, token asc) so independent
+    engines see the identical spectrum.
+
+    Returns one row: (n_terms, slope, intercept, r2).
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("_t"))
+        .where(F.col("_t") != "")
+        .groupBy("_t").agg(F.count(F.lit(1)).alias("_f"))
+        .orderBy(F.col("_f").desc(), F.col("_t"))
+        .limit(int(top_n))
+    )
+    ranked = freq.withColumn(
+        "_r", F.row_number().over(
+            Window.orderBy(F.col("_f").desc(), F.col("_t"))))
+    pts = ranked.select(
+        F.log(F.col("_r").cast("double")).alias("x"),
+        F.log(F.col("_f").cast("double")).alias("y"))
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return s.select(
+        F.col("n").alias("n_terms"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+        .alias("intercept"),
+        F.when(deny != 0, num * num / (denx * deny)).alias("r2"))

@@ -138,6 +138,13 @@ _CATALOG_ALLOW = {
     # Pareto deciles are a global revenue ranking by definition (see
     # customer_rfm_segments above for the fence-based scale path)
     "customer_revenue_concentration": ["global_window"],
+    # Zipf rank window runs over the TakeOrdered top-100 spectrum —
+    # bounded by construction, never the vocabulary
+    "text_zipf_fit": ["global_window"],
+    # KS bucket-offset cumulative runs over the ≤64-row bucket-total
+    # relation (sample_shuffle_order pattern); data rows only ever see
+    # a PARTITIONED window
+    "quality_ks_drift": ["global_window"],
 }
 
 
