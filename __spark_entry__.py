@@ -6352,6 +6352,99 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scan_orc_roundtrip"] = scan_orc_roundtrip
 
+    def dedup_lsh_bucket_stats(spark, sf_dir):
+        # band-bucket occupancy census over the portable banding —
+        # the pre-join hot-bucket diagnosis for the MinHash pipeline
+        return D.lsh_bucket_stats(_t(spark, sf_dir, "documents"))
+
+    q["dedup_lsh_bucket_stats"] = dedup_lsh_bucket_stats
+
+    def events_concurrency(spark, sf_dir):
+        # capacity readout: per-day peak simultaneous sessions via a
+        # day-partitioned sweep line over sessionized intervals
+        from bigdata_tag_system_spark.operators.features import (
+            sessionize,
+        )
+        from bigdata_tag_system_spark.operators.timeseries import (
+            peak_concurrency,
+        )
+
+        sess = (
+            sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+            .groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("start_ts"),
+                 F.max("ts").alias("end_ts")))
+        return peak_concurrency(sess)
+
+    q["events_concurrency"] = events_concurrency
+
+    def _daily_event_series(spark, sf_dir):
+        # zero-filled daily event-count series (calendar-bounded)
+        ev = _t(spark, sf_dir, "events").groupBy(
+            F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("x"))
+        rng = ev.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+        cal = rng.select(
+            F.explode(F.sequence("_lo", "_hi")).alias("day"))
+        return cal.join(ev, "day", "left").select(
+            "day", F.coalesce("x", F.lit(0)).alias("x"))
+
+    def ts_autocorrelation(spark, sf_dir):
+        # ACF at lags 1..7 of the daily event-count series — the
+        # weekly-cycle diagnostic; global window is calendar-bounded
+        from bigdata_tag_system_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        out = autocorrelation(_daily_event_series(spark, sf_dir))
+        return out.select(
+            "lag", "n_pairs",
+            F.round("acf", 4).alias("acf")).orderBy("lag")
+
+    q["ts_autocorrelation"] = ts_autocorrelation
+
+    def ts_seasonal_decompose(spark, sf_dir):
+        # classical additive decomposition of the same series:
+        # centered 7-day MA trend, per-phase seasonal + residual RMS
+        # (phase = days-since-start mod 7, engine-exact integer math)
+        from bigdata_tag_system_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        out = seasonal_decompose(_daily_event_series(spark, sf_dir))
+        return out.select(
+            "phase", "n_days",
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round("resid_rms", 4).alias("resid_rms"))
+
+    q["ts_seasonal_decompose"] = ts_seasonal_decompose
+
+    def text_cross_ppl(spark, sf_dir):
+        # domain-shift score: bigram LM trained on src0-src4 only,
+        # held-out scoring of every other source; per-source rollup
+        # of mean log-prob, perplexity, OOV share
+        from bigdata_tag_system_spark.operators.text import (
+            bigram_lm_cross_scores,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        train_srcs = ["src0", "src1", "src2", "src3", "src4"]
+        train = docs.where(F.col("source").isin(train_srcs))
+        score = docs.where(~F.col("source").isin(train_srcs))
+        per_doc = bigram_lm_cross_scores(train, score)
+        return (
+            per_doc.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_bigrams").alias("n_bigrams"),
+                 F.sum("oov_bigrams").alias("oov_bigrams"),
+                 F.round(F.avg("avg_logp"), 4).alias("mean_logp"),
+                 F.round(F.exp(-F.avg("avg_logp")), 2).alias("ppl"))
+            .orderBy("source")
+        )
+
+    q["text_cross_ppl"] = text_cross_ppl
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -8987,6 +9080,58 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY gb.doc_id ORDER BY doc_id
     """
 
+    # held-out LM replay: counts/continuations/V from the 5 train
+    # sources only; unseen bigrams back off to coalesce(0) exactly as
+    # the engine does; per-source rollup with ppl = exp(-mean_logp)
+    _CROSS_TRAIN = "('src0','src1','src2','src3','src4')"
+    o["text_cross_ppl"] = f"""
+        WITH tok_tr AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t,
+                   generate_subscripts(string_split({_NORM}, ' '), 1) AS i
+            FROM documents
+            WHERE source IN {_CROSS_TRAIN}
+              AND len(string_split({_NORM}, ' ')) >= 2),
+        gb_tr AS (
+            SELECT a.doc_id AS doc_id, a.t || ' ' || b.t AS bg
+            FROM tok_tr a JOIN tok_tr b
+              ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        c2 AS (SELECT bg, count(*) AS c2 FROM gb_tr GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+               FROM c2 GROUP BY w1),
+        v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v FROM c2),
+        tok_sc AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t,
+                   generate_subscripts(string_split({_NORM}, ' '), 1) AS i
+            FROM documents
+            WHERE source NOT IN {_CROSS_TRAIN}
+              AND len(string_split({_NORM}, ' ')) >= 2),
+        gb_sc AS (
+            SELECT a.doc_id AS doc_id, a.t || ' ' || b.t AS bg
+            FROM tok_sc a JOIN tok_sc b
+              ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        scored AS (
+            SELECT gb_sc.doc_id,
+                   coalesce(c2.c2, 0) AS c2v,
+                   coalesce(c1.c1, 0) AS c1v,
+                   CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS oov
+            FROM gb_sc
+            LEFT JOIN c2 USING (bg)
+            LEFT JOIN c1 ON split_part(gb_sc.bg, ' ', 1) = c1.w1),
+        per_doc AS (
+            SELECT doc_id, count(*) AS nb,
+                   CAST(sum(oov) AS BIGINT) AS oov,
+                   avg(ln((c2v + 0.5)
+                          / (c1v + 0.5 * (SELECT v FROM v)))) AS alp
+            FROM scored GROUP BY doc_id)
+        SELECT d.source, count(*) AS n_docs,
+               CAST(sum(p.nb) AS BIGINT) AS n_bigrams,
+               CAST(sum(p.oov) AS BIGINT) AS oov_bigrams,
+               round(avg(p.alp), 4) AS mean_logp,
+               round(exp(-avg(p.alp)), 2) AS ppl
+        FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+        GROUP BY d.source ORDER BY d.source
+    """
+
     # sparse Pearson chi2: observed cells + (n − Σ expected-over-
     # observed) recovers the dense statistic without the full grid
     o["stats_chi_square"] = """
@@ -11003,6 +11148,134 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE cc * 1.0 / (sa.n + sb.n - cc) >= 0.5
         ORDER BY id_a, id_b
+    """
+
+    # ACF replay over the zero-filled daily series: same biased
+    # estimator (global mean, full-series denominator), lags unrolled
+    _ACF_SERIES = """
+        d AS (SELECT ts::DATE AS day, count(*) AS x
+              FROM events GROUP BY 1),
+        cal AS (SELECT unnest(generate_series(
+                    (SELECT min(day) FROM d), (SELECT max(day) FROM d),
+                    INTERVAL 1 DAY))::DATE AS day),
+        s AS (SELECT cal.day, coalesce(d.x, 0) AS x
+              FROM cal LEFT JOIN d USING (day))
+    """
+    _acf_lag_cols = ", ".join(
+        f"lag(x::DOUBLE, {k}) OVER (ORDER BY day) - mu AS d{k}"
+        for k in range(1, 8))
+    _acf_sums = ", ".join(
+        f"sum(d0 * d{k}) AS n{k}, count(d{k}) AS c{k}"
+        for k in range(1, 8))
+    _acf_rows = " UNION ALL ".join(
+        f"SELECT {k} AS lag, c{k} AS n_pairs, round(n{k} / den, 4)"
+        f" AS acf FROM a" for k in range(1, 8))
+    o["ts_autocorrelation"] = f"""
+        WITH {_ACF_SERIES},
+        m AS (SELECT avg(x::DOUBLE) AS mu FROM s),
+        l AS (SELECT x::DOUBLE - mu AS d0, {_acf_lag_cols} FROM s, m),
+        a AS (SELECT sum(d0 * d0) AS den, {_acf_sums} FROM l)
+        SELECT * FROM ({_acf_rows}) ORDER BY lag
+    """
+
+    # classical additive decomposition replay: centered 7-day MA where
+    # the full window exists, phase = (day - first_day) % 7
+    o["ts_seasonal_decompose"] = f"""
+        WITH {_ACF_SERIES},
+        t AS (
+            SELECT day, x::DOUBLE AS x,
+                   (day - (SELECT min(day) FROM s)) % 7 AS phase,
+                   CASE WHEN count(*) OVER w = 7
+                        THEN avg(x::DOUBLE) OVER w END AS trend
+            FROM s
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        det AS (SELECT phase, x - trend AS e FROM t
+                WHERE trend IS NOT NULL),
+        seas AS (SELECT phase, count(*) AS n_days, avg(e) AS seasonal
+                 FROM det GROUP BY 1)
+        SELECT p.phase, p.n_days, round(p.seasonal, 4) AS seasonal,
+               round(sqrt(avg((d.e - p.seasonal)
+                             * (d.e - p.seasonal))), 4) AS resid_rms
+        FROM det d JOIN seas p ON d.phase = p.phase
+        GROUP BY p.phase, p.n_days, p.seasonal ORDER BY p.phase
+    """
+
+    # sweep-line replay: sessionize CTE (shared with
+    # events_session_stats), day-exploded clipped intervals, +1/-1
+    # points, running sum ordered (ts, +1 first), max per day
+    o["events_concurrency"] = """
+        WITH s AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        g AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id
+                ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s),
+        iv AS (
+            SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+            FROM g GROUP BY user_id, sid),
+        clipped AS (
+            SELECT d.day,
+                   greatest(st, d.day::TIMESTAMP) AS cs,
+                   least(en, (d.day + INTERVAL 1 DAY)::TIMESTAMP) AS ce
+            FROM iv, LATERAL (
+                SELECT unnest(generate_series(st::DATE, en::DATE,
+                                              INTERVAL 1 DAY))::DATE
+                       AS day) d),
+        pts AS (
+            SELECT day, cs AS pt, 1 AS delta FROM clipped
+            UNION ALL
+            SELECT day, ce, -1 FROM clipped),
+        run AS (
+            SELECT day, sum(delta) OVER (PARTITION BY day
+                ORDER BY pt, delta DESC ROWS UNBOUNDED PRECEDING)
+                AS r
+            FROM pts)
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               (count(*) // 2)::BIGINT AS n_sessions,
+               CAST(max(r) AS BIGINT) AS peak
+        FROM run GROUP BY day ORDER BY day
+    """
+
+    # occupancy-census replay: the SAME banding CTEs as
+    # dedup_minhash_portable, aggregated per (band, bucket) instead of
+    # self-joined — candidate_pairs = Σ s(s-1)/2
+    o["dedup_lsh_bucket_stats"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(s) AS g FROM sh
+        ), hashes AS (
+            SELECT doc_id, i.i AS i,
+                   min(('0x' || substr(md5(cast(i.i AS VARCHAR)
+                        || '|' || g), 1, 15))::BIGINT) AS mh
+            FROM ex, range(8) i(i) GROUP BY 1, 2
+        ), bands AS (
+            SELECT doc_id, i // 2 AS band,
+                   md5(string_agg(cast(mh AS VARCHAR), ','
+                       ORDER BY i)) AS bk
+            FROM hashes GROUP BY 1, 2
+        ), buckets AS (
+            SELECT band, bk, CAST(count(*) AS BIGINT) AS s
+            FROM bands GROUP BY 1, 2
+        )
+        SELECT band, CAST(sum(s) AS BIGINT) AS n_docs,
+               count(*) AS n_buckets,
+               CAST(max(s) AS BIGINT) AS max_bucket,
+               CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS singleton_buckets,
+               CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
+        FROM buckets GROUP BY band ORDER BY band
     """
 
     # leakage-audit replay: the portable-minhash candidate CTEs verbatim

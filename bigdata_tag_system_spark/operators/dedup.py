@@ -1207,6 +1207,84 @@ def reciprocal_best_pairs(
     )
 
 
+def _portable_band_keys(
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(id, _band, _bk) portable LSH band keys over a `_shingle_df`
+    relation: hash i = min over shingles of md5-60("{i}|{shingle}"),
+    band key = md5 of the comma-joined signature slice. Shared by
+    :func:`minhash_portable_pairs` (candidate join) and
+    :func:`lsh_bucket_stats` (occupancy census) so both consume the
+    byte-identical banding the oracles replay."""
+    from bigdata_tag_system_spark.functions.text import portable_hash60
+
+    ex = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    idx = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)]))
+    hashed = ex.select(
+        F.col(id_col), F.col("_s"), idx.alias("_i"),
+    ).select(
+        id_col, "_i",
+        portable_hash60(
+            F.concat(F.col("_i").cast("string"), F.lit("|"),
+                     F.col("_s"))).alias("_h"),
+    )
+    sig = hashed.groupBy(id_col, "_i").agg(F.min("_h").alias("_mh"))
+    return (
+        sig.withColumn("_band", F.expr(f"_i DIV {int(rows_per_band)}"))
+        .groupBy(id_col, "_band")
+        .agg(F.md5(F.concat_ws(",", F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_mh"))),
+            lambda s: s["_mh"].cast("string")))).alias("_bk"))
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH band-bucket occupancy census — the operational dashboard for
+    the MinHash pipeline: per band, how many buckets exist, how hot the
+    hottest is, and the candidate-pair volume the band join WILL
+    generate (Σ s·(s−1)/2 over its buckets). A band whose max bucket
+    explodes signals degenerate content (empty docs, boilerplate) that
+    needs a hot-bucket cap BEFORE the join runs — this census is how
+    you see it coming without running the join.
+
+    Same portable banding as :func:`minhash_portable_pairs`
+    (byte-replayable md5-60 math), aggregated instead of joined: one
+    (band, bucket) hash agg then a ≤#bands rollup. Returns one row per
+    band: (band, n_docs, n_buckets, max_bucket, singleton_buckets,
+    candidate_pairs).
+    """
+    if num_hashes % rows_per_band:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide into bands of "
+            f"rows_per_band={rows_per_band}")
+    sh = _shingle_df(df, text_col, id_col, shingle_n)
+    bkeys = _portable_band_keys(sh, id_col, num_hashes, rows_per_band)
+    per_bucket = bkeys.groupBy("_band", "_bk").agg(
+        F.count(F.lit(1)).alias("_s"))
+    return (
+        per_bucket.groupBy(F.col("_band").alias("band"))
+        .agg(
+            F.sum("_s").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("_s").alias("max_bucket"),
+            F.sum(F.when(F.col("_s") == 1, 1).otherwise(0))
+            .alias("singleton_buckets"),
+            F.sum(F.expr("_s * (_s - 1) DIV 2")).alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 def minhash_portable_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1239,27 +1317,8 @@ def minhash_portable_pairs(
         raise ValueError(
             f"num_hashes={num_hashes} must divide into bands of "
             f"rows_per_band={rows_per_band}")
-    from bigdata_tag_system_spark.functions.text import portable_hash60
-
     sh = _shingle_df(df, text_col, id_col, shingle_n)
-    ex = sh.select(F.col(id_col), F.explode("_sh").alias("_s"))
-    idx = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)]))
-    hashed = ex.select(
-        F.col(id_col), F.col("_s"), idx.alias("_i"),
-    ).select(
-        id_col, "_i",
-        portable_hash60(
-            F.concat(F.col("_i").cast("string"), F.lit("|"),
-                     F.col("_s"))).alias("_h"),
-    )
-    sig = hashed.groupBy(id_col, "_i").agg(F.min("_h").alias("_mh"))
-    bkeys = (
-        sig.withColumn("_band", F.expr(f"_i DIV {int(rows_per_band)}"))
-        .groupBy(id_col, "_band")
-        .agg(F.md5(F.concat_ws(",", F.transform(
-            F.array_sort(F.collect_list(F.struct("_i", "_mh"))),
-            lambda s: s["_mh"].cast("string")))).alias("_bk"))
-    )
+    bkeys = _portable_band_keys(sh, id_col, num_hashes, rows_per_band)
     a = bkeys.select(F.col(id_col).alias("id_a"), "_band", "_bk")
     b = bkeys.select(F.col(id_col).alias("id_b"), "_band", "_bk")
     cand = (

@@ -1026,3 +1026,66 @@ def zipf_fit(
         ((F.col("sy") - slope * F.col("sx")) / F.col("n"))
         .alias("intercept"),
         F.when(deny != 0, num * num / (denx * deny)).alias("r2"))
+
+
+def bigram_lm_cross_scores(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """HELD-OUT bigram-LM scoring: train transition counts on one
+    corpus slice, score another — the domain-shift measure
+    :func:`bigram_lm_scores` (self-trained) cannot give, and the
+    standard way to ask "how unlike my curated seed data is this new
+    source?" before admitting it to a training mix.
+
+    Same add-k model, but counts, continuation totals and the
+    follower vocabulary ``V`` come from TRAIN only; a scored bigram
+    unseen in training backs off to ``c₂ = 0`` (and ``c₁ = 0`` for an
+    unseen history), so ``ln P = ln(k / (k·V)) = −ln V`` — the uniform
+    floor. Two tokenize+explode passes (one per side), two LEFT joins
+    carrying (bigram, count) pairs, never text. Docs with <2 tokens
+    are absent. Returns (id, n_bigrams, oov_bigrams, avg_logp).
+    """
+    from bigdata_tag_system_spark.functions.text import (
+        ngrams_from_tokens, token_count, tokens,
+    )
+
+    def _bigrams(df):
+        return (
+            df.where(
+                F.col(text_col).isNotNull()
+                & (token_count(text_col) >= 2))
+            .select(
+                F.col(id_col),
+                F.explode(ngrams_from_tokens(tokens(text_col), 2))
+                .alias("_bg")))
+
+    tb = _bigrams(train_df)
+    c2 = tb.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c2"))
+    c2 = c2.select(
+        "_bg", "_c2",
+        F.substring_index(F.col("_bg"), " ", 1).alias("_w1"),
+        F.substring_index(F.col("_bg"), " ", -1).alias("_w2"))
+    c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
+    v = c2.agg(F.countDistinct("_w2").alias("_v"))
+    sb = _bigrams(score_df).select(
+        id_col, "_bg",
+        F.substring_index(F.col("_bg"), " ", 1).alias("_w1"))
+    scored = (
+        sb.join(c2.select("_bg", "_c2"), "_bg", "left")
+        .join(c1, "_w1", "left")
+        .crossJoin(F.broadcast(v)))
+    k = F.lit(float(smoothing))
+    logp = F.log(
+        (F.coalesce(F.col("_c2"), F.lit(0)) + k)
+        / (F.coalesce(F.col("_c1"), F.lit(0)) + k * F.col("_v")))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum(F.when(F.col("_c2").isNull(), 1).otherwise(0))
+             .alias("oov_bigrams"),
+             F.avg(logp).alias("avg_logp"))
+    )

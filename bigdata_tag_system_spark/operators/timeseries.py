@@ -340,3 +340,148 @@ def ohlc_bars(
             F.count(F.lit(1)).alias("volume"),
             F.sum(value_col).alias("value_sum"),
         ))
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Per-day peak concurrency over an interval relation — "how many
+    sessions were open at the busiest instant of each day", the
+    capacity-planning readout sessionized events feed directly.
+
+    Classic sweep line, partitioned by day so no global sort exists:
+    each interval (inclusive [start, end]) is exploded to the days it
+    touches, clipped, and emits a +1 point at its clipped start and a
+    −1 at its clipped end; the running sum ordered by (ts, +1 before
+    −1) peaks at the answer. The tie rule makes point-touching
+    intervals count as concurrent, and makes the per-instant maximum
+    permutation-invariant (the max lands after the last +1 of an
+    instant, whatever the order within equal keys). Day partitions
+    bound each window sort by a day's traffic; at 100 TB sub-bucket a
+    hot day by hour with per-bucket carry-in offsets, the
+    sample_shuffle_order pattern.
+
+    Returns (day string, n_sessions touching the day, peak).
+    """
+    from pyspark.sql import Window
+
+    s, e = F.col(start_col), F.col(end_col)
+    days = intervals.select(
+        s.alias("_s"), e.alias("_e"),
+        F.explode(F.sequence(F.to_date(s), F.to_date(e))).alias("_day"))
+    clipped = days.select(
+        "_day",
+        F.greatest(F.col("_s"), F.col("_day").cast("timestamp"))
+        .alias("_cs"),
+        F.least(F.col("_e"),
+                F.date_add(F.col("_day"), 1).cast("timestamp"))
+        .alias("_ce"))
+    pts = clipped.select(
+        "_day", F.col("_cs").alias("_ts"), F.lit(1).alias("_d")
+    ).unionAll(clipped.select(
+        "_day", F.col("_ce").alias("_ts"), F.lit(-1).alias("_d")))
+    w = (Window.partitionBy("_day").orderBy(F.col("_ts"),
+                                            F.col("_d").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = pts.withColumn("_run", F.sum("_d").over(w))
+    return (
+        run.groupBy(F.col("_day"))
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+             F.max("_run").alias("peak"))
+        .select(F.col("_day").cast("string").alias("day"),
+                "n_sessions", "peak")
+        .orderBy("day")
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function of a REGULAR daily series at
+    lags 1..``max_lag`` — the periodicity diagnostic (a weekly cycle
+    shows as a spike at lag 7) run before choosing seasonal models or
+    rollup grains.
+
+    Standard biased estimator: ``r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) /
+    Σ_t(x_t−x̄)²`` with the GLOBAL mean and full-series denominator.
+    One 1-row mean broadcast, ``max_lag`` lag columns over the
+    day-ordered window, one aggregate, one stack — the window is
+    global but CALENDAR-BOUNDED (one row per day; the series relation,
+    not the fact table — same allowance class as orders_monthly_yoy).
+    Input must already be gap-filled: missing grid days silently shift
+    every lag.
+
+    Returns one row per lag: (lag, n_pairs, acf).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(day_col)
+    x = F.col(value_col).cast("double")
+    m = series.agg(F.avg(x).alias("_mu"),
+                   F.count(F.lit(1)).alias("_n"))
+    lagged = series.crossJoin(F.broadcast(m)).select(
+        (x - F.col("_mu")).alias("_d0"),
+        *[(F.lag(x, k).over(w) - F.col("_mu")).alias(f"_d{k}")
+          for k in range(1, max_lag + 1)])
+    sums = lagged.agg(
+        F.sum(F.col("_d0") * F.col("_d0")).alias("_den"),
+        *[F.sum(F.col("_d0") * F.col(f"_d{k}")).alias(f"_n{k}")
+          for k in range(1, max_lag + 1)],
+        *[F.count(F.col(f"_d{k}")).alias(f"_c{k}")
+          for k in range(1, max_lag + 1)])
+    stacked = ", ".join(
+        f"{k}, _c{k}, _n{k} / _den" for k in range(1, max_lag + 1))
+    return sums.selectExpr(
+        f"stack({max_lag}, {stacked}) AS (lag, n_pairs, acf)")
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+    period: int = 7,
+) -> DataFrame:
+    """Moving-average seasonal decomposition of a regular daily series
+    (the classical additive model): trend = centered ``period``-wide
+    moving average (only where the full window exists), seasonal(p) =
+    mean of (x − trend) per phase ``p = days-since-start mod period``,
+    reported with the residual second moment per phase.
+
+    Phase is integer day-arithmetic (NOT locale weekday functions —
+    engines disagree on week start; ``datediff mod period`` is
+    engine-exact). Same calendar-bounded global-window allowance as
+    :func:`autocorrelation`. Returns one row per phase:
+    (phase, n_days, seasonal, resid_rms).
+    """
+    from pyspark.sql import Window
+
+    half = period // 2
+    w = (Window.orderBy(day_col)
+         .rowsBetween(-half, period - half - 1))
+    x = F.col(value_col).cast("double")
+    start = series.agg(F.min(day_col).alias("_d0"))
+    t = series.crossJoin(F.broadcast(start)).select(
+        F.col(day_col),
+        x.alias("_x"),
+        (F.datediff(F.col(day_col), F.col("_d0")) % period)
+        .alias("phase"),
+        F.when(F.count(F.lit(1)).over(w) == period,
+               F.avg(x).over(w)).alias("_trend"))
+    det = t.select("phase", (F.col("_x") - F.col("_trend")).alias("_e")) \
+        .where(F.col("_e").isNotNull())
+    seas = det.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.avg("_e").alias("seasonal"))
+    resid = (
+        det.join(F.broadcast(seas.select("phase", "seasonal")), "phase")
+        .groupBy("phase")
+        .agg(F.sqrt(F.avg(F.pow(F.col("_e") - F.col("seasonal"), 2)))
+             .alias("resid_rms")))
+    return (seas.join(resid, "phase")
+            .select("phase", "n_days", "seasonal", "resid_rms")
+            .orderBy("phase"))

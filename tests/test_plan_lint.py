@@ -145,6 +145,10 @@ _CATALOG_ALLOW = {
     # relation (sample_shuffle_order pattern); data rows only ever see
     # a PARTITIONED window
     "quality_ks_drift": ["global_window"],
+    # ACF lags / MA trend run over the one-row-per-day series —
+    # calendar-bounded, same class as orders_monthly_yoy
+    "ts_autocorrelation": ["global_window"],
+    "ts_seasonal_decompose": ["global_window"],
 }
 
 

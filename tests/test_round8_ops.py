@@ -136,3 +136,262 @@ class TestDecodePipeline:
         assert au["ch0_sum"] == sum(sm[0::2])
         assert au["ch1_sumsq"] == sum(v * v for v in sm[1::2])
         assert au["ch1_peak"] == max(abs(v) for v in sm[1::2])
+
+
+class TestDegreeAssortativity:
+    def test_star_is_disassortative(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        # star K1,4: every edge pairs degree 4 with degree 1 -> r = -1
+        e = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)], "src long, dst long")
+        row = degree_assortativity(e).first()
+        assert row["n_nodes"] == 5 and row["n_edges"] == 4
+        assert abs(row["assortativity"] - (-1.0)) < 1e-12
+
+    def test_regular_graph_is_degenerate_null(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        # a cycle is 2-regular: zero degree variance -> undefined (null)
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
+        row = degree_assortativity(e).first()
+        assert row["assortativity"] is None
+
+
+class TestZipfFit:
+    def test_exact_power_law_recovers_slope(self, spark):
+        from bigdata_tag_system_spark.operators.text import zipf_fit
+
+        # plant frequencies f(r) = 1000 / r for ranks 1..20: slope -1,
+        # perfect fit (r2 = 1). Tokens repeated f times in one doc each.
+        rows = []
+        for r in range(1, 21):
+            f_ = round(1000 / r)
+            rows.append((r, " ".join([f"tok{r:02d}"] * f_)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = zipf_fit(df, top_n=20).first()
+        assert got["n_terms"] == 20
+        assert abs(got["slope"] + 1.0) < 0.02   # rounding of 1000/r
+        assert got["r2"] > 0.999
+
+    def test_tie_ranking_is_deterministic(self, spark):
+        from bigdata_tag_system_spark.operators.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [(1, "b b a a c")], "doc_id long, text string")
+        got = zipf_fit(df, top_n=3).first()
+        # a and b tie at 2 -> rank by token asc; c rank 3; fit well-defined
+        assert got["n_terms"] == 3 and got["slope"] is not None
+
+
+class TestWoeEncode:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from bigdata_tag_system_spark.operators.features import (
+            woe_encode,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0), ("b", 1)],
+            "cat string, y int")
+        out = {r["cat"]: r for r in woe_encode(df, "cat", "y").collect()}
+        # totals: pos=3, neg=3; a: pos 2 neg 1; woe = ln((2.5/3)/(1.5/3))
+        exp_a = math.log((2.5 / 3) / (1.5 / 3))
+        assert abs(out["a"]["woe"] - exp_a) < 1e-12
+        assert out["a"]["n"] == 3 and out["a"]["n_pos"] == 2
+        # symmetry: b mirrors a
+        assert abs(out["b"]["woe"] + exp_a) < 1e-12
+        # IV terms are equal and positive for both
+        assert out["a"]["iv_term"] > 0
+        assert abs(out["a"]["iv_term"] - out["b"]["iv_term"]) < 1e-12
+
+
+class TestKsDrift:
+    def test_identical_distributions_give_zero(self, spark):
+        from bigdata_tag_system_spark.operators.quality import ks_drift
+
+        rows = [(float(v), g) for v in range(50) for g in ("a", "b")]
+        df = spark.createDataFrame(rows, "v double, g string")
+        row = ks_drift(df, "v", "g", "a", "b").first()
+        assert row["d_bp"] == 0 and row["n_a"] == 50 and row["n_b"] == 50
+
+    def test_disjoint_distributions_give_10000(self, spark):
+        from bigdata_tag_system_spark.operators.quality import ks_drift
+
+        rows = [(float(v), "a") for v in range(30)] + \
+               [(float(v + 100), "b") for v in range(40)]
+        df = spark.createDataFrame(rows, "v double, g string")
+        row = ks_drift(df, "v", "g", "a", "b").first()
+        assert row["d_bp"] == 10000
+
+    def test_matches_scipy_style_hand_case(self, spark):
+        from bigdata_tag_system_spark.operators.quality import ks_drift
+
+        # a = {1,2,3,4}, b = {3,4,5,6}: D = |F_a(2) - F_b(2)| = 1/2
+        rows = [(1.0, "a"), (2.0, "a"), (3.0, "a"), (4.0, "a"),
+                (3.0, "b"), (4.0, "b"), (5.0, "b"), (6.0, "b")]
+        df = spark.createDataFrame(rows, "v double, g string")
+        row = ks_drift(df, "v", "g", "a", "b").first()
+        assert row["d_bp"] == 5000
+
+    def test_bucketing_does_not_change_statistic(self, spark):
+        from bigdata_tag_system_spark.operators.quality import ks_drift
+
+        import random
+
+        rng = random.Random(7)
+        rows = [(rng.uniform(0, 10), "a") for _ in range(200)] + \
+               [(rng.uniform(2, 12), "b") for _ in range(150)]
+        df = spark.createDataFrame(rows, "v double, g string")
+        d1 = ks_drift(df, "v", "g", "a", "b", n_buckets=1).first()["d_bp"]
+        d64 = ks_drift(df, "v", "g", "a", "b", n_buckets=64).first()["d_bp"]
+        assert d1 == d64
+
+
+class TestLshBucketStats:
+    def test_census_consistent_with_candidates(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            _portable_band_keys, _shingle_df, lsh_bucket_stats,
+        )
+
+        rows = [(i, f"alpha beta gamma delta epsilon doc {i % 3}")
+                for i in range(9)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stats = {r["band"]: r for r in lsh_bucket_stats(df).collect()}
+        assert set(stats) == {0, 1, 2, 3}
+        # cross-check candidate_pairs against a direct bucket count
+        sh = _shingle_df(df, "text", "doc_id", 3)
+        bk = _portable_band_keys(sh, "doc_id", 8, 2)
+        per = {(r["_band"], r["_bk"]): r["cnt"] for r in
+               bk.groupBy("_band", "_bk").count()
+               .withColumnRenamed("count", "cnt").collect()}
+        for band, row in stats.items():
+            exp = sum(c * (c - 1) // 2 for (b, _), c in per.items()
+                      if b == band)
+            assert row["candidate_pairs"] == exp
+            assert row["n_docs"] == 9
+
+
+class TestPeakConcurrency:
+    def test_hand_built_overlaps(self, spark):
+        import datetime as dt
+
+        from bigdata_tag_system_spark.operators.timeseries import (
+            peak_concurrency,
+        )
+
+        d = dt.datetime(2024, 1, 1)
+
+        def t(h, m=0):
+            return d.replace(hour=h, minute=m)
+
+        rows = [(t(1), t(3)), (t(2), t(4)),   # overlap -> 2
+                (t(5), t(5)),                  # point session
+                (t(23), t(23) + dt.timedelta(hours=2))]  # crosses midnight
+        df = spark.createDataFrame(rows, "start_ts timestamp, end_ts timestamp")
+        out = {r["day"]: r for r in peak_concurrency(df).collect()}
+        assert out["2024-01-01"]["peak"] == 2
+        assert out["2024-01-01"]["n_sessions"] == 4
+        assert out["2024-01-02"]["peak"] == 1
+        assert out["2024-01-02"]["n_sessions"] == 1
+
+    def test_touching_endpoints_count_as_concurrent(self, spark):
+        import datetime as dt
+
+        from bigdata_tag_system_spark.operators.timeseries import (
+            peak_concurrency,
+        )
+
+        d = dt.datetime(2024, 1, 1)
+        rows = [(d.replace(hour=1), d.replace(hour=2)),
+                (d.replace(hour=2), d.replace(hour=3))]
+        df = spark.createDataFrame(rows, "start_ts timestamp, end_ts timestamp")
+        assert peak_concurrency(df).first()["peak"] == 2
+
+
+class TestAutocorrelation:
+    def test_alternating_series_has_negative_lag1(self, spark):
+        import datetime as dt
+
+        from bigdata_tag_system_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        base = dt.date(2024, 1, 1)
+        rows = [(base + dt.timedelta(days=i), 10 if i % 2 else 0)
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "day date, x long")
+        acf = {r["lag"]: r["acf"] for r in autocorrelation(df).collect()}
+        assert acf[1] < -0.9 and acf[2] > 0.9
+
+    def test_matches_numpy(self, spark):
+        import datetime as dt
+
+        import numpy as np
+
+        from bigdata_tag_system_spark.operators.timeseries import (
+            autocorrelation,
+        )
+
+        rng = np.random.RandomState(3)
+        xs = rng.randint(0, 100, size=40)
+        base = dt.date(2024, 1, 1)
+        rows = [(base + dt.timedelta(days=i), int(v))
+                for i, v in enumerate(xs)]
+        df = spark.createDataFrame(rows, "day date, x long")
+        got = {r["lag"]: r["acf"] for r in autocorrelation(df).collect()}
+        mu = xs.mean()
+        den = ((xs - mu) ** 2).sum()
+        for k in (1, 3, 7):
+            exp = ((xs[k:] - mu) * (xs[:-k] - mu)).sum() / den
+            assert abs(got[k] - exp) < 1e-9
+
+
+class TestSeasonalDecompose:
+    def test_pure_weekly_pattern_is_recovered(self, spark):
+        import datetime as dt
+
+        from bigdata_tag_system_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        pattern = [0, 10, 20, 30, 40, 50, 60]
+        base = dt.date(2024, 1, 1)
+        rows = [(base + dt.timedelta(days=i), pattern[i % 7])
+                for i in range(35)]
+        df = spark.createDataFrame(rows, "day date, x long")
+        out = {r["phase"]: r for r in seasonal_decompose(df).collect()}
+        # trend is the constant weekly mean (30); seasonal = pattern - 30
+        for p in range(7):
+            assert abs(out[p]["seasonal"] - (pattern[p] - 30)) < 1e-9
+            assert out[p]["resid_rms"] < 1e-9
+
+
+class TestBigramCrossScores:
+    def test_oov_floor_and_seen_transitions(self, spark):
+        import math
+
+        from bigdata_tag_system_spark.operators.text import (
+            bigram_lm_cross_scores,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id long, text string")
+        score = spark.createDataFrame(
+            [(10, "a b"), (11, "x y")], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               bigram_lm_cross_scores(train, score).collect()}
+        # train bigrams: a b (x3), b a, b c -> V = {b, a, c} = 3
+        # doc 10: P(a b) = (3 + .5) / (c1(a)=3 + .5*3)
+        assert out[10]["oov_bigrams"] == 0
+        assert abs(out[10]["avg_logp"]
+                   - math.log(3.5 / 4.5)) < 1e-12
+        # doc 11: fully OOV -> uniform floor ln(0.5 / (0.5*3)) = -ln 3
+        assert out[11]["oov_bigrams"] == 1
+        assert abs(out[11]["avg_logp"] + math.log(3.0)) < 1e-12
