@@ -398,6 +398,8 @@ _DRIVER_FIRST = [
     "ts_seasonal_decompose",
     "feat_woe_encode",
     "graph_assortativity",
+    "graph_clustering_coeff",
+    "dedup_minhash_recall",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
@@ -6445,6 +6447,30 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_cross_ppl"] = text_cross_ppl
 
+    def graph_clustering_coeff(spark, sf_dir):
+        # global transitivity 3T/W over the co-purchase graph; the
+        # triangle term reads the SAME materialized census as
+        # graph_triangles / graph_edge_jaccard
+        from bigdata_tag_system_spark.operators.graph import (
+            clustering_coefficient,
+        )
+
+        out = clustering_coefficient(
+            _copurchase_edges(spark, sf_dir),
+            triangles=_copurchase_triangles(spark, sf_dir))
+        return out.select(
+            "n_wedges", "n_triangles",
+            F.round("global_cc", 6).alias("global_cc"))
+
+    q["graph_clustering_coeff"] = graph_clustering_coeff
+
+    def dedup_minhash_recall(spark, sf_dir):
+        # measured S-curve point: candidate recall/precision of the
+        # portable (k=8, r=2) banding vs the exact pair set at j>=0.5
+        return D.minhash_recall_report(_t(spark, sf_dir, "documents"))
+
+    q["dedup_minhash_recall"] = dedup_minhash_recall
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -11240,6 +11266,85 @@ def oracle_sql() -> dict[str, str]:
                (count(*) // 2)::BIGINT AS n_sessions,
                CAST(max(r) AS BIGINT) AS peak
         FROM run GROUP BY day ORDER BY day
+    """
+
+    # transitivity replay: wedge sum over degrees + the literal
+    # triple-join triangle count, C = 3T/W
+    o["graph_clustering_coeff"] = """
+        WITH e AS (
+            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS s,
+                   greatest(a.l_partkey, b.l_partkey) AS t
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+        deg AS (
+            SELECT n, count(*) AS d FROM
+                (SELECT s AS n FROM e UNION ALL SELECT t FROM e)
+            GROUP BY n),
+        w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+              FROM deg),
+        t AS (SELECT count(*) AS n_triangles FROM e e1
+              JOIN e e2 ON e2.s = e1.t
+              JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t)
+        SELECT n_wedges, n_triangles,
+               round(CASE WHEN n_wedges > 0
+                     THEN 3.0 * n_triangles / n_wedges END, 6)
+                   AS global_cc
+        FROM w, t
+    """
+
+    # measured-S-curve replay: banding candidates (same CTEs as
+    # dedup_minhash_portable) vs the brute-force exact pair set at
+    # j >= 0.5; integer recall/precision basis points
+    o["dedup_minhash_recall"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), sh AS MATERIALIZED (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS MATERIALIZED (
+            SELECT doc_id, unnest(s) AS g FROM sh
+        ), hashes AS (
+            SELECT doc_id, i.i AS i,
+                   min(('0x' || substr(md5(cast(i.i AS VARCHAR)
+                        || '|' || g), 1, 15))::BIGINT) AS mh
+            FROM ex, range(8) i(i) GROUP BY 1, 2
+        ), bands AS (
+            SELECT doc_id, i // 2 AS band,
+                   md5(string_agg(cast(mh AS VARCHAR), ','
+                       ORDER BY i)) AS bk
+            FROM hashes GROUP BY 1, 2
+        ), cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bk = b.bk
+                        AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM sh
+        ), common AS (
+            SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS cc
+            FROM ex ea JOIN ex eb
+              ON ea.g = eb.g AND ea.doc_id < eb.doc_id
+            GROUP BY 1, 2
+        ), exact AS MATERIALIZED (
+            SELECT id_a, id_b FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE cc * 1.0 / (sa.n + sb.n - cc) >= 0.5
+        ), m AS (
+            SELECT (SELECT count(*) FROM exact) AS n_exact,
+                   (SELECT count(*) FROM cand) AS n_candidates,
+                   (SELECT count(*) FROM cand c JOIN exact x
+                      ON c.id_a = x.id_a AND c.id_b = x.id_b) AS n_hits)
+        SELECT n_exact, n_candidates, n_hits,
+               CASE WHEN n_exact > 0
+                    THEN (10000 * n_hits) // n_exact END AS recall_bp,
+               CASE WHEN n_candidates > 0
+                    THEN (10000 * n_hits) // n_candidates END
+                   AS precision_bp
+        FROM m
     """
 
     # occupancy-census replay: the SAME banding CTEs as

@@ -164,6 +164,20 @@ def main() -> None:
         "sketch_hll_grouped",      # per-group register vectors
         "audit_null_profile",      # one-pass column profile
         "text_bigram_lift",        # log-free collocation ranking
+        # round-8 additions
+        "mm_decode_features",      # real PGM decode via registry hook
+        "mm_decode_audio",         # real WAV PCM16 decode
+        "graph_assortativity",     # integer-moment degree correlation
+        "text_zipf_fit",           # top-100 spectrum ln-ln OLS
+        "feat_woe_encode",         # WOE/IV categorical encoder
+        "quality_ks_drift",        # exact integer two-sample KS
+        "scan_orc_roundtrip",      # ORC sink+source parity
+        "dedup_lsh_bucket_stats",  # band-bucket occupancy census
+        "events_concurrency",      # day-partitioned sweep line peak
+        "ts_autocorrelation",      # daily-series ACF lags 1..7
+        "ts_seasonal_decompose",   # centered-MA additive decomposition
+        "text_cross_ppl",          # held-out cross-domain LM scoring
+        "sample_seeded",           # bounds-oracled P19 sampling
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

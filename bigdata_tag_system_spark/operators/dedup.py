@@ -1375,3 +1375,60 @@ def split_leakage_report(
                 .alias("cross_split"),
                 "n_pairs", "pair_id_sum")
         .orderBy("split_lo", "split_hi"))
+
+
+def minhash_recall_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Measured recall/precision of the portable LSH candidate stage
+    against the EXACT pair set — the eval harness for tuning (k, r):
+    theory gives the S-curve, this measures it on YOUR corpus, which is
+    how you justify a banding config before a 100 TB run.
+
+    Ground truth is :func:`ngram_jaccard_pairs` (prefix-filtered but
+    recall-LOSSLESS — an exact result); candidates are the pre-verify
+    band join of :func:`minhash_portable_pairs` (same
+    `_portable_band_keys`). All metrics are integers:
+    ``recall_bp = 10000·hits DIV n_exact`` (candidate recall — the
+    verify step keeps every true pair it is shown, so this IS pipeline
+    recall), ``precision_bp = 10000·hits DIV n_candidates`` (the share
+    of band candidates worth verifying — the verify-stage cost signal).
+    Returns one row.
+    """
+    exact = ngram_jaccard_pairs(
+        df, text_col, id_col, threshold, shingle_n
+    ).select("id_a", "id_b")
+    sh = _shingle_df(df, text_col, id_col, shingle_n)
+    bkeys = _portable_band_keys(sh, id_col, num_hashes, rows_per_band)
+    a = bkeys.select(F.col(id_col).alias("id_a"), "_band", "_bk")
+    b = bkeys.select(F.col(id_col).alias("id_b"), "_band", "_bk")
+    cand = (
+        a.join(b, ["_band", "_bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = cand.join(exact, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_exact", "n_candidates", "n_hits",
+            F.when(F.col("n_exact") > 0,
+                   F.expr("(10000 * n_hits) DIV n_exact"))
+            .alias("recall_bp"),
+            F.when(F.col("n_candidates") > 0,
+                   F.expr("(10000 * n_hits) DIV n_candidates"))
+            .alias("precision_bp"))
+    )

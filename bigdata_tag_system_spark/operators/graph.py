@@ -571,3 +571,36 @@ def degree_assortativity(
             .alias("assortativity"),
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    triangles: DataFrame | None = None,
+) -> DataFrame:
+    """Global (transitivity) clustering coefficient:
+    ``C = 3·triangles / wedges`` with ``wedges = Σ_v d(v)·(d(v)−1)/2``
+    — how much of the graph's open-wedge potential actually closes,
+    the one-number cohesion readout next to :func:`degree_assortativity`.
+
+    Wedge count is a single integer aggregate over the degree relation;
+    the triangle term reuses a precomputed :func:`enumerate_triangles`
+    relation when given (the shared materialized census), else
+    enumerates with the same O(√|E|)-bounded orientation. Returns one
+    row: (n_wedges, n_triangles, global_cc).
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    tri = triangles if triangles is not None else _oriented_triangles(e, deg)
+    wedges = deg.agg(
+        F.sum(F.expr("_d * (_d - 1) DIV 2")).alias("n_wedges"))
+    ntri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        wedges.crossJoin(F.broadcast(ntri))
+        .select(
+            "n_wedges", "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   3.0 * F.col("n_triangles") / F.col("n_wedges"))
+            .alias("global_cc"))
+    )

@@ -395,3 +395,69 @@ class TestBigramCrossScores:
         # doc 11: fully OOV -> uniform floor ln(0.5 / (0.5*3)) = -ln 3
         assert out[11]["oov_bigrams"] == 1
         assert abs(out[11]["avg_logp"] + math.log(3.0)) < 1e-12
+
+
+class TestClusteringCoefficient:
+    def test_triangle_is_fully_transitive(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            clustering_coefficient,
+        )
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2)], "src long, dst long")
+        row = clustering_coefficient(e).first()
+        assert row["n_wedges"] == 3 and row["n_triangles"] == 1
+        assert abs(row["global_cc"] - 1.0) < 1e-12
+
+    def test_star_has_zero_cc(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            clustering_coefficient,
+        )
+
+        e = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)], "src long, dst long")
+        row = clustering_coefficient(e).first()
+        assert row["n_wedges"] == 6 and row["n_triangles"] == 0
+        assert row["global_cc"] == 0.0
+
+    def test_precomputed_census_matches_inline(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            clustering_coefficient, enumerate_triangles,
+        )
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 5)],
+            "src long, dst long")
+        inline = clustering_coefficient(e).first()
+        shared = clustering_coefficient(
+            e, triangles=enumerate_triangles(e)).first()
+        assert inline == shared
+
+
+class TestMinhashRecallReport:
+    def test_identical_docs_are_fully_recalled(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            minhash_recall_report,
+        )
+
+        # identical docs share every band; disjoint docs share none
+        rows = [(1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon zeta"),
+                (3, "one two three four five six seven")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        row = minhash_recall_report(df).first()
+        assert row["n_exact"] == 1
+        assert row["n_hits"] == 1
+        assert row["recall_bp"] == 10000
+        assert row["precision_bp"] == 10000
+
+    def test_zero_pairs_yield_null_ratios(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            minhash_recall_report,
+        )
+
+        rows = [(1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        row = minhash_recall_report(df).first()
+        assert row["n_exact"] == 0 and row["recall_bp"] is None
