@@ -178,6 +178,8 @@ def main() -> None:
         "ts_seasonal_decompose",   # centered-MA additive decomposition
         "text_cross_ppl",          # held-out cross-domain LM scoring
         "sample_seeded",           # bounds-oracled P19 sampling
+        "graph_clustering_coeff",  # 3T/W off the shared census
+        "dedup_minhash_recall",    # measured LSH S-curve point
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
