@@ -202,6 +202,55 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_CACHE: dict[str, str] = {}
 _ORC_CACHE: dict[str, str] = {}
+_BKEY_CACHE: dict[str, str] = {}
+_PPAIR_CACHE: dict[str, str] = {}
+
+
+def _portable_bkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable LSH band keys (k=8, r=2, 3-shingles) over documents,
+    materialized ONCE per process per sf_dir — FOUR catalog queries
+    consume the identical banding (`dedup_minhash_portable`,
+    `dedup_split_leakage`, `dedup_lsh_bucket_stats`,
+    `dedup_minhash_recall`); the signature build (shingles × 8 md5-60
+    hashes + min-agg) is their shared dominant cost. Same audited-cache
+    contract as `_copurchase_edges` / `_copurchase_triangles`: a pure
+    function of the corpus, and every ORACLE recomputes the banding
+    from raw text, so each gate run checks the cache."""
+    import tempfile
+
+    path = _BKEY_CACHE.get(sf_dir)
+    if path is None:
+        from bigdata_tag_system_spark.operators.dedup import (
+            _portable_band_keys, _shingle_df,
+        )
+
+        sh = _shingle_df(_t(spark, sf_dir, "documents"),
+                         "text", "doc_id", 3)
+        bk = _portable_band_keys(sh, "doc_id", 8, 2)
+        path = tempfile.mkdtemp(prefix="portable_bkeys_") + "/bkeys"
+        bk.write.mode("overwrite").parquet(path)
+        _BKEY_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+def _portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified portable-MinHash pair relation (threshold 0.5) over
+    documents, materialized once per process per sf_dir on top of the
+    cached band keys; read by `dedup_minhash_portable` and
+    `dedup_split_leakage`."""
+    import tempfile
+
+    path = _PPAIR_CACHE.get(sf_dir)
+    if path is None:
+        from bigdata_tag_system_spark.operators import dedup as _D
+
+        pairs = _D.minhash_portable_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.5,
+            band_keys=_portable_bkeys(spark, sf_dir))
+        path = tempfile.mkdtemp(prefix="portable_pairs_") + "/pairs"
+        pairs.write.mode("overwrite").parquet(path)
+        _PPAIR_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
 
 
 def _copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5968,8 +6017,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # signature (k=8, r=2 ⇒ ~68% recall at j=0.5) so the survivor
         # set genuinely differs from the exact pair set and the replay
         # audits the banding, not a tautology
-        out = D.minhash_portable_pairs(
-            _t(spark, sf_dir, "documents"), threshold=0.5)
+        out = _portable_pairs(spark, sf_dir)
         return out.select(
             "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"),
         ).orderBy("id_a", "id_b")
@@ -5985,8 +6033,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this replays their COMPOSITION end to end.
         from bigdata_tag_system_spark.operators.sampling import hash_split
 
-        pairs = D.minhash_portable_pairs(
-            _t(spark, sf_dir, "documents"), threshold=0.5)
+        pairs = _portable_pairs(spark, sf_dir)
         splits = hash_split(
             _t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
         return D.split_leakage_report(pairs, splits)
@@ -6356,8 +6403,11 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_lsh_bucket_stats(spark, sf_dir):
         # band-bucket occupancy census over the portable banding —
-        # the pre-join hot-bucket diagnosis for the MinHash pipeline
-        return D.lsh_bucket_stats(_t(spark, sf_dir, "documents"))
+        # the pre-join hot-bucket diagnosis for the MinHash pipeline;
+        # reads the SHARED materialized band keys (_portable_bkeys)
+        return D.lsh_bucket_stats(
+            _t(spark, sf_dir, "documents"),
+            band_keys=_portable_bkeys(spark, sf_dir))
 
     q["dedup_lsh_bucket_stats"] = dedup_lsh_bucket_stats
 
@@ -6466,8 +6516,11 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_minhash_recall(spark, sf_dir):
         # measured S-curve point: candidate recall/precision of the
-        # portable (k=8, r=2) banding vs the exact pair set at j>=0.5
-        return D.minhash_recall_report(_t(spark, sf_dir, "documents"))
+        # portable (k=8, r=2) banding vs the exact pair set at j>=0.5;
+        # banding side reads the shared materialized band keys
+        return D.minhash_recall_report(
+            _t(spark, sf_dir, "documents"),
+            band_keys=_portable_bkeys(spark, sf_dir))
 
     q["dedup_minhash_recall"] = dedup_minhash_recall
 

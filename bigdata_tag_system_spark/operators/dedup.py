@@ -1248,6 +1248,7 @@ def lsh_bucket_stats(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """LSH band-bucket occupancy census — the operational dashboard for
     the MinHash pipeline: per band, how many buckets exist, how hot the
@@ -1267,9 +1268,11 @@ def lsh_bucket_stats(
         raise ValueError(
             f"num_hashes={num_hashes} must divide into bands of "
             f"rows_per_band={rows_per_band}")
-    sh = _shingle_df(df, text_col, id_col, shingle_n)
-    bkeys = _portable_band_keys(sh, id_col, num_hashes, rows_per_band)
-    per_bucket = bkeys.groupBy("_band", "_bk").agg(
+    if band_keys is None:
+        sh = _shingle_df(df, text_col, id_col, shingle_n)
+        band_keys = _portable_band_keys(
+            sh, id_col, num_hashes, rows_per_band)
+    per_bucket = band_keys.groupBy("_band", "_bk").agg(
         F.count(F.lit(1)).alias("_s"))
     return (
         per_bucket.groupBy(F.col("_band").alias("band"))
@@ -1293,6 +1296,7 @@ def minhash_portable_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with a fully PORTABLE signature: hash
     ``i`` of a document is ``min`` over its shingles of the md5-60 hash
@@ -1318,7 +1322,8 @@ def minhash_portable_pairs(
             f"num_hashes={num_hashes} must divide into bands of "
             f"rows_per_band={rows_per_band}")
     sh = _shingle_df(df, text_col, id_col, shingle_n)
-    bkeys = _portable_band_keys(sh, id_col, num_hashes, rows_per_band)
+    bkeys = band_keys if band_keys is not None else _portable_band_keys(
+        sh, id_col, num_hashes, rows_per_band)
     a = bkeys.select(F.col(id_col).alias("id_a"), "_band", "_bk")
     b = bkeys.select(F.col(id_col).alias("id_b"), "_band", "_bk")
     cand = (
@@ -1385,6 +1390,7 @@ def minhash_recall_report(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Measured recall/precision of the portable LSH candidate stage
     against the EXACT pair set — the eval harness for tuning (k, r):
@@ -1404,8 +1410,12 @@ def minhash_recall_report(
     exact = ngram_jaccard_pairs(
         df, text_col, id_col, threshold, shingle_n
     ).select("id_a", "id_b")
-    sh = _shingle_df(df, text_col, id_col, shingle_n)
-    bkeys = _portable_band_keys(sh, id_col, num_hashes, rows_per_band)
+    if band_keys is not None:
+        bkeys = band_keys
+    else:
+        sh = _shingle_df(df, text_col, id_col, shingle_n)
+        bkeys = _portable_band_keys(
+            sh, id_col, num_hashes, rows_per_band)
     a = bkeys.select(F.col(id_col).alias("id_a"), "_band", "_bk")
     b = bkeys.select(F.col(id_col).alias("id_b"), "_band", "_bk")
     cand = (
