@@ -204,6 +204,28 @@ _TRI_CACHE: dict[str, str] = {}
 _ORC_CACHE: dict[str, str] = {}
 _BKEY_CACHE: dict[str, str] = {}
 _PPAIR_CACHE: dict[str, str] = {}
+_MHPAIR_CACHE: dict[str, str] = {}
+
+
+def _minhash_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified xxhash-MinHash pair relation (threshold 0.5, engine
+    defaults) over documents, materialized once per process per sf_dir
+    — `dedup_pipeline_keep` and `dedup_pipeline_keep_best` consume the
+    IDENTICAL relation and differ only in their keep strategy. Same
+    audited-cache contract as the other corpus-pure materializations
+    (their oracles derive the pair set independently)."""
+    import tempfile
+
+    path = _MHPAIR_CACHE.get(sf_dir)
+    if path is None:
+        from bigdata_tag_system_spark.operators import dedup as _D
+
+        pairs = _D.minhash_dedup(
+            _t(spark, sf_dir, "documents"), threshold=0.5)
+        path = tempfile.mkdtemp(prefix="mh_pairs_") + "/pairs"
+        pairs.write.mode("overwrite").parquet(path)
+        _MHPAIR_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
 
 
 def _portable_bkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1862,8 +1884,10 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the END-TO-END dedup pipeline: near-dup pairs (MinHash-LSH,
         # exact-verified) → connected components → keep min-id per
         # cluster; unpaired docs survive. Output = the kept corpus ids.
+        # The pair relation is materialized once and SHARED with
+        # dedup_pipeline_keep_best (_minhash_pairs_05).
         d = _t(spark, sf_dir, "documents")
-        pairs = D.minhash_dedup(d, threshold=0.5)
+        pairs = _minhash_pairs_05(spark, sf_dir)
         out = D.dedup_by_components(d, pairs)
         return out.select("doc_id").orderBy("doc_id")
 
@@ -1873,9 +1897,9 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # production keep-strategy: per cluster keep the LONGEST copy
         # (max n_chars, tie → lowest id) instead of the lowest id —
         # near-identical docs tie on length often, so the tiebreak is
-        # genuinely exercised
+        # genuinely exercised; same shared pair relation as above
         d = _t(spark, sf_dir, "documents")
-        pairs = D.minhash_dedup(d, threshold=0.5)
+        pairs = _minhash_pairs_05(spark, sf_dir)
         out = D.dedup_by_components(d, pairs, keep_col="n_chars")
         return out.select("doc_id").orderBy("doc_id")
 
