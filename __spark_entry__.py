@@ -205,6 +205,27 @@ _ORC_CACHE: dict[str, str] = {}
 _BKEY_CACHE: dict[str, str] = {}
 _PPAIR_CACHE: dict[str, str] = {}
 _MHPAIR_CACHE: dict[str, str] = {}
+_NGPAIR_CACHE: dict[str, str] = {}
+
+
+def _ngram_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard pair relation (threshold 0.5, PPJoin
+    prefix-filtered, recall-lossless) over documents, materialized once
+    per process per sf_dir — `dedup_ngram_jaccard` reads it directly
+    and `dedup_minhash_recall` uses it as ground truth. Audited-cache
+    contract as usual."""
+    import tempfile
+
+    path = _NGPAIR_CACHE.get(sf_dir)
+    if path is None:
+        from bigdata_tag_system_spark.operators import dedup as _D
+
+        pairs = _D.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.5)
+        path = tempfile.mkdtemp(prefix="ngram_pairs_") + "/pairs"
+        pairs.write.mode("overwrite").parquet(path)
+        _NGPAIR_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
 
 
 def _minhash_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1823,7 +1844,9 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact_groups"] = dedup_exact_groups
 
     def dedup_ngram_jaccard(spark, sf_dir):
-        out = D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+        # exact pair relation shared with dedup_minhash_recall's
+        # ground-truth side (_ngram_pairs_05)
+        out = _ngram_pairs_05(spark, sf_dir)
         return out.select(
             "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")).orderBy("id_a", "id_b")
 
@@ -6544,7 +6567,8 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # banding side reads the shared materialized band keys
         return D.minhash_recall_report(
             _t(spark, sf_dir, "documents"),
-            band_keys=_portable_bkeys(spark, sf_dir))
+            band_keys=_portable_bkeys(spark, sf_dir),
+            exact_pairs=_ngram_pairs_05(spark, sf_dir))
 
     q["dedup_minhash_recall"] = dedup_minhash_recall
 

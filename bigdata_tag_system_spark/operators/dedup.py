@@ -1391,6 +1391,7 @@ def minhash_recall_report(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     band_keys: DataFrame | None = None,
+    exact_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Measured recall/precision of the portable LSH candidate stage
     against the EXACT pair set — the eval harness for tuning (k, r):
@@ -1407,9 +1408,10 @@ def minhash_recall_report(
     of band candidates worth verifying — the verify-stage cost signal).
     Returns one row.
     """
-    exact = ngram_jaccard_pairs(
-        df, text_col, id_col, threshold, shingle_n
-    ).select("id_a", "id_b")
+    exact = (exact_pairs if exact_pairs is not None
+             else ngram_jaccard_pairs(
+                 df, text_col, id_col, threshold, shingle_n)
+             ).select("id_a", "id_b")
     if band_keys is not None:
         bkeys = band_keys
     else:
