@@ -492,6 +492,7 @@ _DRIVER_FIRST = [
     "graph_assortativity",
     "graph_clustering_coeff",
     "dedup_minhash_recall",
+    "mm_video_frame_stats",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
@@ -6572,6 +6573,37 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_recall"] = dedup_minhash_recall
 
+    def mm_video_frame_stats(spark, sf_dir):
+        # raw-frame video path: concatenated 8x6 grayscale planes
+        # (pixel i of clip m = (m*31 + i*7) % 256, 3 + m%3 frames at
+        # 25fps), per-frame stats computed with PURE expressions —
+        # decode(ISO-8859-1) + substr slices + transform/aggregate
+        # folds, zero Python — the native complement of the
+        # registered-decoder path
+        from bigdata_tag_system_spark.operators.multimodal import (
+            raw_frame_stats,
+        )
+
+        w, h = 8, 6
+        docs = _t(spark, sf_dir, "documents").select("doc_id") \
+            .orderBy("doc_id").limit(200)
+        mid = F.col("doc_id")
+        n_frames = (F.lit(3) + mid % 3).cast("int")
+        total = n_frames * (w * h)
+        pix = F.array_join(
+            F.transform(F.sequence(F.lit(0), total - 1),
+                        lambda i: F.char((mid * 31 + i * 7) % 256)), "")
+        media = docs.select(
+            mid.alias("media_id"), F.lit("video").alias("modality"),
+            F.encode(pix, "ISO-8859-1").alias("payload"),
+            F.lit("video/raw-gray").alias("mime_type"),
+            F.lit(w).alias("width"), F.lit(h).alias("height"),
+            (n_frames * 40).alias("duration_ms"))
+        return raw_frame_stats(media, w, h, frame_ms=40) \
+            .orderBy("media_id", "frame_idx")
+
+    q["mm_video_frame_stats"] = mm_video_frame_stats
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -8506,6 +8538,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(v) AS INT) AS px_min,
                CAST(max(v) AS INT) AS px_max
         FROM px GROUP BY doc_id ORDER BY media_id
+    """
+
+    # closed-form replay of the raw-frame generator: frame f covers
+    # pixels [f*48, (f+1)*48) of (m*31 + i*7) % 256
+    o["mm_video_frame_stats"] = """
+        WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+        nf AS (SELECT doc_id, 3 + doc_id % 3 AS n_frames FROM d),
+        px AS (
+            SELECT doc_id, CAST(i // 48 AS INT) AS frame_idx,
+                   (doc_id * 31 + i * 7) % 256 AS v
+            FROM (SELECT doc_id, unnest(range(0, n_frames * 48)) AS i
+                  FROM nf))
+        SELECT doc_id AS media_id, frame_idx,
+               frame_idx * 40 AS frame_ts_ms,
+               CAST(sum(v) AS BIGINT) AS px_sum,
+               CAST(min(v) AS INT) AS px_min,
+               CAST(max(v) AS INT) AS px_max
+        FROM px GROUP BY doc_id, frame_idx
+        ORDER BY media_id, frame_idx
     """
 
     # closed-form replay of the WAV generator: interleaved stereo

@@ -180,6 +180,7 @@ def main() -> None:
         "sample_seeded",           # bounds-oracled P19 sampling
         "graph_clustering_coeff",  # 3T/W off the shared census
         "dedup_minhash_recall",    # measured LSH S-curve point
+        "mm_video_frame_stats",    # pure-expression raw-frame decode
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -301,3 +301,64 @@ def decode_wav_pcm16(payload: bytes) -> list[float]:
         feats += [float(sum(ch)), float(sum(v * v for v in ch)),
                   float(max((abs(v) for v in ch), default=0))]
     return feats
+
+
+def raw_frame_stats(
+    media: DataFrame,
+    width: int,
+    height: int,
+    frame_ms: int = 40,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-frame pixel statistics over RAW concatenated grayscale
+    frames (the fixed-geometry plane layout video pipelines hand off
+    after container demux) — computed ENTIRELY with native
+    expressions: the payload is decoded to an ISO-8859-1 string once
+    (byte i == code point i), each frame is a substring slice, and the
+    pixel fold is `transform` + `aggregate` inside whole-stage codegen.
+    No Python worker, no Arrow hop — the byte-level fast path that
+    complements the registered-decoder path for formats that need a
+    real parser.
+
+    The payload is read once per media row and NEVER duplicated per
+    frame (the frame loop is an array expression, not an explode-join),
+    so a 2 GB clip costs one scan; only the narrow per-frame stat
+    structs explode. Frame count comes from ``duration_ms DIV
+    frame_ms``, truncated to the frames actually present in the bytes.
+
+    Returns (media_id, frame_idx, frame_ts_ms, px_sum, px_min, px_max).
+    """
+    sz = width * height
+    s = F.decode(F.col(payload_col), "ISO-8859-1")
+    n_from_dur = (F.col("duration_ms") / frame_ms).cast("int")
+    n_from_len = (F.length(s) / sz).cast("int")
+    n_frames = F.least(n_from_dur, n_from_len)
+    frame_struct = lambda f: F.struct(
+        F.aggregate(F.sequence(F.lit(0), F.lit(sz - 1)), F.lit(0),
+                    lambda acc, i: acc + F.ascii(
+                        s.substr(f * sz + i + 1, F.lit(1))))
+        .alias("px_sum"),
+        F.array_min(F.transform(
+            F.sequence(F.lit(0), F.lit(sz - 1)),
+            lambda i: F.ascii(s.substr(f * sz + i + 1, F.lit(1)))))
+        .alias("px_min"),
+        F.array_max(F.transform(
+            F.sequence(F.lit(0), F.lit(sz - 1)),
+            lambda i: F.ascii(s.substr(f * sz + i + 1, F.lit(1)))))
+        .alias("px_max"),
+    )
+    per_frame = F.when(
+        n_frames > 0,
+        F.transform(F.sequence(F.lit(0), n_frames - 1), frame_struct))
+    return (
+        media.select(
+            F.col(id_col),
+            F.posexplode(per_frame).alias("frame_idx", "_fs"))
+        .select(
+            id_col, "frame_idx",
+            (F.col("frame_idx") * frame_ms).alias("frame_ts_ms"),
+            F.col("_fs.px_sum").alias("px_sum"),
+            F.col("_fs.px_min").alias("px_min"),
+            F.col("_fs.px_max").alias("px_max"))
+    )

@@ -461,3 +461,38 @@ class TestMinhashRecallReport:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         row = minhash_recall_report(df).first()
         assert row["n_exact"] == 0 and row["recall_bp"] is None
+
+
+class TestRawFrameStats:
+    def _media(self, spark, payload, duration_ms, w=2, h=2):
+        return spark.createDataFrame(
+            [(1, "video", payload, "video/raw-gray", w, h, duration_ms)],
+            "media_id long, modality string, payload binary, "
+            "mime_type string, width int, height int, duration_ms int")
+
+    def test_per_frame_slices(self, spark):
+        from bigdata_tag_system_spark.operators.multimodal import (
+            raw_frame_stats,
+        )
+
+        payload = bytes([1, 2, 3, 4, 250, 251, 252, 253])  # 2 frames 2x2
+        out = raw_frame_stats(
+            self._media(spark, payload, 80), 2, 2, frame_ms=40
+        ).orderBy("frame_idx").collect()
+        assert len(out) == 2
+        assert (out[0]["px_sum"], out[0]["px_min"], out[0]["px_max"]) \
+            == (10, 1, 4)
+        assert (out[1]["px_sum"], out[1]["px_max"]) == (1006, 253)
+        assert out[1]["frame_ts_ms"] == 40
+
+    def test_truncates_to_bytes_present(self, spark):
+        from bigdata_tag_system_spark.operators.multimodal import (
+            raw_frame_stats,
+        )
+
+        # duration promises 3 frames, payload holds only 1
+        payload = bytes([9, 9, 9, 9])
+        out = raw_frame_stats(
+            self._media(spark, payload, 120), 2, 2, frame_ms=40
+        ).collect()
+        assert len(out) == 1 and out[0]["px_sum"] == 36
