@@ -493,6 +493,7 @@ _DRIVER_FIRST = [
     "graph_clustering_coeff",
     "dedup_minhash_recall",
     "mm_video_frame_stats",
+    "sim_quantized_recall",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
@@ -6604,6 +6605,21 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_video_frame_stats"] = mm_video_frame_stats
 
+    def sim_quantized_recall(spark, sf_dir):
+        # vector-side measured recall: int8 prefilter at rescore=2
+        # (genuinely approximate — 2k candidates, not corpus-covering)
+        # vs the exact brute-force top-10; deterministic tie-breaks
+        # make the metric a pure function of the corpus
+        from bigdata_tag_system_spark.operators.embeddings import (
+            quantized_recall_report,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = list(emb.where("vec_id = 0").collect()[0]["embedding"])
+        return quantized_recall_report(emb, qv, k=10, rescore=2)
+
+    q["sim_quantized_recall"] = sim_quantized_recall
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -8268,6 +8284,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT node FROM losers)
         ORDER BY vec_id
+    """
+
+    # ANN recall replay: the int8 prefilter (same floor(+0.5)
+    # quantization CTEs as emb_quantize_int8) at rescore·k = 20
+    # candidates, exact-rescored to top-10, intersected with the
+    # brute-force exact top-10; ties break by vec_id on both sides
+    o["sim_quantized_recall"] = """
+        WITH ex AS (
+            SELECT vec_id, CAST(s.pos AS INT) AS pos,
+                   CAST(s.val AS DOUBLE) AS val
+            FROM (
+                SELECT vec_id, unnest(list_transform(range(0, len(embedding)),
+                        i -> {'pos': i, 'val': embedding[i+1]})) AS s
+                FROM embeddings
+            )
+        ), sc AS (
+            SELECT pos, max(abs(val)) AS s FROM ex GROUP BY pos
+        ), qv AS (
+            SELECT pos, val FROM ex WHERE vec_id = 0
+        ), qq AS (
+            SELECT q.pos,
+                   CASE WHEN sc.s > 0
+                        THEN CAST(floor(q.val / sc.s * 127 + 0.5) AS BIGINT)
+                        ELSE 0 END AS qi
+            FROM qv q JOIN sc USING (pos)
+        ), cq AS (
+            SELECT e.vec_id, e.pos,
+                   CASE WHEN sc.s > 0
+                        THEN CAST(floor(e.val / sc.s * 127 + 0.5) AS BIGINT)
+                        ELSE 0 END AS qi
+            FROM ex e JOIN sc USING (pos)
+        ), approx AS (
+            SELECT c.vec_id, sum(c.qi * q.qi) AS a
+            FROM cq c JOIN qq q ON q.pos = c.pos GROUP BY c.vec_id
+        ), cand AS (
+            SELECT vec_id FROM approx ORDER BY a DESC, vec_id LIMIT 20
+        ), cos AS (
+            SELECT b.vec_id,
+                   list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS c
+            FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id = 0
+        ), approx_top AS (
+            SELECT cand.vec_id FROM cand JOIN cos ON cos.vec_id = cand.vec_id
+            ORDER BY cos.c DESC, cand.vec_id LIMIT 10
+        ), exact_top AS (
+            SELECT vec_id FROM cos ORDER BY c DESC, vec_id LIMIT 10
+        )
+        SELECT 10 AS k, 2 AS rescore,
+               (SELECT count(*) FROM approx_top a JOIN exact_top e
+                  ON a.vec_id = e.vec_id) AS n_hits,
+               (10000 * (SELECT count(*) FROM approx_top a
+                         JOIN exact_top e ON a.vec_id = e.vec_id)) // 10
+                   AS recall_bp
     """
 
     o["sim_cosine_topk"] = """

@@ -181,6 +181,7 @@ def main() -> None:
         "graph_clustering_coeff",  # 3T/W off the shared census
         "dedup_minhash_recall",    # measured LSH S-curve point
         "mm_video_frame_stats",    # pure-expression raw-frame decode
+        "sim_quantized_recall",    # ANN recall at reduced rescore
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

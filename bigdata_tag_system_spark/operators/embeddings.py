@@ -593,3 +593,38 @@ def label_outlier_scores(
             (score > z2_threshold).cast("int").alias("is_outlier"),
         )
     )
+
+
+def quantized_recall_report(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    rescore: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Measured recall@k of the int8-prefilter ANN at a REDUCED rescore
+    budget against the exact brute-force ranking — the vector-side
+    twin of ``dedup.minhash_recall_report``: theory says the integer
+    prefilter is nearly order-preserving, this measures it on YOUR
+    corpus before committing a rescore budget at 100 TB scale.
+
+    Both rankings are deterministic (integer prefilter ties and float
+    cosine ties break by id), so the metric is a pure function of the
+    corpus: ``recall_bp = (10000 · |approx_topk ∩ exact_topk|) DIV k``.
+    Returns one row: (k, rescore, n_hits, recall_bp).
+    """
+    from bigdata_tag_system_spark.operators.similarity import cosine_topk
+
+    approx = quantized_topk(
+        df, query, k=k, rescore=rescore,
+        vec_col=vec_col, id_col=id_col).select(id_col)
+    exact = cosine_topk(
+        df, query, k=k, vec_col=vec_col, id_col=id_col).select(id_col)
+    hits = approx.join(exact, id_col, "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    return hits.select(
+        F.lit(int(k)).alias("k"),
+        F.lit(int(rescore)).alias("rescore"),
+        "n_hits",
+        F.expr(f"(10000 * n_hits) DIV {int(k)}").alias("recall_bp"))

@@ -496,3 +496,38 @@ class TestRawFrameStats:
             self._media(spark, payload, 120), 2, 2, frame_ms=40
         ).collect()
         assert len(out) == 1 and out[0]["px_sum"] == 36
+
+
+class TestQuantizedRecall:
+    def test_lossless_quantization_has_full_recall(self, spark):
+        from bigdata_tag_system_spark.operators.embeddings import (
+            quantized_recall_report,
+        )
+
+        # vectors on an integer grid scaled to ±1: quantization is
+        # order-preserving, so the prefilter can't miss
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, [rng.randint(-127, 127) / 127.0 for _ in range(8)])
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = rows[0][1]
+        row = quantized_recall_report(df, q, k=5, rescore=4).first()
+        assert row["k"] == 5 and row["rescore"] == 4
+        assert row["n_hits"] == 5 and row["recall_bp"] == 10000
+
+    def test_tiny_rescore_budget_can_miss(self, spark):
+        from bigdata_tag_system_spark.operators.embeddings import (
+            quantized_recall_report,
+        )
+
+        # adversarial: big magnitudes dominate the integer dot while
+        # cosine normalizes them away -> rescore=1 must stay <= k hits
+        rows = [(0, [1.0, 0.0, 0.0, 0.0])]
+        rows += [(i, [0.9, 0.1 * (i % 3), 0.0, 0.0]) for i in range(1, 30)]
+        rows += [(100 + i, [100.0, 90.0, 0.0, 0.0]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        row = quantized_recall_report(df, rows[0][1], k=5, rescore=1).first()
+        assert 0 <= row["n_hits"] <= 5
+        assert row["recall_bp"] == row["n_hits"] * 2000
