@@ -100,6 +100,8 @@ _CATALOG_ALLOW = {
     "dedup_pipeline_keep_best": ["rdd_scan"],
     "dedup_semantic_keep": ["rdd_scan"],
     "sim_quantized_topk": ["rdd_scan"],
+    # same one-row quantization scale vector as sim_quantized_topk
+    "sim_quantized_recall": ["rdd_scan"],
     "graph_event_pagerank": ["rdd_scan"],
     # pointer-doubling rounds truncate lineage via localCheckpoint,
     # same as the CC / PageRank loops above
