@@ -494,6 +494,7 @@ _DRIVER_FIRST = [
     "dedup_minhash_recall",
     "mm_video_frame_stats",
     "sim_quantized_recall",
+    "events_stickiness",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
@@ -6620,6 +6621,19 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_quantized_recall"] = sim_quantized_recall
 
+    def events_stickiness(spark, sf_dir):
+        # exact DAU/WAU/MAU + stickiness: distinct (user, day) first,
+        # bounded 28x day-explode on the collapsed relation, one
+        # count-distinct pass — the truth-check twin of the sliding
+        # HLL sketch board
+        from bigdata_tag_system_spark.operators.features import (
+            active_user_board,
+        )
+
+        return active_user_board(_t(spark, sf_dir, "events"))
+
+    q["events_stickiness"] = events_stickiness
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -11395,6 +11409,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE cc * 1.0 / (sa.n + sb.n - cc) >= 0.5
         ORDER BY id_a, id_b
+    """
+
+    # exact board replay: distinct (user, day), bounded 28x covering
+    # explode, one conditional count-distinct pass
+    o["events_stickiness"] = """
+        WITH ud AS (
+            SELECT DISTINCT user_id AS u, ts::DATE AS d
+            FROM events WHERE user_id IS NOT NULL),
+        span AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+        cov AS (
+            SELECT u, d,
+                   unnest(generate_series(
+                       d, least(d + 27, (SELECT hi FROM span)),
+                       INTERVAL 1 DAY))::DATE AS day
+            FROM ud),
+        per AS (
+            SELECT day,
+                   count(DISTINCT CASE WHEN day = d THEN u END) AS dau,
+                   count(DISTINCT CASE WHEN day - d < 7 THEN u END) AS wau,
+                   count(DISTINCT u) AS mau
+            FROM cov GROUP BY day)
+        SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau, mau,
+               CAST((10000 * dau) // mau AS BIGINT) AS stickiness_bp
+        FROM per ORDER BY day
     """
 
     # ACF replay over the zero-filled daily series: same biased

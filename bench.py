@@ -182,6 +182,7 @@ def main() -> None:
         "dedup_minhash_recall",    # measured LSH S-curve point
         "mm_video_frame_stats",    # pure-expression raw-frame decode
         "sim_quantized_recall",    # ANN recall at reduced rescore
+        "events_stickiness",       # exact DAU/WAU/MAU board
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -823,3 +823,51 @@ def woe_encode(
             F.log(pr / nr).alias("woe"),
             ((pr - nr) * F.log(pr / nr)).alias("iv_term"))
     )
+
+
+def active_user_board(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    wau_days: int = 7,
+    mau_days: int = 28,
+) -> DataFrame:
+    """Exact DAU / WAU / MAU / stickiness board — the product-analytics
+    staple (stickiness = DAU/MAU in basis points). The EXACT
+    counterpart of the mergeable-sketch path (`sketch_hll_sliding`):
+    right for backfills and truth-checks; switch to the sketches when
+    the distinct sets outgrow a shuffle.
+
+    Scale shape: facts collapse to distinct (user, day) FIRST (one
+    hash agg — the only pass over raw events), then each active day
+    explodes to the ≤``mau_days`` report days it supports (a bounded
+    28× on the already-collapsed relation, NOT on events) and one
+    count-distinct per (report_day, horizon) finishes it. No window
+    over data rows, no per-day rescans. Report days cover only the
+    observed span. Returns (day, dau, wau, mau, stickiness_bp).
+    """
+    ud = (
+        events.where(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("_u"),
+                F.to_date(F.col(ts_col)).alias("_d"))
+        .distinct()
+    )
+    span = ud.agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+    covering = ud.crossJoin(F.broadcast(span)).select(
+        "_u", "_d",
+        F.explode(F.sequence(
+            F.col("_d"),
+            F.least(F.date_add(F.col("_d"), mau_days - 1), F.col("_hi"))
+        )).alias("day"))
+    per_day = covering.groupBy("day").agg(
+        F.countDistinct(F.when(F.col("day") == F.col("_d"), F.col("_u")))
+        .alias("dau"),
+        F.countDistinct(F.when(
+            F.datediff(F.col("day"), F.col("_d")) < wau_days,
+            F.col("_u"))).alias("wau"),
+        F.countDistinct("_u").alias("mau"))
+    return per_day.select(
+        F.col("day").cast("string").alias("day"),
+        "dau", "wau", "mau",
+        F.expr("(10000 * dau) DIV mau").alias("stickiness_bp"),
+    ).orderBy("day")

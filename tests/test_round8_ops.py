@@ -531,3 +531,35 @@ class TestQuantizedRecall:
         row = quantized_recall_report(df, rows[0][1], k=5, rescore=1).first()
         assert 0 <= row["n_hits"] <= 5
         assert row["recall_bp"] == row["n_hits"] * 2000
+
+
+class TestActiveUserBoard:
+    def test_hand_built_board(self, spark):
+        import datetime as dt
+
+        from bigdata_tag_system_spark.operators.features import (
+            active_user_board,
+        )
+
+        base = dt.datetime(2024, 1, 1, 12)
+        rows = [
+            (1, base),                             # u1 day0
+            (1, base),                             # dup event, same day
+            (2, base),                             # u2 day0
+            (1, base + dt.timedelta(days=8)),      # u1 day8
+            (3, base + dt.timedelta(days=8)),      # u3 day8
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {r["day"]: r for r in
+               active_user_board(df, wau_days=7, mau_days=28).collect()}
+        d0 = out["2024-01-01"]
+        assert (d0["dau"], d0["wau"], d0["mau"]) == (2, 2, 2)
+        d8 = out["2024-01-09"]
+        # day8: active today u1,u3; wau window (days 2-8) = u1,u3;
+        # mau window covers day0 too = u1,u2,u3
+        assert (d8["dau"], d8["wau"], d8["mau"]) == (2, 2, 3)
+        assert d8["stickiness_bp"] == 6666
+        # a quiet day between: dau 0, mau carries day0 users
+        d3 = out["2024-01-04"]
+        assert (d3["dau"], d3["wau"], d3["mau"]) == (0, 2, 2)
+        assert d3["stickiness_bp"] == 0
