@@ -495,6 +495,7 @@ _DRIVER_FIRST = [
     "mm_video_frame_stats",
     "sim_quantized_recall",
     "events_stickiness",
+    "ts_asof_nearest",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
@@ -6634,6 +6635,30 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_stickiness"] = events_stickiness
 
+    def ts_asof_nearest(spark, sf_dir):
+        # pandas direction='nearest' as-of: each click matched to the
+        # closest purchase in EITHER direction (tie -> backward), one
+        # union + one window pass; matched ts emitted as epoch micros
+        # (integer) to dodge cross-engine timestamp formatting
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join_nearest,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        clicks = ev.where("event_type = 'click'").select(
+            "event_id", "user_id", "ts")
+        purchases = ev.where("event_type = 'purchase'").select(
+            "user_id", "ts", "value")
+        out = asof_join_nearest(clicks, purchases, value_cols=["value"])
+        return out.select(
+            "event_id",
+            F.round("value_asof", 2).alias("purchase_value"),
+            F.unix_micros(F.col("ts_asof").cast("timestamp"))
+            .alias("matched_us"),
+        ).orderBy("event_id").limit(500)
+
+    q["ts_asof_nearest"] = ts_asof_nearest
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -7714,6 +7739,27 @@ def oracle_sql() -> dict[str, str]:
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id LIMIT 500
     """
+    # nearest-direction replay: per left row, rank right rows by
+    # (|Δts|, backward-first) — the documented tie rule — and keep rn=1
+    o["ts_asof_nearest"] = """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts AS rts, value FROM events
+              WHERE event_type = 'purchase'),
+        ranked AS (
+            SELECT l.event_id, r.value, r.rts,
+                   row_number() OVER (PARTITION BY l.event_id ORDER BY
+                       CASE WHEN r.rts <= l.ts THEN l.ts - r.rts
+                            ELSE r.rts - l.ts END,
+                       CASE WHEN r.rts <= l.ts THEN 0 ELSE 1 END) AS rn
+            FROM l JOIN r ON r.user_id = l.user_id)
+        SELECT l.event_id, round(k.value, 2) AS purchase_value,
+               epoch_us(k.rts) AS matched_us
+        FROM l LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) k
+          ON k.event_id = l.event_id
+        ORDER BY l.event_id LIMIT 500
+    """
+
     # DuckDB ASOF has no native tolerance: take the matched row's ts and
     # mask values older than the bound — same semantics, different engine
     o["ts_asof_tolerance"] = """

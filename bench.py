@@ -183,6 +183,7 @@ def main() -> None:
         "mm_video_frame_stats",    # pure-expression raw-frame decode
         "sim_quantized_recall",    # ANN recall at reduced rescore
         "events_stickiness",       # exact DAU/WAU/MAU board
+        "ts_asof_nearest",         # bidirectional nearest as-of join
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

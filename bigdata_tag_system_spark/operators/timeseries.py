@@ -485,3 +485,87 @@ def seasonal_decompose(
     return (seas.join(resid, "phase")
             .select("phase", "n_days", "seasonal", "resid_rms")
             .orderBy("phase"))
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    right_ts: str | None = None,
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance: str | int | float | None = None,
+) -> DataFrame:
+    """pandas ``merge_asof(direction='nearest')`` analogue: for each
+    left row, the right row (same key) with the SMALLEST |Δts|, looking
+    both backward and forward — completing the as-of family next to the
+    backward-only :func:`asof_join`.
+
+    Tie rule (documented, replayed by the oracle): equal distances
+    resolve BACKWARD — an exact-timestamp match is distance 0 backward
+    and always wins. Same single-shuffle plan shape as asof_join: one
+    union, one keyed sort, ONE window pass computing both the
+    last-preceding and first-following right structs; the choice is a
+    map-side comparison. ``tolerance`` masks matches farther than the
+    bound in EITHER direction.
+    """
+    rts = right_ts or ts
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, rts)
+    ]
+    vstruct = F.struct(*[F.col(c) for c in value_cols],
+                       F.col(rts).alias("_matched_ts"))
+    l_tagged = left.select(
+        F.col(on), F.col(ts).alias("_ts"), F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(
+            right.select(vstruct.alias("_v")).schema["_v"].dataType
+        ).alias("_v"),
+    )
+    r_tagged = right.select(
+        F.col(on), F.col(rts).alias("_ts"), F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
+        vstruct.alias("_v"),
+    )
+    from pyspark.sql import Window
+
+    # rights sort before lefts at equal ts, so an exact-ts right row is
+    # in the PRECEDING frame (distance-0 backward match); the following
+    # frame starts after the current row
+    base = Window.partitionBy(on).orderBy("_ts", "_is_left")
+    w_back = base.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+    w_fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    unioned = l_tagged.unionByName(r_tagged)
+    filled = unioned.select(
+        "*",
+        F.last("_v", ignorenulls=True).over(w_back).alias("_b"),
+        F.first("_v", ignorenulls=True).over(w_fwd).alias("_f"),
+    ).where(F.col("_is_left") == 1)
+    d_back = F.col("_ts") - F.col("_b._matched_ts")
+    d_fwd = F.col("_f._matched_ts") - F.col("_ts")
+    pick_back = F.col("_f").isNull() | (
+        F.col("_b").isNotNull() & (d_back <= d_fwd))
+    chosen = F.when(pick_back, F.col("_b")).otherwise(F.col("_f"))
+    filled = filled.withColumn("_c", chosen)
+    if tolerance is None:
+        fresh = F.col("_c").isNotNull()
+    else:
+        if isinstance(tolerance, (int, float)):
+            bound = F.lit(tolerance)
+        else:
+            bound = _parse_tolerance(tolerance)
+        dist = F.when(
+            F.col("_c._matched_ts") >= F.col("_ts"),
+            F.col("_c._matched_ts") - F.col("_ts"),
+        ).otherwise(F.col("_ts") - F.col("_c._matched_ts"))
+        fresh = F.col("_c").isNotNull() & (dist <= bound)
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.when(fresh, F.col(f"_c.{c}")).alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
+    out_cols.append(
+        F.when(fresh, F.col("_c._matched_ts")).alias(f"ts{suffix}"))
+    return filled.select(*out_cols)

@@ -563,3 +563,58 @@ class TestActiveUserBoard:
         d3 = out["2024-01-04"]
         assert (d3["dau"], d3["wau"], d3["mau"]) == (0, 2, 2)
         assert d3["stickiness_bp"] == 0
+
+
+class TestAsofJoinNearest:
+    def _dfs(self, spark):
+        import datetime as dt
+
+        b = dt.datetime(2024, 1, 1)
+
+        def t(m):
+            return b + dt.timedelta(minutes=m)
+
+        left = spark.createDataFrame(
+            [(1, 10, t(10)), (1, 20, t(20)), (1, 99, t(99)),
+             (2, 30, t(30))],
+            "user_id long, lid long, ts timestamp")
+        right = spark.createDataFrame(
+            [(1, t(12), 1.0), (1, t(27), 2.0)],
+            "user_id long, ts timestamp, value double")
+        return left, right
+
+    def test_nearest_both_directions_and_tie_backward(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join_nearest,
+        )
+
+        left, right = self._dfs(spark)
+        out = {r["lid"]: r for r in
+               asof_join_nearest(left, right,
+                                 value_cols=["value"]).collect()}
+        assert out[10]["value_asof"] == 1.0   # forward 2min < nothing back
+        # lid 20: back 8min (t12) vs fwd 7min (t27) -> forward wins
+        assert out[20]["value_asof"] == 2.0
+        assert out[99]["value_asof"] == 2.0   # only backward exists
+        assert out[30]["value_asof"] is None  # other user: no rights
+
+    def test_exact_match_and_tolerance(self, spark):
+        import datetime as dt
+
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join_nearest,
+        )
+
+        b = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, 1, b + dt.timedelta(minutes=12)),
+             (1, 2, b + dt.timedelta(minutes=50))],
+            "user_id long, lid long, ts timestamp")
+        right = spark.createDataFrame(
+            [(1, b + dt.timedelta(minutes=12), 7.0)],
+            "user_id long, ts timestamp, value double")
+        out = {r["lid"]: r for r in asof_join_nearest(
+            left, right, value_cols=["value"],
+            tolerance="10 minutes").collect()}
+        assert out[1]["value_asof"] == 7.0    # exact ts match
+        assert out[2]["value_asof"] is None   # 38min > 10min bound
