@@ -496,6 +496,7 @@ _DRIVER_FIRST = [
     "sim_quantized_recall",
     "events_stickiness",
     "ts_asof_nearest",
+    "orders_abc_xyz",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
@@ -6659,6 +6660,26 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_asof_nearest"] = ts_asof_nearest
 
+    def orders_abc_xyz(spark, sf_dir):
+        # supply-chain ABC (cumulative revenue share) x XYZ (demand
+        # CV) matrix over parts; every fence decided in exact integer
+        # arithmetic (cents, squared-CV cross-multiplication) so no
+        # part can flip class on a float ulp
+        from bigdata_tag_system_spark.operators.features import (
+            abc_xyz_classes,
+        )
+
+        li = _t(spark, sf_dir, "lineitem")
+        return abc_xyz_classes(
+            li, "l_partkey",
+            revenue_cents=F.round(F.col("l_extendedprice") * 100)
+            .cast("long"),
+            qty_col=F.col("l_quantity").cast("long"),
+            period_col=(F.year("l_shipdate") * 12
+                        + F.month("l_shipdate")))
+
+    q["orders_abc_xyz"] = orders_abc_xyz
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -7739,6 +7760,47 @@ def oracle_sql() -> dict[str, str]:
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id LIMIT 500
     """
+    # ABC/XYZ replay: integer cents, (rev desc, partkey) cumulative
+    # ranking, cum*10000 <= tot*fence_bp, squared-CV cross-multiply
+    o["orders_abc_xyz"] = """
+        WITH pp AS (
+            SELECT l_partkey AS k,
+                   year(l_shipdate) * 12 + month(l_shipdate) AS p,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2),
+        pi AS (
+            SELECT k, CAST(sum(rev) AS BIGINT) AS rev,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(q) AS BIGINT) AS sq,
+                   CAST(sum(q * q) AS BIGINT) AS sq2
+            FROM pp GROUP BY k),
+        t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM pi),
+        r AS (
+            SELECT k, rev, n, sq, sq2,
+                   CAST(sum(rev) OVER (ORDER BY rev DESC, k
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM pi),
+        c AS (
+            SELECT r.k, r.rev, t.tot,
+                   CASE WHEN r.cum * 10000 <= t.tot * 8000 THEN 'A'
+                        WHEN r.cum * 10000 <= t.tot * 9500 THEN 'B'
+                        ELSE 'C' END AS abc,
+                   CASE WHEN r.sq <= 0 THEN 'Z'
+                        WHEN 10000 * (r.n * r.sq2 - r.sq * r.sq)
+                             < 2500 * r.sq * r.sq THEN 'X'
+                        WHEN 10000 * (r.n * r.sq2 - r.sq * r.sq)
+                             < 10000 * r.sq * r.sq THEN 'Y'
+                        ELSE 'Z' END AS xyz
+            FROM r, t)
+        SELECT abc, xyz, count(*) AS n_items,
+               CAST(sum(rev) AS BIGINT) AS revenue_cents,
+               CAST((10000 * sum(rev)) // any_value(tot) AS BIGINT)
+                   AS revenue_share_bp
+        FROM c GROUP BY abc, xyz ORDER BY abc, xyz
+    """
+
     # nearest-direction replay: per left row, rank right rows by
     # (|Δts|, backward-first) — the documented tie rule — and keep rn=1
     o["ts_asof_nearest"] = """

@@ -184,6 +184,7 @@ def main() -> None:
         "sim_quantized_recall",    # ANN recall at reduced rescore
         "events_stickiness",       # exact DAU/WAU/MAU board
         "ts_asof_nearest",         # bidirectional nearest as-of join
+        "orders_abc_xyz",          # integer-exact ABC/XYZ matrix
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

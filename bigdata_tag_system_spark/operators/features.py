@@ -871,3 +871,73 @@ def active_user_board(
         "dau", "wau", "mau",
         F.expr("(10000 * dau) DIV mau").alias("stickiness_bp"),
     ).orderBy("day")
+
+
+def abc_xyz_classes(
+    facts: DataFrame,
+    key_col: str,
+    revenue_cents,
+    qty_col,
+    period_col,
+    abc_fences_bp: tuple[int, int] = (8000, 9500),
+    xyz_fences_pct: tuple[int, int] = (50, 100),
+) -> DataFrame:
+    """ABC × XYZ inventory classification — the supply-chain standard:
+    ABC ranks items by cumulative revenue share (A = the head that
+    makes ``abc_fences_bp[0]`` basis points of revenue, C = the tail),
+    XYZ scores demand PREDICTABILITY by the coefficient of variation
+    of per-period quantities (X steady … Z erratic).
+
+    Every classification is decided in EXACT integer arithmetic so no
+    item can flip class on a float ulp at a fence: revenue enters as
+    integer cents (caller maps money to a long — one deterministic
+    per-row rounding), the cumulative-share test is
+    ``cum·10000 ≤ tot·fence_bp``, and the CV test squares it —
+    ``cv < f/100  ⇔  100²·(n·Σq² − (Σq)²) < f²·(Σq)²``. CV is over
+    OBSERVED periods only (documented; zero-filling punishes new
+    items). The cumulative ranking is a global window over the
+    per-item aggregate — the Pareto allowance class
+    (customer_revenue_concentration), fence-based variant being the
+    escape hatch at item-dimension scale. One row per (abc, xyz) cell:
+    (abc, xyz, n_items, revenue_cents, revenue_share_bp).
+    """
+    from pyspark.sql import Window
+
+    per_period = facts.groupBy(
+        F.col(key_col).alias("_k"),
+        period_col.alias("_p")).agg(
+        F.sum(revenue_cents).alias("_rev"),
+        F.sum(qty_col).alias("_q"))
+    per_item = per_period.groupBy("_k").agg(
+        F.sum("_rev").alias("rev"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_q").alias("_sq"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_sq2"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("_k")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_item.agg(F.sum("rev").alias("_tot"))
+    ranked = per_item.crossJoin(F.broadcast(tot)).select(
+        "_k", "rev", "_n", "_sq", "_sq2", "_tot",
+        F.sum("rev").over(w).alias("_cum"))
+    a_bp, b_bp = abc_fences_bp
+    x_pct, y_pct = xyz_fences_pct
+    var_num = F.lit(10000) * (
+        F.col("_n") * F.col("_sq2") - F.col("_sq") * F.col("_sq"))
+    sq_sq = F.col("_sq") * F.col("_sq")
+    classed = ranked.select(
+        "_k", "rev", "_tot",
+        F.when(F.col("_cum") * 10000 <= F.col("_tot") * a_bp, "A")
+        .when(F.col("_cum") * 10000 <= F.col("_tot") * b_bp, "B")
+        .otherwise("C").alias("abc"),
+        F.when(F.col("_sq") <= 0, "Z")
+        .when(var_num < F.lit(x_pct * x_pct) * sq_sq, "X")
+        .when(var_num < F.lit(y_pct * y_pct) * sq_sq, "Y")
+        .otherwise("Z").alias("xyz"))
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum("rev").alias("revenue_cents"),
+             F.expr("(10000 * sum(rev)) DIV first(_tot)")
+             .alias("revenue_share_bp"))
+        .orderBy("abc", "xyz")
+    )

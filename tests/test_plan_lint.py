@@ -151,6 +151,9 @@ _CATALOG_ALLOW = {
     # calendar-bounded, same class as orders_monthly_yoy
     "ts_autocorrelation": ["global_window"],
     "ts_seasonal_decompose": ["global_window"],
+    # ABC is a Pareto ranking of the ITEM dimension by definition —
+    # same class as customer_revenue_concentration
+    "orders_abc_xyz": ["global_window"],
 }
 
 

@@ -618,3 +618,46 @@ class TestAsofJoinNearest:
             tolerance="10 minutes").collect()}
         assert out[1]["value_asof"] == 7.0    # exact ts match
         assert out[2]["value_asof"] is None   # 38min > 10min bound
+
+
+class TestAbcXyz:
+    def test_hand_built_matrix(self, spark):
+        import pyspark.sql.functions as F
+
+        from bigdata_tag_system_spark.operators.features import (
+            abc_xyz_classes,
+        )
+
+        # item 1: 80 revenue, steady (q=5,5,5) -> A / X
+        # item 2: 15 revenue, erratic (q=1,9)  -> B / Z (cv > 1? no:
+        #   mu=5, sigma=4 -> cv=0.8 -> Y)
+        # item 3: 5 revenue, single period     -> C / X (cv=0)
+        rows = [(1, 1, 4000, 5), (1, 2, 2000, 5), (1, 3, 2000, 5),
+                (2, 1, 1000, 1), (2, 2, 500, 9),
+                (3, 1, 500, 4)]
+        df = spark.createDataFrame(
+            rows, "item long, period int, cents long, qty long")
+        out = {(r["abc"], r["xyz"]): r for r in abc_xyz_classes(
+            df, "item", F.col("cents"), F.col("qty"),
+            F.col("period")).collect()}
+        assert out[("A", "X")]["n_items"] == 1
+        assert out[("A", "X")]["revenue_cents"] == 8000
+        assert out[("A", "X")]["revenue_share_bp"] == 8000
+        assert ("B", "Y") in out and out[("B", "Y")]["n_items"] == 1
+        assert ("C", "X") in out
+
+    def test_fence_boundary_is_inclusive_for_a(self, spark):
+        import pyspark.sql.functions as F
+
+        from bigdata_tag_system_spark.operators.features import (
+            abc_xyz_classes,
+        )
+
+        # exactly 80.00% cumulative -> still A (<=), by integer compare
+        rows = [(1, 1, 8000, 1), (2, 1, 2000, 1)]
+        df = spark.createDataFrame(
+            rows, "item long, period int, cents long, qty long")
+        out = {r["abc"]: r["n_items"] for r in abc_xyz_classes(
+            df, "item", F.col("cents"), F.col("qty"),
+            F.col("period")).collect()}
+        assert out.get("A") == 1 and out.get("C") == 1
