@@ -497,6 +497,8 @@ _DRIVER_FIRST = [
     "events_stickiness",
     "ts_asof_nearest",
     "orders_abc_xyz",
+    "sample_neyman_alloc",
+    "sample_class_balanced",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
@@ -6680,6 +6682,39 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_abc_xyz"] = orders_abc_xyz
 
+    def sample_neyman_alloc(spark, sf_dir):
+        # sigma-proportional stratified allocation: N_h*sigma_h =
+        # sqrt(n*Sxx - Sx^2) exactly (decimal moments, ONE IEEE sqrt),
+        # Hamilton-rounded to sum to the budget
+        from bigdata_tag_system_spark.operators.sampling import (
+            neyman_allocation,
+        )
+
+        o_ = _t(spark, sf_dir, "orders")
+        return neyman_allocation(
+            o_, "o_orderpriority",
+            value_cents=F.round(F.col("o_totalprice") * 100)
+            .cast("long"),
+            budget=1000)
+
+    q["sample_neyman_alloc"] = sample_neyman_alloc
+
+    def sample_class_balanced(spark, sf_dir):
+        # class-balanced undersampling to the minority count by
+        # Knuth-hash rank; summary = per-class kept count + checksum
+        from bigdata_tag_system_spark.operators.sampling import (
+            class_balanced_sample,
+        )
+
+        kept = class_balanced_sample(
+            _t(spark, sf_dir, "customer"), "c_mktsegment", "c_custkey")
+        return (kept.groupBy(F.col("c_mktsegment").alias("class"))
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.sum("c_custkey").alias("key_sum"))
+                .orderBy("class"))
+
+    q["sample_class_balanced"] = sample_class_balanced
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -7760,6 +7795,45 @@ def oracle_sql() -> dict[str, str]:
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id LIMIT 500
     """
+    # Neyman replay: HUGEINT moments, D = n*Sxx - Sx^2 exact, one
+    # sqrt, Hamilton largest-remainder with (rem desc, grp) ranks
+    o["sample_neyman_alloc"] = """
+        WITH m AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS HUGEINT)) AS sx,
+                   sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS HUGEINT)
+                       * CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS sxx
+            FROM orders WHERE o_orderpriority IS NOT NULL
+            GROUP BY 1),
+        w AS (
+            SELECT grp, n_rows,
+                   CAST(floor(sqrt(CAST(n_rows * sxx - sx * sx
+                        AS DOUBLE))) AS BIGINT) AS w_fixed
+            FROM m),
+        t AS (SELECT CAST(sum(w_fixed) AS BIGINT) AS wt FROM w),
+        j AS (
+            SELECT grp, n_rows, w_fixed,
+                   CASE WHEN wt > 0
+                        THEN CAST((1000 * w_fixed) // wt AS BIGINT)
+                        ELSE 0 END AS base,
+                   CASE WHEN wt > 0
+                        THEN CAST((1000 * w_fixed) % wt AS BIGINT)
+                        ELSE 0 END AS rem
+            FROM w, t),
+        r AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, grp) AS rk,
+                   (SELECT 1000 - sum(base) FROM j) AS leftover
+            FROM j)
+        SELECT grp, n_rows, w_fixed,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM r ORDER BY grp
+    """
+
     # ABC/XYZ replay: integer cents, (rev desc, partkey) cumulative
     # ranking, cum*10000 <= tot*fence_bp, squared-CV cross-multiply
     o["orders_abc_xyz"] = """
@@ -8503,6 +8577,23 @@ def oracle_sql() -> dict[str, str]:
                true AS all_from_source
         FROM customer
     """
+    # balanced-undersample replay: Knuth-hash rank inside each class,
+    # kept set = rank <= minority count
+    o["sample_class_balanced"] = f"""
+        WITH r AS (
+            SELECT c_mktsegment AS class, c_custkey AS k,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY {_kh('c_custkey', 11)}, c_custkey) AS rk
+            FROM customer WHERE c_mktsegment IS NOT NULL),
+        mn AS (
+            SELECT min(cnt) AS m FROM (
+                SELECT count(*) AS cnt FROM customer
+                WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment))
+        SELECT class, count(*) AS n_kept,
+               CAST(sum(k) AS BIGINT) AS key_sum
+        FROM r, mn WHERE rk <= mn.m GROUP BY class ORDER BY class
+    """
+
     o["sample_stratified_hash"] = f"""
         SELECT c_mktsegment, count(*) AS cnt FROM customer
         WHERE {_kh('c_custkey', 7)} <

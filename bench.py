@@ -185,6 +185,8 @@ def main() -> None:
         "events_stickiness",       # exact DAU/WAU/MAU board
         "ts_asof_nearest",         # bidirectional nearest as-of join
         "orders_abc_xyz",          # integer-exact ABC/XYZ matrix
+        "sample_neyman_alloc",     # sigma-proportional allocation
+        "sample_class_balanced",   # minority-count undersampling
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -586,3 +586,100 @@ def temperature_allocation(
                  + F.when(F.col("_rk") <= F.col("_left"), 1)
                  .otherwise(0)).alias("alloc"))
             .orderBy("grp"))
+
+
+def neyman_allocation(
+    df: DataFrame,
+    group_col: str,
+    value_cents,
+    budget: int,
+) -> DataFrame:
+    """Neyman (σ-proportional) stratified allocation — the
+    survey-sampling optimum for estimating a mean under a fixed budget:
+    stratum h gets share ∝ N_h·σ_h, so volatile strata are sampled
+    harder than steady ones. Completes the allocation family next to
+    proportional hash sampling and :func:`temperature_allocation`.
+
+    Portability design: N_h·σ_h = sqrt(n·Σx² − (Σx)²) EXACTLY, so the
+    weight is ONE IEEE sqrt of an exact integer — values enter as
+    integer cents, moments accumulate in DECIMAL(38,0) (Σx² of 10⁸-cent
+    values overflows int64), and the integer-ized weight
+    floor(sqrt(D_h)) feeds the same largest-remainder (Hamilton)
+    rounding as temperature_allocation (ties → smallest stratum key;
+    output sums to ``budget`` exactly). Zero-variance strata weigh 0 —
+    a constant stratum needs one probe, which the caller adds if the
+    estimator requires it. All post-aggregate work runs on the
+    per-stratum relation, never data rows.
+    """
+    from pyspark.sql import Window
+
+    b = int(budget)
+    x = value_cents.cast("decimal(19,0)")
+    moments = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(x).alias("_sx"),
+             F.sum(x * x).alias("_sxx")))
+    d = (F.col("n_rows").cast("decimal(38,0)") * F.col("_sxx")
+         - F.col("_sx") * F.col("_sx"))
+    weighted = moments.select(
+        "grp", "n_rows",
+        F.floor(F.sqrt(d.cast("double"))).cast("long").alias("w_fixed"))
+    tot = weighted.agg(F.sum("w_fixed").alias("w_total"))
+    j = weighted.crossJoin(F.broadcast(tot)).select(
+        "grp", "n_rows", "w_fixed",
+        F.when(F.col("w_total") > 0,
+               F.expr(f"({b} * w_fixed) DIV w_total"))
+        .otherwise(F.lit(0)).alias("base"),
+        F.when(F.col("w_total") > 0,
+               F.expr(f"({b} * w_fixed) % w_total"))
+        .otherwise(F.lit(0)).alias("rem"))
+    leftover = F.lit(b) - F.sum("base").over(Window.partitionBy())
+    ranked = j.withColumn(
+        "_rk", F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("grp"))))
+    return (ranked
+            .withColumn("_left", leftover)
+            .select(
+                "grp", "n_rows", "w_fixed",
+                (F.col("base")
+                 + F.when(F.col("_rk") <= F.col("_left"), 1)
+                 .otherwise(0)).alias("alloc"))
+            .orderBy("grp"))
+
+
+def class_balanced_sample(
+    df: DataFrame,
+    class_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Class-balanced undersampling: every class keeps exactly
+    ``min(class sizes)`` rows — the standard rebalancing step before
+    training on skewed labels. Selection is by KEY-HASH RANK inside
+    each class (Knuth multiplicative hash — the engine-portable
+    sampler every split/sample op here shares), so the kept set is
+    deterministic, re-run-stable, and an oracle can replay the exact
+    rows.
+
+    One count aggregate (broadcast back — the class relation is tiny),
+    one PARTITIONED rank window per class over (hash, key). Returns
+    the kept rows with their rank.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_tag_system_spark.operators.sampling import knuth_hash
+
+    counts = (df.where(F.col(class_col).isNotNull())
+              .groupBy(F.col(class_col)).agg(
+                  F.count(F.lit(1)).alias("_n")))
+    m = counts.agg(F.min("_n").alias("_m"))
+    h = knuth_hash(F.col(key_col), 11)
+    w = Window.partitionBy(class_col).orderBy(h.asc(), F.col(key_col))
+    return (
+        df.where(F.col(class_col).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .where(F.col("_rk") <= F.col("_m"))
+        .drop("_m")
+    )

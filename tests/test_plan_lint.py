@@ -137,6 +137,8 @@ _CATALOG_ALLOW = {
     # largest-remainder rank runs over the per-GROUP relation
     # (≤ #sources rows), never data rows
     "sample_temperature_alloc": ["global_window"],
+    # same Hamilton machinery over the per-stratum relation
+    "sample_neyman_alloc": ["global_window"],
     # Pareto deciles are a global revenue ranking by definition (see
     # customer_rfm_segments above for the fence-based scale path)
     "customer_revenue_concentration": ["global_window"],

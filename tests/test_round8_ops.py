@@ -661,3 +661,62 @@ class TestAbcXyz:
             df, "item", F.col("cents"), F.col("qty"),
             F.col("period")).collect()}
         assert out.get("A") == 1 and out.get("C") == 1
+
+
+class TestNeymanAllocation:
+    def test_sigma_proportional_and_budget_exact(self, spark):
+        import pyspark.sql.functions as F
+
+        from bigdata_tag_system_spark.operators.sampling import (
+            neyman_allocation,
+        )
+
+        # stratum a: constant (sigma 0); b: spread 0/100; c: spread
+        # 0/200 with same size -> alloc ratio b:c = 1:2, a gets 0
+        rows = [("a", 50), ("a", 50), ("a", 50), ("a", 50),
+                ("b", 0), ("b", 100), ("b", 0), ("b", 100),
+                ("c", 0), ("c", 200), ("c", 0), ("c", 200)]
+        df = spark.createDataFrame(rows, "grp string, cents long")
+        out = {r["grp"]: r for r in neyman_allocation(
+            df, "grp", F.col("cents"), budget=90).collect()}
+        assert out["a"]["alloc"] == 0
+        assert out["b"]["alloc"] + out["c"]["alloc"] == 90
+        assert out["c"]["alloc"] == 2 * out["b"]["alloc"]
+
+    def test_weight_is_exact_sqrt_of_integer_moment(self, spark):
+        import math
+
+        import pyspark.sql.functions as F
+
+        from bigdata_tag_system_spark.operators.sampling import (
+            neyman_allocation,
+        )
+
+        rows = [("g", 3), ("g", 7)]
+        df = spark.createDataFrame(rows, "grp string, cents long")
+        row = neyman_allocation(df, "grp", F.col("cents"), 10).first()
+        # D = n*Sxx - Sx^2 = 2*58 - 100 = 16 -> w = 4
+        assert row["w_fixed"] == math.floor(math.sqrt(16))
+        assert row["alloc"] == 10
+
+
+class TestClassBalancedSample:
+    def test_every_class_keeps_minority_count(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            class_balanced_sample,
+        )
+
+        rows = [("x", i) for i in range(20)] + \
+               [("y", 100 + i) for i in range(7)] + \
+               [("z", 200 + i) for i in range(12)]
+        df = spark.createDataFrame(rows, "cls string, k long")
+        kept = class_balanced_sample(df, "cls", "k")
+        counts = {r["cls"]: r["cnt"] for r in
+                  kept.groupBy("cls").count()
+                  .withColumnRenamed("count", "cnt").collect()}
+        assert counts == {"x": 7, "y": 7, "z": 7}
+        # deterministic: second run keeps the identical rows
+        a = sorted((r["cls"], r["k"]) for r in kept.collect())
+        b = sorted((r["cls"], r["k"]) for r in
+                   class_balanced_sample(df, "cls", "k").collect())
+        assert a == b
