@@ -42,6 +42,7 @@ _STREAM_WINDOW_CACHE: dict[str, str] = {}
 _STREAM_SESSION_CACHE: dict[str, str] = {}
 # native session_window streaming replay outputs, keyed by sf_dir
 _STREAM_SESSION_NATIVE_CACHE: dict[str, str] = {}
+_STREAM_LSH_CACHE: dict[str, str] = {}
 # stream-stream join replay outputs, keyed by sf_dir (stream_join_parity)
 _STREAM_JOIN_CACHE: dict[str, str] = {}
 
@@ -499,6 +500,7 @@ _DRIVER_FIRST = [
     "orders_abc_xyz",
     "sample_neyman_alloc",
     "sample_class_balanced",
+    "stream_lsh_parity",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
@@ -6715,6 +6717,81 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_class_balanced"] = sample_class_balanced
 
+    def stream_lsh_parity(spark, sf_dir):
+        # the STATEFUL streaming LSH candidate generator
+        # (applyInPandasWithState band-bucket store) replayed
+        # availableNow over documents plus a re-keyed duplicate slice
+        # (doc_id % 10 == 0 → doc_id + 1_000_000, same text). Candidate
+        # CONTENT is xxhash-banded (not SQL-replayable), so the oracle
+        # checks INVARIANTS the way sample_seeded does: every planted
+        # exact-duplicate pair MUST surface (identical text ⇒ identical
+        # signature ⇒ every band collides), pairs are strictly ordered,
+        # and no bucket overflowed at the parity cap. The planted-pair
+        # count is SQL-exact.
+        import tempfile
+
+        from bigdata_tag_system_spark.streaming.lsh_stream import (
+            streaming_minhash_candidates,
+        )
+
+        _prep(spark)
+        out_dir = _STREAM_LSH_CACHE.get(sf_dir)
+        if out_dir is None:
+            docs = _t(spark, sf_dir, "documents") \
+                .where("text IS NOT NULL").select("doc_id", "text")
+            dup = docs.where("doc_id % 10 = 0").select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+            aug = docs.unionAll(dup).withColumn(
+                "ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            tmp = tempfile.mkdtemp(prefix="stream_lsh_")
+            src = tmp + "/src"
+            aug.write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(aug.schema).parquet(src)
+            cands = streaming_minhash_candidates(
+                stream, num_hashes=32, bands=16,
+                max_bucket_size=100_000)
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            query = (
+                cands.writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(
+                    lambda batch, _bid:
+                        batch.write.mode("append").parquet(out))
+                .start()
+            )
+            query.awaitTermination()
+            _STREAM_LSH_CACHE[sf_dir] = out
+            out_dir = out
+        cands = spark.read.parquet(out_dir)
+        pairs = cands.where(~F.col("overflow")) \
+            .select("id_a", "id_b").distinct()
+        docs = _t(spark, sf_dir, "documents") \
+            .where("text IS NOT NULL").select("doc_id")
+        planted = docs.where("doc_id % 10 = 0").select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1_000_000).alias("id_b"))
+        n_planted = planted.agg(
+            F.count(F.lit(1)).alias("n_planted_pairs"))
+        missing = planted.join(pairs, ["id_a", "id_b"], "left_anti") \
+            .agg(F.count(F.lit(1)).alias("_miss"))
+        disorder = pairs.where(F.col("id_a") >= F.col("id_b")) \
+            .agg(F.count(F.lit(1)).alias("_bad"))
+        overflow = cands.where(F.col("overflow")) \
+            .agg(F.count(F.lit(1)).alias("_ovf"))
+        return (
+            n_planted.crossJoin(F.broadcast(missing))
+            .crossJoin(F.broadcast(disorder))
+            .crossJoin(F.broadcast(overflow))
+            .select(
+                "n_planted_pairs",
+                (F.col("_miss") == 0).alias("all_planted_candidated"),
+                (F.col("_bad") == 0).alias("pairs_strictly_ordered"),
+                (F.col("_ovf") == 0).alias("no_overflow"))
+        )
+
+    q["stream_lsh_parity"] = stream_lsh_parity
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -7795,6 +7872,18 @@ def oracle_sql() -> dict[str, str]:
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id LIMIT 500
     """
+    # streaming-LSH invariant oracle (sample_seeded pattern): the
+    # planted-duplicate pair count is SQL-exact; the booleans state
+    # invariants the Spark side proves against the replayed candidates
+    o["stream_lsh_parity"] = """
+        SELECT count(*) AS n_planted_pairs,
+               true AS all_planted_candidated,
+               true AS pairs_strictly_ordered,
+               true AS no_overflow
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id % 10 = 0
+    """
+
     # Neyman replay: HUGEINT moments, D = n*Sxx - Sx^2 exact, one
     # sqrt, Hamilton largest-remainder with (rem desc, grp) ranks
     o["sample_neyman_alloc"] = """

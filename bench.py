@@ -187,6 +187,7 @@ def main() -> None:
         "orders_abc_xyz",          # integer-exact ABC/XYZ matrix
         "sample_neyman_alloc",     # sigma-proportional allocation
         "sample_class_balanced",   # minority-count undersampling
+        "stream_lsh_parity",       # stateful band-bucket store replay
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
