@@ -501,6 +501,7 @@ _DRIVER_FIRST = [
     "sample_neyman_alloc",
     "sample_class_balanced",
     "stream_lsh_parity",
+    "emb_label_noise",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
@@ -6792,6 +6793,19 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_lsh_parity"] = stream_lsh_parity
 
+    def emb_label_noise(spark, sf_dir):
+        # kNN-disagreement label-noise census: per label, vectors
+        # whose 5 nearest neighbors strictly-majority disagree;
+        # brute-force pair mode (oracle-recomputable), bucketed kNN
+        # is the production twin
+        from bigdata_tag_system_spark.operators.embeddings import (
+            label_noise_report,
+        )
+
+        return label_noise_report(_t(spark, sf_dir, "embeddings"), k=5)
+
+    q["emb_label_noise"] = emb_label_noise
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -7872,6 +7886,31 @@ def oracle_sql() -> dict[str, str]:
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id LIMIT 500
     """
+    # kNN label-noise replay: brute-force cosine ranks (ties -> lower
+    # neighbor id), strict-majority mismatch census in integers
+    o["emb_label_noise"] = """
+        WITH scored AS (
+            SELECT q.vec_id AS qid, q.label AS qlbl,
+                   c.label AS nlbl,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           q.embedding::DOUBLE[],
+                           c.embedding::DOUBLE[]) DESC,
+                           c.vec_id) AS rk
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id != c.vec_id),
+        per_vec AS (
+            SELECT qid, qlbl,
+                   sum(CASE WHEN nlbl != qlbl THEN 1 ELSE 0 END) AS mism
+            FROM scored WHERE rk <= 5 GROUP BY qid, qlbl)
+        SELECT qlbl AS label, count(*) AS n_vecs,
+               CAST(sum(CASE WHEN mism * 2 > 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS suspects,
+               CAST((10000 * sum(mism)) // (5 * count(*)) AS BIGINT)
+                   AS mean_mismatch_bp
+        FROM per_vec GROUP BY qlbl ORDER BY label
+    """
+
     # streaming-LSH invariant oracle (sample_seeded pattern): the
     # planted-duplicate pair count is SQL-exact; the booleans state
     # invariants the Spark side proves against the replayed candidates

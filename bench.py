@@ -188,6 +188,7 @@ def main() -> None:
         "sample_neyman_alloc",     # sigma-proportional allocation
         "sample_class_balanced",   # minority-count undersampling
         "stream_lsh_parity",       # stateful band-bucket store replay
+        "emb_label_noise",         # kNN-disagreement label audit
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -628,3 +628,63 @@ def quantized_recall_report(
         F.lit(int(rescore)).alias("rescore"),
         "n_hits",
         F.expr(f"(10000 * n_hits) DIV {int(k)}").alias("recall_bp"))
+
+
+def label_noise_report(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise audit by kNN disagreement — the confident-learning
+    screen for mislabeled training examples: a vector whose nearest
+    neighbors mostly carry a DIFFERENT label is a relabel/drop
+    candidate. Complements :func:`label_outlier_scores` (which flags
+    geometric outliers; this flags examples sitting in the WRONG
+    cluster, which outlier distance misses).
+
+    Per vector: its ``k`` nearest neighbors by cosine (ties → lower
+    id, self excluded), mismatch count = neighbors whose label
+    differs. Census per label: suspects = vectors with strict-majority
+    disagreement (mismatch > k/2), mean mismatch in basis points —
+    integer arithmetic, no float-threshold flips.
+
+    This is the BRUTE-FORCE pair mode — exactly recomputable by a SQL
+    oracle (same deliberate choice as dedup_cosine_pairs); production
+    swaps in the bucketed kNN join (`knn_join_bucketed`) whose recall
+    is pytest-verified.
+    """
+    from pyspark.sql import Window
+
+    c = df.select(F.col(id_col), F.col(label_col),
+                  F.col(vec_col).cast("array<double>").alias("_v"))
+    q = c.select(F.col(id_col).alias("_qid"),
+                 F.col(label_col).alias("_qlbl"),
+                 F.col("_v").alias("_qv"))
+    dot = F.aggregate(F.zip_with("_qv", "_v", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    qn = F.sqrt(F.aggregate("_qv", F.lit(0.0), lambda a, x: a + x * x))
+    vn = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("_qid") != F.col(id_col))
+        .select("_qid", "_qlbl", F.col(label_col).alias("_nlbl"),
+                F.col(id_col).alias("_nid"),
+                (dot / (qn * vn)).alias("_cos")))
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(),
+                                           F.col("_nid"))
+    top = scored.withColumn("_rk", F.row_number().over(w)) \
+        .where(F.col("_rk") <= k)
+    per_vec = top.groupBy("_qid", "_qlbl").agg(
+        F.sum((F.col("_nlbl") != F.col("_qlbl")).cast("int"))
+        .alias("_mism"))
+    return (
+        per_vec.groupBy(F.col("_qlbl").alias(label_col))
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.sum(F.when(F.col("_mism") * 2 > k, 1).otherwise(0))
+             .alias("suspects"),
+             F.expr(f"(10000 * sum(_mism)) DIV ({int(k)} * count(1))")
+             .alias("mean_mismatch_bp"))
+        .orderBy(label_col)
+    )

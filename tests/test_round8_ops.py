@@ -720,3 +720,26 @@ class TestClassBalancedSample:
         b = sorted((r["cls"], r["k"]) for r in
                    class_balanced_sample(df, "cls", "k").collect())
         assert a == b
+
+
+class TestLabelNoiseReport:
+    def test_planted_mislabeled_vector_is_flagged(self, spark):
+        from bigdata_tag_system_spark.operators.embeddings import (
+            label_noise_report,
+        )
+
+        # two tight clusters; vec 99 sits in cluster A but carries
+        # label 1 -> all its neighbors disagree
+        rows = []
+        for i in range(6):
+            rows.append((i, [1.0 + 0.01 * i, 0.0], 0))
+        for i in range(6):
+            rows.append((10 + i, [0.0, 1.0 + 0.01 * i], 1))
+        rows.append((99, [1.0, 0.05], 1))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        out = {r["label"]: r for r in
+               label_noise_report(df, k=5).collect()}
+        assert out[1]["suspects"] == 1          # only vec 99
+        assert out[0]["suspects"] == 0
+        assert out[0]["mean_mismatch_bp"] < 2000
