@@ -502,6 +502,7 @@ _DRIVER_FIRST = [
     "sample_class_balanced",
     "stream_lsh_parity",
     "emb_label_noise",
+    "func_bitwise_battery",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
@@ -6806,6 +6807,25 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_label_noise"] = emb_label_noise
 
+    def func_bitwise_battery(spark, sf_dir):
+        # scalar bitwise surface: AND/OR/XOR, shifts, popcount,
+        # bit_get — aggregated so the battery exercises both the
+        # per-row expressions and their aggregate composition
+        o_ = _t(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        return o_.agg(
+            F.sum(k.bitwiseAND(F.lit(255))).alias("and_sum"),
+            F.sum(k.bitwiseOR(F.lit(4096))).alias("or_sum"),
+            F.sum(k.bitwiseXOR(F.col("o_custkey"))).alias("xor_sum"),
+            F.sum(F.shiftright(k, 3)).alias("shr_sum"),
+            F.sum(F.shiftleft(k.bitwiseAND(F.lit(1023)), 2))
+            .alias("shl_sum"),
+            F.sum(F.bit_count(k)).alias("popcount_sum"),
+            F.sum(F.getbit(k, F.lit(0))).alias("lsb_sum"),
+        )
+
+    q["func_bitwise_battery"] = func_bitwise_battery
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -7886,6 +7906,19 @@ def oracle_sql() -> dict[str, str]:
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id LIMIT 500
     """
+    # bitwise battery replay: DuckDB &/|/xor/shifts/bit_count; bit_get
+    # via o_orderkey % 2
+    o["func_bitwise_battery"] = """
+        SELECT CAST(sum(o_orderkey & 255) AS BIGINT) AS and_sum,
+               CAST(sum(o_orderkey | 4096) AS BIGINT) AS or_sum,
+               CAST(sum(xor(o_orderkey, o_custkey)) AS BIGINT) AS xor_sum,
+               CAST(sum(o_orderkey >> 3) AS BIGINT) AS shr_sum,
+               CAST(sum((o_orderkey & 1023) << 2) AS BIGINT) AS shl_sum,
+               CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS popcount_sum,
+               CAST(sum(o_orderkey % 2) AS BIGINT) AS lsb_sum
+        FROM orders
+    """
+
     # kNN label-noise replay: brute-force cosine ranks (ties -> lower
     # neighbor id), strict-majority mismatch census in integers
     o["emb_label_noise"] = """
