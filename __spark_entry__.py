@@ -203,6 +203,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_CACHE: dict[str, str] = {}
 _ORC_CACHE: dict[str, str] = {}
+_TEXT_CACHE: dict[str, str] = {}
 _BKEY_CACHE: dict[str, str] = {}
 _PPAIR_CACHE: dict[str, str] = {}
 _MHPAIR_CACHE: dict[str, str] = {}
@@ -503,6 +504,7 @@ _DRIVER_FIRST = [
     "stream_lsh_parity",
     "emb_label_noise",
     "func_bitwise_battery",
+    "scan_text_roundtrip",
     # -- oldest last-green (r2 vintage) rotated in for re-check --
     "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
     "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
@@ -6826,6 +6828,41 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["func_bitwise_battery"] = func_bitwise_battery
 
+    def scan_text_roundtrip(spark, sf_dir):
+        # line-oriented text source (the 4th format beside parquet,
+        # CSV/JSONL, ORC): documents staged as one line per doc (the
+        # corpus has no embedded newlines), read back with
+        # spark.read.text, parsed by a split-once projection
+        path = _TEXT_CACHE.get(sf_dir)
+        if path is None:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="text_docs_") + "/docs"
+            docs = _t(spark, sf_dir, "documents") \
+                .where("text IS NOT NULL")
+            docs.select(F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), F.col("text"))
+                .alias("value")).write.mode("overwrite").text(path)
+            _TEXT_CACHE[sf_dir] = path
+        lines = spark.read.text(path)
+        parsed = lines.select(
+            F.split("value", "\t", 2).alias("_p")
+        ).select(
+            F.col("_p")[0].cast("long").alias("doc_id"),
+            F.col("_p")[1].alias("text"))
+        from bigdata_tag_system_spark.functions.text import (
+            portable_hash60,
+        )
+
+        return parsed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_ids"),
+            F.sum(F.length("text")).alias("chars_sum"),
+            F.bit_xor(portable_hash60(F.col("text"))).alias("text_xor"),
+        )
+
+    q["scan_text_roundtrip"] = scan_text_roundtrip
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -7906,6 +7943,17 @@ def oracle_sql() -> dict[str, str]:
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id LIMIT 500
     """
+    # text-source round-trip must reproduce the parquet corpus content
+    # (xor of md5-60 content hashes = order-free exact checksum)
+    o["scan_text_roundtrip"] = """
+        SELECT count(*) AS n_rows,
+               count(DISTINCT doc_id) AS n_ids,
+               CAST(sum(length(text)) AS BIGINT) AS chars_sum,
+               bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)
+                   AS text_xor
+        FROM documents WHERE text IS NOT NULL
+    """
+
     # bitwise battery replay: DuckDB &/|/xor/shifts/bit_count; bit_get
     # via o_orderkey % 2
     o["func_bitwise_battery"] = """
