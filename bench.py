@@ -189,6 +189,8 @@ def main() -> None:
         "sample_class_balanced",   # minority-count undersampling
         "stream_lsh_parity",       # stateful band-bucket store replay
         "emb_label_noise",         # kNN-disagreement label audit
+        "func_bitwise_battery",    # bitwise scalar surface
+        "scan_text_roundtrip",     # line-oriented text source
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
