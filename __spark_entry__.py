@@ -8096,7 +8096,12 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY l.event_id ORDER BY
                        CASE WHEN r.rts <= l.ts THEN l.ts - r.rts
                             ELSE r.rts - l.ts END,
-                       CASE WHEN r.rts <= l.ts THEN 0 ELSE 1 END) AS rn
+                       CASE WHEN r.rts <= l.ts THEN 0 ELSE 1 END,
+                       -- (key, ts)-tied rights: backward takes the
+                       -- greatest value, forward the least (one shared
+                       -- ascending value sort serves both Spark frames)
+                       CASE WHEN r.rts <= l.ts THEN r.value END DESC,
+                       r.value ASC) AS rn
             FROM l JOIN r ON r.user_id = l.user_id)
         SELECT l.event_id, round(k.value, 2) AS purchase_value,
                epoch_us(k.rts) AS matched_us

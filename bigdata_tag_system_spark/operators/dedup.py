@@ -1425,16 +1425,19 @@ def minhash_recall_report(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
-    from pyspark.storagelevel import StorageLevel
-
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    # n_candidates and n_hits come from ONE pass over the candidate
+    # relation (left join against the unique exact pairs + one agg) —
+    # no persist, so repeated calls in long-lived processes leak no
+    # cached blocks; the band-key input is already memoized by callers
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_hits = cand.join(exact, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hits"))
+    cand_stats = (
+        cand.join(exact.withColumn("_hit", F.lit(1)),
+                  ["id_a", "id_b"], "left")
+        .agg(F.count(F.lit(1)).alias("n_candidates"),
+             F.coalesce(F.sum(F.coalesce("_hit", F.lit(0))), F.lit(0))
+             .cast("bigint").alias("n_hits")))
     return (
-        n_exact.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hits))
+        n_exact.crossJoin(F.broadcast(cand_stats))
         .select(
             "n_exact", "n_candidates", "n_hits",
             F.when(F.col("n_exact") > 0,

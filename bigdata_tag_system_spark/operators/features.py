@@ -888,11 +888,12 @@ def abc_xyz_classes(
     XYZ scores demand PREDICTABILITY by the coefficient of variation
     of per-period quantities (X steady … Z erratic).
 
-    Every classification is decided in EXACT integer arithmetic so no
-    item can flip class on a float ulp at a fence: revenue enters as
-    integer cents (caller maps money to a long — one deterministic
-    per-row rounding), the cumulative-share test is
-    ``cum·10000 ≤ tot·fence_bp``, and the CV test squares it —
+    Every classification is decided in EXACT arithmetic so no item can
+    flip class on a float ulp at a fence: revenue enters as integer
+    cents (caller maps money to a long — one deterministic per-row
+    rounding), the cumulative-share test is ``cum·10000 ≤ tot·fence_bp``
+    with both sides widened to decimal(38,0) (int64 wraps silently once
+    total cents pass ~9.2e14), and the CV test squares it —
     ``cv < f/100  ⇔  100²·(n·Σq² − (Σq)²) < f²·(Σq)²``. CV is over
     OBSERVED periods only (documented; zero-filling punishes new
     items). The cumulative ranking is a global window over the
@@ -921,23 +922,37 @@ def abc_xyz_classes(
         F.sum("rev").over(w).alias("_cum"))
     a_bp, b_bp = abc_fences_bp
     x_pct, y_pct = xyz_fences_pct
-    var_num = F.lit(10000) * (
-        F.col("_n") * F.col("_sq2") - F.col("_sq") * F.col("_sq"))
-    sq_sq = F.col("_sq") * F.col("_sq")
+    # every cents·bp / qty²·pct² cross-product widens to decimal BEFORE
+    # multiplying: cum·10000 wraps int64 once total revenue cents pass
+    # ~9.2e14 (≈ $9T — within reach of a decade of a large retailer at
+    # 100 TB), and non-ANSI Spark wraps SILENTLY, misclassing every
+    # fence while the checked-arithmetic oracle errors. decimal(38,0)
+    # moves the ceiling to 1e38 (output schema unchanged: share DIV
+    # returns bigint, revenue_cents stays the int64 sum)
+    dcum = F.col("_cum").cast("decimal(38,0)")
+    dtot = F.col("_tot").cast("decimal(38,0)")
+    dn = F.col("_n").cast("decimal(19,0)")
+    dsq = F.col("_sq").cast("decimal(19,0)")
+    dsq2 = F.col("_sq2").cast("decimal(19,0)")
+    var_num = F.lit(10000).cast("decimal(19,0)") * (dn * dsq2 - dsq * dsq)
+    sq_sq = dsq * dsq
     classed = ranked.select(
         "_k", "rev", "_tot",
-        F.when(F.col("_cum") * 10000 <= F.col("_tot") * a_bp, "A")
-        .when(F.col("_cum") * 10000 <= F.col("_tot") * b_bp, "B")
+        F.when(dcum * 10000 <= dtot * a_bp, "A")
+        .when(dcum * 10000 <= dtot * b_bp, "B")
         .otherwise("C").alias("abc"),
         F.when(F.col("_sq") <= 0, "Z")
-        .when(var_num < F.lit(x_pct * x_pct) * sq_sq, "X")
-        .when(var_num < F.lit(y_pct * y_pct) * sq_sq, "Y")
+        .when(var_num < F.lit(x_pct * x_pct).cast("decimal(19,0)") * sq_sq,
+              "X")
+        .when(var_num < F.lit(y_pct * y_pct).cast("decimal(19,0)") * sq_sq,
+              "Y")
         .otherwise("Z").alias("xyz"))
     return (
         classed.groupBy("abc", "xyz")
         .agg(F.count(F.lit(1)).alias("n_items"),
              F.sum("rev").alias("revenue_cents"),
-             F.expr("(10000 * sum(rev)) DIV first(_tot)")
+             F.expr("(10000 * CAST(sum(rev) AS DECIMAL(38,0))) DIV "
+                    "CAST(first(_tot) AS DECIMAL(38,0))")
              .alias("revenue_share_bp"))
         .orderBy("abc", "xyz")
     )

@@ -537,7 +537,8 @@ def degree_assortativity(
     link to hubs (social nets); r < 0: hubs link to leaves
     (hub-and-spoke catalogs, most co-purchase graphs).
 
-    Every moment is an INTEGER sum over the symmetric edge list (each
+    Every moment is an EXACT decimal(38,0) sum over the symmetric edge
+    list (each
     undirected edge contributes both (dᵃ,dᵇ) and (dᵇ,dᵃ), making the
     two marginals identical, so only Sx/Sxx/Sxy are needed) — one
     degree aggregation, two degree joins, one 1-row aggregate; the
@@ -552,11 +553,17 @@ def degree_assortativity(
     sym = ed.select(F.col("_da").alias("x"), F.col("_db").alias("y")) \
         .unionAll(ed.select(F.col("_db").alias("x"),
                             F.col("_da").alias("y")))
+    # moments widen to decimal(38,0) BEFORE the cross products: on very
+    # large graphs n·sxy and sx² overflow int64 and non-ANSI Spark
+    # wraps silently while the DuckDB oracle's checked BIGINT errors —
+    # decimal keeps both sides exact (the neyman_allocation discipline)
+    dx = F.col("x").cast("decimal(19,0)")
+    dy = F.col("y").cast("decimal(19,0)")
     sums = sym.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dx).cast("decimal(38,0)").alias("sx"),
+        F.sum(dx * dx).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dx * dy).cast("decimal(38,0)").alias("sxy"),
     )
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     nedge = e.agg(F.count(F.lit(1)).alias("n_edges"))

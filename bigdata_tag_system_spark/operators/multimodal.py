@@ -310,13 +310,15 @@ def raw_frame_stats(
     frame_ms: int = 40,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    duration_col: str = "duration_ms",
 ) -> DataFrame:
     """Per-frame pixel statistics over RAW concatenated grayscale
     frames (the fixed-geometry plane layout video pipelines hand off
     after container demux) — computed ENTIRELY with native
     expressions: the payload is decoded to an ISO-8859-1 string once
-    (byte i == code point i), each frame is a substring slice, and the
-    pixel fold is `transform` + `aggregate` inside whole-stage codegen.
+    (byte i == code point i), each frame is sliced out ONCE with a
+    single substring, split into per-pixel code points, and the pixel
+    fold is `transform` + `aggregate` inside whole-stage codegen.
     No Python worker, no Arrow hop — the byte-level fast path that
     complements the registered-decoder path for formats that need a
     real parser.
@@ -324,30 +326,34 @@ def raw_frame_stats(
     The payload is read once per media row and NEVER duplicated per
     frame (the frame loop is an array expression, not an explode-join),
     so a 2 GB clip costs one scan; only the narrow per-frame stat
-    structs explode. Frame count comes from ``duration_ms DIV
-    frame_ms``, truncated to the frames actually present in the bytes.
+    structs explode. Each pixel access is O(1): the per-frame substring
+    is materialized once and then split — NOT per-pixel ``substr``
+    against the whole payload, which is O(offset) per call on strings
+    with code points > 127 (multi-byte in UTF-8) and would make the
+    fold quadratic in payload size. Frame count comes from
+    ``duration_col`` (an explicit column parameter) ``DIV frame_ms``,
+    truncated to the frames actually present in the bytes.
 
     Returns (media_id, frame_idx, frame_ts_ms, px_sum, px_min, px_max).
     """
     sz = width * height
     s = F.decode(F.col(payload_col), "ISO-8859-1")
-    n_from_dur = (F.col("duration_ms") / frame_ms).cast("int")
+    n_from_dur = (F.col(duration_col) / frame_ms).cast("int")
     n_from_len = (F.length(s) / sz).cast("int")
     n_frames = F.least(n_from_dur, n_from_len)
-    frame_struct = lambda f: F.struct(
-        F.aggregate(F.sequence(F.lit(0), F.lit(sz - 1)), F.lit(0),
-                    lambda acc, i: acc + F.ascii(
-                        s.substr(f * sz + i + 1, F.lit(1))))
-        .alias("px_sum"),
-        F.array_min(F.transform(
-            F.sequence(F.lit(0), F.lit(sz - 1)),
-            lambda i: F.ascii(s.substr(f * sz + i + 1, F.lit(1)))))
-        .alias("px_min"),
-        F.array_max(F.transform(
-            F.sequence(F.lit(0), F.lit(sz - 1)),
-            lambda i: F.ascii(s.substr(f * sz + i + 1, F.lit(1)))))
-        .alias("px_max"),
-    )
+
+    def frame_struct(f):
+        # one O(sz) slice + one O(sz) split per frame: pixel access is
+        # over the short frame string, never offset-indexed into the
+        # full payload
+        px = F.transform(
+            F.split(s.substr(f * sz + 1, F.lit(sz)), ""), F.ascii)
+        return F.struct(
+            F.aggregate(px, F.lit(0), lambda acc, p: acc + p)
+            .alias("px_sum"),
+            F.array_min(px).alias("px_min"),
+            F.array_max(px).alias("px_max"),
+        )
     per_frame = F.when(
         n_frames > 0,
         F.transform(F.sequence(F.lit(0), n_frames - 1), frame_struct))

@@ -464,7 +464,7 @@ def tfidf_top_terms(
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
-        .crossJoin(n_docs)
+        .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
             "term",

@@ -502,13 +502,18 @@ def asof_join_nearest(
     both backward and forward — completing the as-of family next to the
     backward-only :func:`asof_join`.
 
-    Tie rule (documented, replayed by the oracle): equal distances
+    Tie rules (documented, replayed by the oracle): equal distances
     resolve BACKWARD — an exact-timestamp match is distance 0 backward
-    and always wins. Same single-shuffle plan shape as asof_join: one
-    union, one keyed sort, ONE window pass computing both the
-    last-preceding and first-following right structs; the choice is a
-    map-side comparison. ``tolerance`` masks matches farther than the
-    bound in EITHER direction.
+    and always wins. Among multiple right rows with IDENTICAL
+    (key, ts), one shared sort key (the value struct, ascending) serves
+    both frames, so the backward match takes the GREATEST value struct
+    and the forward match the LEAST — deterministic regardless of
+    partition order, where the bare (ts, side) sort let ``last``/
+    ``first`` pick an arbitrary arrival. Same single-shuffle plan shape
+    as asof_join: one union, one keyed sort, ONE window pass computing
+    both the last-preceding and first-following right structs; the
+    choice is a map-side comparison. ``tolerance`` masks matches
+    farther than the bound in EITHER direction.
     """
     rts = right_ts or ts
     value_cols = value_cols or [
@@ -532,8 +537,9 @@ def asof_join_nearest(
 
     # rights sort before lefts at equal ts, so an exact-ts right row is
     # in the PRECEDING frame (distance-0 backward match); the following
-    # frame starts after the current row
-    base = Window.partitionBy(on).orderBy("_ts", "_is_left")
+    # frame starts after the current row. _v breaks ties among right
+    # rows sharing (key, ts) deterministically (see docstring)
+    base = Window.partitionBy(on).orderBy("_ts", "_is_left", "_v")
     w_back = base.rowsBetween(Window.unboundedPreceding,
                               Window.currentRow)
     w_fwd = base.rowsBetween(1, Window.unboundedFollowing)

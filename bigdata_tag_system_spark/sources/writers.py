@@ -831,13 +831,17 @@ def apply_changeset(
              & F.array_contains("_ops", "delete")).alias("_conflict"),
         )
         .where((F.array_size("_bad") > 0) | F.col("_conflict"))
+        # deterministic sample: bad-op offenders first, then key order —
+        # with >5 mixed offenders an unordered limit(5) made WHICH error
+        # (ValueError vs DuplicateKeyError) was raised partition-luck
+        .orderBy(F.desc(F.array_size("_bad") > 0), "_k")
         .limit(5)
         .collect()
     )
     bad = sorted({o for r in offenders for o in r["_bad"]})
     if bad:
         raise ValueError(
-            f"apply_changeset: unknown op values {bad!r}; "
+            f"apply_changeset: unknown op values {bad!r} (sample); "
             f"expected 'upsert' / 'delete'")
     conflicted = [tuple(r["_k"]) for r in offenders if r["_conflict"]]
     if conflicted:

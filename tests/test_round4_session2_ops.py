@@ -768,6 +768,27 @@ class TestApplyChangeset:
         with pytest.raises(ValueError, match="unknown op"):
             apply_changeset(spark, unk, store, key_cols=["k"])
 
+    def test_mixed_violations_raise_bad_op_first_deterministically(
+            self, spark, tmp_path):
+        # >5 offender keys mixing BOTH violation kinds: the ordered
+        # sample (bad-op offenders first) must always surface the
+        # unknown-op ValueError, never partition-luck DuplicateKeyError
+        from bigdata_tag_system_spark.sources.writers import (
+            apply_changeset, write_parquet,
+        )
+
+        store = str(tmp_path / "store_mixed")
+        write_parquet(spark.createDataFrame(
+            [(1, 10.0)], "k long, v double"), store)
+        rows = [(k, 1.0, "upsert") for k in range(10)]
+        rows += [(k, None, "delete") for k in range(10)]   # 10 conflicts
+        rows += [(99, 1.0, "merge")]                       # 1 bad op
+        changes = spark.createDataFrame(
+            rows, "k long, v double, _op string")
+        for _ in range(3):
+            with pytest.raises(ValueError, match="unknown op.*merge"):
+                apply_changeset(spark, changes, store, key_cols=["k"])
+
 
 # ---------------------------------------------------------------------------
 # Hypothesis properties: random inputs vs pure-Python models

@@ -662,6 +662,28 @@ class TestAbcXyz:
             F.col("period")).collect()}
         assert out.get("A") == 1 and out.get("C") == 1
 
+    def test_int64_overflow_boundary_classes_exactly(self, spark):
+        # total 2e15 cents: cum·10000 = 1.6e19 > int64 max (9.22e18);
+        # without the decimal(38,0) widening the fence comparison wraps
+        # and misclasses both items (red before the guard, green after)
+        import pyspark.sql.functions as F
+
+        from bigdata_tag_system_spark.operators.features import (
+            abc_xyz_classes,
+        )
+
+        rows = [(1, 1, 1_600_000_000_000_000, 1),
+                (2, 1, 400_000_000_000_000, 1)]
+        df = spark.createDataFrame(
+            rows, "item long, period int, cents long, qty long")
+        out = {r["abc"]: r for r in abc_xyz_classes(
+            df, "item", F.col("cents"), F.col("qty"),
+            F.col("period")).collect()}
+        assert set(out) == {"A", "C"}
+        assert out["A"]["revenue_cents"] == 1_600_000_000_000_000
+        assert out["A"]["revenue_share_bp"] == 8000
+        assert out["C"]["revenue_share_bp"] == 2000
+
 
 class TestNeymanAllocation:
     def test_sigma_proportional_and_budget_exact(self, spark):
