@@ -6798,14 +6798,21 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def emb_label_noise(spark, sf_dir):
         # kNN-disagreement label-noise census: per label, vectors
-        # whose 5 nearest neighbors strictly-majority disagree;
-        # brute-force pair mode (oracle-recomputable), bucketed kNN
-        # is the production twin
+        # whose 5 nearest neighbors strictly-majority disagree. The
+        # audited path is the BUCKETED kNN join (hash join on the
+        # fitted nearest-centroid bucket — never an |N|² broadcast
+        # nested loop; bnl_join lint-clean). nprobe = num_buckets so
+        # pruning is provably lossless and the brute-force SQL oracle
+        # applies unchanged; partial-probe agreement is pytest-measured
+        # (tests/test_embeddings_ops.py), the sim_knn_bucketed pattern
         from bigdata_tag_system_spark.operators.embeddings import (
             label_noise_report,
         )
 
-        return label_noise_report(_t(spark, sf_dir, "embeddings"), k=5)
+        cents = _fitted_centroids(spark, sf_dir)
+        return label_noise_report(
+            _t(spark, sf_dir, "embeddings"), k=5,
+            centroids=cents, nprobe=len(cents))
 
     q["emb_label_noise"] = emb_label_noise
 

@@ -636,6 +636,8 @@ def label_noise_report(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    centroids: list[list[float]] | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Label-noise audit by kNN disagreement — the confident-learning
     screen for mislabeled training examples: a vector whose nearest
@@ -650,15 +652,55 @@ def label_noise_report(
     disagreement (mismatch > k/2), mean mismatch in basis points —
     integer arithmetic, no float-threshold flips.
 
-    This is the BRUTE-FORCE pair mode — exactly recomputable by a SQL
-    oracle (same deliberate choice as dedup_cosine_pairs); production
-    swaps in the bucketed kNN join (`knn_join_bucketed`) whose recall
-    is pytest-verified.
+    Neighbor stage, two modes:
+
+    - ``centroids`` given → the SCALE path: both sides route through
+      :func:`~bigdata_tag_system_spark.operators.similarity.knn_join_bucketed`
+      and meet in a plain hash join on the nearest-centroid bucket —
+      never a |N|² broadcast nested loop. With
+      ``nprobe = len(centroids)`` bucketing only prunes, so the result
+      (and the SQL oracle) is EXACTLY the brute census; smaller
+      ``nprobe`` trades recall for a pair space cut to ~nprobe/buckets
+      (partial-probe agreement is pytest-measured).
+    - ``centroids=None`` → the brute-force |N|² pair mode, kept as the
+      oracle-eval twin (same deliberate choice as dedup_cosine_pairs);
+      its plan carries an explicit ``bnl_join`` lint allowance wherever
+      it ships.
     """
     from pyspark.sql import Window
 
     c = df.select(F.col(id_col), F.col(label_col),
                   F.col(vec_col).cast("array<double>").alias("_v"))
+    if centroids is not None:
+        from bigdata_tag_system_spark.operators.similarity import (
+            knn_join_bucketed,
+        )
+
+        q = c.select(F.col(id_col).alias("_qid"),
+                     F.col(label_col).alias("_qlbl"), "_v")
+        # ask for k+1 (self scores cosine 1.0 and lands in the top),
+        # drop self, re-rank the ≤k+1 survivors: the true top-k
+        # excluding self is always contained in the top-(k+1)
+        nn = knn_join_bucketed(
+            q, c, centroids, k=k + 1,
+            nprobe=nprobe if nprobe is not None else len(centroids),
+            q_id="_qid", q_vec="_v", c_id=id_col, c_vec="_v")
+        lbl = c.select(F.col(id_col).alias("_nid"),
+                       F.col(label_col).alias("_nlbl"))
+        w2 = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(),
+                                                F.col("_nid"))
+        top = (
+            nn.where(F.col("_qid") != F.col(id_col))
+            .select("_qid", F.col(id_col).alias("_nid"), "cosine")
+            .withColumn("_rk", F.row_number().over(w2))
+            .where(F.col("_rk") <= k)
+            .join(lbl, "_nid"))
+        qlbl = c.select(F.col(id_col).alias("_qid"),
+                        F.col(label_col).alias("_qlbl"))
+        per_vec = top.join(qlbl, "_qid").groupBy("_qid", "_qlbl").agg(
+            F.sum((F.col("_nlbl") != F.col("_qlbl")).cast("int"))
+            .alias("_mism"))
+        return _label_noise_census(per_vec, k, label_col)
     q = c.select(F.col(id_col).alias("_qid"),
                  F.col(label_col).alias("_qlbl"),
                  F.col("_v").alias("_qv"))
@@ -679,6 +721,13 @@ def label_noise_report(
     per_vec = top.groupBy("_qid", "_qlbl").agg(
         F.sum((F.col("_nlbl") != F.col("_qlbl")).cast("int"))
         .alias("_mism"))
+    return _label_noise_census(per_vec, k, label_col)
+
+
+def _label_noise_census(per_vec: DataFrame, k: int,
+                        label_col: str) -> DataFrame:
+    """Per-label census over a (_qid, _qlbl, _mism) relation — shared by
+    the brute and bucketed neighbor stages of :func:`label_noise_report`."""
     return (
         per_vec.groupBy(F.col("_qlbl").alias(label_col))
         .agg(F.count(F.lit(1)).alias("n_vecs"),

@@ -33,6 +33,32 @@ class TestDetectors:
         good = df.join(df.selectExpr("id AS id", "k AS k2"), "id")
         assert "cartesian" not in _keys(plan_warnings(good))
 
+    def test_bnl_join_flags_data_sized_build_only(self, spark, df):
+        other = df.selectExpr("id AS id2", "k AS k2")
+        # data-sized build side broadcast into a nested loop -> hazard
+        # (a 100-row Range is itself statically bounded, so the build
+        # must exceed the literal-Range smallness fence to count as
+        # data-sized)
+        wide = spark.range(100_000).selectExpr("id AS id2")
+        bad = F.broadcast(wide).crossJoin(df)
+        assert "bnl_join" in _keys(plan_warnings(bad))
+        # the engine's scalar-aggregate crossJoin idiom: 1-row build,
+        # bounded by construction -> NO allowance needed
+        one = df.agg(F.count(F.lit(1)).alias("n"))
+        assert "bnl_join" not in _keys(
+            plan_warnings(df.crossJoin(F.broadcast(one))))
+        # limited build side -> bounded
+        top = other.orderBy("id2").limit(3)
+        assert "bnl_join" not in _keys(
+            plan_warnings(df.crossJoin(F.broadcast(top))))
+        # a small literal Range is statically sized -> bounded
+        seed = spark.range(1).select(F.lit(0).alias("z"))
+        assert "bnl_join" not in _keys(plan_warnings(df.crossJoin(seed)))
+        # keyed hash join stays clean
+        assert "bnl_join" not in _keys(
+            plan_warnings(df.join(other.withColumnRenamed("id2", "id"),
+                                  "id")))
+
     def test_python_row_udf(self, spark, df):
         from pyspark.sql.functions import pandas_udf, udf
 
@@ -99,9 +125,9 @@ _CATALOG_ALLOW = {
     "dedup_pipeline_keep": ["rdd_scan"],
     "dedup_pipeline_keep_best": ["rdd_scan"],
     "dedup_semantic_keep": ["rdd_scan"],
-    "sim_quantized_topk": ["rdd_scan"],
-    # same one-row quantization scale vector as sim_quantized_topk
-    "sim_quantized_recall": ["rdd_scan"],
+    # (sim_quantized_topk / sim_quantized_recall carry their rdd_scan
+    # allowance — the one-row quantization scale vector — in the
+    # bnl_join block below)
     "graph_event_pagerank": ["rdd_scan"],
     # pointer-doubling rounds truncate lineage via localCheckpoint,
     # same as the CC / PageRank loops above
@@ -117,9 +143,8 @@ _CATALOG_ALLOW = {
     # keeps exactly one such entry, with the native chunker as the
     # production twin (operators/text.py:chunk_documents)
     "text_udtf_chunks": ["python_row_udf"],
-    # cumulative pass runs over the MERGED histogram — ≤`buckets` (64)
-    # rows by construction, like the bucket-offset table
-    "sketch_hist_quantiles": ["global_window"],
+    # (sketch_hist_quantiles — cumulative pass over the MERGED ≤64-row
+    # histogram — carries global_window in the bnl_join block below)
     "sample_shuffle_order": ["global_window"],
     "sim_hybrid_rrf": ["global_window"],
     # the RANGE window merges PER-BUCKET sketches — one row per day,
@@ -156,6 +181,29 @@ _CATALOG_ALLOW = {
     # ABC is a Pareto ranking of the ITEM dimension by definition —
     # same class as customer_revenue_concentration
     "orders_abc_xyz": ["global_window"],
+    # --- bnl_join: the detector is structure-aware (one-row scalar
+    # aggregates, limits, literal tables, small Ranges pass without
+    # allowance); the entries below broadcast relations that are
+    # bounded by CONSTRUCTION but not provable from the plan alone —
+    # except dedup_cosine_pairs, the one documented data-sized brute
+    # mode (oracle-eval twin; knn_join_bucketed is the scale path):
+    "dedup_cosine_pairs": ["bnl_join"],
+    # build side is an explicit `vec_id IN (1,2,3)` filter — ≤3 query
+    # rows; the large-query-set twin is sim_knn_bucketed (hash join)
+    "sim_knn_join": ["bnl_join"],
+    # the 1-row per-dimension scale vector (same relation as the
+    # rdd_scan allowance above — createDataFrame hides its 1-row bound)
+    "sim_quantized_topk": ["rdd_scan", "bnl_join"],
+    "sim_quantized_recall": ["rdd_scan", "bnl_join"],
+    # KMV sketch relations are ≤k=256 rows/side by the rank-k filter;
+    # the estimate frames are 1-row aggregates keyed by a constant
+    "sketch_kmv_intersect": ["bnl_join"],
+    # cumulative offsets over the merged ≤64-bucket histogram (the
+    # relation already carrying the global_window allowance)
+    "sketch_hist_quantiles": ["global_window", "bnl_join"],
+    # explicit-register HLL: ≤2^p register rows; exact-truth frame is
+    # a constant-keyed 1-row aggregate
+    "sketch_hll_portable": ["bnl_join"],
 }
 
 

@@ -765,3 +765,52 @@ class TestLabelNoiseReport:
         assert out[1]["suspects"] == 1          # only vec 99
         assert out[0]["suspects"] == 0
         assert out[0]["mean_mismatch_bp"] < 2000
+
+    def _clustered(self, spark, n=40):
+        import math
+        rows = []
+        for i in range(n):
+            ang = 0.25 * (i % 5)
+            base = [math.cos(ang), math.sin(ang), 0.0]
+            if i % 2:
+                base = [0.0, base[0], base[1]]
+            rows.append((i, base, i % 2))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+
+    def test_bucketed_full_probe_equals_brute(self, spark):
+        # nprobe = num_buckets -> bucketing only prunes: the hash-join
+        # census must equal the brute |N|^2 census row for row
+        from bigdata_tag_system_spark.operators.embeddings import (
+            label_noise_report,
+        )
+
+        df = self._clustered(spark)
+        cents = [[1.0, 0.2, 0.0], [0.0, 1.0, 0.2],
+                 [0.7, 0.7, 0.0], [0.0, 0.7, 0.7]]
+        brute = sorted(map(tuple, label_noise_report(df, k=5).collect()))
+        buck = sorted(map(tuple, label_noise_report(
+            df, k=5, centroids=cents, nprobe=len(cents)).collect()))
+        assert brute == buck
+
+    def test_bucketed_plan_is_bnl_clean_and_partial_probe_sane(self, spark):
+        from bigdata_tag_system_spark.operators.embeddings import (
+            label_noise_report,
+        )
+        from bigdata_tag_system_spark.plans.lint import plan_warnings
+
+        df = self._clustered(spark)
+        cents = [[1.0, 0.2, 0.0], [0.0, 1.0, 0.2],
+                 [0.7, 0.7, 0.0], [0.0, 0.7, 0.7]]
+        full = label_noise_report(df, k=5, centroids=cents,
+                                  nprobe=len(cents))
+        assert not [w for w in plan_warnings(full)
+                    if w.startswith("bnl_join")]
+        # reduced probe budget: census stays structurally valid and
+        # total vectors can only shrink (buckets prune candidates)
+        part = label_noise_report(df, k=5, centroids=cents, nprobe=2)
+        tot_full = sum(r["n_vecs"] for r in full.collect())
+        tot_part = sum(r["n_vecs"] for r in part.collect())
+        assert 0 < tot_part <= tot_full
+        for r in part.collect():
+            assert 0 <= r["mean_mismatch_bp"] <= 10000
