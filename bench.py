@@ -191,6 +191,9 @@ def main() -> None:
         "emb_label_noise",         # kNN-disagreement label audit
         "func_bitwise_battery",    # bitwise scalar surface
         "scan_text_roundtrip",     # line-oriented text source
+        # round-9 additions
+        "scan_jdbc_roundtrip",     # live Derby JDBC write+pushdown read
+        "upsert_jdbc_live",        # live stage-then-MERGE JDBC upsert
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -424,6 +424,77 @@ def jdbc_upsert(
             df.unpersist()
 
 
+def jdbc_merge_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    target_table: str,
+    key_cols: Sequence[str],
+    staging_table: str = "spark_upsert_stage",
+    properties: dict[str, str] | None = None,
+) -> int:
+    """Set-based JDBC upsert: stage-then-MERGE (reference
+    ``src/writers/mysql_writer.py:191-314``, the upsert contract; this
+    is the warehouse-native shape next to :func:`jdbc_upsert`'s
+    per-partition DBAPI batching).
+
+    Two steps, both bounded:
+
+    1. ``df.write.jdbc`` OVERWRITES the staging table —
+       executor-parallel through Spark's JDBC datasource, the database
+       sees ≤ ``df`` partitions connections;
+    2. ONE set-based ``MERGE INTO target USING staging`` statement runs
+       on the database (driver issues a single SQL string over one
+       JDBC connection via the JVM bridge — no data flows through the
+       driver), updating matched keys and inserting the rest.
+
+    The staging write quotes identifiers (Spark's JDBC writer always
+    does), so the MERGE references every column quoted with the
+    DataFrame's casing; the TARGET must already exist with the same
+    quoted column names — seed it with a ``df.write.jdbc`` overwrite
+    (as ``upsert_jdbc_live`` does) or create it quoted yourself.
+    Duplicate keys in ``df`` would make MERGE outcome nondeterministic
+    (and Derby raises SQLSTATE 21000) — guarded by
+    :func:`resolve_duplicate_keys` before staging. Returns the MERGE's
+    affected-row count.
+
+    Works against any MERGE-capable JDBC database; exercised for REAL
+    in-process against the Derby engine bundled with PySpark (see
+    ``upsert_jdbc_live``) — on a cluster, point ``url`` at the shared
+    database instead.
+    """
+    _check_table_ident(target_table)
+    _check_table_ident(staging_table)
+    props = dict(properties or {})
+    df = resolve_duplicate_keys(df, key_cols, "error")
+    cols = list(df.columns)
+    df.write.jdbc(url=url, table=staging_table, mode="overwrite",
+                  properties=props)
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        on = " AND ".join(
+            f'tgt."{k}" = stg."{k}"' for k in key_cols)
+        upd_cols = [c for c in cols if c not in key_cols]
+        sets = ", ".join(f'"{c}" = stg."{c}"' for c in upd_cols)
+        ins_cols = ", ".join(f'"{c}"' for c in cols)
+        ins_vals = ", ".join(f'stg."{c}"' for c in cols)
+        merge = (
+            f"MERGE INTO {target_table} tgt USING {staging_table} stg "
+            f"ON {on} ")
+        if upd_cols:
+            merge += f"WHEN MATCHED THEN UPDATE SET {sets} "
+        merge += (
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) "
+            f"VALUES ({ins_vals})")
+        n = st.executeUpdate(merge)
+        conn.commit()
+        return int(n)
+    finally:
+        conn.close()
+
+
 def read_store_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a parquet store; None ONLY when the path genuinely doesn't
     exist. Any other read failure (corrupt footer, permissions, transient

@@ -123,6 +123,82 @@ class TestSnapshotDiff:
         assert both[0]["change_type"] == "changed"
 
 
+class TestDerbyJdbcLive:
+    """Real JDBC execution against the Derby engine bundled with
+    pyspark/jars — the datasource code path a cluster points at
+    MySQL/Postgres, with zero network."""
+
+    _PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    @pytest.fixture(scope="class")
+    def derby_url(self, spark, tmp_path_factory):
+        spark._jvm.java.lang.System.setProperty(
+            "derby.stream.error.file", "/tmp/derby_pytest.log")
+        d = tmp_path_factory.mktemp("derby")
+        return f"jdbc:derby:{d}/db;create=true"
+
+    def test_write_read_roundtrip_with_pushdown_and_partitions(
+            self, spark, derby_url):
+        from bigdata_tag_system_spark.sources.readers import read_jdbc_table
+        from bigdata_tag_system_spark.sources.writers import jdbc_write
+
+        df = spark.createDataFrame(
+            [(i, f"n{i}", i * 1.5) for i in range(10)],
+            "id long, name string, v double")
+        jdbc_write(df, derby_url, "rt", mode="overwrite",
+                   properties=dict(self._PROPS,
+                                   createTableColumnTypes="name VARCHAR(10)"),
+                   num_partitions=3)
+        back = read_jdbc_table(
+            spark, derby_url,
+            '(SELECT "id", "name", "v" FROM rt WHERE "id" >= 4) q',
+            properties=dict(self._PROPS),
+            partition_column='"id"', lower_bound=4, upper_bound=10,
+            num_partitions=3)
+        assert back.rdd.getNumPartitions() == 3
+        got = sorted((r["id"], r["name"], r["v"]) for r in back.collect())
+        assert got == [(i, f"n{i}", i * 1.5) for i in range(4, 10)]
+
+    def test_merge_upsert_updates_inserts_and_leaves_alone(
+            self, spark, derby_url):
+        from bigdata_tag_system_spark.sources.writers import (
+            jdbc_merge_upsert, jdbc_write,
+        )
+
+        props = dict(self._PROPS, createTableColumnTypes="k VARCHAR(10)")
+        seed = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("z", 99)], "k string, v long")
+        jdbc_write(seed, derby_url, "m_tgt", mode="overwrite",
+                   properties=props, num_partitions=1)
+        changes = spark.createDataFrame(
+            [("a", 10), ("c", 30)], "k string, v long")
+        n = jdbc_merge_upsert(spark, changes, derby_url, "m_tgt", ["k"],
+                              staging_table="m_stg", properties=props)
+        assert n == 2
+        got = {r["k"]: r["v"] for r in spark.read.jdbc(
+            derby_url, "m_tgt", properties=dict(self._PROPS)).collect()}
+        assert got == {"a": 10, "b": 2, "z": 99, "c": 30}
+        # idempotent: merging the same changeset again changes nothing
+        jdbc_merge_upsert(spark, changes, derby_url, "m_tgt", ["k"],
+                          staging_table="m_stg", properties=props)
+        again = {r["k"]: r["v"] for r in spark.read.jdbc(
+            derby_url, "m_tgt", properties=dict(self._PROPS)).collect()}
+        assert again == got
+
+    def test_merge_upsert_rejects_duplicate_changeset_keys(
+            self, spark, derby_url):
+        from bigdata_tag_system_spark.sources.writers import (
+            DuplicateKeyError, jdbc_merge_upsert,
+        )
+
+        dup = spark.createDataFrame(
+            [("a", 1), ("a", 2)], "k string, v long")
+        with pytest.raises(DuplicateKeyError):
+            jdbc_merge_upsert(spark, dup, derby_url, "m_tgt", ["k"],
+                              staging_table="m_stg2",
+                              properties=dict(self._PROPS))
+
+
 class TestUpsertSinks:
     def test_sqlite_upsert_last_writer_wins(self, spark):
         if os.path.exists(_DB_PATH):
