@@ -229,7 +229,7 @@ _TEXT_CACHE: dict[str, str] = {}
 _BKEY_CACHE: dict[str, str] = {}
 _PPAIR_CACHE: dict[str, str] = {}
 _MHPAIR_CACHE: dict[str, str] = {}
-_NGPAIR_CACHE: dict[str, str] = {}
+_NGPAIR_CACHE: dict[tuple[str, float], str] = {}
 
 
 def _ngram_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,17 +238,32 @@ def _ngram_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
     per process per sf_dir — `dedup_ngram_jaccard` reads it directly
     and `dedup_minhash_recall` uses it as ground truth. Audited-cache
     contract as usual."""
+    return _ngram_pairs_at(spark, sf_dir, 0.5)
+
+
+def _ngram_pairs_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact pair relation at threshold 0.3 — a separate memo
+    (NOT the 0.5 cache: pairs in [0.3, 0.5) exist only here), shared by
+    `dedup_reciprocal_best` and `dedup_threshold_sweep`, which
+    previously each re-ran the byte-identical prefix-filtered join
+    (r8 VERDICT Next #5)."""
+    return _ngram_pairs_at(spark, sf_dir, 0.3)
+
+
+def _ngram_pairs_at(spark: SparkSession, sf_dir: str,
+                    threshold: float) -> DataFrame:
     import tempfile
 
-    path = _NGPAIR_CACHE.get(sf_dir)
+    key = (sf_dir, threshold)
+    path = _NGPAIR_CACHE.get(key)
     if path is None:
         from bigdata_tag_system_spark.operators import dedup as _D
 
         pairs = _D.ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), threshold=0.5)
+            _t(spark, sf_dir, "documents"), threshold=threshold)
         path = tempfile.mkdtemp(prefix="ngram_pairs_") + "/pairs"
         pairs.write.mode("overwrite").parquet(path)
-        _NGPAIR_CACHE[sf_dir] = path
+        _NGPAIR_CACHE[key] = path
     return spark.read.parquet(path)
 
 
@@ -5527,9 +5542,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             reciprocal_best_pairs,
         )
 
-        pairs = D.ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), threshold=0.3)
-        out = reciprocal_best_pairs(pairs)
+        out = reciprocal_best_pairs(_ngram_pairs_03(spark, sf_dir))
         return out.select(
             "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"),
         ).orderBy("id_a", "id_b")
@@ -5964,8 +5977,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the exact prefix-filtered pair join — pick the dedup
         # threshold from the valley, instead of rerunning the join per
         # candidate threshold. Bin ids in exact integer math
-        pairs = D.ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), threshold=0.3)
+        pairs = _ngram_pairs_03(spark, sf_dir)
         # jaccard is ONE IEEE division of exact integer set sizes —
         # bit-identical in any engine, so floor(j*20) bins agree
         # deterministically even at representation boundaries
