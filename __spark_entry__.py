@@ -506,56 +506,41 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * remaining slots: oldest last-green rows (r2 vintage rule_*
 #     battery) rotated in for re-confirmation.
 _DRIVER_FIRST = [
-    # -- the 12 never-driver-checked r7 additions --
-    "text_bigram_lift", "stream_session_native_parity",
-    "dedup_split_leakage", "sketch_hll_grouped", "audit_null_profile",
-    "graph_edge_jaccard", "graph_lpa_communities", "feat_hash_features",
-    "ts_ohlc_bars", "customer_retention_matrix", "sketch_cms_join_size",
-    "sample_temperature_alloc",
-    # -- co-purchase graph consumers re-confirmed after a0cdc68 --
-    "graph_triangles", "graph_kcore",
-    # -- P19 sampling, now bounds-oracled (was rows-only) --
-    "sample_seeded",
-    # -- round-8 additions (driver-checked the round they land) --
-    "mm_decode_features",
-    "mm_decode_audio",
-    "text_zipf_fit",
-    "dedup_lsh_bucket_stats",
-    "events_concurrency",
-    "scan_orc_roundtrip",
-    "ts_autocorrelation",
-    "quality_ks_drift",
-    "text_cross_ppl",
-    "ts_seasonal_decompose",
-    "feat_woe_encode",
-    "graph_assortativity",
-    "graph_clustering_coeff",
-    "dedup_minhash_recall",
-    "mm_video_frame_stats",
-    "sim_quantized_recall",
-    "events_stickiness",
-    "ts_asof_nearest",
-    "orders_abc_xyz",
-    "sample_neyman_alloc",
-    "sample_class_balanced",
-    "stream_lsh_parity",
-    "emb_label_noise",
-    "func_bitwise_battery",
-    "scan_text_roundtrip",
-    # -- oldest last-green (r2 vintage) rotated in for re-check --
-    "rule_cmp_number", "rule_cmp_string", "rule_neq", "rule_in_range",
-    "rule_not_in_range", "rule_in_list", "rule_not_in", "rule_contains",
-    "rule_not_contains", "rule_starts_with", "rule_ends_with",
+    # -- round-9 additions + every entry whose code/oracle/shared
+    #    plumbing changed this round (certified the round they change) --
+    "scan_jdbc_roundtrip",        # NEW: live Derby JDBC round-trip
+    "upsert_jdbc_live",           # NEW: live stage-then-MERGE upsert
+    "emb_label_noise",            # swapped to the bucketed kNN plan
+    "dedup_reciprocal_best",      # now reads the shared θ=0.3 pair memo
+    "dedup_threshold_sweep",      # same memo, second consumer
+    "dedup_ngram_jaccard",        # θ=0.5 memo path refactored underneath
+    "dedup_minhash_recall",       # single-pass metric agg (persist removed)
+    "ts_asof_nearest",            # deterministic (key,ts)-tie rule + oracle
+    "mm_video_frame_stats",       # linear split-based pixel fold
+    "orders_abc_xyz",             # decimal(38,0) fence guard
+    "graph_assortativity",        # decimal moment widening
+    "text_tfidf_top_terms",       # explicit broadcast on n_docs
+    "store_apply_changeset",      # ordered offenders sample
+    "dedup_simhash",              # planted-dup invariant oracle (was rows-only)
+    "text_rolling_fp",            # planted-dup invariant oracle (was rows-only)
+    # -- oldest last-green rotation (r2 vintage — the 37 entries whose
+    #    latest driver certificate still dates to round 2; the r8
+    #    window already refreshed the other 15 r2 rules) --
+    "upsert_merge", "delete_rewrite", "scenario_incremental",
+    "cross_table_rule", "tag_assignments", "tag_enriched",
+    "tag_merge_union", "scan_count", "schema_probe", "proj_prune",
+    "computed_column", "key_list_filter",
+    "join_inner_count", "join_left_orders", "join_left_enrich",
+    "join_anti", "join_semi", "join_full_outer",
+    "agg_collect_list", "agg_collect_struct", "agg_count_distinct",
+    "agg_having",
+    "rule_and", "rule_or", "rule_not_group", "rule_nested_groups",
+    "rule_empty_select_all", "rule_is_null", "rule_array_contains",
+    "rule_contains_any", "rule_contains_all", "rule_disjoint",
     "rule_recent_days", "rule_days_ago", "rule_days_ago_between",
-    "rule_date_between", "rule_and", "rule_or", "rule_not_group",
-    "rule_nested_groups", "rule_empty_select_all", "rule_is_null",
-    "rule_array_contains", "rule_contains_any", "rule_contains_all",
-    "rule_disjoint", "tag_assignments", "tag_merge_union",
-    "scenario_incremental", "cross_table_rule", "tag_enriched",
-    "upsert_merge", "delete_rewrite", "scan_count",
-    # (tail re-checks past slot 50 fall out of the window as the
-    # round-8 additions above land — they are re-confirmations, not
-    # certification debt, so displacement is free)
+    # (slot-50 overflow falls out of the window; everything here is a
+    # re-confirmation, not certification debt, so displacement is free —
+    # 'inline_rows' stays r2-vintage and leads the r10 rotation)
 ]
 
 
@@ -1706,12 +1691,39 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_chunk_windows"] = text_chunk_windows
 
     def text_rolling_fp(spark, sf_dir):
-        # winnowing-style min-hash fingerprint: hash-function-specific
-        # (xxhash64) → rows-only check; semantics tested in pytest
-        d = _t(spark, sf_dir, "documents")
-        return d.groupBy(T.rolling_fingerprint("text").alias("fp")) \
-            .agg(F.count(F.lit(1)).alias("cnt")) \
-            .where(F.col("cnt") > 1).orderBy("fp")
+        # invariant oracle (stream_lsh_parity pattern; r8 VERDICT Next
+        # #7 — was the last rows-only entry beside dedup_simhash):
+        # plant an exact copy of every 10th doc with ≥8 tokens (shorter
+        # docs have no 8-gram window → NULL fingerprint); the
+        # winnowing fingerprint is a pure function of the text, so each
+        # copy MUST share its original's fingerprint and every planted
+        # fingerprint must be non-NULL. The xxhash64 fingerprint VALUES
+        # stay hash-specific (pytest-covered; portable twin available
+        # via rolling_fingerprint(portable=True)); the booleans are
+        # Spark-proved, the planted count is SQL-exact.
+        from bigdata_tag_system_spark.functions.text import token_count
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        eligible = d.where(
+            (F.col("doc_id") % 10 == 0) & F.col("text").isNotNull()
+            & (token_count("text") >= 8))
+        planted = eligible.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        fp = d.unionByName(planted).select(
+            "doc_id", T.rolling_fingerprint("text").alias("fp"))
+        a = fp.select(F.col("doc_id").alias("_id"),
+                      F.col("fp").alias("_fa"))
+        b = fp.select((F.col("doc_id") - 10_000_000).alias("_id"),
+                      F.col("fp").alias("_fb"))
+        joined = a.join(b, "_id")
+        inv = joined.agg(
+            F.count(F.lit(1)).alias("n_planted"),
+            F.coalesce(F.min(F.col("_fa") == F.col("_fb")), F.lit(True))
+            .alias("all_copies_share_fp"),
+            F.coalesce(
+                F.min(F.col("_fa").isNotNull() & F.col("_fb").isNotNull()),
+                F.lit(True)).alias("all_planted_fp_nonnull"))
+        return inv
 
     q["text_rolling_fp"] = text_rolling_fp
 
@@ -2009,9 +2021,42 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
 
     def dedup_simhash(spark, sf_dir):
-        # hash-function-specific sketch → rows-only check
-        out = D.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
-        return out.orderBy("id_a", "id_b")
+        # invariant oracle (stream_lsh_parity pattern; r8 VERDICT Next
+        # #7): plant an exact copy of every 10th doc with ≥2 tokens
+        # (docs without a 2-shingle have no sketch); identical text ⇒
+        # identical 64-bit SimHash ⇒ hamming 0, and the pigeonhole
+        # prefilter PROVABLY candidates every within-budget pair, so
+        # every planted pair MUST surface. The xxhash64 sketch values
+        # stay hash-specific (pytest + the oracle-green
+        # dedup_simhash_portable sibling); booleans are Spark-proved,
+        # the planted count is SQL-exact.
+        from bigdata_tag_system_spark.functions.text import token_count
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        eligible = d.where(
+            (F.col("doc_id") % 10 == 0) & F.col("text").isNotNull()
+            & (token_count("text") >= 2))
+        planted = eligible.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        out = D.simhash_pairs(d.unionByName(planted), max_hamming=3)
+        expect = eligible.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 10_000_000).alias("id_b"))
+        miss = expect.join(out, ["id_a", "id_b"], "left_anti").agg(
+            F.count(F.lit(1)).alias("_m"))
+        inv = out.agg(
+            F.coalesce(F.min(F.col("id_a") < F.col("id_b")), F.lit(True))
+            .alias("_ord"),
+            F.coalesce(F.min(F.col("hamming") <= 3), F.lit(True))
+            .alias("_bound"))
+        n = eligible.agg(F.count(F.lit(1)).alias("n_planted_pairs"))
+        return (
+            n.crossJoin(F.broadcast(miss)).crossJoin(F.broadcast(inv))
+            .select(
+                "n_planted_pairs",
+                (F.col("_m") == 0).alias("all_planted_pairs_found"),
+                F.col("_ord").alias("pairs_strictly_ordered"),
+                F.col("_bound").alias("hamming_within_budget")))
 
     q["dedup_simhash"] = dedup_simhash
 
@@ -8269,6 +8314,27 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    _NTOK = (f"CASE WHEN {_NORM} = '' THEN 0 "
+             f"ELSE len(string_split({_NORM}, ' ')) END")
+    # planted-duplicate invariant oracles (stream_lsh_parity pattern):
+    # the planted count is SQL-exact; the booleans state invariants the
+    # Spark side proves against the planted copies — these close the
+    # last two rows-only entries (r8 VERDICT Next #7)
+    o["dedup_simhash"] = f"""
+        SELECT count(*) AS n_planted_pairs,
+               true AS all_planted_pairs_found,
+               true AS pairs_strictly_ordered,
+               true AS hamming_within_budget
+        FROM documents
+        WHERE doc_id % 10 = 0 AND text IS NOT NULL AND ({_NTOK}) >= 2
+    """
+    o["text_rolling_fp"] = f"""
+        SELECT count(*) AS n_planted,
+               true AS all_copies_share_fp,
+               true AS all_planted_fp_nonnull
+        FROM documents
+        WHERE doc_id % 10 = 0 AND text IS NOT NULL AND ({_NTOK}) >= 8
+    """
     o["text_token_stats"] = f"""
         SELECT doc_id,
                CASE WHEN {_NORM} = '' THEN 0

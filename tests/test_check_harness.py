@@ -82,9 +82,10 @@ class TestDocTraceability:
     def test_every_query_has_oracle_or_is_known_rows_only(self):
         import __spark_entry__ as e
 
-        # sample_seeded left this set at r8: it now carries a bounds
-        # oracle (count fences / dup-freedom / subset invariants)
-        known_rows_only = {"dedup_simhash", "text_rolling_fp"}
+        # sample_seeded left this set at r8 (bounds oracle);
+        # dedup_simhash / text_rolling_fp left at r9 (planted-duplicate
+        # invariant oracles) — the documented rows-only set is EMPTY
+        known_rows_only: set[str] = set()
         o = e.oracle_sql()
         unexpected = sorted(n for n in e.queries()
                             if n not in o and n not in known_rows_only)
