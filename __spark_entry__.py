@@ -523,6 +523,11 @@ _DRIVER_FIRST = [
     "store_apply_changeset",      # ordered offenders sample
     "dedup_simhash",              # planted-dup invariant oracle (was rows-only)
     "text_rolling_fp",            # planted-dup invariant oracle (was rows-only)
+    "dedup_sorted_neighborhood",  # NEW: blocked SNM candidates
+    "audit_fd_violations",        # NEW: functional-dependency audit
+    "text_readability",           # NEW: Flesch census
+    "store_incr_agg",             # NEW: incremental additive agg merge
+    "emb_dim_variance",           # NEW: per-dim variance spectrum
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -536,8 +541,7 @@ _DRIVER_FIRST = [
     "agg_having",
     "rule_and", "rule_or", "rule_not_group", "rule_nested_groups",
     "rule_empty_select_all", "rule_is_null", "rule_array_contains",
-    "rule_contains_any", "rule_contains_all", "rule_disjoint",
-    "rule_recent_days", "rule_days_ago", "rule_days_ago_between",
+    "rule_contains_any",
     # (slot-50 overflow falls out of the window; everything here is a
     # re-confirmation, not certification debt, so displacement is free —
     # 'inline_rows' stays r2-vintage and leads the r10 rotation)
@@ -7025,6 +7029,102 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["upsert_jdbc_live"] = upsert_jdbc_live
 
+    def dedup_sorted_neighborhood(spark, sf_dir):
+        # Hernández–Stolfo blocked SNM: the THIRD candidate-generation
+        # family beside hash banding and prefix filtering — catches
+        # prefix-sharing near-dups (typo tails, version suffixes) whose
+        # shingle overlap is too low for banding. ONE partitioned
+        # window pass (lead×5, block = first 4 normalized chars);
+        # candidate volume ≤ window·|rows| by construction, no
+        # self-join, no global sort
+        from bigdata_tag_system_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        return sorted_neighborhood_pairs(
+            _t(spark, sf_dir, "documents"), window=5, block_chars=4
+        ).orderBy("id_a", "id_b", "rank_distance")
+
+    q["dedup_sorted_neighborhood"] = dedup_sorted_neighborhood
+
+    def audit_fd_violations(spark, sf_dir):
+        # functional-dependency audit: the consistency gate next to the
+        # uniqueness/not-null expectations — o_orderkey → o_custkey
+        # must HOLD (orderkey is the key), o_custkey → o_orderpriority
+        # must show violations (customers order at many priorities);
+        # one hash aggregate per FD, NULL counted as an observed state
+        from bigdata_tag_system_spark.operators.quality import (
+            fd_violations,
+        )
+
+        return fd_violations(
+            _t(spark, sf_dir, "orders"),
+            [(["o_orderkey"], "o_custkey"),
+             (["o_custkey"], "o_orderpriority")],
+        ).orderBy("fd")
+
+    q["audit_fd_violations"] = audit_fd_violations
+
+    def text_readability(spark, sf_dir):
+        # Flesch reading-ease census from three exact integer
+        # components (whitespace words, [.!?]+ sentence runs,
+        # [aeiouy]+ vowel groups — documented regex conventions both
+        # engines replay); map-only, one projection
+        from bigdata_tag_system_spark.operators.text import (
+            readability_scores,
+        )
+
+        return readability_scores(
+            _t(spark, sf_dir, "documents")).orderBy("doc_id").limit(300)
+
+    q["text_readability"] = text_readability
+
+    def store_incr_agg(spark, sf_dir):
+        # incremental aggregate-view maintenance: the pre-cut store
+        # merges with the delta slice's partial aggregate and MUST
+        # equal the full-scan rollup (the oracle) — the pattern that
+        # keeps a 100 TB rollup daily-updatable at the cost of one
+        # day's scan. Exact integer cents; count/sum add, max/min fold
+        from bigdata_tag_system_spark.operators.merge import (
+            merge_additive_aggregates,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        c = F.round(F.col("value") * 100).cast("bigint")
+
+        def slice_agg(pred):
+            return ev.where(pred).groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(c).alias("cents"),
+                F.max(c).alias("max_cents"),
+                F.min(c).alias("min_cents"))
+
+        cut = "TIMESTAMP '2024-01-20 00:00:00'"
+        out = merge_additive_aggregates(
+            slice_agg(f"ts < {cut}"), slice_agg(f"ts >= {cut}"),
+            ["event_type"], sum_cols=["cents"], count_col="n_events",
+            max_cols=["max_cents"], min_cols=["min_cents"])
+        return out.select(
+            "event_type", "n_events", "cents", "max_cents", "min_cents"
+        ).orderBy("event_type")
+
+    q["store_incr_agg"] = store_incr_agg
+
+    def emb_dim_variance(spark, sf_dir):
+        # per-dimension variance spectrum: the PCA-free screen for dead
+        # or dominating embedding dimensions before an index build; one
+        # posexplode + (dim) agg, ranked on 6dp-rounded variance so the
+        # top-10 cut is engine-stable
+        from bigdata_tag_system_spark.operators.embeddings import (
+            dimension_variance_report,
+        )
+
+        return dimension_variance_report(
+            _t(spark, sf_dir, "embeddings"), top_m=10
+        ).select("dim", "mean", "variance")
+
+    q["emb_dim_variance"] = emb_dim_variance
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -8335,6 +8435,101 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id % 10 = 0 AND text IS NOT NULL AND ({_NTOK}) >= 8
     """
+    # blocked sorted-neighborhood replay: same normalization, same
+    # 4-char block, same (key, id) rank — pairs within 5 positions
+    o["dedup_sorted_neighborhood"] = f"""
+        WITH b AS (
+            SELECT doc_id, {_NORM} AS k FROM documents
+            WHERE text IS NOT NULL AND {_NORM} != ''
+        ), r AS (
+            SELECT doc_id, k, substr(k, 1, 4) AS blk,
+                   row_number() OVER (PARTITION BY substr(k, 1, 4)
+                                      ORDER BY k, doc_id) AS rn
+            FROM b
+        )
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               CAST(c.rn - a.rn AS INT) AS rank_distance
+        FROM r a JOIN r c
+          ON c.blk = a.blk AND c.rn > a.rn AND c.rn <= a.rn + 5
+        ORDER BY id_a, id_b, rank_distance
+    """
+
+    o["audit_fd_violations"] = """
+        WITH g1 AS (
+            SELECT o_orderkey, count(*) AS n,
+                   count(DISTINCT o_custkey)
+                   + max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS d
+            FROM orders GROUP BY 1),
+        g2 AS (
+            SELECT o_custkey, count(*) AS n,
+                   count(DISTINCT o_orderpriority)
+                   + max(CASE WHEN o_orderpriority IS NULL
+                         THEN 1 ELSE 0 END) AS d
+            FROM orders GROUP BY 1)
+        SELECT 'o_orderkey -> o_custkey' AS fd,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               count(*) AS n_keys,
+               CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_keys,
+               CAST(max(d) AS BIGINT) AS max_rhs_values
+        FROM g1
+        UNION ALL
+        SELECT 'o_custkey -> o_orderpriority',
+               CAST(sum(n) AS BIGINT), count(*),
+               CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(max(d) AS BIGINT)
+        FROM g2
+        ORDER BY fd
+    """
+
+    o["text_readability"] = f"""
+        WITH c AS (
+            SELECT doc_id,
+                   {_NTOK} AS w,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS s,
+                   greatest(len(regexp_extract_all({_NORM},
+                       '[aeiouy]+')), 1) AS y
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, w AS n_words, s AS n_sentences,
+               y AS n_syllable_groups,
+               round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                     - 84.6 * (CAST(y AS DOUBLE) / w), 2) AS flesch
+        FROM c WHERE w > 0 ORDER BY doc_id LIMIT 300
+    """
+
+    # incremental-merge oracle = the FULL-scan rollup: the merged store
+    # must be indistinguishable from never having split the data
+    o["store_incr_agg"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS max_cents,
+               CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS min_cents
+        FROM events GROUP BY 1 ORDER BY event_type
+    """
+
+    o["emb_dim_variance"] = """
+        WITH ex AS (
+            SELECT CAST(s.pos AS INT) AS dim, CAST(s.val AS DOUBLE) AS x
+            FROM (
+                SELECT unnest(list_transform(range(0, len(embedding)),
+                        i -> {'pos': i, 'val': embedding[i+1]})) AS s
+                FROM embeddings WHERE embedding IS NOT NULL
+            )
+        ), pd AS (
+            SELECT dim, avg(x) AS mu, var_pop(x) AS v
+            FROM ex GROUP BY dim
+        )
+        SELECT dim, round(mu, 4) AS mean, round(v, 4) AS variance
+        FROM pd ORDER BY round(v, 6) DESC, dim LIMIT 10
+    """
+
     o["text_token_stats"] = f"""
         SELECT doc_id,
                CASE WHEN {_NORM} = '' THEN 0

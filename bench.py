@@ -194,6 +194,11 @@ def main() -> None:
         # round-9 additions
         "scan_jdbc_roundtrip",     # live Derby JDBC write+pushdown read
         "upsert_jdbc_live",        # live stage-then-MERGE JDBC upsert
+        "dedup_sorted_neighborhood",  # blocked SNM candidate windows
+        "audit_fd_violations",     # functional-dependency audit
+        "text_readability",        # Flesch integer-component census
+        "store_incr_agg",          # incremental additive agg merge
+        "emb_dim_variance",        # per-dim variance spectrum
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -1447,3 +1447,66 @@ def minhash_recall_report(
                    F.expr("(10000 * n_hits) DIV n_candidates"))
             .alias("precision_bp"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    block_chars: int = 4,
+) -> DataFrame:
+    """Blocked sorted-neighborhood candidate pairs (Hernández–Stolfo
+    SNM) — the THIRD candidate-generation family beside hash banding
+    (MinHash/SimHash) and prefix filtering (PPJoin): sort records by a
+    key, slide a window of ``window`` positions, and pair every record
+    with its in-window successors. Catches near-dups that share a
+    PREFIX (typo tails, version suffixes) even when shingle overlap is
+    too low for banding to bucket them.
+
+    Spark-first shape: the sort key is the normalized text; records
+    block on its first ``block_chars`` characters, so the rank window
+    is PARTITIONED (never a global sort — the classic single-sequence
+    SNM is recovered per block, the standard multi-pass/blocked SNM
+    variant). Each row emits its ``window`` successors via ``lead()``
+    in ONE window pass — no self-join, no block-wise cross product:
+    candidate volume is exactly ≤ window · |rows|. Pairs keep their
+    rank distance so callers can sweep the window size the way
+    ``dedup_threshold_sweep`` sweeps Jaccard.
+
+    Returns (id_a, id_b, rank_distance) with id_a < id_b not
+    guaranteed — id order follows SORT order (ties on the key break by
+    id, so equal-key pairs DO ascend); canonicalize downstream if a
+    symmetric relation is needed.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_tag_system_spark.functions.text import normalize_text
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    base = df.select(
+        F.col(id_col), normalize_text(text_col).alias("_k")
+    ).where(F.col("_k").isNotNull() & (F.col("_k") != ""))
+    base = base.withColumn(
+        "_block", F.substring("_k", 1, block_chars))
+    w = Window.partitionBy("_block").orderBy("_k", id_col)
+    # window expressions can't live inside a generator: evaluate the
+    # leads in one window pass first, explode the assembled array after
+    led = base.select(
+        F.col(id_col),
+        *[F.lead(id_col, i).over(w).alias(f"_n{i}")
+          for i in range(1, window + 1)])
+    succ = F.array(*[
+        F.struct(F.col(f"_n{i}").alias("nid"), F.lit(i).alias("dist"))
+        for i in range(1, window + 1)
+    ])
+    return (
+        led.select(F.col(id_col), F.explode(succ).alias("_s"))
+        .where(F.col("_s.nid").isNotNull())
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col("_s.nid").alias("id_b"),
+            F.col("_s.dist").alias("rank_distance"),
+        )
+    )

@@ -737,3 +737,43 @@ def _label_noise_census(per_vec: DataFrame, k: int,
              .alias("mean_mismatch_bp"))
         .orderBy(label_col)
     )
+
+
+def dimension_variance_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    top_m: int = 10,
+) -> DataFrame:
+    """Per-dimension variance spectrum of an embedding column — the
+    cheap PCA-free screen for dead or dominating dimensions before
+    committing to an index build: a near-zero-variance dimension wastes
+    index bits (prune it), one dimension holding most of the variance
+    distorts unnormalized L2 buckets (scale it). Complements
+    :func:`pca_project` (which needs the full covariance); this is ONE
+    posexplode + (dim) aggregate — map-side combinable, shuffle carries
+    ``dim × 3`` doubles, never vectors.
+
+    Returns the ``top_m`` dimensions by population variance — ranked on
+    the variance ROUNDED to 6 dp (ties → lower dim) so the top-m cut is
+    stable across engines whose var_pop accumulation orders differ by
+    an ulp: (dim, mean, variance, share_bp) where share_bp is the
+    dimension's integer basis-point share of total variance.
+    """
+    ex = df.where(F.col(vec_col).isNotNull()).select(
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("dim", "_x"))
+    per_dim = ex.groupBy("dim").agg(
+        F.avg("_x").alias("_mu"), F.var_pop("_x").alias("_v"))
+    tot = per_dim.agg(F.sum("_v").alias("_tot"))
+    return (
+        per_dim.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc(F.round("_v", 6)), "dim").limit(int(top_m))
+        .select(
+            "dim",
+            F.round("_mu", 4).alias("mean"),
+            F.round("_v", 4).alias("variance"),
+            F.when(F.col("_tot") > 0,
+                   F.floor(F.col("_v") * 10000 / F.col("_tot"))
+                   .cast("bigint"))
+            .alias("share_bp"))
+    )

@@ -361,3 +361,51 @@ def ks_drift(
             "n_a", "n_b", "n_values",
             F.expr("(10000 * _m) DIV (n_a * n_b)").alias("d_bp"))
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    dependencies: Sequence[tuple[Sequence[str], str]],
+    name_sep: str = ",",
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD
+    ``lhs_cols → rhs_col``, does every LHS key map to exactly ONE
+    RHS value? The consistency primitive next to the uniqueness /
+    not-null gates in :func:`expectation_report` — schema docs claim
+    these dependencies (order → customer, order → date), this measures
+    where the data breaks them before a join or an SCD build silently
+    fans out.
+
+    One hash aggregate per FD (map-side combinable: count + two
+    count-distincts per LHS group, then a one-row rollup), unioned into
+    a single report relation — no windows, no joins, nothing
+    data-sized on the driver. NULL RHS values count as a value of
+    their own (a key mapping to {x, NULL} IS two observed states —
+    exactly the inconsistency an FD audit must surface).
+
+    Returns one row per FD: (fd, n_rows, n_keys, n_violating_keys,
+    max_rhs_values) — n_violating_keys == 0 means the FD holds.
+    """
+    if not dependencies:
+        raise ValueError("dependencies must be non-empty")
+    reports = []
+    for lhs, rhs in dependencies:
+        lhs = list(lhs)
+        label = f"{name_sep.join(lhs)} -> {rhs}"
+        # count NULL as an observed state: count(distinct) skips NULLs,
+        # so add a has-null flag to the distinct tally
+        per_key = df.groupBy(*[F.col(c) for c in lhs]).agg(
+            F.count(F.lit(1)).alias("_n"),
+            (F.count_distinct(F.col(rhs))
+             + F.max(F.col(rhs).isNull().cast("int"))).alias("_d"))
+        reports.append(per_key.agg(
+            F.lit(label).alias("fd"),
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("_d") > 1).cast("int")).cast("bigint")
+            .alias("n_violating_keys"),
+            F.max("_d").cast("bigint").alias("max_rhs_values")))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1089,3 +1089,50 @@ def bigram_lm_cross_scores(
              .alias("oov_bigrams"),
              F.avg(logp).alias("avg_logp"))
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic fluency signal
+    for training-data curation (too-hard legalese and too-easy listicle
+    spam both sit at the tails), computed from three EXACT integer
+    components so an independent engine replays it bit-for-bit:
+
+    - words: whitespace tokens of the normalized text;
+    - sentences: maximal ``[.!?]+`` runs in the RAW text, floored at 1
+      (fragments still read as one sentence);
+    - syllables ≈ ``[aeiouy]+`` vowel groups of the normalized text,
+      floored at 1 — the standard regex proxy (hyphenation dictionaries
+      are neither portable nor deterministic across engines).
+
+    The score is the textbook ``206.835 − 1.015·(W/S) − 84.6·(Y/W)``
+    evaluated in that exact operation order (two IEEE divisions on
+    exact integers → identical doubles in any engine). Map-only: one
+    projection, no shuffle; pair with
+    :func:`quality_score`'s length/ratio signals for a composite
+    curation gate.
+    """
+    from bigdata_tag_system_spark.functions.text import (
+        normalize_text, token_count,
+    )
+
+    words = token_count(text_col)
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1))
+    syll = F.greatest(
+        F.regexp_count(normalize_text(text_col), F.lit("[aeiouy]+")),
+        F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / words.cast("double")))
+    return df.where(F.col(text_col).isNotNull() & (words > 0)).select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllable_groups"),
+        F.round(flesch, 2).alias("flesch"),
+    )

@@ -1,0 +1,216 @@
+"""Round-9 operators: blocked sorted-neighborhood candidates,
+functional-dependency audit, readability census, incremental additive
+aggregate maintenance, embedding dimension-variance spectrum."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+class TestSortedNeighborhood:
+    def _docs(self, spark):
+        rows = [
+            (1, "alpha report version one"),
+            (2, "alpha report version two"),
+            (3, "alpha report version three"),
+            (4, "zeta entirely different text"),
+            (5, "zeta entirely different texts"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_prefix_neighbors_pair_within_window(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        out = sorted_neighborhood_pairs(
+            self._docs(spark), window=2, block_chars=4)
+        pairs = {(r["id_a"], r["id_b"]): r["rank_distance"]
+                 for r in out.collect()}
+        # 'alph' block sorts 1 < 3 < 2 (one/three/two lexicographic)
+        assert pairs[(1, 3)] == 1 and pairs[(3, 2)] == 1
+        assert pairs[(1, 2)] == 2
+        # 'zeta' block pairs internally, never across blocks
+        assert (4, 5) in pairs
+        assert not any(a in (1, 2, 3) and b in (4, 5)
+                       for a, b in pairs)
+
+    def test_window_bounds_candidate_volume(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"same prefix item {i:03d}") for i in range(20)],
+            "doc_id long, text string")
+        out = sorted_neighborhood_pairs(docs, window=3, block_chars=4)
+        n = out.count()
+        # one block of 20 rows, window 3: 3*20 - (1+2+3) tail losses
+        assert n == 3 * 20 - 6
+        assert out.where("rank_distance > 3").count() == 0
+
+    def test_null_and_empty_text_excluded(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "abcd x"), (2, "abcd y"), (3, None), (4, "   ")],
+            "doc_id long, text string")
+        out = sorted_neighborhood_pairs(docs, window=5).collect()
+        ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+        assert ids == {1, 2}
+
+    def test_bad_window_raises(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        with pytest.raises(ValueError, match="window"):
+            sorted_neighborhood_pairs(self._docs(spark), window=0)
+
+
+class TestFdViolations:
+    def test_holding_and_violated_fds(self, spark):
+        from bigdata_tag_system_spark.operators.quality import fd_violations
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (1, "a", 11), (2, "b", 20), (3, "b", 30),
+             (3, "c", 31)],
+            "k long, v string, x long")
+        out = {r["fd"]: r for r in fd_violations(
+            df, [(["k"], "v"), (["v"], "k")]).collect()}
+        holds = out["k -> v"]
+        assert holds["n_violating_keys"] == 1        # k=3 -> {b, c}
+        assert holds["n_keys"] == 3
+        assert holds["n_rows"] == 5
+        assert holds["max_rhs_values"] == 2
+        violated = out["v -> k"]
+        assert violated["n_violating_keys"] == 1     # v=b -> {2, 3}
+
+    def test_null_rhs_counts_as_observed_state(self, spark):
+        from bigdata_tag_system_spark.operators.quality import fd_violations
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, None), (2, None)], "k long, v string")
+        out = fd_violations(df, [(["k"], "v")]).collect()[0]
+        # k=1 maps to {a, NULL} -> violating; k=2 maps to {NULL} -> fine
+        assert out["n_violating_keys"] == 1
+        assert out["max_rhs_values"] == 2
+
+    def test_composite_lhs_and_empty_deps(self, spark):
+        from bigdata_tag_system_spark.operators.quality import fd_violations
+
+        df = spark.createDataFrame(
+            [(1, 1, "x"), (1, 2, "y"), (1, 1, "x")],
+            "a long, b long, v string")
+        out = fd_violations(df, [(["a", "b"], "v")]).collect()[0]
+        assert out["fd"] == "a,b -> v"
+        assert out["n_violating_keys"] == 0
+        with pytest.raises(ValueError, match="non-empty"):
+            fd_violations(df, [])
+
+
+class TestReadability:
+    def test_hand_computed_components(self, spark):
+        from bigdata_tag_system_spark.operators.text import (
+            readability_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "The cat sat. It ran away!"),
+             (2, "word"),
+             (3, None),
+             (4, "")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in readability_scores(df).collect()}
+        assert set(out) == {1, 2}            # null/empty filtered
+        r1 = out[1]
+        assert r1["n_words"] == 6
+        assert r1["n_sentences"] == 2
+        # vowel groups: e/a/a/i/a/a/ay -> the(1) cat(1) sat(1) it(1)
+        # ran(1) away(2) = 7
+        assert r1["n_syllable_groups"] == 7
+        flesch = 206.835 - 1.015 * (6 / 2) - 84.6 * (7 / 6)
+        assert abs(r1["flesch"] - round(flesch, 2)) < 1e-9
+        # single word, no terminator: sentences floored at 1
+        assert out[2]["n_sentences"] == 1
+
+
+class TestMergeAdditiveAggregates:
+    def _slices(self, spark):
+        store = spark.createDataFrame(
+            [("a", 3, 300, 150, 10), ("b", 2, 200, 180, 20)],
+            "k string, n long, s long, mx long, mn long")
+        delta = spark.createDataFrame(
+            [("a", 2, 100, 90, 5), ("c", 1, 50, 50, 50)],
+            "k string, n long, s long, mx long, mn long")
+        return store, delta
+
+    def test_update_insert_keep(self, spark):
+        from bigdata_tag_system_spark.operators.merge import (
+            merge_additive_aggregates,
+        )
+
+        store, delta = self._slices(spark)
+        out = {r["k"]: r for r in merge_additive_aggregates(
+            store, delta, ["k"], sum_cols=["s"], count_col="n",
+            max_cols=["mx"], min_cols=["mn"]).collect()}
+        assert out["a"]["n"] == 5 and out["a"]["s"] == 400
+        assert out["a"]["mx"] == 150 and out["a"]["mn"] == 5
+        assert out["b"]["n"] == 2 and out["b"]["s"] == 200   # untouched
+        assert out["c"]["n"] == 1 and out["c"]["mx"] == 50   # inserted
+
+    def test_equals_full_aggregate(self, spark):
+        from bigdata_tag_system_spark.operators.merge import (
+            merge_additive_aggregates,
+        )
+
+        facts = spark.createDataFrame(
+            [(i, f"k{i % 3}", i * 7 % 50) for i in range(40)],
+            "i long, k string, v long")
+
+        def agg(df):
+            return df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                F.max("v").alias("mx"), F.min("v").alias("mn"))
+
+        merged = merge_additive_aggregates(
+            agg(facts.where("i < 25")), agg(facts.where("i >= 25")),
+            ["k"], sum_cols=["s"], count_col="n",
+            max_cols=["mx"], min_cols=["mn"])
+        full = agg(facts)
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, full.collect()))
+
+    def test_duplicate_role_and_empty_roles_raise(self, spark):
+        from bigdata_tag_system_spark.operators.merge import (
+            merge_additive_aggregates,
+        )
+
+        store, delta = self._slices(spark)
+        with pytest.raises(ValueError, match="twice"):
+            merge_additive_aggregates(
+                store, delta, ["k"], sum_cols=["s"], max_cols=["s"])
+        with pytest.raises(ValueError, match="at least one"):
+            merge_additive_aggregates(store, delta, ["k"])
+
+
+class TestDimensionVariance:
+    def test_planted_high_variance_dim_ranks_first(self, spark):
+        from bigdata_tag_system_spark.operators.embeddings import (
+            dimension_variance_report,
+        )
+
+        rows = [(i, [0.5, float(i % 10), 0.1 * (i % 2)])
+                for i in range(50)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        out = dimension_variance_report(df, top_m=3).collect()
+        assert out[0]["dim"] == 1                 # the 0..9 spread
+        assert out[0]["variance"] > out[1]["variance"]
+        assert out[-1]["variance"] == 0.0         # constant dim 0 last
+        total_bp = sum(r["share_bp"] for r in out)
+        assert 0 <= total_bp <= 10000
