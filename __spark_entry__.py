@@ -36,6 +36,7 @@ _MH_INDEX_CACHE: dict[str, str] = {}
 _IVF_INDEX_CACHE: dict[str, str] = {}
 # streaming-replay output directories, keyed by sf_dir (see stream_batch_parity)
 _STREAM_PARITY_CACHE: dict[str, str] = {}
+_STREAM_INCR_CACHE: dict[str, str] = {}
 # windowed-aggregate streaming replay outputs, keyed by sf_dir
 _STREAM_WINDOW_CACHE: dict[str, str] = {}
 # stateful-sessionize streaming replay outputs, keyed by sf_dir
@@ -528,6 +529,7 @@ _DRIVER_FIRST = [
     "text_readability",           # NEW: Flesch census
     "store_incr_agg",             # NEW: incremental additive agg merge
     "emb_dim_variance",           # NEW: per-dim variance spectrum
+    "stream_incr_agg_parity",     # NEW: streaming additive-store sink
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -541,7 +543,6 @@ _DRIVER_FIRST = [
     "agg_having",
     "rule_and", "rule_or", "rule_not_group", "rule_nested_groups",
     "rule_empty_select_all", "rule_is_null", "rule_array_contains",
-    "rule_contains_any",
     # (slot-50 overflow falls out of the window; everything here is a
     # re-confirmation, not certification debt, so displacement is free —
     # 'inline_rows' stays r2-vintage and leads the r10 rotation)
@@ -7125,6 +7126,56 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_dim_variance"] = emb_dim_variance
 
+    def stream_incr_agg_parity(spark, sf_dir):
+        # STREAMING incremental aggregate maintenance: per-batch
+        # partials merge into the additive store via foreachBatch —
+        # the events table replays as THREE real micro-batches
+        # (3-file source + maxFilesPerTrigger=1 + availableNow), so the
+        # store crosses the merge path twice; the final store must
+        # equal the full-scan rollup (same oracle as store_incr_agg).
+        # At-least-once replays are skipped via the batch-id sidecar
+        # (transactional-sink caveat documented in streaming/incremental.py)
+        import tempfile
+
+        from bigdata_tag_system_spark.streaming.incremental import (
+            additive_store_sink,
+        )
+
+        store = _STREAM_INCR_CACHE.get(sf_dir)
+        if store is None:
+            tmp = tempfile.mkdtemp(prefix="stream_incr_")
+            src = tmp + "/src"
+            spark.read.parquet(f"{sf_dir}/events.parquet") \
+                .repartition(3).write.mode("overwrite").parquet(src)
+            schema = spark.read.parquet(src).schema
+            c = F.round(F.col("value") * 100).cast("bigint")
+
+            def partials(batch):
+                return batch.groupBy("event_type").agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(c).alias("cents"),
+                    F.max(c).alias("max_cents"),
+                    F.min(c).alias("min_cents"))
+
+            store = tmp + "/store"
+            sink = additive_store_sink(
+                partials, store, ["event_type"], sum_cols=["cents"],
+                count_col="n_events", max_cols=["max_cents"],
+                min_cols=["min_cents"])
+            run = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .writeStream.trigger(availableNow=True)
+                .option("checkpointLocation", tmp + "/ckpt")
+                .foreachBatch(sink).start())
+            run.awaitTermination()
+            _STREAM_INCR_CACHE[sf_dir] = store
+        return spark.read.parquet(store).select(
+            "event_type", "n_events", "cents", "max_cents", "min_cents"
+        ).orderBy("event_type")
+
+    q["stream_incr_agg_parity"] = stream_incr_agg_parity
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -8513,6 +8564,10 @@ def oracle_sql() -> dict[str, str]:
                    AS min_cents
         FROM events GROUP BY 1 ORDER BY event_type
     """
+
+    # streaming incremental merge must be indistinguishable from the
+    # batch full-scan rollup — byte-identical oracle to store_incr_agg
+    o["stream_incr_agg_parity"] = o["store_incr_agg"]
 
     o["emb_dim_variance"] = """
         WITH ex AS (

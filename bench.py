@@ -199,6 +199,7 @@ def main() -> None:
         "text_readability",        # Flesch integer-component census
         "store_incr_agg",          # incremental additive agg merge
         "emb_dim_variance",        # per-dim variance spectrum
+        "stream_incr_agg_parity",  # streaming additive-store maintenance
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -214,3 +214,38 @@ class TestDimensionVariance:
         assert out[-1]["variance"] == 0.0         # constant dim 0 last
         total_bp = sum(r["share_bp"] for r in out)
         assert 0 <= total_bp <= 10000
+
+
+class TestAdditiveStoreSink:
+    def test_batches_merge_and_replays_skip(self, spark, tmp_path):
+        from bigdata_tag_system_spark.streaming.incremental import (
+            additive_store_sink,
+        )
+
+        store = str(tmp_path / "store")
+
+        def partials(batch):
+            return batch.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+
+        sink = additive_store_sink(
+            partials, store, ["k"], sum_cols=["s"], count_col="n")
+        b0 = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)],
+                                   "k string, v long")
+        b1 = spark.createDataFrame([("a", 10), ("c", 5)],
+                                   "k string, v long")
+        sink(b0, 0)
+        sink(b1, 1)
+        got = {r["k"]: (r["n"], r["s"]) for r in
+               spark.read.parquet(store).collect()}
+        assert got == {"a": (3, 13), "b": (1, 3), "c": (1, 5)}
+        # at-least-once: re-delivery of batch 1 must NOT double-apply
+        sink(b1, 1)
+        again = {r["k"]: (r["n"], r["s"]) for r in
+                 spark.read.parquet(store).collect()}
+        assert again == got
+        # a NEW batch id still applies
+        sink(b1, 2)
+        final = {r["k"]: (r["n"], r["s"]) for r in
+                 spark.read.parquet(store).collect()}
+        assert final["a"] == (4, 23) and final["c"] == (2, 10)
