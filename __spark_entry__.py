@@ -530,6 +530,8 @@ _DRIVER_FIRST = [
     "store_incr_agg",             # NEW: incremental additive agg merge
     "emb_dim_variance",           # NEW: per-dim variance spectrum
     "stream_incr_agg_parity",     # NEW: streaming additive-store sink
+    "dedup_snm_verified",         # NEW: SNM × exact-Jaccard verify
+    "dedup_snm_recall",           # NEW: generic blocking-eval harness
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -542,7 +544,7 @@ _DRIVER_FIRST = [
     "agg_collect_list", "agg_collect_struct", "agg_count_distinct",
     "agg_having",
     "rule_and", "rule_or", "rule_not_group", "rule_nested_groups",
-    "rule_empty_select_all", "rule_is_null", "rule_array_contains",
+    "rule_empty_select_all",
     # (slot-50 overflow falls out of the window; everything here is a
     # re-confirmation, not certification debt, so displacement is free —
     # 'inline_rows' stays r2-vintage and leads the r10 rotation)
@@ -7176,6 +7178,49 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_incr_agg_parity"] = stream_incr_agg_parity
 
+    def _snm_canonical(spark, sf_dir):
+        # canonicalized (id_a < id_b) distinct SNM candidates — shared
+        # by the verified-pairs and recall entries
+        from bigdata_tag_system_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        cand = sorted_neighborhood_pairs(
+            _t(spark, sf_dir, "documents"), window=5, block_chars=4)
+        return cand.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b")).distinct()
+
+    def dedup_snm_verified(spark, sf_dir):
+        # SNM end-to-end: the window candidates verified against the
+        # exact shingle-Jaccard pair set (θ=0.3 — the SHARED memoized
+        # relation, so the verify step costs one hash join) — the
+        # near-dup pairs prefix-window blocking can actually surface
+        return (
+            _snm_canonical(spark, sf_dir)
+            .join(_ngram_pairs_03(spark, sf_dir), ["id_a", "id_b"])
+            .select("id_a", "id_b",
+                    F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
+
+    q["dedup_snm_verified"] = dedup_snm_verified
+
+    def dedup_snm_recall(spark, sf_dir):
+        # measured SNM blocking quality vs the exact θ=0.3 pair set via
+        # the generic candidate_recall_report harness (the MinHash
+        # S-curve eval generalized to any blocker) — what fraction of
+        # true near-dups a 5-wide prefix window catches, and how many
+        # candidates it spends doing so
+        from bigdata_tag_system_spark.operators.dedup import (
+            candidate_recall_report,
+        )
+
+        return candidate_recall_report(
+            _snm_canonical(spark, sf_dir),
+            _ngram_pairs_03(spark, sf_dir))
+
+    q["dedup_snm_recall"] = dedup_snm_recall
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -8503,6 +8548,66 @@ def oracle_sql() -> dict[str, str]:
         FROM r a JOIN r c
           ON c.blk = a.blk AND c.rn > a.rn AND c.rn <= a.rn + 5
         ORDER BY id_a, id_b, rank_distance
+    """
+
+    # SNM candidates composed with the exact θ=0.3 shingle-Jaccard set
+    _SNM_JAC_CTES = f"""
+        WITH b AS (
+            SELECT doc_id, {_NORM} AS k FROM documents
+            WHERE text IS NOT NULL AND {_NORM} != ''
+        ), r AS (
+            SELECT doc_id, k, substr(k, 1, 4) AS blk,
+                   row_number() OVER (PARTITION BY substr(k, 1, 4)
+                                      ORDER BY k, doc_id) AS rn
+            FROM b
+        ), snm AS (
+            SELECT DISTINCT least(a.doc_id, c.doc_id) AS id_a,
+                   greatest(a.doc_id, c.doc_id) AS id_b
+            FROM r a JOIN r c
+              ON c.blk = a.blk AND c.rn > a.rn AND c.rn <= a.rn + 5
+        ), toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM sh
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a JOIN ex b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), jac AS (
+            SELECT id_a, id_b,
+                   round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.3
+        )
+    """
+    o["dedup_snm_verified"] = _SNM_JAC_CTES + """
+        SELECT j.id_a, j.id_b, j.jaccard
+        FROM snm s JOIN jac j ON j.id_a = s.id_a AND j.id_b = s.id_b
+        ORDER BY j.id_a, j.id_b
+    """
+    o["dedup_snm_recall"] = _SNM_JAC_CTES + """
+        SELECT (SELECT count(*) FROM jac) AS n_exact,
+               (SELECT count(*) FROM snm) AS n_candidates,
+               (SELECT count(*) FROM snm s JOIN jac j
+                  ON j.id_a = s.id_a AND j.id_b = s.id_b) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM jac) > 0 THEN
+                   (10000 * (SELECT count(*) FROM snm s JOIN jac j
+                       ON j.id_a = s.id_a AND j.id_b = s.id_b))
+                   // (SELECT count(*) FROM jac) END AS recall_bp,
+               CASE WHEN (SELECT count(*) FROM snm) > 0 THEN
+                   (10000 * (SELECT count(*) FROM snm s JOIN jac j
+                       ON j.id_a = s.id_a AND j.id_b = s.id_b))
+                   // (SELECT count(*) FROM snm) END AS precision_bp
     """
 
     o["audit_fd_violations"] = """

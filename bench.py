@@ -200,6 +200,8 @@ def main() -> None:
         "store_incr_agg",          # incremental additive agg merge
         "emb_dim_variance",        # per-dim variance spectrum
         "stream_incr_agg_parity",  # streaming additive-store maintenance
+        "dedup_snm_verified",      # SNM candidates x exact-Jaccard verify
+        "dedup_snm_recall",        # blocking-eval harness on SNM
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -1425,10 +1425,22 @@ def minhash_recall_report(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
-    # n_candidates and n_hits come from ONE pass over the candidate
-    # relation (left join against the unique exact pairs + one agg) —
-    # no persist, so repeated calls in long-lived processes leak no
-    # cached blocks; the band-key input is already memoized by callers
+    return candidate_recall_report(cand, exact)
+
+
+def candidate_recall_report(cand: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall/precision of ANY (id_a, id_b) candidate pair relation
+    against an exact pair set — the generic blocking-eval harness
+    behind :func:`minhash_recall_report`, equally applicable to
+    sorted-neighborhood windows, SimHash chunks, or a custom blocker.
+
+    n_candidates and n_hits come from ONE pass over the candidate
+    relation (left join against the unique exact pairs + one agg) — no
+    persist, so repeated calls in long-lived processes leak no cached
+    blocks. All metrics integer basis points; one row.
+    """
+    cand = cand.select("id_a", "id_b")
+    exact = exact.select("id_a", "id_b")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     cand_stats = (
         cand.join(exact.withColumn("_hit", F.lit(1)),

@@ -249,3 +249,30 @@ class TestAdditiveStoreSink:
         final = {r["k"]: (r["n"], r["s"]) for r in
                  spark.read.parquet(store).collect()}
         assert final["a"] == (4, 23) and final["c"] == (2, 10)
+
+
+class TestCandidateRecallReport:
+    def test_generic_blocker_eval(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            candidate_recall_report,
+        )
+
+        exact = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long")
+        cand = spark.createDataFrame(
+            [(1, 2), (3, 4), (7, 8), (9, 10)], "id_a long, id_b long")
+        r = candidate_recall_report(cand, exact).collect()[0]
+        assert (r["n_exact"], r["n_candidates"], r["n_hits"]) == (3, 4, 2)
+        assert r["recall_bp"] == 6666       # (10000*2) DIV 3
+        assert r["precision_bp"] == 5000
+
+    def test_empty_candidates(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            candidate_recall_report,
+        )
+
+        exact = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        empty = exact.where("id_a < 0")
+        r = candidate_recall_report(empty, exact).collect()[0]
+        assert r["n_hits"] == 0 and r["precision_bp"] is None
+        assert r["recall_bp"] == 0
