@@ -532,6 +532,7 @@ _DRIVER_FIRST = [
     "stream_incr_agg_parity",     # NEW: streaming additive-store sink
     "dedup_snm_verified",         # NEW: SNM × exact-Jaccard verify
     "dedup_snm_recall",           # NEW: generic blocking-eval harness
+    "emb_srp_pairs",              # NEW: hyperplane-LSH vector pairs
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -544,7 +545,6 @@ _DRIVER_FIRST = [
     "agg_collect_list", "agg_collect_struct", "agg_count_distinct",
     "agg_having",
     "rule_and", "rule_or", "rule_not_group", "rule_nested_groups",
-    "rule_empty_select_all",
     # (slot-50 overflow falls out of the window; everything here is a
     # re-confirmation, not certification debt, so displacement is free —
     # 'inline_rows' stays r2-vintage and leads the r10 rotation)
@@ -7221,6 +7221,29 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_snm_recall"] = dedup_snm_recall
 
+    def emb_srp_pairs(spark, sf_dir):
+        # hyperplane-LSH (signed random projection) near-dup pairs —
+        # the VECTOR-domain blocking family beside MinHash/SimHash/SNM:
+        # 16 frozen Gaussian planes (seed 7), 4×4-bit band buckets,
+        # exact-cosine verify ≥ 0.45. The oracle replays the planes,
+        # the banding, and the verify bit-for-bit (explicit
+        # left-associated dot folds both sides), so the emitted pair
+        # set — candidates ∩ verified — is deterministic cross-engine;
+        # the S-curve recall of the banding is a measured property
+        # (candidate_recall_report), not part of the contract
+        from bigdata_tag_system_spark.operators.embeddings import (
+            srp_candidate_pairs, srp_hyperplanes,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        planes = srp_hyperplanes(dim=64, n_bits=16, seed=7)
+        out = srp_candidate_pairs(emb, planes, bands=4, min_cosine=0.45)
+        return out.select(
+            "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+        ).orderBy("id_a", "id_b")
+
+    q["emb_srp_pairs"] = emb_srp_pairs
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -8673,6 +8696,51 @@ def oracle_sql() -> dict[str, str]:
     # streaming incremental merge must be indistinguishable from the
     # batch full-scan rollup — byte-identical oracle to store_incr_agg
     o["stream_incr_agg_parity"] = o["store_incr_agg"]
+
+    # SRP hyperplane-LSH replay: the same frozen planes (seed 7) fold
+    # into explicit left-associated dot sums, chunk into 4-bit band
+    # values, OR-join on any matching chunk, exact-cosine verify
+    from bigdata_tag_system_spark.operators.embeddings import (
+        srp_hyperplanes as _srp_planes,
+    )
+
+    _planes = _srp_planes(dim=64, n_bits=16, seed=7)
+
+    def _srp_dot(j):
+        terms = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({_planes[j][d]!r})"
+            for d in range(64))
+        return f"(0.0 + {terms})"
+
+    def _srp_chunk(i):
+        bits = " + ".join(
+            f"CASE WHEN {_srp_dot(4 * i + b)} >= 0 "
+            f"THEN {1 << b} ELSE 0 END"
+            for b in range(4))
+        return f"({bits})"
+
+    _srp_sigs = ", ".join(f"{_srp_chunk(i)} AS c{i}" for i in range(4))
+    o["emb_srp_pairs"] = f"""
+        WITH sigs AS (
+            SELECT vec_id, {_srp_sigs}
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sigs a JOIN sigs b
+              ON a.vec_id < b.vec_id
+             AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2
+                  OR a.c3 = b.c3)
+        )
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                     eb.embedding::DOUBLE[]), 4) AS cosine
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+              eb.embedding::DOUBLE[]) >= 0.45
+        ORDER BY id_a, id_b
+    """
 
     o["emb_dim_variance"] = """
         WITH ex AS (

@@ -202,6 +202,7 @@ def main() -> None:
         "stream_incr_agg_parity",  # streaming additive-store maintenance
         "dedup_snm_verified",      # SNM candidates x exact-Jaccard verify
         "dedup_snm_recall",        # blocking-eval harness on SNM
+        "emb_srp_pairs",           # hyperplane-LSH vector near-dups
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -777,3 +777,99 @@ def dimension_variance_report(
                    .cast("bigint"))
             .alias("share_bp"))
     )
+
+
+def srp_hyperplanes(dim: int, n_bits: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes: ``n_bits``
+    unit-free Gaussian directions from a fixed-seed PRNG. Frozen by
+    (dim, n_bits, seed), so query-time signatures, stored signatures,
+    and an external SQL oracle all see the SAME planes — the same
+    frozen-layout contract as the quantization scale vector."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.standard_normal(dim)]
+            for _ in range(n_bits)]
+
+
+def srp_signature(vec_col, hyperplanes: list[list[float]]):
+    """``n_bits``-bit SRP signature as ONE bigint: bit j = (v·h_j ≥ 0).
+
+    Pure folded expressions (the assign_bucket_from_centroids pattern):
+    each dot product is a left-to-right ``aggregate`` fold over
+    ``zip_with`` against a literal plane, so any engine replaying the
+    same fold order reproduces the signature bit-for-bit. For two
+    vectors at angle θ, P[bit agrees] = 1 − θ/π (Goemans–Williamson) —
+    the cosine-domain analogue of MinHash's Jaccard property.
+    """
+    v = _vec(vec_col)
+    sig = F.lit(0).cast("bigint")
+    for j, h in enumerate(hyperplanes):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in h]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def srp_candidate_pairs(
+    df: DataFrame,
+    hyperplanes: list[list[float]],
+    bands: int = 4,
+    min_cosine: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs over an embedding column — the
+    VECTOR-domain blocking family beside MinHash (sets), SimHash
+    (text), and sorted-neighborhood (sort keys): signatures band into
+    ``bands`` bit-chunks, a pair collides when ANY chunk matches
+    (P = 1 − (1 − p^(bits/bands))^bands with p = 1 − θ/π), and every
+    candidate is verified with the EXACT cosine before being emitted —
+    LSH prunes, exact measures decide, as everywhere in this engine.
+
+    Plan shape mirrors ``simhash_pairs``: one signature projection
+    (map-only folded expressions), explode into (chunk_id, chunk_val)
+    buckets, hash self-join on the bucket, exact-cosine verify. Pair
+    space is the bucket-collision volume, never |N|²; measure the
+    S-curve on YOUR corpus with ``candidate_recall_report`` against
+    ``cosine`` ground truth before trusting a banding config at scale.
+    """
+    n_bits = len(hyperplanes)
+    if bands < 1 or n_bits % bands:
+        raise ValueError(
+            f"bands must divide n_bits={n_bits}, got {bands}")
+    width = n_bits // bands
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _vec(vec_col).alias("_v"),
+        srp_signature(vec_col, hyperplanes).alias("_sig"))
+    chunk = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("chunk_id"),
+            F.shiftrightunsigned(F.col("_sig"), width * i)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk_val"))
+        for i in range(bands)
+    ])).alias("_c")
+    banded = base.select(id_col, "_v", chunk).select(
+        id_col, "_v", "_c.chunk_id", "_c.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=[
+            F.col("a.chunk_id") == F.col("b.chunk_id"),
+            F.col("a.chunk_val") == F.col("b.chunk_val"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
+        .distinct())
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("_va", F.lit(0.0), lambda a_, x: a_ + x * x))
+    nb = F.sqrt(F.aggregate("_vb", F.lit(0.0), lambda a_, x: a_ + x * x))
+    return (
+        cand.select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
+    )

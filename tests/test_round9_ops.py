@@ -276,3 +276,73 @@ class TestCandidateRecallReport:
         r = candidate_recall_report(empty, exact).collect()[0]
         assert r["n_hits"] == 0 and r["precision_bp"] is None
         assert r["recall_bp"] == 0
+
+
+class TestSrpPairs:
+    def test_identical_vectors_always_collide_and_verify(self, spark):
+        from bigdata_tag_system_spark.operators.embeddings import (
+            srp_candidate_pairs, srp_hyperplanes,
+        )
+
+        planes = srp_hyperplanes(dim=4, n_bits=8, seed=3)
+        rows = [(1, [0.5, -0.2, 0.8, 0.1]),
+                (2, [0.5, -0.2, 0.8, 0.1]),     # exact copy of 1
+                (3, [-0.5, 0.2, -0.8, -0.1]),   # antipode of 1
+                (4, [9.0, 8.0, 7.0, 6.0])]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        out = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+               srp_candidate_pairs(df, planes, bands=4,
+                                   min_cosine=0.9).collect()}
+        # identical text -> identical signature -> every chunk collides,
+        # cosine 1.0 passes the verify
+        assert (1, 2) in out and abs(out[(1, 2)] - 1.0) < 1e-9
+        # the antipode flips every bit; even if a chunk collided, the
+        # exact verify (cosine -1) must reject it
+        assert not any(3 in p for p in out)
+
+    def test_hyperplanes_deterministic_and_bands_validated(self, spark):
+        from bigdata_tag_system_spark.operators.embeddings import (
+            srp_candidate_pairs, srp_hyperplanes,
+        )
+
+        assert srp_hyperplanes(8, 16, seed=7) == srp_hyperplanes(
+            8, 16, seed=7)
+        assert srp_hyperplanes(8, 16, seed=7) != srp_hyperplanes(
+            8, 16, seed=8)
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="bands"):
+            srp_candidate_pairs(df, srp_hyperplanes(2, 8), bands=3)
+
+    def test_srp_recall_on_planted_clusters(self, spark):
+        import math
+
+        from bigdata_tag_system_spark.operators.dedup import (
+            candidate_recall_report,
+        )
+        from bigdata_tag_system_spark.operators.embeddings import (
+            srp_candidate_pairs, srp_hyperplanes,
+        )
+
+        # 10 tight clusters of 3 near-identical vectors: in-cluster
+        # cosine ~0.999 -> per-bit agreement ~1, so banding recall on
+        # TRUE near-dups should be essentially total
+        rows = []
+        for c in range(10):
+            base = [math.cos(0.6 * c + 0.05 * d) for d in range(8)]
+            for m in range(3):
+                rows.append((c * 10 + m,
+                             [x + 0.001 * m for x in base]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        planes = srp_hyperplanes(dim=8, n_bits=16, seed=7)
+        got = srp_candidate_pairs(df, planes, bands=4, min_cosine=0.99)
+        exact = spark.createDataFrame(
+            [(c * 10 + a, c * 10 + b)
+             for c in range(10) for a in range(3) for b in range(3)
+             if a < b],
+            "id_a long, id_b long")
+        r = candidate_recall_report(got, exact).collect()[0]
+        assert r["n_exact"] == 30
+        assert r["recall_bp"] == 10000   # every planted pair caught
