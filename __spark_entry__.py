@@ -533,6 +533,8 @@ _DRIVER_FIRST = [
     "dedup_snm_verified",         # NEW: SNM × exact-Jaccard verify
     "dedup_snm_recall",           # NEW: generic blocking-eval harness
     "emb_srp_pairs",              # NEW: hyperplane-LSH vector pairs
+    "sample_purged_split",        # NEW: embargoed temporal split
+    "feat_winsorized_stats",      # NEW: winsorization report
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -544,7 +546,7 @@ _DRIVER_FIRST = [
     "join_anti", "join_semi", "join_full_outer",
     "agg_collect_list", "agg_collect_struct", "agg_count_distinct",
     "agg_having",
-    "rule_and", "rule_or", "rule_not_group", "rule_nested_groups",
+    "rule_and", "rule_or",
     # (slot-50 overflow falls out of the window; everything here is a
     # re-confirmation, not certification debt, so displacement is free —
     # 'inline_rows' stays r2-vintage and leads the r10 rotation)
@@ -7244,6 +7246,43 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_srp_pairs"] = emb_srp_pairs
 
+    def sample_purged_split(spark, sf_dir):
+        # temporal purged split (López de Prado): train < Jan 18, a
+        # 2-day embargo gap DROPPED, test from Jan 20 — the leakage
+        # fence for forward-looking labels; census proves the gap rows
+        # are gone and the fences sit where declared (epoch micros)
+        from bigdata_tag_system_spark.operators.sampling import (
+            temporal_purged_split,
+        )
+
+        out = temporal_purged_split(
+            _t(spark, sf_dir, "events"), "ts",
+            train_end="2024-01-18", embargo="2 days")
+        return (
+            out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.unix_micros(F.min("ts").cast("timestamp"))
+                 .alias("min_us"),
+                 F.unix_micros(F.max("ts").cast("timestamp"))
+                 .alias("max_us"))
+            .orderBy("split"))
+
+    q["sample_purged_split"] = sample_purged_split
+
+    def feat_winsorized_stats(spark, sf_dir):
+        # winsorization decision report: exact per-type p05/p95 fences
+        # + clamp census + raw-vs-winsorized mean — two aggregates, no
+        # data-row window/sort; SQL continuous-percentile convention
+        # shared by Spark percentile and DuckDB quantile_cont
+        from bigdata_tag_system_spark.operators.features import (
+            winsorized_stats,
+        )
+
+        return winsorized_stats(
+            _t(spark, sf_dir, "events"), "value", "event_type")
+
+    q["feat_winsorized_stats"] = feat_winsorized_stats
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -8740,6 +8779,40 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
               eb.embedding::DOUBLE[]) >= 0.45
         ORDER BY id_a, id_b
+    """
+
+    o["sample_purged_split"] = """
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-18'
+                    THEN 'train' ELSE 'test' END AS split,
+               count(*) AS n_rows,
+               epoch_us(min(ts)) AS min_us,
+               epoch_us(max(ts)) AS max_us
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-18'
+           OR ts >= TIMESTAMP '2024-01-20'
+        GROUP BY 1 ORDER BY split
+    """
+
+    o["feat_winsorized_stats"] = """
+        WITH f AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               count(*) AS n_rows,
+               round(min(f.lo), 4) AS fence_lo,
+               round(min(f.hi), 4) AS fence_hi,
+               CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clamped_low,
+               CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clamped_high,
+               round(avg(e.value), 4) AS raw_mean,
+               round(avg(greatest(least(e.value, f.hi), f.lo)), 4)
+                   AS winsorized_mean
+        FROM events e JOIN f USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
     """
 
     o["emb_dim_variance"] = """

@@ -203,6 +203,8 @@ def main() -> None:
         "dedup_snm_verified",      # SNM candidates x exact-Jaccard verify
         "dedup_snm_recall",        # blocking-eval harness on SNM
         "emb_srp_pairs",           # hyperplane-LSH vector near-dups
+        "sample_purged_split",     # embargoed temporal split census
+        "feat_winsorized_stats",   # winsorization decision report
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -956,3 +956,41 @@ def abc_xyz_classes(
              .alias("revenue_share_bp"))
         .orderBy("abc", "xyz")
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lower_pct: float = 0.05,
+    upper_pct: float = 0.95,
+) -> DataFrame:
+    """Winsorization report: exact per-group percentile fences and the
+    clamp census — how many rows each tail clamps and what the
+    winsorized mean looks like vs the raw mean (the robust-feature
+    preprocessing decision in one relation, before committing a clamp
+    at 100 TB).
+
+    Two aggregates over the same grouping (exact ``percentile`` fences
+    first, then one conditional pass with the fences broadcast back) —
+    no window over data rows, no sort. Exact percentiles follow the
+    SQL continuous-interpolation convention shared by Spark
+    ``percentile`` and DuckDB ``quantile_cont``.
+    """
+    keys = [group_col] if group_col else []
+    v = F.col(value_col).cast("double")
+    fences = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, {lower_pct})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {upper_pct})").alias("_hi"))
+    joined = (df.join(F.broadcast(fences), keys) if keys
+              else df.crossJoin(F.broadcast(fences)))
+    wv = F.greatest(F.least(v, F.col("_hi")), F.col("_lo"))
+    out = joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("_lo"), 4).alias("fence_lo"),
+        F.round(F.min("_hi"), 4).alias("fence_hi"),
+        F.sum((v < F.col("_lo")).cast("int")).alias("n_clamped_low"),
+        F.sum((v > F.col("_hi")).cast("int")).alias("n_clamped_high"),
+        F.round(F.avg(v), 4).alias("raw_mean"),
+        F.round(F.avg(wv), 4).alias("winsorized_mean"))
+    return out.orderBy(*keys) if keys else out

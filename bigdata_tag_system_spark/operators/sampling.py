@@ -683,3 +683,36 @@ def class_balanced_sample(
         .where(F.col("_rk") <= F.col("_m"))
         .drop("_m")
     )
+
+
+def temporal_purged_split(
+    df: DataFrame,
+    ts_col: str,
+    train_end: str,
+    embargo: str = "0 days",
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-ordered train/test split with an EMBARGO gap — the purged
+    split from the financial-ML literature (López de Prado, *Advances
+    in Financial Machine Learning* ch. 7): rows before ``train_end``
+    train, rows from ``train_end + embargo`` on test, and rows INSIDE
+    the gap are dropped entirely. The gap is the leakage fence the
+    plain temporal split lacks: with label horizons or serial
+    correlation, observations just after the boundary share information
+    with the last training labels, and a model scored on them reads
+    better than it is.
+
+    Map-only (one filter + one conditional projection — a free rider
+    on any scan); deterministic for a given (train_end, embargo).
+    Complements the hash/group splits in this module: use THIS one
+    whenever the label is forward-looking in time.
+    """
+    cut = F.to_timestamp(F.lit(train_end))
+    test_start = cut + F.expr(f"INTERVAL {embargo}")
+    ts = F.col(ts_col)
+    return (
+        df.where((ts < cut) | (ts >= test_start))
+        .withColumn(split_col,
+                    F.when(ts < cut, "train").otherwise("test"))
+    )
+

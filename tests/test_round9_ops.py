@@ -346,3 +346,68 @@ class TestSrpPairs:
         r = candidate_recall_report(got, exact).collect()[0]
         assert r["n_exact"] == 30
         assert r["recall_bp"] == 10000   # every planted pair caught
+
+
+class TestTemporalPurgedSplit:
+    def test_gap_rows_dropped_and_fences_respected(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            temporal_purged_split,
+        )
+
+        rows = [(1, "2024-01-01 00:00:00"), (2, "2024-01-17 23:59:59"),
+                (3, "2024-01-18 00:00:00"),   # inside the embargo gap
+                (4, "2024-01-19 12:00:00"),   # inside the gap
+                (5, "2024-01-20 00:00:00"),   # first test row
+                (6, "2024-01-25 00:00:00")]
+        df = spark.createDataFrame(
+            rows, "id long, ts string").select(
+            "id", F.to_timestamp("ts").alias("ts"))
+        out = {r["id"]: r["split"] for r in temporal_purged_split(
+            df, "ts", "2024-01-18", embargo="2 days").collect()}
+        assert out == {1: "train", 2: "train", 5: "test", 6: "test"}
+
+    def test_zero_embargo_is_plain_temporal_split(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            temporal_purged_split,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-17 00:00:00"), (2, "2024-01-18 00:00:00")],
+            "id long, ts string").select(
+            "id", F.to_timestamp("ts").alias("ts"))
+        out = {r["id"]: r["split"] for r in temporal_purged_split(
+            df, "ts", "2024-01-18").collect()}
+        assert out == {1: "train", 2: "test"}
+
+
+class TestWinsorizedStats:
+    def test_hand_computed_fences_and_clamps(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            winsorized_stats,
+        )
+
+        # values 0..100: p05 = 5.0, p95 = 95.0 (continuous percentile
+        # over 101 evenly spaced points is exact)
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(101)], "value double")
+        r = winsorized_stats(df, "value",
+                             lower_pct=0.05, upper_pct=0.95).collect()[0]
+        assert r["fence_lo"] == 5.0 and r["fence_hi"] == 95.0
+        assert r["n_clamped_low"] == 5 and r["n_clamped_high"] == 5
+        assert r["raw_mean"] == 50.0
+        # winsorized mean: tails (0..4 -> 5, 96..100 -> 95) symmetric,
+        # so the mean stays 50
+        assert r["winsorized_mean"] == 50.0
+
+    def test_grouped_fences_are_per_group(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            winsorized_stats,
+        )
+
+        rows = [("a", float(i)) for i in range(11)]
+        rows += [("b", float(100 + i)) for i in range(11)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        out = {r["g"]: r for r in winsorized_stats(
+            df, "value", "g", 0.1, 0.9).collect()}
+        assert out["a"]["fence_lo"] == 1.0 and out["a"]["fence_hi"] == 9.0
+        assert out["b"]["fence_lo"] == 101.0
