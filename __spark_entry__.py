@@ -535,6 +535,8 @@ _DRIVER_FIRST = [
     "emb_srp_pairs",              # NEW: hyperplane-LSH vector pairs
     "sample_purged_split",        # NEW: embargoed temporal split
     "feat_winsorized_stats",      # NEW: winsorization report
+    "audit_k_anonymity",          # NEW: k-anonymity/l-diversity screen
+    "sample_backtest_folds",      # NEW: rolling-origin folds
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -546,7 +548,6 @@ _DRIVER_FIRST = [
     "join_anti", "join_semi", "join_full_outer",
     "agg_collect_list", "agg_collect_struct", "agg_count_distinct",
     "agg_having",
-    "rule_and", "rule_or",
     # (slot-50 overflow falls out of the window; everything here is a
     # re-confirmation, not certification debt, so displacement is free —
     # 'inline_rows' stays r2-vintage and leads the r10 rotation)
@@ -7283,6 +7284,47 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["feat_winsorized_stats"] = feat_winsorized_stats
 
+    def audit_k_anonymity(spark, sf_dir):
+        # re-identification screen: customers quasi-identified by
+        # (nation, market segment) at k=5, with the l-diversity reading
+        # on account-balance sign as the sensitive attribute; one hash
+        # aggregate + 1-row rollup
+        from bigdata_tag_system_spark.operators.quality import (
+            k_anonymity_report,
+        )
+
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_nationkey", "c_mktsegment",
+            (F.col("c_acctbal") >= 0).alias("bal_pos"))
+        return k_anonymity_report(
+            cust, ["c_nationkey", "c_mktsegment"], k=5,
+            sensitive_col="bal_pos")
+
+    q["audit_k_anonymity"] = audit_k_anonymity
+
+    def sample_backtest_folds(spark, sf_dir):
+        # rolling-origin evaluation folds: three expanding-window cuts
+        # with a 3-day test horizon; census proves fold membership and
+        # fence placement (a row legitimately serves several folds)
+        from bigdata_tag_system_spark.operators.sampling import (
+            rolling_origin_folds,
+        )
+
+        out = rolling_origin_folds(
+            _t(spark, sf_dir, "events"), "ts",
+            ["2024-01-12", "2024-01-18", "2024-01-24"],
+            horizon="3 days")
+        return (
+            out.groupBy("fold_id", "split")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.unix_micros(F.min("ts").cast("timestamp"))
+                 .alias("min_us"),
+                 F.unix_micros(F.max("ts").cast("timestamp"))
+                 .alias("max_us"))
+            .orderBy("fold_id", "split"))
+
+    q["sample_backtest_folds"] = sample_backtest_folds
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -8779,6 +8821,46 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
               eb.embedding::DOUBLE[]) >= 0.45
         ORDER BY id_a, id_b
+    """
+
+    o["audit_k_anonymity"] = """
+        WITH g AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS n,
+                   count(DISTINCT c_acctbal >= 0)
+                   + max(CASE WHEN (c_acctbal >= 0) IS NULL
+                         THEN 1 ELSE 0 END) AS l
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT 5 AS k,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               count(*) AS n_groups,
+               CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_groups_below_k,
+               CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk,
+               CAST(min(n) AS BIGINT) AS min_group_size,
+               CAST(min(l) AS BIGINT) AS min_l_diversity
+        FROM g
+    """
+
+    o["sample_backtest_folds"] = """
+        WITH folds(fold_id, cut) AS (
+            VALUES (0, TIMESTAMP '2024-01-12'),
+                   (1, TIMESTAMP '2024-01-18'),
+                   (2, TIMESTAMP '2024-01-24')
+        ), m AS (
+            SELECT f.fold_id,
+                   CASE WHEN e.ts < f.cut THEN 'train'
+                        WHEN e.ts < f.cut + INTERVAL 3 DAY THEN 'test'
+                        END AS split,
+                   e.ts
+            FROM events e CROSS JOIN folds f
+        )
+        SELECT fold_id, split, count(*) AS n_rows,
+               epoch_us(min(ts)) AS min_us,
+               epoch_us(max(ts)) AS max_us
+        FROM m WHERE split IS NOT NULL
+        GROUP BY 1, 2 ORDER BY fold_id, split
     """
 
     o["sample_purged_split"] = """

@@ -205,6 +205,8 @@ def main() -> None:
         "emb_srp_pairs",           # hyperplane-LSH vector near-dups
         "sample_purged_split",     # embargoed temporal split census
         "feat_winsorized_stats",   # winsorization decision report
+        "audit_k_anonymity",       # k-anonymity + l-diversity screen
+        "sample_backtest_folds",   # rolling-origin fold census
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

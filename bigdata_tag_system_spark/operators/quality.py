@@ -409,3 +409,49 @@ def fd_violations(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    re-identification screen run BEFORE a dataset ships: a row whose
+    (quasi-identifier) group holds fewer than ``k`` records is
+    re-identifiable by linkage, and those groups must be suppressed or
+    generalized. With ``sensitive_col`` the report adds the
+    l-diversity reading (distinct sensitive values per group): a group
+    can be k-anonymous yet leak the attribute when every member shares
+    one sensitive value.
+
+    One hash aggregate over the QI combination + a one-row rollup —
+    map-side combinable, nothing data-sized on the driver. Returns one
+    row: (k, n_rows, n_groups, n_groups_below_k, rows_at_risk,
+    min_group_size[, min_l_diversity]).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if sensitive_col is not None:
+        aggs.append(
+            (F.count_distinct(F.col(sensitive_col))
+             + F.max(F.col(sensitive_col).isNull().cast("int")))
+            .alias("_l"))
+    per_group = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    outs = [
+        F.lit(int(k)).alias("k"),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("_n") < k).cast("int")).cast("bigint")
+        .alias("n_groups_below_k"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("bigint").alias("rows_at_risk"),
+        F.min("_n").cast("bigint").alias("min_group_size"),
+    ]
+    if sensitive_col is not None:
+        outs.append(F.min("_l").cast("bigint").alias("min_l_diversity"))
+    return per_group.agg(*outs)

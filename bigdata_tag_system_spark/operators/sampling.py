@@ -716,3 +716,43 @@ def temporal_purged_split(
                     F.when(ts < cut, "train").otherwise("test"))
     )
 
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str,
+    fold_ends: Sequence[str],
+    horizon: str = "7 days",
+) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest folds — the standard
+    time-series evaluation protocol: for each fold cut, train on
+    everything before it, test on the fixed ``horizon`` after it. A row
+    belongs to SEVERAL folds (fold 2's train contains fold 1's test),
+    which one split column cannot express, so each row explodes into
+    its (fold, split) memberships; the explode factor is ``|folds|`` —
+    a literal plan constant, never data-driven. Completes the split
+    family: hash (IID), group-coherent (leak-free entities), purged
+    temporal (single fence + embargo), rolling-origin (evaluation over
+    time).
+
+    Returns the input columns + (fold_id, split).
+    """
+    if not fold_ends:
+        raise ValueError("fold_ends must be non-empty")
+    ts = F.col(ts_col)
+    memberships = F.array(*[
+        F.struct(
+            F.lit(i).alias("fold_id"),
+            F.when(ts < F.to_timestamp(F.lit(cut)), "train")
+            .when(ts < F.to_timestamp(F.lit(cut))
+                  + F.expr(f"INTERVAL {horizon}"), "test")
+            .alias("split"))
+        for i, cut in enumerate(fold_ends)
+    ])
+    return (
+        df.select("*", F.explode(memberships).alias("_m"))
+        .where(F.col("_m.split").isNotNull())
+        .select("*", F.col("_m.fold_id").alias("fold_id"),
+                F.col("_m.split").alias("split"))
+        .drop("_m")
+    )

@@ -411,3 +411,61 @@ class TestWinsorizedStats:
             df, "value", "g", 0.1, 0.9).collect()}
         assert out["a"]["fence_lo"] == 1.0 and out["a"]["fence_hi"] == 9.0
         assert out["b"]["fence_lo"] == 101.0
+
+
+class TestKAnonymity:
+    def test_hand_built_groups_and_l_diversity(self, spark):
+        from bigdata_tag_system_spark.operators.quality import (
+            k_anonymity_report,
+        )
+
+        rows = [("US", "A", "x")] * 5 + [("US", "B", "x")] * 2 \
+            + [("DE", "A", "y")]
+        df = spark.createDataFrame(
+            rows, "country string, seg string, diag string")
+        r = k_anonymity_report(
+            df, ["country", "seg"], k=5, sensitive_col="diag").collect()[0]
+        assert r["n_groups"] == 3
+        assert r["n_groups_below_k"] == 2        # (US,B)=2, (DE,A)=1
+        assert r["rows_at_risk"] == 3
+        assert r["min_group_size"] == 1
+        # the big (US,A) group is k-anonymous but has ONE sensitive
+        # value -> l-diversity floor is 1: k alone hides the leak
+        assert r["min_l_diversity"] == 1
+
+    def test_validation(self, spark):
+        from bigdata_tag_system_spark.operators.quality import (
+            k_anonymity_report,
+        )
+
+        df = spark.createDataFrame([("a",)], "x string")
+        with pytest.raises(ValueError, match="k must"):
+            k_anonymity_report(df, ["x"], k=0)
+        with pytest.raises(ValueError, match="non-empty"):
+            k_anonymity_report(df, [], k=5)
+
+
+class TestRollingOriginFolds:
+    def test_memberships_overlap_across_folds(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            rolling_origin_folds,
+        )
+
+        rows = [(1, "2024-01-05 00:00:00"),   # train f0, f1
+                (2, "2024-01-13 00:00:00"),   # test f0, train f1
+                (3, "2024-01-21 00:00:00")]   # beyond f0 horizon, test f1
+        df = spark.createDataFrame(rows, "id long, ts string").select(
+            "id", F.to_timestamp("ts").alias("ts"))
+        out = {(r["id"], r["fold_id"]): r["split"]
+               for r in rolling_origin_folds(
+                   df, "ts", ["2024-01-12", "2024-01-20"],
+                   horizon="3 days").collect()}
+        assert out[(1, 0)] == "train" and out[(1, 1)] == "train"
+        assert out[(2, 0)] == "test" and out[(2, 1)] == "train"
+        assert (3, 0) not in out                 # past f0's horizon
+        assert out[(3, 1)] == "test"
+        from bigdata_tag_system_spark.operators.sampling import (
+            rolling_origin_folds as rof,
+        )
+        with pytest.raises(ValueError, match="non-empty"):
+            rof(df, "ts", [])
