@@ -7227,9 +7227,10 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb_srp_pairs(spark, sf_dir):
         # hyperplane-LSH (signed random projection) near-dup pairs —
         # the VECTOR-domain blocking family beside MinHash/SimHash/SNM:
-        # 16 frozen Gaussian planes (seed 7), 4×4-bit band buckets,
-        # exact-cosine verify ≥ 0.45. The oracle replays the planes,
-        # the banding, and the verify bit-for-bit (explicit
+        # 24 frozen Gaussian planes (seed 7), 4×6-bit band buckets
+        # (64 buckets per band — finer chunks cut candidate volume ~4×
+        # vs 4-bit), exact-cosine verify ≥ 0.45. The oracle replays the
+        # planes, the banding, and the verify bit-for-bit (explicit
         # left-associated dot folds both sides), so the emitted pair
         # set — candidates ∩ verified — is deterministic cross-engine;
         # the S-curve recall of the banding is a measured property
@@ -7239,7 +7240,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _t(spark, sf_dir, "embeddings")
-        planes = srp_hyperplanes(dim=64, n_bits=16, seed=7)
+        planes = srp_hyperplanes(dim=64, n_bits=24, seed=7)
         out = srp_candidate_pairs(emb, planes, bands=4, min_cosine=0.45)
         return out.select(
             "id_a", "id_b", F.round("cosine", 4).alias("cosine")
@@ -8779,13 +8780,14 @@ def oracle_sql() -> dict[str, str]:
     o["stream_incr_agg_parity"] = o["store_incr_agg"]
 
     # SRP hyperplane-LSH replay: the same frozen planes (seed 7) fold
-    # into explicit left-associated dot sums, chunk into 4-bit band
+    # into explicit left-associated dot sums, chunk into 6-bit band
     # values, OR-join on any matching chunk, exact-cosine verify
     from bigdata_tag_system_spark.operators.embeddings import (
         srp_hyperplanes as _srp_planes,
     )
 
-    _planes = _srp_planes(dim=64, n_bits=16, seed=7)
+    _planes = _srp_planes(dim=64, n_bits=24, seed=7)
+    _SRP_WIDTH = 6
 
     def _srp_dot(j):
         terms = " + ".join(
@@ -8795,9 +8797,9 @@ def oracle_sql() -> dict[str, str]:
 
     def _srp_chunk(i):
         bits = " + ".join(
-            f"CASE WHEN {_srp_dot(4 * i + b)} >= 0 "
+            f"CASE WHEN {_srp_dot(_SRP_WIDTH * i + b)} >= 0 "
             f"THEN {1 << b} ELSE 0 END"
-            for b in range(4))
+            for b in range(_SRP_WIDTH))
         return f"({bits})"
 
     _srp_sigs = ", ".join(f"{_srp_chunk(i)} AS c{i}" for i in range(4))

