@@ -537,6 +537,8 @@ _DRIVER_FIRST = [
     "feat_winsorized_stats",      # NEW: winsorization report
     "audit_k_anonymity",          # NEW: k-anonymity/l-diversity screen
     "sample_backtest_folds",      # NEW: rolling-origin folds
+    "ts_rollup_cascade",          # NEW: cascade re-agg exactness
+    "sql_lateral_topn",           # NEW: LATERAL decorrelation
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -546,8 +548,7 @@ _DRIVER_FIRST = [
     "computed_column", "key_list_filter",
     "join_inner_count", "join_left_orders", "join_left_enrich",
     "join_anti", "join_semi", "join_full_outer",
-    "agg_collect_list", "agg_collect_struct", "agg_count_distinct",
-    "agg_having",
+    "agg_collect_list", "agg_collect_struct",
     # (slot-50 overflow falls out of the window; everything here is a
     # re-confirmation, not certification debt, so displacement is free —
     # 'inline_rows' stays r2-vintage and leads the r10 rotation)
@@ -7326,6 +7327,54 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_backtest_folds"] = sample_backtest_folds
 
+    def ts_rollup_cascade(spark, sf_dir):
+        # continuous-aggregate cascade: the day rollup is re-aggregated
+        # FROM the materialized hour rollup (sum of sums / sum of
+        # counts), never from raw events — the hypertable maintenance
+        # pattern that keeps coarser grains cheap at 100 TB. The oracle
+        # computes the day rollup DIRECTLY from raw, so the hash proves
+        # the cascade is exact (integer cents — double sums would drift
+        # under re-aggregation order)
+        ev = _t(spark, sf_dir, "events")
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        hour = ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+        return (
+            hour.groupBy(
+                F.to_date(F.date_trunc("day", F.col("h")))
+                .cast("string").alias("day"),
+                "event_type")
+            .agg(F.sum("n").alias("n_events"),
+                 F.sum("cents").alias("cents"))
+            .orderBy("day", "event_type"))
+
+    q["ts_rollup_cascade"] = ts_rollup_cascade
+
+    def sql_lateral_topn(spark, sf_dir):
+        # correlated LATERAL subquery (SQL-surface breadth): top-2
+        # orders per BUILDING customer — Catalyst decorrelates the
+        # per-row subquery into a join + partitioned rank, so the SQL
+        # spelling costs what the window formulation costs
+        _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_c")
+        _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_o")
+        return spark.sql("""
+            SELECT c.c_custkey, o.o_orderkey,
+                   ROUND(o.o_totalprice, 2) AS price
+            FROM _lat_c c,
+            LATERAL (
+                SELECT o_orderkey, o_totalprice FROM _lat_o
+                WHERE o_custkey = c.c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey
+                LIMIT 2
+            ) o
+            WHERE c.c_mktsegment = 'BUILDING'
+            ORDER BY c.c_custkey, o.o_orderkey
+        """)
+
+    q["sql_lateral_topn"] = sql_lateral_topn
+
     def feat_hash_features(spark, sf_dir):
         # hashing-trick encoding of customer categoricals into 64
         # signed buckets; readout = per-bucket histogram with an
@@ -8823,6 +8872,31 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
               eb.embedding::DOUBLE[]) >= 0.45
         ORDER BY id_a, id_b
+    """
+
+    # cascade oracle = the DIRECT day rollup from raw events
+    o["ts_rollup_cascade"] = """
+        SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                   AS day,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """
+
+    o["sql_lateral_topn"] = """
+        SELECT c.c_custkey, o.o_orderkey,
+               round(o.o_totalprice, 2) AS price
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, o.o_orderkey
     """
 
     o["audit_k_anonymity"] = """

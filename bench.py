@@ -207,6 +207,8 @@ def main() -> None:
         "feat_winsorized_stats",   # winsorization decision report
         "audit_k_anonymity",       # k-anonymity + l-diversity screen
         "sample_backtest_folds",   # rolling-origin fold census
+        "ts_rollup_cascade",       # hour->day re-aggregation exactness
+        "sql_lateral_topn",        # correlated LATERAL decorrelation
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
