@@ -539,6 +539,16 @@ _DRIVER_FIRST = [
     "sample_backtest_folds",      # NEW: rolling-origin folds
     "ts_rollup_cascade",          # NEW: cascade re-agg exactness
     "sql_lateral_topn",           # NEW: LATERAL decorrelation
+    "feat_mutual_info",           # NEW: MI feature screen
+    "stats_cuped",                # NEW: CUPED variance reduction
+    "orders_pareto_front",        # NEW: skyline operator
+    "stats_weighted_median",      # NEW: exact weighted percentiles
+    "ts_ses_backtest",            # NEW: SES one-step backtest
+    "emb_trunc_recall",           # NEW: Matryoshka truncation recall
+    "scan_dpp_join",              # NEW: dynamic partition pruning
+    "agg_argminmax",              # NEW: arg-extrema battery
+    "ts_stl_outliers",            # NEW: seasonal-adjusted anomalies
+    "stats_jackknife_ratio",      # NEW: delete-one jackknife SE
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -3715,11 +3725,10 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scan_jsonl_corrupt"] = scan_jsonl_corrupt
 
-    def scan_partition_pruned(spark, sf_dir):
+    def _partitioned_events(spark, sf_dir):
         # hive-partitioned daily dataset staged once per sf_dir (dynamic
-        # partition-overwrite writer), then one day read back — the scan
-        # prunes to one directory (PartitionFilters plan-asserted in
-        # pytest); totals must match a raw filter over the events view
+        # partition-overwrite writer) — shared by scan_partition_pruned
+        # (static pruning) and scan_dpp_join (dynamic pruning)
         from bigdata_tag_system_spark.sources.writers import (
             write_partitioned_dataset,
         )
@@ -3734,7 +3743,14 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             write_partitioned_dataset(
                 ev, out_dir, ["event_date"], max_records_per_file=500_000)
             _PARTITIONED_CACHE[sf_dir] = out_dir
-        ds = spark.read.parquet(out_dir)
+        return spark.read.parquet(out_dir)
+
+    def scan_partition_pruned(spark, sf_dir):
+        # one day read back from the staged hive-partitioned dataset —
+        # the scan prunes to one directory (PartitionFilters
+        # plan-asserted in pytest); totals must match a raw filter over
+        # the events view
+        ds = _partitioned_events(spark, sf_dir)
         day = ds.where(F.col("event_date") == F.lit("2024-01-05"))
         return day.agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -7503,6 +7519,199 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, "n_tokens", budget=2048, n_shards=8, id_col="doc_id")
 
     q["sample_pack_bins"] = sample_pack_bins
+
+    def feat_mutual_info(spark, sf_dir):
+        # model-free feature screen: MI(feature; label) in nats for
+        # the two customer categoricals vs the account-balance sign
+        # label, one fact scan for all features (explode-stacked),
+        # marginals as window sums over the dimension-sized joint
+        from bigdata_tag_system_spark.operators.features import (
+            mutual_information,
+        )
+
+        c = _t(spark, sf_dir, "customer")
+        return mutual_information(
+            c, ["c_mktsegment", "c_nationkey"],
+            F.when(F.col("c_acctbal") >= 0, "pos").otherwise("neg"))
+
+    q["feat_mutual_info"] = feat_mutual_info
+
+    def stats_cuped(spark, sf_dir):
+        # CUPED variance-reduction readout: covariate = each user's
+        # first-half value sum, metric = second-half value sum, arm =
+        # user_id parity (a deterministic stand-in assignment); the
+        # report shows theta, the variance the adjustment removes, and
+        # the raw-vs-adjusted arm difference
+        from bigdata_tag_system_spark.operators.features import (
+            cuped_adjustment,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        cut = F.lit("2024-01-16").cast("timestamp")
+        per_user = ev.groupBy("user_id").agg(
+            F.sum(F.when(F.col("ts") < cut, F.col("value"))
+                  .otherwise(F.lit(0.0))).alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, F.col("value"))
+                  .otherwise(F.lit(0.0))).alias("y"),
+            (F.pmod(F.col("user_id"), F.lit(2)) == 1)
+            .cast("int").alias("arm"))
+        return cuped_adjustment(per_user)
+
+    q["stats_cuped"] = stats_cuped
+
+    def orders_pareto_front(spark, sf_dir):
+        # skyline: customers not weakly dominated on (total spend,
+        # order count) — decided on the distinct-x relation with one
+        # descending running-max window, never a NOT-EXISTS self-join;
+        # integer cents end to end
+        from bigdata_tag_system_spark.operators.features import (
+            pareto_frontier,
+        )
+
+        od = _t(spark, sf_dir, "orders")
+        per_cust = od.groupBy("o_custkey").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("spend_cents"),
+            F.count(F.lit(1)).alias("n_orders"))
+        return (pareto_frontier(per_cust, "spend_cents", "n_orders")
+                .select("o_custkey", "spend_cents", "n_orders")
+                .orderBy("o_custkey"))
+
+    q["orders_pareto_front"] = orders_pareto_front
+
+    def stats_weighted_median(spark, sf_dir):
+        # exact weighted percentiles (lower-value convention) of the
+        # lineitem price weighted by quantity, per return flag: the
+        # threshold rule is pure integer arithmetic (100·cumw ≥ p·W),
+        # so the picked values replay bit-exact in any engine
+        from bigdata_tag_system_spark.operators.features import (
+            weighted_percentiles,
+        )
+
+        li = _t(spark, sf_dir, "lineitem")
+        out = weighted_percentiles(
+            li, "l_extendedprice", "l_quantity", "l_returnflag",
+            pcts=(25, 50, 90))
+        return out.select(
+            "l_returnflag", "total_weight",
+            F.round("p25", 2).alias("p25"),
+            F.round("p50", 2).alias("p50"),
+            F.round("p90", 2).alias("p90"))
+
+    q["stats_weighted_median"] = stats_weighted_median
+
+    def ts_ses_backtest(spark, sf_dir):
+        # pick-alpha-before-you-commit: one-step-ahead SES forecasts of
+        # the daily event count at two smoothing constants, scored
+        # (MAE/RMSE/skill) against the naive last-value forecast; the
+        # recurrence is vectorized via its closed form over the
+        # calendar-bounded day series
+        from bigdata_tag_system_spark.operators.timeseries import (
+            ses_backtest,
+        )
+
+        daily = (_t(spark, sf_dir, "events")
+                 .groupBy(F.to_date("ts").alias("day"))
+                 .agg(F.count(F.lit(1)).alias("y")))
+        return ses_backtest(daily, "y", "day", alphas=(0.3, 0.7))
+
+    q["ts_ses_backtest"] = ts_ses_backtest
+
+    def emb_trunc_recall(spark, sf_dir):
+        # Matryoshka truncation eval: recall@10 of the first-16-dim
+        # cosine ranking vs the exact full-64-dim top-10 — measures
+        # what a 4x narrower first-pass index costs on THIS corpus
+        from bigdata_tag_system_spark.operators.embeddings import (
+            truncated_recall_report,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = list(emb.where("vec_id = 0").collect()[0]["embedding"])
+        return truncated_recall_report(emb, qv, k=10, dims=16)
+
+    q["emb_trunc_recall"] = emb_trunc_recall
+
+    def scan_dpp_join(spark, sf_dir):
+        # dynamic partition pruning: the hive-partitioned fact is
+        # joined on its PARTITION column to a filtered day dimension
+        # (high-purchase days) that only exists at runtime — Catalyst
+        # plants a DPP subquery filter on the scan
+        # (dynamicpruningexpression, pytest plan-asserted), so the fact
+        # read touches only qualifying directories; at 100 TB this is
+        # the difference between scanning 30 days and scanning 3
+        ds = _partitioned_events(spark, sf_dir)
+        purch = (_t(spark, sf_dir, "events")
+                 .where("event_type = 'purchase'"))
+        total = purch.agg(F.count(F.lit(1)).alias("_tot"))
+        hot_days = (purch
+                    .groupBy(F.to_date("ts").alias("event_date"))
+                    .agg(F.count(F.lit(1)).alias("n_purch"))
+                    .crossJoin(F.broadcast(total))
+                    .where(F.col("n_purch") * 30 > F.col("_tot"))
+                    .drop("_tot"))
+        joined = ds.join(F.broadcast(hot_days), "event_date")
+        return (joined.groupBy(
+                    F.col("event_date").cast("string").alias("day"))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("value_sum"),
+                     F.max("n_purch").alias("n_purchases"))
+                .orderBy("day"))
+
+    q["scan_dpp_join"] = scan_dpp_join
+
+    def agg_argminmax(spark, sf_dir):
+        # arg-extrema battery: max_by/min_by with an explicit unique
+        # composite ordering (value, event_id) so ties can never make
+        # the picked row engine-dependent — the oracle replays the same
+        # picks with rank-1 windows
+        ev = _t(spark, sf_dir, "events")
+        return (ev.groupBy("event_type").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("max_by(event_id, struct(value, event_id))")
+                    .alias("argmax_event"),
+                    F.expr("max_by(user_id, struct(value, event_id))")
+                    .alias("argmax_user"),
+                    F.expr("min_by(event_id, struct(value, event_id))")
+                    .alias("argmin_event"),
+                    F.round(F.max("value"), 2).alias("max_value"),
+                    F.round(F.min("value"), 2).alias("min_value"))
+                .orderBy("event_type"))
+
+    q["agg_argminmax"] = agg_argminmax
+
+    def ts_stl_outliers(spark, sf_dir):
+        # seasonally-adjusted anomaly census over the daily event
+        # count: centered-MA trend + weekly phase seasonal, flag days
+        # whose residual breaks 2x their phase's residual RMS; every
+        # scored day emitted so the hash pins the whole decomposition
+        from bigdata_tag_system_spark.operators.timeseries import (
+            seasonal_outliers,
+        )
+
+        daily = (_t(spark, sf_dir, "events")
+                 .groupBy(F.to_date("ts").alias("day"))
+                 .agg(F.count(F.lit(1)).alias("x")))
+        out = seasonal_outliers(daily, "day", "x", period=7, n_sigma=2.0)
+        return out.select(
+            F.col("day").cast("string").alias("day"),
+            "phase", "value", "expected", "residual", "is_outlier")
+
+    q["ts_stl_outliers"] = ts_stl_outliers
+
+    def stats_jackknife_ratio(spark, sf_dir):
+        # delete-one-user jackknife SE for value-per-event: the
+        # replicate is closed-form algebra ((S-n_i)/(S-d_i)), never a
+        # materialized resample — deterministic, RNG-free inference
+        from bigdata_tag_system_spark.operators.features import (
+            jackknife_ratio_se,
+        )
+
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", F.col("value").alias("num"),
+            F.lit(1).alias("den"))
+        return jackknife_ratio_se(ev, "num", "den", "user_id")
+
+    q["stats_jackknife_ratio"] = stats_jackknife_ratio
 
     return q
 
@@ -13526,6 +13735,284 @@ def oracle_sql() -> dict[str, str]:
                (tokens * 100) // (((tokens + 2048 - 1) // 2048) * 2048)
                    AS fill_pct
         FROM g ORDER BY shard
+    """
+
+    # MI replay: identical joint/marginal algebra over the stacked
+    # (feature, value, label) relation, ln() in nats both sides
+    o["feat_mutual_info"] = """
+        WITH base AS (
+            SELECT 'c_mktsegment' AS feature,
+                   COALESCE(CAST(c_mktsegment AS VARCHAR), '␀') AS v,
+                   CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END
+                       AS l
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey',
+                   COALESCE(CAST(c_nationkey AS VARCHAR), '␀'),
+                   CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END
+            FROM customer
+        ), joint AS (
+            SELECT feature, v, l, CAST(count(*) AS DOUBLE) AS nxy
+            FROM base GROUP BY 1, 2, 3
+        ), t AS (
+            SELECT feature, v, l, nxy,
+                   sum(nxy) OVER (PARTITION BY feature) AS n,
+                   sum(nxy) OVER (PARTITION BY feature, v) AS nx,
+                   sum(nxy) OVER (PARTITION BY feature, l) AS ny
+            FROM joint
+        )
+        SELECT feature, CAST(max(n) AS BIGINT) AS n,
+               round(sum(nxy / n * ln(nxy * n / (nx * ny))), 6)
+                   AS mi_nats,
+               round(-sum(nxy / n * ln(nx / n)), 6) AS h_feature,
+               round(-sum(nxy / n * ln(ny / n)), 6) AS h_label,
+               round(sum(nxy / n * ln(nxy * n / (nx * ny)))
+                     / NULLIF(least(-sum(nxy / n * ln(nx / n)),
+                                    -sum(nxy / n * ln(ny / n))), 0),
+                     6) AS nmi
+        FROM t GROUP BY feature ORDER BY feature
+    """
+
+    o["stats_cuped"] = """
+        WITH u AS (
+            SELECT user_id,
+                   sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN value ELSE 0 END) AS x,
+                   sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN value ELSE 0 END) AS y,
+                   CAST(user_id % 2 = 1 AS INT) AS arm
+            FROM events GROUP BY user_id
+        ), fit AS (
+            SELECT count(*) AS n, covar_pop(x, y) / var_pop(x) AS theta,
+                   avg(x) AS mx, var_pop(y) AS var_y
+            FROM u
+        )
+        SELECT CAST(max(f.n) AS BIGINT) AS n_units,
+               round(max(f.theta), 6) AS theta,
+               round(max(f.var_y), 4) AS var_raw,
+               round(var_pop(u.y - f.theta * (u.x - f.mx)), 4)
+                   AS var_adjusted,
+               round((1.0 - var_pop(u.y - f.theta * (u.x - f.mx))
+                      / max(f.var_y)) * 100, 4) AS var_reduction_pct,
+               round(avg(CASE WHEN u.arm = 1 THEN u.y END)
+                     - avg(CASE WHEN u.arm = 0 THEN u.y END), 6)
+                   AS diff_raw,
+               round(avg(CASE WHEN u.arm = 1 THEN
+                         u.y - f.theta * (u.x - f.mx) END)
+                     - avg(CASE WHEN u.arm = 0 THEN
+                           u.y - f.theta * (u.x - f.mx) END), 6)
+                   AS diff_adjusted
+        FROM u, fit f
+    """
+
+    # skyline oracle: the textbook NOT-EXISTS weak-dominance test —
+    # O(N²) is fine for the oracle, the Spark plan must not be
+    o["orders_pareto_front"] = """
+        WITH pc AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS spend_cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT a.o_custkey, a.spend_cents, a.n_orders
+        FROM pc a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pc b
+            WHERE b.spend_cents >= a.spend_cents
+              AND b.n_orders >= a.n_orders
+              AND (b.spend_cents > a.spend_cents
+                   OR b.n_orders > a.n_orders)
+        )
+        ORDER BY a.o_custkey
+    """
+
+    o["stats_weighted_median"] = """
+        WITH w AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   sum(CAST(l_quantity AS BIGINT)) AS wv
+            FROM lineitem GROUP BY 1, 2
+        ), c AS (
+            SELECT l_returnflag, v, wv,
+                   sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(wv) OVER (PARTITION BY l_returnflag) AS tot
+            FROM w
+        )
+        SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_weight,
+               round(min(CASE WHEN cum * 100 >= 25 * tot THEN v END), 2)
+                   AS p25,
+               round(min(CASE WHEN cum * 100 >= 50 * tot THEN v END), 2)
+                   AS p50,
+               round(min(CASE WHEN cum * 100 >= 90 * tot THEN v END), 2)
+                   AS p90
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    # SES replay: identical closed-form algebra (z-rescaled cumsum)
+    # over the same day series, one CTE chain per alpha
+    _ses_sql = """
+        SELECT {a} AS alpha,
+               CAST(count(*) AS BIGINT) AS n_forecasts,
+               round(avg(abs(y - f)), 4) AS mae_ses,
+               round(sqrt(avg((y - f) * (y - f))), 4) AS rmse_ses,
+               round(avg(abs(y - yl)), 4) AS mae_naive,
+               round(1.0 - avg(abs(y - f)) / avg(abs(y - yl)), 4)
+                   AS skill_vs_naive
+        FROM (
+            SELECT y, t,
+                   lag(pow({b}, t - 1) * y1
+                       + {a} * pow({b}, t) * (cz - z1)) OVER w AS f,
+                   lag(y) OVER w AS yl
+            FROM (
+                SELECT y, t, z,
+                       first_value(y) OVER w2 AS y1,
+                       first_value(z) OVER w2 AS z1,
+                       sum(z) OVER w2 AS cz
+                FROM (
+                    SELECT CAST(count(*) AS DOUBLE) AS y,
+                           CAST(row_number() OVER
+                               (ORDER BY CAST(ts AS DATE)) AS INT) AS t,
+                           CAST(count(*) AS DOUBLE)
+                               * pow({b}, -CAST(row_number() OVER
+                                 (ORDER BY CAST(ts AS DATE)) AS INT))
+                               AS z
+                    FROM events GROUP BY CAST(ts AS DATE)
+                )
+                WINDOW w2 AS (ORDER BY t
+                              ROWS UNBOUNDED PRECEDING)
+            )
+            WINDOW w AS (ORDER BY t)
+        )
+        WHERE t >= 2
+    """
+    o["ts_ses_backtest"] = (
+        "SELECT * FROM (" + _ses_sql.format(a="0.3", b="0.7")
+        + " UNION ALL " + _ses_sql.format(a="0.7", b="0.3")
+        + ") ORDER BY alpha")
+
+    # truncated-dim recall replay: first-16-dim cosine top-10 vs the
+    # full-vector exact top-10, id tie-breaks on both rankings
+    o["emb_trunc_recall"] = """
+        WITH q AS (
+            SELECT embedding FROM embeddings WHERE vec_id = 0
+        ), cos AS (
+            SELECT b.vec_id,
+                   list_cosine_similarity(q.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS c,
+                   list_cosine_similarity(
+                       (q.embedding[1:16])::DOUBLE[],
+                       (b.embedding[1:16])::DOUBLE[]) AS ct
+            FROM embeddings b CROSS JOIN q
+        ), trunc_top AS (
+            SELECT vec_id FROM cos ORDER BY ct DESC, vec_id LIMIT 10
+        ), exact_top AS (
+            SELECT vec_id FROM cos ORDER BY c DESC, vec_id LIMIT 10
+        ), h AS (
+            SELECT count(*) AS n_hits
+            FROM trunc_top a JOIN exact_top e ON a.vec_id = e.vec_id
+        )
+        SELECT 10 AS k, 16 AS dims, n_hits,
+               (10000 * n_hits) // 10 AS recall_bp
+        FROM h
+    """
+
+    o["scan_dpp_join"] = """
+        WITH p AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS n_purch
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), hot AS (
+            SELECT d, n_purch FROM p
+            WHERE n_purch * 30 > (SELECT sum(n_purch) FROM p)
+        )
+        SELECT CAST(e.d AS VARCHAR) AS day,
+               count(*) AS n_events,
+               round(sum(e.value), 2) AS value_sum,
+               CAST(max(h.n_purch) AS BIGINT) AS n_purchases
+        FROM (SELECT CAST(ts AS DATE) AS d, value FROM events) e
+        JOIN hot h ON h.d = e.d
+        GROUP BY e.d ORDER BY day
+    """
+
+    # arg-extrema replay: rank-1 windows over the same unique
+    # composite ordering the Spark max_by/min_by structs use
+    o["agg_argminmax"] = """
+        WITH r AS (
+            SELECT event_type, event_id, user_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, event_id DESC) AS rmax,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC) AS rmin
+            FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(max(CASE WHEN rmax = 1 THEN event_id END)
+                    AS BIGINT) AS argmax_event,
+               CAST(max(CASE WHEN rmax = 1 THEN user_id END)
+                    AS BIGINT) AS argmax_user,
+               CAST(max(CASE WHEN rmin = 1 THEN event_id END)
+                    AS BIGINT) AS argmin_event,
+               round(max(value), 2) AS max_value,
+               round(min(value), 2) AS min_value
+        FROM r GROUP BY event_type ORDER BY event_type
+    """
+
+    # decomposition replay: identical centered-MA trend window, phase
+    # arithmetic, per-phase seasonal/RMS joins
+    o["ts_stl_outliers"] = """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY 1
+        ), t AS (
+            SELECT day, x,
+                   CAST(datediff('day', (SELECT min(day) FROM daily),
+                                 day) % 7 AS INT) AS phase,
+                   CASE WHEN count(*) OVER w = 7
+                        THEN avg(x) OVER w END AS trend
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                         AND 3 FOLLOWING)
+        ), det AS (
+            SELECT * FROM t WHERE trend IS NOT NULL
+        ), seas AS (
+            SELECT phase, avg(x - trend) AS s FROM det GROUP BY phase
+        ), scored AS (
+            SELECT d.day, d.phase, d.x, d.trend, seas.s,
+                   d.x - d.trend - seas.s AS r
+            FROM det d JOIN seas USING (phase)
+        ), mom AS (
+            SELECT count(*) AS n, sum(r * r) AS ss FROM scored
+        )
+        SELECT CAST(sc.day AS VARCHAR) AS day, sc.phase,
+               round(sc.x, 4) AS value,
+               round(sc.trend + sc.s, 4) AS expected,
+               round(sc.r, 4) AS residual,
+               CAST(abs(sc.r) > 2.0 * greatest(
+                    sqrt((m.ss - sc.r * sc.r) / (m.n - 1)), 1e-9)
+                    AS INT) AS is_outlier
+        FROM scored sc, mom m
+        ORDER BY day
+    """
+
+    o["stats_jackknife_ratio"] = """
+        WITH u AS (
+            SELECT user_id, sum(value) AS n,
+                   sum(CAST(1 AS DOUBLE)) AS d
+            FROM events GROUP BY user_id
+        ), tot AS (
+            SELECT count(*) AS g, sum(n) AS sn, sum(d) AS sd FROM u
+        ), reps AS (
+            SELECT t.g, t.sn, t.sd,
+                   (t.sn - u.n) / (t.sd - u.d) - t.sn / t.sd AS dv
+            FROM u, tot t
+        )
+        SELECT CAST(max(g) AS BIGINT) AS n_units,
+               round(max(sn / sd), 6) AS ratio,
+               round(sqrt((max(g) - 1.0) / max(g)
+                     * (sum(dv * dv) - pow(sum(dv), 2) / max(g))), 6)
+                   AS se_jack
+        FROM reps
     """
 
     return o

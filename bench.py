@@ -209,6 +209,16 @@ def main() -> None:
         "sample_backtest_folds",   # rolling-origin fold census
         "ts_rollup_cascade",       # hour->day re-aggregation exactness
         "sql_lateral_topn",        # correlated LATERAL decorrelation
+        "feat_mutual_info",        # stacked-joint MI feature screen
+        "stats_cuped",             # CUPED variance-reduction readout
+        "orders_pareto_front",     # distinct-x staircase skyline
+        "stats_weighted_median",   # integer-rule weighted percentiles
+        "ts_ses_backtest",         # closed-form SES backtest
+        "emb_trunc_recall",        # Matryoshka truncation recall
+        "scan_dpp_join",           # dynamic partition pruning join
+        "agg_argminmax",           # struct-ordered arg-extrema
+        "ts_stl_outliers",         # LOO-scaled seasonal anomalies
+        "stats_jackknife_ratio",   # closed-form jackknife ratio SE
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

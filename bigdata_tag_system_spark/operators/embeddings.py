@@ -887,3 +887,43 @@ def srp_candidate_pairs(
                       (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"))
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def truncated_recall_report(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncation eval: recall@k of the top-k ranking
+    computed on only the FIRST ``dims`` vector dimensions against the
+    exact full-dimension top-k (Kusupati et al., NeurIPS'22). The
+    decision this feeds: how many leading dimensions a first-pass
+    index can keep — at 100 TB a 4× narrower scan pass is the
+    difference between an in-memory prefilter and a disk-bound one —
+    measured on YOUR corpus instead of assumed from the paper.
+
+    Both rankings are TakeOrdered heaps with id tie-breaks (pure
+    functions of the corpus); truncation is ``slice``, never a re-embed.
+    Returns one row: (k, dims, n_hits, recall_bp).
+    """
+    from bigdata_tag_system_spark.operators.similarity import cosine_topk
+
+    trunc = df.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, int(dims)).alias(vec_col))
+    approx = cosine_topk(
+        trunc, list(query)[:int(dims)], k=k,
+        vec_col=vec_col, id_col=id_col).select(id_col)
+    exact = cosine_topk(
+        df, list(query), k=k, vec_col=vec_col, id_col=id_col
+    ).select(id_col)
+    hits = approx.join(exact, id_col, "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    return hits.select(
+        F.lit(int(k)).alias("k"),
+        F.lit(int(dims)).alias("dims"),
+        "n_hits",
+        F.expr(f"(10000 * n_hits) DIV {int(k)}").alias("recall_bp"))

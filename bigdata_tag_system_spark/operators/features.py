@@ -994,3 +994,216 @@ def winsorized_stats(
         F.round(F.avg(v), 4).alias("raw_mean"),
         F.round(F.avg(wv), 4).alias("winsorized_mean"))
     return out.orderBy(*keys) if keys else out
+
+
+def mutual_information(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col,
+    label_name: str = "label",
+) -> DataFrame:
+    """Discrete mutual-information feature ranking: MI(X; Y) in nats
+    between each candidate feature column and a label expression, plus
+    both marginal entropies and the normalized MI — the model-free
+    screen that orders candidate features before any encoder
+    (WOE/target-encode, this module) is fitted.
+
+    One fact scan regardless of feature count: the features are
+    stacked into (feature, value) rows with ``explode`` and the joint
+    histogram is ONE hash aggregate on (feature, value, label).
+    Marginals are window sums over the joint relation — dimension-
+    sized (|features| × |values| × |labels| rows), never fact rows —
+    so adding features widens the explode factor but never adds a
+    pass. NULL is kept as its own feature state (the reference's rule
+    engine treats NULL as a matchable state, `rule_parser.py`'s
+    null-operator family; same convention here).
+    """
+    lbl = label_col if not isinstance(label_col, str) else F.col(label_col)
+    stacked = df.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+                .alias("v"))
+            for c in feature_cols
+        ])).alias("fx"),
+        F.coalesce(lbl.cast("string"), F.lit("␀")).alias("l"),
+    ).select("fx.feature", "fx.v", "l")
+
+    joint = stacked.groupBy("feature", "v", "l").agg(
+        F.count(F.lit(1)).cast("double").alias("nxy"))
+
+    w_all = Window.partitionBy("feature")
+    w_x = Window.partitionBy("feature", "v")
+    w_y = Window.partitionBy("feature", "l")
+    terms = joint.select(
+        "feature", "v", "l", "nxy",
+        F.sum("nxy").over(w_all).alias("n"),
+        F.sum("nxy").over(w_x).alias("nx"),
+        F.sum("nxy").over(w_y).alias("ny"))
+
+    p = F.col("nxy") / F.col("n")
+    mi_term = p * F.log(F.col("nxy") * F.col("n")
+                        / (F.col("nx") * F.col("ny")))
+    # entropy terms are per-marginal: weight each joint cell by
+    # nxy/nx (resp. nxy/ny) so every (feature, v) contributes its
+    # -px*ln(px) exactly once
+    hx_term = (F.col("nxy") / F.col("n")) * F.log(F.col("nx") / F.col("n"))
+    hy_term = (F.col("nxy") / F.col("n")) * F.log(F.col("ny") / F.col("n"))
+    out = terms.groupBy("feature").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.sum(mi_term), 6).alias("mi_nats"),
+        F.round(-F.sum(hx_term), 6).alias("h_feature"),
+        F.round(-F.sum(hy_term), 6).alias("h_" + label_name),
+        F.round(F.sum(mi_term)
+                / F.nullif(F.least(-F.sum(hx_term), -F.sum(hy_term)),
+                           F.lit(0.0)), 6).alias("nmi"))
+    return out.orderBy("feature")
+
+
+def cuped_adjustment(
+    user_metrics: DataFrame,
+    metric_col: str = "y",
+    covariate_col: str = "x",
+    arm_col: str = "arm",
+) -> DataFrame:
+    """CUPED variance reduction for an A/B readout: fit
+    ``theta = cov(X, Y) / var(X)`` on the pre-experiment covariate,
+    report the raw vs adjusted arm difference and the variance
+    reduction the adjustment buys (Deng et al., WSDM'13). The
+    experimentation twin of the reference's tag-profile readouts —
+    same unit-level relation, one extra moment pass.
+
+    ``user_metrics`` is the per-unit relation (one row per
+    randomization unit). Two aggregates: a 1-row population-moment
+    fit, broadcast back for the adjusted per-arm means — no window,
+    no second fact scan; everything after the input relation is
+    unit-dimension-sized.
+    """
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    fit = user_metrics.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.covar_pop(x, y) / F.var_pop(x)).alias("_theta"),
+        F.avg(x).alias("_mx"),
+        F.var_pop(y).alias("_var_y"))
+    adj = y - F.col("_theta") * (x - F.col("_mx"))
+    t = F.col(arm_col) == 1
+    return user_metrics.crossJoin(F.broadcast(fit)).agg(
+        F.max("_n").cast("long").alias("n_units"),
+        F.round(F.max("_theta"), 6).alias("theta"),
+        F.round(F.max("_var_y"), 4).alias("var_raw"),
+        F.round(F.var_pop(adj), 4).alias("var_adjusted"),
+        F.round((F.lit(1.0) - F.var_pop(adj) / F.max("_var_y"))
+                * 100, 4).alias("var_reduction_pct"),
+        F.round(F.avg(F.when(t, y)) - F.avg(F.when(~t, y)), 6)
+        .alias("diff_raw"),
+        F.round(F.avg(F.when(t, adj)) - F.avg(F.when(~t, adj)), 6)
+        .alias("diff_adjusted"))
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: rows not weakly dominated
+    by any other row — no other row is ≥ on both axes and > on at
+    least one (Börzsönyi et al., ICDE'01). Equal (x, y) duplicates
+    are mutually non-dominating and all kept.
+
+    Never the O(N²) NOT-EXISTS self-join: the frontier is decided on
+    the DISTINCT-x relation — per-x max(y), then one descending
+    window pass where a row survives iff its max-y beats the running
+    max over strictly-greater x — and joined back to the input on x.
+    The window sorts |distinct x| rows, never the input; at 100 TB
+    the distinct-x relation is the dimension, not the facts.
+    """
+    xg = df.groupBy(x_col).agg(F.max(F.col(y_col)).alias("_my"))
+    w = (Window.orderBy(F.col(x_col).desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    front_x = xg.select(
+        x_col, "_my", F.max("_my").over(w).alias("_prior"))
+    front_x = front_x.where(
+        F.col("_prior").isNull() | (F.col("_my") > F.col("_prior")))
+    return (df.join(F.broadcast(front_x.select(x_col, "_my")), x_col)
+            .where(F.col(y_col) == F.col("_my"))
+            .drop("_my"))
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    pcts: Sequence[int] = (25, 50, 90),
+) -> DataFrame:
+    """Exact weighted percentiles (lower-value convention): the
+    smallest value whose cumulative weight reaches p% of the group's
+    total weight. The decision rule is pure integer arithmetic
+    (``100·cumw ≥ p·W``), so the picked value is bit-identical in any
+    engine — no interpolation, no float thresholds.
+
+    Values are collapsed to (group, value, Σweight) FIRST, so the
+    per-group cumulative window runs over distinct values, not raw
+    rows; the weight column is cast to bigint (fractional weights
+    should be fixed-pointed by the caller).
+    """
+    v = F.col(value_col)
+    wsum = (df.groupBy(group_col, value_col)
+            .agg(F.sum(F.col(weight_col).cast("bigint")).alias("_w")))
+    wg = Window.partitionBy(group_col)
+    wc = (Window.partitionBy(group_col).orderBy(v)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = wsum.select(
+        group_col, value_col, "_w",
+        F.sum("_w").over(wc).alias("_cum"),
+        F.sum("_w").over(wg).alias("_tot"))
+    picks = [
+        F.min(F.when(F.col("_cum") * 100 >= F.lit(int(p)) * F.col("_tot"),
+                     v)).alias(f"p{int(p)}")
+        for p in pcts
+    ]
+    return (cum.groupBy(group_col)
+            .agg(F.max("_tot").alias("total_weight"), *picks)
+            .orderBy(group_col))
+
+
+def jackknife_ratio_se(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    unit_col: str,
+) -> DataFrame:
+    """Delete-one-unit jackknife standard error for a ratio-of-sums
+    metric ``R = Σnum / Σden`` (Efron & Stein '81; the experimentation
+    workhorse for ratio metrics, where the naive per-row variance is
+    wrong because the denominator is random too). Deterministic by
+    construction — no resampling RNG: the i-th replicate is the
+    CLOSED-FORM leave-one-out ratio ``(Sn − n_i) / (Sd − d_i)``.
+
+    One unit-level aggregate, a broadcast 1-row totals fit, then one
+    pass over the unit relation: ``se² = (g−1)/g · Σ(R_i − R̄)²``.
+    Never materializes g copies of anything — the "resample" is
+    algebra, which is what makes it run at 100 TB where bootstrap
+    copies cannot.
+    """
+    units = df.groupBy(unit_col).agg(
+        F.sum(F.col(num_col).cast("double")).alias("_n"),
+        F.sum(F.col(den_col).cast("double")).alias("_d"))
+    tot = units.agg(
+        F.count(F.lit(1)).alias("_g"),
+        F.sum("_n").alias("_sn"), F.sum("_d").alias("_sd"))
+    ri = (F.col("_sn") - F.col("_n")) / (F.col("_sd") - F.col("_d"))
+    # center each replicate on the FULL-SAMPLE ratio before the power
+    # sums: the deviations d_i are tiny, so ΣΔ² never cancels two huge
+    # near-equal sums (the raw ΣR_i² − (ΣR_i)²/g identity would)
+    dev = ri - F.col("_sn") / F.col("_sd")
+    reps = units.crossJoin(F.broadcast(tot)).select(
+        "_g", "_sn", "_sd", dev.alias("_d"))
+    g = F.max("_g").cast("double")
+    ss = F.sum(F.col("_d") * F.col("_d")) - F.pow(F.sum("_d"), 2) / g
+    return reps.agg(
+        F.max("_g").cast("long").alias("n_units"),
+        F.round(F.max(F.col("_sn") / F.col("_sd")), 6).alias("ratio"),
+        F.round(F.sqrt((g - 1.0) / g * ss), 6).alias("se_jack"))

@@ -575,3 +575,139 @@ def asof_join_nearest(
     out_cols.append(
         F.when(fresh, F.col("_c._matched_ts")).alias(f"ts{suffix}"))
     return filled.select(*out_cols)
+
+
+def ses_backtest(
+    series: DataFrame,
+    value_col: str,
+    order_col: str,
+    alphas: tuple[float, ...] = (0.3, 0.7),
+) -> DataFrame:
+    """One-step-ahead backtest of simple exponential smoothing on an
+    already-aggregated period series (one row per period): for each
+    smoothing constant, forecast ``f_t = s_{t-1}`` with
+    ``s_t = α·y_t + (1-α)·s_{t-1}``, ``s_1 = y_1``, and score MAE/RMSE
+    against the naive last-value forecast — the pick-α-before-you-
+    commit readout for a forecasting pipeline.
+
+    The recurrence is vectorized via its closed form
+    ``s_t = (1-α)^{t-1}·y_1 + α·Σ_{j=2..t} (1-α)^{t-j}·y_j``, computed
+    from ONE cumulative sum of ``y_j·(1-α)^{-j}`` per α — no UDF, no
+    sequential fold. The windows run over the period series
+    (calendar-bounded — the orders_monthly_yoy class), never fact
+    rows. The rescaling power ``(1-α)^{-j}`` grows with the series
+    index, so for multi-year series at small ``1-α`` segment the
+    series (e.g. per quarter, chaining boundary states) before the
+    double mantissa saturates — at calendar scale (≤ a few thousand
+    rows) it is exact to ~1e-15 relative.
+    """
+    from pyspark.sql import Window
+
+    w_ord = Window.orderBy(order_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    y = F.col(value_col).cast("double")
+    outs = []
+    for alpha in alphas:
+        a = float(alpha)
+        beta = 1.0 - a
+        t = F.row_number().over(w_ord)
+        # β=0 (α=1) degenerates the rescaled cumsum (0^-t); SES is
+        # then exactly the naive last-value forecast — use y directly
+        z = y * F.pow(F.lit(beta), -t) if beta > 0.0 else F.lit(0.0)
+        base = series.select(
+            y.alias("_y"), t.alias("_t"),
+            F.first(y).over(w_cum).alias("_y1"),
+            F.first(z).over(w_cum).alias("_z1"),
+            F.sum(z).over(w_cum).alias("_cz"))
+        # s_t from the closed form; the forecast for t+1 is s_t
+        if beta > 0.0:
+            s = (F.pow(F.lit(beta), F.col("_t") - 1) * F.col("_y1")
+                 + F.lit(a) * F.pow(F.lit(beta), F.col("_t"))
+                 * (F.col("_cz") - F.col("_z1")))
+        else:
+            s = F.col("_y")
+        scored = base.select(
+            "_y", "_t",
+            F.lag(s).over(Window.orderBy("_t")).alias("_f"),
+            F.lag("_y").over(Window.orderBy("_t")).alias("_naive"))
+        err = F.col("_y") - F.col("_f")
+        nerr = F.col("_y") - F.col("_naive")
+        outs.append(scored.where(F.col("_t") >= 2).agg(
+            F.lit(a).alias("alpha"),
+            F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+            F.round(F.avg(F.abs(err)), 4).alias("mae_ses"),
+            F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse_ses"),
+            F.round(F.avg(F.abs(nerr)), 4).alias("mae_naive"),
+            F.round(F.lit(1.0) - F.avg(F.abs(err))
+                    / F.nullif(F.avg(F.abs(nerr)), F.lit(0.0)),
+                    4).alias("skill_vs_naive")))
+    out = outs[0]
+    for extra in outs[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("alpha")
+
+
+def seasonal_outliers(
+    series: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+    period: int = 7,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Seasonally-adjusted anomaly census: flag days whose residual
+    against the classical decomposition (centered moving-average trend
+    + per-phase seasonal, :func:`seasonal_decompose`) exceeds
+    ``n_sigma`` × the LEAVE-ONE-OUT residual RMS. A raw z-score flags
+    every weekend of a weekly-periodic series; scoring the residual
+    flags only days that break their own phase's pattern.
+
+    The scale is self-excluded (``rms_i = √((SS − r_i²)/(n−1))``,
+    closed form — the jackknife trick): an in-scale RMS is inflated by
+    the very spike under test, and with few scored days per phase
+    ``max|r|/rms ≤ √(n−1)`` makes a single spike mathematically
+    unflaggable (masking). A tiny absolute floor on the scale keeps
+    float-noise residuals of an exactly-seasonal series from flagging
+    (and from flipping between engines).
+
+    Emits every scored day (trend window complete) with its expected
+    value, residual, and flag — not just the outliers — so the oracle
+    hash pins the whole decomposition, and a zero-anomaly corpus still
+    certifies. Same calendar-bounded window allowances as the
+    decomposition it extends.
+    """
+    from pyspark.sql import Window
+
+    half = period // 2
+    w = (Window.orderBy(day_col)
+         .rowsBetween(-half, period - half - 1))
+    x = F.col(value_col).cast("double")
+    start = series.agg(F.min(day_col).alias("_d0"))
+    t = series.crossJoin(F.broadcast(start)).select(
+        F.col(day_col), x.alias("_x"),
+        (F.datediff(F.col(day_col), F.col("_d0")) % period)
+        .alias("phase"),
+        F.when(F.count(F.lit(1)).over(w) == period,
+               F.avg(x).over(w)).alias("_trend"))
+    det = t.where(F.col("_trend").isNotNull())
+    seas = (det.groupBy("phase")
+            .agg(F.avg(F.col("_x") - F.col("_trend")).alias("_seas")))
+    scored = det.join(F.broadcast(seas), "phase").select(
+        "phase", day_col, "_x", "_trend", "_seas",
+        (F.col("_x") - F.col("_trend") - F.col("_seas")).alias("_r"))
+    moments = scored.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_ss"))
+    loo_rms = F.sqrt((F.col("_ss") - F.col("_r") * F.col("_r"))
+                     / (F.col("_n") - 1))
+    return (scored.crossJoin(F.broadcast(moments))
+            .select(
+                F.col(day_col),
+                F.col("phase"),
+                F.round("_x", 4).alias("value"),
+                F.round(F.col("_trend") + F.col("_seas"), 4)
+                .alias("expected"),
+                F.round("_r", 4).alias("residual"),
+                (F.abs(F.col("_r")) > F.lit(float(n_sigma))
+                 * F.greatest(loo_rms, F.lit(1e-9)))
+                .cast("int").alias("is_outlier"))
+            .orderBy(day_col))

@@ -178,9 +178,19 @@ _CATALOG_ALLOW = {
     # calendar-bounded, same class as orders_monthly_yoy
     "ts_autocorrelation": ["global_window"],
     "ts_seasonal_decompose": ["global_window"],
+    # SES closed-form cumsum + lag run over the one-row-per-day
+    # series — calendar-bounded, same class as ts_autocorrelation
+    "ts_ses_backtest": ["global_window"],
+    # the centered-MA trend window runs over the one-row-per-day
+    # series — same class as ts_seasonal_decompose, which it extends
+    "ts_stl_outliers": ["global_window"],
     # ABC is a Pareto ranking of the ITEM dimension by definition —
     # same class as customer_revenue_concentration
     "orders_abc_xyz": ["global_window"],
+    # the skyline running-max window runs over the DISTINCT-x relation
+    # (per-x max(y) aggregate output), never input rows — same
+    # dimension-ranking class as customer_revenue_concentration
+    "orders_pareto_front": ["global_window"],
     # --- bnl_join: the detector is structure-aware (one-row scalar
     # aggregates, limits, literal tables, small Ranges pass without
     # allowance); the entries below broadcast relations that are

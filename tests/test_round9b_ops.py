@@ -1,0 +1,390 @@
+"""Round-9 batch-B operators: mutual information, CUPED, Pareto
+frontier (skyline), exact weighted percentiles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+class TestMutualInformation:
+    def test_perfectly_dependent_feature(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            mutual_information,
+        )
+
+        # feature == label → MI = H(label) = ln(2) for a 50/50 split
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 0), ("b", 1), ("b", 1)],
+            "f string, y int")
+        out = mutual_information(df, ["f"], "y").collect()[0]
+        assert out["mi_nats"] == pytest.approx(math.log(2), abs=1e-6)
+        assert out["h_feature"] == pytest.approx(math.log(2), abs=1e-6)
+        assert out["nmi"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_independent_feature_has_zero_mi(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            mutual_information,
+        )
+
+        # feature ⫫ label (balanced product design) → MI = 0
+        rows = [(f, y) for f in ("a", "b") for y in (0, 1)] * 3
+        df = spark.createDataFrame(rows, "f string, y int")
+        out = mutual_information(df, ["f"], "y").collect()[0]
+        assert out["mi_nats"] == pytest.approx(0.0, abs=1e-6)
+        assert out["nmi"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_null_is_its_own_state(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            mutual_information,
+        )
+
+        # NULL perfectly predicts y=1 → MI equals H(y), not 0
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 0), (None, 1), (None, 1)],
+            "f string, y int")
+        out = mutual_information(df, ["f"], "y").collect()[0]
+        assert out["mi_nats"] == pytest.approx(math.log(2), abs=1e-6)
+
+    def test_one_scan_for_many_features(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            mutual_information,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "x", 0), ("b", "x", 1), ("a", "y", 0), ("b", "y", 1)],
+            "f1 string, f2 string, y int")
+        out = mutual_information(df, ["f1", "f2"], "y")
+        rows = {r["feature"]: r for r in out.collect()}
+        assert rows["f1"]["mi_nats"] == pytest.approx(
+            math.log(2), abs=1e-6)
+        assert rows["f2"]["mi_nats"] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestCuped:
+    def test_perfect_covariate_removes_all_variance(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            cuped_adjustment,
+        )
+
+        # y = 2x exactly → theta = 2, adjusted variance = 0
+        df = spark.createDataFrame(
+            [(float(x), 2.0 * x, x % 2) for x in range(1, 9)],
+            "x double, y double, arm int")
+        out = cuped_adjustment(df).collect()[0]
+        assert out["theta"] == pytest.approx(2.0, abs=1e-6)
+        assert out["var_adjusted"] == pytest.approx(0.0, abs=1e-4)
+        assert out["var_reduction_pct"] == pytest.approx(100.0, abs=1e-3)
+
+    def test_uncorrelated_covariate_changes_nothing(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            cuped_adjustment,
+        )
+
+        # x ⫫ y by construction (balanced design) → theta = 0, the
+        # adjusted readout IS the raw readout
+        rows = [(float(x), float(y), a)
+                for x in (0, 1) for y in (0, 10) for a in (0, 1)]
+        df = spark.createDataFrame(rows, "x double, y double, arm int")
+        out = cuped_adjustment(df).collect()[0]
+        assert out["theta"] == pytest.approx(0.0, abs=1e-6)
+        assert out["var_adjusted"] == out["var_raw"]
+        assert out["diff_adjusted"] == out["diff_raw"]
+
+    def test_arm_difference_preserved_under_balanced_covariate(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            cuped_adjustment,
+        )
+
+        # covariate identically distributed across arms → the expected
+        # treatment effect survives adjustment (here exactly, since
+        # x-patterns mirror across arms): y = x + 5·arm
+        rows = [(float(x), float(x) + 5.0 * a, a)
+                for x in (1, 2, 3, 4) for a in (0, 1)]
+        df = spark.createDataFrame(rows, "x double, y double, arm int")
+        out = cuped_adjustment(df).collect()[0]
+        assert out["diff_raw"] == pytest.approx(5.0, abs=1e-6)
+        assert out["diff_adjusted"] == pytest.approx(5.0, abs=1e-6)
+        assert out["var_adjusted"] < out["var_raw"]
+
+
+class TestParetoFrontier:
+    def _front(self, spark, rows):
+        from bigdata_tag_system_spark.operators.features import (
+            pareto_frontier,
+        )
+
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        return {(r["x"], r["y"])
+                for r in pareto_frontier(df, "x", "y").collect()}
+
+    def test_textbook_frontier(self, spark):
+        # (3,3) dominates (2,2) and (3,1); staircase survives
+        rows = [(1, 1, 5), (2, 2, 2), (3, 3, 3), (4, 3, 1), (5, 5, 1)]
+        assert self._front(spark, rows) == {(1, 5), (3, 3), (5, 1)}
+
+    def test_equal_points_both_kept(self, spark):
+        rows = [(1, 4, 4), (2, 4, 4), (3, 1, 1)]
+        out = self._front(spark, rows)
+        assert out == {(4, 4)}
+        from bigdata_tag_system_spark.operators.features import (
+            pareto_frontier,
+        )
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        assert pareto_frontier(df, "x", "y").count() == 2
+
+    def test_same_x_lower_y_dominated(self, spark):
+        # weak dominance within an x-group: (2,5) kills (2,3)
+        rows = [(1, 2, 5), (2, 2, 3)]
+        assert self._front(spark, rows) == {(2, 5)}
+
+    def test_matches_quadratic_definition(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(9)
+        rows = [(i, rng.randrange(6), rng.randrange(6))
+                for i in range(40)]
+        pts = [(x, y) for _, x, y in rows]
+        brute = {p for p in pts
+                 if not any(q[0] >= p[0] and q[1] >= p[1] and q != p
+                            for q in pts)}
+        assert self._front(spark, rows) == brute
+
+
+class TestWeightedPercentiles:
+    def test_hand_computed_median(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            weighted_percentiles,
+        )
+
+        # weights: 1@10, 3@20, 1@30 → W=5; cum(10)=1 <2.5, cum(20)=4
+        # ≥2.5 → p50=20; p90 needs cum ≥4.5 → 30
+        df = spark.createDataFrame(
+            [("g", 10.0, 1), ("g", 20.0, 3), ("g", 30.0, 1)],
+            "g string, v double, w long")
+        out = weighted_percentiles(df, "v", "w", "g",
+                                   pcts=(50, 90)).collect()[0]
+        assert out["p50"] == 20.0 and out["p90"] == 30.0
+        assert out["total_weight"] == 5
+
+    def test_unit_weights_match_lower_percentile(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            weighted_percentiles,
+        )
+
+        df = spark.createDataFrame(
+            [("g", float(v), 1) for v in range(1, 11)],
+            "g string, v double, w long")
+        out = weighted_percentiles(df, "v", "w", "g",
+                                   pcts=(25, 50, 100)).collect()[0]
+        # lower convention: smallest v with cum ≥ p% of 10
+        assert out["p25"] == 3.0
+        assert out["p50"] == 5.0
+        assert out["p100"] == 10.0
+
+    def test_duplicate_values_collapse(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            weighted_percentiles,
+        )
+
+        # same value split across rows must act as one pooled weight
+        df = spark.createDataFrame(
+            [("g", 7.0, 2), ("g", 7.0, 2), ("g", 9.0, 1)],
+            "g string, v double, w long")
+        out = weighted_percentiles(df, "v", "w", "g",
+                                   pcts=(50,)).collect()[0]
+        assert out["p50"] == 7.0
+        assert out["total_weight"] == 5
+
+
+class TestSesBacktest:
+    def test_hand_computed_alpha_half(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            ses_backtest,
+        )
+
+        # y = 10,20,10,20 at alpha=.5: s = 10,15,12.5,16.25 →
+        # forecasts 10,15,12.5; errors 10,-5,7.5 → MAE 7.5; naive
+        # errors 10,-10,10 → MAE 10 → skill 0.25
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 10.0), (4, 20.0)],
+            "t int, y double")
+        out = ses_backtest(df, "y", "t", alphas=(0.5,)).collect()[0]
+        assert out["n_forecasts"] == 3
+        assert out["mae_ses"] == pytest.approx(7.5, abs=1e-9)
+        assert out["mae_naive"] == pytest.approx(10.0, abs=1e-9)
+        assert out["skill_vs_naive"] == pytest.approx(0.25, abs=1e-9)
+        assert out["rmse_ses"] == pytest.approx(
+            (181.25 / 3) ** 0.5, abs=1e-4)
+
+    def test_constant_series_forecasts_exactly(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            ses_backtest,
+        )
+
+        df = spark.createDataFrame(
+            [(t, 7.0) for t in range(1, 8)], "t int, y double")
+        out = ses_backtest(df, "y", "t", alphas=(0.3,)).collect()[0]
+        assert out["mae_ses"] == 0.0 and out["rmse_ses"] == 0.0
+
+    def test_alpha_one_is_naive(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            ses_backtest,
+        )
+
+        # alpha=1 → s_t = y_t → SES degenerates to the naive forecast
+        df = spark.createDataFrame(
+            [(1, 3.0), (2, 9.0), (3, 1.0), (4, 4.0)], "t int, y double")
+        out = ses_backtest(df, "y", "t", alphas=(1.0,)).collect()[0]
+        assert out["mae_ses"] == out["mae_naive"]
+        assert out["skill_vs_naive"] == 0.0
+
+
+class TestTruncatedRecall:
+    def test_full_dims_recall_is_perfect(self, spark):
+        from bigdata_tag_system_spark.operators.embeddings import (
+            truncated_recall_report,
+        )
+
+        rows = [(i, [float(i), float(10 - i), 1.0, 2.0])
+                for i in range(8)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = truncated_recall_report(
+            df, [1.0, 1.0, 1.0, 1.0], k=3, dims=4).collect()[0]
+        assert out["recall_bp"] == 10000
+
+    def test_adversarial_tail_dims_break_recall(self, spark):
+        from bigdata_tag_system_spark.operators.embeddings import (
+            truncated_recall_report,
+        )
+
+        # leading dims identical everywhere; ONLY the tail separates
+        # vectors → the truncated ranking ties on all and falls back
+        # to id order, missing the true top unless ids align
+        rows = [
+            (0, [1.0, 0.0, 1.0, 0.0]),   # query-aligned tail
+            (1, [1.0, 0.0, 0.0, 1.0]),
+            (2, [1.0, 0.0, 0.0, 1.0]),
+            (3, [1.0, 0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = truncated_recall_report(
+            df, [1.0, 0.0, 1.0, 0.0], k=2, dims=2).collect()[0]
+        # exact top-2 = {0, 3}; truncated ties pick {0, 1} → recall 1/2
+        assert out["n_hits"] == 1
+        assert out["recall_bp"] == 5000
+
+
+class TestDppJoin:
+    def test_plan_carries_dynamic_pruning_subquery(self, spark, sf_dir):
+        import __spark_entry__ as e
+
+        df = e._build_queries()["scan_dpp_join"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), (
+            "partitioned-fact ⋈ filtered-dim join must plant a DPP "
+            "subquery filter on the scan")
+
+
+class TestArgMinMax:
+    def test_struct_ordering_breaks_value_ties(self, spark):
+        # two rows share the max value → the struct tie-break must
+        # pick the higher event_id for max_by (and the lower for
+        # min_by on the min value)
+        df = spark.createDataFrame(
+            [(1, "a", 5.0, 100), (2, "a", 5.0, 200), (3, "a", 1.0, 300),
+             (4, "a", 1.0, 400)],
+            "event_id long, event_type string, value double, user_id long")
+        out = df.groupBy("event_type").agg(
+            F.expr("max_by(event_id, struct(value, event_id))")
+            .alias("amax"),
+            F.expr("min_by(event_id, struct(value, event_id))")
+            .alias("amin")).collect()[0]
+        assert out["amax"] == 2   # highest (value, event_id)
+        assert out["amin"] == 3   # lowest (value, event_id)
+
+
+class TestSeasonalOutliers:
+    def test_planted_spike_is_the_only_outlier(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            seasonal_outliers,
+        )
+        import datetime as dt
+
+        # 4 weeks of a clean weekly pattern with one planted spike;
+        # every other scored day must flag 0
+        base = [10.0, 12.0, 14.0, 16.0, 14.0, 12.0, 10.0]
+        rows = []
+        for i in range(28):
+            v = base[i % 7] + (100.0 if i == 15 else 0.0)
+            rows.append((dt.date(2024, 3, 1) + dt.timedelta(days=i), v))
+        df = spark.createDataFrame(rows, "day date, x double")
+        out = seasonal_outliers(df, "day", "x", period=7,
+                                n_sigma=2.0).collect()
+        flagged = [r["day"].isoformat() for r in out
+                   if r["is_outlier"] == 1]
+        assert "2024-03-16" in flagged  # day index 15
+        # the spike contaminates its own phase's RMS and the trend
+        # windows it touches; everything far from it stays clean
+        clean = [r for r in out if abs((r["day"]
+                 - dt.date(2024, 3, 16)).days) > 3]
+        assert all(r["is_outlier"] == 0 for r in clean)
+
+    def test_pure_seasonal_series_has_no_outliers(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            seasonal_outliers,
+        )
+        import datetime as dt
+
+        base = [5.0, 9.0, 7.0, 11.0, 7.0, 9.0, 5.0]
+        rows = [(dt.date(2024, 3, 1) + dt.timedelta(days=i),
+                 base[i % 7]) for i in range(21)]
+        df = spark.createDataFrame(rows, "day date, x double")
+        out = seasonal_outliers(df, "day", "x", period=7).collect()
+        assert len(out) == 15        # 21 days minus 6 edge days
+        assert all(r["is_outlier"] == 0 for r in out)
+        assert all(abs(r["residual"]) < 1e-6 for r in out)
+
+
+class TestJackknifeRatio:
+    def test_matches_brute_force_replicates(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            jackknife_ratio_se,
+        )
+
+        rows = [(u, float(u * 3 + j), 1.0)
+                for u in range(1, 6) for j in range(2)]
+        df = spark.createDataFrame(rows, "u long, num double, den double")
+        out = jackknife_ratio_se(df, "num", "den", "u").collect()[0]
+
+        # brute-force: materialize the 5 leave-one-out replicates
+        import collections
+        agg = collections.defaultdict(lambda: [0.0, 0.0])
+        for u, n, d in rows:
+            agg[u][0] += n
+            agg[u][1] += d
+        sn = sum(v[0] for v in agg.values())
+        sd = sum(v[1] for v in agg.values())
+        reps = [(sn - v[0]) / (sd - v[1]) for v in agg.values()]
+        g = len(reps)
+        rbar = sum(reps) / g
+        se = ((g - 1) / g * sum((r - rbar) ** 2 for r in reps)) ** 0.5
+        assert out["n_units"] == g
+        assert out["ratio"] == pytest.approx(sn / sd, abs=1e-6)
+        assert out["se_jack"] == pytest.approx(se, abs=1e-6)
+
+    def test_identical_units_give_zero_se(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            jackknife_ratio_se,
+        )
+
+        df = spark.createDataFrame(
+            [(u, 6.0, 2.0) for u in range(1, 9)],
+            "u long, num double, den double")
+        out = jackknife_ratio_se(df, "num", "den", "u").collect()[0]
+        assert out["ratio"] == 3.0
+        assert out["se_jack"] == 0.0
