@@ -39,6 +39,8 @@ _STREAM_PARITY_CACHE: dict[str, str] = {}
 _STREAM_INCR_CACHE: dict[str, str] = {}
 # windowed-aggregate streaming replay outputs, keyed by sf_dir
 _STREAM_WINDOW_CACHE: dict[str, str] = {}
+# ordered-batch late-data replay outputs, keyed by sf_dir
+_STREAM_LATE_CACHE: dict[str, str] = {}
 # stateful-sessionize streaming replay outputs, keyed by sf_dir
 _STREAM_SESSION_CACHE: dict[str, str] = {}
 # native session_window streaming replay outputs, keyed by sf_dir
@@ -549,6 +551,7 @@ _DRIVER_FIRST = [
     "agg_argminmax",              # NEW: arg-extrema battery
     "ts_stl_outliers",            # NEW: seasonal-adjusted anomalies
     "stats_jackknife_ratio",      # NEW: delete-one jackknife SE
+    "stream_late_drop_parity",    # NEW: watermark drop semantics
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -7713,6 +7716,88 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_jackknife_ratio"] = stats_jackknife_ratio
 
+    def stream_late_drop_parity(spark, sf_dir):
+        # watermark DROP semantics, replayed with ordered micro-batches:
+        # batch 0 = first half of January, batch 1 = second half (this
+        # advances the watermark to ~Jan30 23:27), batch 2 = re-keyed
+        # COPIES of the earliest days (now far below the watermark —
+        # every one must be dropped by the stateful agg) plus five
+        # synthetic Jan-31 rows ABOVE it (the positive control — they
+        # must land). Final state must equal: original events + the
+        # five fresh rows, late copies absent. If the drop failed, the
+        # early-January hours would double and the hash would flip.
+        import os
+        import shutil
+        import tempfile
+
+        from bigdata_tag_system_spark.streaming.rule_stream import (
+            windowed_event_aggregates,
+        )
+
+        _prep(spark)
+        out_dir = _STREAM_LATE_CACHE.get(sf_dir)
+        if out_dir is None:
+            tmp = tempfile.mkdtemp(prefix="stream_late_")
+            src = tmp + "/src"
+            os.makedirs(src)
+            ev = _t(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value")
+            cut = F.lit("2024-01-16").cast("timestamp")
+            b0 = ev.where(F.col("ts") < cut)
+            b1 = ev.where(F.col("ts") >= cut)
+            late = (ev.where("ts < timestamp'2024-01-04'")
+                    .withColumn("event_id",
+                                F.col("event_id") + F.lit(10_000_000)))
+            fresh = spark.range(1, 6).select(
+                (F.col("id") + 20_000_000).alias("event_id"),
+                F.expr("timestamp'2024-01-31 12:00:00' "
+                       "+ make_dt_interval(0, 0, id, 0)").alias("ts"),
+                F.col("id").alias("user_id"),
+                F.lit("click").alias("event_type"),
+                (F.col("id") * 10.0).alias("value"))
+            b2 = late.unionByName(fresh)
+            for i, b in enumerate((b0, b1, b2)):
+                part = tmp + f"/b{i}"
+                b.coalesce(1).write.mode("overwrite").parquet(part)
+                pf = [f for f in os.listdir(part)
+                      if f.endswith(".parquet")][0]
+                dst = f"{src}/batch-{i}.parquet"
+                shutil.copy(f"{part}/{pf}", dst)
+                # FileStreamSource orders by modification time: pin an
+                # increasing mtime per batch so replay order is the
+                # arrival order the scenario requires
+                os.utime(dst, (1_700_000_000 + i * 100,
+                               1_700_000_000 + i * 100))
+            schema = spark.read.parquet(src).schema
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+            agg = windowed_event_aggregates(
+                stream, window="1 hour", watermark="30 minutes")
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            run = (agg.writeStream.outputMode("update")
+                   .option("checkpointLocation", ckpt)
+                   .trigger(availableNow=True)
+                   .foreachBatch(lambda batch, bid: batch.withColumn(
+                       "_bid", F.lit(bid)).write.mode("append")
+                       .parquet(out))
+                   .start())
+            run.awaitTermination()
+            _STREAM_LATE_CACHE[sf_dir] = out
+            out_dir = out
+        replayed = spark.read.parquet(out_dir)
+        final = replayed.groupBy("window_start", "user_id").agg(
+            F.max_by(F.struct("event_count", "value_sum"), "_bid")
+            .alias("s"))
+        return (final.groupBy(
+                    F.col("window_start").cast("string")
+                    .alias("window_start"))
+                .agg(F.count(F.lit(1)).alias("n_users"),
+                     F.sum("s.event_count").alias("n_events"),
+                     F.round(F.sum("s.value_sum"), 2).alias("value_sum"))
+                .orderBy("window_start"))
+
+    q["stream_late_drop_parity"] = stream_late_drop_parity
+
     return q
 
 
@@ -14013,6 +14098,30 @@ def oracle_sql() -> dict[str, str]:
                      * (sum(dv * dv) - pow(sum(dv), 2) / max(g))), 6)
                    AS se_jack
         FROM reps
+    """
+
+    # late-drop parity: the final streaming state must equal original
+    # events + the five synthetic Jan-31 rows; the re-keyed late
+    # copies are absent BY WATERMARK SEMANTICS (their hours would
+    # otherwise double and flip the hash)
+    o["stream_late_drop_parity"] = """
+        WITH allrows AS (
+            SELECT ts, user_id, value FROM events
+            UNION ALL
+            SELECT TIMESTAMP '2024-01-31 12:00:00'
+                       + to_minutes(i) AS ts,
+                   i AS user_id, i * 10.0 AS value
+            FROM range(1, 6) t(i)
+        ), per_user AS (
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   user_id, count(*) AS n, sum(value) AS v
+            FROM allrows GROUP BY 1, 2
+        )
+        SELECT window_start, count(*) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               round(sum(v), 2) AS value_sum
+        FROM per_user GROUP BY window_start ORDER BY window_start
     """
 
     return o

@@ -219,6 +219,7 @@ def main() -> None:
         "agg_argminmax",           # struct-ordered arg-extrema
         "ts_stl_outliers",         # LOO-scaled seasonal anomalies
         "stats_jackknife_ratio",   # closed-form jackknife ratio SE
+        "stream_late_drop_parity", # watermark drop-semantics replay
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -388,3 +388,23 @@ class TestJackknifeRatio:
         out = jackknife_ratio_se(df, "num", "den", "u").collect()[0]
         assert out["ratio"] == 3.0
         assert out["se_jack"] == 0.0
+
+
+class TestLateDropParity:
+    def test_replay_ran_three_batches_and_dropped_late(self, spark, sf_dir):
+        import __spark_entry__ as e
+
+        # force the staged replay, then inspect the raw emission log
+        e._build_queries()["stream_late_drop_parity"](spark, sf_dir) \
+            .collect()
+        out_dir = e._STREAM_LATE_CACHE[sf_dir]
+        raw = spark.read.parquet(out_dir)
+        bids = {r["_bid"] for r in raw.select("_bid").distinct().collect()}
+        assert bids == {0, 1, 2}, f"expected 3 micro-batches, got {bids}"
+        # batch 2 must emit ONLY the fresh Jan-31 window — a late-copy
+        # re-emission would surface as an earlier window at _bid = 2
+        b2 = raw.where("_bid = 2").select("window_start").distinct()
+        ws = [str(r["window_start"]) for r in b2.collect()]
+        assert all(w.startswith("2024-01-31") for w in ws), ws
+        # and the positive control actually landed
+        assert len(ws) == 1
