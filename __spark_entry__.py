@@ -552,6 +552,7 @@ _DRIVER_FIRST = [
     "ts_stl_outliers",            # NEW: seasonal-adjusted anomalies
     "stats_jackknife_ratio",      # NEW: delete-one jackknife SE
     "stream_late_drop_parity",    # NEW: watermark drop semantics
+    "dedup_fs_weights",           # NEW: Fellegi-Sunter linkage weights
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -7798,6 +7799,28 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_late_drop_parity"] = stream_late_drop_parity
 
+    def dedup_fs_weights(spark, sf_dir):
+        # Fellegi–Sunter linkage weights over four comparison fields:
+        # m fitted on the shared θ=0.5 exact-Jaccard match pairs, u in
+        # closed form from the value histograms (never sampled random
+        # pairs) — the decision table a linkage pipeline sums per
+        # candidate pair
+        from bigdata_tag_system_spark.operators.dedup import (
+            fellegi_sunter_weights,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        return fellegi_sunter_weights(
+            d, _ngram_pairs_05(spark, sf_dir),
+            fields={
+                "lang": F.col("lang"),
+                "source": F.col("source"),
+                "len_band": F.expr("n_chars DIV 100"),
+                "prefix": F.substring("text", 1, 8),
+            })
+
+    q["dedup_fs_weights"] = dedup_fs_weights
+
     return q
 
 
@@ -14122,6 +14145,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n) AS BIGINT) AS n_events,
                round(sum(v), 2) AS value_sum
         FROM per_user GROUP BY window_start ORDER BY window_start
+    """
+
+    # FS replay: the same θ=0.5 shingle pair set, null-safe field
+    # agreement (COALESCE sentinel ≡ Spark's eqNullSafe here), and the
+    # identical closed-form u / add-one-smoothed log2 weights
+    o["dedup_fs_weights"] = f"""
+        WITH pr AS ({_SHINGLE_CTE.replace("ORDER BY id_a, id_b", "")}),
+        k AS (
+            SELECT doc_id,
+                   COALESCE(lang, '␀') AS f_lang,
+                   COALESCE(source, '␀') AS f_source,
+                   COALESCE(CAST(n_chars // 100 AS VARCHAR), '␀')
+                       AS f_len_band,
+                   COALESCE(substring(text, 1, 8), '␀') AS f_prefix
+            FROM documents
+        ), m AS (
+            SELECT count(*) AS pairs,
+                   sum(CASE WHEN a.f_lang = b.f_lang
+                       THEN 1 ELSE 0 END) AS m_lang,
+                   sum(CASE WHEN a.f_source = b.f_source
+                       THEN 1 ELSE 0 END) AS m_source,
+                   sum(CASE WHEN a.f_len_band = b.f_len_band
+                       THEN 1 ELSE 0 END) AS m_len_band,
+                   sum(CASE WHEN a.f_prefix = b.f_prefix
+                       THEN 1 ELSE 0 END) AS m_prefix
+            FROM pr JOIN k a ON a.doc_id = pr.id_a
+                    JOIN k b ON b.doc_id = pr.id_b
+        ), st AS (
+            SELECT 'lang' AS field, f_lang AS v FROM k
+            UNION ALL SELECT 'source', f_source FROM k
+            UNION ALL SELECT 'len_band', f_len_band FROM k
+            UNION ALL SELECT 'prefix', f_prefix FROM k
+        ), h AS (
+            SELECT field, v, count(*) AS nv FROM st GROUP BY 1, 2
+        ), u AS (
+            SELECT field, sum(nv * (nv - 1)) AS u_num,
+                   sum(nv) * (sum(nv) - 1) AS u_den
+            FROM h GROUP BY field
+        ), mm AS (
+            SELECT 'lang' AS field, m_lang AS m_num, pairs AS m_den
+                FROM m
+            UNION ALL SELECT 'source', m_source, pairs FROM m
+            UNION ALL SELECT 'len_band', m_len_band, pairs FROM m
+            UNION ALL SELECT 'prefix', m_prefix, pairs FROM m
+        )
+        SELECT mm.field,
+               CAST(mm.m_den AS BIGINT) AS n_match_pairs,
+               CAST((10000 * mm.m_num) // mm.m_den AS BIGINT) AS m_bp,
+               CAST((10000 * u.u_num) // u.u_den AS BIGINT) AS u_bp,
+               round(log2(((mm.m_num + 1.0) / (mm.m_den + 2.0))
+                     / ((u.u_num + 1.0) / (u.u_den + 2.0))), 4)
+                   AS weight_agree,
+               round(log2((1.0 - (mm.m_num + 1.0) / (mm.m_den + 2.0))
+                     / (1.0 - (u.u_num + 1.0) / (u.u_den + 2.0))), 4)
+                   AS weight_disagree
+        FROM mm JOIN u ON u.field = mm.field
+        ORDER BY mm.field
     """
 
     return o

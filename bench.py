@@ -220,6 +220,7 @@ def main() -> None:
         "ts_stl_outliers",         # LOO-scaled seasonal anomalies
         "stats_jackknife_ratio",   # closed-form jackknife ratio SE
         "stream_late_drop_parity", # watermark drop-semantics replay
+        "dedup_fs_weights",        # Fellegi-Sunter linkage weights
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -1522,3 +1522,85 @@ def sorted_neighborhood_pairs(
             F.col("_s.dist").alias("rank_distance"),
         )
     )
+
+
+def fellegi_sunter_weights(
+    records: DataFrame,
+    match_pairs: DataFrame,
+    fields: dict[str, Column],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage weights: per
+    comparison field, ``m`` = P(field agrees | pair is a match),
+    estimated over a supplied true-match pair relation, and ``u`` =
+    P(field agrees | random pair), computed in CLOSED FORM from the
+    field's value distribution — ``Σ n_v(n_v−1) / N(N−1)`` — never by
+    sampling random pairs. The log-ratio agreement/disagreement
+    weights are what a linkage pipeline sums per candidate pair to
+    decide link / possible / non-link (Fellegi & Sunter, JASA 1969).
+
+    One fact scan for every field (explode-stacked, the
+    ``mutual_information`` pattern) + one pass over the match pairs
+    (two dimension joins on id). Agreement is null-safe equality (NULL
+    is a matchable state, the engine's rule convention). m and u are
+    add-one smoothed before the logs so a field that agrees on every
+    match (m=1) cannot emit an infinite weight; the raw integer
+    basis-point ratios are reported unsmoothed alongside.
+    """
+    named = [(name, col.cast("string")) for name, col in fields.items()]
+    keyed = records.select(
+        F.col(id_col).alias("_id"),
+        *[c.alias(f"_f_{n}") for n, c in named])
+
+    # u: closed-form random-pair agreement from the value histogram,
+    # all fields in one scan
+    stacked = keyed.select(F.explode(F.array(*[
+        F.struct(F.lit(n).alias("field"),
+                 F.coalesce(F.col(f"_f_{n}"), F.lit("␀")).alias("v"))
+        for n, _ in named
+    ])).alias("s")).select("s.field", "s.v")
+    hist = stacked.groupBy("field", "v").agg(
+        F.count(F.lit(1)).alias("_nv"))
+    u_side = hist.groupBy("field").agg(
+        F.sum(F.col("_nv") * (F.col("_nv") - 1)).alias("u_num"),
+        (F.sum("_nv") * (F.sum("_nv") - 1)).alias("u_den"))
+
+    # m: agreement census over the supplied true-match pairs
+    a = keyed.select(F.col("_id").alias("id_a"),
+                     *[F.col(f"_f_{n}").alias(f"_a_{n}")
+                       for n, _ in named])
+    b = keyed.select(F.col("_id").alias("id_b"),
+                     *[F.col(f"_f_{n}").alias(f"_b_{n}")
+                       for n, _ in named])
+    joined = (match_pairs.select("id_a", "id_b")
+              .join(a, "id_a").join(b, "id_b"))
+    m_aggs = []
+    for n, _ in named:
+        m_aggs.append(F.sum(
+            F.col(f"_a_{n}").eqNullSafe(F.col(f"_b_{n}")).cast("long")
+        ).alias(f"_m_{n}"))
+    m_row = joined.agg(F.count(F.lit(1)).alias("_pairs"), *m_aggs)
+    m_side = m_row.select(F.explode(F.array(*[
+        F.struct(F.lit(n).alias("field"),
+                 F.col(f"_m_{n}").alias("m_num"),
+                 F.col("_pairs").alias("m_den"))
+        for n, _ in named
+    ])).alias("s")).select("s.field", "s.m_num", "s.m_den")
+
+    out = m_side.join(u_side, "field")
+    m_s = (F.col("m_num") + 1.0) / (F.col("m_den") + 2.0)
+    u_s = (F.col("u_num") + 1.0) / (F.col("u_den") + 2.0)
+    log2 = float(__import__("math").log(2.0))
+    return out.select(
+        "field",
+        F.col("m_den").cast("long").alias("n_match_pairs"),
+        F.expr("(10000 * m_num) DIV m_den").alias("m_bp"),
+        # u_num/u_den are O(N²) — cross-multiplying by 10⁴ needs the
+        # decimal headroom well before the counts themselves overflow
+        F.expr("(10000 * CAST(u_num AS DECIMAL(38,0))) DIV u_den")
+        .alias("u_bp"),
+        F.round(F.log(m_s / u_s) / F.lit(log2), 4)
+        .alias("weight_agree"),
+        F.round(F.log((F.lit(1.0) - m_s) / (F.lit(1.0) - u_s))
+                / F.lit(log2), 4).alias("weight_disagree"),
+    ).orderBy("field")

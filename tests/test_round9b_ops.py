@@ -408,3 +408,59 @@ class TestLateDropParity:
         assert all(w.startswith("2024-01-31") for w in ws), ws
         # and the positive control actually landed
         assert len(ws) == 1
+
+
+class TestFellegiSunter:
+    def _weights(self, spark, records, pairs):
+        from bigdata_tag_system_spark.operators.dedup import (
+            fellegi_sunter_weights,
+        )
+
+        r = spark.createDataFrame(
+            records, "doc_id long, city string, zip string")
+        p = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return {row["field"]: row for row in fellegi_sunter_weights(
+            r, p, fields={"city": F.col("city"), "zip": F.col("zip")}
+        ).collect()}
+
+    def test_discriminating_field_gets_positive_agree_weight(self, spark):
+        # city agrees on both true matches but is near-unique overall;
+        # zip is constant (agrees on everything → zero discrimination)
+        records = [(1, "ny", "z"), (2, "ny", "z"),
+                   (3, "la", "z"), (4, "sf", "z"),
+                   (5, "ch", "z"), (6, "bo", "z")]
+        out = self._weights(spark, records, [(1, 2)])
+        assert out["city"]["m_bp"] == 10000
+        # u(city): only the ny pair agrees → 2·1 / 6·5 = 1/15
+        assert out["city"]["u_bp"] == 10000 // 15
+        assert out["city"]["weight_agree"] > 2.0
+        # constant zip: u = 1 → agreement carries no information; with
+        # add-one smoothing on one match pair the weight lands slightly
+        # NEGATIVE (m smoothed to 2/3 < u's 31/32), and far below the
+        # discriminating field either way
+        assert out["zip"]["u_bp"] == 10000
+        assert out["zip"]["m_bp"] == 10000
+        assert out["zip"]["weight_agree"] < 0.0
+        assert (out["city"]["weight_agree"]
+                > out["zip"]["weight_agree"] + 2.0)
+
+    def test_null_is_a_matchable_state(self, spark):
+        records = [(1, None, "a"), (2, None, "a"),
+                   (3, "x", "b"), (4, "y", "c")]
+        out = self._weights(spark, records, [(1, 2)])
+        # NULL city on both sides of the match pair counts as agreement
+        assert out["city"]["m_bp"] == 10000
+        # and the NULL state enters the u histogram: 2·1/(4·3) = 1/6
+        assert out["city"]["u_bp"] == 10000 // 6
+
+    def test_closed_form_u_matches_brute_random_pairs(self, spark):
+        import itertools
+
+        records = [(i, v, "k") for i, v in enumerate(
+            ["a", "a", "a", "b", "b", "c", "d", "d", "d", "d"])]
+        out = self._weights(spark, records, [(0, 1)])
+        pts = [v for _, v, _ in records]
+        agree = sum(1 for x, y in itertools.permutations(pts, 2)
+                    if x == y)
+        total = len(pts) * (len(pts) - 1)
+        assert out["city"]["u_bp"] == (10000 * agree) // total
