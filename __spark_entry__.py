@@ -553,6 +553,8 @@ _DRIVER_FIRST = [
     "stats_jackknife_ratio",      # NEW: delete-one jackknife SE
     "stream_late_drop_parity",    # NEW: watermark drop semantics
     "dedup_fs_weights",           # NEW: Fellegi-Sunter linkage weights
+    "ts_periodogram",             # NEW: explicit-DFT spectrum
+    "ts_theil_sen",               # NEW: median-of-slopes trend
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -7821,6 +7823,38 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_fs_weights"] = dedup_fs_weights
 
+    def ts_periodogram(spark, sf_dir):
+        # which-seasonality-is-real: explicit-DFT spectral power of the
+        # mean-centered daily count at candidate periods 2..10 days —
+        # one aggregate, 2 sums per period, no FFT dependency
+        from bigdata_tag_system_spark.operators.timeseries import (
+            periodogram,
+        )
+
+        daily = (_t(spark, sf_dir, "events")
+                 .groupBy(F.to_date("ts").alias("day"))
+                 .agg(F.count(F.lit(1)).alias("y")))
+        return periodogram(daily, "y", "day")
+
+    q["ts_periodogram"] = ts_periodogram
+
+    def ts_theil_sen(spark, sf_dir):
+        # robust daily trend: median-of-pairwise-slopes (lower
+        # convention, deterministic (slope, i, j) pick) over the
+        # calendar-bounded day series — immune to single wild days
+        # that would swing an OLS slope
+        from bigdata_tag_system_spark.operators.timeseries import (
+            theil_sen_trend,
+        )
+
+        daily = (_t(spark, sf_dir, "events")
+                 .groupBy(F.to_date("ts").alias("day"))
+                 .agg(F.sum(F.round(F.col("value") * 100)
+                            .cast("bigint")).alias("cents")))
+        return theil_sen_trend(daily, "cents", "day")
+
+    q["ts_theil_sen"] = ts_theil_sen
+
     return q
 
 
@@ -14202,6 +14236,70 @@ def oracle_sql() -> dict[str, str]:
                    AS weight_disagree
         FROM mm JOIN u ON u.field = mm.field
         ORDER BY mm.field
+    """
+
+    # DFT replay: identical projection sums over the mean-centered
+    # day series; pi spelled to double precision on both sides
+    o["ts_periodogram"] = """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ), base AS (
+            SELECT y - (SELECT avg(y) FROM daily) AS yc,
+                   CAST(row_number() OVER (ORDER BY day) AS DOUBLE)
+                       AS t
+            FROM daily
+        ), spec AS (
+            SELECT p.period,
+                   sum(b.yc * cos(b.t * (2 * pi() / p.period))) AS c,
+                   sum(b.yc * sin(b.t * (2 * pi() / p.period))) AS s,
+                   count(*) AS n
+            FROM base b, (SELECT unnest(range(2, 11)) AS period) p
+            GROUP BY p.period
+        )
+        SELECT CAST(period AS INT) AS period,
+               round((c * c + s * s) * 2 / n, 4) AS power
+        FROM spec ORDER BY period
+    """
+
+    o["ts_theil_sen"] = """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ), base AS (
+            SELECT y, CAST(row_number() OVER (ORDER BY day) AS DOUBLE)
+                       AS t
+            FROM daily
+        ), pairs AS (
+            SELECT a.t AS ta, b.t AS tb,
+                   (b.y - a.y) / (b.t - a.t) AS slope
+            FROM base a JOIN base b ON a.t < b.t
+        ), sr AS (
+            SELECT slope AS m, np AS n_pairs FROM (
+                SELECT slope,
+                       row_number() OVER (ORDER BY slope, ta, tb)
+                           AS rn,
+                       count(*) OVER () AS np
+                FROM pairs
+            ) WHERE rn * 2 = np + (np % 2)
+        ), lv AS (
+            SELECT sr.m, sr.n_pairs, base.y - sr.m * base.t AS b,
+                   base.t
+            FROM base, sr
+        )
+        SELECT CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+               round(max(m), 6) AS slope,
+               round(max(CASE WHEN pick THEN b END), 6) AS intercept
+        FROM (
+            SELECT m, n_pairs, b,
+                   row_number() OVER (ORDER BY b, t) * 2
+                       = count(*) OVER () + (count(*) OVER () % 2)
+                       AS pick
+            FROM lv
+        )
     """
 
     return o

@@ -221,6 +221,8 @@ def main() -> None:
         "stats_jackknife_ratio",   # closed-form jackknife ratio SE
         "stream_late_drop_parity", # watermark drop-semantics replay
         "dedup_fs_weights",        # Fellegi-Sunter linkage weights
+        "ts_periodogram",          # explicit-DFT day-series spectrum
+        "ts_theil_sen",            # median-of-slopes robust trend
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

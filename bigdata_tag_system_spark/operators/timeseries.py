@@ -711,3 +711,107 @@ def seasonal_outliers(
                  * F.greatest(loo_rms, F.lit(1e-9)))
                 .cast("int").alias("is_outlier"))
             .orderBy(day_col))
+
+
+def periodogram(
+    series: DataFrame,
+    value_col: str,
+    order_col: str,
+    periods: tuple[int, ...] = (2, 3, 4, 5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Explicit-DFT periodogram of an already-aggregated period series:
+    spectral power at each candidate period P via the two projection
+    sums ``C_P = Σ y'·cos(2πt/P)``, ``S_P = Σ y'·sin(2πt/P)`` over the
+    MEAN-CENTERED series — the which-seasonality-do-I-actually-have
+    readout that picks the decomposition period before
+    :func:`seasonal_decompose` commits one.
+
+    No FFT dependency and none needed: |periods| is a plan constant,
+    so the whole spectrum is ONE aggregate with 2·|periods| sum
+    expressions over the calendar-bounded series — O(T·|periods|)
+    beats O(T log T) bookkeeping until T is far past calendar scale.
+    """
+    from pyspark.sql import Window
+    import math
+
+    t = F.row_number().over(Window.orderBy(order_col))
+    y = F.col(value_col).cast("double")
+    mean = series.agg(F.avg(y).alias("_mu"))
+    base = series.crossJoin(F.broadcast(mean)).select(
+        (y - F.col("_mu")).alias("_y"), t.alias("_t"))
+    aggs = []
+    for p in periods:
+        w = 2.0 * math.pi / float(p)
+        aggs.append(F.sum(F.col("_y")
+                          * F.cos(F.col("_t") * w)).alias(f"_c{p}"))
+        aggs.append(F.sum(F.col("_y")
+                          * F.sin(F.col("_t") * w)).alias(f"_s{p}"))
+    row = base.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    spec = row.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(int(p)).alias("period"),
+            ((F.col(f"_c{p}") * F.col(f"_c{p}")
+              + F.col(f"_s{p}") * F.col(f"_s{p}"))
+             * 2.0 / F.col("_n")).alias("power"))
+        for p in periods
+    ])).alias("s")).select("s.period", F.round("s.power", 4)
+                           .alias("power"))
+    return spec.orderBy("period")
+
+
+def theil_sen_trend(
+    series: DataFrame,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend of an already-aggregated period series:
+    slope = the (lower-convention) median of all pairwise slopes
+    ``(y_j − y_i)/(t_j − t_i)`` — a single wild day moves an OLS slope
+    arbitrarily; it moves a median-of-slopes not at all until outliers
+    are ~29% of the series.
+
+    The pair self-join is calendar²-bounded (the series is one row per
+    period — never fact rows), and the median pick is a deterministic
+    row_number over (slope, i, j), so the result replays bit-exact.
+    Intercept = median of ``y_i − slope·t_i`` residual levels at the
+    picked slope, same convention.
+    """
+    from pyspark.sql import Window
+
+    t = F.row_number().over(Window.orderBy(order_col))
+    base = series.select(F.col(value_col).cast("double").alias("_y"),
+                         t.alias("_t"))
+    a = base.select(F.col("_y").alias("_ya"), F.col("_t").alias("_ta"))
+    b = base.select(F.col("_y").alias("_yb"), F.col("_t").alias("_tb"))
+    pairs = a.join(b, F.col("_ta") < F.col("_tb")).select(
+        "_ta", "_tb",
+        ((F.col("_yb") - F.col("_ya"))
+         / (F.col("_tb") - F.col("_ta"))).alias("_slope"))
+    # lazy lower-median pick: rank every pair once, keep the row at
+    # (n+1) DIV 2 — no eager count() jobs, the window carries n along
+    w = Window.orderBy("_slope", "_ta", "_tb")
+    w_all = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    slope_row = (pairs.select(
+                     "_slope",
+                     F.row_number().over(w).alias("_rn"),
+                     F.count(F.lit(1)).over(w_all).alias("_np"))
+                 .where(F.col("_rn") * 2 == F.col("_np")
+                        + (F.col("_np") % 2))
+                 .select(F.col("_slope").alias("_m"),
+                         F.col("_np").alias("_n_pairs")))
+    levels = base.crossJoin(F.broadcast(slope_row)).select(
+        "_m", "_n_pairs",
+        (F.col("_y") - F.col("_m") * F.col("_t")).alias("_b"), "_t")
+    wb = Window.orderBy("_b", "_t")
+    wb_all = wb.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    return (levels.select(
+                "_m", "_b", "_n_pairs",
+                F.row_number().over(wb).alias("_rn"),
+                F.count(F.lit(1)).over(wb_all).alias("_nr"))
+            .where(F.col("_rn") * 2 == F.col("_nr")
+                   + (F.col("_nr") % 2))
+            .select(F.col("_n_pairs").cast("long").alias("n_pairs"),
+                    F.round("_m", 6).alias("slope"),
+                    F.round("_b", 6).alias("intercept")))

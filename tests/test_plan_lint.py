@@ -184,6 +184,15 @@ _CATALOG_ALLOW = {
     # the centered-MA trend window runs over the one-row-per-day
     # series — same class as ts_seasonal_decompose, which it extends
     "ts_stl_outliers": ["global_window"],
+    # the DFT row index runs over the one-row-per-day series —
+    # calendar-bounded, same class as ts_autocorrelation
+    "ts_periodogram": ["global_window"],
+    # pair space AND median windows are calendar²-bounded: the
+    # self-join takes day-series rows (never facts) on both sides, so
+    # the BNL/cartesian pair relation is ≤ (#days choose 2) — the one
+    # documented calendar-quadratic plan; the ranking windows run over
+    # that same bounded relation
+    "ts_theil_sen": ["global_window", "bnl_join", "cartesian"],
     # ABC is a Pareto ranking of the ITEM dimension by definition —
     # same class as customer_revenue_concentration
     "orders_abc_xyz": ["global_window"],

@@ -464,3 +464,71 @@ class TestFellegiSunter:
                     if x == y)
         total = len(pts) * (len(pts) - 1)
         assert out["city"]["u_bp"] == (10000 * agree) // total
+
+
+class TestPeriodogram:
+    def test_planted_period_dominates(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            periodogram,
+        )
+        import math
+
+        # pure 5-period sinusoid: power concentrates at period 5
+        rows = [(t, 10.0 + 4.0 * math.sin(2 * math.pi * t / 5))
+                for t in range(1, 31)]
+        df = spark.createDataFrame(rows, "t int, y double")
+        out = {r["period"]: r["power"]
+               for r in periodogram(df, "y", "t").collect()}
+        assert out[5] == max(out.values())
+        assert out[5] > 10 * max(v for p, v in out.items() if p != 5)
+
+    def test_constant_series_has_zero_power(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            periodogram,
+        )
+
+        df = spark.createDataFrame(
+            [(t, 42.0) for t in range(1, 22)], "t int, y double")
+        out = periodogram(df, "y", "t").collect()
+        assert all(r["power"] == 0.0 for r in out)
+
+
+class TestTheilSen:
+    def test_recovers_clean_slope(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            theil_sen_trend,
+        )
+
+        df = spark.createDataFrame(
+            [(t, 3.0 * t + 7.0) for t in range(1, 13)],
+            "t int, y double")
+        out = theil_sen_trend(df, "y", "t").collect()[0]
+        assert out["slope"] == 3.0
+        assert out["intercept"] == 7.0
+        assert out["n_pairs"] == 12 * 11 // 2
+
+    def test_single_wild_day_does_not_move_slope(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            theil_sen_trend,
+        )
+
+        rows = [(t, 3.0 * t + 7.0) for t in range(1, 13)]
+        rows[5] = (6, 10_000.0)   # one corrupted day
+        df = spark.createDataFrame(rows, "t int, y double")
+        out = theil_sen_trend(df, "y", "t").collect()[0]
+        # median of pairwise slopes shrugs off a lone outlier
+        assert out["slope"] == 3.0
+
+    def test_even_count_uses_lower_median(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            theil_sen_trend,
+        )
+
+        # 4 points → 6 pair slopes; construct distinct slopes and
+        # check the pick is the 3rd smallest (lower convention)
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, 1.0), (3, 4.0), (4, 9.0)], "t int, y double")
+        # slopes: 1,3,5 (adjacent), 2,4 (skip-1), 3 (skip-2)
+        # sorted: 1,2,3,3,4,5 → lower median = 3rd = 3
+        out = theil_sen_trend(df, "y", "t").collect()[0]
+        assert out["slope"] == 3.0
