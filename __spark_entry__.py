@@ -555,6 +555,7 @@ _DRIVER_FIRST = [
     "dedup_fs_weights",           # NEW: Fellegi-Sunter linkage weights
     "ts_periodogram",             # NEW: explicit-DFT spectrum
     "ts_theil_sen",               # NEW: median-of-slopes trend
+    "events_markov_attribution",  # NEW: removal-effect attribution
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -7855,6 +7856,20 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_theil_sen"] = ts_theil_sen
 
+    def events_markov_attribution(spark, sf_dir):
+        # Markov removal-effect attribution: journey chain over
+        # 30-min sessions truncated at first purchase, 10-step
+        # absorption probability, per-channel credit = the conversion
+        # probability that vanishes when every transition into the
+        # channel is redirected to NULL
+        from bigdata_tag_system_spark.operators.features import (
+            markov_attribution,
+        )
+
+        return markov_attribution(_t(spark, sf_dir, "events"))
+
+    q["events_markov_attribution"] = events_markov_attribution
+
     return q
 
 
@@ -14300,6 +14315,110 @@ def oracle_sql() -> dict[str, str]:
                        AS pick
             FROM lv
         )
+    """
+
+    # Markov attribution replay: identical journey semantics, then the
+    # 10-step absorption iteration UNROLLED as chained CTEs (v0..v10)
+    # per removal variant — recursive-term aggregation is non-standard
+    # SQL, the unroll is not
+    _mk_iter = "".join(
+        f""", v{k} AS (
+            SELECT m.rem, m.f AS state, sum(m.p * v.v) AS v
+            FROM tmat m JOIN v{k - 1} v
+              ON v.rem = m.rem AND v.state = m.t
+            GROUP BY 1, 2
+        )""" for k in range(1, 11))
+    o["events_markov_attribution"] = f"""
+        WITH e AS (
+            SELECT user_id AS u, event_type AS t, ts, event_id AS id
+            FROM events
+        ), s1 AS (
+            SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY u ORDER BY ts, id)
+                       > 1800000000 THEN 1 ELSE 0 END AS brk
+            FROM e
+        ), s2 AS (
+            SELECT *, sum(brk) OVER (PARTITION BY u ORDER BY ts, id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s1
+        ), r AS (
+            SELECT *, row_number() OVER
+                      (PARTITION BY u, sid ORDER BY ts, id) AS rn
+            FROM s2
+        ), r2 AS (
+            SELECT *, min(CASE WHEN t = 'purchase' THEN rn END)
+                      OVER (PARTITION BY u, sid) AS conv_rn
+            FROM r
+        ), kept AS (
+            SELECT * FROM r2 WHERE conv_rn IS NULL OR rn < conv_rn
+        ), stepe AS (
+            SELECT coalesce(lag(t) OVER
+                       (PARTITION BY u, sid ORDER BY rn), 'START')
+                       AS f,
+                   t
+            FROM kept
+        ), laste AS (
+            SELECT t AS f,
+                   CASE WHEN conv_rn IS NOT NULL
+                        THEN 'CONV' ELSE 'NULL' END AS t
+            FROM (SELECT *, max(rn) OVER (PARTITION BY u, sid) AS mx
+                  FROM kept)
+            WHERE rn = mx
+        ), emptyc AS (
+            SELECT 'START' AS f, 'CONV' AS t FROM r2
+            WHERE conv_rn = 1 AND rn = 1
+        ), edges AS (
+            SELECT f, t FROM stepe
+            UNION ALL SELECT f, t FROM laste
+            UNION ALL SELECT f, t FROM emptyc
+        ), cnt AS (
+            SELECT f, t, CAST(count(*) AS DOUBLE) AS n
+            FROM edges GROUP BY 1, 2
+        ), tot AS (
+            SELECT f, sum(n) AS nf FROM cnt GROUP BY 1
+        ), ch AS (
+            SELECT DISTINCT f AS c FROM cnt WHERE f != 'START'
+            UNION
+            SELECT DISTINCT t FROM cnt WHERE t NOT IN ('CONV', 'NULL')
+        ), variants AS (
+            SELECT 'NONE' AS rem
+            UNION ALL SELECT c FROM ch
+        ), tmat AS (
+            SELECT v.rem, c.f,
+                   CASE WHEN c.t = v.rem THEN 'NULL' ELSE c.t END AS t,
+                   sum(c.n / tt.nf) AS p
+            FROM cnt c
+            JOIN tot tt ON tt.f = c.f
+            CROSS JOIN variants v
+            WHERE c.f != v.rem
+            GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT rem, 'CONV', 'CONV', 1.0 FROM variants
+            UNION ALL
+            SELECT rem, 'NULL', 'NULL', 1.0 FROM variants
+        ), v0 AS (
+            SELECT rem, 'CONV' AS state, 1.0 AS v FROM variants
+        ){_mk_iter}, pconv AS (
+            SELECT rem, coalesce(max(CASE WHEN state = 'START'
+                        THEN v END), 0.0) AS p
+            FROM v10 GROUP BY rem
+        ), basep AS (
+            SELECT p AS pb FROM pconv WHERE rem = 'NONE'
+        ), rem_eff AS (
+            SELECT ch.c AS channel, b.pb,
+                   greatest(0.0, 1.0 - CASE WHEN b.pb > 0
+                            THEN coalesce(pc.p, 0.0) / b.pb
+                            ELSE 0.0 END) AS r
+            FROM ch
+            JOIN pconv pc ON pc.rem = ch.c
+            CROSS JOIN basep b
+        )
+        SELECT channel, round(pb, 6) AS p_conv_base,
+               round(r, 6) AS removal_effect,
+               round(r / NULLIF(sum(r) OVER (), 0), 6)
+                   AS attribution_share
+        FROM rem_eff
+        ORDER BY channel
     """
 
     return o

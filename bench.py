@@ -223,6 +223,7 @@ def main() -> None:
         "dedup_fs_weights",        # Fellegi-Sunter linkage weights
         "ts_periodogram",          # explicit-DFT day-series spectrum
         "ts_theil_sen",            # median-of-slopes robust trend
+        "events_markov_attribution",  # removal-effect channel credit
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

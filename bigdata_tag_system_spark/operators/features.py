@@ -1207,3 +1207,141 @@ def jackknife_ratio_se(
         F.max("_g").cast("long").alias("n_units"),
         F.round(F.max(F.col("_sn") / F.col("_sd")), 6).alias("ratio"),
         F.round(F.sqrt((g - 1.0) / g * ss), 6).alias("se_jack"))
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    conv_type: str = "purchase",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    steps: int = 10,
+) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2016) —
+    the channel-credit model that last-touch and linear splits
+    approximate: build the first-order journey chain
+    (START → channels → CONV/NULL), compute the conversion probability
+    within ``steps`` transitions, then for each channel recompute it
+    with that channel REMOVED (every transition into it redirected to
+    NULL); a channel's credit is the conversion probability it would
+    take with it.
+
+    The fact-scale work — sessionize, truncate at first conversion,
+    transition counts — is all distributed window/agg work. The chain
+    itself is (|channels|+3)²-bounded, so it is collected (the
+    codebook-collect convention) and the ``steps``-iteration absorption
+    vectors are computed driver-side in a FIXED sorted state order —
+    deterministic IEEE float work an engine replays exactly. The
+    result ships back as a pure literal plan (explode over a 1-row
+    range — no RDD scan).
+
+    Journey semantics, pinned for the oracle: sessions split on
+    inter-event gaps strictly greater than ``gap_seconds`` (ordered by
+    ``(ts, id)``); a converting session keeps only the prefix BEFORE
+    its first conversion event and terminates in CONV (START→CONV when
+    the conversion opens the session); a non-converting session keeps
+    every event and terminates in NULL.
+    """
+    from pyspark.sql import Window
+
+    mics = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_u = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    new_sess = (
+        (mics - F.lag(mics).over(w_u)) > F.lit(gap_seconds * 1_000_000)
+    ).cast("int")
+    sess = events.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_t"),
+        F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"),
+        F.coalesce(new_sess, F.lit(0)).alias("_brk"))
+    w_ru = Window.partitionBy("_u").orderBy("_ts", "_id")
+    sess = sess.withColumn(
+        "_sid", F.sum("_brk").over(
+            w_ru.rowsBetween(Window.unboundedPreceding, 0)))
+    w_s = Window.partitionBy("_u", "_sid").orderBy("_ts", "_id")
+    w_s_all = Window.partitionBy("_u", "_sid")
+    rn = F.row_number().over(w_s)
+    conv_rn = F.min(F.when(F.col("_t") == conv_type, F.col("_rn"))) \
+        .over(w_s_all)
+    rows = sess.select("_u", "_sid", "_t", "_ts", "_id",
+                       rn.alias("_rn"))
+    rows = rows.select("*", conv_rn.alias("_conv_rn"))
+    kept = rows.where(F.col("_conv_rn").isNull()
+                      | (F.col("_rn") < F.col("_conv_rn")))
+    term = F.when(F.col("_conv_rn").isNotNull(), F.lit("CONV")) \
+        .otherwise(F.lit("NULL"))
+    w_k = Window.partitionBy("_u", "_sid").orderBy("_rn")
+    w_k_all = Window.partitionBy("_u", "_sid")
+    step_edges = kept.select(
+        F.coalesce(F.lag("_t").over(w_k), F.lit("START")).alias("_from"),
+        F.col("_t").alias("_to"))
+    last_edges = (kept
+                  .withColumn("_max_rn", F.max("_rn").over(w_k_all))
+                  .where(F.col("_rn") == F.col("_max_rn"))
+                  .select(F.col("_t").alias("_from"), term.alias("_to")))
+    # a session whose FIRST event converts keeps no rows: START→CONV
+    empty_conv = (rows.where(F.col("_conv_rn") == 1)
+                  .where(F.col("_rn") == 1)
+                  .select(F.lit("START").alias("_from"),
+                          F.lit("CONV").alias("_to")))
+    edges = step_edges.unionByName(last_edges).unionByName(empty_conv)
+    counts = edges.groupBy("_from", "_to").agg(
+        F.count(F.lit(1)).alias("_n"))
+
+    # chain is dimension-bounded: collect, solve, ship back literal
+    rows_c = counts.collect()
+    from collections import defaultdict
+
+    n_out: dict[str, int] = defaultdict(int)
+    t_count: dict[tuple[str, str], int] = {}
+    for r in rows_c:
+        t_count[(r["_from"], r["_to"])] = r["_n"]
+        n_out[r["_from"]] += r["_n"]
+    channels = sorted({f for f, _ in t_count if f != "START"}
+                      | {t for _, t in t_count
+                         if t not in ("CONV", "NULL")})
+
+    def absorb(removed: str | None) -> float:
+        # T with `removed` redirected to NULL; fixed sorted iteration
+        trans: dict[str, list[tuple[str, float]]] = defaultdict(list)
+        agg: dict[str, dict[str, float]] = defaultdict(
+            lambda: defaultdict(float))
+        for (f, t), n in sorted(t_count.items()):
+            if f == removed:
+                continue
+            if t == removed:
+                t = "NULL"
+            agg[f][t] += n / n_out[f]
+        for f in sorted(agg):
+            trans[f] = sorted(agg[f].items())
+        v = {"CONV": 1.0}
+        for _ in range(steps):
+            nv = {"CONV": 1.0, "NULL": 0.0}
+            for f in sorted(trans):
+                s = 0.0
+                for t, p in trans[f]:
+                    s += p * v.get(t, 0.0)
+                nv[f] = s
+            v = nv
+        return v.get("START", 0.0)
+
+    base = absorb(None)
+    removals = [(c, max(0.0, 1.0 - (absorb(c) / base if base > 0 else 0.0)))
+                for c in channels]
+    total_r = sum(r for _, r in removals)
+    out = [
+        F.struct(
+            F.lit(c).alias("channel"),
+            F.lit(round(base, 6)).alias("p_conv_base"),
+            F.lit(round(r, 6)).alias("removal_effect"),
+            (F.lit(round(r / total_r, 6)) if total_r > 0
+             else F.lit(None).cast("double")).alias("attribution_share"))
+        for c, r in removals
+    ]
+    spark = events.sparkSession
+    return (spark.range(1)
+            .select(F.explode(F.array(*out)).alias("s"))
+            .select("s.channel", "s.p_conv_base", "s.removal_effect",
+                    "s.attribution_share")
+            .orderBy("channel"))

@@ -532,3 +532,82 @@ class TestTheilSen:
         # sorted: 1,2,3,3,4,5 → lower median = 3rd = 3
         out = theil_sen_trend(df, "y", "t").collect()[0]
         assert out["slope"] == 3.0
+
+
+class TestMarkovAttribution:
+    def test_hand_computed_chain(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            markov_attribution,
+        )
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        s = dt.timedelta(seconds=60)
+        rows = [
+            # user 1: click → purchase (one session)
+            (1, t0, 1, "click", 0.0, None),
+            (2, t0 + s, 1, "purchase", 1.0, None),
+            # user 2: view, no conversion
+            (3, t0, 2, "view", 0.0, None),
+            # user 3: purchase opens the session
+            (4, t0, 3, "purchase", 1.0, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        out = {r["channel"]: r
+               for r in markov_attribution(df).collect()}
+        # chain: START→{click,view,CONV} each 1/3; click→CONV;
+        # view→NULL. p = 2/3; removing click → 1/3 (effect .5);
+        # removing view → unchanged (effect 0)
+        assert set(out) == {"click", "view"}
+        assert out["click"]["p_conv_base"] == pytest.approx(2 / 3, abs=1e-6)
+        assert out["click"]["removal_effect"] == pytest.approx(0.5, abs=1e-6)
+        assert out["view"]["removal_effect"] == pytest.approx(0.0, abs=1e-6)
+        assert out["click"]["attribution_share"] == pytest.approx(
+            1.0, abs=1e-6)
+
+    def test_journey_truncates_at_first_conversion(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            markov_attribution,
+        )
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        s = dt.timedelta(seconds=60)
+        # purchase FIRST, then a click in the same session: the click
+        # is post-conversion noise and must not become a channel
+        rows = [
+            (1, t0, 1, "purchase", 1.0, None),
+            (2, t0 + s, 1, "click", 0.0, None),
+            (3, t0, 2, "view", 0.0, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        out = {r["channel"]: r
+               for r in markov_attribution(df).collect()}
+        assert set(out) == {"view"}
+
+    def test_gap_splits_sessions(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            markov_attribution,
+        )
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        # click ... 2h gap ... purchase: TWO sessions — the click
+        # session never converts, the purchase session is START→CONV,
+        # so click earns zero credit
+        rows = [
+            (1, t0, 1, "click", 0.0, None),
+            (2, t0 + dt.timedelta(hours=2), 1, "purchase", 1.0, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        out = {r["channel"]: r
+               for r in markov_attribution(df).collect()}
+        assert out["click"]["removal_effect"] == pytest.approx(
+            0.0, abs=1e-6)
+        assert out["click"]["p_conv_base"] == pytest.approx(0.5, abs=1e-6)
