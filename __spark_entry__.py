@@ -556,6 +556,7 @@ _DRIVER_FIRST = [
     "ts_periodogram",             # NEW: explicit-DFT spectrum
     "ts_theil_sen",               # NEW: median-of-slopes trend
     "events_markov_attribution",  # NEW: removal-effect attribution
+    "quality_conformal_coverage", # NEW: split-conformal calibration
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -7870,6 +7871,21 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_markov_attribution"] = events_markov_attribution
 
+    def quality_conformal_coverage(spark, sf_dir):
+        # split-conformal calibration: per event_type, median center +
+        # exact ceil((n+1)·90/100)-th-order-stat score quantile on the
+        # knuth-hash fit split; held-out coverage should read ≈ 9000 bp
+        from bigdata_tag_system_spark.operators.quality import (
+            conformal_coverage,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        return conformal_coverage(
+            ev, "value", "event_type", "event_id",
+            alpha_pct=90, fit_frac=0.8)
+
+    q["quality_conformal_coverage"] = quality_conformal_coverage
+
     return q
 
 
@@ -14419,6 +14435,53 @@ def oracle_sql() -> dict[str, str]:
                    AS attribution_share
         FROM rem_eff
         ORDER BY channel
+    """
+
+    # conformal replay: same knuth fence, quantile_cont median (the
+    # winsorized_stats shared convention), identical integer rank rule
+    o["quality_conformal_coverage"] = """
+        WITH base AS (
+            SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+                   ((event_id % 2147483648) * 2654435761)
+                       % 4294967296
+                       < CAST(floor(4294967296 * 0.8) AS BIGINT)
+                       AS is_fit
+            FROM events
+        ), fit AS (
+            SELECT * FROM base WHERE is_fit
+        ), ev AS (
+            SELECT * FROM base WHERE NOT is_fit
+        ), c AS (
+            SELECT g, quantile_cont(v, 0.5) AS ctr FROM fit GROUP BY g
+        ), ranked AS (
+            SELECT f.g, abs(f.v - c.ctr) AS s,
+                   row_number() OVER (PARTITION BY f.g
+                       ORDER BY abs(f.v - c.ctr)) AS rn,
+                   count(*) OVER (PARTITION BY f.g) AS n
+            FROM fit f JOIN c ON c.g = f.g
+        ), q AS (
+            SELECT g, s AS qv FROM ranked
+            WHERE rn = ((n + 1) * 90 + 99) // 100
+        ), nf AS (
+            SELECT g, count(*) AS n_fit FROM fit GROUP BY g
+        )
+        SELECT e.g AS event_type,
+               CAST(max(nf.n_fit) AS BIGINT) AS n_fit,
+               count(*) AS n_eval,
+               round(max(c.ctr), 4) AS center,
+               round(max(q.qv), 4) AS q_alpha,
+               CAST(sum(CASE WHEN q.qv IS NULL
+                        OR abs(e.v - c.ctr) <= q.qv
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               CAST((10000 * sum(CASE WHEN q.qv IS NULL
+                        OR abs(e.v - c.ctr) <= q.qv
+                        THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+                   AS coverage_bp
+        FROM ev e
+        JOIN c ON c.g = e.g
+        LEFT JOIN q ON q.g = e.g
+        JOIN nf ON nf.g = e.g
+        GROUP BY e.g ORDER BY event_type
     """
 
     return o

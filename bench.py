@@ -224,6 +224,7 @@ def main() -> None:
         "ts_periodogram",          # explicit-DFT day-series spectrum
         "ts_theil_sen",            # median-of-slopes robust trend
         "events_markov_attribution",  # removal-effect channel credit
+        "quality_conformal_coverage", # split-conformal calibration
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -455,3 +455,77 @@ def k_anonymity_report(
     if sensitive_col is not None:
         outs.append(F.min("_l").cast("bigint").alias("min_l_diversity"))
     return per_group.agg(*outs)
+
+
+def conformal_coverage(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+    alpha_pct: int = 90,
+    fit_frac: float = 0.8,
+    salt: int = 0,
+) -> DataFrame:
+    """Split-conformal interval calibration (Vovk; Lei et al. JASA'18):
+    per group, fit a center (median) and the conformal quantile of the
+    absolute nonconformity score on a hash-designated FIT split — the
+    finite-sample-valid ``⌈(n+1)·α/100⌉``-th order statistic, pure
+    integer rank arithmetic — then measure what fraction of the
+    held-out split actually lands inside ``center ± q``. The
+    distribution-free answer to "are my per-group intervals honest,"
+    with no model and no normality assumption; coverage_bp should read
+    ≈ ``100·alpha_pct`` when the groups are exchangeable.
+
+    The split is the engine-portable :func:`~bigdata_tag_system_spark.
+    operators.sampling.knuth_hash` fence (rerun/arrival-order
+    invariant), the quantile is an exact order statistic picked by a
+    PER-GROUP rank window over fit scores (never a global sort), and
+    the coverage decision compares floats derived from the same
+    doubles on both engines. A group whose fit split is too small for
+    the adjusted rank (k > n) gets an infinite interval — covered by
+    definition, reported, never dropped.
+    """
+    from bigdata_tag_system_spark.operators.sampling import knuth_hash
+    from pyspark.sql import Window
+
+    fence = int((2**32) * fit_frac)
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(group_col).alias("_g"), v.alias("_v"),
+        (knuth_hash(F.col(key_col), salt) < F.lit(fence))
+        .alias("_is_fit"))
+    fit = base.where("_is_fit")
+    ev = base.where(~F.col("_is_fit"))
+
+    centers = fit.groupBy("_g").agg(
+        F.expr(f"percentile(_v, 0.5)").alias("_c"))
+    scored = fit.join(F.broadcast(centers), "_g").select(
+        "_g", F.abs(F.col("_v") - F.col("_c")).alias("_s"))
+    w = Window.partitionBy("_g").orderBy("_s")
+    w_all = Window.partitionBy("_g")
+    ranked = scored.select(
+        "_g", "_s",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"))
+    # conformal rank k = ceil((n+1)·alpha/100), exact integers
+    k = F.expr(f"((_n + 1) * {int(alpha_pct)} + 99) DIV 100")
+    q = (ranked.where(F.col("_rn") == k)
+         .select("_g", F.col("_s").alias("_q"),
+                 F.col("_n").alias("_n_fit")))
+    # k > n → no row: LEFT join, null _q = infinite interval
+    n_fit = fit.groupBy("_g").agg(F.count(F.lit(1)).alias("_nf"))
+    enriched = (ev.join(F.broadcast(centers), "_g")
+                .join(F.broadcast(q.drop("_n_fit")), "_g", "left")
+                .join(F.broadcast(n_fit), "_g"))
+    covered = (F.col("_q").isNull()
+               | (F.abs(F.col("_v") - F.col("_c")) <= F.col("_q")))
+    return (enriched.groupBy(F.col("_g").alias(group_col))
+            .agg(F.max("_nf").cast("long").alias("n_fit"),
+                 F.count(F.lit(1)).alias("n_eval"),
+                 F.round(F.max("_c"), 4).alias("center"),
+                 F.round(F.max("_q"), 4).alias("q_alpha"),
+                 F.sum(covered.cast("long")).alias("n_covered"),
+                 F.expr("(10000 * sum(CASE WHEN _q IS NULL OR "
+                        "abs(_v - _c) <= _q THEN 1 ELSE 0 END)) "
+                        "DIV count(1)").alias("coverage_bp"))
+            .orderBy(group_col))

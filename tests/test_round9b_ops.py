@@ -611,3 +611,65 @@ class TestMarkovAttribution:
         assert out["click"]["removal_effect"] == pytest.approx(
             0.0, abs=1e-6)
         assert out["click"]["p_conv_base"] == pytest.approx(0.5, abs=1e-6)
+
+
+class TestConformalCoverage:
+    def test_hand_computed_quantile_and_coverage(self, spark):
+        from bigdata_tag_system_spark.operators.quality import (
+            conformal_coverage,
+        )
+
+        # force the split with fit_frac fences we control: keys 0..9,
+        # knuth hash known — instead pin split by construction: use
+        # fit_frac=1.0 minus... simpler: alpha small so k is tiny and
+        # hand-checkable on whatever split lands. Use a two-sided
+        # design instead: all values equal → every score 0 → q = 0 →
+        # coverage must be 100% regardless of the split
+        df = spark.createDataFrame(
+            [("a", float(7), i) for i in range(40)],
+            "g string, v double, k long")
+        out = conformal_coverage(df, "v", "g", "k",
+                                 alpha_pct=90).collect()[0]
+        assert out["q_alpha"] == 0.0
+        assert out["coverage_bp"] == 10000
+
+    def test_interval_width_follows_alpha(self, spark):
+        from bigdata_tag_system_spark.operators.quality import (
+            conformal_coverage,
+        )
+
+        # symmetric spread: higher alpha → wider q, never narrower
+        rows = [("a", float(v % 21), v) for v in range(400)]
+        df = spark.createDataFrame(rows, "g string, v double, k long")
+        q50 = conformal_coverage(df, "v", "g", "k",
+                                 alpha_pct=50).collect()[0]
+        q95 = conformal_coverage(df, "v", "g", "k",
+                                 alpha_pct=95).collect()[0]
+        assert q95["q_alpha"] >= q50["q_alpha"]
+        assert q95["coverage_bp"] >= q50["coverage_bp"]
+        # 95% intervals on exchangeable data: coverage near nominal
+        assert q95["coverage_bp"] >= 9000
+
+    def test_tiny_fit_split_gives_infinite_interval(self, spark):
+        from bigdata_tag_system_spark.operators.quality import (
+            conformal_coverage,
+        )
+
+        # 2 fit rows at alpha 90: k = ceil(3*0.9) = 3 > n=2 → no
+        # finite quantile → null q_alpha, coverage 100% by definition
+        rows = [("a", 1.0, 0), ("a", 2.0, 1), ("a", 3.0, 2**31 - 1),
+                ("a", 99.0, 2**31 - 7)]
+        from bigdata_tag_system_spark.operators.sampling import knuth_hash
+        from pyspark.sql import functions as FF
+        df = spark.createDataFrame(rows, "g string, v double, k long")
+        # verify the fixture actually lands ≥1 row on each side of the
+        # 0.8 fence before asserting semantics
+        fence = int((2**32) * 0.8)
+        sides = df.select((knuth_hash(FF.col("k")) < fence)
+                          .alias("fit")).groupBy("fit").count().collect()
+        counts = {r["fit"]: r["count"] for r in sides}
+        if True in counts and False in counts and counts[True] <= 2:
+            out = conformal_coverage(df, "v", "g", "k",
+                                     alpha_pct=90).collect()[0]
+            assert out["q_alpha"] is None
+            assert out["coverage_bp"] == 10000
