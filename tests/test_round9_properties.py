@@ -99,3 +99,123 @@ class TestSortedNeighborhoodProperty:
                for r in sorted_neighborhood_pairs(
                    df, window=window, block_chars=3).collect()}
         assert got == _py_snm(docs, window, 3)
+
+
+class TestWeightedPercentileProperty:
+    @given(
+        items=st.lists(
+            st.tuples(st.integers(min_value=-20, max_value=20),
+                      st.integers(min_value=1, max_value=9)),
+            min_size=1, max_size=20),
+        p=st.sampled_from([10, 25, 50, 75, 90, 100]),
+    )
+    @settings(**_SETTINGS)
+    def test_matches_expanded_multiset_model(self, spark, items, p):
+        """The weighted percentile must equal the same lower-convention
+        percentile of the EXPANDED multiset (each value repeated
+        weight times) — weights are just run-length compression."""
+        from bigdata_tag_system_spark.operators.features import (
+            weighted_percentiles,
+        )
+
+        df = spark.createDataFrame(
+            [("g", float(v), w) for v, w in items],
+            "g string, v double, w long")
+        out = weighted_percentiles(
+            df, "v", "w", "g", pcts=(p,)).collect()[0]
+
+        expanded = sorted(
+            float(v) for v, w in items for _ in range(w))
+        total = len(expanded)
+        # smallest value whose 1-based rank r satisfies 100·r ≥ p·W
+        target = next(x for i, x in enumerate(expanded)
+                      if 100 * (i + 1) >= p * total)
+        assert out[f"p{p}"] == target
+        assert out["total_weight"] == total
+
+
+class TestParetoFrontierProperty:
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(min_value=0, max_value=8),
+                      st.integers(min_value=0, max_value=8)),
+            min_size=1, max_size=25),
+    )
+    @settings(**_SETTINGS)
+    def test_matches_weak_dominance_model(self, spark, pts):
+        from bigdata_tag_system_spark.operators.features import (
+            pareto_frontier,
+        )
+
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)],
+            "id long, x long, y long")
+        got = sorted((r["x"], r["y"], r["id"])
+                     for r in pareto_frontier(df, "x", "y").collect())
+        brute = sorted(
+            (x, y, i) for i, (x, y) in enumerate(pts)
+            if not any(q[0] >= x and q[1] >= y and q != (x, y)
+                       for q in pts))
+        assert got == brute
+
+
+class TestJackknifeProperty:
+    @given(
+        units=st.lists(
+            st.tuples(st.integers(min_value=-9, max_value=9),
+                      st.integers(min_value=1, max_value=9)),
+            min_size=2, max_size=15),
+    )
+    @settings(**_SETTINGS)
+    def test_matches_materialized_replicates(self, spark, units):
+        from bigdata_tag_system_spark.operators.features import (
+            jackknife_ratio_se,
+        )
+
+        # leave-one-out denominators must stay positive
+        rows = [(i, float(n), float(d))
+                for i, (n, d) in enumerate(units)]
+        df = spark.createDataFrame(
+            rows, "u long, num double, den double")
+        out = jackknife_ratio_se(df, "num", "den", "u").collect()[0]
+
+        sn = sum(n for _, n, _ in rows)
+        sd = sum(d for _, _, d in rows)
+        reps = [(sn - n) / (sd - d) for _, n, d in rows]
+        g = len(reps)
+        rbar = sum(reps) / g
+        se = ((g - 1) / g * sum((r - rbar) ** 2 for r in reps)) ** 0.5
+        assert out["n_units"] == g
+        assert abs(out["se_jack"] - se) < 5e-5
+
+
+class TestMutualInformationProperty:
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from("abc"), st.sampled_from("xy")),
+            min_size=2, max_size=30),
+    )
+    @settings(**_SETTINGS)
+    def test_matches_closed_form_and_bounds(self, spark, rows):
+        import math
+        from collections import Counter
+
+        from bigdata_tag_system_spark.operators.features import (
+            mutual_information,
+        )
+
+        df = spark.createDataFrame(rows, "f string, y string")
+        out = mutual_information(df, ["f"], "y").collect()[0]
+
+        n = len(rows)
+        joint = Counter(rows)
+        fx = Counter(f for f, _ in rows)
+        fy = Counter(y for _, y in rows)
+        mi = sum(c / n * math.log(c * n / (fx[f] * fy[y]))
+                 for (f, y), c in joint.items())
+        hx = -sum(c / n * math.log(c / n) for c in fx.values())
+        hy = -sum(c / n * math.log(c / n) for c in fy.values())
+        assert abs(out["mi_nats"] - mi) < 5e-6
+        assert abs(out["h_feature"] - hx) < 5e-6
+        # information inequality: 0 ≤ MI ≤ min(H(X), H(Y)) (+ε slack)
+        assert -1e-9 <= mi <= min(hx, hy) + 1e-9
