@@ -557,6 +557,9 @@ _DRIVER_FIRST = [
     "ts_theil_sen",               # NEW: median-of-slopes trend
     "events_markov_attribution",  # NEW: removal-effect attribution
     "quality_conformal_coverage", # NEW: split-conformal calibration
+    "events_hazard_na",           # NEW: Nelson-Aalen hazard
+    "events_followed_by",         # NEW: sequential-pattern support
+    "func_boolean_agg_battery",   # NEW: bool-aggregate surface
     # -- oldest last-green rotation (r2 vintage — the 37 entries whose
     #    latest driver certificate still dates to round 2; the r8
     #    window already refreshed the other 15 r2 rules) --
@@ -7886,6 +7889,102 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_conformal_coverage"] = quality_conformal_coverage
 
+    def events_hazard_na(spark, sf_dir):
+        # Nelson–Aalen cumulative hazard — the KM sibling off the SAME
+        # lifetime/at-risk machinery: H(t) = Σ d/n over the ordered
+        # per-day frame, plus the exp(−H) survival it implies (always
+        # ≥ the KM product-limit; the gap is the discreteness penalty)
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf_dir, "events")
+        span = ev.groupBy("user_id").agg(
+            F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        horizon = span.agg(F.max("t1").alias("tmax"))
+        per_user = (
+            span.crossJoin(F.broadcast(horizon))
+            .select(
+                F.datediff(F.to_date("t1"), F.to_date("t0"))
+                .alias("life_days"),
+                (F.col("t1") < F.col("tmax")
+                 - F.expr("INTERVAL 3 DAYS")).cast("int")
+                .alias("churned")))
+        n_total = per_user.count()
+        daily = per_user.groupBy("life_days").agg(
+            F.sum("churned").alias("d"),
+            F.count(F.lit(1)).alias("leaving"))
+        w = Window.orderBy("life_days").rowsBetween(
+            Window.unboundedPreceding, -1)
+        wk = Window.orderBy("life_days").rowsBetween(
+            Window.unboundedPreceding, 0)
+        at_risk = (F.lit(n_total)
+                   - F.coalesce(F.sum("leaving").over(w), F.lit(0)))
+        hz = F.sum(F.col("d") / at_risk).over(wk)
+        return (daily.select(
+                    "life_days",
+                    at_risk.cast("long").alias("n_at_risk"),
+                    F.col("d").cast("long").alias("n_churned"),
+                    F.round(hz, 6).alias("cum_hazard"),
+                    F.round(F.exp(-hz), 6).alias("surv_na"))
+                .orderBy("life_days"))
+
+    q["events_hazard_na"] = events_hazard_na
+
+    def events_followed_by(spark, sf_dir):
+        # sequential-pattern support: (a followed by b) within a
+        # (user, day) — presence iff a's first occurrence precedes b's
+        # last; support = user-days containing the pattern, confidence
+        # vs user-days containing a at all; the per-group self-join is
+        # bounded by |event types|², never raw rows
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id", "day").orderBy(
+            "ts", "event_id")
+        pos = (ev.select("user_id", F.to_date("ts").alias("day"),
+                         "event_type", "ts", "event_id")
+               .select("user_id", "day", "event_type",
+                       F.row_number().over(w).alias("rn")))
+        spans = pos.groupBy("user_id", "day", "event_type").agg(
+            F.min("rn").alias("first_rn"), F.max("rn").alias("last_rn"))
+        a = spans.select("user_id", "day",
+                         F.col("event_type").alias("a"),
+                         F.col("first_rn").alias("_fa"))
+        b = spans.select("user_id", "day",
+                         F.col("event_type").alias("b"),
+                         F.col("last_rn").alias("_lb"))
+        pat = (a.join(b, ["user_id", "day"])
+               .where(F.col("_fa") < F.col("_lb"))
+               .groupBy("a", "b")
+               .agg(F.count(F.lit(1)).alias("support")))
+        days_with_a = spans.groupBy(
+            F.col("event_type").alias("a")).agg(
+            F.count(F.lit(1)).alias("n_days_a"))
+        return (pat.join(F.broadcast(days_with_a), "a")
+                .select("a", "b", "support", "n_days_a",
+                        F.expr("(10000 * support) DIV n_days_a")
+                        .alias("confidence_bp"))
+                .orderBy("a", "b"))
+
+    q["events_followed_by"] = events_followed_by
+
+    def func_boolean_agg_battery(spark, sf_dir):
+        # boolean-aggregate SQL surface: count_if / bool_and / bool_or
+        # / every (3VL: NULL props neither satisfy nor falsify) — the
+        # oracle replays with FILTERed counts and bool aggregates
+        ev = _t(spark, sf_dir, "events")
+        return (ev.groupBy("event_type").agg(
+                    F.expr("count_if(value > 250)").alias("n_over_250"),
+                    F.expr("bool_and(value >= 0)").cast("int")
+                    .alias("all_nonneg"),
+                    F.expr("bool_or(value > 499)").cast("int")
+                    .alias("any_over_499"),
+                    F.expr("every(props IS NOT NULL)").cast("int")
+                    .alias("props_always_set"),
+                    F.expr("count_if(props IS NULL)").alias("n_null_props"))
+                .orderBy("event_type"))
+
+    q["func_boolean_agg_battery"] = func_boolean_agg_battery
+
     return q
 
 
@@ -14482,6 +14581,79 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN q ON q.g = e.g
         JOIN nf ON nf.g = e.g
         GROUP BY e.g ORDER BY event_type
+    """
+
+    # Nelson–Aalen replay: the KM oracle's machinery with Σ d/n in
+    # place of the log-product
+    o["events_hazard_na"] = """
+        WITH span AS (
+            SELECT user_id, min(ts) AS t0, max(ts) AS t1
+            FROM events GROUP BY user_id),
+        pu AS (
+            SELECT datediff('day', t0::DATE, t1::DATE) AS life_days,
+                   (t1 < (SELECT max(t1) FROM span) - INTERVAL 3 DAY)
+                       ::INT AS churned
+            FROM span),
+        daily AS (
+            SELECT life_days, sum(churned) AS d, count(*) AS leaving
+            FROM pu GROUP BY life_days),
+        risk AS (
+            SELECT life_days, d,
+                   (SELECT count(*) FROM pu)
+                 - coalesce(sum(leaving) OVER (ORDER BY life_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n_at_risk
+            FROM daily)
+        SELECT life_days, n_at_risk::BIGINT AS n_at_risk,
+               d::BIGINT AS n_churned,
+               round(sum(d / n_at_risk) OVER w, 6) AS cum_hazard,
+               round(exp(-sum(d / n_at_risk) OVER w), 6) AS surv_na
+        FROM risk
+        WINDOW w AS (ORDER BY life_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY life_days
+    """
+
+    o["events_followed_by"] = """
+        WITH pos AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                   row_number() OVER (PARTITION BY user_id,
+                       CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+            FROM events
+        ), spans AS (
+            SELECT user_id, day, event_type,
+                   min(rn) AS first_rn, max(rn) AS last_rn
+            FROM pos GROUP BY 1, 2, 3
+        ), pat AS (
+            SELECT a.event_type AS a, b.event_type AS b,
+                   count(*) AS support
+            FROM spans a
+            JOIN spans b ON a.user_id = b.user_id AND a.day = b.day
+            WHERE a.first_rn < b.last_rn
+            GROUP BY 1, 2
+        ), da AS (
+            SELECT event_type AS a, count(*) AS n_days_a
+            FROM spans GROUP BY 1
+        )
+        SELECT pat.a, pat.b, CAST(pat.support AS BIGINT) AS support,
+               CAST(da.n_days_a AS BIGINT) AS n_days_a,
+               CAST((10000 * pat.support) // da.n_days_a AS BIGINT)
+                   AS confidence_bp
+        FROM pat JOIN da ON da.a = pat.a
+        ORDER BY pat.a, pat.b
+    """
+
+    o["func_boolean_agg_battery"] = """
+        SELECT event_type,
+               CAST(count(*) FILTER (value > 250) AS BIGINT)
+                   AS n_over_250,
+               CAST(bool_and(value >= 0) AS INT) AS all_nonneg,
+               CAST(bool_or(value > 499) AS INT) AS any_over_499,
+               CAST(bool_and(props IS NOT NULL) AS INT)
+                   AS props_always_set,
+               CAST(count(*) FILTER (props IS NULL) AS BIGINT)
+                   AS n_null_props
+        FROM events GROUP BY event_type ORDER BY event_type
     """
 
     return o

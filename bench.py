@@ -225,6 +225,9 @@ def main() -> None:
         "ts_theil_sen",            # median-of-slopes robust trend
         "events_markov_attribution",  # removal-effect channel credit
         "quality_conformal_coverage", # split-conformal calibration
+        "events_hazard_na",        # Nelson-Aalen cumulative hazard
+        "events_followed_by",      # sequential-pattern support pairs
+        "func_boolean_agg_battery",  # bool-aggregate SQL surface
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -153,6 +153,8 @@ _CATALOG_ALLOW = {
     # the product-limit cumulative window runs on per-lifetime-day
     # rows (calendar-bounded), after the per-user aggregation
     "events_survival_km": ["global_window"],
+    # Nelson–Aalen shares the KM per-lifetime-day frame exactly
+    "events_hazard_na": ["global_window"],
     # textbook RFM IS a global quintile ranking of customers; the
     # approx-fence variant (text_quality_tiers pattern) is the
     # sort-free scale path when |customers| outgrows one pass

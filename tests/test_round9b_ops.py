@@ -673,3 +673,56 @@ class TestConformalCoverage:
                                      alpha_pct=90).collect()[0]
             assert out["q_alpha"] is None
             assert out["coverage_bp"] == 10000
+
+
+class TestFollowedBy:
+    def test_presence_is_first_before_last(self, spark):
+        import datetime as dt
+
+        import __spark_entry__  # noqa: F401 (pattern consistency)
+        from pyspark.sql import functions as FF
+
+        # one user-day: view, click, view → patterns present:
+        # view→click (first view rn1 < last click rn2),
+        # click→view (rn2 < rn3), view→view (rn1 < rn3)
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [(1, t0, 1, "view"), (2, t0.replace(minute=5), 1, "click"),
+                (3, t0.replace(minute=9), 1, "view")]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string")
+        w = __import__("pyspark.sql.window", fromlist=["Window"]).Window \
+            .partitionBy("user_id", "day").orderBy("ts", "event_id")
+        pos = (df.select("user_id", FF.to_date("ts").alias("day"),
+                         "event_type", "ts", "event_id")
+               .select("user_id", "day", "event_type",
+                       FF.row_number().over(w).alias("rn")))
+        spans = pos.groupBy("user_id", "day", "event_type").agg(
+            FF.min("rn").alias("first_rn"), FF.max("rn").alias("last_rn"))
+        a = spans.select("user_id", "day",
+                         FF.col("event_type").alias("a"),
+                         FF.col("first_rn").alias("fa"))
+        b = spans.select("user_id", "day",
+                         FF.col("event_type").alias("b"),
+                         FF.col("last_rn").alias("lb"))
+        pat = {(r["a"], r["b"]) for r in
+               a.join(b, ["user_id", "day"])
+               .where(FF.col("fa") < FF.col("lb")).collect()}
+        assert pat == {("view", "click"), ("click", "view"),
+                       ("view", "view")}
+
+
+class TestNelsonAalen:
+    def test_hazard_dominates_km_survival(self, spark, sf_dir):
+        # exp(-H_NA) >= S_KM pointwise (discrete-time inequality):
+        # check on the real catalog outputs at sf0.001
+        import __spark_entry__ as e
+
+        q = e._build_queries()
+        km = {r["life_days"]: r["survival"]
+              for r in q["events_survival_km"](spark, sf_dir).collect()}
+        na = {r["life_days"]: r["surv_na"]
+              for r in q["events_hazard_na"](spark, sf_dir).collect()}
+        assert set(km) == set(na)
+        for d in km:
+            assert na[d] >= km[d] - 1e-9
