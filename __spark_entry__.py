@@ -560,9 +560,12 @@ _DRIVER_FIRST = [
     "events_hazard_na",           # NEW: Nelson-Aalen hazard
     "events_followed_by",         # NEW: sequential-pattern support
     "func_boolean_agg_battery",   # NEW: bool-aggregate surface
-    # -- oldest last-green rotation (r2 vintage — the 37 entries whose
-    #    latest driver certificate still dates to round 2; the r8
-    #    window already refreshed the other 15 r2 rules) --
+    # -- oldest last-green rotation (r2 vintage). NOTE: the 19
+    #    second-batch r9 additions above fill the 50-slot window
+    #    exactly, so everything below is displaced this round — free,
+    #    since these are re-confirmations (all green in this session's
+    #    full 361-entry local gate run), not certification debt; they
+    #    lead the r10 rotation --
     "upsert_merge", "delete_rewrite", "scenario_incremental",
     "cross_table_rule", "tag_assignments", "tag_enriched",
     "tag_merge_union", "scan_count", "schema_probe", "proj_prune",
