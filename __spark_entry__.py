@@ -560,6 +560,7 @@ _DRIVER_FIRST = [
     "events_hazard_na",           # NEW: Nelson-Aalen hazard
     "events_followed_by",         # NEW: sequential-pattern support
     "func_boolean_agg_battery",   # NEW: bool-aggregate surface
+    "sim_mmr_rerank",             # NEW: MMR diversity re-rank
     # -- oldest last-green rotation (r2 vintage). NOTE: the 19
     #    second-batch r9 additions above fill the 50-slot window
     #    exactly, so everything below is displaced this round — free,
@@ -7988,6 +7989,22 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["func_boolean_agg_battery"] = func_boolean_agg_battery
 
+    def sim_mmr_rerank(spark, sf_dir):
+        # diversity re-rank: MMR(λ=0.7) over the top-16 cosine pool
+        # for query vec 0 — relevance traded against redundancy; all
+        # similarities quantized to 9 decimals (half-up) before any
+        # comparison so the greedy argmax is engine-stable
+        from bigdata_tag_system_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = list(emb.where("vec_id = 0").collect()[0]["embedding"])
+        return mmr_rerank(
+            emb.where("vec_id != 0"), qv, k=5, pool=16, lam=0.7)
+
+    q["sim_mmr_rerank"] = sim_mmr_rerank
+
     return q
 
 
@@ -14657,6 +14674,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) FILTER (props IS NULL) AS BIGINT)
                    AS n_null_props
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    # MMR replay: same top-16 pool (raw-cosine order, id ties), same
+    # 9-decimal half-up quantization before any comparison, greedy
+    # selection UNROLLED one CTE per rank
+    _mmr_steps = "".join(
+        f""", sel{r} AS (
+            SELECT c.vec_id, c.rel9,
+                   0.7 * c.rel9 - 0.3 * (
+                       SELECT max(s.s9) FROM sims s
+                       WHERE s.ia = c.vec_id
+                         AND s.ib IN (SELECT vec_id FROM acc{r - 1}))
+                       AS score
+            FROM cand c
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{r - 1})
+            ORDER BY score DESC, c.vec_id LIMIT 1
+        ), acc{r} AS (
+            SELECT vec_id, rel9, score, rank FROM acc{r - 1}
+            UNION ALL
+            SELECT vec_id, rel9, score, {r} AS rank FROM sel{r}
+        )""" for r in range(2, 6))
+    o["sim_mmr_rerank"] = f"""
+        WITH q AS (
+            SELECT embedding FROM embeddings WHERE vec_id = 0
+        ), cand AS (
+            SELECT b.vec_id, b.embedding,
+                   floor(list_cosine_similarity(q.embedding::DOUBLE[],
+                         b.embedding::DOUBLE[]) * 1e9 + 0.5) / 1e9
+                       AS rel9,
+                   list_cosine_similarity(q.embedding::DOUBLE[],
+                         b.embedding::DOUBLE[]) AS rel_raw
+            FROM embeddings b CROSS JOIN q
+            WHERE b.vec_id != 0
+            ORDER BY rel_raw DESC, b.vec_id LIMIT 16
+        ), sims AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                         b.embedding::DOUBLE[]) * 1e9 + 0.5) / 1e9
+                       AS s9
+            FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+        ), sel1 AS (
+            SELECT vec_id, rel9, 0.7 * rel9 AS score
+            FROM cand ORDER BY rel9 DESC, vec_id LIMIT 1
+        ), acc1 AS (
+            SELECT vec_id, rel9, score, 1 AS rank FROM sel1
+        ){_mmr_steps}
+        SELECT rank, vec_id, round(rel9, 4) AS relevance,
+               round(score, 4) AS mmr_score
+        FROM acc5 ORDER BY rank
     """
 
     return o

@@ -228,6 +228,7 @@ def main() -> None:
         "events_hazard_na",        # Nelson-Aalen cumulative hazard
         "events_followed_by",      # sequential-pattern support pairs
         "func_boolean_agg_battery",  # bool-aggregate SQL surface
+        "sim_mmr_rerank",          # MMR diversity re-rank
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

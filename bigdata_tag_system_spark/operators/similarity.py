@@ -743,3 +743,86 @@ def knn_join_bucketed(
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def mmr_rerank(
+    df: "DataFrame",
+    query: "Sequence[float]",
+    k: int = 5,
+    pool: int = 16,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "DataFrame":
+    """Maximal-marginal-relevance diversity re-rank (Carbonell &
+    Goldstein, SIGIR'98): from the top-``pool`` cosine candidates,
+    greedily select ``k`` maximizing ``λ·rel − (1−λ)·max sim to the
+    already-selected`` — the data-curation selector that trades
+    relevance against redundancy (a pure top-k returns five copies of
+    the same near-dup; MMR returns one plus four genuinely different).
+
+    The corpus-scale work is the TakeOrdered candidate heap; the
+    greedy loop is inherently sequential over ≤ ``pool`` rows, so it
+    runs driver-side on the collected pool (bounded top-k collect
+    convention) and ships back as a literal plan. Every similarity is
+    quantized to 9 decimals (half-up, ``floor(x·1e9 + 0.5)/1e9`` — the
+    same expression the SQL oracle runs) BEFORE any comparison, so the
+    greedy argmax can never flip on a cross-engine summation-order ulp;
+    ties break by id.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    qv = [float(x) for x in query]
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    def q9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    score = cosine_to_query(vec_col, qv)
+    rows = (df.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).cast("array<double>").alias("_v"),
+                      score.alias("_rel"))
+            .orderBy(F.desc("_rel"), F.col("_id"))
+            .limit(int(pool))
+            .collect())
+    cand = [(r["_id"], list(r["_v"]), q9(float(r["_rel"])))
+            for r in rows]
+
+    selected: list[tuple[int, float, float]] = []  # (id, rel9, score)
+    chosen_vecs: list[list[float]] = []
+    remaining = list(cand)
+    for _ in range(min(int(k), len(cand))):
+        best = None
+        for cid, cv, rel9 in remaining:
+            red = max((q9(cos(cv, sv)) for sv in chosen_vecs),
+                      default=0.0)
+            s = lam * rel9 - (1.0 - lam) * red
+            key = (-s, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, cv, rel9, s)
+        _, cid, cv, rel9, s = best
+        selected.append((cid, rel9, s))
+        chosen_vecs.append(cv)
+        remaining = [c for c in remaining if c[0] != cid]
+
+    spark = df.sparkSession
+    out = [
+        F.struct(F.lit(i + 1).alias("rank"),
+                 F.lit(int(cid)).alias(id_col),
+                 F.lit(round(rel9, 4)).alias("relevance"),
+                 F.lit(round(s, 4)).alias("mmr_score"))
+        for i, (cid, rel9, s) in enumerate(selected)
+    ]
+    return (spark.range(1)
+            .select(F.explode(F.array(*out)).alias("s"))
+            .select("s.rank", f"s.{id_col}", "s.relevance",
+                    "s.mmr_score")
+            .orderBy("rank"))

@@ -726,3 +726,58 @@ class TestNelsonAalen:
         assert set(km) == set(na)
         for d in km:
             assert na[d] >= km[d] - 1e-9
+
+
+class TestMmrRerank:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_redundant_near_dup_is_deferred(self, spark):
+        from bigdata_tag_system_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        # two near-identical highly-relevant vectors + one mildly
+        # relevant near-orthogonal one: pure top-2 takes the twins
+        # (the twin's redundancy ≈ its relevance, so its MMR score
+        # collapses to ~0); MMR takes one twin then the diverse vector
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.0, 0.04]),
+            (3, [0.1, 1.0, 0.2]),
+        ]
+        # query deliberately distinct from every candidate — a query
+        # equal to a stored vector makes redundancy-with-it identical
+        # to relevance, collapsing every MMR score to an exact tie
+        out = mmr_rerank(self._emb(spark, rows), [1.0, 0.1, 0.0],
+                         k=2, pool=3, lam=0.5).collect()
+        picked = [r["vec_id"] for r in out]
+        assert picked[0] == 1          # most relevant first
+        assert picked[1] == 3          # diversity beats the near-dup
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from bigdata_tag_system_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.0, 0.04]),
+            (3, [0.1, 1.0, 0.2]),
+        ]
+        out = mmr_rerank(self._emb(spark, rows), [1.0, 0.1, 0.0],
+                         k=3, pool=3, lam=1.0).collect()
+        # λ=1 → redundancy term vanishes → plain cosine order
+        assert [r["vec_id"] for r in out] == [1, 2, 3]
+        assert [r["rank"] for r in out] == [1, 2, 3]
+
+    def test_k_capped_by_pool(self, spark):
+        from bigdata_tag_system_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        rows = [(1, [1.0, 0.0]), (2, [0.5, 0.5])]
+        out = mmr_rerank(self._emb(spark, rows), [1.0, 0.0],
+                         k=10, pool=16).collect()
+        assert len(out) == 2
