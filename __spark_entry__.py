@@ -93,6 +93,9 @@ _CENTROID_CACHE: dict[str, list] = {}
 # materialized co-purchase edge lists, keyed by sf_dir (see
 # _copurchase_edges)
 _EDGE_CACHE: dict[str, str] = {}
+# materialized 3-round LPA label assignments, keyed by sf_dir (see
+# _lpa_labels — shared by graph_lpa_communities and graph_modularity)
+_LPA_CACHE: dict[str, str] = {}
 # embeddings re-keyed as doc_id, staged once per sf_dir (see cross_table_rule)
 _EMB_KEYED_CACHE: dict[str, str] = {}
 # bucketed store directories, keyed by sf_dir (see store_bucketed_merge)
@@ -201,6 +204,28 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = tempfile.mkdtemp(prefix="copurchase_edges_") + "/edges"
         edges.write.mode("overwrite").parquet(path)
         _EDGE_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous LPA assignment over the co-purchase edges,
+    materialized once per process per sf_dir — `graph_lpa_communities`
+    emits it directly and `graph_modularity` scores it. Same
+    audited-cache contract as the edge/triangle relations: both
+    oracles re-derive the assignment independently."""
+    import tempfile
+
+    path = _LPA_CACHE.get(sf_dir)
+    if path is None:
+        from bigdata_tag_system_spark.operators.graph import (
+            label_propagation,
+        )
+
+        labels = label_propagation(
+            _copurchase_edges(spark, sf_dir), rounds=3)
+        path = tempfile.mkdtemp(prefix="lpa_labels_") + "/labels"
+        labels.write.mode("overwrite").parquet(path)
+        _LPA_CACHE[sf_dir] = path
     return spark.read.parquet(path)
 
 
@@ -561,6 +586,8 @@ _DRIVER_FIRST = [
     "events_followed_by",         # NEW: sequential-pattern support
     "func_boolean_agg_battery",   # NEW: bool-aggregate surface
     "sim_mmr_rerank",             # NEW: MMR diversity re-rank
+    "graph_modularity",           # NEW: Newman Q of the LPA labels
+    "graph_lpa_communities",      # re-certify: now reads the LPA memo
     # -- oldest last-green rotation (r2 vintage). NOTE: the 19
     #    second-batch r9 additions above fill the 50-slot window
     #    exactly, so everything below is displaced this round — free,
@@ -6501,13 +6528,10 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # synchronous label propagation on the co-purchase part graph,
         # 3 fixed rounds, most-frequent-neighbor-label with min-label
         # ties — fully deterministic, so the oracle unrolls the same 3
-        # rounds as CTEs and matches the assignment byte-for-byte
-        from bigdata_tag_system_spark.operators.graph import (
-            label_propagation,
-        )
-
-        return label_propagation(
-            _copurchase_edges(spark, sf_dir), rounds=3).orderBy("node")
+        # rounds as CTEs and matches the assignment byte-for-byte;
+        # the assignment is materialized once per process (r9: shared
+        # with graph_modularity — the edge-cache consumer pattern)
+        return _lpa_labels(spark, sf_dir).orderBy("node")
 
     q["graph_lpa_communities"] = graph_lpa_communities
 
@@ -8004,6 +8028,22 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.where("vec_id != 0"), qv, k=5, pool=16, lam=0.7)
 
     q["sim_mmr_rerank"] = sim_mmr_rerank
+
+    def graph_modularity(spark, sf_dir):
+        # community-quality closeout: Newman modularity of the shared
+        # 3-round LPA assignment over the co-purchase graph — integer
+        # numerators (4m·e_c − D_c², decimal-widened), one division at
+        # the end; Q ≈ 0 means the labels found nothing better than
+        # random wiring
+        from bigdata_tag_system_spark.operators.graph import (
+            modularity,
+        )
+
+        return modularity(
+            _copurchase_edges(spark, sf_dir),
+            _lpa_labels(spark, sf_dir))
+
+    q["graph_modularity"] = graph_modularity
 
     return q
 
@@ -13780,7 +13820,9 @@ def oracle_sql() -> dict[str, str]:
 
     # 3 LPA rounds unrolled; tie rule = max count then MIN label,
     # expressed as min(lbl) over the max-count window on both sides
-    o["graph_lpa_communities"] = """
+    # shared 3-round LPA replay (lab3 = the final assignment) — the
+    # communities entry emits it, the modularity entry scores it
+    _lpa_cte = """
         WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
         e AS (
             SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -13818,8 +13860,40 @@ def oracle_sql() -> dict[str, str]:
                 SELECT node, lbl, c,
                        max(c) OVER (PARTITION BY node) AS mc
                 FROM v3) WHERE c = mc GROUP BY node
+        )"""
+    o["graph_lpa_communities"] = (
+        _lpa_cte + "\n        SELECT node, lbl AS label FROM lab3 "
+        "ORDER BY node\n    ")
+    o["graph_modularity"] = _lpa_cte + """
+        , m AS (SELECT count(*) AS m FROM e),
+        deg AS (
+            SELECT n, count(*) AS d FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+            GROUP BY n
+        ), dc AS (
+            SELECT l.lbl AS c, sum(deg.d) AS dmass
+            FROM deg JOIN lab3 l ON l.node = deg.n GROUP BY 1
+        ), intra AS (
+            SELECT la.lbl AS c, count(*) AS ec
+            FROM e JOIN lab3 la ON la.node = e.a
+                   JOIN lab3 lb ON lb.node = e.b
+            WHERE la.lbl = lb.lbl GROUP BY 1
+        ), per_c AS (
+            SELECT dc.c,
+                   4 * (SELECT m FROM m) * coalesce(intra.ec, 0)
+                       - dc.dmass * dc.dmass AS num,
+                   coalesce(intra.ec, 0) AS ec
+            FROM dc LEFT JOIN intra ON intra.c = dc.c
         )
-        SELECT node, lbl AS label FROM lab3 ORDER BY node
+        SELECT (SELECT count(*) FROM lab3) AS n_nodes,
+               (SELECT count(DISTINCT lbl) FROM lab3)
+                   AS n_communities,
+               CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+               CAST(sum(ec) AS BIGINT) AS intra_edges,
+               round(CAST(sum(num) AS DOUBLE)
+                     / (4.0 * (SELECT m FROM m)
+                        * (SELECT m FROM m)), 6) AS modularity
+        FROM per_c
     """
 
     # hashing-trick replay: md5-60 of 'col=value', bucket = low bits

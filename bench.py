@@ -229,6 +229,7 @@ def main() -> None:
         "events_followed_by",      # sequential-pattern support pairs
         "func_boolean_agg_battery",  # bool-aggregate SQL surface
         "sim_mmr_rerank",          # MMR diversity re-rank
+        "graph_modularity",        # Newman Q off the shared LPA memo
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -781,3 +781,37 @@ class TestMmrRerank:
         out = mmr_rerank(self._emb(spark, rows), [1.0, 0.0],
                          k=10, pool=16).collect()
         assert len(out) == 2
+
+
+class TestModularity:
+    def _mod(self, spark, edges, labels):
+        from bigdata_tag_system_spark.operators.graph import modularity
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        l = spark.createDataFrame(labels, "node long, label long")
+        return modularity(e, l).collect()[0]
+
+    def test_two_clean_cliques(self, spark):
+        # two triangles, no cross edges, labeled by clique:
+        # m=6, each community: e_c=3, D_c=6 → Q = 2*(3/6 - (6/12)^2)
+        # = 2*(0.5 - 0.25) = 0.5
+        edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)]
+        labels = [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)]
+        out = self._mod(spark, edges, labels)
+        assert out["modularity"] == pytest.approx(0.5, abs=1e-9)
+        assert out["n_communities"] == 2
+        assert out["intra_edges"] == 6
+
+    def test_single_community_is_zero(self, spark):
+        # everything in one community: Q = m/m - (2m/2m)^2 = 0 exactly
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        labels = [(n, 1) for n in (1, 2, 3, 4)]
+        out = self._mod(spark, edges, labels)
+        assert out["modularity"] == 0.0
+
+    def test_adversarial_split_is_negative(self, spark):
+        # labels that cut ACROSS the two cliques: worse than random
+        edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)]
+        labels = [(1, 1), (2, 2), (3, 1), (4, 2), (5, 1), (6, 2)]
+        out = self._mod(spark, edges, labels)
+        assert out["modularity"] < 0.0
