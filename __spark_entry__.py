@@ -588,6 +588,7 @@ _DRIVER_FIRST = [
     "sim_mmr_rerank",             # NEW: MMR diversity re-rank
     "graph_modularity",           # NEW: Newman Q of the LPA labels
     "graph_lpa_communities",      # re-certify: now reads the LPA memo
+    "stats_srm_check",            # NEW: sample-ratio-mismatch guard
     # -- oldest last-green rotation (r2 vintage). NOTE: the 19
     #    second-batch r9 additions above fill the 50-slot window
     #    exactly, so everything below is displaced this round — free,
@@ -8045,6 +8046,35 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_modularity"] = graph_modularity
 
+    def stats_srm_check(spark, sf_dir):
+        # sample-ratio-mismatch guardrail: chi-square GOF of observed
+        # per-arm UNIT counts vs the designed 50/50 split — the first
+        # check any experiment readout must pass (a biased assignment
+        # invalidates every downstream metric); statistic compared to
+        # the df=1 critical value 3.841 as a plan constant (no CDF
+        # needed in-engine)
+        ev = _t(spark, sf_dir, "events")
+        units = ev.select(
+            "user_id",
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm")).distinct()
+        counts = units.groupBy("arm").agg(
+            F.count(F.lit(1)).alias("n"))
+        tot = counts.agg(F.sum("n").alias("_t"))
+        chi = (counts.crossJoin(F.broadcast(tot))
+               .select(((F.col("n") - F.col("_t") / 2.0)
+                        * (F.col("n") - F.col("_t") / 2.0)
+                        / (F.col("_t") / 2.0)).alias("_x"),
+                       "arm", "n"))
+        return chi.agg(
+            F.sum(F.when(F.col("arm") == 0, F.col("n")))
+            .cast("long").alias("n_control"),
+            F.sum(F.when(F.col("arm") == 1, F.col("n")))
+            .cast("long").alias("n_treatment"),
+            F.round(F.sum("_x"), 6).alias("chi_square"),
+            (F.sum("_x") > 3.841).cast("int").alias("srm_flag"))
+
+    q["stats_srm_check"] = stats_srm_check
+
     return q
 
 
@@ -13894,6 +13924,23 @@ def oracle_sql() -> dict[str, str]:
                      / (4.0 * (SELECT m FROM m)
                         * (SELECT m FROM m)), 6) AS modularity
         FROM per_c
+    """
+
+    o["stats_srm_check"] = """
+        WITH u AS (
+            SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+        ), c AS (
+            SELECT arm, count(*) AS n FROM u GROUP BY arm
+        ), t AS (SELECT sum(n) AS tt FROM c)
+        SELECT CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT)
+                   AS n_control,
+               CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT)
+                   AS n_treatment,
+               round(sum((n - tt / 2.0) * (n - tt / 2.0)
+                         / (tt / 2.0)), 6) AS chi_square,
+               CAST(sum((n - tt / 2.0) * (n - tt / 2.0) / (tt / 2.0))
+                    > 3.841 AS INT) AS srm_flag
+        FROM c, t
     """
 
     # hashing-trick replay: md5-60 of 'col=value', bucket = low bits

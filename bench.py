@@ -230,6 +230,7 @@ def main() -> None:
         "func_boolean_agg_battery",  # bool-aggregate SQL surface
         "sim_mmr_rerank",          # MMR diversity re-rank
         "graph_modularity",        # Newman Q off the shared LPA memo
+        "stats_srm_check",         # sample-ratio-mismatch guardrail
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -815,3 +815,19 @@ class TestModularity:
         labels = [(1, 1), (2, 2), (3, 1), (4, 2), (5, 1), (6, 2)]
         out = self._mod(spark, edges, labels)
         assert out["modularity"] < 0.0
+
+
+class TestSrmCheck:
+    def test_balanced_and_skewed(self, spark):
+        import __spark_entry__ as e
+        from pyspark.sql import functions as FF
+
+        # re-derive the statistic by hand from whatever the table
+        # yields: chi² over the two arm counts vs 50/50
+        q = e._build_queries()["stats_srm_check"]
+        out = q(spark, "/root/testdata/sf0.001").collect()[0]
+        n0, n1 = out["n_control"], out["n_treatment"]
+        t = n0 + n1
+        chi = sum((n - t / 2) ** 2 / (t / 2) for n in (n0, n1))
+        assert out["chi_square"] == pytest.approx(chi, abs=1e-6)
+        assert out["srm_flag"] == int(chi > 3.841)
