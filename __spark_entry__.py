@@ -589,6 +589,8 @@ _DRIVER_FIRST = [
     "graph_modularity",           # NEW: Newman Q of the LPA labels
     "graph_lpa_communities",      # re-certify: now reads the LPA memo
     "stats_srm_check",            # NEW: sample-ratio-mismatch guard
+    "orders_fulfillment_latency", # NEW: cycle-time percentile board
+    "dedup_idf_jaccard",          # NEW: IDF-weighted pair rescore
     # -- oldest last-green rotation (r2 vintage). NOTE: the 19
     #    second-batch r9 additions above fill the 50-slot window
     #    exactly, so everything below is displaced this round — free,
@@ -8075,6 +8077,51 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_srm_check"] = stats_srm_check
 
+    def orders_fulfillment_latency(spark, sf_dir):
+        # order-to-first-ship cycle time per priority: integer-day
+        # latency per order (min shipdate − orderdate), then exact
+        # unit-weight percentiles via the weighted-percentile integer
+        # rule — the operations-analytics cycle-time board
+        from bigdata_tag_system_spark.operators.features import (
+            weighted_percentiles,
+        )
+
+        od = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_orderdate")
+        li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+            F.min("l_shipdate").alias("first_ship"))
+        lat = (od.join(li, od.o_orderkey == li.l_orderkey)
+               .select("o_orderpriority",
+                       F.datediff(F.to_date("first_ship"),
+                                  F.to_date("o_orderdate"))
+                       .cast("double").alias("lat_days"),
+                       F.lit(1).alias("w")))
+        out = weighted_percentiles(
+            lat, "lat_days", "w", "o_orderpriority", pcts=(25, 50, 90))
+        return out.select(
+            "o_orderpriority",
+            F.col("total_weight").alias("n_orders"),
+            F.col("p25").cast("long").alias("p25_days"),
+            F.col("p50").cast("long").alias("p50_days"),
+            F.col("p90").cast("long").alias("p90_days"))
+
+    q["orders_fulfillment_latency"] = orders_fulfillment_latency
+
+    def dedup_idf_jaccard(spark, sf_dir):
+        # boilerplate-discount rescoring: IDF-weighted Jaccard over the
+        # shared θ=0.3 candidate pairs — pairs held together only by
+        # corpus-common shingles fall, rare-content pairs rise; the
+        # flipped flag marks keep/drop decisions that change at θ=0.5
+        from bigdata_tag_system_spark.operators.dedup import (
+            idf_weighted_rescore,
+        )
+
+        return idf_weighted_rescore(
+            _t(spark, sf_dir, "documents"),
+            _ngram_pairs_03(spark, sf_dir), threshold=0.5)
+
+    q["dedup_idf_jaccard"] = dedup_idf_jaccard
+
     return q
 
 
@@ -13941,6 +13988,92 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum((n - tt / 2.0) * (n - tt / 2.0) / (tt / 2.0))
                     > 3.841 AS INT) AS srm_flag
         FROM c, t
+    """
+
+    o["orders_fulfillment_latency"] = """
+        WITH lat AS (
+            SELECT o.o_orderpriority,
+                   CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(f.first_ship AS DATE)) AS DOUBLE)
+                       AS lat_days
+            FROM orders o
+            JOIN (SELECT l_orderkey, min(l_shipdate) AS first_ship
+                  FROM lineitem GROUP BY 1) f
+              ON f.l_orderkey = o.o_orderkey
+        ), w AS (
+            SELECT o_orderpriority, lat_days, count(*) AS wv
+            FROM lat GROUP BY 1, 2
+        ), c AS (
+            SELECT o_orderpriority, lat_days, wv,
+                   sum(wv) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY lat_days
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(wv) OVER (PARTITION BY o_orderpriority) AS tot
+            FROM w
+        )
+        SELECT o_orderpriority,
+               CAST(max(tot) AS BIGINT) AS n_orders,
+               CAST(min(CASE WHEN cum * 100 >= 25 * tot
+                    THEN lat_days END) AS BIGINT) AS p25_days,
+               CAST(min(CASE WHEN cum * 100 >= 50 * tot
+                    THEN lat_days END) AS BIGINT) AS p50_days,
+               CAST(min(CASE WHEN cum * 100 >= 90 * tot
+                    THEN lat_days END) AS BIGINT) AS p90_days
+        FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    # IDF rescore replay: θ=0.3 candidate pairs + per-shingle
+    # ln(N/df) weights + the same union/intersection sums
+    o["dedup_idf_jaccard"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), shl AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(s) AS shingle FROM shl
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM shl
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM ex a
+            JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), cand AS (
+            SELECT id_a, id_b FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.3
+        ), nd AS (
+            SELECT count(*) AS n FROM documents WHERE text IS NOT NULL
+        ), w AS (
+            SELECT shingle,
+                   ln(((SELECT n FROM nd) + 1) * 1.0 / count(*)) AS wt
+            FROM ex GROUP BY shingle
+        ), u AS (
+            SELECT p.id_a, p.id_b, s.shingle,
+                   max(CASE WHEN s.doc_id = p.id_a THEN 1 ELSE 0 END)
+                       AS ina,
+                   max(CASE WHEN s.doc_id = p.id_b THEN 1 ELSE 0 END)
+                       AS inb
+            FROM cand p
+            JOIN ex s ON s.doc_id IN (p.id_a, p.id_b)
+            GROUP BY 1, 2, 3
+        ), sc AS (
+            SELECT u.id_a, u.id_b,
+                   sum(CASE WHEN ina + inb = 2 THEN 1 ELSE 0 END)
+                       * 1.0 / count(*) AS j,
+                   sum(CASE WHEN ina + inb = 2 THEN w.wt
+                       ELSE 0 END) / sum(w.wt) AS wj
+            FROM u JOIN w ON w.shingle = u.shingle
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(j, 4) AS jaccard,
+               round(wj, 4) AS wjaccard,
+               CAST((wj >= 0.5) != (j >= 0.5) AS INT) AS flipped
+        FROM sc ORDER BY id_a, id_b
     """
 
     # hashing-trick replay: md5-60 of 'col=value', bucket = low bits

@@ -231,6 +231,8 @@ def main() -> None:
         "sim_mmr_rerank",          # MMR diversity re-rank
         "graph_modularity",        # Newman Q off the shared LPA memo
         "stats_srm_check",         # sample-ratio-mismatch guardrail
+        "orders_fulfillment_latency",  # cycle-time percentile board
+        "dedup_idf_jaccard",       # IDF-weighted candidate rescore
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -1604,3 +1604,68 @@ def fellegi_sunter_weights(
         F.round(F.log((F.lit(1.0) - m_s) / (F.lit(1.0) - u_s))
                 / F.lit(log2), 4).alias("weight_disagree"),
     ).orderBy("field")
+
+
+def idf_weighted_rescore(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """IDF-weighted Jaccard rescoring of an existing candidate pair
+    relation: ``WJ = Σ_{s∈A∩B} ln(N/df(s)) / Σ_{s∈A∪B} ln(N/df(s))``
+    — the boilerplate discount. Two docs sharing only corpus-common
+    shingles (headers, navigation chrome) score high on plain Jaccard
+    and near zero here; two docs sharing RARE content score higher.
+    The ``flipped`` flag marks pairs whose keep/drop decision at
+    ``threshold`` changes under weighting — exactly the pairs a plain
+    near-dup pass mishandles.
+
+    Never generates pairs: it re-scores a supplied candidate relation
+    (an LSH/SNM/PPJoin output — bounded by that stage's blocking), so
+    the cost is one (pair, shingle) shuffle over candidates plus the
+    shingle-df aggregate any TF-IDF pass already pays.
+    """
+    from bigdata_tag_system_spark.functions.text import word_shingles
+
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n))
+        .alias("_s"))
+    n_docs = docs.select(
+        F.count(F.when(F.col(text_col).isNotNull(), 1)).alias("_n"))
+    dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    # smoothed IDF ln((N+1)/df) > 0 always: the unsmoothed ln(N/df)
+    # zeroes every corpus-universal shingle, and a pair sharing ONLY
+    # such shingles would divide by a zero weight mass
+    w = (dfreq.crossJoin(F.broadcast(n_docs))
+         .select("_s", F.log((F.col("_n") + 1) / F.col("_df"))
+                 .alias("_w")))
+
+    base = pairs.select("id_a", "id_b")
+    a_sh = base.join(sh.withColumnRenamed("_id", "id_a"), "id_a") \
+        .select("id_a", "id_b", "_s",
+                F.lit(1).alias("_ina"), F.lit(0).alias("_inb"))
+    b_sh = base.join(sh.withColumnRenamed("_id", "id_b"), "id_b") \
+        .select("id_a", "id_b", "_s",
+                F.lit(0).alias("_ina"), F.lit(1).alias("_inb"))
+    u = (a_sh.unionByName(b_sh)
+         .groupBy("id_a", "id_b", "_s")
+         .agg(F.max("_ina").alias("_a"), F.max("_inb").alias("_b"))
+         .join(w, "_s"))
+    both = (F.col("_a") + F.col("_b")) == 2
+    scored = u.groupBy("id_a", "id_b").agg(
+        (F.sum(F.when(both, 1).otherwise(0))
+         / F.count(F.lit(1))).alias("_j"),
+        (F.sum(F.when(both, F.col("_w")).otherwise(0.0))
+         / F.sum("_w")).alias("_wj"))
+    th = F.lit(float(threshold))
+    return (scored.select(
+                "id_a", "id_b",
+                F.round("_j", 4).alias("jaccard"),
+                F.round("_wj", 4).alias("wjaccard"),
+                ((F.col("_wj") >= th) != (F.col("_j") >= th))
+                .cast("int").alias("flipped"))
+            .orderBy("id_a", "id_b"))

@@ -831,3 +831,47 @@ class TestSrmCheck:
         chi = sum((n - t / 2) ** 2 / (t / 2) for n in (n0, n1))
         assert out["chi_square"] == pytest.approx(chi, abs=1e-6)
         assert out["srm_flag"] == int(chi > 3.841)
+
+
+class TestIdfWeightedRescore:
+    def test_boilerplate_discount(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            idf_weighted_rescore,
+        )
+
+        # docs 1 & 2 share only the boilerplate prefix every doc has;
+        # docs 3 & 4 share a rare tail. Plain Jaccard scores the two
+        # pairs identically; IDF weighting must rank the rare-content
+        # pair strictly higher.
+        # the boilerplate must appear in EVERY doc to be cheap (df=N);
+        # docs 3/4 additionally share a rare (df=2) content run
+        boiler = "terms of service apply to all"
+        docs = spark.createDataFrame(
+            [(1, f"{boiler} alpha beta gamma"),
+             (2, f"{boiler} delta epsilon zeta"),
+             (3, f"{boiler} quantum flux rare one"),
+             (4, f"{boiler} quantum flux rare two")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(1, 2), (3, 4)], "id_a long, id_b long")
+        out = {(r["id_a"], r["id_b"]): r
+               for r in idf_weighted_rescore(docs, pairs).collect()}
+        assert out[(3, 4)]["wjaccard"] > out[(1, 2)]["wjaccard"]
+        # the boilerplate-only pair must be discounted BELOW its raw
+        # Jaccard; the rare-content pair must not be
+        assert out[(1, 2)]["wjaccard"] < out[(1, 2)]["jaccard"]
+
+    def test_identical_docs_score_one(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            idf_weighted_rescore,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the same exact words here"),
+             (2, "the same exact words here")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        out = idf_weighted_rescore(docs, pairs).collect()[0]
+        assert out["jaccard"] == 1.0
+        assert out["wjaccard"] == 1.0
+        assert out["flipped"] == 0
