@@ -14795,9 +14795,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT p AS pb FROM pconv WHERE rem = 'NONE'
         ), rem_eff AS (
             SELECT ch.c AS channel, b.pb,
-                   greatest(0.0, 1.0 - CASE WHEN b.pb > 0
-                            THEN coalesce(pc.p, 0.0) / b.pb
-                            ELSE 0.0 END) AS r
+                   CASE WHEN b.pb > 0
+                        THEN greatest(0.0, 1.0
+                                      - coalesce(pc.p, 0.0) / b.pb)
+                        ELSE 0.0 END AS r
             FROM ch
             JOIN pconv pc ON pc.rem = ch.c
             CROSS JOIN basep b

@@ -1327,8 +1327,20 @@ def markov_attribution(
         return v.get("START", 0.0)
 
     base = absorb(None)
-    removals = [(c, max(0.0, 1.0 - (absorb(c) / base if base > 0 else 0.0)))
+    # base = 0 (nothing converts) → no credit to distribute: every
+    # removal effect is 0, not the vacuous 1 − 0/0 branch
+    removals = [(c, max(0.0, 1.0 - absorb(c) / base) if base > 0
+                 else 0.0)
                 for c in channels]
+    spark = events.sparkSession
+    if not removals:
+        # every converting journey opened with the conversion and no
+        # non-converting journey exists → no channel states at all;
+        # an empty F.array() would type as VOID, so build the typed
+        # empty relation explicitly
+        return spark.createDataFrame(
+            [], "channel string, p_conv_base double, "
+                "removal_effect double, attribution_share double")
     total_r = sum(r for _, r in removals)
     out = [
         F.struct(
@@ -1339,7 +1351,6 @@ def markov_attribution(
              else F.lit(None).cast("double")).alias("attribution_share"))
         for c, r in removals
     ]
-    spark = events.sparkSession
     return (spark.range(1)
             .select(F.explode(F.array(*out)).alias("s"))
             .select("s.channel", "s.p_conv_base", "s.removal_effect",

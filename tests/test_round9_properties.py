@@ -219,3 +219,89 @@ class TestMutualInformationProperty:
         assert abs(out["h_feature"] - hx) < 5e-6
         # information inequality: 0 ≤ MI ≤ min(H(X), H(Y)) (+ε slack)
         assert -1e-9 <= mi <= min(hx, hy) + 1e-9
+
+
+class TestModularityProperty:
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(min_value=0, max_value=7),
+                      st.integers(min_value=0, max_value=7)),
+            min_size=1, max_size=20),
+        labels=st.lists(st.integers(min_value=0, max_value=2),
+                        min_size=8, max_size=8),
+    )
+    @settings(**_SETTINGS)
+    def test_matches_definition_and_bounds(self, spark, edges, labels):
+        from bigdata_tag_system_spark.operators.graph import modularity
+
+        und = sorted({(min(a, b), max(a, b))
+                      for a, b in edges if a != b})
+        if not und:
+            return
+        nodes = sorted({n for e in und for n in e})
+        lab = {n: labels[n] for n in nodes}
+        m = len(und)
+
+        # closed-form Q from the definition
+        deg: dict[int, int] = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        comms = sorted(set(lab.values()))
+        q_true = 0.0
+        for c in comms:
+            ec = sum(1 for a, b in und
+                     if lab[a] == c and lab[b] == c)
+            dc = sum(d for n, d in deg.items() if lab[n] == c)
+            q_true += ec / m - (dc / (2 * m)) ** 2
+
+        e_df = spark.createDataFrame(und, "src long, dst long")
+        l_df = spark.createDataFrame(
+            [(n, lab[n]) for n in nodes], "node long, label long")
+        out = modularity(e_df, l_df).collect()[0]
+        assert out["modularity"] == __import__("pytest").approx(
+            q_true, abs=1e-6)
+        # Newman bounds
+        assert -0.5 - 1e-9 <= out["modularity"] <= 1.0 + 1e-9
+
+
+class TestMarkovAttributionProperty:
+    @given(
+        journeys=st.lists(
+            st.lists(st.sampled_from(["view", "click", "purchase"]),
+                     min_size=1, max_size=4),
+            min_size=1, max_size=8),
+    )
+    @settings(**_SETTINGS)
+    def test_probabilities_and_shares_well_formed(self, spark, journeys):
+        import datetime as dt
+
+        from bigdata_tag_system_spark.operators.features import (
+            markov_attribution,
+        )
+
+        # one session per journey: users far apart, events 1 min apart
+        rows = []
+        eid = 0
+        for u, j in enumerate(journeys):
+            t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+            for i, typ in enumerate(j):
+                eid += 1
+                rows.append((eid, t0 + dt.timedelta(minutes=i),
+                             u + 1, typ, 1.0, None))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        out = markov_attribution(df).collect()
+        assert all(0.0 <= r["p_conv_base"] <= 1.0 for r in out)
+        assert all(0.0 <= r["removal_effect"] <= 1.0 for r in out)
+        shares = [r["attribution_share"] for r in out]
+        if shares and shares[0] is not None:
+            assert abs(sum(shares) - 1.0) < 1e-3
+        # nothing converts → p must read 0 and no channel earns credit
+        # (NOTE: the converse claim — "a channel absent from every
+        # converting prefix earns nothing" — is FALSE for a first-order
+        # chain, which legitimately mixes transitions across journeys)
+        if not any("purchase" in j for j in journeys):
+            assert all(r["p_conv_base"] == 0.0 for r in out)
+            assert all(r["removal_effect"] == 0.0 for r in out)
