@@ -591,6 +591,7 @@ _DRIVER_FIRST = [
     "stats_srm_check",            # NEW: sample-ratio-mismatch guard
     "orders_fulfillment_latency", # NEW: cycle-time percentile board
     "dedup_idf_jaccard",          # NEW: IDF-weighted pair rescore
+    "sample_coverage_select",     # NEW: submodular max-coverage pick
     # -- oldest last-green rotation (r2 vintage). NOTE: the 19
     #    second-batch r9 additions above fill the 50-slot window
     #    exactly, so everything below is displaced this round — free,
@@ -8122,6 +8123,20 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_idf_jaccard"] = dedup_idf_jaccard
 
+    def sample_coverage_select(spark, sf_dir):
+        # greedy submodular max-coverage: 4 docs from the top-12
+        # shingle-richest pool maximizing distinct shingles covered —
+        # the no-query diversity selector (MMR's facility-location
+        # sibling); gains are integers, hash-exact by construction
+        from bigdata_tag_system_spark.operators.sampling import (
+            coverage_select,
+        )
+
+        return coverage_select(
+            _t(spark, sf_dir, "documents"), k=4, pool=12)
+
+    q["sample_coverage_select"] = sample_coverage_select
+
     return q
 
 
@@ -14074,6 +14089,61 @@ def oracle_sql() -> dict[str, str]:
                round(wj, 4) AS wjaccard,
                CAST((wj >= 0.5) != (j >= 0.5) AS INT) AS flipped
         FROM sc ORDER BY id_a, id_b
+    """
+
+    # greedy coverage replay: pool by (distinct-shingle count, id),
+    # selection unrolled one CTE per rank; covered_total is the
+    # running sum of gains (each gain counts exactly the new shingles)
+    _cov_steps = "".join(
+        f""", g{r} AS (
+            SELECT pool.doc_id, coalesce(raw.gain, 0) AS gain
+            FROM pool
+            LEFT JOIN (
+                SELECT p.doc_id, count(*) AS gain
+                FROM pex p
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM pex c
+                    JOIN acc{r - 1} a ON a.doc_id = c.doc_id
+                    WHERE c.shingle = p.shingle)
+                GROUP BY p.doc_id
+            ) raw ON raw.doc_id = pool.doc_id
+            WHERE pool.doc_id NOT IN (SELECT doc_id FROM acc{r - 1})
+        ), sel{r} AS (
+            SELECT doc_id, gain FROM g{r}
+            ORDER BY gain DESC, doc_id LIMIT 1
+        ), acc{r} AS (
+            SELECT doc_id, gain, rank FROM acc{r - 1}
+            UNION ALL
+            SELECT doc_id, gain, {r} AS rank FROM sel{r}
+        )""" for r in range(2, 5))
+    o["sample_coverage_select"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+        ), shl AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' '))) AS s
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, len(s) AS n FROM shl WHERE len(s) > 0
+        ), pool AS (
+            SELECT doc_id, n FROM sizes
+            ORDER BY n DESC, doc_id LIMIT 12
+        ), pex AS (
+            SELECT e.doc_id, e.shingle FROM (
+                SELECT doc_id, unnest(s) AS shingle FROM shl
+            ) e JOIN pool USING (doc_id)
+        ), sel1 AS (
+            SELECT doc_id, n AS gain FROM pool
+            ORDER BY n DESC, doc_id LIMIT 1
+        ), acc1 AS (
+            SELECT doc_id, gain, 1 AS rank FROM sel1
+        ){_cov_steps}
+        SELECT rank, doc_id, CAST(gain AS BIGINT) AS gain,
+               CAST(sum(gain) OVER (ORDER BY rank
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS covered_total
+        FROM acc4 ORDER BY rank
     """
 
     # hashing-trick replay: md5-60 of 'col=value', bucket = low bits

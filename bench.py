@@ -233,6 +233,7 @@ def main() -> None:
         "stats_srm_check",         # sample-ratio-mismatch guardrail
         "orders_fulfillment_latency",  # cycle-time percentile board
         "dedup_idf_jaccard",       # IDF-weighted candidate rescore
+        "sample_coverage_select",  # greedy submodular coverage pick
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

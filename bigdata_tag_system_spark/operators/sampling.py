@@ -756,3 +756,66 @@ def rolling_origin_folds(
                 F.col("_m.split").alias("split"))
         .drop("_m")
     )
+
+
+def coverage_select(
+    docs: DataFrame,
+    k: int = 4,
+    pool: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Greedy submodular max-coverage selection: pick ``k`` documents
+    maximizing the number of DISTINCT shingles covered — the
+    facility-location/coverage selector of LLM data curation (greedy
+    is (1−1/e)-optimal for monotone submodular objectives,
+    Nemhauser '78). Complements MMR: MMR penalizes redundancy against
+    a query, coverage maximizes corpus-footprint with no query at all.
+
+    The candidate pool is the top-``pool`` docs by distinct-shingle
+    count (integer TakeOrdered, id ties) — corpus-scale work ends
+    there; the greedy loop collects the pool's shingle sets (bounded:
+    pool × shingles/doc) and runs driver-side. Every quantity is an
+    INTEGER (gains, coverage totals), so the result is hash-exact in
+    any engine with no quantization story needed.
+    """
+    from bigdata_tag_system_spark.functions.text import word_shingles
+
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    sized = sh.select(
+        "_id", "_sh", F.size("_sh").alias("_n")).where(F.col("_n") > 0)
+    rows = (sized.orderBy(F.desc("_n"), F.col("_id"))
+            .limit(int(pool)).collect())
+    cand = [(r["_id"], set(r["_sh"])) for r in rows]
+
+    covered: set[str] = set()
+    picks: list[tuple[int, int, int]] = []  # (id, gain, total)
+    remaining = list(cand)
+    for _ in range(min(int(k), len(cand))):
+        best = None
+        for cid, s in remaining:
+            gain = len(s - covered)
+            key = (-gain, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, s, gain)
+        _, cid, s, gain = best
+        covered |= s
+        picks.append((cid, gain, len(covered)))
+        remaining = [c for c in remaining if c[0] != cid]
+
+    spark = docs.sparkSession
+    out = [
+        F.struct(F.lit(i + 1).alias("rank"),
+                 F.lit(int(cid)).alias(id_col),
+                 F.lit(int(g)).alias("gain"),
+                 F.lit(int(tot)).alias("covered_total"))
+        for i, (cid, g, tot) in enumerate(picks)
+    ]
+    return (spark.range(1)
+            .select(F.explode(F.array(*out)).alias("s"))
+            .select("s.rank", f"s.{id_col}", "s.gain",
+                    "s.covered_total")
+            .orderBy("rank"))

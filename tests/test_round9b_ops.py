@@ -875,3 +875,71 @@ class TestIdfWeightedRescore:
         assert out["jaccard"] == 1.0
         assert out["wjaccard"] == 1.0
         assert out["flipped"] == 0
+
+
+class TestCoverageSelect:
+    def test_greedy_picks_maximal_marginal_cover(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            coverage_select,
+        )
+
+        # doc 1 covers a big but overlapping set with doc 2; doc 3 is
+        # small but disjoint — after picking 1, greedy must prefer 3
+        # (gain 2) over 2 (gain 1, mostly redundant with 1)
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h"),          # 6 shingles
+             (2, "a b c d e f g z"),          # 6, overlaps 1 heavily
+             (3, "p q r s t")],               # 3, disjoint
+            "doc_id long, text string")
+        out = coverage_select(docs, k=2, pool=10).collect()
+        assert [r["doc_id"] for r in out] == [1, 3]
+        assert out[0]["gain"] == 6
+        assert out[1]["gain"] == 3
+        assert out[1]["covered_total"] == 9
+
+    def test_total_is_running_sum_of_gains(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            coverage_select,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} x{i} y{i} z{i} common tail here")
+             for i in range(1, 7)],
+            "doc_id long, text string")
+        out = coverage_select(docs, k=4, pool=6).collect()
+        run = 0
+        for r in out:
+            run += r["gain"]
+            assert r["covered_total"] == run
+
+    def test_matches_brute_force_greedy(self, spark):
+        import random
+
+        from bigdata_tag_system_spark.operators.sampling import (
+            coverage_select,
+        )
+
+        rng = random.Random(17)
+        vocab = [f"tok{i}" for i in range(12)]
+        docs = [(i, " ".join(rng.choice(vocab) for _ in range(8)))
+                for i in range(1, 9)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = [(r["doc_id"], r["gain"])
+               for r in coverage_select(df, k=3, pool=8).collect()]
+
+        # brute-force model with the same shingle definition
+        def shingles(t):
+            toks = t.split()
+            return {" ".join(toks[i:i + 3])
+                    for i in range(max(len(toks) - 2, 0) + 0)} \
+                if len(toks) >= 3 else set()
+
+        sets = {i: shingles(t) for i, t in docs}
+        pool = sorted(sets, key=lambda i: (-len(sets[i]), i))[:8]
+        covered, picks = set(), []
+        for _ in range(3):
+            rem = [i for i in pool if i not in [p for p, _ in picks]]
+            best = min(rem, key=lambda i: (-len(sets[i] - covered), i))
+            picks.append((best, len(sets[best] - covered)))
+            covered |= sets[best]
+        assert out == picks
