@@ -146,3 +146,36 @@ def version_diff(
         F.col("old").isNull() | F.col("new").isNull()
         | ~F.col("old").eqNullSafe(F.col("new"))
     )
+
+
+def gc_orphans(path: str) -> list[str]:
+    """Remove snapshot directories the manifest does not name.
+
+    :func:`write_version` lands the snapshot BEFORE flipping the
+    manifest, so a crash mid-write leaves an orphan ``v{n}`` directory
+    that no reader can ever resolve — harmless for correctness, but it
+    leaks a full snapshot's worth of storage per crash. This sweeps
+    them. Only ``v<digits>`` directories are candidates; anything the
+    manifest names (including versions beyond ``current`` that a
+    concurrent writer may be landing RIGHT NOW under a not-yet-flipped
+    manifest) must NOT be touched — so the sweep also spares any
+    ``v{n}`` with ``n == current + 1``, the one slot an in-flight
+    writer can legally occupy. Returns the removed directory names.
+    """
+    import re
+    import shutil
+
+    m = _read_manifest(path)
+    keep = {f"v{v}" for v in m.get("versions", [])}
+    keep.add(f"v{int(m.get('current', 0)) + 1}")  # in-flight slot
+    removed = []
+    for name in sorted(os.listdir(path)):
+        if not re.fullmatch(r"v\d+", name):
+            continue
+        if name in keep:
+            continue
+        full = os.path.join(path, name)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(name)
+    return removed

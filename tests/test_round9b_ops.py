@@ -943,3 +943,46 @@ class TestCoverageSelect:
             picks.append((best, len(sets[best] - covered)))
             covered |= sets[best]
         assert out == picks
+
+
+class TestGcOrphans:
+    def test_sweeps_orphans_spares_manifest_and_inflight(
+            self, spark, tmp_path):
+        import os
+
+        from bigdata_tag_system_spark.sources.versioned import (
+            gc_orphans, history, read_version, write_version,
+        )
+
+        store = str(tmp_path / "vs_gc")
+        write_version(spark.range(3).toDF("k"), store)
+        write_version(spark.range(5).toDF("k"), store)
+        # plant: a crashed-writer orphan from long ago (v9), the legal
+        # in-flight slot (v3 = current+1), and a non-snapshot dir
+        os.makedirs(os.path.join(store, "v9"))
+        os.makedirs(os.path.join(store, "v3"))
+        os.makedirs(os.path.join(store, "not_a_version"))
+
+        assert gc_orphans(store) == ["v9"]
+        # manifest-named versions untouched and readable
+        assert history(store) == [1, 2]
+        assert read_version(spark, store, 1).count() == 3
+        assert read_version(spark, store, 2).count() == 5
+        # the in-flight slot and unrelated dirs survive
+        assert os.path.isdir(os.path.join(store, "v3"))
+        assert os.path.isdir(os.path.join(store, "not_a_version"))
+        # idempotent
+        assert gc_orphans(store) == []
+
+    def test_post_vacuum_orphans_are_not_recreated_targets(
+            self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.versioned import (
+            gc_orphans, vacuum, write_version,
+        )
+
+        store = str(tmp_path / "vs_gc2")
+        for i in range(3):
+            write_version(spark.range(i + 1).toDF("k"), store)
+        vacuum(store, keep_last=1)
+        # vacuum already removed the dirs; gc finds nothing stale
+        assert gc_orphans(store) == []
