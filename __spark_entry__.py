@@ -573,7 +573,6 @@ _DRIVER_FIRST = [
     "ts_ses_backtest",            # NEW: SES one-step backtest
     "emb_trunc_recall",           # NEW: Matryoshka truncation recall
     "scan_dpp_join",              # NEW: dynamic partition pruning
-    "agg_argminmax",              # NEW: arg-extrema battery
     "ts_stl_outliers",            # NEW: seasonal-adjusted anomalies
     "stats_jackknife_ratio",      # NEW: delete-one jackknife SE
     "stream_late_drop_parity",    # NEW: watermark drop semantics
@@ -582,16 +581,23 @@ _DRIVER_FIRST = [
     "ts_theil_sen",               # NEW: median-of-slopes trend
     "events_markov_attribution",  # NEW: removal-effect attribution
     "quality_conformal_coverage", # NEW: split-conformal calibration
-    "events_hazard_na",           # NEW: Nelson-Aalen hazard
-    "events_followed_by",         # NEW: sequential-pattern support
-    "func_boolean_agg_battery",   # NEW: bool-aggregate surface
     "sim_mmr_rerank",             # NEW: MMR diversity re-rank
     "graph_modularity",           # NEW: Newman Q of the LPA labels
     "graph_lpa_communities",      # re-certify: now reads the LPA memo
-    "stats_srm_check",            # NEW: sample-ratio-mismatch guard
-    "orders_fulfillment_latency", # NEW: cycle-time percentile board
     "dedup_idf_jaccard",          # NEW: IDF-weighted pair rescore
     "sample_coverage_select",     # NEW: submodular max-coverage pick
+    # -- 56 never-driver-checked r9 entries compete for 50 slots; the
+    #    SIX deferred below are deliberately the trivial-machinery
+    #    ones (exact integer/FILTER oracles, heavily-certified shared
+    #    plumbing, all green in the 372/372 local gate + float sweep)
+    #    — they LEAD the r10 window --
+    "events_hazard_na",           # NEW (defer ok: KM-frame sibling)
+    "events_followed_by",         # NEW (defer ok: span-window joins)
+    "func_boolean_agg_battery",   # NEW (defer ok: 1 hash agg)
+    "agg_argminmax",              # (moved here from above — 1 hash agg)
+    "stats_srm_check",            # NEW (defer ok: 2-row statistic)
+    "orders_fulfillment_latency", # NEW (defer ok: certified percentile
+                                  #      machinery via weighted_median)
     # -- oldest last-green rotation (r2 vintage). NOTE: the 19
     #    second-batch r9 additions above fill the 50-slot window
     #    exactly, so everything below is displaced this round — free,
