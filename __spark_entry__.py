@@ -586,6 +586,7 @@ _DRIVER_FIRST = [
     "graph_lpa_communities",      # re-certify: now reads the LPA memo
     "dedup_idf_jaccard",          # NEW: IDF-weighted pair rescore
     "sample_coverage_select",     # NEW: submodular max-coverage pick
+    "tag_derived_rules",          # NEW: second-order tag layer
     # -- 56 never-driver-checked r9 entries compete for 50 slots; the
     #    SIX deferred below are deliberately the trivial-machinery
     #    ones (exact integer/FILTER oracles, heavily-certified shared
@@ -8143,6 +8144,50 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_coverage_select"] = sample_coverage_select
 
+    def tag_derived_rules(spark, sf_dir):
+        # second-order tagging (segments of segments): layer-2 rules
+        # evaluate over the DERIVED facts of layer 1 — per-user tag
+        # flags + tag count — through the SAME rule compiler; the flat
+        # reference engine cannot express a tag defined over other
+        # tags (SURVEY §2.2: rules see fact columns only)
+        facts = _t(spark, sf_dir, "customer") \
+            .withColumnRenamed("c_custkey", "user_id")
+        eng1 = TagEngine(load_rules(_FLAGSHIP_RULES), as_of=AS_OF,
+                         run_ts=f"{AS_OF}T00:00:00")
+        asg = eng1.assignments(facts)
+        flags = asg.groupBy("user_id").agg(
+            F.max(F.when(F.col("tag_id") == 1, 1).otherwise(0))
+            .alias("has_big_balance"),
+            F.max(F.when(F.col("tag_id") == 2, 1).otherwise(0))
+            .alias("has_builder"),
+            F.count(F.lit(1)).alias("tag_count"))
+        derived = (facts.select("user_id")
+                   .join(flags, "user_id", "left")
+                   .fillna(0, ["has_big_balance", "has_builder",
+                               "tag_count"]))
+        layer2 = [
+            {"rule_id": 101, "tag_id": 101, "tag_name": "whale_builder",
+             "tag_category": "derived",
+             "rule_conditions": _rule(
+                 _cond("has_big_balance", "=", 1, "number"),
+                 _cond("has_builder", "=", 1, "number"))},
+            {"rule_id": 102, "tag_id": 102, "tag_name": "multi_tag",
+             "tag_category": "derived",
+             "rule_conditions": _rule(
+                 _cond("tag_count", ">=", 2, "number"))},
+            {"rule_id": 103, "tag_id": 103, "tag_name": "untagged",
+             "tag_category": "derived",
+             "rule_conditions": _rule(
+                 _cond("tag_count", "=", 0, "number"))},
+        ]
+        eng2 = TagEngine(load_rules(layer2), as_of=AS_OF,
+                         run_ts=f"{AS_OF}T00:00:00")
+        return (eng2.assignments(derived)
+                .select("user_id", "tag_id")
+                .orderBy("user_id", "tag_id"))
+
+    q["tag_derived_rules"] = tag_derived_rules
+
     return q
 
 
@@ -15054,6 +15099,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT rank, vec_id, round(rel9, 4) AS relevance,
                round(score, 4) AS mmr_score
         FROM acc5 ORDER BY rank
+    """
+
+    # second-order replay: layer-1 tags via the shared flagship tag
+    # expression, layer-2 rules as plain predicates over the flags
+    o["tag_derived_rules"] = f"""
+        WITH t1 AS (
+            SELECT c_custkey AS user_id,
+                   {_FLAGSHIP_ORACLE_TAGS} AS tag_ids
+            FROM customer
+        ), d AS (
+            SELECT user_id,
+                   CASE WHEN list_contains(tag_ids, 1)
+                        THEN 1 ELSE 0 END AS has1,
+                   CASE WHEN list_contains(tag_ids, 2)
+                        THEN 1 ELSE 0 END AS has2,
+                   len(tag_ids) AS cnt
+            FROM t1
+        )
+        SELECT user_id, tag_id FROM (
+            SELECT user_id, 101 AS tag_id FROM d
+            WHERE has1 = 1 AND has2 = 1
+            UNION ALL
+            SELECT user_id, 102 FROM d WHERE cnt >= 2
+            UNION ALL
+            SELECT user_id, 103 FROM d WHERE cnt = 0
+        ) ORDER BY user_id, tag_id
     """
 
     return o

@@ -234,6 +234,7 @@ def main() -> None:
         "orders_fulfillment_latency",  # cycle-time percentile board
         "dedup_idf_jaccard",       # IDF-weighted candidate rescore
         "sample_coverage_select",  # greedy submodular coverage pick
+        "tag_derived_rules",       # second-order tag layer
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -986,3 +986,37 @@ class TestGcOrphans:
         vacuum(store, keep_last=1)
         # vacuum already removed the dirs; gc finds nothing stale
         assert gc_orphans(store) == []
+
+
+class TestDerivedRules:
+    def test_second_layer_sees_first_layer_output(self, spark, sf_dir):
+        import __spark_entry__ as e
+
+        out = e._build_queries()["tag_derived_rules"](spark, sf_dir)
+        rows = [(r["user_id"], r["tag_id"]) for r in out.collect()]
+        by_tag = {}
+        for u, t in rows:
+            by_tag.setdefault(t, set()).add(u)
+
+        # cross-check each layer-2 tag against an independent layer-1
+        # derivation through the public engine API
+        from bigdata_tag_system_spark.operators.tagging import TagEngine
+        from bigdata_tag_system_spark.rules.model import load_rules
+        from pyspark.sql import functions as FF
+
+        facts = e._t(spark, sf_dir, "customer") \
+            .withColumnRenamed("c_custkey", "user_id")
+        eng = TagEngine(load_rules(e._FLAGSHIP_RULES), as_of=e.AS_OF,
+                        run_ts=f"{e.AS_OF}T00:00:00")
+        asg = eng.assignments(facts).collect()
+        tags = {}
+        for r in asg:
+            tags.setdefault(r["user_id"], set()).add(r["tag_id"])
+        all_users = {r["user_id"]
+                     for r in facts.select("user_id").collect()}
+        whale = {u for u, s in tags.items() if {1, 2} <= s}
+        multi = {u for u, s in tags.items() if len(s) >= 2}
+        untagged = all_users - set(tags)
+        assert by_tag.get(101, set()) == whale
+        assert by_tag.get(102, set()) == multi
+        assert by_tag.get(103, set()) == untagged
