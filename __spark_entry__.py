@@ -571,7 +571,6 @@ _DRIVER_FIRST = [
     "orders_pareto_front",        # NEW: skyline operator
     "stats_weighted_median",      # NEW: exact weighted percentiles
     "ts_ses_backtest",            # NEW: SES one-step backtest
-    "emb_trunc_recall",           # NEW: Matryoshka truncation recall
     "scan_dpp_join",              # NEW: dynamic partition pruning
     "ts_stl_outliers",            # NEW: seasonal-adjusted anomalies
     "stats_jackknife_ratio",      # NEW: delete-one jackknife SE
@@ -592,6 +591,8 @@ _DRIVER_FIRST = [
     #    ones (exact integer/FILTER oracles, heavily-certified shared
     #    plumbing, all green in the 372/372 local gate + float sweep)
     #    — they LEAD the r10 window --
+    "emb_trunc_recall",           # (defer ok: slice variant of the
+                                  #  r8-certified quantized-recall path)
     "events_hazard_na",           # NEW (defer ok: KM-frame sibling)
     "events_followed_by",         # NEW (defer ok: span-window joins)
     "func_boolean_agg_battery",   # NEW (defer ok: 1 hash agg)
