@@ -600,6 +600,8 @@ _DRIVER_FIRST = [
     "stats_srm_check",            # NEW (defer ok: 2-row statistic)
     "orders_fulfillment_latency", # NEW (defer ok: certified percentile
                                   #      machinery via weighted_median)
+    "stats_mann_whitney",         # NEW (defer ok: integer U core,
+                                  #      brute-force-pairwise pytest)
     # -- oldest last-green rotation (r2 vintage). NOTE: the 19
     #    second-batch r9 additions above fill the 50-slot window
     #    exactly, so everything below is displaced this round — free,
@@ -8189,6 +8191,51 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tag_derived_rules"] = tag_derived_rules
 
+    def stats_mann_whitney(spark, sf_dir):
+        # two-sample Mann–Whitney U between the user_id-parity arms of
+        # the event values — the rank-sum test an A/B readout reaches
+        # for when means mislead. NEVER the |A|×|B| pair space: per
+        # DISTINCT value, U2 = Σ nA·(2·cumB(<v) + nB(v)) — doubled to
+        # stay a pure integer; the z-score (tie-corrected variance)
+        # is the one float, computed at the end
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf_dir, "events").select(
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+            (F.pmod(F.col("user_id"), F.lit(2)) == 1).cast("int")
+            .alias("arm"))
+        per_v = ev.groupBy("v").agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .alias("na"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .alias("nb"))
+        w = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        cum = per_v.select(
+            "v", "na", "nb",
+            F.coalesce(F.sum("nb").over(w), F.lit(0)).alias("cumb"))
+        agg = cum.agg(
+            F.sum("na").alias("_na"), F.sum("nb").alias("_nb"),
+            F.sum(F.col("na") * (2 * F.col("cumb") + F.col("nb")))
+            .alias("_u2"),
+            # tie correction term Σ t³ − t over pooled tied groups
+            F.sum(F.pow(F.col("na") + F.col("nb"), 3)
+                  - (F.col("na") + F.col("nb"))).alias("_ties"))
+        n1, n2 = F.col("_na").cast("double"), F.col("_nb").cast("double")
+        n = n1 + n2
+        mu2 = n1 * n2                       # 2·E[U] = n1·n2·... /2 ×2
+        var = (n1 * n2 / 12.0) * ((n + 1) - F.col("_ties")
+                                  / (n * (n - 1)))
+        z = (F.col("_u2") / 2.0 - mu2 / 2.0) / F.sqrt(var)
+        return agg.select(
+            F.col("_na").cast("long").alias("n_control"),
+            F.col("_nb").cast("long").alias("n_treatment"),
+            F.col("_u2").cast("long").alias("u2"),
+            F.round(z, 4).alias("z_score"),
+            (F.abs(z) > 1.96).cast("int").alias("reject_95"))
+
+    q["stats_mann_whitney"] = stats_mann_whitney
+
     return q
 
 
@@ -15126,6 +15173,46 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT user_id, 103 FROM d WHERE cnt = 0
         ) ORDER BY user_id, tag_id
+    """
+
+    o["stats_mann_whitney"] = """
+        WITH e AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                   CAST(user_id % 2 = 1 AS INT) AS arm
+            FROM events
+        ), pv AS (
+            SELECT v,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb
+            FROM e GROUP BY v
+        ), c AS (
+            SELECT v, na, nb,
+                   coalesce(sum(nb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cumb
+            FROM pv
+        ), a AS (
+            SELECT CAST(sum(na) AS DOUBLE) AS n1,
+                   CAST(sum(nb) AS DOUBLE) AS n2,
+                   CAST(sum(na * (2 * cumb + nb)) AS BIGINT) AS u2,
+                   CAST(sum(pow(na + nb, 3) - (na + nb)) AS DOUBLE)
+                       AS ties
+            FROM c
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_control,
+               CAST(n2 AS BIGINT) AS n_treatment,
+               u2,
+               round((u2 / 2.0 - n1 * n2 / 2.0)
+                     / sqrt((n1 * n2 / 12.0)
+                            * ((n1 + n2 + 1) - ties
+                               / ((n1 + n2) * (n1 + n2 - 1)))), 4)
+                   AS z_score,
+               CAST(abs((u2 / 2.0 - n1 * n2 / 2.0)
+                    / sqrt((n1 * n2 / 12.0)
+                           * ((n1 + n2 + 1) - ties
+                              / ((n1 + n2) * (n1 + n2 - 1)))))
+                    > 1.96 AS INT) AS reject_95
+        FROM a
     """
 
     return o

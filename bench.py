@@ -235,6 +235,7 @@ def main() -> None:
         "dedup_idf_jaccard",       # IDF-weighted candidate rescore
         "sample_coverage_select",  # greedy submodular coverage pick
         "tag_derived_rules",       # second-order tag layer
+        "stats_mann_whitney",      # integer-core rank-sum test
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -176,6 +176,11 @@ _CATALOG_ALLOW = {
     # relation (sample_shuffle_order pattern); data rows only ever see
     # a PARTITIONED window
     "quality_ks_drift": ["global_window"],
+    # the U-statistic cumulative runs over DISTINCT integer-cents
+    # values (the value domain, not fact rows); when a metric's
+    # distinct values outgrow one task, switch to the two-level
+    # bucketed cumsum quality_ks_drift uses
+    "stats_mann_whitney": ["global_window"],
     # ACF lags / MA trend run over the one-row-per-day series —
     # calendar-bounded, same class as orders_monthly_yoy
     "ts_autocorrelation": ["global_window"],
