@@ -534,6 +534,69 @@ def entry(spark: SparkSession) -> DataFrame:
 #   * remaining slots: oldest last-green rows (r2 vintage rule_*
 #     battery) rotated in for re-confirmation.
 _DRIVER_FIRST = [
+    # =====================================================================
+    # ROUND-10 WINDOW — executing the r9 VERDICT plan verbatim (Next #1):
+    # the driver window is the ONE verification surface the judge cannot
+    # substitute for, so r10 spends it on freshness, oldest-first:
+    #   (a) new r10 entries + entries whose code changed this round
+    #       (standing discipline: certified the round they land/change);
+    #   (b) the 8 entries NEVER driver-checked (late-r9 additions that
+    #       landed after the r9 window froze — judge-verified green
+    #       locally, but never through the driver);
+    #   (c) the oldest last-green vintage: all 38 r2-vintage entries,
+    #       then the 44 r3-vintage ones; slot-50 overflow falls out and
+    #       leads the r11 rotation.
+    # =====================================================================
+    # -- (a) r10 additions + r10 code-changed entries --
+    "emb_label_noise_probed",     # NEW r10: reduced-probe agreement audit
+    "dedup_fs_weights",           # r10: u-terms decimal-widened pre-multiply
+    "sim_mmr_rerank",             # r10: oracle-aligned complement weight
+    "sample_coverage_select",     # r10: native-id literals (no int() coerce)
+    "emb_label_noise",            # r10: per-vec stage refactored to shared helper
+    # -- (b) the 8 never-driver-checked entries --
+    "agg_argminmax",
+    "emb_trunc_recall",
+    "events_followed_by",
+    "events_hazard_na",
+    "func_boolean_agg_battery",
+    "orders_fulfillment_latency",
+    "stats_mann_whitney",
+    "stats_srm_check",
+    # -- (c) oldest-first rotation: r2 vintage (38 entries) --
+    "inline_rows", "scan_count", "schema_probe", "proj_prune",
+    "computed_column", "key_list_filter", "cross_table_rule",
+    "tag_assignments", "tag_enriched", "tag_merge_union",
+    "scenario_incremental", "upsert_merge", "delete_rewrite",
+    "join_inner_count", "join_left_orders", "join_left_enrich",
+    "join_anti", "join_semi", "join_full_outer",
+    "agg_collect_list", "agg_collect_struct", "agg_count_distinct",
+    "agg_having",
+    "rule_and", "rule_or", "rule_not_group", "rule_nested_groups",
+    "rule_empty_select_all", "rule_is_null", "rule_ends_with",
+    "rule_recent_days", "rule_days_ago", "rule_days_ago_between",
+    "rule_date_between", "rule_array_contains", "rule_contains_all",
+    "rule_contains_any", "rule_disjoint",
+    # -- (c) continued: r3 vintage (44 entries; overflow past slot 50
+    #    is displaced and leads the r11 rotation) --
+    "agg_cube", "agg_distinct_sorted", "agg_rollup", "agg_stats",
+    "array_funcs_literal", "dedup_components", "dedup_containment",
+    "dedup_cosine_pairs", "dedup_exact_groups", "dedup_minhash_lsh",
+    "dedup_pairs_distinct", "dedup_pipeline_keep",
+    "events_daily_rollup", "events_hourly_rollup",
+    "events_latest_per_user", "events_recent_features",
+    "events_sessionize", "events_user_zscore", "func_case_sum",
+    "func_json_roundtrip", "mm_media_features", "rule_cmp_decimal",
+    "sample_stratified_hash", "setop_except", "setop_intersect",
+    "sim_cosine_topk", "sim_ivf_topk", "sim_knn_join",
+    "sketch_distinct_check", "sort_topk", "split_train_test",
+    "text_bpe_tokens", "text_fingerprint", "text_langid",
+    "text_quality", "text_segment_dedup", "text_token_stats",
+    "text_top_tokens", "ts_asof_join", "ts_range_join",
+    "union_all_count", "window_lag", "window_row_number",
+    "window_running_sum",
+]
+
+_DRIVER_FIRST_R9 = [
     # -- round-9 additions + every entry whose code/oracle/shared
     #    plumbing changed this round (certified the round they change) --
     "scan_jdbc_roundtrip",        # NEW: live Derby JDBC round-trip
@@ -6975,6 +7038,27 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_label_noise"] = emb_label_noise
 
+    def emb_label_noise_probed(spark, sf_dir):
+        # r10: the REDUCED-probe audit the full-probe entry above lacks
+        # (r9 VERDICT "What's wrong" #1): nprobe=2 of 8 buckets cuts
+        # candidate volume to ~1/4, and the report MEASURES what that
+        # costs — per-label suspect-flag agreement vs the lossless
+        # full-probe census. Anchors are the embeddings of vec_id 1..8
+        # (bucket = vec_id−1) instead of fitted k-means centroids so
+        # the oracle can replay bucket routing in SQL (any fixed
+        # partition of the space is a valid bucketing to audit).
+        from bigdata_tag_system_spark.operators.embeddings import (
+            label_noise_probe_audit,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        anchors = [list(r["embedding"]) for r in
+                   emb.where("vec_id between 1 and 8")
+                   .orderBy("vec_id").collect()]
+        return label_noise_probe_audit(emb, anchors, k=5, nprobe=2)
+
+    q["emb_label_noise_probed"] = emb_label_noise_probed
+
     def func_bitwise_battery(spark, sf_dir):
         # scalar bitwise surface: AND/OR/XOR, shifts, popcount,
         # bit_get — aggregated so the battery exercises both the
@@ -9255,6 +9339,78 @@ def oracle_sql() -> dict[str, str]:
                CAST((10000 * sum(mism)) // (5 * count(*)) AS BIGINT)
                    AS mean_mismatch_bp
         FROM per_vec GROUP BY qlbl ORDER BY label
+    """
+
+    # reduced-probe audit replay: anchors = vec_id 1..8 (bucket =
+    # vec_id−1), assignment = max inner product (tie → low bucket),
+    # probes = top-2 anchor buckets per query; exact per-vec census is
+    # the brute kNN above, probed per-vec restricts candidates to the
+    # probed buckets; census compares the suspect flags
+    o["emb_label_noise_probed"] = """
+        WITH anchors AS (
+            SELECT vec_id - 1 AS bucket, embedding
+            FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+        ), ranked AS (
+            SELECT e.vec_id, a.bucket,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_inner_product(
+                           e.embedding::DOUBLE[],
+                           a.embedding::DOUBLE[]) DESC, a.bucket) AS rk
+            FROM embeddings e CROSS JOIN anchors a
+        ), asg AS (
+            SELECT vec_id, bucket FROM ranked WHERE rk = 1
+        ), probes AS (
+            SELECT vec_id AS qid, bucket FROM ranked WHERE rk <= 2
+        ), exact_pv AS (
+            SELECT qid, qlbl,
+                   sum(CASE WHEN nlbl != qlbl THEN 1 ELSE 0 END) AS mism
+            FROM (
+                SELECT q.vec_id AS qid, q.label AS qlbl,
+                       c.label AS nlbl,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               q.embedding::DOUBLE[],
+                               c.embedding::DOUBLE[]) DESC,
+                               c.vec_id) AS rk
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id != c.vec_id
+            ) WHERE rk <= 5 GROUP BY qid, qlbl
+        ), probed_pv AS (
+            SELECT qid, sum(CASE WHEN nlbl != qlbl THEN 1 ELSE 0 END)
+                   AS mism_p
+            FROM (
+                SELECT q.vec_id AS qid, q.label AS qlbl,
+                       c.label AS nlbl,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               q.embedding::DOUBLE[],
+                               c.embedding::DOUBLE[]) DESC,
+                               c.vec_id) AS rk
+                FROM embeddings q
+                JOIN asg ca ON true
+                JOIN embeddings c ON c.vec_id = ca.vec_id
+                 AND q.vec_id != c.vec_id
+                JOIN probes p ON p.qid = q.vec_id
+                 AND p.bucket = ca.bucket
+            ) WHERE rk <= 5 GROUP BY qid, qlbl
+        ), j AS (
+            SELECT e.qid, e.qlbl,
+                   CASE WHEN e.mism * 2 > 5 THEN 1 ELSE 0 END AS fe,
+                   CASE WHEN coalesce(p.mism_p, 0) * 2 > 5
+                        THEN 1 ELSE 0 END AS fp,
+                   e.mism, coalesce(p.mism_p, 0) AS mism_p
+            FROM exact_pv e LEFT JOIN probed_pv p ON p.qid = e.qid
+        )
+        SELECT qlbl AS label, count(*) AS n_vecs,
+               CAST(sum(fe) AS BIGINT) AS suspects_exact,
+               CAST(sum(fp) AS BIGINT) AS suspects_probed,
+               CAST((10000 * sum(CASE WHEN fe = fp THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS flag_agree_bp,
+               CAST((10000 * sum(mism)) // (5 * count(*)) AS BIGINT)
+                   AS mean_mismatch_bp_exact,
+               CAST((10000 * sum(mism_p)) // (5 * count(*)) AS BIGINT)
+                   AS mean_mismatch_bp_probed
+        FROM j GROUP BY qlbl ORDER BY label
     """
 
     # streaming-LSH invariant oracle (sample_seeded pattern): the

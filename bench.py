@@ -236,6 +236,8 @@ def main() -> None:
         "sample_coverage_select",  # greedy submodular coverage pick
         "tag_derived_rules",       # second-order tag layer
         "stats_mann_whitney",      # integer-core rank-sum test
+        # round-10 additions
+        "emb_label_noise_probed",  # reduced-probe agreement audit
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
@@ -246,6 +248,14 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(8).mapInPandas(
         lambda it: it, schema="id long").count()
+
+    # Box-load context: headline sums on this shared box drift run-to-run
+    # (commit ec4f4bb measured the same suite at 129.5s quiet vs 152.6s
+    # loaded), so record loadavg + wall timestamps alongside the numbers —
+    # round-over-round comparisons can then attribute drift to the box
+    # instead of git archaeology.
+    load_start = os.getloadavg()
+    t_start = time.time()
 
     samples: dict[str, list[float]] = {name: [] for name in headline}
     for it in range(iters):
@@ -258,8 +268,14 @@ def main() -> None:
             samples[name].append(dt)
             print(f"# iter{it} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    load_end = os.getloadavg()
+
     med = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     best = {name: round(min(ts), 3) for name, ts in samples.items()}
+    worst = {name: round(max(ts), 3) for name, ts in samples.items()}
+    # iteration spread (max/min per query): >2x flags a noisy window
+    spread = {name: round(max(ts) / min(ts), 2) if min(ts) > 0 else None
+              for name, ts in samples.items()}
     total = round(sum(best.values()), 3)
     total_med = round(sum(med.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -281,9 +297,14 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump({
-            "queries": med, "queries_min": best,
+            "queries": med, "queries_min": best, "queries_max": worst,
+            "spread_max_over_min": spread,
             "iterations": iters, "sf": sf_val,
             "total_min": total, "total_median": total_med,
+            "started_at_epoch": round(t_start, 1),
+            "wall_seconds": round(time.time() - t_start, 1),
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in load_end],
         }, f, indent=1, sort_keys=True)
     print(json.dumps({
         # min-of-iters headline (see module docstring); medians ride along
@@ -296,6 +317,7 @@ def main() -> None:
         "n_queries": len(best),
         "iterations": iters,
         "detail": "BENCH_DETAIL.json",
+        "loadavg": [round(x, 2) for x in load_end],
         "sf": sf_val,
     }))
     spark.stop()

@@ -1561,9 +1561,14 @@ def fellegi_sunter_weights(
     ])).alias("s")).select("s.field", "s.v")
     hist = stacked.groupBy("field", "v").agg(
         F.count(F.lit(1)).alias("_nv"))
+    # Both Σ n_v(n_v−1) and N(N−1) are products of data-scale counts:
+    # widen to decimal(38,0) BEFORE the multiply so the cross-product
+    # cannot wrap int64 past ~3e9 records (int64 holds sums fine; it is
+    # the n·(n−1) products that overflow first).
+    _nv_d = F.col("_nv").cast("decimal(38,0)")
     u_side = hist.groupBy("field").agg(
-        F.sum(F.col("_nv") * (F.col("_nv") - 1)).alias("u_num"),
-        (F.sum("_nv") * (F.sum("_nv") - 1)).alias("u_den"))
+        F.sum(_nv_d * (_nv_d - 1)).alias("u_num"),
+        (F.sum(_nv_d) * (F.sum(_nv_d) - 1)).alias("u_den"))
 
     # m: agreement census over the supplied true-match pairs
     a = keyed.select(F.col("_id").alias("id_a"),
@@ -1579,7 +1584,15 @@ def fellegi_sunter_weights(
         m_aggs.append(F.sum(
             F.col(f"_a_{n}").eqNullSafe(F.col(f"_b_{n}")).cast("long")
         ).alias(f"_m_{n}"))
-    m_row = joined.agg(F.count(F.lit(1)).alias("_pairs"), *m_aggs)
+    # An empty match-pair relation would yield m_den=0 / NULL m_num and
+    # silently NULL every weight — fail loudly at execution instead
+    # (assert_true runs JVM-side in the same pass; no extra job).
+    m_row = joined.agg(F.count(F.lit(1)).alias("_pairs"), *m_aggs).where(
+        F.assert_true(
+            F.col("_pairs") > 0,
+            F.lit("fellegi_sunter_weights: match_pairs joined to zero "
+                  "rows — supply a non-empty true-match pair relation"),
+        ).isNull())
     m_side = m_row.select(F.explode(F.array(*[
         F.struct(F.lit(n).alias("field"),
                  F.col(f"_m_{n}").alias("m_num"),

@@ -672,34 +672,9 @@ def label_noise_report(
     c = df.select(F.col(id_col), F.col(label_col),
                   F.col(vec_col).cast("array<double>").alias("_v"))
     if centroids is not None:
-        from bigdata_tag_system_spark.operators.similarity import (
-            knn_join_bucketed,
-        )
-
-        q = c.select(F.col(id_col).alias("_qid"),
-                     F.col(label_col).alias("_qlbl"), "_v")
-        # ask for k+1 (self scores cosine 1.0 and lands in the top),
-        # drop self, re-rank the ≤k+1 survivors: the true top-k
-        # excluding self is always contained in the top-(k+1)
-        nn = knn_join_bucketed(
-            q, c, centroids, k=k + 1,
-            nprobe=nprobe if nprobe is not None else len(centroids),
-            q_id="_qid", q_vec="_v", c_id=id_col, c_vec="_v")
-        lbl = c.select(F.col(id_col).alias("_nid"),
-                       F.col(label_col).alias("_nlbl"))
-        w2 = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(),
-                                                F.col("_nid"))
-        top = (
-            nn.where(F.col("_qid") != F.col(id_col))
-            .select("_qid", F.col(id_col).alias("_nid"), "cosine")
-            .withColumn("_rk", F.row_number().over(w2))
-            .where(F.col("_rk") <= k)
-            .join(lbl, "_nid"))
-        qlbl = c.select(F.col(id_col).alias("_qid"),
-                        F.col(label_col).alias("_qlbl"))
-        per_vec = top.join(qlbl, "_qid").groupBy("_qid", "_qlbl").agg(
-            F.sum((F.col("_nlbl") != F.col("_qlbl")).cast("int"))
-            .alias("_mism"))
+        per_vec = _per_vec_mismatch_bucketed(
+            c, k, centroids,
+            nprobe if nprobe is not None else len(centroids), id_col)
         return _label_noise_census(per_vec, k, label_col)
     q = c.select(F.col(id_col).alias("_qid"),
                  F.col(label_col).alias("_qlbl"),
@@ -722,6 +697,108 @@ def label_noise_report(
         F.sum((F.col("_nlbl") != F.col("_qlbl")).cast("int"))
         .alias("_mism"))
     return _label_noise_census(per_vec, k, label_col)
+
+
+def _per_vec_mismatch_bucketed(
+    c: DataFrame, k: int, centroids: list[list[float]], nprobe: int,
+    id_col: str,
+) -> DataFrame:
+    """Per-vector kNN label-mismatch counts ``(_qid, _qlbl, _mism)`` via
+    the bucketed hash-join neighbor stage — shared by
+    :func:`label_noise_report` and :func:`label_noise_probe_audit`.
+    ``c`` must carry ``(id_col, <label>, _v)`` with the label as the
+    second column."""
+    from pyspark.sql import Window
+
+    from bigdata_tag_system_spark.operators.similarity import (
+        knn_join_bucketed,
+    )
+
+    label_col = c.columns[1]
+    q = c.select(F.col(id_col).alias("_qid"),
+                 F.col(label_col).alias("_qlbl"), "_v")
+    # ask for k+1 (self scores cosine 1.0 and lands in the top),
+    # drop self, re-rank the ≤k+1 survivors: the true top-k
+    # excluding self is always contained in the top-(k+1)
+    nn = knn_join_bucketed(
+        q, c, centroids, k=k + 1, nprobe=nprobe,
+        q_id="_qid", q_vec="_v", c_id=id_col, c_vec="_v")
+    lbl = c.select(F.col(id_col).alias("_nid"),
+                   F.col(label_col).alias("_nlbl"))
+    w2 = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(),
+                                            F.col("_nid"))
+    top = (
+        nn.where(F.col("_qid") != F.col(id_col))
+        .select("_qid", F.col(id_col).alias("_nid"), "cosine")
+        .withColumn("_rk", F.row_number().over(w2))
+        .where(F.col("_rk") <= k)
+        .join(lbl, "_nid"))
+    qlbl = c.select(F.col(id_col).alias("_qid"),
+                    F.col(label_col).alias("_qlbl"))
+    return top.join(qlbl, "_qid").groupBy("_qid", "_qlbl").agg(
+        F.sum((F.col("_nlbl") != F.col("_qlbl")).cast("int"))
+        .alias("_mism"))
+
+
+def label_noise_probe_audit(
+    df: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Measured agreement of a REDUCED-probe label-noise configuration
+    against the lossless full-probe census — the audit row a 100 TB run
+    needs before shipping ``nprobe < num_buckets``. At full probe the
+    bucketed kNN join only prunes (exact by construction), so its
+    per-vector mismatch relation is ground truth; the probed twin
+    re-runs the IDENTICAL plan at ``nprobe`` and this report scores,
+    per label: suspect counts on both sides, the basis-point rate at
+    which the probed suspect FLAG agrees with the exact one (a vector
+    the probed pass never saw counts as non-suspect), and both mean
+    mismatch rates. Same harness discipline as
+    :func:`quantized_recall_report` /
+    :func:`~bigdata_tag_system_spark.operators.dedup.candidate_recall_report`:
+    an approximation ships WITH its measured-agreement row, never on
+    faith. Candidate volume of the probed pass is ~``nprobe/len(
+    centroids)`` of the exact pass's |N|²/buckets-balanced volume.
+    """
+    if not centroids:
+        raise ValueError("label_noise_probe_audit requires centroids")
+    if not 0 < int(nprobe) < len(centroids):
+        raise ValueError(
+            f"nprobe must be in 1..{len(centroids) - 1} (a reduced "
+            f"probe; use label_noise_report for the lossless config), "
+            f"got {nprobe}")
+    c = df.select(F.col(id_col), F.col(label_col),
+                  F.col(vec_col).cast("array<double>").alias("_v"))
+    exact = _per_vec_mismatch_bucketed(
+        c, k, centroids, len(centroids), id_col)
+    probed = _per_vec_mismatch_bucketed(
+        c, k, centroids, int(nprobe), id_col).select(
+        "_qid", F.col("_mism").alias("_mism_p"))
+    j = exact.join(probed, "_qid", "left")
+    flag_e = (F.col("_mism") * 2 > k).cast("int")
+    flag_p = (F.coalesce(F.col("_mism_p"), F.lit(0)) * 2 > k).cast("int")
+    return (
+        j.groupBy(F.col("_qlbl").alias(label_col))
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.sum(flag_e).alias("suspects_exact"),
+             F.sum(flag_p).alias("suspects_probed"),
+             F.sum((flag_e == flag_p).cast("int")).alias("_agree"),
+             F.sum("_mism").alias("_me"),
+             F.sum(F.coalesce("_mism_p", F.lit(0))).alias("_mp"))
+        .select(label_col, "n_vecs", "suspects_exact", "suspects_probed",
+                F.expr("(10000 * _agree) DIV n_vecs")
+                .alias("flag_agree_bp"),
+                F.expr(f"(10000 * _me) DIV ({int(k)} * n_vecs)")
+                .alias("mean_mismatch_bp_exact"),
+                F.expr(f"(10000 * _mp) DIV ({int(k)} * n_vecs)")
+                .alias("mean_mismatch_bp_probed"))
+        .orderBy(label_col)
+    )
 
 
 def _label_noise_census(per_vec: DataFrame, k: int,

@@ -792,7 +792,7 @@ def coverage_select(
     cand = [(r["_id"], set(r["_sh"])) for r in rows]
 
     covered: set[str] = set()
-    picks: list[tuple[int, int, int]] = []  # (id, gain, total)
+    picks: list[tuple[object, int, int]] = []  # (id, gain, total)
     remaining = list(cand)
     for _ in range(min(int(k), len(cand))):
         best = None
@@ -807,9 +807,13 @@ def coverage_select(
         remaining = [c for c in remaining if c[0] != cid]
 
     spark = docs.sparkSession
+    # ids ship back as literals of the column's NATIVE type — id_col is
+    # a generic parameter, so no int() coercion (string ids work); the
+    # cast pins F.lit's inferred type back to the source schema.
+    id_type = docs.schema[id_col].dataType
     out = [
         F.struct(F.lit(i + 1).alias("rank"),
-                 F.lit(int(cid)).alias(id_col),
+                 F.lit(cid).cast(id_type).alias(id_col),
                  F.lit(int(g)).alias("gain"),
                  F.lit(int(tot)).alias("covered_total"))
         for i, (cid, g, tot) in enumerate(picks)

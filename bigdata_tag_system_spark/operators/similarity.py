@@ -776,6 +776,12 @@ def mmr_rerank(
 
     qv = [float(x) for x in query]
     qn = math.sqrt(sum(x * x for x in qv))
+    # Cross-engine weight alignment: a SQL oracle writes the redundancy
+    # weight as a decimal literal (0.3), but 1.0 - 0.7 is a DIFFERENT
+    # double (0.30000000000000004). Round the complement to its
+    # shortest-decimal value so both engines multiply by the same IEEE
+    # double and near-tied MMR scores cannot diverge on that ulp.
+    mu = round(1.0 - lam, 12)
 
     def q9(x: float) -> float:
         return math.floor(x * 1e9 + 0.5) / 1e9
@@ -796,7 +802,7 @@ def mmr_rerank(
     cand = [(r["_id"], list(r["_v"]), q9(float(r["_rel"])))
             for r in rows]
 
-    selected: list[tuple[int, float, float]] = []  # (id, rel9, score)
+    selected: list[tuple[object, float, float]] = []  # (id, rel9, score)
     chosen_vecs: list[list[float]] = []
     remaining = list(cand)
     for _ in range(min(int(k), len(cand))):
@@ -804,7 +810,7 @@ def mmr_rerank(
         for cid, cv, rel9 in remaining:
             red = max((q9(cos(cv, sv)) for sv in chosen_vecs),
                       default=0.0)
-            s = lam * rel9 - (1.0 - lam) * red
+            s = lam * rel9 - mu * red
             key = (-s, cid)
             if best is None or key < best[0]:
                 best = (key, cid, cv, rel9, s)
@@ -814,9 +820,14 @@ def mmr_rerank(
         remaining = [c for c in remaining if c[0] != cid]
 
     spark = df.sparkSession
+    # ids ship back as literals of the column's NATIVE type — id_col is
+    # a generic parameter, so no int() coercion (strings/uuids stay
+    # strings); the cast pins F.lit's inferred type back to the source
+    # schema (e.g. int32 ids would otherwise widen to long).
+    id_type = df.schema[id_col].dataType
     out = [
         F.struct(F.lit(i + 1).alias("rank"),
-                 F.lit(int(cid)).alias(id_col),
+                 F.lit(cid).cast(id_type).alias(id_col),
                  F.lit(round(rel9, 4)).alias("relevance"),
                  F.lit(round(s, 4)).alias("mmr_score"))
         for i, (cid, rel9, s) in enumerate(selected)

@@ -148,34 +148,50 @@ def version_diff(
     )
 
 
-def gc_orphans(path: str) -> list[str]:
+def gc_orphans(path: str, min_age_seconds: float = 3600.0) -> list[str]:
     """Remove snapshot directories the manifest does not name.
 
     :func:`write_version` lands the snapshot BEFORE flipping the
     manifest, so a crash mid-write leaves an orphan ``v{n}`` directory
-    that no reader can ever resolve — harmless for correctness, but it
-    leaks a full snapshot's worth of storage per crash. This sweeps
-    them. Only ``v<digits>`` directories are candidates; anything the
-    manifest names (including versions beyond ``current`` that a
-    concurrent writer may be landing RIGHT NOW under a not-yet-flipped
-    manifest) must NOT be touched — so the sweep also spares any
-    ``v{n}`` with ``n == current + 1``, the one slot an in-flight
-    writer can legally occupy. Returns the removed directory names.
+    that no reader can ever resolve. The ONLY slot the protocol can
+    leak into is ``v{current+1}`` — :func:`write_version` always
+    targets it with ``errorifexists`` — and a leaked one therefore
+    also WEDGES every future :func:`write_version`. That same slot is
+    the one a healthy in-flight writer legally occupies, so the two
+    states are distinguished by age: a ``v{current+1}`` whose newest
+    mtime is younger than ``min_age_seconds`` is presumed in-flight
+    and spared; older means the writer crashed, and reclaiming the
+    slot un-wedges the store. Any other unnamed ``v<digits>`` dir is
+    unreachable garbage and swept regardless of age. The manifest is
+    re-read immediately before each candidate is judged, so a writer
+    that completes ``v{n+1}``, flips the manifest, and starts landing
+    ``v{n+2}`` mid-sweep keeps its new in-flight snapshot (no TOCTOU
+    between the manifest read and the rmtree). Returns the removed
+    directory names.
     """
     import re
     import shutil
+    import time
 
-    m = _read_manifest(path)
-    keep = {f"v{v}" for v in m.get("versions", [])}
-    keep.add(f"v{int(m.get('current', 0)) + 1}")  # in-flight slot
     removed = []
     for name in sorted(os.listdir(path)):
         if not re.fullmatch(r"v\d+", name):
             continue
-        if name in keep:
-            continue
         full = os.path.join(path, name)
-        if os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
-            removed.append(name)
+        if not os.path.isdir(full):
+            continue
+        # TOCTOU guard: judge each candidate against the LIVE manifest,
+        # not a pre-sweep snapshot of it.
+        m = _read_manifest(path)
+        if name in {f"v{v}" for v in m.get("versions", [])}:
+            continue
+        if name == f"v{int(m.get('current', 0)) + 1}":
+            newest = max(
+                (os.path.getmtime(os.path.join(dp, f))
+                 for dp, _, fs in os.walk(full) for f in fs),
+                default=os.path.getmtime(full))
+            if time.time() - newest < min_age_seconds:
+                continue  # presumed in-flight, not crashed
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(name)
     return removed

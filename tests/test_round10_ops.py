@@ -1,0 +1,149 @@
+"""Round-10 tests: ADVICE-fix regressions (gc_orphans crash-reclaim is
+in test_round9b_ops), determinism/overflow sweep guards, and the
+reduced-probe label-noise audit added this round."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestFellegiSunterGuards:
+    def test_empty_match_pairs_raises_loudly(self, spark):
+        from bigdata_tag_system_spark.operators.dedup import (
+            fellegi_sunter_weights,
+        )
+
+        recs = spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "y"), (3, "b", "x")],
+            "doc_id int, f1 string, f2 string")
+        empty_pairs = spark.createDataFrame([], "id_a int, id_b int")
+        out = fellegi_sunter_weights(
+            recs, empty_pairs,
+            {"f1": F.col("f1"), "f2": F.col("f2")})
+        with pytest.raises(Exception) as ei:
+            out.collect()
+        assert "match_pairs" in str(ei.value)
+
+    def test_u_terms_are_decimal_widened(self, spark):
+        # the n(n-1) cross-products must be decimal(38,0) BEFORE the
+        # multiply — int64 wraps past ~3e9 records otherwise
+        from bigdata_tag_system_spark.operators.dedup import (
+            fellegi_sunter_weights,
+        )
+
+        recs = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b"), (4, "b")],
+            "doc_id int, f1 string")
+        pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+        out = fellegi_sunter_weights(recs, pairs, {"f1": F.col("f1")})
+        row = out.collect()[0]
+        # u = sum n_v(n_v-1) / N(N-1) = (2+2)/12 -> 3333 bp
+        assert row["u_bp"] == 3333
+        assert row["m_bp"] == 10000
+        assert row["n_match_pairs"] == 1
+
+
+class TestLabelNoiseProbeAudit:
+    def test_rejects_lossless_and_invalid_nprobe(self, spark):
+        from bigdata_tag_system_spark.operators.embeddings import (
+            label_noise_probe_audit,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], "a")],
+            "vec_id int, embedding array<double>, label string")
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        with pytest.raises(ValueError):
+            label_noise_probe_audit(df, cents, nprobe=2)  # = num_buckets
+        with pytest.raises(ValueError):
+            label_noise_probe_audit(df, cents, nprobe=0)
+        with pytest.raises(ValueError):
+            label_noise_probe_audit(df, [], nprobe=1)
+
+    def test_agreement_census_bounds_and_exact_twin(self, spark):
+        # two tight clusters on orthogonal axes; anchors = the axes.
+        # nprobe=1 routes every query to its own cluster only — which
+        # here contains all its true neighbors, so the probed census
+        # must AGREE 100% with the exact one and the audit proves it.
+        from bigdata_tag_system_spark.operators.embeddings import (
+            label_noise_probe_audit, label_noise_report,
+        )
+
+        rows = []
+        for i in range(6):
+            rows.append((i, [1.0, 0.01 * i], "x"))
+        for i in range(6, 12):
+            rows.append((i, [0.01 * (i - 6), 1.0], "y"))
+        # one mislabeled vector sitting in the x-cluster
+        rows.append((12, [1.0, 0.05], "y"))
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>, label string")
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+
+        audit = label_noise_probe_audit(
+            df, cents, k=3, nprobe=1).collect()
+        by_label = {r["label"]: r for r in audit}
+        assert set(by_label) == {"x", "y"}
+        # the planted mislabel is a suspect on both sides
+        assert by_label["y"]["suspects_exact"] == 1
+        assert by_label["y"]["suspects_probed"] == 1
+        for r in audit:
+            assert 0 <= r["flag_agree_bp"] <= 10000
+            assert r["flag_agree_bp"] == 10000  # clusters are separable
+            assert (r["mean_mismatch_bp_probed"]
+                    == r["mean_mismatch_bp_exact"])
+        # exact column of the audit == the lossless census
+        census = {r["label"]: r for r in label_noise_report(
+            df, k=3, centroids=cents, nprobe=2).collect()}
+        for lbl, r in by_label.items():
+            assert census[lbl]["suspects"] == r["suspects_exact"]
+            assert census[lbl]["n_vecs"] == r["n_vecs"]
+
+
+class TestNativeIdTypes:
+    def test_coverage_select_string_ids(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            coverage_select,
+        )
+
+        docs = spark.createDataFrame(
+            [("d-a", "one two three four five six"),
+             ("d-b", "one two three seven eight nine"),
+             ("d-c", "ten eleven twelve thirteen fourteen fifteen")],
+            "doc_id string, text string")
+        out = coverage_select(docs, k=2, pool=3)
+        rows = out.collect()
+        assert out.schema["doc_id"].dataType.simpleString() == "string"
+        assert len(rows) == 2
+        assert all(isinstance(r["doc_id"], str) for r in rows)
+
+    def test_mmr_rerank_string_ids_and_schema(self, spark):
+        from bigdata_tag_system_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        df = spark.createDataFrame(
+            [("v-1", [1.0, 0.0]), ("v-2", [0.9, 0.1]),
+             ("v-3", [0.0, 1.0])],
+            "vec_id string, embedding array<double>")
+        out = mmr_rerank(df, [1.0, 0.0], k=2, pool=3, lam=0.3)
+        rows = out.collect()
+        assert out.schema["vec_id"].dataType.simpleString() == "string"
+        assert [r["rank"] for r in rows] == [1, 2]
+        # relevance wins rank 1; at low λ the redundancy penalty pushes
+        # the orthogonal vector to rank 2 over the near-duplicate
+        assert rows[0]["vec_id"] == "v-1"
+        assert rows[1]["vec_id"] == "v-3"
+
+    def test_mmr_rerank_int_ids_keep_source_width(self, spark):
+        from bigdata_tag_system_spark.operators.similarity import (
+            mmr_rerank,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id int, embedding array<double>")
+        out = mmr_rerank(df, [1.0, 0.0], k=1, pool=2)
+        assert out.schema["vec_id"].dataType.simpleString() == "int"
+        assert out.collect()[0]["vec_id"] == 1

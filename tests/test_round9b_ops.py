@@ -957,8 +957,9 @@ class TestGcOrphans:
         store = str(tmp_path / "vs_gc")
         write_version(spark.range(3).toDF("k"), store)
         write_version(spark.range(5).toDF("k"), store)
-        # plant: a crashed-writer orphan from long ago (v9), the legal
-        # in-flight slot (v3 = current+1), and a non-snapshot dir
+        # plant: an unreachable orphan (v9 — not current+1, so swept
+        # regardless of age), a FRESH in-flight slot (v3 = current+1,
+        # young mtime => presumed live writer), and a non-snapshot dir
         os.makedirs(os.path.join(store, "v9"))
         os.makedirs(os.path.join(store, "v3"))
         os.makedirs(os.path.join(store, "not_a_version"))
@@ -968,11 +969,47 @@ class TestGcOrphans:
         assert history(store) == [1, 2]
         assert read_version(spark, store, 1).count() == 3
         assert read_version(spark, store, 2).count() == 5
-        # the in-flight slot and unrelated dirs survive
+        # the fresh in-flight slot and unrelated dirs survive
         assert os.path.isdir(os.path.join(store, "v3"))
         assert os.path.isdir(os.path.join(store, "not_a_version"))
         # idempotent
         assert gc_orphans(store) == []
+
+    def test_crashed_inflight_slot_reclaimed_and_store_unwedged(
+            self, spark, tmp_path):
+        import os
+        import time
+
+        from bigdata_tag_system_spark.sources.versioned import (
+            gc_orphans, history, write_version,
+        )
+
+        store = str(tmp_path / "vs_gc_crash")
+        write_version(spark.range(2).toDF("k"), store)
+        write_version(spark.range(4).toDF("k"), store)
+        # model a CRASH mid-write at v3 = current+1: partial snapshot
+        # whose mtimes are older than the in-flight grace window —
+        # this is the ONLY slot the write protocol can actually leak,
+        # and while it exists write_version is wedged (errorifexists)
+        crash = os.path.join(store, "v3")
+        os.makedirs(crash)
+        with open(os.path.join(crash, "part-00000.parquet"), "wb") as f:
+            f.write(b"torn")
+        old = time.time() - 7200
+        os.utime(os.path.join(crash, "part-00000.parquet"), (old, old))
+        os.utime(crash, (old, old))
+
+        # wedged before GC
+        with pytest.raises(Exception):
+            write_version(spark.range(6).toDF("k"), store)
+        # a fresh-looking crash dir is still spared (can't be told
+        # apart from a live writer)...
+        assert gc_orphans(store, min_age_seconds=10 ** 9) == []
+        # ...but past the age threshold it is reclaimed
+        assert gc_orphans(store, min_age_seconds=3600) == ["v3"]
+        # and the store is un-wedged: the next write lands as v3
+        assert write_version(spark.range(6).toDF("k"), store) == 3
+        assert history(store) == [1, 2, 3]
 
     def test_post_vacuum_orphans_are_not_recreated_targets(
             self, spark, tmp_path):
