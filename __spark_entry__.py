@@ -553,6 +553,11 @@ _DRIVER_FIRST = [
     "sim_mmr_rerank",             # r10: oracle-aligned complement weight
     "sample_coverage_select",     # r10: native-id literals (no int() coerce)
     "emb_label_noise",            # r10: per-vec stage refactored to shared helper
+    "sketch_cms_join_size",       # r10: inner product decimal-widened
+    "ts_asof_join",               # r10: backward-asof value-struct tie key
+    "ts_asof_tolerance",          # r10: same tie key (tolerance path)
+    "dim_scd2_pit_join",          # r10: consumer of the asof tie key
+    "events_last_touch",          # r10: consumer of the asof tie key
     # -- (b) the 8 never-driver-checked entries --
     "agg_argminmax",
     "emb_trunc_recall",
@@ -591,7 +596,7 @@ _DRIVER_FIRST = [
     "sketch_distinct_check", "sort_topk", "split_train_test",
     "text_bpe_tokens", "text_fingerprint", "text_langid",
     "text_quality", "text_segment_dedup", "text_token_stats",
-    "text_top_tokens", "ts_asof_join", "ts_range_join",
+    "text_top_tokens", "ts_range_join",
     "union_all_count", "window_lag", "window_row_number",
     "window_running_sum",
 ]
@@ -5096,7 +5101,10 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-concentration (Gini) per event type: rank within the
         # TYPE partition (never a global sort), then the closed-form
         # Σ(2i−n−1)x_i / (n²μ); ties broken by event_id so the rank —
-        # and therefore the statistic — is engine-deterministic
+        # and therefore the statistic — is engine-deterministic.
+        # Wrap audit (r10): value is DOUBLE, so i·x and n·Σx are IEEE
+        # floats — no int64 wrap is possible; the failure mode is
+        # precision loss, acceptable for a 6-dp bounded statistic
         from pyspark.sql import Window as W
 
         ev = _t(spark, sf_dir, "events")
@@ -7614,10 +7622,13 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         est = cms_join_size(
             cms_build(ev, "k", width=256, depth=3),
             cms_build(od, "k", width=256, depth=3), depth=3)
-        na = ev.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
-        nb = od.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+        na = ev.groupBy("k").agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("na"))
+        nb = od.groupBy("k").agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("nb"))
         exact = na.join(nb, "k").agg(
-            F.sum(F.col("na") * F.col("nb")).alias("exact_join_size"))
+            F.sum(F.col("na") * F.col("nb")).cast("decimal(38,0)")
+            .alias("exact_join_size"))
         return est.crossJoin(F.broadcast(exact)).select(
             "est_join_size", "exact_join_size",
             (F.col("est_join_size") - F.col("exact_join_size"))
@@ -8300,8 +8311,12 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.sum("nb").over(w), F.lit(0)).alias("cumb"))
         agg = cum.agg(
             F.sum("na").alias("_na"), F.sum("nb").alias("_nb"),
-            F.sum(F.col("na") * (2 * F.col("cumb") + F.col("nb")))
-            .alias("_u2"),
+            # U2 ~ 2·nA·nB — a product of two data-scale counts, so it
+            # wraps int64 past ~2e9 units per arm; decimal(38,0)-widen
+            # BEFORE the multiply (the assortativity/CMS discipline)
+            F.sum(F.col("na").cast("decimal(38,0)")
+                  * (2 * F.col("cumb") + F.col("nb")))
+            .cast("decimal(38,0)").alias("_u2"),
             # tie correction term Σ t³ − t over pooled tied groups
             F.sum(F.pow(F.col("na") + F.col("nb"), 3)
                   - (F.col("na") + F.col("nb"))).alias("_ties"))
@@ -8314,7 +8329,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return agg.select(
             F.col("_na").cast("long").alias("n_control"),
             F.col("_nb").cast("long").alias("n_treatment"),
-            F.col("_u2").cast("long").alias("u2"),
+            F.col("_u2").alias("u2"),
             F.round(z, 4).alias("z_score"),
             (F.abs(z) > 1.96).cast("int").alias("reject_95"))
 

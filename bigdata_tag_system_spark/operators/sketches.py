@@ -946,19 +946,28 @@ def cms_join_size(
     be?" — answered from two ≤ depth×width relations WITHOUT touching
     either fact table: sketches built per partition as data lands
     (cms_build/cms_merge) price any prospective join over any
-    partition union. Everything is int64 counter arithmetic, so an
-    external oracle replays the estimate exactly; pair it with the
-    exact join count at test scale to measure the overestimate.
+    partition union. Counters are exact integers and the inner product
+    widens to decimal(38,0) before the multiply (products of data-scale
+    sums wrap int64 past ~3e9 rows), so an external oracle replays the
+    estimate exactly; pair it with the exact join count at test scale
+    to measure the overestimate.
 
     Scale shape: the sketch join is (depth×width) × (depth×width) on
     (row_i, bucket) — constant-size work regardless of fact volume.
     """
+    # counters are data-scale longs, so the inner product is a product
+    # of two data-scale sums — decimal(38,0)-widen BEFORE the multiply
+    # (the assortativity/fellegi discipline): Σ c_a·c_b wraps int64
+    # past ~3e9-row inputs while the checked-BIGINT oracle errors
     prod = (
-        cms_a.select("row_i", "bucket", F.col("cnt").alias("_ca"))
-        .join(cms_b.select("row_i", "bucket", F.col("cnt").alias("_cb")),
+        cms_a.select("row_i", "bucket",
+                     F.col("cnt").cast("decimal(38,0)").alias("_ca"))
+        .join(cms_b.select("row_i", "bucket",
+                           F.col("cnt").cast("decimal(38,0)").alias("_cb")),
               ["row_i", "bucket"])
         .groupBy("row_i")
-        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip")))
+        .agg(F.sum(F.col("_ca") * F.col("_cb"))
+             .cast("decimal(38,0)").alias("_ip")))
     # a hash row with NO shared buckets contributes inner product 0 —
     # reinstate missing rows so min() sees them
     rows = F.broadcast(
@@ -966,5 +975,6 @@ def cms_join_size(
             F.col("id").cast("int").alias("row_i")))
     return (
         rows.join(prod, "row_i", "left")
-        .agg(F.min(F.coalesce(F.col("_ip"), F.lit(0).cast("long")))
+        .agg(F.min(F.coalesce(F.col("_ip"),
+                              F.lit(0).cast("decimal(38,0)")))
              .alias("est_join_size")))

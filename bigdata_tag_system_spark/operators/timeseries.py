@@ -89,6 +89,11 @@ def asof_join(
     a SQL interval string (``"30 minutes"``) for timestamp columns or a
     number for numeric ts columns. Same single-shuffle plan — the bound
     is a post-fill mask, not a join condition.
+
+    Ties: among right rows sharing ``(key, ts)`` the greatest value
+    struct wins — a total order, so the result is a pure function of
+    the inputs, never of partition delivery order (same rule as
+    :func:`asof_join_nearest`).
     """
     rts = right_ts or ts
     value_cols = value_cols or [
@@ -117,10 +122,14 @@ def asof_join(
 
     from pyspark.sql import Window
 
-    # rights sort before lefts at equal ts (_is_left asc) so a tie counts
+    # rights sort before lefts at equal ts (_is_left asc) so a tie counts;
+    # _v (the value struct) totalizes the order among right rows sharing
+    # (key, ts) — last() then deterministically picks the greatest value
+    # struct instead of whichever row the partition happened to deliver
+    # last (the r9 asof-nearest tie rule, applied to the backward join)
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_is_left")
+        .orderBy("_ts", "_is_left", "_v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l_tagged.unionByName(r_tagged)

@@ -101,6 +101,54 @@ class TestLabelNoiseProbeAudit:
             assert census[lbl]["n_vecs"] == r["n_vecs"]
 
 
+class TestWrapWidening:
+    def test_cms_join_size_survives_int64_product_boundary(self, spark):
+        # counters of ~4e9 each: the inner product 1.6e19 exceeds
+        # int64 max (9.22e18) — the decimal(38,0) widening must carry
+        # the exact value where the old long math would wrap negative
+        from decimal import Decimal
+
+        from bigdata_tag_system_spark.operators.sketches import (
+            cms_join_size,
+        )
+
+        big = 4_000_000_000
+        a = spark.createDataFrame(
+            [(0, 0, big)], "row_i int, bucket int, cnt long")
+        b = spark.createDataFrame(
+            [(0, 0, big)], "row_i int, bucket int, cnt long")
+        est = cms_join_size(a, b, depth=1).collect()[0]["est_join_size"]
+        assert est == Decimal(big) * Decimal(big)
+        assert est > 2 ** 63 - 1
+
+    def test_mann_whitney_u2_is_decimal(self, spark, sf_dir):
+        import __spark_entry__ as e
+
+        out = e._build_queries()["stats_mann_whitney"](spark, sf_dir)
+        assert out.schema["u2"].dataType.simpleString() == "decimal(38,0)"
+
+
+class TestAsofBackwardTieRule:
+    def test_duplicate_right_ts_picks_greatest_value_struct(self, spark):
+        # two right rows at the IDENTICAL (key, ts): the greatest value
+        # struct must win — a pure function of the inputs, not of
+        # partition delivery order (r10 sweep: the backward join gets
+        # the r9 asof-nearest tie rule)
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 100)], "user_id int, ts long")
+        right = spark.createDataFrame(
+            [(1, 50, 7.0), (1, 50, 9.0), (1, 50, 3.0)],
+            "user_id int, ts long, value double")
+        for _ in range(3):  # repartition shuffles delivery order
+            out = asof_join(
+                left, right.repartition(5), value_cols=["value"])
+            assert out.collect()[0]["value_asof"] == 9.0
+
+
 class TestNativeIdTypes:
     def test_coverage_select_string_ids(self, spark):
         from bigdata_tag_system_spark.operators.sampling import (
