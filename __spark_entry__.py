@@ -52,6 +52,7 @@ _STREAM_JOIN_CACHE: dict[str, str] = {}
 _STREAM_EWMA_CACHE: dict[str, str] = {}
 # left-outer stream-stream replay outputs (stream_join_outer_parity)
 _STREAM_OUTER_CACHE: dict[str, str] = {}
+_STREAM_STATIC_CACHE: dict[str, str] = {}
 
 _STREAM_DEDUP_CACHE: dict[str, str] = {}
 
@@ -549,6 +550,9 @@ _DRIVER_FIRST = [
     # =====================================================================
     # -- (a) r10 additions + r10 code-changed entries --
     "emb_label_noise_probed",     # NEW r10: reduced-probe agreement audit
+    "sample_weighted_reservoir",  # NEW r10: A-ES weighted sampling
+    "feat_quantile_normalize",    # NEW r10: rank-based uniform rescale
+    "stream_static_join_parity",  # NEW r10: stream x static-dim replay
     "dedup_fs_weights",           # r10: u-terms decimal-widened pre-multiply
     "sim_mmr_rerank",             # r10: oracle-aligned complement weight
     "sample_coverage_select",     # r10: native-id literals (no int() coerce)
@@ -558,6 +562,7 @@ _DRIVER_FIRST = [
     "ts_asof_tolerance",          # r10: same tie key (tolerance path)
     "dim_scd2_pit_join",          # r10: consumer of the asof tie key
     "events_last_touch",          # r10: consumer of the asof tie key
+    "graph_bfs_depths",           # r10: reads the shared edge memo
     # -- (b) the 8 never-driver-checked entries --
     "agg_argminmax",
     "emb_trunc_recall",
@@ -3716,20 +3721,14 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # co-occurrence graph is tiny); depth histogram from part 0.
         # The oracle is DuckDB's cycle-safe WITH RECURSIVE ... UNION
         # BFS — recursive-CTE semantics replayed literally, like the
-        # hierarchy query
+        # hierarchy query. r10: reads the shared materialized edge
+        # table like the other five graph consumers instead of
+        # rebuilding the lineitem self-join per call (probe: 3.93 →
+        # 2.14 s; the oracle still recomputes edges from lineitem, so
+        # the memo stays correctness-audited)
         from bigdata_tag_system_spark.operators.graph import bfs_depths
 
-        li = _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey")
-        a = li.withColumnRenamed("l_partkey", "p1")
-        b = li.withColumnRenamed("l_partkey", "p2")
-        edges = (
-            a.join(b, "l_orderkey")
-            .where(F.col("p1") < F.col("p2"))
-            .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-            .distinct()
-        )
-        out = bfs_depths(edges, 0)
+        out = bfs_depths(_copurchase_edges(spark, sf_dir), 0)
         return (
             out.groupBy("depth")
             .agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -8335,6 +8334,108 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_mann_whitney"] = stats_mann_whitney
 
+    # ---- round-10 additions ----
+
+    def sample_weighted_reservoir(spark, sf_dir):
+        # Efraimidis–Spirakis A-ES weighted sampling without
+        # replacement: top-50 orders by ln(u)/w with u from the
+        # portable Knuth hash of the orderkey and w = o_totalprice —
+        # inclusion ∝ spend, deterministic, mergeable (top-k of a
+        # union = top-k of per-partition top-ks); 9-dp-quantized key
+        # + id tie-break so the kept set is engine-exact
+        from bigdata_tag_system_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        od = _t(spark, sf_dir, "orders")
+        out = weighted_reservoir_sample(
+            od, k=50, weight_col="o_totalprice",
+            key_col="o_orderkey", portable=True)
+        return out.select(
+            "o_orderkey", "o_orderpriority", "es_key"
+        ).orderBy(F.desc("es_key"), "o_orderkey")
+
+    q["sample_weighted_reservoir"] = sample_weighted_reservoir
+
+    def feat_quantile_normalize(spark, sf_dir):
+        # rank-based quantile normalization to uniform(0,1) per event
+        # type — the distribution-free rescale for heavy-tailed
+        # features; rank is a (value, id) total order so equal values
+        # get distinct deterministic quantiles, and rank/(n+1) is a
+        # ratio of exact integers (correctly-rounded IEEE division,
+        # identical in any engine)
+        from bigdata_tag_system_spark.operators.features import (
+            quantile_normalize,
+        )
+
+        ev = (_t(spark, sf_dir, "events")
+              .where("event_id <= 2000 AND value IS NOT NULL")
+              .select("event_id", "event_type", "value"))
+        out = quantile_normalize(
+            ev, "value", "event_id", group_col="event_type")
+        return out.select(
+            "event_id", "event_type",
+            F.col("q_uniform_rank").alias("q_rank"),
+            F.round("q_uniform", 6).alias("q_uniform"),
+        ).orderBy("event_id")
+
+    q["feat_quantile_normalize"] = feat_quantile_normalize
+
+    def stream_static_join_parity(spark, sf_dir):
+        # stream-STATIC dimension join parity: the event stream joins
+        # the customer parquet dim on the data key (user_id =
+        # c_custkey) INSIDE the streaming plan — the canonical
+        # enrich-then-aggregate shape (Spark re-reads/broadcasts the
+        # static side per micro-batch; no watermark needed, the static
+        # side is not stateful). Replayed availableNow into a parquet
+        # sink, then the per-segment value rollup must equal the batch
+        # join exactly. Complements stream_join_parity (stream-stream)
+        # and stream_batch_parity (inline literal dim): this is the
+        # real-table, data-keyed variant.
+        import os
+        import shutil
+        import tempfile
+
+        _prep(spark)
+        out_dir = _STREAM_STATIC_CACHE.get(sf_dir)
+        if out_dir is None:
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            tmp = tempfile.mkdtemp(prefix="stream_static_")
+            src_dir = tmp + "/src"
+            os.makedirs(src_dir)
+            try:
+                os.link(f"{sf_dir}/events.parquet",
+                        f"{src_dir}/events.parquet")
+            except OSError:
+                shutil.copy(f"{sf_dir}/events.parquet",
+                            f"{src_dir}/events.parquet")
+            stream = (spark.readStream.schema(schema).parquet(src_dir)
+                      .select("event_id", "user_id", "value"))
+            dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment")
+            enriched = stream.join(F.broadcast(dim), "user_id")
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            run = (enriched.writeStream.outputMode("append")
+                   .option("checkpointLocation", ckpt)
+                   .trigger(availableNow=True)
+                   .foreachBatch(lambda batch, _id:
+                                 batch.write.mode("append").parquet(out))
+                   .start())
+            run.awaitTermination()
+            _STREAM_STATIC_CACHE[sf_dir] = out
+            out_dir = out
+        replayed = spark.read.parquet(out_dir)
+        return (replayed.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     # integer cents: the segment-level sum must not
+                     # depend on micro-batch summation order
+                     F.sum(F.round(F.col("value") * 100).cast("long"))
+                     .alias("value_cents"),
+                     F.count_distinct("user_id").alias("n_users"))
+                .orderBy("c_mktsegment"))
+
+    q["stream_static_join_parity"] = stream_static_join_parity
+
     return q
 
 
@@ -9426,6 +9527,47 @@ def oracle_sql() -> dict[str, str]:
                CAST((10000 * sum(mism_p)) // (5 * count(*)) AS BIGINT)
                    AS mean_mismatch_bp_probed
         FROM j GROUP BY qlbl ORDER BY label
+    """
+
+    # A-ES replay: u from the Knuth hash ((k % 2^31)·2654435761 % 2^32
+    # + 0.5)/2^32, key = ln(u)/w quantized to 9dp half-up, top-50 with
+    # id tie-break — the same expression the Spark side runs
+    o["sample_weighted_reservoir"] = """
+        SELECT o_orderkey, o_orderpriority,
+               floor(ln((((o_orderkey % 2147483648) * 2654435761)
+                         % 4294967296 + 0.5) / 4294967296.0)
+                     / o_totalprice * 1e9 + 0.5) / 1e9 AS es_key
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        ORDER BY es_key DESC, o_orderkey LIMIT 50
+    """
+
+    o["feat_quantile_normalize"] = """
+        WITH e AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id <= 2000 AND value IS NOT NULL
+        )
+        SELECT event_id, event_type,
+               CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY value, event_id) AS INT) AS q_rank,
+               round(row_number() OVER (PARTITION BY event_type
+                         ORDER BY value, event_id)
+                     / (count(*) OVER (PARTITION BY event_type) + 1),
+                     6) AS q_uniform
+        FROM e ORDER BY event_id
+    """
+
+    # batch formulation of the stream-static dimension join: the
+    # availableNow replay must equal this exactly (inner join, integer
+    # cents so micro-batch summation order cannot show)
+    o["stream_static_join_parity"] = """
+        SELECT c.c_mktsegment,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+                    AS BIGINT) AS value_cents,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """
 
     # streaming-LSH invariant oracle (sample_seeded pattern): the

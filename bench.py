@@ -238,6 +238,9 @@ def main() -> None:
         "stats_mann_whitney",      # integer-core rank-sum test
         # round-10 additions
         "emb_label_noise_probed",  # reduced-probe agreement audit
+        "sample_weighted_reservoir",  # A-ES weighted top-k sample
+        "feat_quantile_normalize",  # rank-based uniform rescale
+        "stream_static_join_parity",  # stream x static-dim replay
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -141,6 +141,40 @@ def normalize_per_user(
     return events.withColumn("value_z", z)
 
 
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    out_col: str = "q_uniform",
+) -> DataFrame:
+    """Rank-based quantile normalization to uniform(0,1): each row gets
+    ``rank / (n + 1)`` within its group — the distribution-free rescale
+    feature pipelines reach for when a column is heavy-tailed and
+    z-scores mislead (the empirical-CDF transform; mapping through a
+    target distribution's inverse CDF afterwards is a map-only step).
+
+    The rank is ``row_number`` over ``(value, id)`` — a TOTAL order, so
+    equal values get distinct, deterministic quantiles (re-run- and
+    engine-stable; use a mid-rank average upstream if tie-sharing is
+    wanted). The quantile is a ratio of exact integers, so the one
+    float division is correctly rounded and identical in any IEEE
+    engine. One shuffle on the group key (a single global window when
+    ``group_col`` is None — acceptable only for dimension-sized inputs;
+    at fact scale always pass a group).
+    """
+    keys = [group_col] if group_col else []
+    w = (Window.partitionBy(*keys).orderBy(value_col, id_col)
+         if keys else Window.orderBy(value_col, id_col))
+    wn = Window.partitionBy(*keys) if keys else \
+        Window.partitionBy(F.lit(1))
+    r = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    return df.select(
+        "*", r.alias(f"{out_col}_rank"),
+        (r / (n + F.lit(1))).alias(out_col))
+
+
 def normalize_per_user_pandas(
     events: DataFrame,
     user_col: str = "user_id",

@@ -144,6 +144,50 @@ def train_test_split(
     return df.withColumn("split", expr.otherwise(F.lit(names[-1])))
 
 
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    salt: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    A-ES (IPL 2006): each row draws ``u ∈ (0,1)`` from its KEY hash and
+    scores ``u^(1/w)``; the k largest scores are a weighted sample
+    without replacement — inclusion probability proportional to weight,
+    exactly the draw a mixture builder needs when rows (not strata)
+    carry the weights.
+
+    Deterministic and distributed by construction: ``u`` derives from
+    the portable Knuth hash, so the kept set is a pure function of
+    (keys, weights, salt) — re-run-stable, engine-replayable, and
+    mergeable (the top-k of a union is the top-k of per-partition
+    top-ks, the property that makes A-ES the STREAMING weighted
+    reservoir; an incremental batch just re-ranks against the kept
+    scores). Ranking uses the equivalent log-space key
+    ``ln(u)/w`` (monotone in ``u^(1/w)``, one transcendental, better
+    float resolution near score 1), quantized to 9 decimals half-up
+    with id tie-break so the kept set cannot flip on a ``log()`` ulp
+    between engines. Rows with NULL or non-positive weight are
+    excluded (A-ES requires ``w > 0``). Plan: narrow map +
+    ``orderBy+limit`` = TakeOrderedAndProject — per-partition heaps,
+    no global sort, no RNG state, no driver loop.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = _pick_hash(df, key_col, portable)(key_col, salt)
+    u = (h + F.lit(0.5)) / F.lit(float(_MOD))
+    w = F.col(weight_col).cast("double")
+    es = F.floor(F.log(u) / w * 1e9 + 0.5) / 1e9
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("es_key", es)
+        .orderBy(F.desc("es_key"), F.col(key_col))
+        .limit(int(k))
+    )
+
+
 def topk_per_stratum(
     df: DataFrame,
     strata_col: str,

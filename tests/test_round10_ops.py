@@ -101,6 +101,83 @@ class TestLabelNoiseProbeAudit:
             assert census[lbl]["n_vecs"] == r["n_vecs"]
 
 
+class TestWeightedReservoir:
+    def test_excludes_nonpositive_weights_and_is_deterministic(
+            self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(w)) for i, w in
+             [(1, 10.0), (2, 0.0), (3, -1.0), (4, 5.0), (5, 20.0)]],
+            "k long, w double")
+        out1 = weighted_reservoir_sample(df, 2, "w", "k")
+        out2 = weighted_reservoir_sample(df.repartition(7), 2, "w", "k")
+        kept1 = [r["k"] for r in out1.collect()]
+        kept2 = [r["k"] for r in out2.collect()]
+        assert kept1 == kept2  # pure function of keys+weights
+        assert not {2, 3} & set(kept1)  # w <= 0 excluded
+        with pytest.raises(ValueError):
+            weighted_reservoir_sample(df, 0, "w", "k")
+
+    def test_inclusion_tracks_weight(self, spark):
+        # statistical sanity over salts: a row with 100x the weight of
+        # its 9 peers must be kept far more often in k=2 draws
+        from bigdata_tag_system_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        rows = [(0, 100.0)] + [(i, 1.0) for i in range(1, 10)]
+        df = spark.createDataFrame(rows, "k long, w double")
+        hits = 0
+        for salt in range(24):
+            kept = {r["k"] for r in weighted_reservoir_sample(
+                df, 2, "w", "k", salt=salt).collect()}
+            assert len(kept) == 2
+            hits += 0 in kept
+        assert hits >= 18  # heavy row kept in >= 75% of draws
+
+    def test_mergeability(self, spark):
+        # top-k of the union == top-k over per-slice top-ks — the
+        # property that makes A-ES a streaming reservoir
+        from bigdata_tag_system_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 7)) for i in range(100)], "k long, w double")
+        full = [r["k"] for r in weighted_reservoir_sample(
+            df, 5, "w", "k").collect()]
+        a = weighted_reservoir_sample(df.where("k < 50"), 5, "w", "k")
+        b = weighted_reservoir_sample(df.where("k >= 50"), 5, "w", "k")
+        merged = [r["k"] for r in
+                  a.unionByName(b)
+                  .orderBy(F.desc("es_key"), "k").limit(5).collect()]
+        assert full == merged
+
+
+class TestQuantileNormalize:
+    def test_ranks_total_order_and_bounds(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            quantile_normalize,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 1.0),
+             (4, "b", 9.0)],
+            "id long, g string, v double")
+        out = quantile_normalize(df, "v", "id", group_col="g").collect()
+        by_id = {r["id"]: r for r in out}
+        # tie at v=5.0 resolves by id: total order
+        assert by_id[3]["q_uniform_rank"] == 1
+        assert by_id[1]["q_uniform_rank"] == 2
+        assert by_id[2]["q_uniform_rank"] == 3
+        assert by_id[1]["q_uniform"] == 2 / 4
+        assert by_id[4]["q_uniform"] == 1 / 2  # singleton group
+        assert all(0 < r["q_uniform"] < 1 for r in out)
+
+
 class TestWrapWidening:
     def test_cms_join_size_survives_int64_product_boundary(self, spark):
         # counters of ~4e9 each: the inner product 1.6e19 exceeds
