@@ -53,6 +53,7 @@ _STREAM_EWMA_CACHE: dict[str, str] = {}
 # left-outer stream-stream replay outputs (stream_join_outer_parity)
 _STREAM_OUTER_CACHE: dict[str, str] = {}
 _STREAM_STATIC_CACHE: dict[str, str] = {}
+_SCHEMA_EVO_CACHE: dict[tuple, str] = {}
 
 _STREAM_DEDUP_CACHE: dict[str, str] = {}
 
@@ -553,16 +554,23 @@ _DRIVER_FIRST = [
     "sample_weighted_reservoir",  # NEW r10: A-ES weighted sampling
     "feat_quantile_normalize",    # NEW r10: rank-based uniform rescale
     "stream_static_join_parity",  # NEW r10: stream x static-dim replay
+    "events_cum_distinct_types",  # NEW r10: windowed COUNT(DISTINCT)
+    "sim_nprobe_recall_curve",    # NEW r10: ANN recall-vs-cost sweep
+    "events_interarrival_stats",  # NEW r10: integer-us cadence board
+    "text_rake_keywords",         # NEW r10: RAKE phrase extraction
+    "func_variant_json",          # NEW r10: Spark 4 VARIANT surface
+    "scan_schema_evolution",      # NEW r10: mergeSchema drift scan
     "dedup_fs_weights",           # r10: u-terms decimal-widened pre-multiply
     "sim_mmr_rerank",             # r10: oracle-aligned complement weight
     "sample_coverage_select",     # r10: native-id literals (no int() coerce)
-    "emb_label_noise",            # r10: per-vec stage refactored to shared helper
     "sketch_cms_join_size",       # r10: inner product decimal-widened
     "ts_asof_join",               # r10: backward-asof value-struct tie key
-    "ts_asof_tolerance",          # r10: same tie key (tolerance path)
-    "dim_scd2_pit_join",          # r10: consumer of the asof tie key
-    "events_last_touch",          # r10: consumer of the asof tie key
     "graph_bfs_depths",           # r10: reads the shared edge memo
+    # (r10 changed-but-hash-identical entries — emb_label_noise per-vec
+    #  refactor, the three other asof-tie-key consumers — are locally
+    #  re-gated green and DEFERRED below the vintage rotation: they are
+    #  re-confirmations, not certification debt, and the window slots
+    #  go to the never-checked 8 + oldest r2 vintage per the r9 plan)
     # -- (b) the 8 never-driver-checked entries --
     "agg_argminmax",
     "emb_trunc_recall",
@@ -604,6 +612,9 @@ _DRIVER_FIRST = [
     "text_top_tokens", "ts_range_join",
     "union_all_count", "window_lag", "window_row_number",
     "window_running_sum",
+    # -- deferred r10 hash-identical re-confirmations (locally gated) --
+    "emb_label_noise", "ts_asof_tolerance", "dim_scd2_pit_join",
+    "events_last_touch",
 ]
 
 _DRIVER_FIRST_R9 = [
@@ -8436,6 +8447,175 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_static_join_parity"] = stream_static_join_parity
 
+    def events_cum_distinct_types(spark, sf_dir):
+        # COUNT(DISTINCT) OVER — the window Spark rejects natively —
+        # via the first-occurrence-flag identity: per user, at every
+        # event, how many distinct event types the user has touched SO
+        # FAR ((ts, event_id) total order; the leakage-safe
+        # point-in-time feature). Oracle is DuckDB's NATIVE distinct
+        # window aggregate, so the identity is checked against a real
+        # engine implementation, not a replay of itself
+        from bigdata_tag_system_spark.operators.features import (
+            cumulative_distinct_count,
+        )
+
+        ev = (_t(spark, sf_dir, "events")
+              .where("event_id <= 2000")
+              .select("event_id", "user_id", "ts", "event_type"))
+        out = cumulative_distinct_count(
+            ev, "event_type", "ts", "event_id", part_col="user_id")
+        return out.select(
+            "event_id", "user_id", "cum_distinct").orderBy("event_id")
+
+    q["events_cum_distinct_types"] = events_cum_distinct_types
+
+    def sim_nprobe_recall_curve(spark, sf_dir):
+        # the ANN tuning curve: recall@10 of the bucketed kNN path at
+        # nprobe ∈ {1,2,4,8} of 8 anchor buckets vs the exact brute
+        # top-10 for query vec 0 — one row per config, so the
+        # recall-vs-cost trade is a TABLE a tuner reads, not a guess
+        # (sim_quantized_recall pattern, swept across the probe knob;
+        # anchors = vec 1..8, the SQL-replayable bucketing)
+        from bigdata_tag_system_spark.operators.similarity import (
+            cosine_topk, knn_join_bucketed,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        anchors = [list(r["embedding"]) for r in
+                   emb.where("vec_id between 1 and 8")
+                   .orderBy("vec_id").collect()]
+        qv = list(emb.where("vec_id = 0").collect()[0]["embedding"])
+        corpus = emb.where("vec_id != 0")
+        exact = cosine_topk(corpus, qv, k=10).select("vec_id")
+        q1 = emb.where("vec_id = 0").select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"))
+        parts = []
+        for np_ in (1, 2, 4, 8):
+            nn = knn_join_bucketed(
+                q1, corpus, anchors, k=10, nprobe=np_,
+                q_id="qid", q_vec="qv")
+            parts.append(
+                nn.select("vec_id")
+                .join(exact, "vec_id", "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_hits"))
+                .select(F.lit(np_).alias("nprobe"),
+                        F.lit(10).alias("k"), "n_hits",
+                        F.expr("(10000 * n_hits) DIV 10")
+                        .alias("recall_bp")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("nprobe")
+
+    q["sim_nprobe_recall_curve"] = sim_nprobe_recall_curve
+
+    def events_interarrival_stats(spark, sf_dir):
+        # per-type inter-arrival spacing board: per user the gaps
+        # between consecutive events of that type ((ts, event_id)
+        # order), then per type the exact continuous percentiles of
+        # the integer-second gaps — the cadence profile capacity
+        # planning and bot screening both read
+        from pyspark.sql import Window as W
+
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id")
+        w = W.partitionBy("user_id", "event_type").orderBy(
+            "ts", "event_id")
+        # exact integer microseconds (the data is micro-grained;
+        # second-truncation would hide sub-second cadence); the NTZ →
+        # TZ cast is identity under the pinned-UTC session
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap = us - F.lag(us).over(w)
+        gaps = ev.select(
+            "event_type", gap.alias("gap_us")).where(
+            F.col("gap_us").isNotNull())
+        return (gaps.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_gaps"),
+                     F.expr("CAST(percentile(gap_us, 0.5) AS DOUBLE)")
+                     .alias("p50_us"),
+                     F.expr("CAST(percentile(gap_us, 0.9) AS DOUBLE)")
+                     .alias("p90_us"),
+                     F.max("gap_us").alias("max_us"))
+                .orderBy("event_type"))
+
+    q["events_interarrival_stats"] = events_interarrival_stats
+
+    def text_rake_keywords(spark, sf_dir):
+        # RAKE multiword keyword extraction over the corpus — phrase
+        # candidates from the string-level stopword split, word
+        # degree/frequency scores and phrase sums all in integer basis
+        # points, top-20 with phrase tie-break; the unsupervised
+        # phrase-level complement to tfidf_top_terms and bigram_lift
+        from bigdata_tag_system_spark.operators.text import (
+            rake_keywords,
+        )
+
+        return rake_keywords(
+            _t(spark, sf_dir, "documents"), top_k=20)
+
+    q["text_rake_keywords"] = text_rake_keywords
+
+    def func_variant_json(spark, sf_dir):
+        # Spark 4 VARIANT surface (the §2.10 class, beside UDTF and
+        # the Python DataSource): parse_json(props) → VARIANT, typed
+        # extraction via variant_get + schema_of_variant — the
+        # shred-on-read semi-structured path that replaces brittle
+        # string get_json_object chains; NULL/absent keys stay NULL
+        # through try-semantics
+        ev = _t(spark, sf_dir, "events")
+        v = F.parse_json(F.col("props"))
+        k = F.expr(
+            "variant_get(parse_json(props), '$.k', 'int')")
+        return (ev.where(F.col("props").isNotNull())
+                .select("event_type", k.alias("k"),
+                        F.expr("schema_of_variant(parse_json(props))")
+                        .alias("vschema"))
+                .groupBy("event_type", "vschema")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("k").alias("k_sum"),
+                     F.min("k").alias("k_min"),
+                     F.max("k").alias("k_max"))
+                .orderBy("event_type", "vschema"))
+
+    q["func_variant_json"] = func_variant_json
+
+    def scan_schema_evolution(spark, sf_dir):
+        # schema-drift source surface: two parquet batches of the SAME
+        # logical table where batch 2 adds a column (the v2 writer
+        # shipped before the v1 backfill finished — the normal state
+        # of a 100 TB lake); mergeSchema=true resolves the union
+        # schema and v1 rows read NULL for the new column. Staged once
+        # per process; the rollup proves both column sets survive
+        import os
+        import tempfile
+
+        key = ("schema_evo", sf_dir)
+        root = _SCHEMA_EVO_CACHE.get(key)
+        if root is None:
+            root = tempfile.mkdtemp(prefix="schema_evo_") + "/t"
+            od = _t(spark, sf_dir, "orders")
+            v1 = od.where("o_orderkey % 2 = 0").select(
+                "o_orderkey", "o_orderpriority")
+            v2 = od.where("o_orderkey % 2 = 1").select(
+                "o_orderkey", "o_orderpriority",
+                F.round(F.col("o_totalprice") * 100).cast("long")
+                .alias("price_cents"))
+            v1.write.mode("overwrite").parquet(os.path.join(root, "b1"))
+            v2.write.mode("overwrite").parquet(os.path.join(root, "b2"))
+            _SCHEMA_EVO_CACHE[key] = root
+        merged = (spark.read.option("mergeSchema", "true")
+                  .parquet(os.path.join(root, "b1"),
+                           os.path.join(root, "b2")))
+        return (merged.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(F.col("price_cents").isNull().cast("long"))
+                     .alias("n_legacy_rows"),
+                     F.sum("price_cents").alias("price_cents_sum"))
+                .orderBy("o_orderpriority"))
+
+    q["scan_schema_evolution"] = scan_schema_evolution
+
     return q
 
 
@@ -9555,6 +9735,148 @@ def oracle_sql() -> dict[str, str]:
                      / (count(*) OVER (PARTITION BY event_type) + 1),
                      6) AS q_uniform
         FROM e ORDER BY event_id
+    """
+
+    # COUNT(DISTINCT) OVER: the oracle is DuckDB's NATIVE distinct
+    # window aggregate, so the Spark-side first-occurrence-flag
+    # identity is checked against a real engine implementation
+    o["events_cum_distinct_types"] = """
+        SELECT event_id, user_id,
+               CAST(count(DISTINCT event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_distinct
+        FROM events WHERE event_id <= 2000 ORDER BY event_id
+    """
+
+    # nprobe recall curve: anchor bucketing replay (emb_label_noise_
+    # probed CTEs), one block per probe config
+    _curve_blocks = "\n            UNION ALL\n".join(f"""
+            SELECT {np_} AS nprobe, 10 AS k,
+                   (SELECT count(*) FROM (
+                        SELECT c.vec_id FROM cos c
+                        JOIN asg ON asg.vec_id = c.vec_id
+                        WHERE asg.bucket IN (SELECT bucket FROM qprobe
+                                             WHERE rk <= {np_})
+                        ORDER BY c.s DESC, c.vec_id LIMIT 10) t
+                    JOIN exact_top e ON e.vec_id = t.vec_id) AS n_hits
+        """ for np_ in (1, 2, 4, 8))
+    o["sim_nprobe_recall_curve"] = f"""
+        WITH anchors AS (
+            SELECT vec_id - 1 AS bucket, embedding
+            FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+        ), asg AS (
+            SELECT vec_id, bucket FROM (
+                SELECT e.vec_id, a.bucket,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_inner_product(
+                               e.embedding::DOUBLE[],
+                               a.embedding::DOUBLE[]) DESC,
+                               a.bucket) AS rk
+                FROM embeddings e CROSS JOIN anchors a
+                WHERE e.vec_id != 0
+            ) WHERE rk = 1
+        ), qprobe AS (
+            SELECT a.bucket,
+                   row_number() OVER (ORDER BY list_inner_product(
+                       q.embedding::DOUBLE[],
+                       a.embedding::DOUBLE[]) DESC, a.bucket) AS rk
+            FROM embeddings q CROSS JOIN anchors a WHERE q.vec_id = 0
+        ), cos AS (
+            SELECT c.vec_id,
+                   list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]) AS s
+            FROM embeddings q JOIN embeddings c ON c.vec_id != 0
+            WHERE q.vec_id = 0
+        ), exact_top AS (
+            SELECT vec_id FROM cos ORDER BY s DESC, vec_id LIMIT 10
+        ), curve AS ({_curve_blocks})
+        SELECT nprobe, k, n_hits,
+               CAST((10000 * n_hits) // 10 AS BIGINT) AS recall_bp
+        FROM curve ORDER BY nprobe
+    """
+
+    o["events_interarrival_stats"] = """
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap_us
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_gaps,
+               quantile_cont(gap_us, 0.5) AS p50_us,
+               quantile_cont(gap_us, 0.9) AS p90_us,
+               CAST(max(gap_us) AS BIGINT) AS max_us
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """
+
+    # VARIANT replay: DuckDB extracts the same typed value from the
+    # JSON string; schema_of_variant('{"k": <int>}') is the constant
+    # 'OBJECT<k: BIGINT>' for every non-null props row in this corpus
+    # (parse_json reads bare JSON integers as BIGINT)
+    o["func_variant_json"] = """
+        SELECT event_type,
+               'OBJECT<k: BIGINT>' AS vschema,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS INT))
+                    AS BIGINT) AS k_sum,
+               min(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+               max(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+        FROM events WHERE props IS NOT NULL
+        GROUP BY event_type ORDER BY event_type, vschema
+    """
+
+    # schema-evolution replay: v1 slice contributes NULL price_cents
+    o["scan_schema_evolution"] = """
+        SELECT o_orderpriority,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_legacy_rows,
+               CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        END) AS BIGINT) AS price_cents_sum
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    # RAKE replay: identical two-pass stopword split, integer bp word
+    # scores, exact-division phrase census (pattern generated from the
+    # SAME stopword tuple the Spark side uses)
+    from bigdata_tag_system_spark.operators.text import _RAKE_STOPWORDS
+    _rake_pat = " (" + "|".join(_RAKE_STOPWORDS) + ") "
+    o["text_rake_keywords"] = f"""
+        WITH s AS (
+            SELECT regexp_replace(regexp_replace(
+                     ' ' || regexp_replace(lower(text), '[^a-z]+', ' ',
+                                           'g') || ' ',
+                     '{_rake_pat}', ' | ', 'g'),
+                     '{_rake_pat}', ' | ', 'g') AS t
+            FROM documents
+        ), p0 AS (
+            SELECT trim(u.x) AS phrase
+            FROM s, unnest(string_split(s.t, '|')) u(x)
+        ), phr AS (
+            SELECT phrase, string_split(phrase, ' ') AS ws FROM p0
+            WHERE phrase != ''
+              AND len(string_split(phrase, ' ')) BETWEEN 1 AND 4
+        ), occ AS (
+            SELECT phrase, len(ws) AS l, unnest(ws) AS word FROM phr
+        ), wscore AS (
+            SELECT word,
+                   CAST((10000 * sum(l - 1)) // count(*) AS BIGINT)
+                       AS wbp
+            FROM occ GROUP BY word
+        ), ps AS (
+            SELECT o.phrase,
+                   CAST(max(o.l) AS INT) AS n_words,
+                   CAST(count(*) / max(o.l) AS BIGINT) AS phrase_freq,
+                   CAST(sum(w.wbp) / (count(*) / max(o.l)) AS BIGINT)
+                       AS score_bp
+            FROM occ o JOIN wscore w USING (word) GROUP BY o.phrase
+        )
+        SELECT phrase, n_words, phrase_freq, score_bp
+        FROM ps ORDER BY score_bp DESC, phrase LIMIT 20
     """
 
     # batch formulation of the stream-static dimension join: the

@@ -241,6 +241,12 @@ def main() -> None:
         "sample_weighted_reservoir",  # A-ES weighted top-k sample
         "feat_quantile_normalize",  # rank-based uniform rescale
         "stream_static_join_parity",  # stream x static-dim replay
+        "events_cum_distinct_types",  # windowed COUNT(DISTINCT)
+        "sim_nprobe_recall_curve",  # ANN recall-vs-cost sweep
+        "events_interarrival_stats",  # integer-us cadence board
+        "text_rake_keywords",      # RAKE phrase extraction
+        "func_variant_json",       # Spark 4 VARIANT extraction
+        "scan_schema_evolution",   # mergeSchema drift scan
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -175,6 +175,47 @@ def quantile_normalize(
         (r / (n + F.lit(1))).alias(out_col))
 
 
+def cumulative_distinct_count(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    id_col: str,
+    part_col: str | None = None,
+    out_col: str = "cum_distinct",
+) -> DataFrame:
+    """``COUNT(DISTINCT value) OVER (PARTITION BY p ORDER BY o)`` —
+    which Spark (like most engines) rejects outright — via the
+    first-occurrence identity: a value contributes to the running
+    distinct count exactly once, at its FIRST occurrence in partition
+    order, so the windowed distinct count is the running SUM of
+    first-occurrence flags. Two window passes — ``row_number`` per
+    (partition, value) marks firsts, then a cumulative sum per
+    partition over (order, id) accumulates them; that is two keyed
+    exchanges, the honest distributed price of an operator no engine
+    runs natively at scale (a naive per-row distinct set would hold
+    O(values) state per row). The (order,
+    id) composite is a total order, so the count at every row is a
+    pure function of the inputs (ties cannot flip which row "sees"
+    a new value first between runs or engines).
+
+    The curation use: "how many distinct event types/sources/shards
+    has this key touched so far" as a point-in-time feature — the
+    leakage-safe formulation (an unbounded ``approx_count_distinct``
+    per key sees the future; this sees only the prefix).
+    """
+    keys = [part_col] if part_col else []
+    w_first = Window.partitionBy(*keys, value_col).orderBy(
+        order_col, id_col)
+    w_cum = (
+        (Window.partitionBy(*keys) if keys
+         else Window.partitionBy(F.lit(1)))
+        .orderBy(order_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    first = (F.row_number().over(w_first) == 1).cast("int")
+    return df.select(
+        "*", F.sum(first).over(w_cum).cast("long").alias(out_col))
+
+
 def normalize_per_user_pandas(
     events: DataFrame,
     user_col: str = "user_id",

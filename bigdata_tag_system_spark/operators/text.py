@@ -1136,3 +1136,77 @@ def readability_scores(
         syll.alias("n_syllable_groups"),
         F.round(flesch, 2).alias("flesch"),
     )
+
+
+_RAKE_STOPWORDS = (
+    "the", "a", "an", "of", "to", "and", "or", "in", "is", "are",
+    "was", "on", "for", "with", "at", "by", "from", "as", "it",
+    "that", "this", "be", "has", "have",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    max_words: int = 4,
+    stopwords: tuple[str, ...] = _RAKE_STOPWORDS,
+) -> DataFrame:
+    """RAKE corpus keyword extraction (Rose et al., 2010): candidate
+    phrases are the maximal stopword/punctuation-free token runs, a
+    word's score is its co-occurrence degree over frequency, and a
+    phrase scores the sum of its words — the unsupervised multiword
+    complement to per-doc TF-IDF terms (``tfidf_top_terms``) and
+    collocation lift (``bigram_lift``).
+
+    Engine-replayable by construction:
+
+    - phrase extraction is STRING-level — lowercase, collapse
+      non-letters to single spaces, then TWO passes of replacing
+      `` (stop1|stop2|…) `` with `` | `` (the second pass catches
+      adjacent stopwords whose shared space the first pass consumed —
+      same left-to-right non-overlapping semantics in Java and DuckDB
+      regex engines), split on ``|``;
+    - word score is INTEGER basis points: ``(10⁴ · Σ(len(phrase)−1))
+      DIV freq`` per word (degree counts co-occurring positions over
+      all phrase occurrences);
+    - a phrase's score is the integer SUM of its words' bp scores
+      (per position — a repeated word counts each time), so ranking
+      is hash-exact; ties break on the phrase string.
+
+    Two shuffles past the scan: a (word) aggregate and a (phrase)
+    aggregate joined back through the exploded positions — explode
+    factor is words-per-doc, the same envelope as every shingle op.
+    """
+    pat = " (" + "|".join(stopwords) + ") "
+    s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")
+    s = F.concat(F.lit(" "), s, F.lit(" "))
+    s = F.regexp_replace(s, pat, " | ")
+    s = F.regexp_replace(s, pat, " | ")
+    phrases = (
+        df.select(F.explode(F.split(s, "\\|")).alias("_p"))
+        .select(F.trim(F.col("_p")).alias("phrase"))
+        .where(F.col("phrase") != "")
+        .select("phrase", F.split("phrase", " ").alias("_ws"))
+        .where(F.size("_ws").between(1, int(max_words)))
+    )
+    occ = phrases.select(
+        "phrase", F.size("_ws").alias("_len"),
+        F.explode("_ws").alias("word"))
+    wstats = occ.groupBy("word").agg(
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum(F.col("_len") - 1).alias("_deg"))
+    wscore = wstats.select(
+        "word", F.expr("(10000 * _deg) DIV _freq").alias("_wbp"))
+    pscore = (
+        occ.join(wscore, "word")
+        .groupBy("phrase")
+        .agg((F.count(F.lit(1)) / F.max("_len")).cast("long")
+             .alias("phrase_freq"),
+             F.max("_len").alias("n_words"),
+             (F.sum("_wbp") / (F.count(F.lit(1)) / F.max("_len")))
+             .cast("long").alias("score_bp"))
+    )
+    return (pscore.orderBy(F.desc("score_bp"), "phrase")
+            .limit(int(top_k))
+            .select("phrase", "n_words", "phrase_freq", "score_bp"))

@@ -157,6 +157,75 @@ class TestWeightedReservoir:
         assert full == merged
 
 
+class TestRakeKeywords:
+    def test_hand_scored_corpus(self, spark):
+        # "deep learning" occurs twice; each word: freq=2, deg=2(len-1)
+        # => wbp=10000 each => phrase score 20000. "neural networks"
+        # once: wbp 10000 each => 20000 (ties break on the phrase
+        # string). "rocks" is a 1-word phrase: deg 0 => score 0.
+        from bigdata_tag_system_spark.operators.text import (
+            rake_keywords,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "deep learning is the deep learning of neural networks"),
+             (2, "it rocks")],
+            "doc_id long, text string")
+        rows = rake_keywords(docs, top_k=10).collect()
+        got = {r["phrase"]: (r["n_words"], r["phrase_freq"],
+                             r["score_bp"]) for r in rows}
+        assert got["deep learning"] == (2, 2, 20000)
+        assert got["neural networks"] == (2, 1, 20000)
+        assert got["rocks"] == (1, 1, 0)
+        # tie order: score desc, then phrase asc
+        assert [r["phrase"] for r in rows[:2]] == [
+            "deep learning", "neural networks"]
+
+    def test_adjacent_stopwords_split(self, spark):
+        # "of the" between phrases: the two-pass replace must sever
+        # both — "cat" and "house" end up separate 1-word phrases
+        from bigdata_tag_system_spark.operators.text import (
+            rake_keywords,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "cat of the house")], "doc_id long, text string")
+        phrases = {r["phrase"] for r in
+                   rake_keywords(docs, top_k=10).collect()}
+        assert phrases == {"cat", "house"}
+
+
+class TestCumulativeDistinctCount:
+    def test_matches_prefix_set_semantics(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            cumulative_distinct_count,
+        )
+
+        rows = [(1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"),
+                (4, 1, 40, "c"), (5, 2, 10, "x"), (6, 2, 20, "x")]
+        df = spark.createDataFrame(
+            rows, "id long, u long, o long, v string")
+        out = cumulative_distinct_count(
+            df, "v", "o", "id", part_col="u").collect()
+        got = {r["id"]: r["cum_distinct"] for r in out}
+        assert got == {1: 1, 2: 2, 3: 2, 4: 3, 5: 1, 6: 1}
+
+    def test_tie_on_order_resolved_by_id(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            cumulative_distinct_count,
+        )
+
+        # two rows at the same order value: the lower id "sees" the
+        # new value first — a pure function of the inputs
+        df = spark.createDataFrame(
+            [(2, 10, "a"), (1, 10, "b")], "id long, o long, v string")
+        for _ in range(2):
+            got = {r["id"]: r["cum_distinct"]
+                   for r in cumulative_distinct_count(
+                       df.repartition(4), "v", "o", "id").collect()}
+            assert got == {1: 1, 2: 2}
+
+
 class TestQuantileNormalize:
     def test_ranks_total_order_and_bounds(self, spark):
         from bigdata_tag_system_spark.operators.features import (
