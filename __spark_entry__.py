@@ -54,6 +54,7 @@ _STREAM_EWMA_CACHE: dict[str, str] = {}
 _STREAM_OUTER_CACHE: dict[str, str] = {}
 _STREAM_STATIC_CACHE: dict[str, str] = {}
 _SCHEMA_EVO_CACHE: dict[tuple, str] = {}
+_TTRAVEL_CACHE: dict[str, str] = {}
 
 _STREAM_DEDUP_CACHE: dict[str, str] = {}
 
@@ -560,6 +561,8 @@ _DRIVER_FIRST = [
     "text_rake_keywords",         # NEW r10: RAKE phrase extraction
     "func_variant_json",          # NEW r10: Spark 4 VARIANT surface
     "scan_schema_evolution",      # NEW r10: mergeSchema drift scan
+    "store_cdc_diff",             # NEW r10: versioned-store CDC diff
+    "customer_segment_migration", # NEW r10: retention migration matrix
     "dedup_fs_weights",           # r10: u-terms decimal-widened pre-multiply
     "sim_mmr_rerank",             # r10: oracle-aligned complement weight
     "sample_coverage_select",     # r10: native-id literals (no int() coerce)
@@ -8616,6 +8619,78 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scan_schema_evolution"] = scan_schema_evolution
 
+    def store_cdc_diff(spark, sf_dir):
+        # versioned parquet store END TO END under the oracle gate
+        # (write → atomic manifest flip → read_version → version_diff
+        # CDC), exercising the module the r10 ADVICE fixes hardened
+        # (age-gated orphan GC, per-candidate manifest re-read). v1 =
+        # per-priority order counts on a slice that EXCLUDES '5-LOW';
+        # v2 = a different slice that excludes '1-URGENT' — the diff
+        # must emit exactly one insert ('5-LOW'), one delete
+        # ('1-URGENT'), and updates where counts changed; the oracle
+        # recomputes both snapshots from orders and replays the
+        # null-safe diff logic
+        import tempfile
+
+        from bigdata_tag_system_spark.sources.versioned import (
+            version_diff, write_version,
+        )
+
+        def snap(df):
+            return df.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100)
+                      .cast("long")).alias("cents"))
+
+        path = _TTRAVEL_CACHE.get(sf_dir)
+        if path is None:
+            od = _t(spark, sf_dir, "orders")
+            path = tempfile.mkdtemp(prefix="vstore_tt_") + "/s"
+            write_version(snap(od.where(
+                "o_orderkey % 3 != 0 AND o_orderpriority != '5-LOW'")),
+                path)
+            write_version(snap(od.where(
+                "o_orderpriority != '1-URGENT'")), path)
+            _TTRAVEL_CACHE[sf_dir] = path
+        d = version_diff(spark, path, 1, 2,
+                         key_cols=["o_orderpriority"])
+        return d.select(
+            "o_orderpriority", "op",
+            F.col("old.n").alias("old_n"),
+            F.col("new.n").alias("new_n"),
+            F.col("new.cents").alias("new_cents"),
+        ).orderBy("o_orderpriority")
+
+    q["store_cdc_diff"] = store_cdc_diff
+
+    def customer_segment_migration(spark, sf_dir):
+        # segment-transition matrix: customers bucketed by order count
+        # in the early vs late half of the calendar (none/low/high per
+        # period, integer fence at 2), counted per (from, to) cell —
+        # the migration board a retention team reads; all integer
+        # logic, full-outer on the customer key so appearing/churning
+        # customers land in the none row/column
+        od = _t(spark, sf_dir, "orders")
+        half = F.lit("1997-01-01").cast("date")
+
+        def seg(df, alias):
+            return (df.groupBy("o_custkey")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .select(F.col("o_custkey").alias("user_id"),
+                            F.when(F.col("_n") >= 2, F.lit("high"))
+                            .otherwise(F.lit("low")).alias(alias)))
+
+        early = seg(od.where(F.col("o_orderdate") < half), "seg_from")
+        late = seg(od.where(F.col("o_orderdate") >= half), "seg_to")
+        j = early.join(late, "user_id", "full_outer").select(
+            F.coalesce("seg_from", F.lit("none")).alias("seg_from"),
+            F.coalesce("seg_to", F.lit("none")).alias("seg_to"))
+        return (j.groupBy("seg_from", "seg_to")
+                .agg(F.count(F.lit(1)).alias("n_customers"))
+                .orderBy("seg_from", "seg_to"))
+
+    q["customer_segment_migration"] = customer_segment_migration
+
     return q
 
 
@@ -9810,6 +9885,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(gap_us) AS BIGINT) AS max_us
         FROM g WHERE gap_us IS NOT NULL
         GROUP BY event_type ORDER BY event_type
+    """
+
+    # versioned-store CDC replay: both snapshots recomputed from
+    # orders, null-safe full-outer diff with the same op logic
+    o["store_cdc_diff"] = """
+        WITH v1 AS (
+            SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderkey % 3 != 0 AND o_orderpriority != '5-LOW'
+            GROUP BY o_orderpriority
+        ), v2 AS (
+            SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders WHERE o_orderpriority != '1-URGENT'
+            GROUP BY o_orderpriority
+        )
+        SELECT coalesce(a.o_orderpriority, b.o_orderpriority)
+                   AS o_orderpriority,
+               CASE WHEN b.o_orderpriority IS NULL THEN 'delete'
+                    WHEN a.o_orderpriority IS NULL THEN 'insert'
+                    ELSE 'update' END AS op,
+               a.n AS old_n, b.n AS new_n, b.cents AS new_cents
+        FROM v1 a FULL OUTER JOIN v2 b
+          ON a.o_orderpriority = b.o_orderpriority
+        WHERE a.o_orderpriority IS NULL OR b.o_orderpriority IS NULL
+           OR a.n != b.n OR a.cents != b.cents
+        ORDER BY o_orderpriority
+    """
+
+    o["customer_segment_migration"] = """
+        WITH e AS (
+            SELECT o_custkey AS user_id,
+                   CASE WHEN count(*) >= 2 THEN 'high' ELSE 'low' END
+                       AS seg_from
+            FROM orders WHERE o_orderdate < DATE '1997-01-01'
+            GROUP BY o_custkey
+        ), l AS (
+            SELECT o_custkey AS user_id,
+                   CASE WHEN count(*) >= 2 THEN 'high' ELSE 'low' END
+                       AS seg_to
+            FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+            GROUP BY o_custkey
+        )
+        SELECT coalesce(seg_from, 'none') AS seg_from,
+               coalesce(seg_to, 'none') AS seg_to,
+               count(*) AS n_customers
+        FROM e FULL OUTER JOIN l USING (user_id)
+        GROUP BY 1, 2 ORDER BY seg_from, seg_to
     """
 
     # VARIANT replay: DuckDB extracts the same typed value from the

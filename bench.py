@@ -247,6 +247,8 @@ def main() -> None:
         "text_rake_keywords",      # RAKE phrase extraction
         "func_variant_json",       # Spark 4 VARIANT extraction
         "scan_schema_evolution",   # mergeSchema drift scan
+        "store_cdc_diff",          # versioned-store CDC diff
+        "customer_segment_migration",  # retention migration matrix
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
