@@ -563,6 +563,7 @@ _DRIVER_FIRST = [
     "scan_schema_evolution",      # NEW r10: mergeSchema drift scan
     "store_cdc_diff",             # NEW r10: versioned-store CDC diff
     "customer_segment_migration", # NEW r10: retention migration matrix
+    "sql_recursive_cte",          # NEW r10: native WITH RECURSIVE
     "dedup_fs_weights",           # r10: u-terms decimal-widened pre-multiply
     "sim_mmr_rerank",             # r10: oracle-aligned complement weight
     "sample_coverage_select",     # r10: native-id literals (no int() coerce)
@@ -8691,6 +8692,31 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customer_segment_migration"] = customer_segment_migration
 
+    def sql_recursive_cte(spark, sf_dir):
+        # Spark 4 NATIVE `WITH RECURSIVE` (SPARK-24497) — the engine
+        # surface the pointer-doubling `graph_part_hierarchy` operator
+        # works around on engines that lack it: the same binary-forest
+        # parent walk (parent = child DIV 2, root 0) expressed as the
+        # literal linear recursion, aggregated to the depth census.
+        # Cycle-free by construction (strictly decreasing keys), so
+        # UNION ALL recursion terminates; same shape as the DuckDB
+        # oracle — a true engine-vs-engine recursive-semantics parity
+        return spark.sql(f"""
+            WITH RECURSIVE walk(node, anc, depth) AS (
+                SELECT p_partkey, p_partkey, 0
+                FROM parquet.`{sf_dir}/part.parquet`
+                UNION ALL
+                SELECT node, anc DIV 2, depth + 1
+                FROM walk WHERE anc >= 1
+            )
+            SELECT depth, count(*) AS n_nodes
+            FROM (SELECT node, max(depth) AS depth
+                  FROM walk GROUP BY node)
+            GROUP BY depth ORDER BY depth
+        """)
+
+    q["sql_recursive_cte"] = sql_recursive_cte
+
     return q
 
 
@@ -9885,6 +9911,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(gap_us) AS BIGINT) AS max_us
         FROM g WHERE gap_us IS NOT NULL
         GROUP BY event_type ORDER BY event_type
+    """
+
+    # native-recursion parity: the identical linear parent walk
+    o["sql_recursive_cte"] = """
+        WITH RECURSIVE walk(node, anc, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM part
+            UNION ALL
+            SELECT node, anc // 2, depth + 1 FROM walk WHERE anc >= 1
+        )
+        SELECT depth, count(*) AS n_nodes
+        FROM (SELECT node, max(depth) AS depth FROM walk GROUP BY node)
+        GROUP BY depth ORDER BY depth
     """
 
     # versioned-store CDC replay: both snapshots recomputed from

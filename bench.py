@@ -249,6 +249,7 @@ def main() -> None:
         "scan_schema_evolution",   # mergeSchema drift scan
         "store_cdc_diff",          # versioned-store CDC diff
         "customer_segment_migration",  # retention migration matrix
+        "sql_recursive_cte",       # native WITH RECURSIVE (UnionLoop)
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
