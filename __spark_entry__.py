@@ -55,6 +55,7 @@ _STREAM_OUTER_CACHE: dict[str, str] = {}
 _STREAM_STATIC_CACHE: dict[str, str] = {}
 _SCHEMA_EVO_CACHE: dict[tuple, str] = {}
 _TTRAVEL_CACHE: dict[str, str] = {}
+_PYDS_STREAM_CACHE: dict[str, str] = {}
 
 _STREAM_DEDUP_CACHE: dict[str, str] = {}
 
@@ -564,6 +565,7 @@ _DRIVER_FIRST = [
     "store_cdc_diff",             # NEW r10: versioned-store CDC diff
     "customer_segment_migration", # NEW r10: retention migration matrix
     "sql_recursive_cte",          # NEW r10: native WITH RECURSIVE
+    "scan_pyds_stream",           # NEW r10: streaming Python DataSource
     "dedup_fs_weights",           # r10: u-terms decimal-widened pre-multiply
     "sim_mmr_rerank",             # r10: oracle-aligned complement weight
     "sample_coverage_select",     # r10: native-id literals (no int() coerce)
@@ -8717,6 +8719,60 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sql_recursive_cte"] = sql_recursive_cte
 
+    def scan_pyds_stream(spark, sf_dir):
+        # STREAMING Python DataSource (Spark 4 simpleStreamReader —
+        # §2.10 beside the batch reader, UDTF, and VARIANT): the
+        # synthetic-events source streamed through index offsets in
+        # 100-row micro-batches to a parquet sink, drained by polling
+        # the sink to the known row bound (the source stays open at a
+        # fixed offset once exhausted). Content is a pure function of
+        # the row index, so the rollup is closed-form for the oracle;
+        # distinct-by-event_id makes the readback replay-proof.
+        import os
+        import tempfile
+        import time
+
+        from bigdata_tag_system_spark.sources.pyds import register
+
+        _prep(spark)
+        n_rows = 600
+        out_dir = _PYDS_STREAM_CACHE.get(sf_dir)
+        if out_dir is None:
+            register(spark)
+            tmp = tempfile.mkdtemp(prefix="pyds_stream_")
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            stream = (spark.readStream.format("synthetic_events")
+                      .option("rows", n_rows).option("chunk", 100)
+                      .load())
+            run = (stream.writeStream.outputMode("append")
+                   .option("checkpointLocation", ckpt)
+                   .foreachBatch(lambda batch, _id:
+                                 batch.write.mode("append").parquet(out))
+                   .start())
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                if os.path.exists(out):
+                    try:
+                        if (spark.read.parquet(out)
+                                .select("event_id").distinct()
+                                .count() >= n_rows):
+                            break
+                    except Exception:
+                        pass
+                time.sleep(0.5)
+            run.stop()
+            _PYDS_STREAM_CACHE[sf_dir] = out
+            out_dir = out
+        replayed = spark.read.parquet(out_dir).dropDuplicates(
+            ["event_id"])
+        return (replayed.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value_i").alias("value_sum"),
+                     F.count_distinct("user_id").alias("n_users"))
+                .orderBy("event_type"))
+
+    q["scan_pyds_stream"] = scan_pyds_stream
+
     return q
 
 
@@ -9911,6 +9967,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(gap_us) AS BIGINT) AS max_us
         FROM g WHERE gap_us IS NOT NULL
         GROUP BY event_type ORDER BY event_type
+    """
+
+    # streaming Python DataSource replay: rows are a pure function of
+    # the index, so the rollup is closed-form over range(600)
+    o["scan_pyds_stream"] = """
+        WITH g AS (
+            SELECT i,
+                   CASE i % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                        WHEN 2 THEN 'purchase' ELSE 'error' END
+                       AS event_type,
+                   i % 97 AS user_id, (i * 31) % 1000 AS value_i
+            FROM (SELECT unnest(range(600)) AS i)
+        )
+        SELECT event_type, count(*) AS n,
+               CAST(sum(value_i) AS BIGINT) AS value_sum,
+               count(DISTINCT user_id) AS n_users
+        FROM g GROUP BY event_type ORDER BY event_type
     """
 
     # native-recursion parity: the identical linear parent walk

@@ -250,6 +250,7 @@ def main() -> None:
         "store_cdc_diff",          # versioned-store CDC diff
         "customer_segment_migration",  # retention migration matrix
         "sql_recursive_cte",       # native WITH RECURSIVE (UnionLoop)
+        "scan_pyds_stream",        # streaming Python DataSource
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

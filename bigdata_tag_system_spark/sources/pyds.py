@@ -16,10 +16,16 @@ that isn't a database.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _DEFAULT_ROWS = 1000
 _DEFAULT_PARTS = 4
+_DEFAULT_CHUNK = 100
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -49,6 +55,18 @@ class SyntheticEventsDataSource(DataSource):
             parts=int(self.options.get("partitions", _DEFAULT_PARTS)),
         )
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        # the STREAMING face of the same source (Spark 4
+        # `spark.readStream.format(...)` over a Python data source):
+        # offsets are plain row indexes, so progress tracking,
+        # checkpoint recovery, and `readBetweenOffsets` replay are all
+        # exact — rows are the same pure function of the index the
+        # batch reader emits
+        return SyntheticEventsStreamReader(
+            rows=int(self.options.get("rows", _DEFAULT_ROWS)),
+            chunk=int(self.options.get("chunk", _DEFAULT_CHUNK)),
+        )
+
 
 _TYPES = ["view", "click", "purchase", "error"]
 
@@ -70,7 +88,43 @@ class SyntheticEventsReader(DataSourceReader):
         start = partition.value * self.rows // self.parts
         end = (partition.value + 1) * self.rows // self.parts
         for i in range(start, end):
-            yield (i, i % 97, _TYPES[i % 4], (i * 31) % 1000)
+            yield _row(i)
+
+
+def _row(i: int) -> tuple:
+    return (i, i % 97, _TYPES[i % 4], (i * 31) % 1000)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded index-offset stream: each micro-batch advances the
+    offset by ``chunk`` rows until ``rows`` is reached, then returns
+    empty batches at a fixed offset (a drained-but-open stream). The
+    driver-side ``read(start)`` prefetch is tiny (chunk-bounded);
+    at-least-once replays route through ``readBetweenOffsets``, which
+    regenerates the identical rows from the offsets alone — the
+    replayability contract a production feed reader implements with a
+    seekable upstream (Kafka offsets, file indexes)."""
+
+    def __init__(self, rows: int, chunk: int):
+        if rows < 0 or chunk < 1:
+            raise ValueError(
+                f"rows must be >= 0 and chunk >= 1, got "
+                f"rows={rows}, chunk={chunk}")
+        self.rows, self.chunk = rows, chunk
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        i = int(start["index"])
+        if i >= self.rows:
+            return iter([]), {"index": i}
+        end = min(i + self.chunk, self.rows)
+        return iter([_row(j) for j in range(i, end)]), {"index": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(j) for j in
+                     range(int(start["index"]), int(end["index"]))])
 
 
 def register(spark) -> None:

@@ -157,6 +157,34 @@ class TestWeightedReservoir:
         assert full == merged
 
 
+class TestPydsStreamReader:
+    def test_offsets_chunks_drain_and_replay(self):
+        from bigdata_tag_system_spark.sources.pyds import (
+            SyntheticEventsStreamReader, _row,
+        )
+
+        r = SyntheticEventsStreamReader(rows=250, chunk=100)
+        off = r.initialOffset()
+        assert off == {"index": 0}
+        seen = []
+        for want_end in (100, 200, 250):
+            rows, off = r.read(off)
+            rows = list(rows)
+            seen.extend(rows)
+            assert off == {"index": want_end}
+        assert len(seen) == 250
+        # drained-but-open: empty batch, offset pinned
+        rows, off2 = r.read(off)
+        assert list(rows) == [] and off2 == {"index": 250}
+        # at-least-once replay regenerates IDENTICAL rows from offsets
+        replay = list(r.readBetweenOffsets({"index": 100},
+                                           {"index": 200}))
+        assert replay == seen[100:200] == [_row(i)
+                                           for i in range(100, 200)]
+        with pytest.raises(ValueError):
+            SyntheticEventsStreamReader(rows=10, chunk=0)
+
+
 class TestRakeKeywords:
     def test_hand_scored_corpus(self, spark):
         # "deep learning" occurs twice; each word: freq=2, deg=2(len-1)
