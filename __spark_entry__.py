@@ -566,6 +566,7 @@ _DRIVER_FIRST = [
     "customer_segment_migration", # NEW r10: retention migration matrix
     "sql_recursive_cte",          # NEW r10: native WITH RECURSIVE
     "scan_pyds_stream",           # NEW r10: streaming Python DataSource
+    "mm_arrow_norms",             # NEW r10: mapInArrow zero-copy batches
     "dedup_fs_weights",           # r10: u-terms decimal-widened pre-multiply
     "sim_mmr_rerank",             # r10: oracle-aligned complement weight
     "sample_coverage_select",     # r10: native-id literals (no int() coerce)
@@ -8773,6 +8774,20 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scan_pyds_stream"] = scan_pyds_stream
 
+    def mm_arrow_norms(spark, sf_dir):
+        # mapInArrow surface (zero-copy Arrow batches, no pandas
+        # detour): per-vector L2 norm from ONE segmented reduceat per
+        # batch, 9dp-quantized — completes the Python-executor trio
+        # (row UDF avoided, pandas_udf/mapInPandas, mapInArrow)
+        from bigdata_tag_system_spark.operators.embeddings import (
+            arrow_batch_norms,
+        )
+
+        out = arrow_batch_norms(_t(spark, sf_dir, "embeddings"))
+        return out.orderBy("vec_id")
+
+    q["mm_arrow_norms"] = mm_arrow_norms
+
     return q
 
 
@@ -9967,6 +9982,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(gap_us) AS BIGINT) AS max_us
         FROM g WHERE gap_us IS NOT NULL
         GROUP BY event_type ORDER BY event_type
+    """
+
+    # Arrow-batch norm replay: same widen-then-sequential-fold + sqrt
+    o["mm_arrow_norms"] = """
+        SELECT vec_id,
+               floor(sqrt(list_inner_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[]))
+                     * 1e9 + 0.5) / 1e9 AS norm9
+        FROM embeddings ORDER BY vec_id
     """
 
     # streaming Python DataSource replay: rows are a pure function of

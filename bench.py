@@ -251,6 +251,7 @@ def main() -> None:
         "customer_segment_migration",  # retention migration matrix
         "sql_recursive_cte",       # native WITH RECURSIVE (UnionLoop)
         "scan_pyds_stream",        # streaming Python DataSource
+        "mm_arrow_norms",          # mapInArrow zero-copy batches
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

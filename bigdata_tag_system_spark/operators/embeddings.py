@@ -816,6 +816,51 @@ def _label_noise_census(per_vec: DataFrame, k: int,
     )
 
 
+def arrow_batch_norms(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-row L2 norms via ``df.mapInArrow`` — the zero-copy
+    Arrow-native sibling of the ``mapInPandas`` media ops (no pandas
+    detour, no per-row Python): each task receives pyarrow
+    RecordBatches; the list column flattens to ONE contiguous float64
+    buffer and a single ``np.add.reduceat`` segmented reduction
+    computes every row's Σx² in C (sequential within each segment, so
+    the fold order matches a SQL engine's list_inner_product exactly —
+    at dim ≤ 128 numpy does not switch to pairwise summation). Norms
+    are quantized to 9 decimals half-up (the engine convention) so the
+    output is hash-exact cross-engine. Rows with empty vectors emit
+    0.0 (documented; the fleet's embeddings are fixed-dim).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = f"{id_col} bigint, norm9 double"
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column(0)
+            col = b.column(1)
+            vals = np.asarray(col.flatten(), dtype=np.float64)
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            lens = np.diff(offs)
+            sq = vals * vals
+            sums = np.zeros(len(lens), dtype=np.float64)
+            nz = lens > 0
+            if nz.any():
+                sums[nz] = np.add.reduceat(sq, offs[:-1][nz])
+            norms = np.floor(np.sqrt(sums) * 1e9 + 0.5) / 1e9
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()), pa.array(norms, pa.float64())],
+                names=[id_col, "norm9"])
+
+    src = df.select(F.col(id_col),
+                    F.col(vec_col).cast("array<double>"))
+    return src.mapInArrow(fn, schema=out_schema)
+
+
 def dimension_variance_report(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -157,6 +157,24 @@ class TestWeightedReservoir:
         assert full == merged
 
 
+class TestArrowBatchNorms:
+    def test_norms_and_empty_vector_edge(self, spark):
+        import math
+
+        from bigdata_tag_system_spark.operators.embeddings import (
+            arrow_batch_norms,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, []), (3, [1.0] * 64)],
+            "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: r["norm9"] for r in
+               arrow_batch_norms(df.repartition(3)).collect()}
+        assert got[1] == 5.0
+        assert got[2] == 0.0  # documented empty-vector behavior
+        assert got[3] == math.floor(8.0 * 1e9 + 0.5) / 1e9
+
+
 class TestPydsStreamReader:
     def test_offsets_chunks_drain_and_replay(self):
         from bigdata_tag_system_spark.sources.pyds import (
