@@ -100,6 +100,12 @@ _EDGE_CACHE: dict[str, str] = {}
 # materialized 3-round LPA label assignments, keyed by sf_dir (see
 # _lpa_labels — shared by graph_lpa_communities and graph_modularity)
 _LPA_CACHE: dict[str, str] = {}
+# materialized EXACT per-vector kNN label-mismatch relation, keyed by
+# sf_dir (see _label_noise_pervec — shared by emb_label_noise and
+# emb_label_noise_probed, which previously each re-ran the full-probe
+# pass: together the most expensive pair in the catalog, r10 VERDICT
+# "What's wrong" #2)
+_LNOISE_CACHE: dict[str, str] = {}
 # embeddings re-keyed as doc_id, staged once per sf_dir (see cross_table_rule)
 _EMB_KEYED_CACHE: dict[str, str] = {}
 # bucketed store directories, keyed by sf_dir (see store_bucketed_merge)
@@ -230,6 +236,34 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = tempfile.mkdtemp(prefix="lpa_labels_") + "/labels"
         labels.write.mode("overwrite").parquet(path)
         _LPA_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+def _label_noise_pervec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-vector kNN label-mismatch relation (k=5) over the
+    embeddings corpus, materialized once per process per sf_dir — the
+    shared intermediate of `emb_label_noise` (census over it) and
+    `emb_label_noise_probed` (its exact side). At full probe the
+    bucketed kNN join only prunes, so the relation is a pure function
+    of (corpus, k) and NOT of the centroid choice — the two entries'
+    different bucketings (fitted k-means vs vec_id-1..8 anchors) share
+    it soundly. Same audited-cache contract as `_copurchase_edges`:
+    BOTH oracles re-derive the exact neighbor census independently in
+    SQL, so the memo cannot hide drift."""
+    import tempfile
+
+    path = _LNOISE_CACHE.get(sf_dir)
+    if path is None:
+        from bigdata_tag_system_spark.operators.embeddings import (
+            label_noise_per_vec,
+        )
+
+        cents = _fitted_centroids(spark, sf_dir)
+        pv = label_noise_per_vec(
+            _t(spark, sf_dir, "embeddings"), cents, k=5)
+        path = tempfile.mkdtemp(prefix="lnoise_pervec_") + "/pervec"
+        pv.write.mode("overwrite").parquet(path)
+        _LNOISE_CACHE[sf_dir] = path
     return spark.read.parquet(path)
 
 
@@ -622,93 +656,6 @@ _DRIVER_FIRST = [
     # -- deferred r10 hash-identical re-confirmations (locally gated) --
     "emb_label_noise", "ts_asof_tolerance", "dim_scd2_pit_join",
     "events_last_touch",
-]
-
-_DRIVER_FIRST_R9 = [
-    # -- round-9 additions + every entry whose code/oracle/shared
-    #    plumbing changed this round (certified the round they change) --
-    "scan_jdbc_roundtrip",        # NEW: live Derby JDBC round-trip
-    "upsert_jdbc_live",           # NEW: live stage-then-MERGE upsert
-    "emb_label_noise",            # swapped to the bucketed kNN plan
-    "dedup_reciprocal_best",      # now reads the shared θ=0.3 pair memo
-    "dedup_threshold_sweep",      # same memo, second consumer
-    "dedup_ngram_jaccard",        # θ=0.5 memo path refactored underneath
-    "dedup_minhash_recall",       # single-pass metric agg (persist removed)
-    "ts_asof_nearest",            # deterministic (key,ts)-tie rule + oracle
-    "mm_video_frame_stats",       # linear split-based pixel fold
-    "orders_abc_xyz",             # decimal(38,0) fence guard
-    "graph_assortativity",        # decimal moment widening
-    "text_tfidf_top_terms",       # explicit broadcast on n_docs
-    "store_apply_changeset",      # ordered offenders sample
-    "dedup_simhash",              # planted-dup invariant oracle (was rows-only)
-    "text_rolling_fp",            # planted-dup invariant oracle (was rows-only)
-    "dedup_sorted_neighborhood",  # NEW: blocked SNM candidates
-    "audit_fd_violations",        # NEW: functional-dependency audit
-    "text_readability",           # NEW: Flesch census
-    "store_incr_agg",             # NEW: incremental additive agg merge
-    "emb_dim_variance",           # NEW: per-dim variance spectrum
-    "stream_incr_agg_parity",     # NEW: streaming additive-store sink
-    "dedup_snm_verified",         # NEW: SNM × exact-Jaccard verify
-    "dedup_snm_recall",           # NEW: generic blocking-eval harness
-    "emb_srp_pairs",              # NEW: hyperplane-LSH vector pairs
-    "sample_purged_split",        # NEW: embargoed temporal split
-    "feat_winsorized_stats",      # NEW: winsorization report
-    "audit_k_anonymity",          # NEW: k-anonymity/l-diversity screen
-    "sample_backtest_folds",      # NEW: rolling-origin folds
-    "ts_rollup_cascade",          # NEW: cascade re-agg exactness
-    "sql_lateral_topn",           # NEW: LATERAL decorrelation
-    "feat_mutual_info",           # NEW: MI feature screen
-    "stats_cuped",                # NEW: CUPED variance reduction
-    "orders_pareto_front",        # NEW: skyline operator
-    "stats_weighted_median",      # NEW: exact weighted percentiles
-    "ts_ses_backtest",            # NEW: SES one-step backtest
-    "scan_dpp_join",              # NEW: dynamic partition pruning
-    "ts_stl_outliers",            # NEW: seasonal-adjusted anomalies
-    "stats_jackknife_ratio",      # NEW: delete-one jackknife SE
-    "stream_late_drop_parity",    # NEW: watermark drop semantics
-    "dedup_fs_weights",           # NEW: Fellegi-Sunter linkage weights
-    "ts_periodogram",             # NEW: explicit-DFT spectrum
-    "ts_theil_sen",               # NEW: median-of-slopes trend
-    "events_markov_attribution",  # NEW: removal-effect attribution
-    "quality_conformal_coverage", # NEW: split-conformal calibration
-    "sim_mmr_rerank",             # NEW: MMR diversity re-rank
-    "graph_modularity",           # NEW: Newman Q of the LPA labels
-    "graph_lpa_communities",      # re-certify: now reads the LPA memo
-    "dedup_idf_jaccard",          # NEW: IDF-weighted pair rescore
-    "sample_coverage_select",     # NEW: submodular max-coverage pick
-    "tag_derived_rules",          # NEW: second-order tag layer
-    # -- 56 never-driver-checked r9 entries compete for 50 slots; the
-    #    SIX deferred below are deliberately the trivial-machinery
-    #    ones (exact integer/FILTER oracles, heavily-certified shared
-    #    plumbing, all green in the 372/372 local gate + float sweep)
-    #    — they LEAD the r10 window --
-    "emb_trunc_recall",           # (defer ok: slice variant of the
-                                  #  r8-certified quantized-recall path)
-    "events_hazard_na",           # NEW (defer ok: KM-frame sibling)
-    "events_followed_by",         # NEW (defer ok: span-window joins)
-    "func_boolean_agg_battery",   # NEW (defer ok: 1 hash agg)
-    "agg_argminmax",              # (moved here from above — 1 hash agg)
-    "stats_srm_check",            # NEW (defer ok: 2-row statistic)
-    "orders_fulfillment_latency", # NEW (defer ok: certified percentile
-                                  #      machinery via weighted_median)
-    "stats_mann_whitney",         # NEW (defer ok: integer U core,
-                                  #      brute-force-pairwise pytest)
-    # -- oldest last-green rotation (r2 vintage). NOTE: the 19
-    #    second-batch r9 additions above fill the 50-slot window
-    #    exactly, so everything below is displaced this round — free,
-    #    since these are re-confirmations (all green in this session's
-    #    full 361-entry local gate run), not certification debt; they
-    #    lead the r10 rotation --
-    "upsert_merge", "delete_rewrite", "scenario_incremental",
-    "cross_table_rule", "tag_assignments", "tag_enriched",
-    "tag_merge_union", "scan_count", "schema_probe", "proj_prune",
-    "computed_column", "key_list_filter",
-    "join_inner_count", "join_left_orders", "join_left_enrich",
-    "join_anti", "join_semi", "join_full_outer",
-    "agg_collect_list", "agg_collect_struct",
-    # (slot-50 overflow falls out of the window; everything here is a
-    # re-confirmation, not certification debt, so displacement is free —
-    # 'inline_rows' stays r2-vintage and leads the r10 rotation)
 ]
 
 
@@ -7052,14 +6999,17 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pruning is provably lossless and the brute-force SQL oracle
         # applies unchanged; partial-probe agreement is pytest-measured
         # (tests/test_embeddings_ops.py), the sim_knn_bucketed pattern
+        # r11: the census reads the memoized exact per-vec relation
+        # (_label_noise_pervec — shared with emb_label_noise_probed's
+        # exact side; the oracle still re-derives the full brute census
+        # in SQL, so the memo is correctness-audited every gate run)
         from bigdata_tag_system_spark.operators.embeddings import (
             label_noise_report,
         )
 
-        cents = _fitted_centroids(spark, sf_dir)
         return label_noise_report(
             _t(spark, sf_dir, "embeddings"), k=5,
-            centroids=cents, nprobe=len(cents))
+            per_vec=_label_noise_pervec(spark, sf_dir))
 
     q["emb_label_noise"] = emb_label_noise
 
@@ -7080,7 +7030,12 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         anchors = [list(r["embedding"]) for r in
                    emb.where("vec_id between 1 and 8")
                    .orderBy("vec_id").collect()]
-        return label_noise_probe_audit(emb, anchors, k=5, nprobe=2)
+        # r11: the exact side reads the shared memo (sound because the
+        # full-probe relation is centroid-independent — bucketing only
+        # prunes); only the reduced-probe pass runs fresh here
+        return label_noise_probe_audit(
+            emb, anchors, k=5, nprobe=2,
+            exact_per_vec=_label_noise_pervec(spark, sf_dir))
 
     q["emb_label_noise_probed"] = emb_label_noise_probed
 

@@ -268,6 +268,44 @@ def main() -> None:
     # loaded), so record loadavg + wall timestamps alongside the numbers —
     # round-over-round comparisons can then attribute drift to the box
     # instead of git archaeology.
+    # Load GATE (r10 VERDICT "What's wrong" #3): the committed official
+    # BENCH_rN.json must come from a quiet box — r10's was recorded at
+    # loadavg 8+ and embedded ~10-15% noise the next round had to
+    # discount manually. When the 1-minute loadavg exceeds 0.5x the
+    # benched CPU count, WAIT for it to decay (it usually does: a just-
+    # finished pytest run inflates the 1-min average for ~a minute)
+    # before starting the clock; if still loaded after the wait budget,
+    # refuse — unless SPARK_GRAFT_BENCH_FORCE=1, which runs anyway and
+    # stamps "load_gate": "overridden" in the sidecar so the comparison
+    # knows to discount.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_cap = 0.5 * cpus
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "600"))
+    load_forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "") == "1"
+    load_gate = "ok"
+    waited = 0.0
+    while os.getloadavg()[0] > load_cap and waited < wait_budget:
+        print(f"# loadavg {os.getloadavg()[0]:.1f} > {load_cap:.0f}; "
+              f"waiting for quiet box ({waited:.0f}s)", file=sys.stderr)
+        time.sleep(15.0)
+        waited += 15.0
+    if waited:
+        load_gate = f"waited_{int(waited)}s"
+    if os.getloadavg()[0] > load_cap:
+        if not load_forced:
+            print(json.dumps({
+                "metric": "headline_queries_wall_clock_min",
+                "value": None, "unit": "sec",
+                "error": (
+                    f"refusing to bench: loadavg {os.getloadavg()[0]:.1f}"
+                    f" still > 0.5 x {cpus} CPUs after {waited:.0f}s —"
+                    " numbers would embed box noise; retry on a quiet"
+                    " box or set SPARK_GRAFT_BENCH_FORCE=1"),
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }))
+            spark.stop()
+            sys.exit(3)
+        load_gate = "overridden"
     load_start = os.getloadavg()
     t_start = time.time()
 
@@ -319,6 +357,7 @@ def main() -> None:
             "wall_seconds": round(time.time() - t_start, 1),
             "loadavg_start": [round(x, 2) for x in load_start],
             "loadavg_end": [round(x, 2) for x in load_end],
+            "load_gate": load_gate,
         }, f, indent=1, sort_keys=True)
     print(json.dumps({
         # min-of-iters headline (see module docstring); medians ride along

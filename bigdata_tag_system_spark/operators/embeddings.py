@@ -638,6 +638,7 @@ def label_noise_report(
     label_col: str = "label",
     centroids: list[list[float]] | None = None,
     nprobe: int | None = None,
+    per_vec: DataFrame | None = None,
 ) -> DataFrame:
     """Label-noise audit by kNN disagreement — the confident-learning
     screen for mislabeled training examples: a vector whose nearest
@@ -666,15 +667,23 @@ def label_noise_report(
       oracle-eval twin (same deliberate choice as dedup_cosine_pairs);
       its plan carries an explicit ``bnl_join`` lint allowance wherever
       it ships.
+
+    ``per_vec`` accepts a precomputed per-vector mismatch relation
+    ``(_qid, _qlbl, _mism)`` (see :func:`label_noise_per_vec`) and
+    skips the neighbor stage entirely — the memoized-exact-pass path
+    shared with :func:`label_noise_probe_audit`.
     """
     from pyspark.sql import Window
 
+    if per_vec is not None:
+        return _label_noise_census(per_vec, k, label_col)
     c = df.select(F.col(id_col), F.col(label_col),
                   F.col(vec_col).cast("array<double>").alias("_v"))
     if centroids is not None:
         per_vec = _per_vec_mismatch_bucketed(
             c, k, centroids,
-            nprobe if nprobe is not None else len(centroids), id_col)
+            nprobe if nprobe is not None else len(centroids), id_col,
+            label_col)
         return _label_noise_census(per_vec, k, label_col)
     q = c.select(F.col(id_col).alias("_qid"),
                  F.col(label_col).alias("_qlbl"),
@@ -699,22 +708,45 @@ def label_noise_report(
     return _label_noise_census(per_vec, k, label_col)
 
 
+def label_noise_per_vec(
+    df: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """The per-vector kNN label-mismatch relation ``(_qid, _qlbl,
+    _mism)`` — the shared intermediate both :func:`label_noise_report`
+    (census) and :func:`label_noise_probe_audit` (exact side) are
+    derived from. Exposed so a pipeline can materialize the expensive
+    exact pass ONCE and feed both consumers (at ``nprobe =
+    num_buckets`` the relation is exact and centroid-independent —
+    bucketing only prunes)."""
+    c = df.select(F.col(id_col), F.col(label_col),
+                  F.col(vec_col).cast("array<double>").alias("_v"))
+    return _per_vec_mismatch_bucketed(
+        c, k, centroids,
+        nprobe if nprobe is not None else len(centroids),
+        id_col, label_col)
+
+
 def _per_vec_mismatch_bucketed(
     c: DataFrame, k: int, centroids: list[list[float]], nprobe: int,
-    id_col: str,
+    id_col: str, label_col: str,
 ) -> DataFrame:
     """Per-vector kNN label-mismatch counts ``(_qid, _qlbl, _mism)`` via
     the bucketed hash-join neighbor stage — shared by
     :func:`label_noise_report` and :func:`label_noise_probe_audit`.
-    ``c`` must carry ``(id_col, <label>, _v)`` with the label as the
-    second column."""
+    ``c`` must carry ``(id_col, label_col, _v)``; the label column is
+    named explicitly (a positional guess would silently score the
+    wrong column if a caller reorders its select)."""
     from pyspark.sql import Window
 
     from bigdata_tag_system_spark.operators.similarity import (
         knn_join_bucketed,
     )
-
-    label_col = c.columns[1]
     q = c.select(F.col(id_col).alias("_qid"),
                  F.col(label_col).alias("_qlbl"), "_v")
     # ask for k+1 (self scores cosine 1.0 and lands in the top),
@@ -748,6 +780,7 @@ def label_noise_probe_audit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    exact_per_vec: DataFrame | None = None,
 ) -> DataFrame:
     """Measured agreement of a REDUCED-probe label-noise configuration
     against the lossless full-probe census — the audit row a 100 TB run
@@ -764,6 +797,14 @@ def label_noise_probe_audit(
     an approximation ships WITH its measured-agreement row, never on
     faith. Candidate volume of the probed pass is ~``nprobe/len(
     centroids)`` of the exact pass's |N|²/buckets-balanced volume.
+
+    ``exact_per_vec`` accepts a precomputed exact per-vector mismatch
+    relation ``(_qid, _qlbl, _mism)`` in place of the full-probe pass —
+    valid because at ``nprobe = num_buckets`` bucketing only prunes, so
+    the exact relation is a pure function of ``(corpus, k)`` and NOT of
+    the centroid choice; a caller that already ran the lossless census
+    (e.g. :func:`label_noise_report`) can share it and skip the most
+    expensive pass here.
     """
     if not centroids:
         raise ValueError("label_noise_probe_audit requires centroids")
@@ -774,10 +815,11 @@ def label_noise_probe_audit(
             f"got {nprobe}")
     c = df.select(F.col(id_col), F.col(label_col),
                   F.col(vec_col).cast("array<double>").alias("_v"))
-    exact = _per_vec_mismatch_bucketed(
-        c, k, centroids, len(centroids), id_col)
+    exact = (exact_per_vec if exact_per_vec is not None
+             else _per_vec_mismatch_bucketed(
+                 c, k, centroids, len(centroids), id_col, label_col))
     probed = _per_vec_mismatch_bucketed(
-        c, k, centroids, int(nprobe), id_col).select(
+        c, k, centroids, int(nprobe), id_col, label_col).select(
         "_qid", F.col("_mism").alias("_mism_p"))
     j = exact.join(probed, "_qid", "left")
     flag_e = (F.col("_mism") * 2 > k).cast("int")
@@ -831,10 +873,15 @@ def arrow_batch_norms(
     at dim ≤ 128 numpy does not switch to pairwise summation). Norms
     are quantized to 9 decimals half-up (the engine convention) so the
     output is hash-exact cross-engine. Rows with empty vectors emit
-    0.0 (documented; the fleet's embeddings are fixed-dim).
+    0.0 (documented; the fleet's embeddings are fixed-dim); NULL
+    vectors emit NULL (SQL semantics). Segment lengths come from
+    ``value_lengths()`` with nulls zeroed — NOT from raw offsets,
+    which keep advancing under null slots that ``flatten()`` omits
+    and would misalign every subsequent row's segment.
     """
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     out_schema = f"{id_col} bigint, norm9 double"
 
@@ -843,17 +890,23 @@ def arrow_batch_norms(
             ids = b.column(0)
             col = b.column(1)
             vals = np.asarray(col.flatten(), dtype=np.float64)
-            offs = np.asarray(col.offsets, dtype=np.int64)
-            offs = offs - offs[0]
-            lens = np.diff(offs)
+            # flatten() drops values under null slots, so lengths must
+            # too: value_lengths() is null at null slots -> fill 0
+            lens = np.asarray(
+                pc.fill_null(col.value_lengths(), 0), dtype=np.int64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            if len(lens) > 1:
+                np.cumsum(lens[:-1], out=starts[1:])
             sq = vals * vals
             sums = np.zeros(len(lens), dtype=np.float64)
             nz = lens > 0
             if nz.any():
-                sums[nz] = np.add.reduceat(sq, offs[:-1][nz])
+                sums[nz] = np.add.reduceat(sq, starts[nz])
             norms = np.floor(np.sqrt(sums) * 1e9 + 0.5) / 1e9
+            null_mask = np.asarray(col.is_null())
             yield pa.RecordBatch.from_arrays(
-                [ids.cast(pa.int64()), pa.array(norms, pa.float64())],
+                [ids.cast(pa.int64()),
+                 pa.array(norms, pa.float64(), mask=null_mask)],
                 names=[id_col, "norm9"])
 
     src = df.select(F.col(id_col),

@@ -196,7 +196,11 @@ def cumulative_distinct_count(
     O(values) state per row). The (order,
     id) composite is a total order, so the count at every row is a
     pure function of the inputs (ties cannot flip which row "sees"
-    a new value first between runs or engines).
+    a new value first between runs or engines). NULL values do NOT
+    count as a distinct value — SQL ``COUNT(DISTINCT ...)`` ignores
+    NULLs, so the first-occurrence flag is zeroed when ``value_col``
+    is NULL (without the guard a NULL forms its own row_number
+    partition and silently inflates the running count by one).
 
     The curation use: "how many distinct event types/sources/shards
     has this key touched so far" as a point-in-time feature — the
@@ -211,7 +215,8 @@ def cumulative_distinct_count(
          else Window.partitionBy(F.lit(1)))
         .orderBy(order_col, id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    first = (F.row_number().over(w_first) == 1).cast("int")
+    first = F.when(F.col(value_col).isNull(), F.lit(0)).otherwise(
+        (F.row_number().over(w_first) == 1).cast("int"))
     return df.select(
         "*", F.sum(first).over(w_cum).cast("long").alias(out_col))
 

@@ -53,20 +53,62 @@ def _write_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(path, _MANIFEST))
 
 
-def write_version(df: DataFrame, path: str) -> int:
+def _lease_path(path: str, n: int) -> str:
+    return os.path.join(path, f"._inflight_v{n}")
+
+
+def write_version(
+    df: DataFrame, path: str, heartbeat_seconds: float = 15.0
+) -> int:
     """Write ``df`` as the next snapshot version; returns its number.
 
     The snapshot lands fully in ``v{n}`` BEFORE the manifest flips to
     it, so a crash mid-write leaves the store at the previous version
     with an orphan directory — never a half-visible snapshot.
+
+    Liveness is advertised through a HEARTBEAT LEASE, not file mtimes:
+    a ``._inflight_v{n}`` marker is dropped before the Spark write
+    starts and a daemon thread refreshes its mtime every
+    ``heartbeat_seconds`` until the write finishes, so a legitimate
+    write whose job spends arbitrarily long in upstream stages (no
+    task files landing yet) still looks alive to :func:`gc_orphans` —
+    the mtime-of-newest-file heuristic alone would misread that writer
+    as crashed and reclaim the slot mid-write. The lease is removed
+    after the manifest flip (or after a failed write, whose orphan
+    then ages out under the fallback heuristic).
     """
+    import threading
+
     os.makedirs(path, exist_ok=True)
     m = _read_manifest(path)
     n = int(m["current"]) + 1
-    df.write.mode("errorifexists").parquet(os.path.join(path, f"v{n}"))
-    m["current"] = n
-    m["versions"] = list(m.get("versions", [])) + [n]
-    _write_manifest(path, m)
+    lease = _lease_path(path, n)
+    with open(lease, "w") as f:
+        f.write(str(os.getpid()))
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(heartbeat_seconds):
+            try:
+                os.utime(lease, None)
+            except OSError:
+                return
+
+    t = threading.Thread(target=_beat, daemon=True)
+    t.start()
+    try:
+        df.write.mode("errorifexists").parquet(
+            os.path.join(path, f"v{n}"))
+        m["current"] = n
+        m["versions"] = list(m.get("versions", [])) + [n]
+        _write_manifest(path, m)
+    finally:
+        stop.set()
+        t.join(timeout=heartbeat_seconds + 1.0)
+        try:
+            os.remove(lease)
+        except OSError:
+            pass
     return n
 
 
@@ -158,13 +200,19 @@ def gc_orphans(path: str, min_age_seconds: float = 3600.0) -> list[str]:
     targets it with ``errorifexists`` — and a leaked one therefore
     also WEDGES every future :func:`write_version`. That same slot is
     the one a healthy in-flight writer legally occupies, so the two
-    states are distinguished by age: a ``v{current+1}`` whose newest
-    mtime is younger than ``min_age_seconds`` is presumed in-flight
-    and spared; older means the writer crashed, and reclaiming the
-    slot un-wedges the store. Any other unnamed ``v<digits>`` dir is
-    unreachable garbage and swept regardless of age. The manifest is
-    re-read immediately before each candidate is judged, so a writer
-    that completes ``v{n+1}``, flips the manifest, and starts landing
+    states are distinguished by the writer's HEARTBEAT LEASE first and
+    by age second: a ``v{current+1}`` whose ``._inflight_v{n}`` lease
+    is fresher than ``min_age_seconds`` is a live writer and spared
+    (the lease thread in :func:`write_version` refreshes it every few
+    seconds, so a long upstream-stage stall cannot make a live write
+    look crashed — the pure-mtime heuristic could); a STALE lease
+    means the writer died holding it, so the slot (and the lease) are
+    reclaimed. A candidate with NO lease (foreign writer, or a failed
+    write whose lease was cleaned up) falls back to the newest-mtime
+    age heuristic. Any other unnamed ``v<digits>`` dir is unreachable
+    garbage and swept regardless of age. The manifest is re-read
+    immediately before each candidate is judged, so a writer that
+    completes ``v{n+1}``, flips the manifest, and starts landing
     ``v{n+2}`` mid-sweep keeps its new in-flight snapshot (no TOCTOU
     between the manifest read and the rmtree). Returns the removed
     directory names.
@@ -186,12 +234,26 @@ def gc_orphans(path: str, min_age_seconds: float = 3600.0) -> list[str]:
         if name in {f"v{v}" for v in m.get("versions", [])}:
             continue
         if name == f"v{int(m.get('current', 0)) + 1}":
-            newest = max(
-                (os.path.getmtime(os.path.join(dp, f))
-                 for dp, _, fs in os.walk(full) for f in fs),
-                default=os.path.getmtime(full))
-            if time.time() - newest < min_age_seconds:
-                continue  # presumed in-flight, not crashed
+            lease = _lease_path(path, int(name[1:]))
+            try:
+                lease_age = time.time() - os.path.getmtime(lease)
+            except OSError:
+                lease_age = None  # no lease: fall back to mtime age
+            if lease_age is not None:
+                if lease_age < min_age_seconds:
+                    continue  # live writer holding a fresh lease
+                # stale lease: writer died mid-write; reclaim slot+lease
+                try:
+                    os.remove(lease)
+                except OSError:
+                    pass
+            else:
+                newest = max(
+                    (os.path.getmtime(os.path.join(dp, f))
+                     for dp, _, fs in os.walk(full) for f in fs),
+                    default=os.path.getmtime(full))
+                if time.time() - newest < min_age_seconds:
+                    continue  # presumed in-flight, not crashed
         shutil.rmtree(full, ignore_errors=True)
         removed.append(name)
     return removed
