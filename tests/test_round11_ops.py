@@ -156,6 +156,277 @@ class TestGcHeartbeatLease:
         assert gc_orphans(path, min_age_seconds=3600) == ["v2"]
 
 
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def listTimers(self):
+        return sorted(self.timers)
+
+    def registerTimer(self, ts):
+        self.timers.add(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.discard(ts)
+
+
+class _FakeGroupState:
+    """Just enough of pyspark's GroupState for the old-API session fn."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+class TestTwsSessionizerParity:
+    """transformWithStateInPandas needs the google.protobuf runtime
+    (its state API client) which this container lacks — environmental,
+    see ROADMAP. The processor LOGIC is still fully testable: drive
+    SessionProcessor and the old-API session fn through identical
+    micro-batch sequences via fakes and assert identical emissions,
+    including the timer-close path."""
+
+    GAP_MS = 3_600_000
+
+    def _batches(self):
+        import pandas as pd
+
+        def mk(ts_ms, vals):
+            return pd.DataFrame({
+                "ts": pd.to_datetime(ts_ms, unit="ms"),
+                "value": vals,
+            })
+
+        h = 3_600_000
+        # batch1: two sessions' worth (gap between 2nd and 3rd event)
+        b1 = mk([0, 60_000, 2 * h, 2 * h + 60_000], [1.0, 2.0, 3.0, 4.0])
+        # batch2: extends the open session, then opens another
+        b2 = mk([2 * h + 120_000, 5 * h], [5.0, 6.0])
+        return [b1, b2]
+
+    def _run_new(self, batches, fire_final_watermark_ms):
+        from bigdata_tag_system_spark.streaming.tws import (
+            SessionProcessor,
+        )
+
+        p = SessionProcessor(self.GAP_MS)
+        h = _FakeHandle()
+        p.init(h)
+        out = []
+        for b in batches:
+            out.extend(p.handleInputRows(("u1",), iter([b]), None))
+        for t in list(h.listTimers()):
+            if t < fire_final_watermark_ms:
+                h.deleteTimer(t)
+                out.extend(p.handleExpiredTimer(("u1",), None, None))
+        return [tuple(df.iloc[0]) for df in out]
+
+    def _run_old(self, batches, fire_final_watermark_ms):
+        from bigdata_tag_system_spark.streaming.stateful import (
+            _session_fn_factory,
+        )
+
+        fn = _session_fn_factory(self.GAP_MS)
+        st = _FakeGroupState()
+        out = []
+        for b in batches:
+            out.extend(fn(("u1",), iter([b]), st))
+        if (st.timeout_ts is not None
+                and st.timeout_ts < fire_final_watermark_ms and st.exists):
+            st.hasTimedOut = True
+            out.extend(fn(("u1",), iter([]), st))
+        return [tuple(df.iloc[0]) for df in out]
+
+    def test_emissions_match_old_api_with_final_timeout(self):
+        wm = 10 * 3_600_000  # final watermark passes every deadline
+        new = self._run_new(self._batches(), wm)
+        old = self._run_old(self._batches(), wm)
+        assert new == old
+        # three sessions total: [0, 60s], [2h, 2h+2m], [5h, 5h]
+        assert len(new) == 3
+        assert new[-1][3] == 1 and new[-1][4] == 6.0
+
+    def test_open_session_withheld_inside_watermark(self):
+        wm = 5 * 3_600_000 + 1  # deadline of the open session not passed
+        new = self._run_new(self._batches(), wm)
+        old = self._run_old(self._batches(), wm)
+        assert new == old
+        assert len(new) == 2  # the 5h session stays open
+
+    def test_single_live_timer_per_key(self):
+        from bigdata_tag_system_spark.streaming.tws import (
+            SessionProcessor,
+        )
+
+        p = SessionProcessor(self.GAP_MS)
+        h = _FakeHandle()
+        p.init(h)
+        for b in self._batches():
+            list(p.handleInputRows(("u1",), iter([b]), None))
+        # stale deadlines from earlier batches must have been deleted
+        assert h.listTimers() == [5 * 3_600_000 + self.GAP_MS]
+
+
+class TestJsonlCommitLogSink:
+    """The Python DataSource streaming WRITER protocol, driven
+    directly: stage -> commit-log flip, and the abort path."""
+
+    def _writer(self, path):
+        from bigdata_tag_system_spark.sources.pyds import (
+            JsonlStreamWriter,
+        )
+
+        return JsonlStreamWriter(path, ["event_id", "value_i"])
+
+    def _rows(self, ids):
+        from pyspark.sql import Row
+
+        return [Row(event_id=i, value_i=i * 31 % 1000) for i in ids]
+
+    def test_commit_makes_batch_visible_atomically(self, tmp_path):
+        import json
+        import os
+
+        from bigdata_tag_system_spark.sources.pyds import (
+            committed_files,
+        )
+
+        path = str(tmp_path / "sink")
+        w = self._writer(path)
+        m1 = w.write(iter(self._rows([0, 1, 2])))
+        m2 = w.write(iter(self._rows([3, 4])))
+        # staged but uncommitted: invisible to readers
+        assert committed_files(path) == []
+        w.commit([m1, m2], batchId=0)
+        files = committed_files(path)
+        assert len(files) == 2
+        assert os.listdir(os.path.join(path, "_staging")) == []
+        got = sorted(
+            json.loads(line)["event_id"]
+            for f in files for line in open(f))
+        assert got == [0, 1, 2, 3, 4]
+
+    def test_abort_removes_staged_files_and_commit_log_silent(
+            self, tmp_path):
+        import os
+
+        from bigdata_tag_system_spark.sources.pyds import (
+            committed_files,
+        )
+
+        path = str(tmp_path / "sink")
+        w = self._writer(path)
+        m = w.write(iter(self._rows([7, 8])))
+        assert os.path.exists(m.staged_file)
+        w.abort([m, None], batchId=0)
+        assert not os.path.exists(m.staged_file)
+        assert committed_files(path) == []
+        # a retried batch re-stages under a fresh name and commits
+        m2 = w.write(iter(self._rows([7, 8])))
+        w.commit([m2], batchId=0)
+        assert len(committed_files(path)) == 1
+
+    def test_empty_task_messages_are_skipped(self, tmp_path):
+        from bigdata_tag_system_spark.sources.pyds import (
+            committed_files,
+        )
+
+        path = str(tmp_path / "sink")
+        w = self._writer(path)
+        m_empty = w.write(iter([]))
+        m_full = w.write(iter(self._rows([1])))
+        w.commit([m_empty, m_full], batchId=3)
+        assert len(committed_files(path)) == 1
+
+
+class TestPagerankLiteral:
+    def test_matches_distributed_operator(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            pagerank, pagerank_literal,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+             ("c", "a", 1.0), ("d", "a", 5.0)],  # d dangling-in only
+            "src string, dst string, w double")
+        dist = {r["node"]: r["rank"] for r in
+                pagerank(edges, weight="w", iterations=10).collect()}
+        lit = {r["node"]: r["rank"] for r in
+               pagerank_literal(edges, weight="w",
+                                iterations=10).collect()}
+        assert set(dist) == set(lit)
+        for v in dist:
+            assert abs(dist[v] - lit[v]) < 1e-12, (v, dist[v], lit[v])
+
+    def test_unweighted_and_empty(self, spark):
+        from bigdata_tag_system_spark.operators.graph import (
+            pagerank, pagerank_literal,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string")
+        dist = {r["node"]: r["rank"] for r in
+                pagerank(edges, iterations=5).collect()}
+        lit = {r["node"]: r["rank"] for r in
+               pagerank_literal(edges, iterations=5).collect()}
+        for v in dist:
+            assert abs(dist[v] - lit[v]) < 1e-12
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert pagerank_literal(empty).collect() == []
+
+    def test_raises_loudly_on_unbounded_edge_list(self, spark):
+        # the scale guard: a fact-sized edge list must NOT silently
+        # materialize on the driver
+        from bigdata_tag_system_spark.operators.graph import (
+            pagerank_literal,
+        )
+
+        edges = spark.range(50).selectExpr(
+            "cast(id as string) src", "cast(id + 1 as string) dst")
+        with pytest.raises(ValueError) as ei:
+            pagerank_literal(edges, max_edges=10)
+        assert "max_edges" in str(ei.value)
+
+
 class TestLabelNoiseSharedExactPass:
     def _corpus(self, spark):
         rows = []
