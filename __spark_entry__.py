@@ -42,7 +42,7 @@ _STREAM_WINDOW_CACHE: dict[str, str] = {}
 # ordered-batch late-data replay outputs, keyed by sf_dir
 _STREAM_LATE_CACHE: dict[str, str] = {}
 # stateful-sessionize streaming replay outputs, keyed by sf_dir
-_STREAM_SESSION_CACHE: dict[str, str] = {}
+_STREAM_SESSION_CACHE: dict[str, tuple] = {}
 # native session_window streaming replay outputs, keyed by sf_dir
 _STREAM_SESSION_NATIVE_CACHE: dict[str, str] = {}
 _STREAM_LSH_CACHE: dict[str, str] = {}
@@ -585,6 +585,9 @@ _DRIVER_FIRST = [
     # -- (a) r11 additions + r11 code-changed entries (10) --
     "graph_event_pagerank_lit",   # NEW r11: literal solve, bounded graphs
     "stream_pyds_sink_parity",    # NEW r11: Python DataSource streamWriter
+    "scan_state_store",           # NEW r11: state-store batch reader
+    "stream_sessionize_parity",   # r11: replay build refactored to the
+                                  #      shared helper (plumbing change)
     "emb_label_noise",            # r11: census reads the shared exact memo
     "emb_label_noise_probed",     # r11: exact side reads the shared memo
     "events_cum_distinct_types",  # r11: NULL first-occurrence guard
@@ -610,11 +613,12 @@ _DRIVER_FIRST = [
     "events_daily_rollup", "events_hourly_rollup",
     "events_latest_per_user", "events_recent_features",
     "events_sessionize", "events_user_zscore", "func_case_sum",
-    "func_json_roundtrip", "mm_media_features", "rule_cmp_decimal",
-    "sample_stratified_hash",
-    # -- displaced r3 tail (slots 51+; leads r12): setop_*, sim_*,
-    #    sketch_distinct_check, sort_topk, split_train_test, text_*,
-    #    ts_range_join, union_all_count, window_* --
+    "func_json_roundtrip", "mm_media_features",
+    # -- displaced r3 tail (slots 51+; leads r12): rule_cmp_decimal,
+    #    sample_stratified_hash, setop_*, sim_*, sketch_distinct_check,
+    #    sort_topk, split_train_test, text_*, ts_range_join,
+    #    union_all_count, window_* --
+    "rule_cmp_decimal", "sample_stratified_hash",
     "setop_except", "setop_intersect", "sim_cosine_topk",
     "sim_ivf_topk", "sim_knn_join", "sketch_distinct_check",
     "sort_topk", "split_train_test", "text_bpe_tokens",
@@ -3074,15 +3078,10 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_rollup_parity"] = events_rollup_parity
 
-    def stream_sessionize_parity(spark, sf_dir):
-        # the applyInPandasWithState sessionizer replayed availableNow
-        # over the events table: sessions close when a later event opens
-        # the next one, or when the final no-data batch fires event-time
-        # timeouts (watermark = max ts − 30 min). The batch oracle
-        # re-derives exactly that emission set: every non-final session
-        # per user, plus final sessions whose idle deadline the final
-        # watermark strictly passed. Replay is a pure function of the
-        # sf_dir — run once per process.
+    def _ensure_session_replay(spark, sf_dir):
+        # build the sessionize replay ONCE per process per sf_dir and
+        # return (out_dir, ckpt_dir) — shared by the emission-parity
+        # entry and the r11 state-store readback entry
         import os
         import shutil
         import tempfile
@@ -3092,8 +3091,8 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         _prep(spark)
-        out_dir = _STREAM_SESSION_CACHE.get(sf_dir)
-        if out_dir is None:
+        cached = _STREAM_SESSION_CACHE.get(sf_dir)
+        if cached is None:
             schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
             tmp = tempfile.mkdtemp(prefix="stream_sess_")
             src_dir = tmp + "/src"
@@ -3118,8 +3117,20 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .start()
             )
             query.awaitTermination()
-            _STREAM_SESSION_CACHE[sf_dir] = out
-            out_dir = out
+            _STREAM_SESSION_CACHE[sf_dir] = (out, ckpt)
+            cached = (out, ckpt)
+        return cached
+
+    def stream_sessionize_parity(spark, sf_dir):
+        # the applyInPandasWithState sessionizer replayed availableNow
+        # over the events table: sessions close when a later event opens
+        # the next one, or when the final no-data batch fires event-time
+        # timeouts (watermark = max ts − 30 min). The batch oracle
+        # re-derives exactly that emission set: every non-final session
+        # per user, plus final sessions whose idle deadline the final
+        # watermark strictly passed. Replay is a pure function of the
+        # sf_dir — run once per process.
+        out_dir, _ = _ensure_session_replay(spark, sf_dir)
         replayed = spark.read.parquet(out_dir)
         return replayed.select(
             "user_id", "session_start_ms", "session_end_ms",
@@ -3127,6 +3138,35 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("user_id", "session_start_ms")
 
     q["stream_sessionize_parity"] = stream_sessionize_parity
+
+    def scan_state_store(spark, sf_dir):
+        # r11: Spark 4's STATE STORE batch reader — the checkpoint of a
+        # streaming query read back as a DataFrame
+        # (spark.read.format("statestore")), the ops/debugging surface
+        # for stateful pipelines at scale (inspect live state without
+        # touching the running query). Read here: the sessionizer
+        # replay's retained state after the availableNow drain = the
+        # OPEN sessions whose idle deadline the final watermark did NOT
+        # pass — exactly the complement of the emission oracle's
+        # final-session condition, so the state content is SQL-exact:
+        # per user, the last session with end + gap >= watermark, plus
+        # the registered timeout timestamp (end + gap).
+        _, ckpt = _ensure_session_replay(spark, sf_dir)
+        st = spark.read.format("statestore").load(ckpt)
+        return (
+            st.select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.groupState.start_ms")
+                .alias("session_start_ms"),
+                F.col("value.groupState.last_ms").alias("session_end_ms"),
+                F.col("value.groupState.count").alias("event_count"),
+                F.round("value.groupState.value_sum", 2)
+                .alias("value_sum"),
+                F.col("value.timeoutTimestamp").alias("timeout_ms"))
+            .orderBy("user_id")
+        )
+
+    q["scan_state_store"] = scan_state_store
 
     def stream_session_native_parity(spark, sf_dir):
         # Spark's NATIVE session_window sessionizer (JVM state store,
@@ -12214,6 +12254,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(NULL AS VARCHAR) AS digest, count(*) AS kept
         FROM docs WHERE text IS NULL HAVING count(*) > 0
         ORDER BY digest
+    """
+
+    # retained state = the COMPLEMENT of the emission oracle's
+    # final-session condition: per user, the last session whose idle
+    # deadline the final watermark did not strictly pass, still open in
+    # the store with its registered timer
+    o["scan_state_store"] = """
+        WITH e AS (
+            SELECT CAST(user_id AS VARCHAR) AS u,
+                   epoch_ms(ts)::BIGINT AS tm, value
+            FROM events),
+        s AS (
+            SELECT u, tm, value,
+                   CASE WHEN lag(tm) OVER w IS NULL
+                          OR tm - lag(tm) OVER w > 3600000
+                        THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY u ORDER BY tm)),
+        g AS (
+            SELECT *, sum(brk) OVER (PARTITION BY u ORDER BY tm
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s),
+        sess AS (
+            SELECT u AS user_id, sid, min(tm) AS session_start_ms,
+                   max(tm) AS session_end_ms,
+                   count(*) AS event_count,
+                   round(sum(value), 2) AS value_sum
+            FROM g GROUP BY u, sid),
+        fin AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY sid DESC) AS rn
+            FROM sess),
+        wm AS (SELECT max(tm) - 1800000 AS w FROM e)
+        SELECT user_id, session_start_ms, session_end_ms, event_count,
+               value_sum,
+               session_end_ms + 3600000 AS timeout_ms
+        FROM fin, wm
+        WHERE rn = 1 AND session_end_ms + 3600000 >= w
+        ORDER BY user_id
     """
 
     o["stream_sessionize_parity"] = """

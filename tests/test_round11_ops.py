@@ -306,6 +306,137 @@ class TestTwsSessionizerParity:
         assert h.listTimers() == [5 * 3_600_000 + self.GAP_MS]
 
 
+class TestStateStoreReader:
+    def test_retained_state_and_metadata(self, spark, tmp_path):
+        # a 2-user stream: user a's session deadline is passed by the
+        # final watermark (state removed, session emitted), user b's is
+        # not (state retained) — the statestore batch reader must show
+        # EXACTLY b's open session, and state-metadata must name the
+        # operator
+        import os
+
+        from bigdata_tag_system_spark.streaming.stateful import (
+            sessionize_stream,
+        )
+
+        h = 3_600_000
+        rows = [
+            (1, "a", 0, 1.0),
+            (2, "a", 60_000, 2.0),
+            # b's lone event sits near max ts: watermark (max-30min)
+            # does not pass b's deadline (last + 60min)
+            (3, "b", 3 * h, 5.0),
+            (4, "c", 3 * h + 1, 1.5),  # max ts driver
+        ]
+        df = spark.createDataFrame(
+            [(i, u, __import__("datetime").datetime.utcfromtimestamp(
+                ms / 1000.0), v) for i, u, ms, v in rows],
+            "event_id long, user_id string, ts timestamp, value double")
+        src = str(tmp_path / "src")
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        q = (sessionize_stream(stream, gap_minutes=60,
+                               watermark="30 minutes")
+             .writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .foreachBatch(lambda b, _i:
+                           b.write.mode("append").parquet(out))
+             .start())
+        q.awaitTermination()
+
+        meta = spark.read.format("state-metadata").load(ckpt).collect()
+        assert meta[0]["operatorName"] == "applyInPandasWithState"
+
+        st = spark.read.format("statestore").load(ckpt).select(
+            "key.user_id", "value.groupState.*",
+            "value.timeoutTimestamp").collect()
+        by_user = {r["user_id"]: r for r in st}
+        # a's deadline (60s + 1h < wm = 3h+1ms - 30min) passed -> gone;
+        # b and c retained with their timers at last + gap
+        assert set(by_user) == {"b", "c"}
+        b = by_user["b"]
+        assert b["start_ms"] == 3 * h and b["last_ms"] == 3 * h
+        assert b["count"] == 1 and b["value_sum"] == 5.0
+        assert b["timeoutTimestamp"] == 4 * h
+        # and a's one closed session was emitted by its timer
+        emitted = spark.read.parquet(out)
+        assert emitted.where("user_id = 'a'").count() == 1
+        assert emitted.where("user_id in ('b','c')").count() == 0
+
+
+class TestSessionizerCheckpointResume:
+    def test_resume_from_checkpoint_matches_single_run(
+            self, spark, tmp_path):
+        # stop after draining file 1, add file 2, restart on the SAME
+        # checkpoint: state (a's open session) must survive the restart
+        # and the combined emissions must equal a one-shot replay
+        import datetime
+
+        from bigdata_tag_system_spark.streaming.stateful import (
+            sessionize_stream,
+        )
+
+        h = 3_600_000
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [(i, u, datetime.datetime.utcfromtimestamp(ms / 1000.0),
+                  v) for i, u, ms, v in rows],
+                "event_id long, user_id string, ts timestamp, "
+                "value double")
+
+        batch1 = [(1, "a", 0, 1.0), (2, "a", 60_000, 2.0)]
+        # file 2: extends a's session (same gap window? no — 5h later,
+        # new session), plus enough watermark push to close everything
+        batch2 = [(3, "a", 5 * h, 3.0), (4, "z", 9 * h, 0.5)]
+        schema = mk(batch1).schema
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (sessionize_stream(stream, gap_minutes=60,
+                                   watermark="30 minutes")
+                 .writeStream.outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .foreachBatch(lambda b, _i:
+                               b.write.mode("append").parquet(out))
+                 .start())
+            q.awaitTermination()
+
+        mk(batch1).coalesce(1).write.mode("append").parquet(src)
+        drain()
+        mk(batch2).coalesce(1).write.mode("append").parquet(src)
+        drain()  # RESUME: same checkpoint, new file discovered
+        resumed = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+        # one-shot reference replay over the same four events
+        src2 = str(tmp_path / "src2")
+        out2 = str(tmp_path / "out2")
+        mk(batch1 + batch2).coalesce(1).write.parquet(src2)
+        stream = spark.readStream.schema(schema).parquet(src2)
+        q = (sessionize_stream(stream, gap_minutes=60,
+                               watermark="30 minutes")
+             .writeStream.outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt2"))
+             .trigger(availableNow=True)
+             .foreachBatch(lambda b, _i:
+                           b.write.mode("append").parquet(out2))
+             .start())
+        q.awaitTermination()
+        oneshot = sorted(map(tuple, spark.read.parquet(out2).collect()))
+
+        assert resumed == oneshot
+        # a has two closed sessions ([0,60s] and [5h]) — both emitted
+        assert len([r for r in resumed if r[0] == "a"]) == 2
+
+
 class TestJsonlCommitLogSink:
     """The Python DataSource streaming WRITER protocol, driven
     directly: stage -> commit-log flip, and the abort path."""
