@@ -57,6 +57,7 @@ _SCHEMA_EVO_CACHE: dict[tuple, str] = {}
 _TTRAVEL_CACHE: dict[str, str] = {}
 _PYDS_STREAM_CACHE: dict[str, str] = {}
 _PYDS_SINK_CACHE: dict[str, str] = {}
+_BLOOM_JOIN_CACHE: dict[str, str] = {}
 
 _STREAM_DEDUP_CACHE: dict[str, str] = {}
 
@@ -586,6 +587,7 @@ _DRIVER_FIRST = [
     "graph_event_pagerank_lit",   # NEW r11: literal solve, bounded graphs
     "stream_pyds_sink_parity",    # NEW r11: Python DataSource streamWriter
     "scan_state_store",           # NEW r11: state-store batch reader
+    "join_runtime_bloom",         # NEW r11: InjectRuntimeFilter pruning
     "stream_sessionize_parity",   # r11: replay build refactored to the
                                   #      shared helper (plumbing change)
     "emb_label_noise",            # r11: census reads the shared exact memo
@@ -613,12 +615,12 @@ _DRIVER_FIRST = [
     "events_daily_rollup", "events_hourly_rollup",
     "events_latest_per_user", "events_recent_features",
     "events_sessionize", "events_user_zscore", "func_case_sum",
-    "func_json_roundtrip", "mm_media_features",
-    # -- displaced r3 tail (slots 51+; leads r12): rule_cmp_decimal,
-    #    sample_stratified_hash, setop_*, sim_*, sketch_distinct_check,
-    #    sort_topk, split_train_test, text_*, ts_range_join,
-    #    union_all_count, window_* --
-    "rule_cmp_decimal", "sample_stratified_hash",
+    "func_json_roundtrip",
+    # -- displaced r3 tail (slots 51+; leads r12): mm_media_features,
+    #    rule_cmp_decimal, sample_stratified_hash, setop_*, sim_*,
+    #    sketch_distinct_check, sort_topk, split_train_test, text_*,
+    #    ts_range_join, union_all_count, window_* --
+    "mm_media_features", "rule_cmp_decimal", "sample_stratified_hash",
     "setop_except", "setop_intersect", "sim_cosine_topk",
     "sim_ivf_topk", "sim_knn_join", "sketch_distinct_check",
     "sort_topk", "split_train_test", "text_bpe_tokens",
@@ -1158,6 +1160,62 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("o_totalprice"), 2).alias("price_sum"))
 
     q["join_salted"] = join_salted
+
+    def join_runtime_bloom(spark, sf_dir):
+        # r11: RUNTIME bloom-filter join pruning (Catalyst's
+        # InjectRuntimeFilter): a selective dim-side predicate turns
+        # into a bloom_filter_agg subquery whose might_contain() is
+        # pushed into the FACT-side scan filter — at 100 TB this prunes
+        # most lineitem rows before the shuffle. Broadcast is disabled
+        # so the shuffle join makes the filter worthwhile, and the
+        # tiny-SF scan-size threshold is lowered (at production sizes
+        # the defaults trigger naturally). The injected filter is
+        # one-sided-error: results are identical to the plain join,
+        # which is exactly what the oracle certifies; might_contain's
+        # presence in the optimized plan is pinned by pytest. Result
+        # materialized once per process under the confs (they are
+        # session-scoped and plans optimize lazily, so the entry must
+        # not leak them past its own action).
+        import tempfile
+
+        _prep(spark)
+        out_dir = _BLOOM_JOIN_CACHE.get(sf_dir)
+        if out_dir is None:
+            saved = {}
+            confs = {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold": "0",
+            }
+            for k, v in confs.items():
+                saved[k] = spark.conf.get(k, None)
+                spark.conf.set(k, v)
+            try:
+                li = _t(spark, sf_dir, "lineitem")
+                o_ = _t(spark, sf_dir, "orders") \
+                    .where("o_totalprice > 400000")
+                res = (
+                    li.join(o_, li.l_orderkey == o_.o_orderkey)
+                    .groupBy("l_returnflag")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("l_quantity").cast("bigint")
+                         .alias("qty_sum"),
+                         F.round(F.sum("l_extendedprice"), 2)
+                         .alias("price_sum")))
+                out_dir = tempfile.mkdtemp(
+                    prefix="bloom_join_") + "/res"
+                res.write.mode("overwrite").parquet(out_dir)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+            _BLOOM_JOIN_CACHE[sf_dir] = out_dir
+        return spark.read.parquet(out_dir).orderBy("l_returnflag")
+
+    q["join_runtime_bloom"] = join_runtime_bloom
 
     def join_full_outer(spark, sf_dir):
         big = _t(spark, sf_dir, "orders").where("o_totalprice > 400000") \
@@ -11699,6 +11757,17 @@ def oracle_sql() -> dict[str, str]:
     o["join_salted"] = """
         SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS price_sum
         FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+
+    # the bloom filter is one-sided-error pruning: results must equal
+    # the plain join exactly
+    o["join_runtime_bloom"] = """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
+               round(sum(l_extendedprice), 2) AS price_sum
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 400000
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """
 
     _URL_AUG = """

@@ -306,6 +306,47 @@ class TestTwsSessionizerParity:
         assert h.listTimers() == [5 * 3_600_000 + self.GAP_MS]
 
 
+class TestRuntimeBloomJoin:
+    def test_might_contain_injected_and_confs_restored(
+            self, spark, sf_dir):
+        # the entry's value is the PLAN: a bloom_filter_agg subquery on
+        # the selective side whose might_contain() lands in the fact
+        # scan filter. Assert injection under the entry's confs, and
+        # that the entry restores every conf it touches.
+        from pyspark.sql import functions as F
+
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+                .where("o_totalprice > 400000")
+            j = (li.join(o, li.l_orderkey == o.o_orderkey)
+                 .agg(F.count(F.lit(1)).alias("n")))
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "might_contain" in plan
+            assert "bloom_filter_agg" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+        import __spark_entry__ as e
+
+        e.queries()["join_runtime_bloom"](spark, sf_dir).collect()
+        for k, v in saved.items():
+            assert spark.conf.get(k, None) == v, k
+
+
 class TestStateStoreReader:
     def test_retained_state_and_metadata(self, spark, tmp_path):
         # a 2-user stream: user a's session deadline is passed by the
