@@ -588,6 +588,7 @@ _DRIVER_FIRST = [
     "stream_pyds_sink_parity",    # NEW r11: Python DataSource streamWriter
     "scan_state_store",           # NEW r11: state-store batch reader
     "join_runtime_bloom",         # NEW r11: InjectRuntimeFilter pruning
+    "mm_image_ahash_pairs",       # NEW r11: aHash + hamming LSH near-dup
     "stream_sessionize_parity",   # r11: replay build refactored to the
                                   #      shared helper (plumbing change)
     "emb_label_noise",            # r11: census reads the shared exact memo
@@ -615,12 +616,13 @@ _DRIVER_FIRST = [
     "events_daily_rollup", "events_hourly_rollup",
     "events_latest_per_user", "events_recent_features",
     "events_sessionize", "events_user_zscore", "func_case_sum",
-    "func_json_roundtrip",
-    # -- displaced r3 tail (slots 51+; leads r12): mm_media_features,
+    # -- displaced r3 tail (slots 51+; leads r12): func_json_roundtrip,
+    #    mm_media_features,
     #    rule_cmp_decimal, sample_stratified_hash, setop_*, sim_*,
     #    sketch_distinct_check, sort_topk, split_train_test, text_*,
     #    ts_range_join, union_all_count, window_* --
-    "mm_media_features", "rule_cmp_decimal", "sample_stratified_hash",
+    "func_json_roundtrip", "mm_media_features", "rule_cmp_decimal",
+    "sample_stratified_hash",
     "setop_except", "setop_intersect", "sim_cosine_topk",
     "sim_ivf_topk", "sim_knn_join", "sketch_distinct_check",
     "sort_topk", "split_train_test", "text_bpe_tokens",
@@ -2677,6 +2679,43 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("media_id", "chunk_id")
 
     q["mm_payload_chunks"] = mm_payload_chunks
+
+    def mm_image_ahash_pairs(spark, sf_dir):
+        # r11: perceptual average-hash image near-dup — the multimodal
+        # × dedup crossover: plant genuine 8×8 binary-PGM images
+        # (pixel k of image m = ((m div 2)*37 + k*11) % 256, odd
+        # images XOR pixel 63 with 64 — near-dup twins), decode +
+        # hash in ONE mapInPandas pass to four 16-bit bands (integer
+        # cross-multiplied mean threshold, engine-exact), then banded
+        # hamming LSH: band-equality hash join (pigeonhole-lossless
+        # for hamming ≤ 3) + exact XOR-popcount verify. The oracle
+        # replays pixels → bits → bands → pairs entirely in SQL.
+        from bigdata_tag_system_spark.operators.multimodal import (
+            ahash_near_pairs, image_ahash_bands,
+        )
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id") \
+            .orderBy("doc_id").limit(200)
+        mid = F.col("doc_id")
+        base = ((mid.cast("long") / 2).cast("long") * 37)
+        pix = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.char(
+                    F.when((mid % 2 == 1) & (i == 63),
+                           ((base + i * 11) % 256)
+                           .cast("int").bitwiseXOR(F.lit(64)))
+                    .otherwise(((base + i * 11) % 256).cast("int")))),
+            "")
+        media = docs.select(
+            mid.alias("media_id"),
+            F.encode(F.concat(F.lit("P5\n8 8\n255\n"), pix),
+                     "ISO-8859-1").alias("payload"))
+        hashed = image_ahash_bands(media)
+        return (ahash_near_pairs(hashed, max_hamming=3)
+                .orderBy("id_a", "id_b"))
+
+    q["mm_image_ahash_pairs"] = mm_image_ahash_pairs
 
     # ---- REAL decode paths (r7 VERDICT Next #3): registry-decoded
     # planted payloads, oracle = closed-form from the generator ----
@@ -11631,6 +11670,50 @@ def oracle_sql() -> dict[str, str]:
     # (m*31 + i*7) % 256 over an (8 + m%5) x (6 + m%4) raster — the
     # Spark side must round-trip those bytes through a genuine P5
     # parse to reproduce these integer stats
+    # pixels -> integer-threshold bits -> 16-bit bands -> banded
+    # candidates -> exact XOR popcount: the whole aHash pipeline
+    # replayed closed-form
+    o["mm_image_ahash_pairs"] = """
+        WITH ids AS (SELECT doc_id AS m FROM documents
+                     ORDER BY doc_id LIMIT 200),
+        img AS (
+            SELECT m, k,
+                   CASE WHEN m % 2 = 1 AND k = 63
+                        THEN xor(((m // 2) * 37 + k * 11) % 256,
+                                 CAST(64 AS BIGINT))
+                        ELSE ((m // 2) * 37 + k * 11) % 256 END AS px
+            FROM ids, (SELECT unnest(range(64)) AS k)),
+        tot AS (SELECT m, sum(px) AS s FROM img GROUP BY m),
+        bits AS (
+            SELECT img.m, k,
+                   CASE WHEN px * 64 > s THEN 1 ELSE 0 END AS b
+            FROM img JOIN tot USING (m)),
+        bands AS (
+            SELECT m, k // 16 AS band,
+                   CAST(sum(b * (1::BIGINT << (k % 16))) AS BIGINT)
+                       AS val
+            FROM bits GROUP BY m, k // 16),
+        hq AS (
+            SELECT m,
+                   max(CASE WHEN band = 0 THEN val END) AS b0,
+                   max(CASE WHEN band = 1 THEN val END) AS b1,
+                   max(CASE WHEN band = 2 THEN val END) AS b2,
+                   max(CASE WHEN band = 3 THEN val END) AS b3
+            FROM bands GROUP BY m),
+        cand AS (
+            SELECT DISTINCT x.m AS ia, y.m AS ib
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.val = y.val AND x.m < y.m)
+        SELECT ia AS id_a, ib AS id_b,
+               CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                  AS BIGINT) AS hamming
+        FROM cand JOIN hq a ON ia = a.m JOIN hq b ON ib = b.m
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+        ORDER BY id_a, id_b
+    """
+
     o["mm_decode_features"] = """
         WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
         dims AS (

@@ -213,18 +213,10 @@ def decode_or_raise(modality: str) -> Callable[[bytes], list[float]]:
 # ArrayType(FloatType) round-trip is bit-exact and oracle-checkable.
 # ---------------------------------------------------------------------------
 
-def decode_pgm(payload: bytes) -> list[float]:
-    """Decode a binary PGM (P5) image and return integer pixel stats.
-
-    Full parse: 'P5' magic, whitespace/comment-tolerant ASCII header
-    (width height maxval), exactly one whitespace byte, then the
-    width*height single-byte raster (maxval < 256 only — the 2-byte
-    raster variant is out of scope here).
-
-    Feature layout (all integers, exact in float32 for rasters up to
-    ~2^24/maxval² pixels): [width, height, maxval, n_px, px_sum,
-    px_sumsq, px_min, px_max].
-    """
+def _parse_pgm(payload: bytes) -> tuple:
+    """Binary-PGM (P5) parse shared by :func:`decode_pgm` and
+    :func:`image_ahash_bands`: returns (width, height, maxval, raster)
+    with the raster as the raw single-byte sequence."""
     if len(payload) < 2 or payload[0:2] != b"P5":
         raise ValueError("decode_pgm: not a binary PGM (missing P5 magic)")
     pos, fields = 2, []
@@ -250,6 +242,22 @@ def decode_pgm(payload: bytes) -> list[float]:
         raise ValueError(
             f"decode_pgm: raster truncated ({len(raster)} of "
             f"{width * height} bytes)")
+    return width, height, maxval, raster
+
+
+def decode_pgm(payload: bytes) -> list[float]:
+    """Decode a binary PGM (P5) image and return integer pixel stats.
+
+    Full parse: 'P5' magic, whitespace/comment-tolerant ASCII header
+    (width height maxval), exactly one whitespace byte, then the
+    width*height single-byte raster (maxval < 256 only — the 2-byte
+    raster variant is out of scope here).
+
+    Feature layout (all integers, exact in float32 for rasters up to
+    ~2^24/maxval² pixels): [width, height, maxval, n_px, px_sum,
+    px_sumsq, px_min, px_max].
+    """
+    width, height, maxval, raster = _parse_pgm(payload)
     px_sum = sum(raster)
     px_sumsq = sum(v * v for v in raster)
     return [float(x) for x in (
@@ -368,3 +376,104 @@ def raw_frame_stats(
             F.col("_fs.px_min").alias("px_min"),
             F.col("_fs.px_max").alias("px_max"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash (aHash): image near-duplicate detection.
+# ---------------------------------------------------------------------------
+
+def image_ahash_bands(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """64-bit average hash of binary-PGM images, emitted as FOUR 16-bit
+    band integers ``b0..b3`` — the image near-dup signature: bit k is 1
+    iff 8x8 block (k//8, k%8)'s mean exceeds the global mean, decided
+    with EXACT integer cross-multiplication (``block_sum * w * h >
+    total_sum * block_px`` — no float thresholds, so any engine agrees
+    bit-for-bit). Dimensions must be multiples of 8 (the upstream
+    resize's contract; loud ValueError otherwise). Bands instead of one
+    int64 because (a) the banded self-join consumes them directly and
+    (b) 16-bit values sidestep sign-bit ambiguity across engines.
+
+    One ``mapInPandas`` decode pass — Arrow-batched, executor-parallel,
+    emits 4 small ints per image (the shuffle never carries pixels).
+    """
+    out_schema = (f"{id_col} long, b0 integer, b1 integer, "
+                  "b2 integer, b3 integer")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands = [], [[], [], [], []]
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _maxval, raster = _parse_pgm(bytes(payload))
+                if w % 8 or h % 8:
+                    raise ValueError(
+                        f"image_ahash_bands: dimensions must be "
+                        f"multiples of 8 after upstream resize, got "
+                        f"{w}x{h} (media {mid})")
+                bw, bh = w // 8, h // 8
+                total = sum(raster)
+                bits = []
+                for r in range(8):
+                    for c in range(8):
+                        s = sum(raster[(r * bh + y) * w + c * bw + x]
+                                for y in range(bh) for x in range(bw))
+                        bits.append(int(s * w * h > total * bw * bh))
+                ids.append(mid)
+                for j in range(4):
+                    bands[j].append(sum(
+                        bits[16 * j + t] << t for t in range(16)))
+            yield pd.DataFrame({
+                id_col: ids, "b0": bands[0], "b1": bands[1],
+                "b2": bands[2], "b3": bands[3]})
+
+    return media.select(F.col(id_col), F.col(payload_col)) \
+        .mapInPandas(fn, schema=out_schema)
+
+
+def ahash_near_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Hamming-near pairs over :func:`image_ahash_bands` signatures:
+    banded-equality blocking then exact XOR-popcount verify — the
+    standard hamming LSH, RECALL-LOSSLESS here by pigeonhole: a pair at
+    distance <= 3 differs in <= 3 of 64 bits, so at least one of the 4
+    16-bit bands is untouched and the band join surfaces it
+    (``max_hamming`` must stay < 4 for that guarantee; loud otherwise).
+
+    Scale shape: candidates come from a hash join on (band_idx,
+    band_value) — pair volume tracks genuine near-dup density, never
+    |N|²; the verify is 4 integer XOR+popcounts per candidate.
+    """
+    if not 0 <= int(max_hamming) < 4:
+        raise ValueError(
+            f"max_hamming must be in 0..3 (4 bands are only "
+            f"pigeonhole-lossless below 4), got {max_hamming}")
+    bands = hashed.select(
+        F.col(id_col).alias("_id"),
+        F.stack(F.lit(4),
+                F.lit(0), F.col("b0"), F.lit(1), F.col("b1"),
+                F.lit(2), F.col("b2"), F.lit(3), F.col("b3"))
+        .alias("_band", "_val"))
+    cand = (
+        bands.alias("x").join(
+            bands.alias("y"),
+            (F.col("x._band") == F.col("y._band"))
+            & (F.col("x._val") == F.col("y._val"))
+            & (F.col("x._id") < F.col("y._id")))
+        .select(F.col("x._id").alias("id_a"),
+                F.col("y._id").alias("id_b"))
+        .distinct())
+    ha = hashed.select(F.col(id_col).alias("id_a"),
+                       *[F.col(f"b{j}").alias(f"_a{j}") for j in range(4)])
+    hb = hashed.select(F.col(id_col).alias("id_b"),
+                       *[F.col(f"b{j}").alias(f"_b{j}") for j in range(4)])
+    ham = sum(F.bit_count(F.col(f"_a{j}").bitwiseXOR(F.col(f"_b{j}")))
+              for j in range(4))
+    return (cand.join(ha, "id_a").join(hb, "id_b")
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= int(max_hamming)))

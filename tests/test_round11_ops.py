@@ -306,6 +306,84 @@ class TestTwsSessionizerParity:
         assert h.listTimers() == [5 * 3_600_000 + self.GAP_MS]
 
 
+class TestImageAhash:
+    def _media(self, spark, rows):
+        # rows: list of (media_id, 64 raw pixel ints)
+        payloads = [(mid, b"P5\n8 8\n255\n" + bytes(px))
+                    for mid, px in rows]
+        return spark.createDataFrame(
+            payloads, "media_id long, payload binary")
+
+    def test_banding_is_lossless_for_d_le_3(self, spark):
+        # pigeonhole property: banded candidates must find EVERY pair
+        # at hamming <= 3 — compare against brute force over all hashes
+        from itertools import combinations
+
+        from bigdata_tag_system_spark.operators.multimodal import (
+            ahash_near_pairs, image_ahash_bands,
+        )
+
+        rows = [(m, [((m * 29 + k * 13) % 256) for k in range(64)])
+                for m in range(30)]
+        # plant twins: 100..102 copy image 0 with 1..3 pixels inverted
+        for j, flips in [(100, 1), (101, 2), (102, 3)]:
+            px = list(rows[0][1])
+            for f in range(flips):
+                px[f] = 255 - px[f]
+            rows.append((j, px))
+        hashed = image_ahash_bands(self._media(spark, rows))
+        got = {(r["id_a"], r["id_b"]) for r in
+               ahash_near_pairs(hashed, max_hamming=3).collect()}
+        h = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+             for r in hashed.collect()}
+
+        def ham(a, b):
+            return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+        brute = {(a, b) for a, b in combinations(sorted(h), 2)
+                 if ham(h[a], h[b]) <= 3}
+        assert got == brute
+        # inverting k pixels flips at most ~k bits (plus mean drift);
+        # the 1-flip twin must be found
+        assert any(0 in p and 100 in p for p in got)
+
+    def test_guards(self, spark):
+        from bigdata_tag_system_spark.operators.multimodal import (
+            ahash_near_pairs, image_ahash_bands,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, b"P5\n7 8\n255\n" + bytes(56))],
+            "media_id long, payload binary")
+        with pytest.raises(Exception) as ei:
+            image_ahash_bands(bad).collect()
+        assert "multiples of 8" in str(ei.value)
+        good = image_ahash_bands(self._media(
+            spark, [(1, list(range(64)))]))
+        with pytest.raises(ValueError):
+            ahash_near_pairs(good, max_hamming=4)
+
+    def test_block_averaged_16x16_matches_8x8_expansion(self, spark):
+        # a 16x16 image whose 2x2 blocks are constant must hash
+        # identically to the 8x8 image of the block values
+        from bigdata_tag_system_spark.operators.multimodal import (
+            image_ahash_bands,
+        )
+
+        small = [((5 + k * 7) % 256) for k in range(64)]
+        big = [0] * 256
+        for r in range(16):
+            for c in range(16):
+                big[r * 16 + c] = small[(r // 2) * 8 + (c // 2)]
+        m_small = self._media(spark, [(1, small)])
+        m_big = spark.createDataFrame(
+            [(1, b"P5\n16 16\n255\n" + bytes(big))],
+            "media_id long, payload binary")
+        hs = image_ahash_bands(m_small).collect()[0]
+        hb = image_ahash_bands(m_big).collect()[0]
+        assert tuple(hs)[1:] == tuple(hb)[1:]
+
+
 class TestRuntimeBloomJoin:
     def test_might_contain_injected_and_confs_restored(
             self, spark, sf_dir):
