@@ -252,6 +252,13 @@ def main() -> None:
         "sql_recursive_cte",       # native WITH RECURSIVE (UnionLoop)
         "scan_pyds_stream",        # streaming Python DataSource
         "mm_arrow_norms",          # mapInArrow zero-copy batches
+        # round-11 additions (emb_label_noise is already in the r8
+        # block above; its memo-path speedup shows there)
+        "graph_event_pagerank_lit",  # literal solve, bounded graphs
+        "stream_pyds_sink_parity",  # Python DataSource streamWriter
+        "scan_state_store",        # state-store batch reader
+        "join_runtime_bloom",      # InjectRuntimeFilter pruning
+        "mm_image_ahash_pairs",    # aHash + hamming-LSH near-dup
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
