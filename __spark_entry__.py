@@ -3194,12 +3194,22 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tmp = tempfile.mkdtemp(prefix="stream_sess_")
             src_dir = tmp + "/src"
             os.makedirs(src_dir)
-            try:
-                os.link(f"{sf_dir}/events.parquet",
-                        f"{src_dir}/events.parquet")
-            except OSError:
-                shutil.copy(f"{sf_dir}/events.parquet",
-                            f"{src_dir}/events.parquet")
+
+            def _stage(src_path, name):
+                # testdata ships single-file parquet; staged/scaled
+                # copies are directories of part files — stage both
+                if os.path.isdir(src_path):
+                    for i, part in enumerate(sorted(os.listdir(src_path))):
+                        if part.endswith(".parquet"):
+                            _stage(os.path.join(src_path, part),
+                                   f"{i}_{name}")
+                    return
+                try:
+                    os.link(src_path, f"{src_dir}/{name}")
+                except OSError:
+                    shutil.copy(src_path, f"{src_dir}/{name}")
+
+            _stage(f"{sf_dir}/events.parquet", "events.parquet")
             stream = spark.readStream.schema(schema).parquet(src_dir)
             sessions = sessionize_stream(
                 stream, gap_minutes=60, watermark="30 minutes")
