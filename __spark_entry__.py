@@ -589,6 +589,7 @@ _DRIVER_FIRST = [
     "scan_state_store",           # NEW r11: state-store batch reader
     "join_runtime_bloom",         # NEW r11: InjectRuntimeFilter pruning
     "mm_image_ahash_pairs",       # NEW r11: aHash + hamming LSH near-dup
+    "func_udtf_analyze",          # NEW r11: polymorphic UDTF (analyze)
     "stream_sessionize_parity",   # r11: replay build refactored to the
                                   #      shared helper (plumbing change)
     "emb_label_noise",            # r11: census reads the shared exact memo
@@ -615,14 +616,14 @@ _DRIVER_FIRST = [
     "dedup_pairs_distinct", "dedup_pipeline_keep",
     "events_daily_rollup", "events_hourly_rollup",
     "events_latest_per_user", "events_recent_features",
-    "events_sessionize", "events_user_zscore", "func_case_sum",
-    # -- displaced r3 tail (slots 51+; leads r12): func_json_roundtrip,
-    #    mm_media_features,
+    "events_sessionize", "events_user_zscore",
+    # -- displaced r3 tail (slots 51+; leads r12): func_case_sum,
+    #    func_json_roundtrip, mm_media_features,
     #    rule_cmp_decimal, sample_stratified_hash, setop_*, sim_*,
     #    sketch_distinct_check, sort_topk, split_train_test, text_*,
     #    ts_range_join, union_all_count, window_* --
-    "func_json_roundtrip", "mm_media_features", "rule_cmp_decimal",
-    "sample_stratified_hash",
+    "func_case_sum", "func_json_roundtrip", "mm_media_features",
+    "rule_cmp_decimal", "sample_stratified_hash",
     "setop_except", "setop_intersect", "sim_cosine_topk",
     "sim_ivf_topk", "sim_knn_join", "sketch_distinct_check",
     "sort_topk", "split_train_test", "text_bpe_tokens",
@@ -6557,6 +6558,30 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """)
 
     q["text_udtf_chunks"] = text_udtf_chunks
+
+    def func_udtf_analyze(spark, sf_dir):
+        # r11: POLYMORPHIC UDTF (Spark 4 analyze()) — the output schema
+        # is computed at plan time from the literal key arguments, so
+        # `json_cols(props, 'k')` yields a real named column `k`
+        # (prunable, typed) instead of repeated get_json_object calls.
+        # Completes the §2.10 function ladder: UDF → pandas UDF → UDTF
+        # → UDTF-with-analyze. Rolled up per event_type so the entry
+        # exercises the lateral join + downstream aggregation.
+        from bigdata_tag_system_spark.functions.udtf_ops import (
+            register_json_cols,
+        )
+
+        register_json_cols(spark)
+        _t(spark, sf_dir, "events").createOrReplaceTempView("_ev_udtf")
+        return spark.sql("""
+            SELECT e.event_type, count(j.k) AS n_k,
+                   CAST(sum(CAST(j.k AS BIGINT)) AS BIGINT) AS k_sum
+            FROM _ev_udtf e, LATERAL json_cols(e.props, 'k') j
+            WHERE e.event_id <= 4000
+            GROUP BY e.event_type ORDER BY e.event_type
+        """)
+
+    q["func_udtf_analyze"] = func_udtf_analyze
 
     # -- driver-environment probes (round 6) ------------------------------
     # The r4/r5 driver reds (text_repetition, tpch_q12, customer_cohort_
@@ -14517,6 +14542,16 @@ def oracle_sql() -> dict[str, str]:
 
     # UDTF replay: same 32-token windows over the same normalization,
     # same md5 chunk identities
+    # json_cols(props, 'k') ≡ json key extraction rendered as text
+    o["func_udtf_analyze"] = """
+        SELECT event_type,
+               count(json_extract_string(props, '$.k')) AS n_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k')
+                             AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events WHERE event_id <= 4000
+        GROUP BY event_type ORDER BY event_type
+    """
+
     o["text_udtf_chunks"] = f"""
         WITH t AS (
             SELECT doc_id, string_split({_NORM}, ' ') AS tk

@@ -259,6 +259,7 @@ def main() -> None:
         "scan_state_store",        # state-store batch reader
         "join_runtime_bloom",      # InjectRuntimeFilter pruning
         "mm_image_ahash_pairs",    # aHash + hamming-LSH near-dup
+        "func_udtf_analyze",       # polymorphic UDTF (plan-time schema)
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -48,3 +48,75 @@ class ChunkText:
 def register(spark) -> None:
     """Idempotently register ``chunk_text`` for SQL lateral use."""
     spark.udtf.register("chunk_text", ChunkText)
+
+
+class JsonCols:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze()``): project requested keys
+    out of a JSON string column as real named COLUMNS, with the output
+    schema computed AT PLAN TIME from the literal key arguments —
+    ``json_cols(props, 'k', 'src')`` yields columns ``k, src``. The
+    schema-on-demand pattern a semi-structured pipeline wants when the
+    key set is query-specific: downstream operators see typed named
+    columns (prunable, codegen-visible) instead of repeated
+    ``get_json_object`` calls or an opaque map.
+
+    ``analyze`` receives AnalyzeArgument metadata for every call arg;
+    non-literal keys are rejected LOUDLY (the schema cannot depend on
+    data). Values surface as strings (JSON scalars rendered compactly,
+    nested values re-serialized); missing keys and malformed JSON yield
+    NULLs — the lenient semi-structured contract, matched by the SQL
+    oracle's json_extract behavior.
+    """
+
+    @staticmethod
+    def analyze(*args):
+        import json as _json
+
+        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if len(args) < 2:
+            raise ValueError(
+                "json_cols requires a JSON column and at least one "
+                "literal key name")
+        keys = []
+        for a in args[1:]:
+            if a.value is None or not isinstance(a.value, str):
+                raise ValueError(
+                    "json_cols key names must be string LITERALS — the "
+                    "output schema is fixed at plan time")
+            keys.append(a.value)
+        if len(set(keys)) != len(keys):
+            raise ValueError(f"duplicate key names: {keys}")
+        return AnalyzeResult(schema=StructType(
+            [StructField(k, StringType()) for k in keys]))
+
+    def eval(self, payload, *keys):
+        import json
+
+        try:
+            d = json.loads(payload) if payload is not None else {}
+            if not isinstance(d, dict):
+                d = {}
+        except (ValueError, TypeError):
+            d = {}
+
+        def render(v):
+            if v is None:
+                return None
+            if isinstance(v, str):
+                return v
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (int, float)):
+                return json.dumps(v)
+            return json.dumps(v, sort_keys=True, separators=(",", ":"))
+
+        yield tuple(render(d.get(k)) for k in keys)
+
+
+def register_json_cols(spark) -> None:
+    """Idempotently register ``json_cols`` (polymorphic UDTF)."""
+    from pyspark.sql.functions import udtf as _udtf
+
+    spark.udtf.register("json_cols", _udtf(JsonCols))

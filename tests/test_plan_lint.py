@@ -143,6 +143,11 @@ _CATALOG_ALLOW = {
     # keeps exactly one such entry, with the native chunker as the
     # production twin (operators/text.py:chunk_documents)
     "text_udtf_chunks": ["python_row_udf"],
+    # func_udtf_analyze is the SECOND and last UDTF entry — the
+    # analyze()-polymorphic surface (schema computed at plan time);
+    # same per-row-Python price, same pure-function oracle contract,
+    # production twin = native get_json_object/VARIANT extraction
+    "func_udtf_analyze": ["python_row_udf"],
     # (sketch_hist_quantiles — cumulative pass over the MERGED ≤64-row
     # histogram — carries global_window in the bnl_join block below)
     "sample_shuffle_order": ["global_window"],

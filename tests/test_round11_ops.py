@@ -306,6 +306,56 @@ class TestTwsSessionizerParity:
         assert h.listTimers() == [5 * 3_600_000 + self.GAP_MS]
 
 
+class TestJsonColsUdtf:
+    def test_plan_time_schema_and_lenient_values(self, spark):
+        from bigdata_tag_system_spark.functions.udtf_ops import (
+            register_json_cols,
+        )
+
+        register_json_cols(spark)
+        spark.createDataFrame(
+            [(1, '{"a": 1, "b": "x", "c": [1,2], "d": true}'),
+             (2, '{"a": null}'),
+             (3, "not json"),
+             (4, None)],
+            "id long, payload string").createOrReplaceTempView("_jc")
+        out = spark.sql("""
+            SELECT t.id, j.a, j.b, j.c, j.d
+            FROM _jc t, LATERAL json_cols(t.payload, 'a', 'b', 'c', 'd') j
+            ORDER BY t.id
+        """)
+        # the polymorphic schema: one STRING column per literal key
+        assert out.columns == ["id", "a", "b", "c", "d"]
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["a"] == "1" and rows[1]["b"] == "x"
+        assert rows[1]["c"] == "[1,2]" and rows[1]["d"] == "true"
+        assert rows[2]["a"] is None           # JSON null -> NULL
+        assert rows[3]["a"] is None           # malformed -> NULLs
+        assert rows[4]["a"] is None           # NULL payload -> NULLs
+
+    def test_non_literal_and_duplicate_keys_rejected(self, spark):
+        from bigdata_tag_system_spark.functions.udtf_ops import (
+            register_json_cols,
+        )
+
+        register_json_cols(spark)
+        spark.createDataFrame(
+            [(1, '{"a":1}', "a")], "id long, payload string, keycol string"
+        ).createOrReplaceTempView("_jc2")
+        with pytest.raises(Exception) as ei:
+            spark.sql("""
+                SELECT j.* FROM _jc2 t,
+                LATERAL json_cols(t.payload, t.keycol) j
+            """).collect()
+        assert "LITERAL" in str(ei.value).upper()
+        with pytest.raises(Exception) as ei2:
+            spark.sql("""
+                SELECT j.* FROM _jc2 t,
+                LATERAL json_cols(t.payload, 'a', 'a') j
+            """).collect()
+        assert "duplicate" in str(ei2.value)
+
+
 class TestImageAhash:
     def _media(self, spark, rows):
         # rows: list of (media_id, 64 raw pixel ints)
