@@ -575,53 +575,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #     battery) rotated in for re-confirmation.
 _DRIVER_FIRST = [
     # =====================================================================
-    # ROUND-11 WINDOW — executing the r10 VERDICT plan (Next #1):
-    #   (a) r11 additions + entries whose code/shared plumbing changed
+    # ROUND-12 WINDOW — executing the r11 VERDICT plan (Next #1):
+    #   (a) r12 additions + entries whose code/shared plumbing changed
     #       this round (standing discipline);
-    #   (b) the full remaining r2-vintage tail (17 entries);
-    #   (c) the oldest r3-vintage block fills the rest — >= 35 slots go
-    #       to <= r3-vintage entries, shrinking the freshness tail from
-    #       60 to 20 (the 20 displaced r3 rows lead the r12 rotation).
+    #   (b) the FULL remaining r3-vintage tail (25 entries — the block
+    #       displaced from the r11 window), closing the whole catalog
+    #       to >= r4 vintage;
+    #   (c) the oldest r4-vintage entries (alphabetical) fill the rest.
+    # Prior windows (r8/r11 rationale) live in git history.
     # =====================================================================
-    # -- (a) r11 additions + r11 code-changed entries (10) --
-    "graph_event_pagerank_lit",   # NEW r11: literal solve, bounded graphs
-    "stream_pyds_sink_parity",    # NEW r11: Python DataSource streamWriter
-    "scan_state_store",           # NEW r11: state-store batch reader
-    "join_runtime_bloom",         # NEW r11: InjectRuntimeFilter pruning
-    "mm_image_ahash_pairs",       # NEW r11: aHash + hamming LSH near-dup
-    "func_udtf_analyze",          # NEW r11: polymorphic UDTF (analyze)
-    "stream_sessionize_parity",   # r11: replay build refactored to the
-                                  #      shared helper (plumbing change)
-    "emb_label_noise",            # r11: census reads the shared exact memo
-    "emb_label_noise_probed",     # r11: exact side reads the shared memo
-    "events_cum_distinct_types",  # r11: NULL first-occurrence guard
-    "mm_arrow_norms",             # r11: null-slot-safe segment lengths
-    "store_cdc_diff",             # r11: write_version heartbeat lease
-    "store_time_travel",          # r11: same plumbing change
-    "store_version_diff",         # r11: same plumbing change
-    "graph_event_pagerank",       # r11: adjudicated mover; shares the
-                                  #      twin's oracle — re-certified
-    # -- (b) the full remaining r2-vintage tail (17) --
-    "agg_count_distinct", "agg_having",
-    "rule_and", "rule_or", "rule_not_group", "rule_nested_groups",
-    "rule_empty_select_all", "rule_is_null", "rule_ends_with",
-    "rule_recent_days", "rule_days_ago", "rule_days_ago_between",
-    "rule_date_between", "rule_array_contains", "rule_contains_all",
-    "rule_contains_any", "rule_disjoint",
-    # -- (c) oldest r3-vintage block (23 of 43; alphabetical order —
-    #    the remaining 20 lead the r12 rotation) --
-    "agg_cube", "agg_distinct_sorted", "agg_rollup", "agg_stats",
-    "array_funcs_literal", "dedup_components", "dedup_containment",
-    "dedup_cosine_pairs", "dedup_exact_groups", "dedup_minhash_lsh",
-    "dedup_pairs_distinct", "dedup_pipeline_keep",
-    "events_daily_rollup", "events_hourly_rollup",
-    "events_latest_per_user", "events_recent_features",
-    "events_sessionize", "events_user_zscore",
-    # -- displaced r3 tail (slots 51+; leads r12): func_case_sum,
-    #    func_json_roundtrip, mm_media_features,
-    #    rule_cmp_decimal, sample_stratified_hash, setop_*, sim_*,
-    #    sketch_distinct_check, sort_topk, split_train_test, text_*,
-    #    ts_range_join, union_all_count, window_* --
+    # -- (a) r12 additions (5) + r12 code-changed entries (4) --
+    "func_udaf_geomean",          # NEW r12: grouped-agg pandas UDAF rung
+    "func_arrow_apply_zscore",    # NEW r12: grouped-map applyInArrow
+    "func_sql_udf",               # NEW r12: SQL-language scalar UDFs
+    "func_sql_table_udf",         # NEW r12: table-valued SQL UDF
+    "text_substr_dedup",          # NEW r12: ExactSubstr span removal
+    "stream_pyds_sink_parity",    # r12: loud deadline guard before the
+                                  #      process-wide cache populate
+    "store_cdc_diff",             # r12: O_EXCL lease claim + pid-checked
+    "store_time_travel",          #      removal in write_version
+    "store_version_diff",         #      (same versioned.py plumbing)
+    # -- (b) the full remaining r3-vintage tail (25) --
     "func_case_sum", "func_json_roundtrip", "mm_media_features",
     "rule_cmp_decimal", "sample_stratified_hash",
     "setop_except", "setop_intersect", "sim_cosine_topk",
@@ -631,6 +605,14 @@ _DRIVER_FIRST = [
     "text_segment_dedup", "text_token_stats", "text_top_tokens",
     "ts_range_join", "union_all_count", "window_lag",
     "window_row_number", "window_running_sum",
+    # -- (c) oldest r4-vintage block (16 of 48, alphabetical; the
+    #    remaining 32 r4 rows lead the r13 rotation) --
+    "agg_grouping_sets", "agg_pivot", "dedup_fuzzy_edit",
+    "dedup_incremental", "dedup_pipeline_keep_best",
+    "dedup_semantic_keep", "dedup_simhash_portable",
+    "emb_label_centroid", "emb_quantize_int8", "events_funnel",
+    "events_props_json", "events_retention", "func_coalesce_size",
+    "func_date_arith", "func_explode_count", "func_map_json",
 ]
 
 
@@ -6583,6 +6565,106 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["func_udtf_analyze"] = func_udtf_analyze
 
+    def func_udaf_geomean(spark, sf_dir):
+        # r12: the UDAF rung of the §2.10 ladder (the reference exposes
+        # scalar UDF registration only — SURVEY §2.10 "No UDAF") — a
+        # grouped-agg pandas UDF computing the per-group WEIGHTED
+        # GEOMETRIC MEAN, an aggregate no single built-in covers. The
+        # production twin (weighted_geomean_native: exp(sum(w*ln v)/
+        # sum w), map-side partials, full codegen) is pinned equal by
+        # pytest; this entry certifies the Arrow grouped-agg surface
+        # itself on a bounded-cardinality key (3 groups), the only
+        # shape where whole-group shipping is the right trade.
+        from bigdata_tag_system_spark.functions.udaf_ops import (
+            grouped_weighted_geomean,
+        )
+
+        out = grouped_weighted_geomean(
+            _t(spark, sf_dir, "lineitem"),
+            "l_returnflag", "l_extendedprice", "l_quantity")
+        return out.select(
+            "l_returnflag",
+            F.round("w_geomean", 4).alias("w_geomean"),
+        ).orderBy("l_returnflag")
+
+    q["func_udaf_geomean"] = func_udaf_geomean
+
+    def func_arrow_apply_zscore(spark, sf_dir):
+        # r12: grouped-map applyInArrow (zero-copy pyarrow.Table per
+        # group, pc.* C kernels — no pandas detour) — the grouped-map
+        # half of the Arrow surface, twin of events_user_zscore's pure
+        # JVM window (same semantics, same oracle shape). mapInArrow is
+        # covered by mm_arrow_norms; this completes the pair.
+        from bigdata_tag_system_spark.operators.features import (
+            normalize_per_user_arrow,
+        )
+
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", "event_id", "value")
+        out = normalize_per_user_arrow(ev)
+        return out.select(
+            "event_id", F.round("value_z", 4).alias("value_z")
+        ).orderBy("event_id").limit(500)
+
+    q["func_arrow_apply_zscore"] = func_arrow_apply_zscore
+
+    def func_sql_udf(spark, sf_dir):
+        # r12: SQL-language scalar UDFs (Spark 4 CREATE FUNCTION ...
+        # RETURNS ... RETURN expr) — Catalyst inlines the body at
+        # analysis time, so the plan is identical to writing the
+        # expression by hand (zero Python workers; the declarative
+        # complement of rules.compiler.rule_to_sql for warehouse
+        # interop). Both registered functions are exercised in one
+        # grouped query; the oracle replays the inlined expressions.
+        from bigdata_tag_system_spark.functions.udaf_ops import (
+            register_sql_udfs,
+        )
+
+        register_sql_udfs(spark)
+        _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_sqludf")
+        return spark.sql("""
+            SELECT qty_band(l_quantity) AS band,
+                   COUNT(*) AS n,
+                   ROUND(SUM(disc_price(l_extendedprice, l_discount,
+                                        l_tax)), 2) AS net_revenue
+            FROM _li_sqludf GROUP BY 1 ORDER BY 1
+        """)
+
+    q["func_sql_udf"] = func_sql_udf
+
+    def func_sql_table_udf(spark, sf_dir):
+        # r12: TABLE-VALUED SQL UDF (CREATE FUNCTION ... RETURNS TABLE)
+        # joined as a 3-row broadcast dimension — band edges declared
+        # once in the function body instead of duplicated per query.
+        from bigdata_tag_system_spark.functions.udaf_ops import (
+            register_sql_table_udf,
+        )
+
+        register_sql_table_udf(spark)
+        _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_sqltf")
+        return spark.sql("""
+            SELECT b.band, COUNT(*) AS n,
+                   ROUND(AVG(l.l_quantity), 4) AS avg_qty
+            FROM _li_sqltf l
+            JOIN qty_bands() b
+              ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+            GROUP BY b.band ORDER BY b.band
+        """)
+
+    q["func_sql_table_udf"] = func_sql_table_udf
+
+    def text_substr_dedup(spark, sf_dir):
+        # r12: ExactSubstr span removal (Lee et al. 2022) — cross-doc
+        # duplicated 8-token runs are CUT OUT of every copy and the doc
+        # rebuilt from the kept gaps (dup_shingle_coverage measures the
+        # same intervals; this subtracts them). Gaps-and-islands over
+        # dup shingle starts, then a map-only zip_with/slice rebuild.
+        out = T.remove_duplicated_spans(
+            _t(spark, sf_dir, "documents"), n=8, min_docs=2)
+        return out.orderBy("doc_id")
+
+    q["text_substr_dedup"] = text_substr_dedup
+
     # -- driver-environment probes (round 6) ------------------------------
     # The r4/r5 driver reds (text_repetition, tpch_q12, customer_cohort_
     # ltv) pass the local gate byte-for-byte, so the divergence lives in
@@ -8955,6 +9037,20 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         pass
                 time.sleep(0.5)
             run.stop()
+            # fail LOUDLY on a timed-out stream: caching a truncated
+            # output dir would silently feed every later read in the
+            # process (only the oracle hash would catch it downstream)
+            committed_n = 0
+            files = committed_files(out)
+            if files:
+                committed_n = (spark.read.schema(schema_ddl)
+                               .json(files).select("event_id")
+                               .distinct().count())
+            if committed_n < n_rows:
+                raise RuntimeError(
+                    "jsonl_commitlog sink timed out: only "
+                    f"{committed_n}/{n_rows} distinct event_ids "
+                    "committed within the 180s deadline")
             # the staging dir must be empty once drained: every staged
             # file was either committed (moved) or aborted (removed)
             leftovers = os.listdir(out + "/_staging")
@@ -14550,6 +14646,116 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT)) AS BIGINT) AS k_sum
         FROM events WHERE event_id <= 4000
         GROUP BY event_type ORDER BY event_type
+    """
+
+    # weighted geometric mean replay: exp is 1-ulp in both engines and
+    # the two summation orders differ by ~1e-12 relative — absorbed by
+    # round to 4 decimals on a ~1e4-magnitude value
+    o["func_udaf_geomean"] = """
+        SELECT l_returnflag,
+               round(exp(sum(l_quantity * ln(l_extendedprice))
+                         / sum(l_quantity)), 4) AS w_geomean
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    # identical to the events_user_zscore replay: the applyInArrow twin
+    # must reproduce the pure-window z-score bit-for-bit at 4 decimals
+    o["func_arrow_apply_zscore"] = """
+        SELECT event_id,
+               round((value - avg(value) OVER (PARTITION BY user_id))
+                     / stddev_samp(value) OVER (PARTITION BY user_id), 4)
+                   AS value_z
+        FROM events ORDER BY event_id LIMIT 500
+    """
+
+    # SQL UDF bodies inlined by hand — the whole point of the entry is
+    # that Catalyst's inlining makes the registered form equal to this
+    o["func_sql_udf"] = """
+        SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                    WHEN l_quantity < 30 THEN 'mid'
+                    ELSE 'high' END AS band,
+               count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         * (1 + l_tax)), 2) AS net_revenue
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """
+
+    o["func_sql_table_udf"] = """
+        WITH bands(band, lo, hi) AS (
+            VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0),
+                   ('high', 30.0, 1e9)
+        )
+        SELECT b.band, count(*) AS n,
+               round(avg(l.l_quantity), 4) AS avg_qty
+        FROM lineitem l
+        JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        GROUP BY b.band ORDER BY b.band
+    """
+
+    # ExactSubstr replay: same md5-60 shingle hashes, same distinct-doc
+    # threshold, same gaps-and-islands runs; kept text re-agged from
+    # the positions OUTSIDE every island's [mn, mx+7] cover interval
+    o["text_substr_dedup"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN []
+                        ELSE string_split({_NORM}, ' ') END AS t
+            FROM documents
+        ), sized AS (
+            SELECT doc_id, t, greatest(len(t), 0) AS ntok FROM base
+        ), pos AS (
+            SELECT doc_id, ntok, t,
+                   unnest(range(0, ntok - 7)) AS pos
+            FROM sized WHERE ntok >= 8
+        ), sh AS (
+            SELECT doc_id, pos,
+                   ('0x' || substr(md5(
+                        array_to_string(t[pos+1:pos+8], ' ')), 1, 15)
+                   )::BIGINT AS h
+            FROM pos
+        ), dup AS (
+            SELECT h FROM sh GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2
+        ), dp AS (
+            SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)
+        ), brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) <= 7
+                        THEN 0 ELSE 1 END AS b
+            FROM dp
+        ), isl AS (
+            SELECT doc_id, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+            FROM brk
+        ), spans AS (
+            SELECT doc_id, i, min(pos) AS mn, max(pos) + 7 AS en
+            FROM isl GROUP BY doc_id, i
+        ), covered AS (
+            SELECT doc_id, unnest(range(mn, en + 1)) AS p FROM spans
+        ), rm AS (
+            SELECT doc_id, cast(sum(en - mn + 1) AS BIGINT) AS removed
+            FROM spans GROUP BY doc_id
+        ), toks AS (
+            SELECT s.doc_id, unnest(range(0, s.ntok)) AS p, s.t
+            FROM sized s WHERE s.ntok > 0
+        ), kept AS (
+            SELECT tk.doc_id,
+                   coalesce(string_agg(tk.t[tk.p + 1], ' '
+                            ORDER BY tk.p), '') AS cleaned
+            FROM toks tk LEFT JOIN covered c
+              ON c.doc_id = tk.doc_id AND c.p = tk.p
+            WHERE c.p IS NULL
+            GROUP BY tk.doc_id
+        )
+        SELECT s.doc_id,
+               cast(s.ntok AS BIGINT) AS n_tokens,
+               coalesce(r.removed, 0) AS removed_tokens,
+               coalesce(k.cleaned, '') AS cleaned_text
+        FROM sized s
+        LEFT JOIN rm r USING (doc_id)
+        LEFT JOIN kept k USING (doc_id)
+        ORDER BY s.doc_id
     """
 
     o["text_udtf_chunks"] = f"""

@@ -260,6 +260,12 @@ def main() -> None:
         "join_runtime_bloom",      # InjectRuntimeFilter pruning
         "mm_image_ahash_pairs",    # aHash + hamming-LSH near-dup
         "func_udtf_analyze",       # polymorphic UDTF (plan-time schema)
+        # round-12 additions
+        "func_udaf_geomean",       # grouped-agg pandas UDAF rung
+        "func_arrow_apply_zscore", # grouped-map applyInArrow
+        "func_sql_udf",            # SQL-language UDFs (Catalyst-inlined)
+        "func_sql_table_udf",      # table-valued SQL UDF broadcast dim
+        "text_substr_dedup",       # ExactSubstr duplicated-span removal
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /
@@ -286,7 +292,10 @@ def main() -> None:
     # refuse — unless SPARK_GRAFT_BENCH_FORCE=1, which runs anyway and
     # stamps "load_gate": "overridden" in the sidecar so the comparison
     # knows to discount.
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus = int(os.environ.get(
+        "SPARK_GRAFT_CPUS",
+        str(len(os.sched_getaffinity(0)) if hasattr(os, "sched_getaffinity")
+            else (os.cpu_count() or 32))))
     load_cap = 0.5 * cpus
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "600"))
     load_forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "") == "1"
@@ -328,6 +337,35 @@ def main() -> None:
             samples[name].append(dt)
             print(f"# iter{it} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # SPREAD PINNING (r11 VERDICT "What's wrong" #2): entries whose
+    # last-published spread_max_over_min exceeded 3x keep generating
+    # false round-over-round movers (streaming checkpoint/temp-dir I/O
+    # and shared-memo first-consumer attribution dominate them, not the
+    # plan). Those entries — plus any whose spread THIS run exceeds 3x —
+    # get extra samples so the recorded min sits on the steady state,
+    # not on the luck of 3 draws. Bounded: at most +4 iterations each.
+    known_noisy = {
+        "stream_lsh_parity", "sketch_hll_portable", "text_novelty_curve",
+        "audit_key_skew", "dedup_reciprocal_best",
+    }
+    extra_iters = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "4")))
+    for name in headline:
+        ts = samples[name]
+        if name not in known_noisy and (min(ts) <= 0
+                                        or max(ts) / min(ts) <= 3.0):
+            continue
+        fn = queries[name]
+        for k in range(extra_iters):
+            if min(samples[name]) > 0 and (
+                    max(samples[name]) / min(samples[name]) <= 3.0
+                    and len(samples[name]) >= iters + 2):
+                break
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            print(f"# pin{k} {name}: {dt:.3f}s", file=sys.stderr)
+
     load_end = os.getloadavg()
 
     med = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
@@ -359,7 +397,11 @@ def main() -> None:
         json.dump({
             "queries": med, "queries_min": best, "queries_max": worst,
             "spread_max_over_min": spread,
-            "iterations": iters, "sf": sf_val,
+            "iterations": iters,
+            "pinned_extra_samples": {
+                name: len(ts) - iters for name, ts in samples.items()
+                if len(ts) > iters},
+            "sf": sf_val,
             "total_min": total, "total_median": total_med,
             "started_at_epoch": round(t_start, 1),
             "wall_seconds": round(time.time() - t_start, 1),

@@ -249,6 +249,43 @@ def normalize_per_user_pandas(
     return events.groupBy(user_col).applyInPandas(_norm, schema=out_schema)
 
 
+def normalize_per_user_arrow(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user z-score via grouped-map ``applyInArrow`` — the
+    zero-copy twin of :func:`normalize_per_user_pandas`: whole groups
+    arrive as a ``pyarrow.Table`` (no pandas conversion, no index
+    materialization, no object boxing), reduced with
+    ``pyarrow.compute`` C kernels. Same semantics as
+    :func:`normalize_per_user` (single-row / zero-variance groups
+    z-score to 0.0); same grouped-map constraint (a group ships whole
+    to one task). Completes the grouped-map half of the Arrow surface
+    the way ``embeddings.arrow_batch_norms`` covers ``mapInArrow``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in events.schema.fields
+    ) + ", value_z double"
+
+    def _norm(tbl: "pa.Table") -> "pa.Table":
+        v = tbl.column(value_col)
+        n = len(v)
+        mean = pc.mean(v).as_py()
+        std = pc.stddev(v, ddof=1).as_py() if n > 1 else None
+        if std is None or std != std or std == 0.0:
+            z = pa.array([0.0] * n, type=pa.float64())
+        else:
+            z = pc.divide(
+                pc.subtract(pc.cast(v, pa.float64()), mean), std)
+        return tbl.append_column("value_z", z)
+
+    return events.groupBy(user_col).applyInArrow(_norm, schema=out_schema)
+
+
 def pack_by_token_budget(
     df: DataFrame,
     budget: int,

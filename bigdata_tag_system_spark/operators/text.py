@@ -804,6 +804,128 @@ def dup_shingle_coverage(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the ExactSubstr dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), at token granularity: every maximal run of token positions
+    covered by an overlapping ``n``-token shingle that appears in
+    ``min_docs``-or-more distinct documents is CUT OUT of the document,
+    and the surviving text is rebuilt from the kept gaps in order.
+
+    Reference parity note: the reference engine has no span-removal
+    operator; this extends its text-curation surface the way its
+    repeated-segment scrub (remove_repeated_segments) extends CCNet.
+    Distinct from both siblings: :func:`dup_shingle_coverage` only
+    MEASURES the covered fraction, :func:`remove_repeated_segments`
+    drops non-overlapping fixed segments by raw corpus frequency. Here
+    duplication is cross-document, shingles overlap, and the duplicated
+    spans themselves are subtracted (from EVERY copy — the paper's
+    "remove all" policy; a keep-one policy is a trivial filter on top).
+
+    Scale shape: identical to :func:`dup_shingle_coverage` up to the
+    island aggregate — the corpus-wide shuffle carries ``(doc, pos,
+    hash)`` triples only; hot hashes come from one groupBy(hash)
+    distinct-doc count; maximal covered runs are gaps-and-islands (one
+    keyed window over dup START positions — islands break exactly when
+    the start gap exceeds ``n-1``, so consecutive islands' cover
+    intervals ``[mn, mx+n-1]`` are provably disjoint). The rebuild then
+    stays MAP-ONLY: islands collapse to one small sorted
+    ``array<struct>`` per affected doc (one groupBy on the doc key),
+    joined back to the tokenized base, and the kept text is a pure
+    ``zip_with``/``slice``/``flatten`` expression over the gap
+    boundaries — no token ever crosses a shuffle a second time, no
+    per-token join, no Python. ``portable=True`` uses the md5-derived
+    60-bit hash an external SQL oracle replays; production corpora flip
+    to ``xxhash64``.
+
+    Output: ``(id, n_tokens, removed_tokens, cleaned_text)`` per doc.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_tag_system_spark.functions.text import (
+        normalize_text, portable_hash60,
+    )
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    toks = F.coalesce(
+        F.split(normalize_text(text_col), " "),
+        F.array().cast("array<string>"))
+    base = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .withColumn("_ntok", F.greatest(F.size("_t"), F.lit(0)))
+    )
+    seg = F.array_join(F.slice("_t", F.col("_i") + 1, n), " ")
+    hcol = portable_hash60(seg) if portable else F.xxhash64(seg)
+    shingles = (
+        base.where(F.col("_ntok") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.col("_ntok") - n)).alias("_i"),
+            F.col("_t"))
+        .select(F.col(id_col), F.col("_i").alias("pos"), hcol.alias("_h"))
+    )
+    dup = (
+        shingles.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        shingles.join(dup, "_h", "left_semi")
+        .select(id_col, "pos")
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) <= n - 1, 0
+            ).otherwise(1))
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("_mn"),
+             (F.max("pos") + n - 1).alias("_en"))
+        .groupBy(id_col)
+        .agg(F.array_sort(
+            F.collect_list(F.struct("_mn", "_en"))).alias("_spans"))
+    )
+    spans = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<_mn:int,_en:int>>"))
+    # kept gaps: starts = [0] + [en+1 ...]; ends(excl) = [mn ...] + [ntok]
+    gap_starts = F.concat(
+        F.array(F.lit(0)),
+        F.transform(spans, lambda s: s["_en"] + 1))
+    gap_ends = F.concat(
+        F.transform(spans, lambda s: s["_mn"]),
+        F.array(F.col("_ntok")))
+    kept = F.flatten(F.zip_with(
+        gap_starts, gap_ends,
+        lambda a, b: F.slice("_t", a + 1, F.greatest(b - a, F.lit(0)))))
+    removed = F.aggregate(
+        spans, F.lit(0).cast("long"),
+        lambda acc, s: acc + s["_en"] - s["_mn"] + 1)
+    return (
+        base.join(islands, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_ntok").cast("long").alias("n_tokens"),
+            removed.alias("removed_tokens"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+    )
+
+
 def cdc_chunk_stats(
     df: DataFrame,
     text_col: str = "text",

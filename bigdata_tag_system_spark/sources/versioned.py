@@ -83,8 +83,18 @@ def write_version(
     m = _read_manifest(path)
     n = int(m["current"]) + 1
     lease = _lease_path(path, n)
-    with open(lease, "w") as f:
-        f.write(str(os.getpid()))
+    # O_EXCL claim: two concurrent writers race for the same next
+    # version; the loser must fail HERE, before it can touch (or later
+    # delete) the winner's heartbeat lease
+    try:
+        fd = os.open(lease, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent write_version in flight for v{n} at {path!r}"
+            f" (lease {lease} exists)") from None
+    lease_token = f"{os.getpid()}:{id(df)}"
+    with os.fdopen(fd, "w") as f:
+        f.write(lease_token)
     stop = threading.Event()
 
     def _beat() -> None:
@@ -105,8 +115,13 @@ def write_version(
     finally:
         stop.set()
         t.join(timeout=heartbeat_seconds + 1.0)
+        # remove ONLY our own lease: a pid-check before unlink keeps a
+        # failed writer from deleting a concurrent winner's heartbeat
+        # (which would degrade gc_orphans back to the mtime heuristic)
         try:
-            os.remove(lease)
+            with open(lease) as f:
+                if f.read() == lease_token:
+                    os.remove(lease)
         except OSError:
             pass
     return n

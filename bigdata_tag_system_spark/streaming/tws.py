@@ -54,9 +54,14 @@ class SessionProcessor(StatefulProcessor):
     """Per-user sessionizer: gap-bounded session aggregates with an
     event-time timer closing idle sessions.
 
-    Emission parity with ``stateful._session_fn_factory`` is pinned by
-    pytest and the shared batch oracle (`stream_tws_sessionize_parity`
-    vs `stream_sessionize_parity` — byte-identical result sets).
+    Emission parity with ``stateful._session_fn_factory`` is currently
+    pinned ONLY by the fake-handle-driven pytest
+    (tests/test_round11_ops.py): ``transformWithStateInPandas`` cannot
+    run in this container (``google.protobuf`` is absent), so no
+    catalog entry exercises the runtime yet. The moment the protobuf
+    dependency exists, add a `stream_tws_sessionize_parity` entry and
+    certify it against the existing `stream_sessionize_parity` oracle
+    (expected byte-identical result sets).
     """
 
     def __init__(self, gap_ms: int):

@@ -1,0 +1,283 @@
+"""Round-12 tests: the §2.10 UDAF/applyInArrow rungs, SQL-language
+UDFs, ExactSubstr span removal, and the r11 ADVICE-fix regressions
+(sink-deadline loudness, lease O_EXCL claim + pid-checked removal)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestGroupedUdafGeomean:
+    def test_udaf_matches_native_twin(self, spark, sf_dir):
+        # the grouped-agg pandas UDAF and the built-in-expression twin
+        # are the SAME aggregate — 1e-9 relative (two summation orders)
+        from bigdata_tag_system_spark.functions.udaf_ops import (
+            grouped_weighted_geomean, weighted_geomean_native,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        a = {r["l_returnflag"]: r["w_geomean"] for r in
+             grouped_weighted_geomean(
+                 li, "l_returnflag", "l_extendedprice",
+                 "l_quantity").collect()}
+        b = {r["l_returnflag"]: r["w_geomean"] for r in
+             weighted_geomean_native(
+                 li, "l_returnflag", "l_extendedprice",
+                 "l_quantity").collect()}
+        assert set(a) == set(b) and len(a) >= 2
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=1e-9)
+
+    def test_hand_computed_group(self, spark):
+        # exp((1*ln4 + 3*ln2) / 4) = (4 * 2^3)^(1/4) = 32^(1/4)
+        from bigdata_tag_system_spark.functions.udaf_ops import (
+            grouped_weighted_geomean,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 4.0, 1.0), ("g", 2.0, 3.0)], "k string, v double, w double")
+        out = grouped_weighted_geomean(df, "k", "v", "w").collect()
+        assert out[0]["w_geomean"] == pytest.approx(32.0 ** 0.25, rel=1e-12)
+
+    def test_zero_weight_group_is_null(self, spark):
+        from bigdata_tag_system_spark.functions.udaf_ops import (
+            grouped_weighted_geomean,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 4.0, 0.0)], "k string, v double, w double")
+        v = grouped_weighted_geomean(df, "k", "v", "w").collect()[0][1]
+        assert v is None  # undefined without weight mass, never a 0/0 crash
+
+
+class TestApplyInArrowZscore:
+    def test_matches_window_and_pandas_twins(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            normalize_per_user, normalize_per_user_arrow,
+            normalize_per_user_pandas,
+        )
+
+        df = spark.createDataFrame(
+            [("u1", 1, 10.0), ("u1", 2, 20.0), ("u1", 3, 30.0),
+             ("u2", 4, 5.0), ("u2", 5, 5.0),   # zero variance -> 0.0
+             ("u3", 6, 7.0)],                   # singleton -> 0.0
+            "user_id string, event_id int, value double")
+
+        def z(out):
+            return {r["event_id"]: r["value_z"] for r in out.collect()}
+
+        zw, za, zp = (z(f(df)) for f in (
+            normalize_per_user, normalize_per_user_arrow,
+            normalize_per_user_pandas))
+        assert set(zw) == set(za) == set(zp)
+        for k in zw:
+            assert za[k] == pytest.approx(zw[k], abs=1e-12)
+            assert zp[k] == pytest.approx(zw[k], abs=1e-12)
+        assert za[4] == za[5] == za[6] == 0.0
+
+    def test_arrow_preserves_all_input_columns(self, spark):
+        from bigdata_tag_system_spark.operators.features import (
+            normalize_per_user_arrow,
+        )
+
+        df = spark.createDataFrame(
+            [("u1", 1, 10.0, "x"), ("u1", 2, 20.0, "y")],
+            "user_id string, event_id int, value double, extra string")
+        out = normalize_per_user_arrow(df)
+        assert out.columns == ["user_id", "event_id", "value", "extra",
+                               "value_z"]
+        assert out.count() == 2
+
+
+class TestSqlUdfs:
+    def test_scalar_udfs_inline_to_expression(self, spark):
+        from bigdata_tag_system_spark.functions.udaf_ops import (
+            register_sql_udfs,
+        )
+
+        register_sql_udfs(spark)
+        row = spark.sql(
+            "SELECT disc_price(100.0, 0.1, 0.05) AS p,"
+            "       qty_band(5.0) AS b1, qty_band(15.0) AS b2,"
+            "       qty_band(99.0) AS b3").collect()[0]
+        assert row["p"] == pytest.approx(100.0 * 0.9 * 1.05, rel=1e-12)
+        assert (row["b1"], row["b2"], row["b3"]) == ("low", "mid", "high")
+        # no Python-executor node: the SQL UDF body must be INLINED
+        plan = spark.sql(
+            "SELECT disc_price(1.0, 0.0, 0.0)")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_registration_is_idempotent(self, spark):
+        from bigdata_tag_system_spark.functions.udaf_ops import (
+            register_sql_udfs,
+        )
+
+        register_sql_udfs(spark)
+        register_sql_udfs(spark)  # CREATE OR REPLACE: no error
+        assert spark.sql("SELECT qty_band(1.0) b").collect()[0]["b"] == "low"
+
+    def test_invalid_definition_refuses(self, spark):
+        from pyspark.errors import AnalysisException
+
+        # body references a column that doesn't exist in the signature
+        with pytest.raises((AnalysisException, Exception)) as e:
+            spark.sql("""
+                CREATE OR REPLACE TEMPORARY FUNCTION _bad_udf(x DOUBLE)
+                RETURNS DOUBLE RETURN y + 1
+            """)
+        assert "y" in str(e.value) or "UNRESOLVED" in str(e.value).upper()
+
+    def test_wrong_arity_call_refuses(self, spark):
+        from bigdata_tag_system_spark.functions.udaf_ops import (
+            register_sql_udfs,
+        )
+
+        register_sql_udfs(spark)
+        with pytest.raises(Exception):
+            spark.sql("SELECT qty_band(1.0, 2.0)").collect()
+
+    def test_table_udf_rows(self, spark):
+        from bigdata_tag_system_spark.functions.udaf_ops import (
+            register_sql_table_udf,
+        )
+
+        register_sql_table_udf(spark)
+        rows = {r["band"]: (r["lo"], r["hi"]) for r in
+                spark.sql("SELECT * FROM qty_bands()").collect()}
+        assert rows["low"] == (0.0, 10.0)
+        assert rows["mid"] == (10.0, 30.0)
+        assert len(rows) == 3
+
+
+class TestRemoveDuplicatedSpans:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_no_duplicates_passthrough(self, spark):
+        from bigdata_tag_system_spark.operators.text import (
+            remove_duplicated_spans,
+        )
+
+        df = self._df(spark, [
+            (1, "a b c d e f g h i j"),
+            (2, "k l m n o p q r s t"),
+        ])
+        out = {r["doc_id"]: r for r in
+               remove_duplicated_spans(df, n=8, min_docs=2).collect()}
+        assert out[1]["removed_tokens"] == 0
+        assert out[1]["cleaned_text"] == "a b c d e f g h i j"
+        assert out[2]["removed_tokens"] == 0
+
+    def test_insertion_robust_cross_doc_removal(self, spark):
+        # the same 9-token passage planted at DIFFERENT offsets in two
+        # docs is removed from BOTH — offset shifts must not matter
+        # (the ExactSubstr property fixed-segment schemes lack)
+        from bigdata_tag_system_spark.operators.text import (
+            remove_duplicated_spans,
+        )
+
+        dup = "the quick brown fox jumps over the lazy dog"
+        df = self._df(spark, [
+            (1, f"alpha beta {dup} gamma delta"),
+            (2, f"one two three four five {dup} six"),
+        ])
+        out = {r["doc_id"]: r for r in
+               remove_duplicated_spans(df, n=8, min_docs=2).collect()}
+        # dup is 9 tokens => two overlapping 8-shingles, one island,
+        # cover = [start, start+8] = 9 tokens, in each doc
+        assert out[1]["removed_tokens"] == 9
+        assert out[2]["removed_tokens"] == 9
+        assert out[1]["cleaned_text"] == "alpha beta gamma delta"
+        assert out[2]["cleaned_text"] == "one two three four five six"
+
+    def test_full_removal_yields_empty_text(self, spark):
+        from bigdata_tag_system_spark.operators.text import (
+            remove_duplicated_spans,
+        )
+
+        same = "a b c d e f g h"
+        df = self._df(spark, [(1, same), (2, same)])
+        out = {r["doc_id"]: r for r in
+               remove_duplicated_spans(df, n=8, min_docs=2).collect()}
+        for d in (1, 2):
+            assert out[d]["removed_tokens"] == 8
+            assert out[d]["cleaned_text"] == ""
+
+    def test_two_disjoint_islands(self, spark):
+        # two separate duplicated runs in one doc -> two islands, both
+        # subtracted, the text BETWEEN them kept
+        from bigdata_tag_system_spark.operators.text import (
+            remove_duplicated_spans,
+        )
+
+        d1 = "p q r s t u v w"          # 8 tokens, island 1
+        d2 = "h i j k l m n o"          # 8 tokens, island 2
+        df = self._df(spark, [
+            (1, f"{d1} KEEP ME HERE {d2}"),
+            (2, f"zz {d1} yy"),
+            (3, f"xx {d2} ww"),
+        ])
+        out = {r["doc_id"]: r for r in
+               remove_duplicated_spans(df, n=8, min_docs=2).collect()}
+        assert out[1]["removed_tokens"] == 16
+        assert out[1]["cleaned_text"] == "keep me here"
+
+    def test_short_and_null_docs_survive(self, spark):
+        from bigdata_tag_system_spark.operators.text import (
+            remove_duplicated_spans,
+        )
+
+        df = self._df(spark, [(1, "too short"), (2, None), (3, "")])
+        out = {r["doc_id"]: r for r in
+               remove_duplicated_spans(df, n=8, min_docs=2).collect()}
+        assert out[1]["removed_tokens"] == 0
+        assert out[1]["cleaned_text"] == "too short"
+        assert out[2]["removed_tokens"] == 0
+        assert out[3]["removed_tokens"] == 0
+
+    def test_invalid_n_refuses(self, spark):
+        from bigdata_tag_system_spark.operators.text import (
+            remove_duplicated_spans,
+        )
+
+        with pytest.raises(ValueError, match="positive"):
+            remove_duplicated_spans(self._df(spark, [(1, "x")]), n=0)
+
+
+class TestLeaseConcurrency:
+    def test_second_writer_refuses_while_lease_held(self, spark, tmp_path):
+        # O_EXCL claim: a concurrent writer targeting the same next
+        # version fails at claim time instead of clobbering the
+        # winner's heartbeat in its error path (ADVICE r11, low)
+        from bigdata_tag_system_spark.sources.versioned import (
+            _lease_path, write_version,
+        )
+
+        store = str(tmp_path / "store")
+        os.makedirs(store)
+        df = spark.range(3).select(F.col("id").alias("k"))
+        # simulate a writer already in flight for v1
+        with open(_lease_path(store, 1), "w") as f:
+            f.write("99999:other")
+        with pytest.raises(RuntimeError, match="concurrent"):
+            write_version(df, store)
+        # the in-flight writer's lease is UNTOUCHED
+        with open(_lease_path(store, 1)) as f:
+            assert f.read() == "99999:other"
+
+    def test_lease_removed_after_own_write(self, spark, tmp_path):
+        from bigdata_tag_system_spark.sources.versioned import (
+            _lease_path, read_version, write_version,
+        )
+
+        store = str(tmp_path / "store2")
+        df = spark.range(3).select(F.col("id").alias("k"))
+        v = write_version(df, store)
+        assert v == 1
+        assert not os.path.exists(_lease_path(store, 1))
+        assert read_version(spark, store).count() == 3
