@@ -590,6 +590,7 @@ _DRIVER_FIRST = [
     "func_sql_udf",               # NEW r12: SQL-language scalar UDFs
     "func_sql_table_udf",         # NEW r12: table-valued SQL UDF
     "text_substr_dedup",          # NEW r12: ExactSubstr span removal
+    "func_sql_scripting",         # NEW r12: BEGIN...END SQL scripting
     "stream_pyds_sink_parity",    # r12: loud deadline guard before the
                                   #      process-wide cache populate
     "store_cdc_diff",             # r12: O_EXCL lease claim + pid-checked
@@ -605,14 +606,14 @@ _DRIVER_FIRST = [
     "text_segment_dedup", "text_token_stats", "text_top_tokens",
     "ts_range_join", "union_all_count", "window_lag",
     "window_row_number", "window_running_sum",
-    # -- (c) oldest r4-vintage block (16 of 48, alphabetical; the
-    #    remaining 32 r4 rows lead the r13 rotation) --
+    # -- (c) oldest r4-vintage block (15 of 48, alphabetical; the
+    #    remaining 33 r4 rows lead the r13 rotation) --
     "agg_grouping_sets", "agg_pivot", "dedup_fuzzy_edit",
     "dedup_incremental", "dedup_pipeline_keep_best",
     "dedup_semantic_keep", "dedup_simhash_portable",
     "emb_label_centroid", "emb_quantize_int8", "events_funnel",
     "events_props_json", "events_retention", "func_coalesce_size",
-    "func_date_arith", "func_explode_count", "func_map_json",
+    "func_date_arith", "func_explode_count",
 ]
 
 
@@ -6652,6 +6653,44 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """)
 
     q["func_sql_table_udf"] = func_sql_table_udf
+
+    def func_sql_scripting(spark, sf_dir):
+        # r12: SQL SCRIPTING (Spark 4 BEGIN...END, SQL/PSM): DECLARE /
+        # SET / WHILE / IF control flow executed ON THE DRIVER, each
+        # scalar probe a normal distributed query — here a binary
+        # search for the smallest integer quantity threshold whose
+        # tail holds <= 10% of lineitem rows (~6 count probes instead
+        # of a 50-step linear scan; the warehouse-migration surface
+        # complementing CREATE FUNCTION). The oracle replays the
+        # search's fixpoint closed-form over all candidate thresholds.
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_script")
+        return spark.sql("""
+            BEGIN
+              DECLARE total BIGINT DEFAULT 0;
+              DECLARE lo INT DEFAULT 0;   -- tail share > 10% here
+              DECLARE hi INT DEFAULT 51;  -- tail share <= 10% here
+              DECLARE mid INT DEFAULT 0;
+              DECLARE cnt BIGINT DEFAULT 0;
+              SET total = (SELECT COUNT(*) FROM _li_script);
+              WHILE hi - lo > 1 DO
+                SET mid = (lo + hi) DIV 2;
+                SET cnt = (SELECT COUNT(*) FROM _li_script
+                           WHERE l_quantity >= mid);
+                IF cnt * 10 <= total THEN
+                  SET hi = mid;
+                ELSE
+                  SET lo = mid;
+                END IF;
+              END WHILE;
+              SELECT hi AS threshold,
+                     (SELECT COUNT(*) FROM _li_script
+                      WHERE l_quantity >= hi) AS n_tail,
+                     total AS n_total;
+            END
+        """)
+
+    q["func_sql_scripting"] = func_sql_scripting
 
     def text_substr_dedup(spark, sf_dir):
         # r12: ExactSubstr span removal (Lee et al. 2022) — cross-doc
@@ -14678,6 +14717,28 @@ def oracle_sql() -> dict[str, str]:
                round(sum(l_extendedprice * (1 - l_discount)
                          * (1 + l_tax)), 2) AS net_revenue
         FROM lineitem GROUP BY 1 ORDER BY 1
+    """
+
+    # the scripting loop's fixpoint, closed-form: smallest integer
+    # threshold in [1,51] whose >=-tail holds <= 10% of rows (the
+    # search's invariants make its answer exactly this min)
+    o["func_sql_scripting"] = """
+        WITH tot AS (SELECT count(*)::BIGINT AS n FROM lineitem),
+        ths AS (SELECT unnest(range(1, 52))::INT AS th),
+        tails AS (
+            SELECT th,
+                   (SELECT count(*)::BIGINT FROM lineitem
+                    WHERE l_quantity >= th) AS tail
+            FROM ths
+        ),
+        pick AS (
+            SELECT min(th)::INT AS threshold
+            FROM tails, tot WHERE tail * 10 <= tot.n
+        )
+        SELECT p.threshold AS threshold,
+               (SELECT tail FROM tails WHERE th = p.threshold) AS n_tail,
+               tot.n AS n_total
+        FROM pick p, tot
     """
 
     o["func_sql_table_udf"] = """

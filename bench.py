@@ -266,6 +266,7 @@ def main() -> None:
         "func_sql_udf",            # SQL-language UDFs (Catalyst-inlined)
         "func_sql_table_udf",      # table-valued SQL UDF broadcast dim
         "text_substr_dedup",       # ExactSubstr duplicated-span removal
+        "func_sql_scripting",      # BEGIN...END driver control flow
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

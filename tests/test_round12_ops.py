@@ -154,6 +154,35 @@ class TestSqlUdfs:
         assert len(rows) == 3
 
 
+class TestSqlScripting:
+    def test_while_loop_hand_check(self, spark):
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        row = spark.sql("""
+            BEGIN
+              DECLARE tot BIGINT DEFAULT 0;
+              DECLARE i INT DEFAULT 0;
+              WHILE i < 5 DO
+                SET tot = tot + i * i;
+                SET i = i + 1;
+              END WHILE;
+              SELECT tot AS sum_sq, i AS n;
+            END
+        """).collect()[0]
+        assert (row["sum_sq"], row["n"]) == (30, 5)
+
+    def test_undeclared_variable_refuses(self, spark):
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        with pytest.raises(Exception) as e:
+            spark.sql("""
+                BEGIN
+                  SET nosuch = 1;
+                  SELECT 1;
+                END
+            """).collect()
+        assert "nosuch" in str(e.value).lower() or "VARIABLE" in str(
+            e.value).upper()
+
+
 class TestRemoveDuplicatedSpans:
     def _df(self, spark, rows):
         return spark.createDataFrame(rows, "doc_id long, text string")
