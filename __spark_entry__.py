@@ -591,6 +591,7 @@ _DRIVER_FIRST = [
     "func_sql_table_udf",         # NEW r12: table-valued SQL UDF
     "text_substr_dedup",          # NEW r12: ExactSubstr span removal
     "func_sql_scripting",         # NEW r12: BEGIN...END SQL scripting
+    "ts_asof_cogrouped",          # NEW r12: cogrouped-map merge_asof
     "stream_pyds_sink_parity",    # r12: loud deadline guard before the
                                   #      process-wide cache populate
     "store_cdc_diff",             # r12: O_EXCL lease claim + pid-checked
@@ -606,14 +607,14 @@ _DRIVER_FIRST = [
     "text_segment_dedup", "text_token_stats", "text_top_tokens",
     "ts_range_join", "union_all_count", "window_lag",
     "window_row_number", "window_running_sum",
-    # -- (c) oldest r4-vintage block (15 of 48, alphabetical; the
-    #    remaining 33 r4 rows lead the r13 rotation) --
+    # -- (c) oldest r4-vintage block (14 of 48, alphabetical; the
+    #    remaining 34 r4 rows lead the r13 rotation) --
     "agg_grouping_sets", "agg_pivot", "dedup_fuzzy_edit",
     "dedup_incremental", "dedup_pipeline_keep_best",
     "dedup_semantic_keep", "dedup_simhash_portable",
     "emb_label_centroid", "emb_quantize_int8", "events_funnel",
     "events_props_json", "events_retention", "func_coalesce_size",
-    "func_date_arith", "func_explode_count",
+    "func_date_arith",
 ]
 
 
@@ -6691,6 +6692,29 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """)
 
     q["func_sql_scripting"] = func_sql_scripting
+
+    def ts_asof_cogrouped(spark, sf_dir):
+        # r12: COGROUPED-MAP applyInPandas (groupBy().cogroup() — the
+        # two-relation Python-executor surface, last missing rung of
+        # the §2.10 ladder): per-key pd.merge_asof, semantics pinned
+        # identical to the native union+window asof_join, so the entry
+        # reuses the DuckDB ASOF oracle verbatim. The native plan stays
+        # the default; this certifies the surface.
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join_cogrouped,
+        )
+
+        ev = _t(spark, sf_dir, "events")
+        clicks = ev.where("event_type = 'click'").select(
+            "event_id", "user_id", "ts")
+        purchases = ev.where("event_type = 'purchase'").select(
+            "user_id", "ts", "value")
+        out = asof_join_cogrouped(clicks, purchases, value_cols=["value"])
+        return out.select(
+            "event_id", F.round("value_asof", 2).alias("purchase_value")
+        ).orderBy("event_id").limit(500)
+
+    q["ts_asof_cogrouped"] = ts_asof_cogrouped
 
     def text_substr_dedup(spark, sf_dir):
         # r12: ExactSubstr span removal (Lee et al. 2022) — cross-doc
@@ -14717,6 +14741,17 @@ def oracle_sql() -> dict[str, str]:
                round(sum(l_extendedprice * (1 - l_discount)
                          * (1 + l_tax)), 2) AS net_revenue
         FROM lineitem GROUP BY 1 ORDER BY 1
+    """
+
+    # the cogrouped-map twin must reproduce the native as-of join's
+    # result exactly — same DuckDB ASOF oracle as ts_asof_join
+    o["ts_asof_cogrouped"] = """
+        SELECT l.event_id, round(r.value, 2) AS purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id LIMIT 500
     """
 
     # the scripting loop's fixpoint, closed-form: smallest integer

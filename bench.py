@@ -267,6 +267,7 @@ def main() -> None:
         "func_sql_table_udf",      # table-valued SQL UDF broadcast dim
         "text_substr_dedup",       # ExactSubstr duplicated-span removal
         "func_sql_scripting",      # BEGIN...END driver control flow
+        "ts_asof_cogrouped",       # cogrouped-map merge_asof surface
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

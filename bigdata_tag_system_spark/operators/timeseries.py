@@ -151,6 +151,82 @@ def asof_join(
     return filled.select(*out_cols)
 
 
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    right_ts: str | None = None,
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join via COGROUPED-MAP ``applyInPandas`` — the
+    two-relation Python-executor surface (``groupBy(k).cogroup(...)``):
+    both sides' per-key groups arrive as aligned pandas frames and meet
+    in ``pd.merge_asof``. Semantics match :func:`asof_join` exactly
+    (latest right row with ``right.ts <= left.ts``; ties among right
+    rows sharing ``(key, ts)`` resolve to the greatest value tuple —
+    here via a stable ascending pre-sort on ``[ts] + value_cols``, the
+    pandas equivalent of the native plan's struct-ordered ``last()``;
+    tie parity holds for non-NULL values, the entry's shape).
+
+    The native single-shuffle union+window plan remains the default —
+    this exists to certify the cogroup surface and for two-relation
+    per-key logic that genuinely needs pandas (e.g. scipy resampling);
+    same grouped-map constraint: a key's rows on BOTH sides ship whole
+    to one task.
+    """
+    import pandas as pd
+
+    # both sides of a self-cogroup (e.g. two filters of one events
+    # scan) share attribute ids; FlatMapCoGroupsInPandas then silently
+    # DROPS the duplicated non-key columns from the right frame
+    # (observed on PySpark 4.1: right arrived without its ts column).
+    # A same-name Alias mints fresh expression ids on every column,
+    # which is a zero-cost projection that breaks the identity.
+    left = left.select(*[F.col(c).alias(c) for c in left.columns])
+    right = right.select(*[F.col(c).alias(c) for c in right.columns])
+
+    rts = right_ts or ts
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, rts)
+    ]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields)
+    rtypes = {f.name: f.dataType.simpleString()
+              for f in right.schema.fields}
+    out_schema = out_fields + ", " + ", ".join(
+        f"{c}{suffix} {rtypes[c]}" for c in value_cols)
+
+    def _merge(l: "pd.DataFrame", r: "pd.DataFrame") -> "pd.DataFrame":
+        if l.empty:
+            return pd.DataFrame(
+                columns=list(l.columns) + [f"{c}{suffix}"
+                                           for c in value_cols])
+        if r.empty:
+            out = l.copy()
+            for c in value_cols:
+                out[f"{c}{suffix}"] = None
+            return out
+        ls = l.sort_values(ts, kind="mergesort")
+        rs = (r[[rts] + value_cols]
+              .sort_values([rts] + value_cols, kind="mergesort")
+              .rename(columns={c: f"{c}{suffix}" for c in value_cols}))
+        merged = pd.merge_asof(
+            ls, rs, left_on=ts, right_on=rts, direction="backward",
+            suffixes=("", "_r"))
+        drop = [rts] if rts != ts and rts in merged.columns else []
+        if rts == ts and f"{ts}_r" in merged.columns:
+            drop = [f"{ts}_r"]
+        return merged.drop(columns=drop, errors="ignore")
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(_merge, schema=out_schema)
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

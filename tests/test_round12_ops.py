@@ -278,6 +278,53 @@ class TestRemoveDuplicatedSpans:
             remove_duplicated_spans(self._df(spark, [(1, "x")]), n=0)
 
 
+class TestAsofCogrouped:
+    def test_matches_native_asof_with_ties_and_one_sided_keys(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join, asof_join_cogrouped,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "u1", 10), (2, "u1", 20), (3, "u2", 5), (4, "u3", 9)],
+            "event_id int, user_id string, ts int")
+        right = spark.createDataFrame(
+            [("u1", 10, 1.0), ("u1", 10, 7.0),   # tie at ts=10
+             ("u1", 15, 2.0), ("u2", 6, 3.0),    # u2: only future rows
+             ("u4", 1, 9.0)],                    # u4: no left rows
+            "user_id string, ts int, value double")
+
+        def z(df):
+            return {r["event_id"]: r["value_asof"] for r in df.collect()}
+
+        got = z(asof_join_cogrouped(left, right, value_cols=["value"]))
+        want = z(asof_join(left, right, value_cols=["value"]))
+        assert got == want
+        assert got[1] == 7.0          # greatest value wins the ts tie
+        assert got[2] == 2.0
+        assert got[3] is None and got[4] is None
+
+    def test_self_cogroup_shared_lineage(self, spark, sf_dir):
+        # both sides filtered from ONE scan — the shared-attribute-id
+        # shape where cogroup silently dropped the right ts column
+        # before the same-name re-alias guard
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join, asof_join_cogrouped,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "event_type", "value")
+        left = ev.where("event_type = 'click'").select(
+            "event_id", "user_id",
+            F.col("event_id").alias("ts"))
+        right = ev.where("event_type = 'purchase'").select(
+            "user_id", F.col("event_id").alias("ts"), "value")
+        a = {r["event_id"]: r["value_asof"] for r in
+             asof_join_cogrouped(left, right, value_cols=["value"]).collect()}
+        b = {r["event_id"]: r["value_asof"] for r in
+             asof_join(left, right, value_cols=["value"]).collect()}
+        assert a == b and len(a) > 0
+
+
 class TestLeaseConcurrency:
     def test_second_writer_refuses_while_lease_held(self, spark, tmp_path):
         # O_EXCL claim: a concurrent writer targeting the same next
