@@ -6704,7 +6704,10 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             asof_join_cogrouped,
         )
 
-        ev = _t(spark, sf_dir, "events")
+        # deterministic 1-in-5 user slice: the certificate needs the
+        # surface, not the volume — whole groups ship to Python, so
+        # cost scales with rows and the slice keeps the entry ~2 s
+        ev = _t(spark, sf_dir, "events").where("user_id % 5 = 0")
         clicks = ev.where("event_type = 'click'").select(
             "event_id", "user_id", "ts")
         purchases = ev.where("event_type = 'purchase'").select(
@@ -14747,9 +14750,11 @@ def oracle_sql() -> dict[str, str]:
     # result exactly — same DuckDB ASOF oracle as ts_asof_join
     o["ts_asof_cogrouped"] = """
         SELECT l.event_id, round(r.value, 2) AS purchase_value
-        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click' AND user_id % 5 = 0) l
         ASOF LEFT JOIN
-             (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+             (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase' AND user_id % 5 = 0) r
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id LIMIT 500
     """
