@@ -227,6 +227,84 @@ def asof_join_cogrouped(
     )
 
 
+def asof_join_coarrow(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    right_ts: str | None = None,
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """``cogroup().applyInArrow`` twin of :func:`asof_join_cogrouped`:
+    both sides' per-key groups arrive as ``pyarrow.Table``s (zero-copy,
+    no pandas index), matched with a two-pointer backward scan over
+    Arrow-sorted columns. Same semantics, same tie rule (greatest value
+    tuple at equal ts via the ascending ``[ts] + value_cols`` sort);
+    pytest-pinned byte-equal to both the pandas-cogroup twin and the
+    native plan. Exists to certify the LAST Python-executor surface
+    (cogrouped Arrow); the native union+window join remains the default.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # same self-cogroup shared-attribute guard as the pandas twin
+    left = left.select(*[F.col(c).alias(c) for c in left.columns])
+    right = right.select(*[F.col(c).alias(c) for c in right.columns])
+
+    rts = right_ts or ts
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, rts)
+    ]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields)
+    rtypes = {f.name: f.dataType.simpleString()
+              for f in right.schema.fields}
+    out_schema = out_fields + ", " + ", ".join(
+        f"{c}{suffix} {rtypes[c]}" for c in value_cols)
+
+    def _merge(lt: "pa.Table", rt: "pa.Table") -> "pa.Table":
+        if lt.num_rows == 0:
+            empty = [pa.array([], type=f.type) for f in lt.schema]
+            empty += [pa.array([], type=rt.schema.field(c).type)
+                      for c in value_cols]
+            return pa.table(
+                empty, names=list(lt.schema.names)
+                + [f"{c}{suffix}" for c in value_cols])
+        lsorted = lt.sort_by([(ts, "ascending")])
+        l_ts = lsorted.column(ts).to_pylist()
+        if rt.num_rows == 0:
+            out = lsorted
+            for c in value_cols:
+                out = out.append_column(
+                    f"{c}{suffix}",
+                    pa.nulls(lt.num_rows,
+                             type=rt.schema.field(c).type))
+            return out
+        rsorted = rt.sort_by(
+            [(rts, "ascending")]
+            + [(c, "ascending") for c in value_cols])
+        r_ts = rsorted.column(rts).to_pylist()
+        # two-pointer backward match: last right index with r_ts <= l_ts
+        idx, j = [], -1
+        for t in l_ts:
+            while j + 1 < len(r_ts) and r_ts[j + 1] <= t:
+                j += 1
+            idx.append(j if j >= 0 else None)
+        out = lsorted
+        take = pa.array(idx, type=pa.int64())
+        for c in value_cols:
+            out = out.append_column(
+                f"{c}{suffix}", pc.take(rsorted.column(c), take))
+        return out
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInArrow(_merge, schema=out_schema)
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

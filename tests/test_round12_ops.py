@@ -325,6 +325,47 @@ class TestAsofCogrouped:
         assert a == b and len(a) > 0
 
 
+class TestAsofCoArrow:
+    def test_matches_pandas_cogroup_and_native(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join, asof_join_coarrow, asof_join_cogrouped,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "u1", 10), (2, "u1", 20), (3, "u2", 5), (4, "u3", 9)],
+            "event_id int, user_id string, ts int")
+        right = spark.createDataFrame(
+            [("u1", 10, 1.0), ("u1", 10, 7.0), ("u1", 15, 2.0),
+             ("u2", 6, 3.0), ("u4", 1, 9.0)],
+            "user_id string, ts int, value double")
+
+        def z(df):
+            return {r["event_id"]: r["value_asof"] for r in df.collect()}
+
+        ga = z(asof_join_coarrow(left, right, value_cols=["value"]))
+        assert ga == z(asof_join_cogrouped(left, right,
+                                           value_cols=["value"]))
+        assert ga == z(asof_join(left, right, value_cols=["value"]))
+        assert ga[1] == 7.0
+
+    def test_real_events_parity(self, spark, sf_dir):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join, asof_join_coarrow,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "event_type", "value")
+        left = ev.where("event_type = 'click'").select(
+            "event_id", "user_id", F.col("event_id").alias("ts"))
+        right = ev.where("event_type = 'purchase'").select(
+            "user_id", F.col("event_id").alias("ts"), "value")
+        a = {r["event_id"]: r["value_asof"] for r in
+             asof_join_coarrow(left, right, value_cols=["value"]).collect()}
+        b = {r["event_id"]: r["value_asof"] for r in
+             asof_join(left, right, value_cols=["value"]).collect()}
+        assert a == b and len(a) > 0
+
+
 class TestLeaseConcurrency:
     def test_second_writer_refuses_while_lease_held(self, spark, tmp_path):
         # O_EXCL claim: a concurrent writer targeting the same next
