@@ -592,6 +592,7 @@ _DRIVER_FIRST = [
     "text_substr_dedup",          # NEW r12: ExactSubstr span removal
     "func_sql_scripting",         # NEW r12: BEGIN...END SQL scripting
     "ts_asof_cogrouped",          # NEW r12: cogrouped-map merge_asof
+    "func_sql_params",            # NEW r12: parameterized SQL binding
     "stream_pyds_sink_parity",    # r12: loud deadline guard before the
                                   #      process-wide cache populate
     "store_cdc_diff",             # r12: O_EXCL lease claim + pid-checked
@@ -607,14 +608,13 @@ _DRIVER_FIRST = [
     "text_segment_dedup", "text_token_stats", "text_top_tokens",
     "ts_range_join", "union_all_count", "window_lag",
     "window_row_number", "window_running_sum",
-    # -- (c) oldest r4-vintage block (14 of 48, alphabetical; the
-    #    remaining 34 r4 rows lead the r13 rotation) --
+    # -- (c) oldest r4-vintage block (13 of 48, alphabetical; the
+    #    remaining 35 r4 rows lead the r13 rotation) --
     "agg_grouping_sets", "agg_pivot", "dedup_fuzzy_edit",
     "dedup_incremental", "dedup_pipeline_keep_best",
     "dedup_semantic_keep", "dedup_simhash_portable",
     "emb_label_centroid", "emb_quantize_int8", "events_funnel",
     "events_props_json", "events_retention", "func_coalesce_size",
-    "func_date_arith",
 ]
 
 
@@ -6718,6 +6718,28 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("event_id").limit(500)
 
     q["ts_asof_cogrouped"] = ts_asof_cogrouped
+
+    def func_sql_params(spark, sf_dir):
+        # r12: PARAMETERIZED SQL (spark.sql args= named markers +
+        # IDENTIFIER() for the table name) — values bind as literals in
+        # the analyzed plan, never via string interpolation, so SQL
+        # metacharacters in a value are inert (the :trap argument
+        # carries a classic injection payload; parameterization makes
+        # it just a string that matches nothing). The declarative
+        # complement of the rule compiler's lit() discipline
+        # (rules/compiler.py) for hand-written SQL paths.
+        _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_params")
+        return spark.sql("""
+            SELECT l_returnflag AS flag, COUNT(*) AS n,
+                   CAST(SUM(l_quantity) AS BIGINT) AS qty
+            FROM IDENTIFIER(:tbl)
+            WHERE l_linestatus = :status AND l_quantity >= :min_qty
+              AND l_returnflag != :trap
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """, args={"tbl": "_li_params", "status": "F", "min_qty": 10,
+                   "trap": "' OR 1=1 --"})
+
+    q["func_sql_params"] = func_sql_params
 
     def text_substr_dedup(spark, sf_dir):
         # r12: ExactSubstr span removal (Lee et al. 2022) — cross-doc
@@ -14744,6 +14766,17 @@ def oracle_sql() -> dict[str, str]:
                round(sum(l_extendedprice * (1 - l_discount)
                          * (1 + l_tax)), 2) AS net_revenue
         FROM lineitem GROUP BY 1 ORDER BY 1
+    """
+
+    # parameter values inlined as literals — the trap string appears
+    # escaped ('' = one quote) exactly as the binder treats it: a value
+    o["func_sql_params"] = """
+        SELECT l_returnflag AS flag, count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE l_linestatus = 'F' AND l_quantity >= 10
+          AND l_returnflag != ''' OR 1=1 --'
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """
 
     # the cogrouped-map twin must reproduce the native as-of join's

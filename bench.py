@@ -268,6 +268,7 @@ def main() -> None:
         "text_substr_dedup",       # ExactSubstr duplicated-span removal
         "func_sql_scripting",      # BEGIN...END driver control flow
         "ts_asof_cogrouped",       # cogrouped-map merge_asof surface
+        "func_sql_params",         # parameterized SQL literal binding
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -183,6 +183,37 @@ class TestSqlScripting:
             e.value).upper()
 
 
+class TestSqlParams:
+    def test_named_positional_and_identifier(self, spark):
+        spark.range(5).createOrReplaceTempView("_t5_params")
+        n1 = spark.sql("SELECT count(*) AS n FROM _t5_params WHERE id >= :lo",
+                       args={"lo": 2}).collect()[0]["n"]
+        n2 = spark.sql("SELECT count(*) AS n FROM _t5_params WHERE id >= ?",
+                       args=[3]).collect()[0]["n"]
+        n3 = spark.sql("SELECT count(*) AS n FROM IDENTIFIER(:tbl)",
+                       args={"tbl": "_t5_params"}).collect()[0]["n"]
+        assert (n1, n2, n3) == (3, 2, 5)
+
+    def test_injection_payload_stays_a_value(self, spark):
+        # the classic payload must bind as a literal STRING: zero rows
+        # match it, and the query must NOT degenerate to select-all
+        spark.range(5).selectExpr("cast(id AS string) AS s") \
+            .createOrReplaceTempView("_t5_inject")
+        n = spark.sql(
+            "SELECT count(*) AS n FROM _t5_inject WHERE s = :payload",
+            args={"payload": "0' OR '1'='1"}).collect()[0]["n"]
+        assert n == 0
+
+    def test_identifier_rejects_malformed_names(self, spark):
+        with pytest.raises(Exception):
+            spark.sql("SELECT count(*) FROM IDENTIFIER(:tbl)",
+                      args={"tbl": "_t5_params; DROP TABLE x"}).collect()
+
+    def test_missing_parameter_refuses(self, spark):
+        with pytest.raises(Exception):
+            spark.sql("SELECT :absent AS v").collect()
+
+
 class TestRemoveDuplicatedSpans:
     def _df(self, spark, rows):
         return spark.createDataFrame(rows, "doc_id long, text string")
