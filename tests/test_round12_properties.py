@@ -90,6 +90,39 @@ def test_udaf_geomean_matches_log_domain_model(spark, rows):
         assert got[k] == pytest.approx(math.exp(s / tot), rel=1e-9)
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)),
+             min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20),
+                       st.integers(-5, 5)),
+             min_size=0, max_size=10))
+def test_asof_cogrouped_and_coarrow_match_brute_model(spark, lrows, rrows):
+    # brute model: latest right (key, rts <= ts); ties at equal rts
+    # resolve to the GREATEST value (the documented struct-order rule)
+    from bigdata_tag_system_spark.operators.timeseries import (
+        asof_join_coarrow, asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [(i, f"k{k}", t) for i, (k, t) in enumerate(lrows)],
+        "event_id int, user_id string, ts int")
+    right = spark.createDataFrame(
+        [(f"k{k}", t, float(v)) for k, t, v in rrows],
+        "user_id string, ts int, value double")
+
+    want = {}
+    for i, (k, t) in enumerate(lrows):
+        cands = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
+        want[i] = float(max(cands)[1]) if cands else None
+
+    for fn in (asof_join_cogrouped, asof_join_coarrow):
+        got = {r["event_id"]: r["value_asof"] for r in
+               fn(left, right, value_cols=["value"]).collect()}
+        assert got == want, fn.__name__
+
+
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(
