@@ -58,6 +58,8 @@ _TTRAVEL_CACHE: dict[str, str] = {}
 _PYDS_STREAM_CACHE: dict[str, str] = {}
 _PYDS_SINK_CACHE: dict[str, str] = {}
 _BLOOM_JOIN_CACHE: dict[str, str] = {}
+# bucket-clustered parquet layout dirs, keyed by sf_dir (layout_zone_skip)
+_ZONEMAP_CACHE: dict[str, str] = {}
 
 _STREAM_DEDUP_CACHE: dict[str, str] = {}
 
@@ -593,6 +595,7 @@ _DRIVER_FIRST = [
     "func_sql_scripting",         # NEW r12: BEGIN...END SQL scripting
     "ts_asof_cogrouped",          # NEW r12: cogrouped-map merge_asof
     "func_sql_params",            # NEW r12: parameterized SQL binding
+    "layout_zone_skip",           # NEW r12: footer-only zone-map audit
     "stream_pyds_sink_parity",    # r12: loud deadline guard before the
                                   #      process-wide cache populate
     "store_cdc_diff",             # r12: O_EXCL lease claim + pid-checked
@@ -608,13 +611,13 @@ _DRIVER_FIRST = [
     "text_segment_dedup", "text_token_stats", "text_top_tokens",
     "ts_range_join", "union_all_count", "window_lag",
     "window_row_number", "window_running_sum",
-    # -- (c) oldest r4-vintage block (13 of 48, alphabetical; the
-    #    remaining 35 r4 rows lead the r13 rotation) --
+    # -- (c) oldest r4-vintage block (12 of 48, alphabetical; the
+    #    remaining 36 r4 rows lead the r13 rotation) --
     "agg_grouping_sets", "agg_pivot", "dedup_fuzzy_edit",
     "dedup_incremental", "dedup_pipeline_keep_best",
     "dedup_semantic_keep", "dedup_simhash_portable",
     "emb_label_centroid", "emb_quantize_int8", "events_funnel",
-    "events_props_json", "events_retention", "func_coalesce_size",
+    "events_props_json", "events_retention",
 ]
 
 
@@ -6740,6 +6743,35 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    "trap": "' OR 1=1 --"})
 
     q["func_sql_params"] = func_sql_params
+
+    def layout_zone_skip(spark, sf_dir):
+        # r12: zone-map file-skipping audit — events are clustered into
+        # bucket=user_id div 30 parquet directories (one file per
+        # bucket: repartition("bucket") + partitionBy), then the report
+        # reads ONLY parquet footers (mapInPandas over the file list;
+        # no row data) and decides per bucket whether the predicate
+        # user_id BETWEEN 40 AND 79 skips the file — the data-skipping
+        # decision Iceberg/Delta/parquet readers make from exactly
+        # these stats. Footer min/max is exact for int64, so a plain
+        # GROUP BY over the source rows replays every value.
+        from bigdata_tag_system_spark.operators.layout import (
+            zone_map_report,
+        )
+
+        path = _ZONEMAP_CACHE.get(sf_dir)
+        if path is None:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="zonemap_") + "/events"
+            ev = _t(spark, sf_dir, "events").select(
+                "event_id", "user_id", "value")
+            (ev.withColumn("bucket", F.expr("user_id div 30"))
+             .repartition("bucket")
+             .write.partitionBy("bucket").mode("overwrite").parquet(path))
+            _ZONEMAP_CACHE[sf_dir] = path
+        return zone_map_report(spark, path, "user_id", lo=40, hi=79)
+
+    q["layout_zone_skip"] = layout_zone_skip
 
     def text_substr_dedup(spark, sf_dir):
         # r12: ExactSubstr span removal (Lee et al. 2022) — cross-doc
@@ -14777,6 +14809,18 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_linestatus = 'F' AND l_quantity >= 10
           AND l_returnflag != ''' OR 1=1 --'
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    # footer min/max for int64 is exact, and each bucket directory
+    # holds exactly the rows of its user range — so the footer-only
+    # report is a pure function of the source rows
+    o["layout_zone_skip"] = """
+        SELECT user_id // 30 AS bucket,
+               count(*) AS n_rows,
+               min(user_id) AS zone_min,
+               max(user_id) AS zone_max,
+               CAST(max(user_id) < 40 OR min(user_id) > 79 AS INT) AS skip
+        FROM events GROUP BY 1 ORDER BY 1
     """
 
     # the cogrouped-map twin must reproduce the native as-of join's

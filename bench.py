@@ -269,6 +269,7 @@ def main() -> None:
         "func_sql_scripting",      # BEGIN...END driver control flow
         "ts_asof_cogrouped",       # cogrouped-map merge_asof surface
         "func_sql_params",         # parameterized SQL literal binding
+        "layout_zone_skip",        # footer-only zone-map skip audit
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -235,6 +235,11 @@ _CATALOG_ALLOW = {
     # explicit-register HLL: ≤2^p register rows; exact-truth frame is
     # a constant-keyed 1-row aggregate
     "sketch_hll_portable": ["bnl_join"],
+    # the input is the FILE LIST of the audited layout (one row per
+    # parquet file — metadata-sized by definition; a cluster deployment
+    # lists via the catalog/FS API into the same shape); row data is
+    # never scanned — executors open footers only
+    "layout_zone_skip": ["rdd_scan"],
 }
 
 

@@ -397,6 +397,62 @@ class TestAsofCoArrow:
         assert a == b and len(a) > 0
 
 
+class TestZoneMapReport:
+    def test_footer_stats_and_skip_decision(self, spark, tmp_path):
+        from bigdata_tag_system_spark.operators.layout import (
+            zone_map_report,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i // 10) for i in range(40)], "k long, bucket long")
+        path = str(tmp_path / "layout")
+        df.repartition("bucket").write.partitionBy("bucket").parquet(path)
+        out = {r["bucket"]: r for r in
+               zone_map_report(spark, path, "k", lo=15, hi=22).collect()}
+        assert len(out) == 4
+        # bucket 1 holds k in [10,19] -> overlaps [15,22] -> no skip;
+        # bucket 2 holds [20,29] -> overlaps; buckets 0 and 3 skip
+        assert (out[0]["skip"], out[1]["skip"],
+                out[2]["skip"], out[3]["skip"]) == (1, 0, 0, 1)
+        assert out[1]["zone_min"] == 10 and out[1]["zone_max"] == 19
+        assert out[2]["n_rows"] == 10
+
+    def test_multiple_files_per_bucket_aggregate(self, spark, tmp_path):
+        # without the single-task repartition a bucket spans files; the
+        # report must aggregate per GROUP, not per file
+        from bigdata_tag_system_spark.operators.layout import (
+            zone_map_report,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 0) for i in range(30)], "k long, bucket long")
+        path = str(tmp_path / "layout2")
+        df.repartition(3).write.partitionBy("bucket").parquet(path)
+        out = zone_map_report(spark, path, "k", lo=100, hi=200).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["n_rows"], r["zone_min"], r["zone_max"], r["skip"]) \
+            == (30, 0, 29, 1)
+
+    def test_empty_dir_refuses(self, spark, tmp_path):
+        from bigdata_tag_system_spark.operators.layout import (
+            zone_map_report,
+        )
+
+        with pytest.raises(ValueError, match="no parquet files"):
+            zone_map_report(spark, str(tmp_path), "k", 0, 1)
+
+    def test_unmatched_group_pattern_refuses(self, spark, tmp_path):
+        from bigdata_tag_system_spark.operators.layout import (
+            zone_map_report,
+        )
+
+        path = str(tmp_path / "flat")
+        spark.range(5).write.parquet(path)
+        with pytest.raises(ValueError, match="group pattern"):
+            zone_map_report(spark, path, "id", 0, 1)
+
+
 class TestLeaseConcurrency:
     def test_second_writer_refuses_while_lease_held(self, spark, tmp_path):
         # O_EXCL claim: a concurrent writer targeting the same next
