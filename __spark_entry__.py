@@ -9145,13 +9145,15 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .option("checkpointLocation", ckpt)
                    .start())
             deadline = time.time() + 180
+            committed_n = 0
             while time.time() < deadline:
                 files = committed_files(out)
                 if files:
                     try:
-                        if (spark.read.schema(schema_ddl).json(files)
-                                .select("event_id").distinct()
-                                .count() >= n_rows):
+                        committed_n = (
+                            spark.read.schema(schema_ddl).json(files)
+                            .select("event_id").distinct().count())
+                        if committed_n >= n_rows:
                             break
                     except Exception:
                         pass
@@ -9159,13 +9161,9 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             run.stop()
             # fail LOUDLY on a timed-out stream: caching a truncated
             # output dir would silently feed every later read in the
-            # process (only the oracle hash would catch it downstream)
-            committed_n = 0
-            files = committed_files(out)
-            if files:
-                committed_n = (spark.read.schema(schema_ddl)
-                               .json(files).select("event_id")
-                               .distinct().count())
+            # process (only the oracle hash would catch it downstream).
+            # committed_n carries the loop's LAST successful count —
+            # no extra Spark job on the success path.
             if committed_n < n_rows:
                 raise RuntimeError(
                     "jsonl_commitlog sink timed out: only "

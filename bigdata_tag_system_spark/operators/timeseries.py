@@ -151,6 +151,48 @@ def asof_join(
     return filled.select(*out_cols)
 
 
+def _cogroup_asof_prologue(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_ts: str | None,
+    value_cols: list[str] | None,
+    suffix: str,
+) -> tuple[DataFrame, DataFrame, str, list[str], str]:
+    """Shared setup for the two cogrouped as-of twins: the self-cogroup
+    lineage guard, argument defaulting, and the output-schema DDL.
+
+    The guard: both sides of a self-cogroup (e.g. two filters of one
+    events scan) share attribute ids; FlatMapCoGroupsInPandas/Arrow
+    then silently DROPS the duplicated non-key columns from the right
+    frame (observed on PySpark 4.1: right arrived without its ts
+    column). A same-name Alias mints fresh expression ids on every
+    column — a zero-cost projection that breaks the identity.
+    """
+    left = left.select(*[F.col(c).alias(c) for c in left.columns])
+    right = right.select(*[F.col(c).alias(c) for c in right.columns])
+    rts = right_ts or ts
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, rts)
+    ]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields)
+    rtypes = {f.name: f.dataType.simpleString()
+              for f in right.schema.fields}
+    out_schema = out_fields + ", " + ", ".join(
+        f"{c}{suffix} {rtypes[c]}" for c in value_cols)
+    return left, right, rts, value_cols, out_schema
+
+
+def _reject_null_keys(side: str, has_null: bool) -> None:
+    if has_null:
+        raise ValueError(
+            f"NULL timestamps in the {side} frame: the cogrouped as-of"
+            " twins pin a non-null key contract — use the native"
+            " asof_join, which implements SQL null ordering")
+
+
 def asof_join_cogrouped(
     left: DataFrame,
     right: DataFrame,
@@ -163,12 +205,14 @@ def asof_join_cogrouped(
     """Backward as-of join via COGROUPED-MAP ``applyInPandas`` — the
     two-relation Python-executor surface (``groupBy(k).cogroup(...)``):
     both sides' per-key groups arrive as aligned pandas frames and meet
-    in ``pd.merge_asof``. Semantics match :func:`asof_join` exactly
-    (latest right row with ``right.ts <= left.ts``; ties among right
-    rows sharing ``(key, ts)`` resolve to the greatest value tuple —
-    here via a stable ascending pre-sort on ``[ts] + value_cols``, the
-    pandas equivalent of the native plan's struct-ordered ``last()``;
-    tie parity holds for non-NULL values, the entry's shape).
+    in ``pd.merge_asof``. Semantics match :func:`asof_join` exactly on
+    NON-NULL timestamps (latest right row with ``right.ts <= left.ts``;
+    ties among right rows sharing ``(key, ts)`` resolve to the greatest
+    value tuple — here via a stable ascending pre-sort on
+    ``[ts] + value_cols``, the pandas equivalent of the native plan's
+    struct-ordered ``last()``). NULL timestamps refuse LOUDLY on either
+    side (``merge_asof`` cannot take them; the native plan's SQL
+    nulls-first ordering is the supported path for that shape).
 
     The native single-shuffle union+window plan remains the default —
     this exists to certify the cogroup surface and for two-relation
@@ -178,27 +222,14 @@ def asof_join_cogrouped(
     """
     import pandas as pd
 
-    # both sides of a self-cogroup (e.g. two filters of one events
-    # scan) share attribute ids; FlatMapCoGroupsInPandas then silently
-    # DROPS the duplicated non-key columns from the right frame
-    # (observed on PySpark 4.1: right arrived without its ts column).
-    # A same-name Alias mints fresh expression ids on every column,
-    # which is a zero-cost projection that breaks the identity.
-    left = left.select(*[F.col(c).alias(c) for c in left.columns])
-    right = right.select(*[F.col(c).alias(c) for c in right.columns])
-
-    rts = right_ts or ts
-    value_cols = value_cols or [
-        c for c in right.columns if c not in (on, rts)
-    ]
-    out_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields)
-    rtypes = {f.name: f.dataType.simpleString()
-              for f in right.schema.fields}
-    out_schema = out_fields + ", " + ", ".join(
-        f"{c}{suffix} {rtypes[c]}" for c in value_cols)
+    left, right, rts, value_cols, out_schema = _cogroup_asof_prologue(
+        left, right, on, ts, right_ts, value_cols, suffix)
 
     def _merge(l: "pd.DataFrame", r: "pd.DataFrame") -> "pd.DataFrame":
+        if not l.empty:
+            _reject_null_keys("left", bool(l[ts].isna().any()))
+        if not r.empty:
+            _reject_null_keys("right", bool(r[rts].isna().any()))
         if l.empty:
             return pd.DataFrame(
                 columns=list(l.columns) + [f"{c}{suffix}"
@@ -239,8 +270,9 @@ def asof_join_coarrow(
     """``cogroup().applyInArrow`` twin of :func:`asof_join_cogrouped`:
     both sides' per-key groups arrive as ``pyarrow.Table``s (zero-copy,
     no pandas index), matched with a two-pointer backward scan over
-    Arrow-sorted columns. Same semantics, same tie rule (greatest value
-    tuple at equal ts via the ascending ``[ts] + value_cols`` sort);
+    Arrow-sorted columns. Same semantics on NON-NULL timestamps, same
+    tie rule (greatest value tuple at equal ts via the ascending
+    ``[ts] + value_cols`` sort), same loud NULL-timestamp refusal;
     pytest-pinned byte-equal to both the pandas-cogroup twin and the
     native plan. Exists to certify the LAST Python-executor surface
     (cogrouped Arrow); the native union+window join remains the default.
@@ -248,22 +280,14 @@ def asof_join_coarrow(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    # same self-cogroup shared-attribute guard as the pandas twin
-    left = left.select(*[F.col(c).alias(c) for c in left.columns])
-    right = right.select(*[F.col(c).alias(c) for c in right.columns])
-
-    rts = right_ts or ts
-    value_cols = value_cols or [
-        c for c in right.columns if c not in (on, rts)
-    ]
-    out_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields)
-    rtypes = {f.name: f.dataType.simpleString()
-              for f in right.schema.fields}
-    out_schema = out_fields + ", " + ", ".join(
-        f"{c}{suffix} {rtypes[c]}" for c in value_cols)
+    left, right, rts, value_cols, out_schema = _cogroup_asof_prologue(
+        left, right, on, ts, right_ts, value_cols, suffix)
 
     def _merge(lt: "pa.Table", rt: "pa.Table") -> "pa.Table":
+        if lt.num_rows:
+            _reject_null_keys("left", lt.column(ts).null_count > 0)
+        if rt.num_rows:
+            _reject_null_keys("right", rt.column(rts).null_count > 0)
         if lt.num_rows == 0:
             empty = [pa.array([], type=f.type) for f in lt.schema]
             empty += [pa.array([], type=rt.schema.field(c).type)

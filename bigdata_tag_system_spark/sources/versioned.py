@@ -85,13 +85,43 @@ def write_version(
     lease = _lease_path(path, n)
     # O_EXCL claim: two concurrent writers race for the same next
     # version; the loser must fail HERE, before it can touch (or later
-    # delete) the winner's heartbeat lease
+    # delete) the winner's heartbeat lease. A lease whose mtime is
+    # STALE (no heartbeat for >= 4 heartbeat periods, floor 60 s) is a
+    # dead writer killed before v{n} materialized — gc_orphans can't
+    # see it (no v{n} dir) — so it is reclaimed here instead of
+    # wedging every future write; the mtime is re-checked immediately
+    # before the unlink so a writer that just claimed it survives.
+    stale_after = max(60.0, 4.0 * heartbeat_seconds)
+
+    def _claim() -> int:
+        return os.open(lease, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+
     try:
-        fd = os.open(lease, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        fd = _claim()
     except FileExistsError:
-        raise RuntimeError(
-            f"concurrent write_version in flight for v{n} at {path!r}"
-            f" (lease {lease} exists)") from None
+        import time as _time
+
+        try:
+            age = _time.time() - os.stat(lease).st_mtime
+        except OSError:
+            age = float("inf")  # vanished: loser finished; retry claim
+        if age < stale_after:
+            raise RuntimeError(
+                f"concurrent write_version in flight for v{n} at"
+                f" {path!r} (lease {lease} heartbeat {age:.0f}s ago)"
+            ) from None
+        try:
+            if _time.time() - os.stat(lease).st_mtime >= stale_after:
+                os.remove(lease)
+        except OSError:
+            pass
+        try:
+            fd = _claim()
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent write_version in flight for v{n} at"
+                f" {path!r} (lease {lease} reclaimed by another writer)"
+            ) from None
     lease_token = f"{os.getpid()}:{id(df)}"
     with os.fdopen(fd, "w") as f:
         f.write(lease_token)

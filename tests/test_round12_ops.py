@@ -5,6 +5,7 @@ UDFs, ExactSubstr span removal, and the r11 ADVICE-fix regressions
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -379,6 +380,26 @@ class TestAsofCoArrow:
         assert ga == z(asof_join(left, right, value_cols=["value"]))
         assert ga[1] == 7.0
 
+    def test_null_timestamps_refuse_loudly(self, spark):
+        # merge_asof can't take NULL keys and the Arrow two-pointer
+        # would TypeError — both twins must refuse with a clear
+        # contract error instead of a worker crash (native asof_join
+        # stays the supported path for SQL null ordering)
+        from pyspark.errors import PythonException
+
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join_coarrow, asof_join_cogrouped,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "u1", 10), (2, "u1", None)],
+            "event_id int, user_id string, ts int")
+        right = spark.createDataFrame(
+            [("u1", 5, 1.0)], "user_id string, ts int, value double")
+        for fn in (asof_join_cogrouped, asof_join_coarrow):
+            with pytest.raises(PythonException, match="non-null key"):
+                fn(left, right, value_cols=["value"]).collect()
+
     def test_real_events_parity(self, spark, sf_dir):
         from bigdata_tag_system_spark.operators.timeseries import (
             asof_join, asof_join_coarrow,
@@ -473,6 +494,26 @@ class TestLeaseConcurrency:
         # the in-flight writer's lease is UNTOUCHED
         with open(_lease_path(store, 1)) as f:
             assert f.read() == "99999:other"
+
+    def test_stale_lease_reclaimed_not_wedged(self, spark, tmp_path):
+        # a writer SIGKILL'd after claiming the lease but before v{n}
+        # materialized leaves a lease gc_orphans can't see (no v{n}
+        # dir); write_version must reclaim it once the heartbeat is
+        # stale instead of wedging the store forever
+        from bigdata_tag_system_spark.sources.versioned import (
+            _lease_path, write_version,
+        )
+
+        store = str(tmp_path / "store3")
+        os.makedirs(store)
+        lease = _lease_path(store, 1)
+        with open(lease, "w") as f:
+            f.write("99999:dead")
+        old = time.time() - 3600
+        os.utime(lease, (old, old))  # heartbeat died an hour ago
+        df = spark.range(3).select(F.col("id").alias("k"))
+        assert write_version(df, store) == 1
+        assert not os.path.exists(lease)
 
     def test_lease_removed_after_own_write(self, spark, tmp_path):
         from bigdata_tag_system_spark.sources.versioned import (
