@@ -596,6 +596,7 @@ _DRIVER_FIRST = [
     "ts_asof_cogrouped",          # NEW r12: cogrouped-map merge_asof
     "func_sql_params",            # NEW r12: parameterized SQL binding
     "layout_zone_skip",           # NEW r12: footer-only zone-map audit
+    "text_hard_negatives",        # NEW r12: BM25 hard-negative mining
     "stream_pyds_sink_parity",    # r12: loud deadline guard before the
                                   #      process-wide cache populate
     "store_cdc_diff",             # r12: O_EXCL lease claim + pid-checked
@@ -611,13 +612,13 @@ _DRIVER_FIRST = [
     "text_segment_dedup", "text_token_stats", "text_top_tokens",
     "ts_range_join", "union_all_count", "window_lag",
     "window_row_number", "window_running_sum",
-    # -- (c) oldest r4-vintage block (12 of 48, alphabetical; the
-    #    remaining 36 r4 rows lead the r13 rotation) --
+    # -- (c) oldest r4-vintage block (11 of 48, alphabetical; the
+    #    remaining 37 r4 rows lead the r13 rotation) --
     "agg_grouping_sets", "agg_pivot", "dedup_fuzzy_edit",
     "dedup_incremental", "dedup_pipeline_keep_best",
     "dedup_semantic_keep", "dedup_simhash_portable",
     "emb_label_centroid", "emb_quantize_int8", "events_funnel",
-    "events_props_json", "events_retention",
+    "events_props_json",
 ]
 
 
@@ -6772,6 +6773,26 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return zone_map_report(spark, path, "user_id", lo=40, hi=79)
 
     q["layout_zone_skip"] = layout_zone_skip
+
+    def text_hard_negatives(spark, sf_dir):
+        # r12: hard-negative mining for contrastive retrieval training
+        # — per query, BM25 top-10 EXCLUDING the labeled positives (the
+        # positives here are the corpus's actual unfiltered top-2 at
+        # sf0.01, so the anti-join provably removes live rows under the
+        # oracle). One corpus pass scores BOTH queries (literal query
+        # relation broadcast onto the shared tf/df aggregates).
+        out = T.hard_negative_mining(
+            _t(spark, sf_dir, "documents"),
+            queries={"q_data": ["data", "query"],
+                     "q_stream": ["stream", "window"]},
+            positives={"q_data": [448, 159], "q_stream": [13, 345]},
+            k=10)
+        return out.select(
+            "query_id", "doc_id", "rank",
+            F.round("score", 4).alias("score"),
+        ).orderBy("query_id", "rank")
+
+    q["text_hard_negatives"] = text_hard_negatives
 
     def text_substr_dedup(spark, sf_dir):
         # r12: ExactSubstr span removal (Lee et al. 2022) — cross-doc
@@ -14807,6 +14828,61 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_linestatus = 'F' AND l_quantity >= 10
           AND l_returnflag != ''' OR 1=1 --'
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    # multi-query BM25 replay: same idf/tf algebra as _BM25_CTES with
+    # the query relation and positives as literal VALUES; the rank cut
+    # uses the unrounded score on both sides (text_bm25_topk precedent)
+    o["text_hard_negatives"] = f"""
+        WITH base AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), lens AS (
+            SELECT doc_id,
+                   CASE WHEN array_to_string(t, '') = '' THEN 0
+                        ELSE len(t) END AS dl
+            FROM base
+        ), stats AS (
+            SELECT count(*) AS n, avg(dl) AS avgdl FROM lens
+        ), q(query_id, term) AS (
+            VALUES ('q_data', 'data'), ('q_data', 'query'),
+                   ('q_stream', 'stream'), ('q_stream', 'window')
+        ), pos(query_id, doc_id) AS (
+            VALUES ('q_data', 448), ('q_data', 159),
+                   ('q_stream', 13), ('q_stream', 345)
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM base)
+            WHERE term IN ('data', 'query', 'stream', 'window')
+            GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT q.query_id, t.doc_id,
+                   sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)))
+                       AS s
+            FROM tf t
+            JOIN q USING (term)
+            JOIN dfreq d USING (term)
+            JOIN lens l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY q.query_id, t.doc_id
+        ), neg AS (
+            SELECT sc.query_id, sc.doc_id, sc.s
+            FROM scored sc ANTI JOIN pos p
+              ON p.query_id = sc.query_id AND p.doc_id = sc.doc_id
+        ), ranked AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, doc_id) AS r,
+                   s
+            FROM neg
+        )
+        SELECT query_id, doc_id, CAST(r AS INT) AS rank,
+               round(s, 4) AS score
+        FROM ranked WHERE r <= 10 ORDER BY query_id, rank
     """
 
     # footer min/max for int64 is exact, and each bucket directory

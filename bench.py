@@ -270,6 +270,7 @@ def main() -> None:
         "ts_asof_cogrouped",       # cogrouped-map merge_asof surface
         "func_sql_params",         # parameterized SQL literal binding
         "layout_zone_skip",        # footer-only zone-map skip audit
+        "text_hard_negatives",     # multi-query BM25 negative mining
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

@@ -353,6 +353,97 @@ def bm25_topk(
     )
 
 
+def hard_negative_mining(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    positives: dict[str, list[int]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per
+    query, the BM25 top-``k`` documents EXCLUDING the known positives —
+    the standard negatives a bi-encoder is trained against (high
+    lexical score, labeled non-relevant).
+
+    One corpus pass for ALL queries (vs a bm25_topk loop): tokenize
+    once, explode and filter to the UNION of query terms (the shuffled
+    relation is (doc, query-term) rows only), per-term tf/df exactly as
+    :func:`bm25_topk`, then the ≤Σ|terms|-row literal query relation
+    broadcast-joins tf to score every (query, doc) pair in one
+    aggregate. Positives drop via a broadcast anti-join BEFORE the
+    rank, so each query still yields ``k`` negatives; ranks come from a
+    per-query window (partitioned — never a global sort). Both literal
+    relations are built from ``VALUES``-style struct arrays over
+    ``spark.range(1)``: plan-literal, no driver RDD.
+
+    Output: ``(query_id, doc_id, rank, score)``, rank 1 = hardest.
+    """
+    if not queries:
+        raise ValueError("hard_negative_mining needs at least one query")
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(f"query {qid!r} has no terms")
+    from pyspark.sql import Window
+
+    seed = df.sparkSession.range(1)
+    qrel = seed.select(F.explode(F.array(*[
+        F.struct(F.lit(qid).alias("query_id"), F.lit(t).alias("_term"))
+        for qid, terms in sorted(queries.items()) for t in terms
+    ])).alias("_q")).select("_q.query_id", "_q._term")
+    pos_pairs = [(qid, d) for qid, docs in sorted(positives.items())
+                 for d in docs]
+    if pos_pairs:
+        prel = seed.select(F.explode(F.array(*[
+            F.struct(F.lit(qid).alias("query_id"),
+                     F.lit(d).cast("long").alias(id_col))
+            for qid, d in pos_pairs
+        ])).alias("_p")).select("_p.query_id", f"_p.{id_col}")
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(text_col).alias("_t"))
+    lens = base.select(
+        F.col(id_col),
+        F.when(F.array_join("_t", "") == "", F.lit(0))
+        .otherwise(F.size("_t")).alias("_len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_len").alias("_avgdl"))
+    terms = base.select(
+        F.col(id_col), F.explode("_t").alias("_term")
+    ).where(F.col("_term").isin(all_terms))
+    tf = terms.groupBy(id_col, "_term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0)
+    scored = (
+        tf.join(F.broadcast(qrel), "_term")
+        .join(F.broadcast(dfreq), "_term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", F.col(id_col),
+            (idf * (F.col("_tf") * (k1 + 1))
+             / (F.col("_tf")
+                + k1 * (1 - b + b * F.col("_len") / F.col("_avgdl")))
+             ).alias("_c"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_c").alias("score"))
+    )
+    if pos_pairs:
+        scored = scored.join(
+            F.broadcast(prel), ["query_id", id_col], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", id_col, "rank", "score")
+    )
+
+
 def url_domain_counts(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -418,6 +418,60 @@ class TestAsofCoArrow:
         assert a == b and len(a) > 0
 
 
+class TestHardNegativeMining:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "data data query table"),     # strong q1 match
+             (2, "data query"),                # strong q1 match
+             (3, "data lake house"),           # weak q1 match
+             (4, "stream window state"),       # q2 only
+             (5, "totally unrelated words")],
+            "doc_id long, text string")
+
+    def test_positives_removed_and_ranked(self, spark):
+        from bigdata_tag_system_spark.operators.text import (
+            hard_negative_mining,
+        )
+
+        out = hard_negative_mining(
+            self._docs(spark),
+            queries={"q1": ["data", "query"], "q2": ["stream"]},
+            positives={"q1": [1]}, k=10)
+        rows = {(r["query_id"], r["doc_id"]): r["rank"]
+                for r in out.collect()}
+        # doc 1 (the labeled positive) must be gone from q1 entirely;
+        # the remaining matches re-rank from 1
+        assert ("q1", 1) not in rows
+        assert rows[("q1", 2)] == 1 and rows[("q1", 3)] == 2
+        assert rows[("q2", 4)] == 1
+        assert ("q1", 5) not in rows and ("q2", 5) not in rows
+
+    def test_single_query_matches_bm25_topk(self, spark):
+        # with no positives, one query's ranking must equal bm25_topk
+        from bigdata_tag_system_spark.operators.text import (
+            bm25_topk, hard_negative_mining,
+        )
+
+        docs = self._docs(spark)
+        hn = hard_negative_mining(
+            docs, queries={"q": ["data", "query"]}, positives={}, k=3)
+        got = [(r["doc_id"], round(r["score"], 10))
+               for r in hn.orderBy("rank").collect()]
+        want = [(r["doc_id"], round(r["score"], 10))
+                for r in bm25_topk(docs, ["data", "query"], k=3).collect()]
+        assert got == want
+
+    def test_empty_queries_refuse(self, spark):
+        from bigdata_tag_system_spark.operators.text import (
+            hard_negative_mining,
+        )
+
+        with pytest.raises(ValueError, match="at least one query"):
+            hard_negative_mining(self._docs(spark), {}, {})
+        with pytest.raises(ValueError, match="no terms"):
+            hard_negative_mining(self._docs(spark), {"q": []}, {})
+
+
 class TestZoneMapReport:
     def test_footer_stats_and_skip_decision(self, spark, tmp_path):
         from bigdata_tag_system_spark.operators.layout import (
