@@ -597,6 +597,7 @@ _DRIVER_FIRST = [
     "func_sql_params",            # NEW r12: parameterized SQL binding
     "layout_zone_skip",           # NEW r12: footer-only zone-map audit
     "text_hard_negatives",        # NEW r12: BM25 hard-negative mining
+    "text_heaps_fit",             # NEW r12: Heaps type-growth fit
     "stream_pyds_sink_parity",    # r12: loud deadline guard before the
                                   #      process-wide cache populate
     "store_cdc_diff",             # r12: O_EXCL lease claim + pid-checked
@@ -612,13 +613,12 @@ _DRIVER_FIRST = [
     "text_segment_dedup", "text_token_stats", "text_top_tokens",
     "ts_range_join", "union_all_count", "window_lag",
     "window_row_number", "window_running_sum",
-    # -- (c) oldest r4-vintage block (11 of 48, alphabetical; the
-    #    remaining 37 r4 rows lead the r13 rotation) --
+    # -- (c) oldest r4-vintage block (10 of 48, alphabetical; the
+    #    remaining 38 r4 rows lead the r13 rotation) --
     "agg_grouping_sets", "agg_pivot", "dedup_fuzzy_edit",
     "dedup_incremental", "dedup_pipeline_keep_best",
     "dedup_semantic_keep", "dedup_simhash_portable",
     "emb_label_centroid", "emb_quantize_int8", "events_funnel",
-    "events_props_json",
 ]
 
 
@@ -6793,6 +6793,24 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("query_id", "rank")
 
     q["text_hard_negatives"] = text_hard_negatives
+
+    def text_heaps_fit(spark, sf_dir):
+        # r12: Heaps'-law type-growth fit V(n) ~ K*n^beta over 25-doc
+        # checkpoint buckets, types = 3-gram shingles (the synthetic
+        # corpus's unigram vocab saturates in one bucket — 3-grams keep
+        # a real growth curve) — the growth dual of text_zipf_fit and
+        # the scalar summary of text_novelty_curve. One staged
+        # tokenize feeds both aggregates; the cumsum runs over the
+        # bucket relation only.
+        out = T.heaps_fit(
+            _t(spark, sf_dir, "documents"), bucket_docs=25, gram_n=3)
+        return out.select(
+            "n_points",
+            (F.round("beta", 4) + 0.0).alias("beta"),
+            F.round("k", 4).alias("k"),
+            (F.round("r2", 4) + 0.0).alias("r2"))
+
+    q["text_heaps_fit"] = text_heaps_fit
 
     def text_substr_dedup(spark, sf_dir):
         # r12: ExactSubstr span removal (Lee et al. 2022) — cross-doc
@@ -14828,6 +14846,60 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_linestatus = 'F' AND l_quantity >= 10
           AND l_returnflag != ''' OR 1=1 --'
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    # Heaps replay: identical tokenization/bucketing; the OLS algebra
+    # is the text_zipf_fit pattern over (ln cum_tokens, ln cum_types)
+    o["text_heaps_fit"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split({_NORM}, ' '),
+                               x -> x != '') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), btok AS (
+            SELECT doc_id // 25 AS bk,
+                   CAST(sum(len(t)) AS BIGINT) AS ntok
+            FROM base GROUP BY 1
+        ), grams AS (
+            SELECT doc_id,
+                   array_to_string(t[s.i+1:s.i+3], ' ') AS g
+            FROM (
+                SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS i
+                FROM base WHERE len(t) >= 3
+            ) s(doc_id, t, i)
+        ), firsts AS (
+            SELECT g, min(doc_id) AS fd FROM grams GROUP BY g
+        ), bnew AS (
+            SELECT fd // 25 AS bk, CAST(count(*) AS BIGINT) AS nv
+            FROM firsts GROUP BY 1
+        ), buckets AS (
+            SELECT coalesce(t.bk, n.bk) AS bk,
+                   coalesce(t.ntok, 0) AS ntok,
+                   coalesce(n.nv, 0) AS nv
+            FROM btok t FULL OUTER JOIN bnew n ON t.bk = n.bk
+        ), cum AS (
+            SELECT sum(ntok) OVER (ORDER BY bk) AS ct,
+                   sum(nv) OVER (ORDER BY bk) AS cv
+            FROM buckets
+        ), pts AS (
+            SELECT ln(CAST(ct AS DOUBLE)) AS x,
+                   ln(CAST(cv AS DOUBLE)) AS y
+            FROM cum WHERE ct > 0 AND cv > 0
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM pts)
+        SELECT n AS n_points,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+                   AS beta,
+               round(exp((sy - (n * sxy - sx * sy)
+                          / (n * sxx - sx * sx) * sx) / n), 4) AS k,
+               round(CASE WHEN n * syy - sy * sy = 0 THEN NULL
+                     ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                          / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     END, 4) + 0.0 AS r2
+        FROM s
     """
 
     # multi-query BM25 replay: same idf/tf algebra as _BM25_CTES with

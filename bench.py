@@ -271,6 +271,7 @@ def main() -> None:
         "func_sql_params",         # parameterized SQL literal binding
         "layout_zone_skip",        # footer-only zone-map skip audit
         "text_hard_negatives",     # multi-query BM25 negative mining
+        "text_heaps_fit",          # Heaps'-law type-growth fit
     ]
 
     # warmup: prime JVM/codegen on a small action, AND the Python-worker /

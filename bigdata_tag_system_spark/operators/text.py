@@ -444,6 +444,100 @@ def hard_negative_mining(
     )
 
 
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_docs: int = 25,
+    gram_n: int = 3,
+) -> DataFrame:
+    """Heaps'-law fit of type growth: OLS of ln(distinct ``gram_n``-gram
+    types) on ln(cumulative tokens) as the corpus grows in ``id_col``
+    order — V(n) ≈ K·n^β. Natural corpora grow sub-linearly (β well
+    inside (0, 1)); β near 1 flags unbounded novelty (noise/IDs), β
+    collapsing toward 0 a templated or over-deduplicated corpus. Types
+    are n-gram shingles (``gram_n=1`` = classic unigram Heaps) — the
+    vocabulary-growth dual of :func:`zipf_fit`'s spectrum fingerprint
+    and the scalar summary of the novelty curve.
+
+    Scale shape: one staged tokenize feeds BOTH aggregates — per-type
+    min(doc) for first occurrences (shingle rows, the same ledger the
+    dedup family shuffles), and per-checkpoint-bucket token counts
+    (bucket = ``id_col div bucket_docs``); the cumulative then runs
+    over the ≤(corpus/bucket_docs)-row bucket relation, never doc or
+    token rows (size ``bucket_docs`` so checkpoints stay config-sized;
+    the two-level bucketed cumsum of quality_ks_drift is the fallback
+    beyond that). Fit = one 1-row aggregate of the logs.
+
+    Returns one row: ``(n_points, beta, k, r2)``.
+    """
+    from pyspark.sql import Window
+
+    if bucket_docs <= 0:
+        raise ValueError(f"bucket_docs must be positive, got {bucket_docs}")
+    if gram_n <= 0:
+        raise ValueError(f"gram_n must be positive, got {gram_n}")
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(text_col).alias("_t"))
+        .select(
+            id_col,
+            F.filter("_t", lambda x: x != "").alias("_t"))
+    )
+    bk = (F.col(id_col) / bucket_docs).cast("long")
+    btok = base.groupBy(bk.alias("_bk")).agg(
+        F.sum(F.size("_t")).alias("_ntok"))
+    seg = F.array_join(F.slice("_t", F.col("_i") + 1, gram_n), " ")
+    types = (
+        base.where(F.size("_t") >= gram_n)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(
+                F.lit(0), F.size("_t") - gram_n)).alias("_i"),
+            F.col("_t"))
+        .select(F.col(id_col), seg.alias("_g"))
+    )
+    firsts = types.groupBy("_g").agg(F.min(id_col).alias("_fd"))
+    bnew = firsts.groupBy(
+        (F.col("_fd") / bucket_docs).cast("long").alias("_bk")
+    ).agg(F.count(F.lit(1)).alias("_nv"))
+    buckets = (
+        btok.join(bnew, "_bk", "full_outer")
+        .select(
+            "_bk",
+            F.coalesce("_ntok", F.lit(0)).alias("_ntok"),
+            F.coalesce("_nv", F.lit(0)).alias("_nv"))
+    )
+    w = Window.orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    pts = (
+        buckets.select(
+            F.sum("_ntok").over(w).alias("_ct"),
+            F.sum("_nv").over(w).alias("_cv"))
+        .where((F.col("_ct") > 0) & (F.col("_cv") > 0))
+        .select(
+            F.log(F.col("_ct").cast("double")).alias("x"),
+            F.log(F.col("_cv").cast("double")).alias("y"))
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # + 0.0 normalizes IEEE -0.0 to 0.0 on a degenerate (flat) fit —
+    # engines round to signed zeros inconsistently
+    beta = num / denx + 0.0
+    return s.select(
+        F.col("n").alias("n_points"),
+        beta.alias("beta"),
+        F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")).alias("k"),
+        (F.when(deny != 0, num * num / (denx * deny)) + 0.0).alias("r2"))
+
+
 def url_domain_counts(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

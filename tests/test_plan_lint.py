@@ -235,6 +235,11 @@ _CATALOG_ALLOW = {
     # explicit-register HLL: ≤2^p register rows; exact-truth frame is
     # a constant-keyed 1-row aggregate
     "sketch_hll_portable": ["bnl_join"],
+    # the Heaps cumulative runs over the CHECKPOINT-BUCKET relation
+    # (corpus/bucket_docs rows — config-sized by bucket choice, never
+    # doc or token rows; two-level bucketed cumsum is the documented
+    # fallback) — same class as quality_ks_drift's bucket offsets
+    "text_heaps_fit": ["global_window"],
     # the input is the FILE LIST of the audited layout (one row per
     # parquet file — metadata-sized by definition; a cluster deployment
     # lists via the catalog/FS API into the same shape); row data is

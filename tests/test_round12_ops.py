@@ -472,6 +472,46 @@ class TestHardNegativeMining:
             hard_negative_mining(self._docs(spark), {"q": []}, {})
 
 
+class TestHeapsFit:
+    def test_perfect_power_law_recovered(self, spark):
+        # plant a corpus whose type growth is EXACTLY V = n^0.5 at the
+        # checkpoints: doc k contributes 2k+1 tokens of which... easier
+        # exact plant: every doc has 4 unigram tokens, doc k introduces
+        # exactly 2 new 1-gram types -> V = 2(k+1), n = 4(k+1): ln-ln
+        # slope is exactly 1 with K = 0.5 (V = 0.5 * n)
+        from bigdata_tag_system_spark.operators.text import heaps_fit
+
+        rows = [(k, f"w{2*k} w{2*k} w{2*k+1} w{2*k+1}")
+                for k in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = heaps_fit(df, bucket_docs=1, gram_n=1).collect()[0]
+        assert r["n_points"] == 12
+        assert r["beta"] == pytest.approx(1.0, abs=1e-9)
+        assert r["k"] == pytest.approx(0.5, rel=1e-9)
+        assert r["r2"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_saturated_vocab_flat_beta(self, spark):
+        # identical docs: all types seen in bucket 0 -> beta == 0.0
+        # (and normalized +0.0, never -0.0)
+        from bigdata_tag_system_spark.operators.text import heaps_fit
+
+        df = spark.createDataFrame(
+            [(k, "a b c d") for k in range(8)], "doc_id long, text string")
+        r = heaps_fit(df, bucket_docs=2, gram_n=1).collect()[0]
+        assert r["beta"] == 0.0
+        import math
+        assert math.copysign(1.0, r["beta"]) == 1.0
+
+    def test_invalid_params_refuse(self, spark):
+        from bigdata_tag_system_spark.operators.text import heaps_fit
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="bucket_docs"):
+            heaps_fit(df, bucket_docs=0)
+        with pytest.raises(ValueError, match="gram_n"):
+            heaps_fit(df, gram_n=0)
+
+
 class TestZoneMapReport:
     def test_footer_stats_and_skip_decision(self, spark, tmp_path):
         from bigdata_tag_system_spark.operators.layout import (
