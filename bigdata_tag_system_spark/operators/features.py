@@ -129,13 +129,18 @@ def normalize_per_user(
 
     ``(value - avg) / stddev_samp`` over an unbounded per-user window:
     whole-stage-codegen'd, one shuffle on the user key, no Python on the
-    hot path. Single-row groups (stddev NULL or 0) z-score to 0.0,
-    matching the grouped-map variant's behavior.
+    hot path. Single-row / zero-variance groups (stddev NULL or 0)
+    z-score to 0.0; a NULL value z-scores to NULL in EVERY group shape
+    (degenerate included — without the leading null guard the 0.0 fill
+    would swallow nulls only in degenerate groups, diverging from the
+    grouped-map twins and from non-degenerate rows of the same plan).
     """
     w = Window.partitionBy(user_col)
     mean = F.avg(value_col).over(w)
     std = F.stddev_samp(value_col).over(w)
     z = F.when(
+        F.col(value_col).isNull(), F.lit(None).cast("double")
+    ).when(
         std.isNull() | (std == 0), F.lit(0.0)
     ).otherwise((F.col(value_col) - mean) / std)
     return events.withColumn("value_z", z)
@@ -277,7 +282,11 @@ def normalize_per_user_arrow(
         mean = pc.mean(v).as_py()
         std = pc.stddev(v, ddof=1).as_py() if n > 1 else None
         if std is None or std != std or std == 0.0:
-            z = pa.array([0.0] * n, type=pa.float64())
+            # multiply-by-0 (not a literal 0.0 fill) so NULL value
+            # slots stay NULL exactly like the pandas twin's `v * 0.0`
+            # and the native window plan — pc.stddev skips nulls, so a
+            # group can be degenerate while still holding null rows
+            z = pc.multiply(pc.cast(v, pa.float64()), pa.scalar(0.0))
         else:
             z = pc.divide(
                 pc.subtract(pc.cast(v, pa.float64()), mean), std)

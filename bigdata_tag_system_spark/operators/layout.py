@@ -116,11 +116,33 @@ def zone_map_report(
             if f.endswith(".parquet"):
                 files.append(os.path.join(root, f))
     if not files:
-        raise ValueError(f"no parquet files under {dir_path!r}")
+        raise ValueError(
+            f"no parquet files under {dir_path!r} (listing walks the "
+            "LOCAL filesystem only — on a cluster, list paths via the "
+            "catalog/FS API and feed them to the footer scan directly)")
     for p in files:
         if not _re.search(group_pattern, p):
             raise ValueError(
                 f"file {p!r} does not match group pattern {group_pattern!r}")
+    # the mapInPandas output schema types zmin/zmax as long, and the
+    # "exact stats" contract the docstring states only holds for
+    # parquet integer physical types — enforce it from the first
+    # footer instead of letting string/date stats fail opaquely or
+    # coerce wrongly downstream
+    import pyarrow.parquet as _pq
+
+    _md = _pq.ParquetFile(sorted(files)[0]).metadata
+    _names = [_md.schema.column(i).name for i in range(_md.num_columns)]
+    if zone_col not in _names:
+        raise ValueError(
+            f"zone column {zone_col!r} not in parquet schema {_names}")
+    _ptype = _md.schema.column(_names.index(zone_col)).physical_type
+    if _ptype not in ("INT32", "INT64"):
+        raise ValueError(
+            f"zone_map_report requires an integer zone column (parquet "
+            f"physical type INT32/INT64) — {zone_col!r} is {_ptype}; "
+            "string/date/float stats can be truncated or ordered "
+            "differently in footers and would not be exact")
     fdf = spark.createDataFrame(
         [(p,) for p in sorted(files)], "path string")
 

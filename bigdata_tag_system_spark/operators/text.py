@@ -389,9 +389,13 @@ def hard_negative_mining(
     from pyspark.sql import Window
 
     seed = df.sparkSession.range(1)
+    # dedupe within each query's term list: a repeated term would emit
+    # duplicate (query_id, term) qrel rows and double-count that term's
+    # BM25 contribution, breaking parity with bm25_topk
     qrel = seed.select(F.explode(F.array(*[
         F.struct(F.lit(qid).alias("query_id"), F.lit(t).alias("_term"))
-        for qid, terms in sorted(queries.items()) for t in terms
+        for qid, terms in sorted(queries.items())
+        for t in sorted(set(terms))
     ])).alias("_q")).select("_q.query_id", "_q._term")
     pos_pairs = [(qid, d) for qid, docs in sorted(positives.items())
                  for d in docs]
@@ -484,7 +488,10 @@ def heaps_fit(
             id_col,
             F.filter("_t", lambda x: x != "").alias("_t"))
     )
-    bk = (F.col(id_col) / bucket_docs).cast("long")
+    # floor division (not cast-truncation, which rounds toward zero):
+    # negative ids must bucket like the oracle's `//` and the integer
+    # `div` layout_zone_skip uses
+    bk = F.floor(F.col(id_col) / bucket_docs).cast("long")
     btok = base.groupBy(bk.alias("_bk")).agg(
         F.sum(F.size("_t")).alias("_ntok"))
     seg = F.array_join(F.slice("_t", F.col("_i") + 1, gram_n), " ")
@@ -499,7 +506,7 @@ def heaps_fit(
     )
     firsts = types.groupBy("_g").agg(F.min(id_col).alias("_fd"))
     bnew = firsts.groupBy(
-        (F.col("_fd") / bucket_docs).cast("long").alias("_bk")
+        F.floor(F.col("_fd") / bucket_docs).cast("long").alias("_bk")
     ).agg(F.count(F.lit(1)).alias("_nv"))
     buckets = (
         btok.join(bnew, "_bk", "full_outer")

@@ -89,8 +89,14 @@ def write_version(
     # STALE (no heartbeat for >= 4 heartbeat periods, floor 60 s) is a
     # dead writer killed before v{n} materialized — gc_orphans can't
     # see it (no v{n} dir) — so it is reclaimed here instead of
-    # wedging every future write; the mtime is re-checked immediately
-    # before the unlink so a writer that just claimed it survives.
+    # wedging every future write. Reclaim is serialized through an
+    # O_EXCL RECLAIM MARKER: only the marker holder may unlink the
+    # stale lease, so two writers can never both pass the staleness
+    # check and have the second one unlink a lease the first just
+    # re-claimed (the stat-then-remove TOCTOU a bare re-check leaves
+    # open). Under the marker, a fresh-again lease (someone claimed
+    # between our stat and our marker) fails the re-check and we back
+    # off instead of removing it.
     stale_after = max(60.0, 4.0 * heartbeat_seconds)
 
     def _claim() -> int:
@@ -110,18 +116,43 @@ def write_version(
                 f"concurrent write_version in flight for v{n} at"
                 f" {path!r} (lease {lease} heartbeat {age:.0f}s ago)"
             ) from None
+        marker = lease + ".reclaim"
         try:
-            if _time.time() - os.stat(lease).st_mtime >= stale_after:
-                os.remove(lease)
+            # A crashed reclaimer's marker would wedge all future
+            # reclaims; one that is itself past the staleness horizon
+            # is cleared first (the only unserialized remove left, and
+            # its race window is scheduler-tiny vs the 60 s horizon).
+            if _time.time() - os.stat(marker).st_mtime >= stale_after:
+                os.remove(marker)
         except OSError:
             pass
         try:
-            fd = _claim()
+            mfd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
         except FileExistsError:
             raise RuntimeError(
                 f"concurrent write_version in flight for v{n} at"
-                f" {path!r} (lease {lease} reclaimed by another writer)"
+                f" {path!r} (another writer is reclaiming {lease})"
             ) from None
+        os.close(mfd)
+        try:
+            try:
+                if _time.time() - os.stat(lease).st_mtime >= stale_after:
+                    os.remove(lease)
+            except OSError:
+                pass
+            try:
+                fd = _claim()
+            except FileExistsError:
+                raise RuntimeError(
+                    f"concurrent write_version in flight for v{n} at"
+                    f" {path!r} (lease {lease} re-claimed by a live"
+                    " writer during reclaim)"
+                ) from None
+        finally:
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
     lease_token = f"{os.getpid()}:{id(df)}"
     with os.fdopen(fd, "w") as f:
         f.write(lease_token)
