@@ -577,48 +577,48 @@ def entry(spark: SparkSession) -> DataFrame:
 #     battery) rotated in for re-confirmation.
 _DRIVER_FIRST = [
     # =====================================================================
-    # ROUND-12 WINDOW — executing the r11 VERDICT plan (Next #1):
-    #   (a) r12 additions + entries whose code/shared plumbing changed
-    #       this round (standing discipline);
-    #   (b) the FULL remaining r3-vintage tail (25 entries — the block
-    #       displaced from the r11 window), closing the whole catalog
-    #       to >= r4 vintage;
-    #   (c) the oldest r4-vintage entries (alphabetical) fill the rest.
-    # Prior windows (r8/r11 rationale) live in git history.
+    # ROUND-13 WINDOW — executing the r12 VERDICT plan (Next #1):
+    #   (a) r13 additions (3) — driver-checked the round they land;
+    #   (b) entries whose code/shared plumbing changed this round
+    #       (standing discipline — the r12 ADVICE fixes touched
+    #       text.py (heaps floor-div, hard-negative term dedupe),
+    #       features.py (z-score NULL propagation, all three twins),
+    #       layout.py (zone-col type validation), versioned.py
+    #       (reclaim-marker serialization), and sampling.py
+    #       (temperature_allocation refactored through
+    #       allocate_by_temperature);
+    #   (c) the FULL remaining 38-entry r4-vintage tail — green here
+    #       advances the whole catalog's freshness floor to r5.
+    # 3 + 9 + 38 = 50 exactly. Prior windows live in git history.
     # =====================================================================
-    # -- (a) r12 additions (5) + r12 code-changed entries (4) --
-    "func_udaf_geomean",          # NEW r12: grouped-agg pandas UDAF rung
-    "func_arrow_apply_zscore",    # NEW r12: grouped-map applyInArrow
-    "func_sql_udf",               # NEW r12: SQL-language scalar UDFs
-    "func_sql_table_udf",         # NEW r12: table-valued SQL UDF
-    "text_substr_dedup",          # NEW r12: ExactSubstr span removal
-    "func_sql_scripting",         # NEW r12: BEGIN...END SQL scripting
-    "ts_asof_cogrouped",          # NEW r12: cogrouped-map merge_asof
-    "func_sql_params",            # NEW r12: parameterized SQL binding
-    "layout_zone_skip",           # NEW r12: footer-only zone-map audit
-    "text_hard_negatives",        # NEW r12: BM25 hard-negative mining
-    "text_heaps_fit",             # NEW r12: Heaps type-growth fit
-    "stream_pyds_sink_parity",    # r12: loud deadline guard before the
-                                  #      process-wide cache populate
-    "store_cdc_diff",             # r12: O_EXCL lease claim + pid-checked
-    "store_time_travel",          #      removal in write_version
-    "store_version_diff",         #      (same versioned.py plumbing)
-    # -- (b) the full remaining r3-vintage tail (25) --
-    "func_case_sum", "func_json_roundtrip", "mm_media_features",
-    "rule_cmp_decimal", "sample_stratified_hash",
-    "setop_except", "setop_intersect", "sim_cosine_topk",
-    "sim_ivf_topk", "sim_knn_join", "sketch_distinct_check",
-    "sort_topk", "split_train_test", "text_bpe_tokens",
-    "text_fingerprint", "text_langid", "text_quality",
-    "text_segment_dedup", "text_token_stats", "text_top_tokens",
-    "ts_range_join", "union_all_count", "window_lag",
-    "window_row_number", "window_running_sum",
-    # -- (c) oldest r4-vintage block (10 of 48, alphabetical; the
-    #    remaining 38 r4 rows lead the r13 rotation) --
-    "agg_grouping_sets", "agg_pivot", "dedup_fuzzy_edit",
-    "dedup_incremental", "dedup_pipeline_keep_best",
-    "dedup_semantic_keep", "dedup_simhash_portable",
-    "emb_label_centroid", "emb_quantize_int8", "events_funnel",
+    # -- (a) r13 additions (3) --
+    "ml_minhash_parity",          # NEW r13: MLlib MinHashLSH certificate
+    "ml_quantile_disc",           # NEW r13: QuantileDiscretizer parity
+    "corpus_build_plan",          # NEW r13: end-to-end corpus build
+    # -- (b) r13 code-changed entries (9) --
+    "text_heaps_fit",             # floor-division bucketing fix
+    "text_hard_negatives",        # duplicate-term dedupe fix
+    "func_arrow_apply_zscore",    # NULL z-score propagation (arrow)
+    "events_user_zscore",         # NULL z-score propagation (window)
+    "layout_zone_skip",           # zone-col physical-type validation
+    "store_cdc_diff",             # reclaim-marker serialization in
+    "store_time_travel",          #      write_version (same
+    "store_version_diff",         #      versioned.py plumbing)
+    "sample_temperature_alloc",   # allocate_by_temperature refactor
+    # -- (c) the full remaining r4-vintage tail (38) --
+    "events_props_json", "events_retention", "func_coalesce_size",
+    "func_date_arith", "func_explode_count", "func_map_json",
+    "layout_zorder_cells", "mm_payload_chunks", "pack_token_budget",
+    "sample_mixture", "sample_shuffle_order", "sample_topk_per_stratum",
+    "scenario_specific_merge", "schema_profile_stats", "sim_hybrid_rrf",
+    "sim_ivf_indexed", "sim_knn_bucketed", "sim_quantized_topk",
+    "sketch_quantile_check", "sketch_topk_check", "store_bucketed_merge",
+    "store_snapshot_diff", "stream_batch_parity",
+    "stream_windowed_parity", "tag_profiles", "text_bm25_topk",
+    "text_chunk_windows", "text_contamination", "text_pii_scrub",
+    "text_quality_filter", "text_rolling_fp_portable", "tpch_q13",
+    "tpch_q17", "tpch_q21", "tpch_q5", "ts_asof_tolerance",
+    "ts_interval_overlap", "window_ntile_rank",
 ]
 
 
@@ -6823,6 +6823,111 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy("doc_id")
 
     q["text_substr_dedup"] = text_substr_dedup
+
+    def ml_minhash_parity(spark, sf_dir):
+        # r13: MLlib-surface certificate (the baseline's named approach
+        # is "DataFrame ops + MLlib feature engineering"; the engine
+        # hand-rolls its sketches because they replay in SQL — this
+        # entry certifies the MLlib pipeline against that replayable
+        # truth). CountVectorizer(binary) → MinHashLSH(seed=42, 16
+        # tables) → approxSimilarityJoin, full-outer-joined onto the
+        # hand-rolled verified pair memo: a pair either side misses
+        # surfaces as a NULL (row/hash mismatch vs the oracle), and
+        # ml_delta pins the Jaccard VALUES equal — both sides compute
+        # the same rational over the same distinct-shingle sets, so the
+        # delta is exactly 0.0, not just small. Recall is deterministic
+        # per seed: P(miss) = (1-j)^16 ≤ 2.6e-12 at this corpus's
+        # j ≥ 0.8 pair floor.
+        from bigdata_tag_system_spark.operators.ml_interop import (
+            minhash_lsh_ml_pairs,
+        )
+
+        # certificate, not volume (the ts_asof_cogrouped discipline):
+        # the MLlib pipeline runs on the even-id half of the corpus —
+        # the exact memo restricts to pairs with BOTH endpoints even
+        # (per-pair Jaccard is slice-invariant), and full-corpus parity
+        # is pytest-pinned at sf0.001. The hand-rolled hashed-shingle
+        # path stays the volume plan.
+        exact = _minhash_pairs_05(spark, sf_dir).where(
+            "id_a % 2 = 0 AND id_b % 2 = 0")
+        ml = minhash_lsh_ml_pairs(
+            _t(spark, sf_dir, "documents").where("doc_id % 2 = 0"),
+            threshold=0.5)
+        return (
+            exact.join(ml, ["id_a", "id_b"], "full_outer")
+            .select(
+                "id_a", "id_b",
+                F.round("jaccard", 4).alias("jaccard"),
+                F.round(F.abs(F.col("jaccard") - F.col("ml_jaccard")),
+                        4).alias("ml_delta"))
+            .orderBy("id_a", "id_b")
+        )
+
+    q["ml_minhash_parity"] = ml_minhash_parity
+
+    def ml_quantile_disc(spark, sf_dir):
+        # r13: the second MLlib-surface certificate —
+        # QuantileDiscretizer(relativeError=0.0)/Bucketizer decile
+        # assignment over l_extendedprice, pinned per-bucket against
+        # the hand-rolled percentile_disc-fence twin (ml_n_delta = 0
+        # everywhere; a single row bucketed differently by either side
+        # breaks it). Exact-quantile semantics proven three-way:
+        # measured equal to Spark SQL percentile_disc AND DuckDB
+        # quantile_disc on every size/tie shape probed (r13), which is
+        # what makes the oracle replayable.
+        # relativeError=0.0 exact quantiles collapse the summaries to a
+        # full merge — the CERTIFICATE price, paid over events.value
+        # (not the 6×-larger lineitem); the production path at volume
+        # is a bounded relativeError, which this entry deliberately
+        # does not use because only the exact fit is oracle-replayable
+        from bigdata_tag_system_spark.operators.ml_interop import (
+            quantile_bucket_ml, quantile_bucket_native,
+        )
+
+        ev = _t(spark, sf_dir, "events").select("value")
+        ml = quantile_bucket_ml(ev, "value").groupBy(
+            "bucket").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.min("value"), 2).alias("v_min"),
+                F.round(F.max("value"), 2).alias("v_max"))
+        nat = quantile_bucket_native(ev, "value").groupBy(
+            "bucket").agg(F.count(F.lit(1)).alias("_nn"))
+        return (
+            ml.join(nat, "bucket", "full_outer")
+            .select(
+                "bucket", "n_rows", "v_min", "v_max",
+                (F.col("n_rows") - F.col("_nn")).alias("ml_n_delta"))
+            .orderBy("bucket")
+        )
+
+    q["ml_quantile_disc"] = ml_quantile_disc
+
+    def corpus_build_plan(spark, sf_dir):
+        # r13: the END-TO-END pretraining corpus build — scrub (exact
+        # dedup; 100 planted copies exercise it) → decontaminate
+        # (8-gram benchmark overlap, the long-run rule) → allocate
+        # (per-source TOKEN budgets ∝ tokens^0.5, Hamilton, Σ = 20000
+        # exactly) → select (knuth-hash order under strict budgets) →
+        # per-source accounting ledger. The pieces are individually
+        # certified (dedup_exact_groups, text_contamination,
+        # sample_temperature_alloc, sample_mixture); THIS entry
+        # certifies their composition — where real pipelines break —
+        # with every stage's arithmetic replayed end to end, including
+        # an id-sum checksum pinning WHICH docs were picked.
+        from bigdata_tag_system_spark.operators.sampling import (
+            corpus_build_plan as _cbp,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        bench = d.where("doc_id < 50")
+        corpus = d.where("doc_id >= 50").unionAll(
+            d.where("doc_id >= 50 AND doc_id < 150").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text",
+                "lang", "source", "n_chars"))
+        return _cbp(corpus, bench, token_budget=20000, alpha=0.5,
+                    contamination_ngram=8, min_overlap=1)
+
+    q["corpus_build_plan"] = corpus_build_plan
 
     # -- driver-environment probes (round 6) ------------------------------
     # The r4/r5 driver reds (text_repetition, tpch_q12, customer_cohort_
@@ -15080,6 +15185,164 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN rm r USING (doc_id)
         LEFT JOIN kept k USING (doc_id)
         ORDER BY s.doc_id
+    """
+
+    # End-to-end corpus build replay: every stage in sequence — digest
+    # dedup (min-id winner), 8-gram benchmark contamination, token
+    # counts, sqrt fixed-point Hamilton allocation over TOKEN mass,
+    # knuth-hash-order strict-budget selection — all integer/IEEE-sqrt
+    # arithmetic, composed from the certified per-stage oracle
+    # fragments (dedup_exact_groups / text_contamination /
+    # sample_temperature_alloc / sample_mixture patterns)
+    o["corpus_build_plan"] = f"""
+        WITH corpus AS (
+            SELECT doc_id, text, source FROM documents
+            WHERE doc_id >= 50
+            UNION ALL
+            SELECT doc_id + 1000000, text, source FROM documents
+            WHERE doc_id >= 50 AND doc_id < 150
+        ), base AS (
+            SELECT * FROM corpus
+            WHERE text IS NOT NULL AND source IS NOT NULL
+        ), raw AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+            FROM base GROUP BY source
+        ), digests AS (
+            SELECT doc_id, source, text, md5({_NORM}) AS dg FROM base
+        ), winners AS (
+            SELECT dg, min(doc_id) AS wid FROM digests GROUP BY dg
+        ), surv AS (
+            SELECT d.doc_id, d.source, d.text
+            FROM digests d JOIN winners w ON d.doc_id = w.wid
+        ), after_dedup AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_dedup
+            FROM surv GROUP BY source
+        ), sh_s AS (
+            SELECT doc_id, source, list_distinct(list_transform(
+                range(0, greatest(len(t) - 8, 0) + 1),
+                i -> array_to_string(t[i+1:i+8], ' '))) AS s
+            FROM (SELECT doc_id, source,
+                         string_split({_NORM}, ' ') AS t FROM surv) x
+        ), sh_b AS (
+            SELECT list_distinct(list_transform(
+                range(0, greatest(len(t) - 8, 0) + 1),
+                i -> array_to_string(t[i+1:i+8], ' '))) AS s
+            FROM (SELECT string_split({_NORM}, ' ') AS t
+                  FROM documents
+                  WHERE doc_id < 50 AND text IS NOT NULL) x
+        ), bgrams AS (
+            SELECT DISTINCT unnest(s) AS g FROM sh_b
+        ), hits AS (
+            SELECT DISTINCT c.doc_id
+            FROM (SELECT doc_id, unnest(s) AS g FROM sh_s) c
+            JOIN bgrams b ON c.g = b.g
+        ), clean AS (
+            SELECT s.doc_id, s.source,
+                   CAST(CASE WHEN {_NORM} = '' THEN 0
+                        ELSE len(string_split({_NORM}, ' ')) END
+                        AS BIGINT) AS ntok
+            FROM surv s
+            WHERE s.doc_id NOT IN (SELECT doc_id FROM hits)
+        ), avail AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS docs_avail,
+                   CAST(sum(ntok) AS BIGINT) AS tokens_avail
+            FROM clean GROUP BY source
+        ), wts AS (
+            SELECT source, tokens_avail,
+                   CAST(floor(sqrt(CAST(tokens_avail AS DOUBLE))
+                              * 1000000) AS BIGINT) AS w_fixed
+            FROM avail
+        ), tot AS (
+            SELECT CAST(sum(w_fixed) AS BIGINT) AS w_total FROM wts
+        ), jj AS (
+            SELECT source, w_fixed,
+                   (20000 * w_fixed) // w_total AS base,
+                   (20000 * w_fixed) % w_total AS rem
+            FROM wts, tot
+        ), rr AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY rem DESC, source) AS rk,
+                   (SELECT 20000 - sum(base) FROM jj) AS leftover
+            FROM jj
+        ), alloc AS (
+            SELECT source,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0
+                        END AS BIGINT) AS alloc_tokens
+            FROM rr
+        ), sel AS (
+            SELECT c.source, c.doc_id, c.ntok, a.alloc_tokens,
+                   sum(c.ntok) OVER (
+                       PARTITION BY c.source
+                       ORDER BY ((c.doc_id % 2147483648) * 2654435761)
+                                % 4294967296, c.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+            FROM clean c JOIN alloc a ON c.source = a.source
+        ), picked AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS picked_docs,
+                   CAST(sum(ntok) AS BIGINT) AS picked_tokens,
+                   CAST(sum(doc_id) AS BIGINT) AS picked_id_sum
+            FROM sel WHERE cum <= alloc_tokens GROUP BY source
+        )
+        SELECT r.source, r.n_raw,
+               r.n_raw - coalesce(d.n_dedup, 0) AS n_exact_dups,
+               coalesce(d.n_dedup, 0) - coalesce(v.docs_avail, 0)
+                   AS n_contaminated,
+               coalesce(v.docs_avail, 0) AS docs_avail,
+               coalesce(v.tokens_avail, 0) AS tokens_avail,
+               coalesce(a.alloc_tokens, 0) AS alloc_tokens,
+               coalesce(p.picked_docs, 0) AS picked_docs,
+               coalesce(p.picked_tokens, 0) AS picked_tokens,
+               CAST(CASE WHEN coalesce(a.alloc_tokens, 0) > 0
+                    THEN coalesce(p.picked_tokens, 0) * 10000
+                         // a.alloc_tokens
+                    ELSE 0 END AS BIGINT) AS fill_bp,
+               coalesce(p.picked_id_sum, 0) AS picked_id_sum
+        FROM raw r
+        LEFT JOIN after_dedup d ON r.source = d.source
+        LEFT JOIN avail v ON r.source = v.source
+        LEFT JOIN alloc a ON r.source = a.source
+        LEFT JOIN picked p ON r.source = p.source
+        ORDER BY r.source
+    """
+
+    # MLlib MinHashLSH parity: the replayable truth is the brute-force
+    # shingle-set Jaccard pair set (the same CTE every minhash oracle
+    # replays); the MLlib side is pinned inside the ENTRY (full-outer
+    # join: a missed/extra pair NULLs a row; ml_delta pins the values),
+    # so the oracle expects exactly that pair set with delta 0.0
+    o["ml_minhash_parity"] = f"""
+        SELECT id_a, id_b, jaccard, CAST(0.0 AS DOUBLE) AS ml_delta
+        FROM ({_shingle_pairs_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0")})
+        ORDER BY id_a, id_b
+    """
+
+    # QuantileDiscretizer parity: fences = quantile_disc at i/10
+    # (measured equal to Spark's relativeError=0.0 exact quantiles on
+    # every size/tie shape probed), duplicate fences collapsed, bucket
+    # = count of distinct interior fences <= value (Bucketizer's
+    # right-open placement); ml_n_delta pins the MLlib and native
+    # twins equal inside the entry, so the oracle expects 0
+    o["ml_quantile_disc"] = """
+        WITH v AS (
+            SELECT value AS v FROM events
+            WHERE value IS NOT NULL
+        ), f AS (
+            SELECT list_distinct(quantile_disc(
+                v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]))
+                AS fences
+            FROM v
+        ), b AS (
+            SELECT CAST(len(list_filter(f.fences, x -> x <= v.v))
+                        AS INTEGER) AS bucket,
+                   v.v
+            FROM v, f
+        )
+        SELECT bucket, count(*) AS n_rows,
+               round(min(v), 2) AS v_min, round(max(v), 2) AS v_max,
+               CAST(0 AS BIGINT) AS ml_n_delta
+        FROM b GROUP BY bucket ORDER BY bucket
     """
 
     o["text_udtf_chunks"] = f"""

@@ -588,48 +588,66 @@ def temperature_allocation(
     int64: budget ≤ ~10^5 with w_fixed ≤ 10^12 (n ≤ 10^12 rows/group)
     — beyond that, drop FIXED_SCALE a decade.
     """
+    counts = (df.where(F.col(group_col).isNotNull())
+              .groupBy(F.col(group_col).alias("grp"))
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    return allocate_by_temperature(counts, budget, alpha).orderBy("grp")
+
+
+def allocate_by_temperature(
+    counts: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    grp_col: str = "grp",
+    n_col: str = "n_docs",
+) -> DataFrame:
+    """Hamilton-rounded temperature allocation over an already-
+    aggregated ``(grp, n)`` relation — the machinery of
+    :func:`temperature_allocation`, factored out so callers can
+    allocate over any mass (doc counts there, TOKEN totals in
+    :func:`corpus_build_plan`). Same portability contract: alpha ∈
+    {0.25, 0.5, 0.75} via IEEE-correctly-rounded sqrt composition,
+    fixed-point int64 arithmetic end to end, output sums to ``budget``
+    exactly. All work runs on the per-group relation.
+    """
     from pyspark.sql import Window
 
     FIXED = 1_000_000
     b = int(budget)
     if alpha == 0.5:
-        w_expr = "sqrt(cast(n_docs as double))"
+        w_expr = f"sqrt(cast({n_col} as double))"
     elif alpha == 0.25:
-        w_expr = "sqrt(sqrt(cast(n_docs as double)))"
+        w_expr = f"sqrt(sqrt(cast({n_col} as double)))"
     elif alpha == 0.75:
-        w_expr = ("sqrt(cast(n_docs as double)) "
-                  "* sqrt(sqrt(cast(n_docs as double)))")
+        w_expr = (f"sqrt(cast({n_col} as double)) "
+                  f"* sqrt(sqrt(cast({n_col} as double)))")
     else:
         raise ValueError(
             f"alpha must be one of 0.25, 0.5, 0.75 (IEEE-sqrt-"
             f"composable, engine-portable); got {alpha}")
 
-    counts = (df.where(F.col(group_col).isNotNull())
-              .groupBy(F.col(group_col).alias("grp"))
-              .agg(F.count(F.lit(1)).alias("n_docs")))
     weighted = counts.select(
-        "grp", "n_docs",
+        grp_col, n_col,
         F.expr(f"CAST(floor(({w_expr}) * {FIXED}) AS BIGINT)")
         .alias("w_fixed"))
     tot = weighted.agg(F.sum("w_fixed").alias("w_total"),
                        F.count(F.lit(1)).alias("n_groups"))
     j = weighted.crossJoin(F.broadcast(tot)).select(
-        "grp", "n_docs", "w_fixed",
+        grp_col, n_col, "w_fixed",
         F.expr(f"({b} * w_fixed) DIV w_total").alias("base"),
         F.expr(f"({b} * w_fixed) % w_total").alias("rem"))
     leftover = F.lit(b) - F.sum("base").over(
         Window.partitionBy())  # over the group relation only
     ranked = j.withColumn(
         "_rk", F.row_number().over(
-            Window.orderBy(F.col("rem").desc(), F.col("grp"))))
+            Window.orderBy(F.col("rem").desc(), F.col(grp_col))))
     return (ranked
             .withColumn("_left", leftover)
             .select(
-                "grp", "n_docs", "w_fixed",
+                grp_col, n_col, "w_fixed",
                 (F.col("base")
                  + F.when(F.col("_rk") <= F.col("_left"), 1)
-                 .otherwise(0)).alias("alloc"))
-            .orderBy("grp"))
+                 .otherwise(0)).alias("alloc")))
 
 
 def neyman_allocation(
@@ -867,3 +885,128 @@ def coverage_select(
             .select("s.rank", f"s.{id_col}", "s.gain",
                     "s.covered_total")
             .orderBy("rank"))
+
+
+def corpus_build_plan(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    contamination_ngram: int = 3,
+    min_overlap: int = 2,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """END-TO-END pretraining corpus build: the recipe a training-data
+    job actually runs, composed from the engine's certified primitives
+    into ONE auditable plan — scrub → decontaminate → allocate →
+    select → account. The pieces are individually oracle-certified;
+    the composition is where real pipelines break (an allocation over
+    pre-dedup counts, a selection that ignores the decontamination
+    drop, a budget that silently over/under-fills), so the output is
+    the per-source ACCOUNTING LEDGER with every stage's arithmetic
+    replayable end to end.
+
+    Stages (all deterministic, all integer or IEEE-sqrt arithmetic):
+
+    1. **Scrub** — exact dedup (min-id winner per normalized-text
+       digest, :func:`~.dedup.exact_dedup`); cross-source dup losers
+       are charged to THEIR source's ledger row.
+    2. **Decontaminate** — drop docs sharing ≥ ``min_overlap``
+       distinct ``contamination_ngram``-grams with any benchmark doc
+       (:func:`~.text.ngram_contamination`, benchmark broadcast).
+    3. **Allocate** — per-source TOKEN budgets ∝ tokens^alpha
+       (:func:`allocate_by_temperature` over the post-exclusion token
+       mass — allocating over raw pre-dedup counts is the classic
+       over-weighting bug; Hamilton rounding, Σ = ``token_budget``
+       exactly).
+    4. **Select** — docs in deterministic :func:`knuth_hash` order per
+       source while the running token total stays ≤ the source's
+       allocation (strict budgets, :func:`token_budget_mixture`
+       semantics with the budget joined from stage 3 instead of a
+       literal).
+    5. **Account** — one row per source: raw/removed/available doc
+       counts, available tokens, allocated tokens, picked docs/tokens,
+       fill basis points, and an id-sum checksum pinning WHICH docs
+       were picked.
+
+    Scale shape: one digest shuffle (scrub), one gram join with the
+    benchmark broadcast (decontaminate), per-source aggregates (small
+    relation) for the allocation, and ONE per-source window cum-sum
+    for the selection — the token_budget_mixture caveat applies: a
+    source's rows form one sorted run, so at extreme per-source
+    cardinality switch the selection to the two-level bucketed cumsum.
+    Requires an integral ``id_col`` (portable hash order).
+    """
+    from .dedup import exact_dedup
+    from .text import ngram_contamination
+    from bigdata_tag_system_spark.functions.text import token_count
+
+    if token_budget <= 0:
+        raise ValueError(
+            f"token_budget must be positive, got {token_budget}")
+    base = docs.where(
+        F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+    raw = base.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_raw"))
+
+    survivors = exact_dedup(base, text_col=text_col, id_col=id_col)
+    after_dedup = survivors.groupBy(
+        F.col(source_col).alias("source")).agg(
+            F.count(F.lit(1)).alias("_n_dedup"))
+
+    contaminated = ngram_contamination(
+        survivors, benchmark, n=contamination_ngram,
+        text_col=text_col, id_col=id_col, min_overlap=min_overlap)
+    clean = survivors.join(
+        contaminated.select(id_col), id_col, "left_anti")
+
+    sized = clean.select(
+        F.col(id_col), F.col(source_col).alias("source"),
+        token_count(text_col).cast("long").alias("_ntok"))
+    avail = sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_avail"),
+        F.sum("_ntok").alias("tokens_avail"))
+
+    alloc = allocate_by_temperature(
+        avail.select("source", F.col("tokens_avail").alias("n_docs")),
+        token_budget, alpha, grp_col="source").select(
+            "source", F.col("alloc").alias("alloc_tokens"))
+
+    w = (Window.partitionBy("source")
+         .orderBy(knuth_hash(F.col(id_col)), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    picked = (
+        sized.join(F.broadcast(alloc), "source")
+        .withColumn("_cum", F.sum("_ntok").over(w))
+        .where(F.col("_cum") <= F.col("alloc_tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("picked_docs"),
+             F.sum("_ntok").alias("picked_tokens"),
+             F.sum(id_col).alias("picked_id_sum"))
+    )
+
+    return (
+        raw.join(after_dedup, "source", "left")
+        .join(avail, "source", "left")
+        .join(alloc, "source", "left")
+        .join(picked, "source", "left")
+        .select(
+            "source", "n_raw",
+            (F.col("n_raw") - F.coalesce("_n_dedup", F.lit(0)))
+            .alias("n_exact_dups"),
+            (F.coalesce("_n_dedup", F.lit(0))
+             - F.coalesce("docs_avail", F.lit(0)))
+            .alias("n_contaminated"),
+            F.coalesce("docs_avail", F.lit(0)).alias("docs_avail"),
+            F.coalesce("tokens_avail", F.lit(0)).alias("tokens_avail"),
+            F.coalesce("alloc_tokens", F.lit(0)).alias("alloc_tokens"),
+            F.coalesce("picked_docs", F.lit(0)).alias("picked_docs"),
+            F.coalesce("picked_tokens", F.lit(0)).alias("picked_tokens"),
+            F.when(F.coalesce("alloc_tokens", F.lit(0)) > 0,
+                   F.expr("picked_tokens * 10000 DIV alloc_tokens"))
+            .otherwise(F.lit(0)).cast("long").alias("fill_bp"),
+            F.coalesce("picked_id_sum", F.lit(0)).alias("picked_id_sum"))
+        .orderBy("source")
+    )

@@ -169,6 +169,10 @@ _CATALOG_ALLOW = {
     # largest-remainder rank runs over the per-GROUP relation
     # (≤ #sources rows), never data rows
     "sample_temperature_alloc": ["global_window"],
+    # same Hamilton rank over the per-source relation; the selection
+    # window itself is PARTITIONED by source (the lint hit is the
+    # allocation stage only)
+    "corpus_build_plan": ["global_window"],
     # same Hamilton machinery over the per-stratum relation
     "sample_neyman_alloc": ["global_window"],
     # Pareto deciles are a global revenue ranking by definition (see

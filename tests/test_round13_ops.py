@@ -289,3 +289,208 @@ class TestZoneMapTypeValidation:
                for r in zone_map_report(
                    spark, path, "k", lo=0, hi=10).collect()}
         assert got == {0: (1, 5, 0), 1: (100, 200, 1)}
+
+
+class TestMlInteropMinhash:
+    """r13: the MLlib MinHashLSH pipeline must reproduce the
+    hand-rolled verified pair set exactly — sets AND Jaccard values
+    (both sides compute the same rational over the same
+    distinct-shingle sets)."""
+
+    def test_pair_set_and_values_match_hand_rolled(self, spark, sf_dir):
+        from bigdata_tag_system_spark.operators import dedup as D
+        from bigdata_tag_system_spark.operators.ml_interop import (
+            minhash_lsh_ml_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ml = {(r["id_a"], r["id_b"]): r["ml_jaccard"]
+              for r in minhash_lsh_ml_pairs(docs, threshold=0.5).collect()}
+        ours = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in D.minhash_dedup(docs, threshold=0.5).collect()}
+        assert len(ml) > 0
+        assert set(ml) == set(ours)
+        for k in ml:
+            assert ml[k] == ours[k]  # exact, not approx — same rational
+
+    def test_threshold_boundary_pair_is_kept(self, spark):
+        # two docs with Jaccard exactly 0.5 (6 shared of 12 union
+        # shingles): approxSimilarityJoin's strict dist<th filter would
+        # drop it without the +1e-7 epsilon
+        from bigdata_tag_system_spark.operators.ml_interop import (
+            minhash_lsh_ml_pairs,
+        )
+
+        # 11 tokens each, 9 distinct 3-shingles, 6 shared (the common
+        # 8-token prefix): J = 6/12 = 0.5 exactly. (Brute-force truth,
+        # not the banded twin: at j exactly 0.5 the hand-rolled r=4
+        # banding's recall is only ~0.65 and can deterministically
+        # miss — the catalog entry pins parity at the corpus's j≥0.8
+        # floor where both sides recall 1.0.)
+        common = "alpha beta gamma delta epsilon zeta eta theta"
+        a = common + " iota kappa lambda"
+        b = common + " mu nu xi"
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string")
+        got = minhash_lsh_ml_pairs(df, threshold=0.5).collect()
+        assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+        assert got[0]["ml_jaccard"] == 0.5
+
+
+class TestMlInteropQuantile:
+    """r13: QuantileDiscretizer(relativeError=0.0) assignment is
+    pinned row-level equal to the percentile_disc fence twin."""
+
+    def test_row_level_parity_with_ties(self, spark):
+        from pyspark.sql import functions as F
+        from bigdata_tag_system_spark.operators.ml_interop import (
+            quantile_bucket_ml, quantile_bucket_native,
+        )
+
+        import random
+        random.seed(13)
+        vals = ([round(random.uniform(0, 100), 2) for _ in range(500)]
+                + [42.0] * 77 + [None] * 5)
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v double")
+        m = {r["id"]: r["bucket"]
+             for r in quantile_bucket_ml(df, "v").collect()}
+        n = {r["id"]: r["bucket"]
+             for r in quantile_bucket_native(df, "v").collect()}
+        assert m == n and len(m) == 577  # nulls dropped on both sides
+
+    def test_duplicate_fences_collapse_identically(self, spark):
+        # 90% identical values: most decile fences coincide, Bucketizer
+        # dedupes splits — the native count-of-distinct-fences twin
+        # must land in the same merged buckets
+        from bigdata_tag_system_spark.operators.ml_interop import (
+            quantile_bucket_ml, quantile_bucket_native,
+        )
+
+        vals = [5.0] * 90 + [float(i) for i in range(10)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v double")
+        m = {r["id"]: r["bucket"]
+             for r in quantile_bucket_ml(df, "v").collect()}
+        n = {r["id"]: r["bucket"]
+             for r in quantile_bucket_native(df, "v").collect()}
+        assert m == n
+
+    def test_bucket_counts_are_deciles(self, spark):
+        from pyspark.sql import functions as F
+        from bigdata_tag_system_spark.operators.ml_interop import (
+            quantile_bucket_ml,
+        )
+
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") * 7 % 1000).cast("double").alias("v"))
+        out = quantile_bucket_ml(df, "v")
+        counts = {r["bucket"]: r["count"] for r in
+                  out.groupBy("bucket").count().collect()}
+        assert set(counts) == set(range(10))
+        assert all(abs(c - 100) <= 1 for c in counts.values())
+
+
+class TestCorpusBuildPlan:
+    """r13: the end-to-end corpus build — scrub → decontaminate →
+    allocate → select → account, every stage's arithmetic checked."""
+
+    def _frames(self, spark):
+        # 3 sources; src_a carries an exact dup pair (11/12); doc 20
+        # is a verbatim copy of benchmark doc 1 (contamination); token
+        # masses differ so the temperature allocation is non-trivial
+        corpus = spark.createDataFrame(
+            [(10, "alpha beta gamma delta epsilon zeta eta theta iota",
+              "src_a"),
+             (11, "one two three four five six seven eight nine ten",
+              "src_a"),
+             (12, "one two three four five six seven eight nine ten",
+              "src_a"),                      # exact dup of 11
+             (20, "the quick brown fox jumps over the lazy dog today",
+              "src_b"),                      # == benchmark doc 1
+             (21, "lorem ipsum dolor sit amet consectetur adipiscing",
+              "src_b"),
+             (30, "spark scale shuffle partition broadcast join agg",
+              "src_c"),
+             (31, "window frame row range partition order current",
+              "src_c"),
+             (32, "stream state watermark trigger sink source batch",
+              "src_c")],
+            "doc_id long, text string, source string")
+        bench = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string")
+        return corpus, bench
+
+    def test_ledger_arithmetic(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            corpus_build_plan,
+        )
+
+        corpus, bench = self._frames(spark)
+        out = {r["source"]: r.asDict() for r in corpus_build_plan(
+            corpus, bench, token_budget=30, alpha=0.5,
+            contamination_ngram=8, min_overlap=1).collect()}
+        assert set(out) == {"src_a", "src_b", "src_c"}
+        a, b, c = out["src_a"], out["src_b"], out["src_c"]
+        # scrub: the 11/12 dup pair loses one doc in src_a only
+        assert a["n_exact_dups"] == 1
+        assert b["n_exact_dups"] == c["n_exact_dups"] == 0
+        # decontaminate: doc 20 (verbatim benchmark copy) drops
+        assert b["n_contaminated"] == 1
+        assert a["n_contaminated"] == c["n_contaminated"] == 0
+        assert b["docs_avail"] == 1
+        # allocate: Hamilton sums to the budget exactly
+        assert sum(r["alloc_tokens"] for r in out.values()) == 30
+        # select: strict budgets, never exceeded
+        for r in out.values():
+            assert r["picked_tokens"] <= r["alloc_tokens"]
+            assert 0 <= r["fill_bp"] <= 10000
+
+    def test_dup_loser_is_never_picked(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            corpus_build_plan,
+        )
+
+        corpus, bench = self._frames(spark)
+        out = {r["source"]: r for r in corpus_build_plan(
+            corpus, bench, token_budget=1000, alpha=0.5,
+            contamination_ngram=8, min_overlap=1).collect()}
+        # budget >> corpus: every available doc is picked; src_a's
+        # id-sum must include winner 11, never loser 12
+        a = out["src_a"]
+        assert a["picked_docs"] == a["docs_avail"] == 2
+        assert a["picked_id_sum"] == 10 + 11
+
+    def test_budget_validation(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            corpus_build_plan,
+        )
+
+        corpus, bench = self._frames(spark)
+        with pytest.raises(ValueError, match="token_budget"):
+            corpus_build_plan(corpus, bench, token_budget=0)
+
+    def test_allocation_favors_big_sources_sublinearly(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            allocate_by_temperature,
+        )
+
+        counts = spark.createDataFrame(
+            [("big", 10000), ("small", 100)], "grp string, n_docs long")
+        got = {r["grp"]: r["alloc"] for r in allocate_by_temperature(
+            counts, 1000, alpha=0.5).collect()}
+        assert got["big"] + got["small"] == 1000
+        # proportional would give small ~10; sqrt temp gives ~91
+        assert got["small"] > 50
+
+    def test_temperature_allocation_unchanged_by_refactor(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            temperature_allocation,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(90)], "id long, src string")
+        out = {r["grp"]: r["alloc"]
+               for r in temperature_allocation(df, "src", 30).collect()}
+        assert sum(out.values()) == 30 and set(out) == {"s0", "s1", "s2"}
