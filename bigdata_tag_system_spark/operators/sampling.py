@@ -939,74 +939,103 @@ def corpus_build_plan(
     cardinality switch the selection to the two-level bucketed cumsum.
     Requires an integral ``id_col`` (portable hash order).
     """
-    from .dedup import exact_dedup
+    from .dedup import _row_digest
     from .text import ngram_contamination
     from bigdata_tag_system_spark.functions.text import token_count
 
     if token_budget <= 0:
         raise ValueError(
             f"token_budget must be positive, got {token_budget}")
+    # ANNOTATED-FLAGS shape: one per-doc relation carries every stage's
+    # verdict (dup loser? contaminated? picked?), so the final ledger
+    # is ONE conditional aggregate — the naive formulation (join five
+    # aggregates of five increasingly-filtered relations) re-derives
+    # the scrub+decontaminate subplan once per ledger column branch,
+    # which at corpus scale re-tokenizes the corpus ~4× for nothing.
     base = docs.where(
-        F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
-    raw = base.groupBy(F.col(source_col).alias("source")).agg(
-        F.count(F.lit(1)).alias("n_raw"))
-
-    survivors = exact_dedup(base, text_col=text_col, id_col=id_col)
-    after_dedup = survivors.groupBy(
-        F.col(source_col).alias("source")).agg(
-            F.count(F.lit(1)).alias("_n_dedup"))
-
-    contaminated = ngram_contamination(
-        survivors, benchmark, n=contamination_ngram,
-        text_col=text_col, id_col=id_col, min_overlap=min_overlap)
-    clean = survivors.join(
-        contaminated.select(id_col), id_col, "left_anti")
-
-    sized = clean.select(
+        F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
+    ).select(
         F.col(id_col), F.col(source_col).alias("source"),
-        token_count(text_col).cast("long").alias("_ntok"))
-    avail = sized.groupBy("source").agg(
-        F.count(F.lit(1)).alias("docs_avail"),
-        F.sum("_ntok").alias("tokens_avail"))
+        F.col(text_col),
+        token_count(text_col).cast("long").alias("_ntok"),
+        _row_digest(text_col, id_col).alias("_dg"))
 
+    winners = base.groupBy("_dg").agg(F.min(id_col).alias("_wid"))
+    ann = (
+        base.join(winners, "_dg")
+        .withColumn("_survivor", (F.col(id_col) == F.col("_wid"))
+                    .cast("int"))
+        .drop("_dg", "_wid")
+    )
+    # contamination runs over SURVIVORS only (a dup loser's grams are
+    # its winner's grams — screening it twice would double-charge)
+    cont_ids = ngram_contamination(
+        ann.where("_survivor = 1").select(id_col, text_col),
+        benchmark, n=contamination_ngram,
+        text_col=text_col, id_col=id_col, min_overlap=min_overlap
+    ).select(F.col(id_col), F.lit(1).alias("_cont"))
+    ann = (
+        ann.join(F.broadcast(cont_ids), id_col, "left")
+        .withColumn(
+            "_clean",
+            ((F.col("_survivor") == 1) & F.col("_cont").isNull())
+            .cast("int"))
+        .drop(text_col)
+    )
+
+    # sources with ZERO clean docs stay out of the allocator (they
+    # have no selectable mass; a Hamilton leftover seat parked on one
+    # would be unfillable) — they re-enter the ledger with alloc 0
+    avail = ann.groupBy("source").agg(
+        F.sum("_clean").alias("_docs_clean"),
+        F.sum(F.col("_ntok") * F.col("_clean")).alias("tokens_avail"),
+    ).where(F.col("_docs_clean") > 0)
     alloc = allocate_by_temperature(
         avail.select("source", F.col("tokens_avail").alias("n_docs")),
         token_budget, alpha, grp_col="source").select(
             "source", F.col("alloc").alias("alloc_tokens"))
 
+    # flagged running sum ≡ the cumsum over the filtered clean relation
+    # (dirty rows contribute 0), so selection needs no second filtered
+    # window input — one shuffle on source covers annotate + select
     w = (Window.partitionBy("source")
          .orderBy(knuth_hash(F.col(id_col)), F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    picked = (
-        sized.join(F.broadcast(alloc), "source")
-        .withColumn("_cum", F.sum("_ntok").over(w))
-        .where(F.col("_cum") <= F.col("alloc_tokens"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("picked_docs"),
-             F.sum("_ntok").alias("picked_tokens"),
-             F.sum(id_col).alias("picked_id_sum"))
+    sel = (
+        ann.join(F.broadcast(alloc), "source", "left")
+        .withColumn("alloc_tokens",
+                    F.coalesce("alloc_tokens", F.lit(0)))
+        .withColumn("_cum",
+                    F.sum(F.col("_ntok") * F.col("_clean")).over(w))
+        .withColumn(
+            "_picked",
+            ((F.col("_clean") == 1)
+             & (F.col("_cum") <= F.col("alloc_tokens"))).cast("int"))
     )
 
     return (
-        raw.join(after_dedup, "source", "left")
-        .join(avail, "source", "left")
-        .join(alloc, "source", "left")
-        .join(picked, "source", "left")
-        .select(
-            "source", "n_raw",
-            (F.col("n_raw") - F.coalesce("_n_dedup", F.lit(0)))
-            .alias("n_exact_dups"),
-            (F.coalesce("_n_dedup", F.lit(0))
-             - F.coalesce("docs_avail", F.lit(0)))
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.lit(1) - F.col("_survivor")).alias("n_exact_dups"),
+            F.sum(F.col("_survivor") - F.col("_clean"))
             .alias("n_contaminated"),
-            F.coalesce("docs_avail", F.lit(0)).alias("docs_avail"),
-            F.coalesce("tokens_avail", F.lit(0)).alias("tokens_avail"),
-            F.coalesce("alloc_tokens", F.lit(0)).alias("alloc_tokens"),
-            F.coalesce("picked_docs", F.lit(0)).alias("picked_docs"),
-            F.coalesce("picked_tokens", F.lit(0)).alias("picked_tokens"),
-            F.when(F.coalesce("alloc_tokens", F.lit(0)) > 0,
+            F.sum("_clean").alias("docs_avail"),
+            F.sum(F.col("_ntok") * F.col("_clean"))
+            .alias("tokens_avail"),
+            F.first("alloc_tokens").alias("alloc_tokens"),
+            F.sum("_picked").alias("picked_docs"),
+            F.sum(F.col("_ntok") * F.col("_picked"))
+            .alias("picked_tokens"),
+            F.sum(F.col(id_col) * F.col("_picked"))
+            .alias("picked_id_sum"))
+        .select(
+            "source", "n_raw", "n_exact_dups", "n_contaminated",
+            "docs_avail", "tokens_avail", "alloc_tokens",
+            "picked_docs", "picked_tokens",
+            F.when(F.col("alloc_tokens") > 0,
                    F.expr("picked_tokens * 10000 DIV alloc_tokens"))
             .otherwise(F.lit(0)).cast("long").alias("fill_bp"),
-            F.coalesce("picked_id_sum", F.lit(0)).alias("picked_id_sum"))
+            "picked_id_sum")
         .orderBy("source")
     )
