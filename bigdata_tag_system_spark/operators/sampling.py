@@ -946,6 +946,11 @@ def corpus_build_plan(
     if token_budget <= 0:
         raise ValueError(
             f"token_budget must be positive, got {token_budget}")
+    # enforce (not just document) the integral-id contract: the knuth
+    # selection order casts to long, and a string id would silently
+    # hash to NULL — one arbitrary-order branch instead of the
+    # deterministic shuffle the ledger's checksum certifies
+    _pick_hash(docs, id_col, portable=True)
     # ANNOTATED-FLAGS shape: one per-doc relation carries every stage's
     # verdict (dup loser? contaminated? picked?), so the final ledger
     # is ONE conditional aggregate — the naive formulation (join five

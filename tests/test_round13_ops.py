@@ -494,3 +494,15 @@ class TestCorpusBuildPlan:
         out = {r["grp"]: r["alloc"]
                for r in temperature_allocation(df, "src", 30).collect()}
         assert sum(out.values()) == 30 and set(out) == {"s0", "s1", "s2"}
+
+    def test_string_id_rejected(self, spark):
+        from bigdata_tag_system_spark.operators.sampling import (
+            corpus_build_plan,
+        )
+
+        corpus = spark.createDataFrame(
+            [("a", "x y z", "s1")], "doc_id string, text string, source string")
+        bench = spark.createDataFrame(
+            [(1, "q")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="integral"):
+            corpus_build_plan(corpus, bench, token_budget=10)
