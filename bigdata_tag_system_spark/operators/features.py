@@ -834,7 +834,10 @@ def target_encode(
     cf = df.groupBy(category_col, fold_col).agg(
         F.sum(label_col).alias("_s"),
         F.count(label_col).alias("_c"),
-    )
+    # the (category, fold) stats feed FOUR consumers (category totals,
+    # global totals, fold totals, the stats join) — lazy-checkpoint so
+    # the fact-table aggregation runs once, not per consumer
+    ).localCheckpoint(eager=False)
     cat_tot = cf.groupBy(category_col).agg(
         F.sum("_s").alias("_cs"), F.sum("_c").alias("_cc"))
     glob = cf.agg(F.sum("_s").alias("_gs"), F.sum("_c").alias("_gc"))

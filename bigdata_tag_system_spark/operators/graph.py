@@ -50,20 +50,26 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("_u"), F.col(dst).alias("_v"), w.alias("_w"))
     out_tot = e.groupBy("_u").agg(F.sum("_w").alias("_out"))
-    # NOT persisted, deliberately: unlike bfs_depths, this loop issues
-    # no per-round action — all `iterations` rounds compile into ONE
-    # job, and Spark's ReusedExchange already dedupes the repeated edge
-    # subtree inside it (measured: repartition+persist+eager-checkpoint
-    # made the sf0.1 bench 18% SLOWER for zero recompute saved)
+    # LAZY-checkpoint the two loop-invariant relations so every round
+    # references a truncated leaf instead of the full scan→agg→join
+    # subtree. Without this, round k's ranks plan embeds k copies of
+    # the edge derivation: the r13 baseline plan held 100 parquet scans
+    # and analysis alone cost ~4s of the query's 4.4s (ReusedExchange
+    # dedupes the EXECUTION, but the driver still re-analyzes the
+    # growing tree on every transformation). eager=False keeps the
+    # whole query one job — the checkpoints materialize inside the
+    # final action (an earlier EAGER checkpoint + repartition + persist
+    # variant measured 18% slower from the extra per-relation jobs).
     e = e.join(out_tot, "_u").select(
-        "_u", "_v", (F.col("_w") / F.col("_out")).alias("_p"))
+        "_u", "_v", (F.col("_w") / F.col("_out")).alias("_p"),
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_u").alias("node"))
         .union(e.select(F.col("_v").alias("node")))
         .distinct()
     )
     n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    nodes = nodes.crossJoin(F.broadcast(n_row))
+    nodes = nodes.crossJoin(F.broadcast(n_row)).localCheckpoint(eager=False)
     ranks = nodes.select(
         "node", "_n", (F.lit(1.0) / F.col("_n")).alias("rank"))
     base = F.lit(1.0 - damping) / F.col("_n")
@@ -286,11 +292,17 @@ def resolve_hierarchy(
     ``max_rounds`` — a forest is a precondition, not an assumption.
     Returns (node, root, depth).
     """
+    # e feeds roots (twice) and the pointer base; roots feeds the base
+    # and the per-round convergence probe — lazy-checkpoint both so the
+    # edge derivation and the root anti-join are computed once, not
+    # re-executed inside every round's probe job
     e = edges.select(
-        F.col(child).alias("_n"), F.col(parent).alias("_a"))
+        F.col(child).alias("_n"), F.col(parent).alias("_a"),
+    ).localCheckpoint(eager=False)
     roots = (
         e.select(F.col("_a").alias("_n")).distinct()
-        .join(e.select("_n").distinct(), "_n", "left_anti"))
+        .join(e.select("_n").distinct(), "_n", "left_anti")
+    ).localCheckpoint(eager=False)
     m = e.select("_n", "_a", F.lit(1).cast("long").alias("_d")).unionByName(
         roots.select("_n", F.col("_n").alias("_a"),
                      F.lit(0).cast("long").alias("_d")))
@@ -441,14 +453,13 @@ def kcore(
         prev_live = None
         for _ in range(max_rounds):
             deg = live.groupBy("_u").agg(F.count(F.lit(1)).alias("degree"))
-            # this eager checkpoint is the ONE job of the round: it
-            # materializes `live` (the previous round's anti-join) into
-            # its persist and aggregates degrees in the same pass — only
-            # now is the previous round's input safe to drop
-            deg = deg.localCheckpoint(eager=True)
-            if prev_live is not None:
-                prev_live.unpersist()
-                prev_live = None
+            # LAZY checkpoint fused with the decision aggregate below:
+            # the collect is the ONE job of the round — it materializes
+            # `live` (the previous round's anti-join) into its persist,
+            # the degree checkpoint, and the round's (kept, removed)
+            # decision in a single scheduled pass (the earlier eager
+            # variant paid a second job per round just to materialize)
+            deg = deg.localCheckpoint(eager=False)
             keep = deg.where(F.col("degree") >= k)
             # ONE action per decision: (surviving, removed) in a single
             # aggregate over the checkpointed degrees — two .count()
@@ -458,6 +469,12 @@ def kcore(
                 F.sum(F.when(F.col("degree") >= k, 1).otherwise(0)),
                 F.sum(F.when(F.col("degree") < k, 1).otherwise(0)),
             ).collect()
+            # only now — after the job above materialized live+deg — is
+            # the previous round's input safe to drop (unpersisting it
+            # earlier would force the whole peel chain to recompute)
+            if prev_live is not None:
+                prev_live.unpersist()
+                prev_live = None
             n, n_removed = int(n or 0), int(n_removed or 0)
             if n == n_prev or n == 0:
                 return keep.select(F.col("_u").alias("node"), "degree")
@@ -565,7 +582,10 @@ def edge_common_neighbors(
     per-edge credit aggregation run here.
     """
     e = _canonical_edges(edges, src, dst)
-    deg = _degrees(e)
+    # deg feeds both endpoint joins (and the wedge orientation when
+    # triangles are derived here) — lazy-checkpoint so the edge scan +
+    # degree shuffle run once, not per consumer
+    deg = _degrees(e).localCheckpoint(eager=False)
     tri = triangles if triangles is not None else _oriented_triangles(e, deg)
     # credit each triangle (u, x, y) to its three canonical edges
     te = tri.select(F.explode(F.array(
@@ -613,11 +633,16 @@ def degree_assortativity(
     single float division happens once at the end. Returns one row:
     (n_nodes, n_edges, assortativity).
     """
-    e = _canonical_edges(edges, src, dst)
-    deg = _degrees(e)
+    # e feeds the degree agg, both endpoint joins and the edge count;
+    # deg feeds both join sides and the node count — lazy-checkpoint
+    # each so the canonical-edge distinct and the degree shuffle run
+    # once instead of per consumer (one job either way; the r13
+    # baseline plan re-derived the edge scan 26 times)
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = _degrees(e).localCheckpoint(eager=False)
     da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
     db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
-    ed = e.join(da, "_a").join(db, "_b")
+    ed = e.join(da, "_a").join(db, "_b").localCheckpoint(eager=False)
     sym = ed.select(F.col("_da").alias("x"), F.col("_db").alias("y")) \
         .unionAll(ed.select(F.col("_db").alias("x"),
                             F.col("_da").alias("y")))

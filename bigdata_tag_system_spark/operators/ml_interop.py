@@ -76,6 +76,9 @@ def minhash_lsh_ml_pairs(
         _shingle_df(df.where(F.col(text_col).isNotNull()),
                     text_col, id_col, shingle_n)
         .where(F.size("_sh") > 0)
+        # the shingle relation feeds CountVectorizer.fit AND transform —
+        # lazy-checkpoint so tokenize→shingle runs once, not per pass
+        .localCheckpoint(eager=False)
     )
     cv = CountVectorizer(
         inputCol="_sh", outputCol="features", binary=True,

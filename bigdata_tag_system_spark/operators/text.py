@@ -878,7 +878,11 @@ def bigram_lm_scores(
     c2 = c2.select(
         "_bg", "_c2",
         F.substring_index(F.col("_bg"), " ", 1).alias("_w1"),
-        F.substring_index(F.col("_bg"), " ", -1).alias("_w2"))
+        F.substring_index(F.col("_bg"), " ", -1).alias("_w2"),
+    # the transition table feeds THREE consumers (score join, history
+    # totals, follower vocab) — lazy-checkpoint so the bigram count
+    # aggregation runs once, not per consumer
+    ).localCheckpoint(eager=False)
     c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
     v = c2.agg(F.countDistinct("_w2").alias("_v"))
     logp = F.log(
@@ -1250,6 +1254,11 @@ def tfidf_cosine_topk(
             F.expr(f"tf * ((n_docs * {int(idf_scale)}) DIV df)")
             .alias("_w"),
         )
+        # postings feed THREE consumers (norms + both join sides) —
+        # lazy-checkpoint so the tokenize→tf→df→idf chain is computed
+        # and analyzed once, not per consumer (stays one job; the
+        # checkpoint materializes inside the final action)
+        .localCheckpoint(eager=False)
     )
     norms = posts.groupBy(id_col).agg(
         F.sum(F.col("_w") * F.col("_w")).alias("_norm"))
@@ -1274,6 +1283,9 @@ def tfidf_cosine_topk(
                       * F.col("_nb").cast("double"))).alias("_cos"),
         )
     )
+    # scored is consumed twice (both orientations of the symmetric
+    # union) — checkpoint so the pair join+agg runs once
+    scored = scored.localCheckpoint(eager=False)
     sym = scored.unionAll(scored.select(
         F.col("_ib").alias("_ia"), F.col("_ia").alias("_ib"), "_cos"))
     w = Window.partitionBy("_ia").orderBy(F.desc("_cos"), F.asc("_ib"))
@@ -1382,7 +1394,11 @@ def bigram_lm_cross_scores(
     c2 = c2.select(
         "_bg", "_c2",
         F.substring_index(F.col("_bg"), " ", 1).alias("_w1"),
-        F.substring_index(F.col("_bg"), " ", -1).alias("_w2"))
+        F.substring_index(F.col("_bg"), " ", -1).alias("_w2"),
+    # the transition table feeds THREE consumers (score join, history
+    # totals, follower vocab) — lazy-checkpoint so the bigram count
+    # aggregation runs once, not per consumer
+    ).localCheckpoint(eager=False)
     c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
     v = c2.agg(F.countDistinct("_w2").alias("_v"))
     sb = _bigrams(score_df).select(

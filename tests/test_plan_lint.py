@@ -138,6 +138,24 @@ _CATALOG_ALLOW = {
     "graph_kcore": ["rdd_scan"],
     # LPA labels are localCheckpoint-ed per round, same loop discipline
     "graph_lpa_communities": ["rdd_scan"],
+    # r13: the reused degree/edge relations are lazy-localCheckpoint-ed
+    # so the edge scan + degree shuffle run once, not per consumer
+    # (operators/graph.py degree_assortativity / edge_common_neighbors)
+    "graph_assortativity": ["rdd_scan"],
+    "graph_edge_jaccard": ["rdd_scan"],
+    # r13: postings + pair-score relations feed multiple consumers;
+    # lazy-checkpointed once each (operators/text.py tfidf_cosine_topk)
+    "sim_tfidf_cosine": ["rdd_scan"],
+    # r13: the bigram transition table feeds three consumers —
+    # lazy-checkpointed (operators/text.py bigram_lm_[cross_]scores)
+    "text_bigram_lm": ["rdd_scan"],
+    "text_cross_ppl": ["rdd_scan"],
+    # r13: (category, fold) stats feed four consumers —
+    # lazy-checkpointed (operators/features.py target_encode)
+    "feat_target_encode": ["rdd_scan"],
+    # r13: the shingle relation feeds CountVectorizer fit + transform —
+    # lazy-checkpointed (operators/ml_interop.py minhash_lsh_ml_pairs)
+    "ml_minhash_parity": ["rdd_scan"],
     # text_udtf_chunks IS the documented §2.10 slow-path demo: a Python
     # UDTF is by definition a per-row Python round-trip; the catalog
     # keeps exactly one such entry, with the native chunker as the
