@@ -1658,6 +1658,14 @@ def idf_weighted_rescore(
                  .alias("_w")))
 
     base = pairs.select("id_a", "id_b")
+    # only docs that appear in a candidate pair matter for the per-pair
+    # shingle sets — semi-join-reduce the exploded shingle relation and
+    # lazy-checkpoint it, so the corpus-wide explode runs once (for the
+    # document frequencies) and the pair-side explode once (reduced),
+    # instead of three full corpus passes
+    pair_ids = base.select(F.col("id_a").alias("_id")).unionByName(
+        base.select(F.col("id_b").alias("_id"))).distinct()
+    sh = sh.join(pair_ids, "_id", "left_semi").localCheckpoint(eager=False)
     a_sh = base.join(sh.withColumnRenamed("_id", "id_a"), "id_a") \
         .select("id_a", "id_b", "_s",
                 F.lit(1).alias("_ina"), F.lit(0).alias("_inb"))

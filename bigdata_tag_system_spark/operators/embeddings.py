@@ -1025,7 +1025,11 @@ def srp_candidate_pairs(
         F.col(id_col), v.alias("_v"),
         F.sqrt(F.aggregate(v, F.lit(0.0), lambda a_, x: a_ + x * x))
         .alias("_n"),
-        srp_signature(vec_col, hyperplanes).alias("_sig"))
+        srp_signature(vec_col, hyperplanes).alias("_sig"),
+    # base feeds THREE consumers (band explode + both verify sides) —
+    # lazy-checkpoint so the interpreted n_bits-plane signature fold
+    # and the norm run once per row, not once per consumer
+    ).localCheckpoint(eager=False)
     chunk = F.explode(F.array(*[
         F.struct(
             F.lit(i).alias("chunk_id"),

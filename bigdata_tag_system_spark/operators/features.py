@@ -1042,7 +1042,11 @@ def abc_xyz_classes(
         F.sum("_rev").alias("rev"),
         F.count(F.lit(1)).alias("_n"),
         F.sum("_q").alias("_sq"),
-        F.sum(F.col("_q") * F.col("_q")).alias("_sq2"))
+        F.sum(F.col("_q") * F.col("_q")).alias("_sq2"),
+    # the per-item moments feed the revenue total AND the ranked
+    # window — lazy-checkpoint so the two-level fact aggregation runs
+    # once, not per consumer
+    ).localCheckpoint(eager=False)
     w = Window.orderBy(F.col("rev").desc(), F.col("_k")) \
         .rowsBetween(Window.unboundedPreceding, 0)
     tot = per_item.agg(F.sum("rev").alias("_tot"))
@@ -1395,7 +1399,11 @@ def markov_attribution(
         .over(w_s_all)
     rows = sess.select("_u", "_sid", "_t", "_ts", "_id",
                        rn.alias("_rn"))
-    rows = rows.select("*", conv_rn.alias("_conv_rn"))
+    # rows feeds the kept prefix (twice, via step/last edges) and the
+    # empty-conversion probe — lazy-checkpoint so the three-window
+    # sessionize chain over the fact table runs once, not three times
+    rows = rows.select("*", conv_rn.alias("_conv_rn")) \
+        .localCheckpoint(eager=False)
     kept = rows.where(F.col("_conv_rn").isNull()
                       | (F.col("_rn") < F.col("_conv_rn")))
     term = F.when(F.col("_conv_rn").isNotNull(), F.lit("CONV")) \

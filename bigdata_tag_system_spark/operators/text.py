@@ -321,16 +321,23 @@ def bm25_topk(
         raise ValueError("bm25_topk needs at least one query term")
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), tokens(text_col).alias("_t"))
+    # lens feeds the corpus stats AND the score join; tf feeds the
+    # per-term document frequencies AND the score join — each consumer
+    # re-executed its tokenize pass (4 total). Lazy-checkpoint the two
+    # NARROW relations ((id, len) and (id, term, tf)) so the corpus is
+    # tokenized twice, never four times; the wide token arrays
+    # themselves are deliberately not materialized.
     lens = base.select(
         F.col(id_col),
         F.when(F.array_join("_t", "") == "", F.lit(0))
-        .otherwise(F.size("_t")).alias("_len"))
+        .otherwise(F.size("_t")).alias("_len")).localCheckpoint(eager=False)
     stats = lens.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_len").alias("_avgdl"))
     terms = base.select(
         F.col(id_col), F.explode("_t").alias("_term")
     ).where(F.col("_term").isin(list(query_terms)))
-    tf = terms.groupBy(id_col, "_term").agg(F.count(F.lit(1)).alias("_tf"))
+    tf = terms.groupBy(id_col, "_term").agg(
+        F.count(F.lit(1)).alias("_tf")).localCheckpoint(eager=False)
     dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
         (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0)
@@ -651,7 +658,10 @@ def tfidf_top_terms(
     a cross join of a 1-row frame (Spark broadcasts it).
     """
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the document-frequency aggregate AND the score join —
+    # lazy-checkpoint so tokenize+explode+count runs once, not twice
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -1197,6 +1207,10 @@ def cdc_chunk_stats(
                 lambda s: s["_tok"],
             ), " ")).alias("_h"),
     )
+    # the chunk relation feeds the hot-chunk census AND the coverage
+    # join — lazy-checkpoint so the posexplode→window→collect chain
+    # runs once, not twice
+    chunks = chunks.localCheckpoint(eager=False)
     hot = chunks.groupBy("_h").agg(
         F.countDistinct(id_col).alias("_docs"))
     joined = chunks.join(hot, "_h")

@@ -156,6 +156,29 @@ _CATALOG_ALLOW = {
     # r13: the shingle relation feeds CountVectorizer fit + transform —
     # lazy-checkpointed (operators/ml_interop.py minhash_lsh_ml_pairs)
     "ml_minhash_parity": ["rdd_scan"],
+    # r13: further multiply-consumed relations lazy-checkpointed at
+    # their operators (same pattern, documented at each site):
+    # bm25's narrow (id,len)/(id,term,tf) relations (text.py bm25_topk)
+    "text_bm25_topk": ["rdd_scan"],
+    # tf feeds document frequencies + score join (text.py)
+    "text_tfidf_top_terms": ["rdd_scan"],
+    # chunk relation feeds hot census + coverage join (text.py)
+    "text_cdc_chunks": ["rdd_scan"],
+    # basket relation feeds count/item/self-join consumers (entry)
+    "orders_assoc_rules": ["rdd_scan"],
+    # SRP base feeds band explode + both verify sides (embeddings.py)
+    "emb_srp_pairs": ["rdd_scan"],
+    # scored corpus feeds exact top-10 + four nprobe configs (entry)
+    "sim_nprobe_recall_curve": ["rdd_scan"],
+    # sessionized rows feed kept-prefix edges + empty-conv probe
+    # (features.py markov_attribution)
+    "events_markov_attribution": ["rdd_scan"],
+    # pair-reduced shingle relation feeds both join sides (dedup.py
+    # idf_weighted_rescore)
+    "dedup_idf_jaccard": ["rdd_scan"],
+    # quantity distribution materialized once, probed by the script's
+    # driver loop (entry func_sql_scripting)
+    "func_sql_scripting": ["rdd_scan"],
     # text_udtf_chunks IS the documented §2.10 slow-path demo: a Python
     # UDTF is by definition a per-row Python round-trip; the catalog
     # keeps exactly one such entry, with the native chunker as the
@@ -169,7 +192,8 @@ _CATALOG_ALLOW = {
     # (sketch_hist_quantiles — cumulative pass over the MERGED ≤64-row
     # histogram — carries global_window in the bnl_join block below)
     "sample_shuffle_order": ["global_window"],
-    "sim_hybrid_rrf": ["global_window"],
+    "sim_hybrid_rrf": ["global_window", "rdd_scan"],  # r13: bm25's
+    # checkpointed narrow relations ride into the fused plan
     # the RANGE window merges PER-BUCKET sketches — one row per day,
     # bounded by the calendar, not by fact volume
     "sketch_hll_sliding": ["global_window"],
@@ -229,7 +253,8 @@ _CATALOG_ALLOW = {
     "ts_theil_sen": ["global_window", "bnl_join", "cartesian"],
     # ABC is a Pareto ranking of the ITEM dimension by definition —
     # same class as customer_revenue_concentration
-    "orders_abc_xyz": ["global_window"],
+    "orders_abc_xyz": ["global_window", "rdd_scan"],  # r13: per-item
+    # moments checkpointed (feed total + ranked window)
     # the skyline running-max window runs over the DISTINCT-x relation
     # (per-x max(y) aggregate output), never input rows — same
     # dimension-ranking class as customer_revenue_concentration
