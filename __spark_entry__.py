@@ -5073,7 +5073,10 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair set is the LSH-verified exact-Jaccard set
         d = _t(spark, sf_dir, "documents")
         pairs = D.minhash_dedup(
-            d, threshold=0.5, num_hashes=32, bands=16)
+            d, threshold=0.5, num_hashes=32, bands=16,
+        ).localCheckpoint(eager=False)
+        # ^ the LSH+verify chain feeds both sides of the id union —
+        # one pair computation, not two
         dup_ids = (
             pairs.select(F.col("id_a").alias("doc_id"))
             .union(pairs.select(F.col("id_b").alias("doc_id")))
@@ -6468,6 +6471,9 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(F.broadcast(r), "n_regionkey")
             .groupBy("region", "nation")
             .agg(F.sum("cents").alias("cents"))
+            # feeds the region rollup AND the share join — one fact
+            # aggregate, not two
+            .localCheckpoint(eager=False)
         )
         per_region = per_nation.groupBy("region").agg(
             F.sum("cents").alias("region_cents"))
@@ -7211,7 +7217,8 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zero-filled daily event-count series (calendar-bounded)
         ev = _t(spark, sf_dir, "events").groupBy(
             F.to_date("ts").alias("day")).agg(
-            F.count(F.lit(1)).alias("x"))
+            F.count(F.lit(1)).alias("x")).localCheckpoint(eager=False)
+        # ^ feeds the range probe AND the calendar join — one fact scan
         rng = ev.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
         cal = rng.select(
             F.explode(F.sequence("_lo", "_hi")).alias("day"))

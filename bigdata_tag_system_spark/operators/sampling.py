@@ -965,12 +965,18 @@ def corpus_build_plan(
         token_count(text_col).cast("long").alias("_ntok"),
         _row_digest(text_col, id_col).alias("_dg"))
 
+    # base feeds the digest-winner aggregate AND the annotate join —
+    # lazy-checkpoint so the tokenize+digest projection runs once
+    base = base.localCheckpoint(eager=False)
     winners = base.groupBy("_dg").agg(F.min(id_col).alias("_wid"))
     ann = (
         base.join(winners, "_dg")
         .withColumn("_survivor", (F.col(id_col) == F.col("_wid"))
                     .cast("int"))
         .drop("_dg", "_wid")
+        # ann feeds the contamination screen AND the clean-flag join —
+        # checkpoint before forking (still carries text; dropped below)
+        .localCheckpoint(eager=False)
     )
     # contamination runs over SURVIVORS only (a dup loser's grams are
     # its winner's grams — screening it twice would double-charge)
@@ -986,6 +992,10 @@ def corpus_build_plan(
             ((F.col("_survivor") == 1) & F.col("_cont").isNull())
             .cast("int"))
         .drop(text_col)
+        # the annotated (narrow, text-free) relation feeds the
+        # allocator aggregate AND the selection window — checkpoint so
+        # the scrub+decontaminate chain is computed once end to end
+        .localCheckpoint(eager=False)
     )
 
     # sources with ZERO clean docs stay out of the allocator (they

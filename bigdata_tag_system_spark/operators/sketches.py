@@ -540,7 +540,11 @@ def kmv_intersect_check(
         F.when(F.col("_n") < k, F.col("_n").cast("double"))
         .otherwise(F.lit(float(k - 1)) * F.lit(scale) / F.col("_kth"))
         .alias("_est"),
-    )
+    # the ≤2-row per-group sketch feeds FOUR consumers (each group's
+    # seeded relation is read by the union-merge explode AND the
+    # estimate broadcast) — lazy-checkpoint so the distinct → salted
+    # bottom-k windows → collect_set chain runs once, not four times
+    ).localCheckpoint(eager=False)
     # seed each requested group with a guaranteed row: a group with no
     # rows in df must report est 0.0 / empty sketch, not annihilate the
     # whole report through the 1-row cross joins below (reviewed r5)

@@ -659,11 +659,14 @@ def seasonal_decompose(
         .alias("phase"),
         F.when(F.count(F.lit(1)).over(w) == period,
                F.avg(x).over(w)).alias("_trend"))
+    # det feeds the seasonal means AND the residual join; both are
+    # calendar-bounded — lazy-checkpoint so the trend window over the
+    # series runs once, not per consumer
     det = t.select("phase", (F.col("_x") - F.col("_trend")).alias("_e")) \
-        .where(F.col("_e").isNotNull())
+        .where(F.col("_e").isNotNull()).localCheckpoint(eager=False)
     seas = det.groupBy("phase").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.avg("_e").alias("seasonal"))
+        F.avg("_e").alias("seasonal")).localCheckpoint(eager=False)
     resid = (
         det.join(F.broadcast(seas.select("phase", "seasonal")), "phase")
         .groupBy("phase")
@@ -875,12 +878,16 @@ def seasonal_outliers(
         .alias("phase"),
         F.when(F.count(F.lit(1)).over(w) == period,
                F.avg(x).over(w)).alias("_trend"))
-    det = t.where(F.col("_trend").isNotNull())
+    # det feeds the phase means AND the scored join; scored feeds the
+    # moment aggregate AND the final census — lazy-checkpoint both so
+    # the trend window runs once (same discipline as the decomposition)
+    det = t.where(F.col("_trend").isNotNull()).localCheckpoint(eager=False)
     seas = (det.groupBy("phase")
             .agg(F.avg(F.col("_x") - F.col("_trend")).alias("_seas")))
     scored = det.join(F.broadcast(seas), "phase").select(
         "phase", day_col, "_x", "_trend", "_seas",
-        (F.col("_x") - F.col("_trend") - F.col("_seas")).alias("_r"))
+        (F.col("_x") - F.col("_trend") - F.col("_seas")).alias("_r"),
+    ).localCheckpoint(eager=False)
     moments = scored.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col("_r") * F.col("_r")).alias("_ss"))

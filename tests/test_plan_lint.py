@@ -179,6 +179,10 @@ _CATALOG_ALLOW = {
     # quantity distribution materialized once, probed by the script's
     # driver loop (entry func_sql_scripting)
     "func_sql_scripting": ["rdd_scan"],
+    # LSH pair relation feeds both sides of the dup-id union (entry)
+    "dedup_rates_by_source": ["rdd_scan"],
+    # per-nation aggregate feeds rollup + share join (entry)
+    "orders_share_of_region": ["rdd_scan"],
     # text_udtf_chunks IS the documented §2.10 slow-path demo: a Python
     # UDTF is by definition a per-row Python round-trip; the catalog
     # keeps exactly one such entry, with the native chunker as the
@@ -214,7 +218,8 @@ _CATALOG_ALLOW = {
     # same Hamilton rank over the per-source relation; the selection
     # window itself is PARTITIONED by source (the lint hit is the
     # allocation stage only)
-    "corpus_build_plan": ["global_window"],
+    "corpus_build_plan": ["global_window", "rdd_scan"],  # r13:
+    # base/annotated relations checkpointed (sampling.py)
     # same Hamilton machinery over the per-stratum relation
     "sample_neyman_alloc": ["global_window"],
     # Pareto deciles are a global revenue ranking by definition (see
@@ -234,14 +239,17 @@ _CATALOG_ALLOW = {
     "stats_mann_whitney": ["global_window"],
     # ACF lags / MA trend run over the one-row-per-day series —
     # calendar-bounded, same class as orders_monthly_yoy
-    "ts_autocorrelation": ["global_window"],
-    "ts_seasonal_decompose": ["global_window"],
+    "ts_autocorrelation": ["global_window", "rdd_scan"],  # r13:
+    # daily series checkpointed (one fact scan for range+join)
+    "ts_seasonal_decompose": ["global_window", "rdd_scan"],  # r13:
+    # det/seas checkpointed (timeseries.py seasonal_decompose)
     # SES closed-form cumsum + lag run over the one-row-per-day
     # series — calendar-bounded, same class as ts_autocorrelation
     "ts_ses_backtest": ["global_window"],
     # the centered-MA trend window runs over the one-row-per-day
     # series — same class as ts_seasonal_decompose, which it extends
-    "ts_stl_outliers": ["global_window"],
+    "ts_stl_outliers": ["global_window", "rdd_scan"],  # r13:
+    # det/scored checkpointed (timeseries.py seasonal_outliers)
     # the DFT row index runs over the one-row-per-day series —
     # calendar-bounded, same class as ts_autocorrelation
     "ts_periodogram": ["global_window"],
@@ -275,7 +283,8 @@ _CATALOG_ALLOW = {
     "sim_quantized_recall": ["rdd_scan", "bnl_join"],
     # KMV sketch relations are ≤k=256 rows/side by the rank-k filter;
     # the estimate frames are 1-row aggregates keyed by a constant
-    "sketch_kmv_intersect": ["bnl_join"],
+    "sketch_kmv_intersect": ["bnl_join", "rdd_scan"],  # r13: the
+    # ≤2-row per-group sketch checkpointed (sketches.py)
     # cumulative offsets over the merged ≤64-bucket histogram (the
     # relation already carrying the global_window allowance)
     "sketch_hist_quantiles": ["global_window", "bnl_join"],
