@@ -24,6 +24,28 @@ def merged_tag_array(a: Column | str, b: Column | str) -> Column:
     return F.array_sort(F.array_distinct(F.array_union(F.coalesce(a, empty), F.coalesce(b, empty))))
 
 
+def lit_double_array(values) -> Column:
+    """A literal ``array<double>`` built with ONE JVM round-trip.
+
+    ``F.array(*[F.lit(x) for x in xs])`` pays one py4j call per element
+    (~0.6 ms each): a 24×64 hyperplane set costs ~1.3 s of pure driver
+    time PER QUERY BUILD (measured r13; guide §5 — the driver should do
+    almost no work). Rendering the same values as one SQL ``array(...)``
+    literal and parsing it JVM-side is ~40× faster and bit-exact:
+    ``repr(float)`` round-trips IEEE doubles exactly, and the ``D``
+    suffix pins the SQL literal type to DOUBLE (verified down to 1 ulp
+    in tests). Non-finite values have no SQL literal form, and the
+    empty list would type as array<void> — both fall back to the
+    per-element path.
+    """
+    import math
+
+    xs = [float(x) for x in values]
+    if not xs or not all(math.isfinite(x) for x in xs):
+        return F.array(*[F.lit(x) for x in xs]).cast("array<double>")
+    return F.expr("array(" + ",".join(repr(x) + "D" for x in xs) + ")")
+
+
 def tag_details_json(details: Column | str) -> Column:
     """Serialize a ``map<string,struct>`` tag-detail column to JSON text.
 

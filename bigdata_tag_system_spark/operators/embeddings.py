@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_tag_system_spark.functions.arrays import lit_double_array
+
 
 def _vec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -145,7 +147,7 @@ def quantized_topk(
         .limit(rescore * k)
     )
     v = _vec(vec_col)
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = lit_double_array(query)
     dot = F.aggregate(F.zip_with(v, qlit, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     qn = sum(x * x for x in query) ** 0.5 or 1.0
@@ -246,8 +248,7 @@ def pq_code_expr(vec_col: Column | str, codebooks: list, dim: int) -> Column:
         # interpreted evaluation. Arithmetic is unchanged: zip_with +
         # left-fold aggregate accumulates (a−b)² in subvector order,
         # bit-identical to an explicit left-associated sum.
-        cb = F.array(*[
-            F.array(*[F.lit(float(w)) for w in cent]) for cent in book])
+        cb = F.array(*[lit_double_array(cent) for cent in book])
         sub = F.slice(v, j * dsub + 1, dsub)
         cands = F.transform(
             cb,
@@ -338,7 +339,7 @@ def pq_adc_topk(
     adist = None
     for j, row in enumerate(dtab):
         lookup = F.element_at(
-            F.array(*[F.lit(float(x)) for x in row]),
+            lit_double_array(row),
             F.element_at("pq_code", j + 1) + 1)
         adist = lookup if adist is None else adist + lookup
     cands = (
@@ -350,7 +351,7 @@ def pq_adc_topk(
     if rescore <= 0:
         return cands.select(id_col, "pq_code", "pq_dist")
     v = _vec(vec_col)
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = lit_double_array(query)
     dot = F.aggregate(F.zip_with(v, qlit, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     qn = sum(x * x for x in query) ** 0.5 or 1.0
@@ -981,7 +982,7 @@ def srp_signature(vec_col, hyperplanes: list[list[float]]):
     sig = F.lit(0).cast("bigint")
     for j, h in enumerate(hyperplanes):
         dot = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in h]),
+            F.zip_with(v, lit_double_array(h),
                        lambda a, b: a * b),
             F.lit(0.0), lambda acc, x: acc + x)
         sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))

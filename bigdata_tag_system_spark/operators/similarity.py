@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_tag_system_spark.functions.arrays import lit_double_array
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -41,7 +43,7 @@ def cosine_to_query(vec_col: Column | str, query: Sequence[float]) -> Column:
     rank order near ties).
     """
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     return _dot(v, q) / (_norm(v) * _norm(q))
 
 
@@ -224,9 +226,7 @@ def fit_centroids(
 def _best_dot(vec_col: Column, centroids: list[list[float]]) -> Column:
     """max over centroids of dot(vec, centroid) — centroids folded to
     literals (same envelope as :func:`assign_bucket_from_centroids`)."""
-    dots = [
-        _dot(vec_col, F.array(*[F.lit(x) for x in cen])) for cen in centroids
-    ]
+    dots = [_dot(vec_col, lit_double_array(cen)) for cen in centroids]
     return F.greatest(*dots) if len(dots) > 1 else dots[0]
 
 
@@ -453,7 +453,7 @@ def assign_bucket_from_centroids(
     """
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
     dots = [
-        _dot(v, F.array(*[F.lit(x) for x in cen])).alias(f"_d{c}")
+        _dot(v, lit_double_array(cen)).alias(f"_d{c}")
         for c, cen in enumerate(centroids)
     ]
     best = F.greatest(*dots) if len(dots) > 1 else dots[0]
@@ -728,7 +728,7 @@ def knn_join_bucketed(
     ranked = F.array_sort(
         F.array(*[
             F.struct(
-                (-_dot(F.col("_q"), F.array(*[F.lit(x) for x in cen]))).alias("negdot"),
+                (-_dot(F.col("_q"), lit_double_array(cen))).alias("negdot"),
                 F.lit(b).alias("bucket"),
             )
             for b, cen in enumerate(centroids)

@@ -506,3 +506,60 @@ class TestCorpusBuildPlan:
             [(1, "q")], "doc_id long, text string")
         with pytest.raises(ValueError, match="integral"):
             corpus_build_plan(corpus, bench, token_budget=10)
+
+
+class TestLitDoubleArray:
+    """r13 optimization: literal array<double> built via ONE SQL-parsed
+    expression instead of one py4j lit() per element (guide §5 — driver
+    time). Must be bit-exact with the per-element path."""
+
+    def test_bit_exact_roundtrip(self, spark):
+        from bigdata_tag_system_spark.functions.arrays import (
+            lit_double_array,
+        )
+
+        vals = [0.1, -1e-17, 2.5e300, 1 / 3, -0.0, 7.0, 1e-320]
+        row = spark.range(1).select(
+            lit_double_array(vals).alias("a"),
+            F.array(*[F.lit(float(x)) for x in vals]).alias("b")).first()
+        assert row["a"] == row["b"]
+        assert all(x == y for x, y in zip(row["a"], vals))
+
+    def test_srp_signature_unchanged(self, spark):
+        # the heaviest consumer: the 24-plane SRP signature fold must
+        # produce the identical bigint per row as the old per-element
+        # literal build (same planes, same fold order)
+        from bigdata_tag_system_spark.operators.embeddings import (
+            srp_hyperplanes, srp_signature,
+        )
+
+        planes = srp_hyperplanes(dim=8, n_bits=12, seed=7)
+        df = spark.createDataFrame(
+            [(i, [float((i * 7 + j) % 5) - 2.0 for j in range(8)])
+             for i in range(20)],
+            "vec_id long, embedding array<double>")
+        got = df.select(srp_signature("embedding", planes).alias("s")) \
+            .collect()
+        # replay per-element path inline
+        old_sig = F.lit(0).cast("bigint")
+        v = F.col("embedding").cast("array<double>")
+        for j, h in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in h]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x)
+            old_sig = old_sig + F.when(dot >= 0, F.lit(1 << j)) \
+                .otherwise(F.lit(0))
+        want = df.select(old_sig.alias("s")).collect()
+        assert got == want
+
+    def test_nonfinite_and_empty_fallback(self, spark):
+        from bigdata_tag_system_spark.functions.arrays import (
+            lit_double_array,
+        )
+
+        row = spark.range(1).select(
+            lit_double_array([]).alias("e"),
+            lit_double_array([float("inf"), 1.0]).alias("nf")).first()
+        assert row["e"] == []
+        assert row["nf"][0] == float("inf") and row["nf"][1] == 1.0
