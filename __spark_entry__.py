@@ -187,6 +187,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_QVEC_CACHE: dict[str, list] = {}
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list:
+    """The vec_id=0 probe embedding, collected ONCE per process per
+    sf_dir (r13, guide §5): nine sim/emb entries used to re-run the
+    one-row parquet-scan job per invocation just to fetch this 64-float
+    constant. A pure function of the corpus — same audited-cache
+    contract as the edge/pair memos (every consumer's oracle re-derives
+    its result from raw parquet, so a stale vector cannot hide)."""
+    v = _QVEC_CACHE.get(sf_dir)
+    if v is None:
+        v = list(_t(spark, sf_dir, "embeddings")
+                 .where("vec_id = 0").collect()[0]["embedding"])
+        _QVEC_CACHE[sf_dir] = v
+    return v
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical distinct co-purchase part edges (p1 < p2), materialized
     ONCE per process per sf_dir.
@@ -2001,7 +2019,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _t(spark, sf_dir, "documents")
         emb = _t(spark, sf_dir, "embeddings")
-        qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+        qv = _query_vec(spark, sf_dir)
         lex = T.bm25_topk(docs, ["data", "query", "system"], k=50)
         lex_ranked = lex.select(
             "doc_id", F.row_number().over(
@@ -2230,7 +2248,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- similarity search ----
     def sim_cosine_topk(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
-        qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+        qv = _query_vec(spark, sf_dir)
         out = S.cosine_topk(emb, qv, k=10)
         return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
@@ -2252,7 +2270,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so the brute-force SQL oracle applies; approximate recall at
         # nprobe < buckets is covered in pytest
         emb = _t(spark, sf_dir, "embeddings")
-        qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+        qv = _query_vec(spark, sf_dir)
         out = S.ivf_topk(emb, qv, k=10, num_buckets=8, nprobe=8)
         return out.select(
             "vec_id", F.round("cosine", 4).alias("cosine")
@@ -2278,7 +2296,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             path = tempfile.mkdtemp(prefix="ivf_idx_") + "/idx"
             S.write_ivf_index_fitted(emb, path, cents)
             _IVF_INDEX_CACHE[sf_dir] = path
-        qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+        qv = _query_vec(spark, sf_dir)
         out = S.ivf_topk_indexed_fitted(spark, path, qv, k=10, nprobe=8)
         return out.select(
             "vec_id", F.round("cosine", 4).alias("cosine")
@@ -2314,7 +2332,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from bigdata_tag_system_spark.operators.embeddings import quantized_topk
 
         emb = _t(spark, sf_dir, "embeddings")
-        qv = list(emb.where("vec_id = 0").collect()[0]["embedding"])
+        qv = _query_vec(spark, sf_dir)
         n = emb.count()
         out = quantized_topk(emb, qv, k=10, rescore=(n + 9) // 10)
         return out.select(
@@ -7350,7 +7368,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _t(spark, sf_dir, "embeddings")
-        qv = list(emb.where("vec_id = 0").collect()[0]["embedding"])
+        qv = _query_vec(spark, sf_dir)
         return quantized_recall_report(emb, qv, k=10, rescore=2)
 
     q["sim_quantized_recall"] = sim_quantized_recall
@@ -8276,7 +8294,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _t(spark, sf_dir, "embeddings")
-        qv = list(emb.where("vec_id = 0").collect()[0]["embedding"])
+        qv = _query_vec(spark, sf_dir)
         return truncated_recall_report(emb, qv, k=10, dims=16)
 
     q["emb_trunc_recall"] = emb_trunc_recall
@@ -8634,7 +8652,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _t(spark, sf_dir, "embeddings")
-        qv = list(emb.where("vec_id = 0").collect()[0]["embedding"])
+        qv = _query_vec(spark, sf_dir)
         return mmr_rerank(
             emb.where("vec_id != 0"), qv, k=5, pool=16, lam=0.7)
 
@@ -8986,8 +9004,7 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         anchors = [list(r["embedding"]) for r in
                    emb.where("vec_id between 1 and 8")
                    .orderBy("vec_id").collect()]
-        qv = [float(x) for x in
-              emb.where("vec_id = 0").collect()[0]["embedding"]]
+        qv = [float(x) for x in _query_vec(spark, sf_dir)]
         probe_order = sorted(
             (-sum(a * b for a, b in zip(qv, cen)), b)
             for b, cen in enumerate(anchors))

@@ -138,12 +138,14 @@ def _sig_from_hashed(hs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     the exploded shingles plus an N-aggregate — measured 3× slower.)
     """
 
-    def one(seed: int) -> Column:
-        # unary lambda only: pyspark binds a second lambda param to the
-        # array index, which would silently replace the seed
-        return F.array_min(F.transform("_hs", lambda h: F.xxhash64(h, F.lit(seed))))
-
-    sig = F.array(*[one(i) for i in range(num_hashes)])
+    # per-permutation minima as parsed SQL (r13, guide §5): the Column
+    # lambda form pays ~5 py4j round-trips per permutation at build
+    # time; the SQL int literal seed keeps xxhash64's second argument
+    # IntegerType exactly like F.lit(int) did (hash-type-sensitive)
+    sig = F.array(*[
+        F.expr(f"array_min(transform(_hs, h -> xxhash64(h, {i})))")
+        for i in range(num_hashes)
+    ])
     return hs.select(F.col(id_col), sig.alias("_sig"))
 
 
@@ -156,10 +158,11 @@ def _sketch_table(hs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     tokenize→shingle→hash once per join side.
     """
 
-    def one(seed: int) -> Column:
-        return F.array_min(F.transform("_hs", lambda h: F.xxhash64(h, F.lit(seed))))
-
-    sig = F.array(*[one(i) for i in range(num_hashes)])
+    # same parsed-SQL permutation minima as _sig_from_hashed (r13)
+    sig = F.array(*[
+        F.expr(f"array_min(transform(_hs, h -> xxhash64(h, {i})))")
+        for i in range(num_hashes)
+    ])
     return hs.select(F.col(id_col), sig.alias("_sig"), F.col("_hs"))
 
 
@@ -531,6 +534,21 @@ def _pack_sign_bits(votes: list[Column]) -> Column:
     return out
 
 
+def _pack_sign_bits_expr(names: list[str]) -> Column:
+    """:func:`_pack_sign_bits` over NAMED vote columns, rendered as one
+    SQL expression (r13, guide §5): the Column-chained form pays ~5 py4j
+    round-trips per bit — ~0.4 s of driver time per build for a 60-bit
+    sketch — while one parsed expression costs a single round-trip.
+    Bit b's addend is 2**b as a bigint (bit 63 = long MIN, same as the
+    chained form's -(2**63)); values are pytest-pinned equal."""
+    terms = []
+    for b, name in enumerate(names):
+        addend = (f"{2**b}L" if b < 63
+                  else "CAST('-9223372036854775808' AS BIGINT)")
+        terms.append(f"(CASE WHEN {name} > 0 THEN {addend} ELSE 0L END)")
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
+
+
 def simhash_df(
     df: DataFrame,
     text_col: str = "text",
@@ -556,16 +574,19 @@ def simhash_df(
     ex = _hashed_shingle_df(df, text_col, id_col, shingle_n, portable).select(
         F.col(id_col), F.explode("_hs").alias("_h")
     )
+    # one parsed SQL expression per bit instead of a 5-call Column chain
+    # (r13, guide §5): the 60-bit vote list alone cost ~0.5 s of py4j
+    # driver time per query BUILD; sum/CASE/shiftright/& are the same
+    # Catalyst expressions either way (pytest-pinned equal values)
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_v{b}")
+        F.expr(f"sum(CASE WHEN (shiftright(_h, {b}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END)").alias(f"_v{b}")
         for b in range(n_bits)
     ]
     agg = ex.groupBy(id_col).agg(*votes)
     return agg.select(
         F.col(id_col),
-        _pack_sign_bits([F.col(f"_v{b}") for b in range(n_bits)]).alias("simhash"),
+        _pack_sign_bits_expr([f"_v{b}" for b in range(n_bits)]).alias("simhash"),
     )
 
 
