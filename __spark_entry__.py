@@ -4552,16 +4552,22 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderkey", "o_orderdate")
         li = _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_suppkey", "l_shipdate")
-        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
         late = F.col("l_shipdate") > (F.col("o_orderdate")
                                       + F.expr("INTERVAL 90 DAYS"))
+        # the joined subtree feeds BOTH the per-order aggregate and the
+        # blamed-supplier distinct — lazy-checkpoint the 3-column
+        # projection so lineitem⋈orders runs once, not per consumer
+        # (plan held 2 lineitem + 2 orders scans; r13, guide §2.4)
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select("o_orderkey", "l_suppkey", late.alias("_late"))
+             .localCheckpoint(eager=False))
         per_order = (
             j.groupBy("o_orderkey")
             .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                 F.countDistinct(F.when(late, F.col("l_suppkey")))
+                 F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey")))
                  .alias("n_late_supp"))
             .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)))
-        blamed = (j.where(late)
+        blamed = (j.where("_late")
                   .select("o_orderkey", "l_suppkey").distinct()
                   .join(per_order, "o_orderkey", "left_semi"))
         supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -80,9 +80,19 @@ def minhash_lsh_ml_pairs(
         # lazy-checkpoint so tokenize→shingle runs once, not per pass
         .localCheckpoint(eager=False)
     )
+    # Right-size the fit's vocabulary bound (r13): CountVectorizer's
+    # fit selects top-vocabSize terms with a size-vocabSize bounded
+    # heap, so passing the 1<<20 CAP directly costs ~0.7 s of heap
+    # churn per fit even when the real vocabulary is ~27k. One cheap
+    # distinct-count over the checkpointed shingle relation sizes the
+    # bound exactly; every term is still kept whenever the true vocab
+    # fits the cap (same lossless contract — and the verified pair set
+    # is invariant to vocabulary order anyway: the join's distance
+    # filter is exact Jaccard over index SETS, a relabeling-invariant).
+    n_vocab = sh.select(F.explode("_sh").alias("_s")).distinct().count()
     cv = CountVectorizer(
         inputCol="_sh", outputCol="features", binary=True,
-        vocabSize=vocab_size, minDF=1.0)
+        vocabSize=max(1, min(n_vocab, vocab_size)), minDF=1.0)
     # repartition before the LSH self-join: the corpus often arrives as
     # few files, and approxSimilarityJoin's expensive leg — exact key
     # distance over every bucket-colliding candidate pair — inherits
