@@ -187,7 +187,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-_QVEC_CACHE: dict[str, list] = {}
+_QVEC_CACHE: dict[str, tuple] = {}
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list:
@@ -196,13 +196,17 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list:
     one-row parquet-scan job per invocation just to fetch this 64-float
     constant. A pure function of the corpus — same audited-cache
     contract as the edge/pair memos (every consumer's oracle re-derives
-    its result from raw parquet, so a stale vector cannot hide)."""
+    its result from raw parquet, so a stale vector cannot hide).
+
+    Returns a fresh list per call (r14, ADVICE): the memo itself is a
+    tuple, so no caller's in-place mutation can corrupt the probe
+    vector for later queries."""
     v = _QVEC_CACHE.get(sf_dir)
     if v is None:
-        v = list(_t(spark, sf_dir, "embeddings")
-                 .where("vec_id = 0").collect()[0]["embedding"])
+        v = tuple(_t(spark, sf_dir, "embeddings")
+                  .where("vec_id = 0").collect()[0]["embedding"])
         _QVEC_CACHE[sf_dir] = v
-    return v
+    return list(v)
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

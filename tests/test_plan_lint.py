@@ -176,9 +176,18 @@ _CATALOG_ALLOW = {
     # pair-reduced shingle relation feeds both join sides (dedup.py
     # idf_weighted_rescore)
     "dedup_idf_jaccard": ["rdd_scan"],
+    # unioned index+batch sketch relation feeds the band self-join (2
+    # sides) and both Jaccard-verify sides — lazy-checkpointed
+    # (dedup.py minhash_dedup_incremental), same deliberate lineage
+    # truncation as the other dedup_* entries
+    "dedup_incremental": ["rdd_scan"],
     # quantity distribution materialized once, probed by the script's
     # driver loop (entry func_sql_scripting)
     "func_sql_scripting": ["rdd_scan"],
+    # lineitem⋈orders 3-column projection feeds the per-order
+    # aggregate AND the blamed-supplier distinct — lazy-checkpointed
+    # (entry tpch_q21; r13 commit e2d58af, allowance added r14)
+    "tpch_q21": ["rdd_scan"],
     # LSH pair relation feeds both sides of the dup-id union (entry)
     "dedup_rates_by_source": ["rdd_scan"],
     # per-nation aggregate feeds rollup + share join (entry)

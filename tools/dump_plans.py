@@ -1,12 +1,19 @@
 """Dump ``.explain("formatted")`` output for catalog queries to files.
 
-Usage: python tools/dump_plans.py --out plans/r13 --suffix before [name ...]
+Usage: python tools/dump_plans.py --out plans/r14 --suffix before [name ...]
 
 With no names, dumps every entry in ``__spark_entry__.queries()``.
 Building a query's DataFrame may execute the one-time memo builds
 (edge caches, stream replays) — that is the same work the bench's
 iteration 0 performs, and the dumped plan is the steady-state plan the
 warm iterations execute.
+
+r14 (VERDICT r13 "evidence hygiene"): ``localCheckpoint`` calls made
+during a query's build are intercepted and their INPUT plans appended
+to the dump, so a plan whose leaves are ``Scan ExistingRDD`` stays
+auditable — the retained subtree's pushed filters and join strategies
+are visible in the "checkpoint input" sections instead of being hidden
+behind the truncated leaf.
 """
 from __future__ import annotations
 
@@ -42,18 +49,45 @@ def main() -> None:
     queries = entry.queries()
     names = args.names or list(queries)
     os.makedirs(args.out, exist_ok=True)
+
+    # Intercept localCheckpoint so each dump can also show the plans
+    # the checkpoint leaves hide (see module docstring).
+    from pyspark.sql import DataFrame
+
+    ckpt_inputs: list[str] = []
+    orig_ckpt = DataFrame.localCheckpoint
+
+    def _recording_ckpt(self, eager=True):
+        try:
+            ckpt_inputs.append(explain_formatted(self))
+        except Exception:
+            ckpt_inputs.append(traceback.format_exc())
+        return orig_ckpt(self, eager=eager)
+
+    DataFrame.localCheckpoint = _recording_ckpt
+
     failed = []
     for name in names:
+        ckpt_inputs.clear()
         try:
             df = queries[name](spark, args.sf)
             txt = explain_formatted(df)
         except Exception:
             failed.append(name)
             txt = traceback.format_exc()
+        # iterative loops checkpoint per round; the first few inputs
+        # show the shape, the rest repeat it with a longer lineage
+        for i, sub in enumerate(ckpt_inputs[:6]):
+            txt += (f"\n\n=== checkpoint input {i} of {len(ckpt_inputs)} "
+                    f"(plan behind Scan ExistingRDD leaf) ===\n{sub}")
+        if len(ckpt_inputs) > 6:
+            txt += (f"\n\n=== {len(ckpt_inputs) - 6} further checkpoint "
+                    f"inputs omitted (per-round repeats) ===\n")
         path = os.path.join(args.out, f"{name}_{args.suffix}.txt")
         with open(path, "w") as f:
             f.write(txt)
         print(f"# wrote {path}", file=sys.stderr)
+    DataFrame.localCheckpoint = orig_ckpt
     if failed:
         print(f"FAILED: {failed}")
         sys.exit(1)
