@@ -453,13 +453,23 @@ def kcore(
         prev_live = None
         for _ in range(max_rounds):
             deg = live.groupBy("_u").agg(F.count(F.lit(1)).alias("degree"))
-            # LAZY checkpoint fused with the decision aggregate below:
-            # the collect is the ONE job of the round — it materializes
-            # `live` (the previous round's anti-join) into its persist,
-            # the degree checkpoint, and the round's (kept, removed)
-            # decision in a single scheduled pass (the earlier eager
-            # variant paid a second job per round just to materialize)
-            deg = deg.localCheckpoint(eager=False)
+            # this EAGER checkpoint is the materialization job of the
+            # round: it computes `live` (the previous round's
+            # anti-join) into its persist and aggregates degrees in the
+            # same pass — only now is the previous round's input safe
+            # to drop. r13 tried fusing it lazily into the decision
+            # collect below (one job per round instead of two); that
+            # was consistently SLOWER in every r13 dataset (quiet
+            # 2.15→3.06 s, driver 3.34→3.93, 8-core 4.32 — VERDICT r13
+            # "regression adjudication"), so r14 reverts to eager: the
+            # decision aggregate then runs over the tiny materialized
+            # degree table instead of carrying the full peel lineage.
+            # (§5 size policy: deg is one row per surviving node —
+            # bounded by |V|, never |E|; localCheckpoint is safe.)
+            deg = deg.localCheckpoint(eager=True)
+            if prev_live is not None:
+                prev_live.unpersist()
+                prev_live = None
             keep = deg.where(F.col("degree") >= k)
             # ONE action per decision: (surviving, removed) in a single
             # aggregate over the checkpointed degrees — two .count()
@@ -469,12 +479,6 @@ def kcore(
                 F.sum(F.when(F.col("degree") >= k, 1).otherwise(0)),
                 F.sum(F.when(F.col("degree") < k, 1).otherwise(0)),
             ).collect()
-            # only now — after the job above materialized live+deg — is
-            # the previous round's input safe to drop (unpersisting it
-            # earlier would force the whole peel chain to recompute)
-            if prev_live is not None:
-                prev_live.unpersist()
-                prev_live = None
             n, n_removed = int(n or 0), int(n_removed or 0)
             if n == n_prev or n == 0:
                 return keep.select(F.col("_u").alias("node"), "degree")
@@ -583,9 +587,12 @@ def edge_common_neighbors(
     """
     e = _canonical_edges(edges, src, dst)
     # deg feeds both endpoint joins (and the wedge orientation when
-    # triangles are derived here) — lazy-checkpoint so the edge scan +
-    # degree shuffle run once, not per consumer
-    deg = _degrees(e).localCheckpoint(eager=False)
+    # triangles are derived here). NOT checkpointed: r13 lazy-
+    # checkpointed it, which regressed the query ~15-30% (quiet
+    # 2.13→2.80 s — VERDICT r13) because ReusedExchange already
+    # dedupes the degree shuffle across consumers; the checkpoint only
+    # added a serialize+store of the degree table on top.
+    deg = _degrees(e)
     tri = triangles if triangles is not None else _oriented_triangles(e, deg)
     # credit each triangle (u, x, y) to its three canonical edges
     te = tri.select(F.explode(F.array(

@@ -891,7 +891,12 @@ def bigram_lm_scores(
         F.substring_index(F.col("_bg"), " ", -1).alias("_w2"),
     # the transition table feeds THREE consumers (score join, history
     # totals, follower vocab) — lazy-checkpoint so the bigram count
-    # aggregation runs once, not per consumer
+    # aggregation runs once, not per consumer. r14 ABAB probe
+    # (plans/r14_abab_checkpoints.log): checkpoint wins here in all 3
+    # rounds (best 1.107 vs 1.197 s) — the SELF-trained table is
+    # consumed against the full persisted gb relation, unlike the
+    # cross-scores variant below where the same checkpoint regressed.
+    # (§5 size policy: |vocab-bigrams| rows, dimension-sized.)
     ).localCheckpoint(eager=False)
     c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
     v = c2.agg(F.countDistinct("_w2").alias("_v"))
@@ -1409,10 +1414,13 @@ def bigram_lm_cross_scores(
         "_bg", "_c2",
         F.substring_index(F.col("_bg"), " ", 1).alias("_w1"),
         F.substring_index(F.col("_bg"), " ", -1).alias("_w2"),
-    # the transition table feeds THREE consumers (score join, history
-    # totals, follower vocab) — lazy-checkpoint so the bigram count
-    # aggregation runs once, not per consumer
-    ).localCheckpoint(eager=False)
+    # NOT checkpointed (r14): r13's lazy checkpoint here regressed
+    # text_cross_ppl (quiet 1.12→1.44 s, VERDICT r13); the r14 ABAB
+    # probe (plans/r14_abab_checkpoints.log) confirms the drop wins in
+    # all 3 rounds (best 1.129 vs 1.486 s) — ReusedExchange already
+    # dedupes the TRAIN-side aggregation, and unlike bigram_lm_scores
+    # there is no persisted gb relation to join back against.
+    )
     c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
     v = c2.agg(F.countDistinct("_w2").alias("_v"))
     sb = _bigrams(score_df).select(

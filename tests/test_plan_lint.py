@@ -142,14 +142,16 @@ _CATALOG_ALLOW = {
     # so the edge scan + degree shuffle run once, not per consumer
     # (operators/graph.py degree_assortativity / edge_common_neighbors)
     "graph_assortativity": ["rdd_scan"],
-    "graph_edge_jaccard": ["rdd_scan"],
+    # (graph_edge_jaccard's r13 degree checkpoint was reverted in r14 —
+    # it regressed the query; no rdd_scan leaf remains in its plan)
     # r13: postings + pair-score relations feed multiple consumers;
     # lazy-checkpointed once each (operators/text.py tfidf_cosine_topk)
     "sim_tfidf_cosine": ["rdd_scan"],
     # r13: the bigram transition table feeds three consumers —
-    # lazy-checkpointed (operators/text.py bigram_lm_[cross_]scores)
+    # lazy-checkpointed (operators/text.py bigram_lm_scores). The
+    # cross-scores twin's checkpoint was reverted in r14 (it regressed
+    # text_cross_ppl), so only the self-trained entry keeps the leaf.
     "text_bigram_lm": ["rdd_scan"],
-    "text_cross_ppl": ["rdd_scan"],
     # r13: (category, fold) stats feed four consumers —
     # lazy-checkpointed (operators/features.py target_encode)
     "feat_target_encode": ["rdd_scan"],
