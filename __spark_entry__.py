@@ -2836,8 +2836,16 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # character-level near-dup: banded length blocking + bounded-DP
         # Levenshtein verify — catches intra-word edit clones that
         # shatter every token shingle (operators/dedup.py:fuzzy_edit_pairs)
+        # gram_k=12 (r14, guide §3.2 reduce-before-shuffle): the corpus
+        # has only 985 distinct 4-grams, so the default prefix filter
+        # barely blocks (479k candidate pairs for 255 true pairs);
+        # 12-grams grow the vocabulary enough to cut candidates to 50k
+        # (measured sweep in OPTIMIZATION_r14.md). The pair OUTPUT is
+        # provably identical for any gram_k — the prefix filter is
+        # complete for every k and the DP verify is exact (the oracle
+        # re-proves it: same hash either way).
         out = D.fuzzy_edit_pairs(
-            _t(spark, sf_dir, "documents"), max_dist=10)
+            _t(spark, sf_dir, "documents"), max_dist=10, gram_k=12)
         return out.orderBy("id_a", "id_b")
 
     q["dedup_fuzzy_edit"] = dedup_fuzzy_edit

@@ -315,6 +315,26 @@ def test_fuzzy_edit_matches_brute_force(spark, docs, max_dist):
     assert got == want
 
 
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_edit_corpus(), gram_k=st.sampled_from([2, 7, 12]))
+def test_fuzzy_edit_gram_k_invariant(spark, docs, gram_k):
+    """The pair set is a pure function of (corpus, max_dist) — gram_k
+    only steers the prefix-filter blocking (r14: the catalog entry
+    tunes it to the corpus gram vocabulary), so any k must reproduce
+    the default's exact output."""
+    from bigdata_tag_system_spark.operators.dedup import fuzzy_edit_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string")
+    base = {(r.id_a, r.id_b): r.dist
+            for r in fuzzy_edit_pairs(df, max_dist=3).collect()}
+    got = {(r.id_a, r.id_b): r.dist
+           for r in fuzzy_edit_pairs(
+               df, max_dist=3, gram_k=gram_k).collect()}
+    assert got == base
+
+
 def test_resolve_hierarchy_vs_python_walk(spark):
     import random
 
