@@ -2922,8 +2922,11 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents")
         return (
             d.where(token_count("text") >= 2)
+            # token array projected first (r14): inlining tokens() in
+            # the n-gram HOF re-runs the regex split per bigram index
+            .select(tokens("text").alias("_t"))
             .select(F.explode(
-                ngrams_from_tokens(tokens("text"), 2)).alias("bigram"))
+                ngrams_from_tokens("_t", 2)).alias("bigram"))
             .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "bigram").limit(20)
         )
@@ -7056,8 +7059,11 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents").where(
             (F.col("doc_id") < 100) & F.col("text").isNotNull())
         return d.select(
+            "doc_id", tokens("text").alias("_t")
+        ).select(
             "doc_id",
-            F.md5(F.array_join(ngrams_from_tokens(tokens("text"), 2), "|"))
+            # token array projected first (r14): see text_top_bigrams
+            F.md5(F.array_join(ngrams_from_tokens("_t", 2), "|"))
             .alias("grams_md5")).orderBy("doc_id")
 
     q["probe_token_grams"] = probe_token_grams

@@ -75,10 +75,18 @@ def minhash_lsh_ml_pairs(
     sh = (
         _shingle_df(df.where(F.col(text_col).isNotNull()),
                     text_col, id_col, shingle_n)
-        .where(F.size("_sh") > 0)
         # the shingle relation feeds CountVectorizer.fit AND transform —
-        # lazy-checkpoint so tokenize→shingle runs once, not per pass
+        # lazy-checkpoint so tokenize→shingle runs once, not per pass.
+        # The empty-shingle guard runs AFTER the checkpoint (r14): when
+        # it sat below, Catalyst pushed the size(_sh)>0 predicate under
+        # the two-phase projection and re-inlined the regex tokenizer
+        # INSIDE the shingle transform lambda — HOF lambdas re-evaluate
+        # captured expressions per element, so the filter alone cost a
+        # per-shingle regex split per row (measured: materializing this
+        # relation 4.4 s → 0.6 s with the guard above the leaf; same
+        # 5000 rows kept either way).
         .localCheckpoint(eager=False)
+        .where(F.size("_sh") > 0)
     )
     # Right-size the fit's vocabulary bound (r13): CountVectorizer's
     # fit selects top-vocabSize terms with a size-vocabSize bounded
