@@ -6777,7 +6777,15 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", "user_id", "ts")
         purchases = ev.where("event_type = 'purchase'").select(
             "user_id", "ts", "value")
-        out = asof_join_cogrouped(clicks, purchases, value_cols=["value"])
+        # coarse_buckets (r14, §4.5): ~2 buckets per core instead of
+        # one Python roundtrip per user — pd.merge_asof(by=) does the
+        # per-user as-of inside each bucket; result pinned identical
+        # (operator parity test + unchanged DuckDB ASOF oracle).
+        # Scale-adaptive: the bucket count follows the session's
+        # parallelism, not a constant.
+        out = asof_join_cogrouped(
+            clicks, purchases, value_cols=["value"],
+            coarse_buckets=2 * spark.sparkContext.defaultParallelism)
         return out.select(
             "event_id", F.round("value_asof", 2).alias("purchase_value")
         ).orderBy("event_id").limit(500)

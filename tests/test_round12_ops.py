@@ -334,6 +334,28 @@ class TestAsofCogrouped:
         assert got[1] == 7.0          # greatest value wins the ts tie
         assert got[2] == 2.0
         assert got[3] is None and got[4] is None
+        # r14: coarse-bucket mode (merge_asof by= inside hash buckets)
+        # must reproduce the per-key result exactly, for any bucket
+        # count — including n=1 (everything in one frame) and a count
+        # larger than the key count
+        for nb in (1, 2, 97):
+            assert z(asof_join_cogrouped(
+                left, right, value_cols=["value"],
+                coarse_buckets=nb)) == want
+
+    def test_coarse_buckets_refuses_null_keys(self, spark):
+        from bigdata_tag_system_spark.operators.timeseries import (
+            asof_join_cogrouped,
+        )
+
+        left = spark.createDataFrame(
+            [(1, None, 10)], "event_id int, user_id string, ts int")
+        right = spark.createDataFrame(
+            [(None, 5, 1.0)], "user_id string, ts int, value double")
+        with pytest.raises(Exception, match="NULL join keys"):
+            asof_join_cogrouped(
+                left, right, value_cols=["value"],
+                coarse_buckets=4).collect()
 
     def test_self_cogroup_shared_lineage(self, spark, sf_dir):
         # both sides filtered from ONE scan — the shared-attribute-id
