@@ -38,12 +38,28 @@ def lit_double_array(values) -> Column:
     empty list would type as array<void> — both fall back to the
     per-element path.
     """
+    xs = [float(x) for x in values]
+    sql = lit_double_array_sql(xs)
+    if sql is None:
+        return F.array(*[F.lit(x) for x in xs]).cast("array<double>")
+    return F.expr(sql)
+
+
+def lit_double_array_sql(values) -> str | None:
+    """The SQL text of :func:`lit_double_array`, for composition into
+    LARGER single-parse expressions (r14, guide §5): callers building
+    e.g. a per-centroid dot-product array render the whole expression
+    as one string and pay ONE py4j round-trip + parse, instead of one
+    Column-API call per operator node. Returns ``None`` when the values
+    have no exact SQL literal form (non-finite, or empty — which would
+    type as array<void>); callers must fall back to the Column path.
+    """
     import math
 
     xs = [float(x) for x in values]
     if not xs or not all(math.isfinite(x) for x in xs):
-        return F.array(*[F.lit(x) for x in xs]).cast("array<double>")
-    return F.expr("array(" + ",".join(repr(x) + "D" for x in xs) + ")")
+        return None
+    return "array(" + ",".join(repr(x) + "D" for x in xs) + ")"
 
 
 def tag_details_json(details: Column | str) -> Column:

@@ -978,6 +978,23 @@ def srp_signature(vec_col, hyperplanes: list[list[float]]):
     vectors at angle θ, P[bit agrees] = 1 − θ/π (Goemans–Williamson) —
     the cosine-domain analogue of MinHash's Jaccard property.
     """
+    from bigdata_tag_system_spark.functions.arrays import (
+        lit_double_array_sql,
+    )
+
+    sqls = [lit_double_array_sql(h) for h in hyperplanes]
+    if isinstance(vec_col, str) and all(s is not None for s in sqls):
+        # single-parse fast path (r14, guide §5): the Column-API loop
+        # below costs ~16 HOF constructions of py4j round-trips per
+        # build; this renders the identical fold as one SQL string.
+        v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+        terms = []
+        for j, s in enumerate(sqls):
+            dot = (f"aggregate(zip_with({v}, {s}, (a, b) -> a * b), "
+                   f"0.0D, (acc, x) -> acc + x)")
+            terms.append(
+                f"(CASE WHEN {dot} >= 0.0D THEN {1 << j}L ELSE 0L END)")
+        return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
     v = _vec(vec_col)
     sig = F.lit(0).cast("bigint")
     for j, h in enumerate(hyperplanes):

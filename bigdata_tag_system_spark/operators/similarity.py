@@ -24,7 +24,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_tag_system_spark.functions.arrays import lit_double_array
+from bigdata_tag_system_spark.functions.arrays import (
+    lit_double_array,
+    lit_double_array_sql,
+)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -35,6 +38,32 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
 
+# SQL-text twins of _dot/_norm (r14, guide §5 driver work): every
+# Column-API higher-order function costs ~5-10 ms of py4j round-trips
+# to construct, and the sim/emb builds chain dozens of them — rendering
+# the identical expression as ONE parsed SQL string is ~40× cheaper to
+# build and parses to the same operator tree (same lambdas, same 0.0D
+# double init), so values are bit-identical.
+
+def _arr_sql(name: str) -> str:
+    """CAST a column (by name) to array<double>, as SQL text."""
+    return f"CAST({name} AS ARRAY<DOUBLE>)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def _norm_sql(a: str) -> str:
+    return (f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D, "
+            f"(acc, v) -> acc + v))")
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
+
+
 def cosine_to_query(vec_col: Column | str, query: Sequence[float]) -> Column:
     """cosine(corpus_vec, query) as a pure expression (query folded to literals).
 
@@ -42,6 +71,10 @@ def cosine_to_query(vec_col: Column | str, query: Sequence[float]) -> Column:
     the stored element type (float32 accumulation drifts enough to flip
     rank order near ties).
     """
+    qs = lit_double_array_sql(query)
+    if isinstance(vec_col, str) and qs is not None:
+        # single-parse fast path — same expression tree as below
+        return F.expr(_cosine_sql(_arr_sql(vec_col), qs))
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
     q = lit_double_array(query)
     return _dot(v, q) / (_norm(v) * _norm(q))
@@ -223,10 +256,18 @@ def fit_centroids(
     return [list(map(float, c)) for c in cents]
 
 
-def _best_dot(vec_col: Column, centroids: list[list[float]]) -> Column:
+def _best_dot(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     """max over centroids of dot(vec, centroid) — centroids folded to
-    literals (same envelope as :func:`assign_bucket_from_centroids`)."""
-    dots = [_dot(vec_col, lit_double_array(cen)) for cen in centroids]
+    literals (same envelope as :func:`assign_bucket_from_centroids`).
+    With a column NAME and SQL-renderable centroids, the whole max-dot
+    builds as one parsed expression (r14 — see _dot_sql)."""
+    sqls = [lit_double_array_sql(cen) for cen in centroids]
+    if isinstance(vec_col, str) and all(s is not None for s in sqls):
+        dots = [_dot_sql(vec_col, s) for s in sqls]
+        return F.expr(dots[0] if len(dots) == 1
+                      else "greatest(" + ",".join(dots) + ")")
+    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dots = [_dot(vc, lit_double_array(cen)) for cen in centroids]
     return F.greatest(*dots) if len(dots) > 1 else dots[0]
 
 
@@ -293,7 +334,7 @@ def _kmeans_parallel_init(
 
     for r in range(rounds):
         best = (_best_dot_arrow("_u", cands) if impl == "arrow"
-                else _best_dot(F.col("_u"), cands))
+                else _best_dot("_u", cands))
         d2 = F.lit(1.0) - best
         phi = u.agg(F.sum(d2).alias("phi")).first()["phi"] or 0.0
         if phi <= 0.0:  # every row coincides with a candidate
@@ -396,7 +437,7 @@ def fit_centroids_distributed(
     ).where(
         F.col("_v").isNotNull() & ~F.exists("_v", lambda x: x.isNull())
     ).withColumn(
-        "_n", F.when(_norm(F.col("_v")) == 0.0, F.lit(1.0)).otherwise(_norm(F.col("_v")))
+        "_n", F.expr(f"IF({_norm_sql('_v')} = 0.0D, 1.0D, {_norm_sql('_v')})")
     ).select(
         F.col(id_col),
         F.transform("_v", lambda x: x / F.col("_n")).alias("_u"),
@@ -451,6 +492,19 @@ def assign_bucket_from_centroids(
     centroid matrix once and scores each Arrow batch with one BLAS
     matmul.
     """
+    sqls = [lit_double_array_sql(cen) for cen in centroids]
+    if isinstance(vec_col, str) and all(s is not None for s in sqls):
+        # single-parse fast path (r14): first index achieving the max
+        # dot, exactly like the coalesce-of-whens below (array_position
+        # returns the FIRST occurrence; array_max ≡ greatest over the
+        # same doubles). The isnan guard preserves the one divergent
+        # case: a NaN best dot made every `==` comparison false below
+        # (NULL bucket), while array_position would have matched it.
+        v = _arr_sql(vec_col)
+        ds = "array(" + ",".join(_dot_sql(v, s) for s in sqls) + ")"
+        return F.expr(
+            f"IF(isnan(array_max({ds})), NULL, "
+            f"CAST(array_position({ds}, array_max({ds})) AS INT) - 1)")
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
     dots = [
         _dot(v, lit_double_array(cen)).alias(f"_d{c}")
@@ -676,7 +730,7 @@ def knn_join(
     scored = F.broadcast(q).crossJoin(c).select(
         q_id,
         c_id,
-        (_dot(F.col("_q"), F.col("_c")) / (_norm(F.col("_q")) * _norm(F.col("_c")))).alias("cosine"),
+        F.expr(_cosine_sql("_q", "_c")).alias("cosine"),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -724,22 +778,34 @@ def knn_join_bucketed(
         assign_bucket_from_centroids(c_vec, centroids).alias("_bucket"),
     )
     # rank centroids per query in-plan: sort (−dot, bucket) structs asc —
-    # query norm is constant per row, so raw dot order == cosine order
-    ranked = F.array_sort(
-        F.array(*[
-            F.struct(
-                (-_dot(F.col("_q"), lit_double_array(cen))).alias("negdot"),
-                F.lit(b).alias("bucket"),
-            )
-            for b, cen in enumerate(centroids)
-        ])
-    )
-    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["bucket"])
+    # query norm is constant per row, so raw dot order == cosine order.
+    # Rendered as ONE parsed expression when the centroids have SQL
+    # literal form (r14 — see _dot_sql); the Column-API fallback builds
+    # the identical tree.
+    sqls = [lit_double_array_sql(cen) for cen in centroids]
+    if all(s is not None for s in sqls):
+        structs = ",".join(
+            f"named_struct('negdot', -({_dot_sql('_q', s)}), 'bucket', {b})"
+            for b, s in enumerate(sqls))
+        probes = F.expr(
+            f"transform(slice(array_sort(array({structs})), 1, "
+            f"{int(nprobe)}), s -> s.bucket)")
+    else:
+        ranked = F.array_sort(
+            F.array(*[
+                F.struct(
+                    (-_dot(F.col("_q"), lit_double_array(cen))).alias("negdot"),
+                    F.lit(b).alias("bucket"),
+                )
+                for b, cen in enumerate(centroids)
+            ])
+        )
+        probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["bucket"])
     qb = q.select(q_id, "_q", F.explode(probes).alias("_bucket"))
     scored = qb.join(c, "_bucket").select(
         q_id,
         c_id,
-        (_dot(F.col("_q"), F.col("_c")) / (_norm(F.col("_q")) * _norm(F.col("_c")))).alias("cosine"),
+        F.expr(_cosine_sql("_q", "_c")).alias("cosine"),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
