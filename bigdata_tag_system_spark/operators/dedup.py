@@ -896,14 +896,19 @@ def connected_components(
                 f"{c}={dts.get(c)!r}; map string ids to dense longs "
                 f"(e.g. zipWithIndex / monotonically_increasing_id + join) "
                 f"before clustering")
-    edges = (
+    from bigdata_tag_system_spark.checkpoint import loop_invariant_leaf
+
+    edges = loop_invariant_leaf(
         pairs.select(F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d"))
         .where(F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d")))
-        .distinct()
+        .distinct(),
         # checkpoint BEFORE deriving nodes: pairs may be an expensive
         # LSH/PPJoin plan, and both the iteration chain and the final
-        # node join must read the materialized edge list, not re-run it
-        .localCheckpoint(eager=True)
+        # node join must read the materialized edge list, not re-run it.
+        # §5 SIZE POLICY (r14): the pair relation is edge-sized →
+        # reliable checkpoint on clusters with a checkpoint dir
+        # (bigdata_tag_system_spark/checkpoint.py).
+        eager=True,
     )
     nodes = (
         edges.select(F.col("s").alias("node"))

@@ -60,9 +60,16 @@ def pagerank(
     # whole query one job — the checkpoints materialize inside the
     # final action (an earlier EAGER checkpoint + repartition + persist
     # variant measured 18% slower from the extra per-relation jobs).
-    e = e.join(out_tot, "_u").select(
+    # §5 SIZE POLICY (r14): this relation is O(|E|) — terabytes at
+    # 100 TB — so it goes through loop_invariant_leaf: RELIABLE
+    # checkpoint whenever the cluster configures a checkpoint dir,
+    # executor-local blocks only in local/bench sessions (see
+    # bigdata_tag_system_spark/checkpoint.py for the full policy).
+    from bigdata_tag_system_spark.checkpoint import loop_invariant_leaf
+
+    e = loop_invariant_leaf(e.join(out_tot, "_u").select(
         "_u", "_v", (F.col("_w") / F.col("_out")).alias("_p"),
-    ).localCheckpoint(eager=False)
+    ))
     nodes = (
         e.select(F.col("_u").alias("node"))
         .union(e.select(F.col("_v").alias("node")))
@@ -295,10 +302,15 @@ def resolve_hierarchy(
     # e feeds roots (twice) and the pointer base; roots feeds the base
     # and the per-round convergence probe — lazy-checkpoint both so the
     # edge derivation and the root anti-join are computed once, not
-    # re-executed inside every round's probe job
-    e = edges.select(
+    # re-executed inside every round's probe job.
+    # §5 SIZE POLICY (r14): e is edge-sized (one row per child) →
+    # loop_invariant_leaf; roots is the root set — forest-root-sized,
+    # plain localCheckpoint (bigdata_tag_system_spark/checkpoint.py).
+    from bigdata_tag_system_spark.checkpoint import loop_invariant_leaf
+
+    e = loop_invariant_leaf(edges.select(
         F.col(child).alias("_n"), F.col(parent).alias("_a"),
-    ).localCheckpoint(eager=False)
+    ))
     roots = (
         e.select(F.col("_a").alias("_n")).distinct()
         .join(e.select("_n").distinct(), "_n", "left_anti")
@@ -644,12 +656,19 @@ def degree_assortativity(
     # deg feeds both join sides and the node count — lazy-checkpoint
     # each so the canonical-edge distinct and the degree shuffle run
     # once instead of per consumer (one job either way; the r13
-    # baseline plan re-derived the edge scan 26 times)
-    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    # baseline plan re-derived the edge scan 26 times).
+    # §5 SIZE POLICY (r14): e and the joined pair relation ed are
+    # O(|E|) — they go through loop_invariant_leaf (reliable checkpoint
+    # when the cluster configures a dir, local blocks in bench mode);
+    # deg is O(|V|) degree rows — dimension-sized, plain localCheckpoint
+    # (see bigdata_tag_system_spark/checkpoint.py).
+    from bigdata_tag_system_spark.checkpoint import loop_invariant_leaf
+
+    e = loop_invariant_leaf(_canonical_edges(edges, src, dst))
     deg = _degrees(e).localCheckpoint(eager=False)
     da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
     db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
-    ed = e.join(da, "_a").join(db, "_b").localCheckpoint(eager=False)
+    ed = loop_invariant_leaf(e.join(da, "_a").join(db, "_b"))
     sym = ed.select(F.col("_da").alias("x"), F.col("_db").alias("y")) \
         .unionAll(ed.select(F.col("_db").alias("x"),
                             F.col("_da").alias("y")))
