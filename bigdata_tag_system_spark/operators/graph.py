@@ -385,9 +385,18 @@ def bfs_depths(
     # each round's job re-executes the caller's edge build (often a
     # fact-table self-join) from scratch. Rounds then exchange only
     # the frontier — the small side by construction.
+    # The partition COUNT is derived from the relation's size, not the
+    # core count (guide §2, r14): every round schedules one map task
+    # per partition of this persisted relation, and at bench scale 32
+    # sub-MB tasks per round cost more scheduling than compute
+    # (measured 2.51 → 1.95 s at the derived count; partitioning.py).
     sym = sym.unionAll(sym.select(F.col("_v").alias("_u"),
-                                  F.col("_u").alias("_v"))) \
-        .repartition("_u").persist(StorageLevel.MEMORY_AND_DISK)
+                                  F.col("_u").alias("_v")))
+    from bigdata_tag_system_spark.partitioning import sized_partitions
+
+    n_parts = sized_partitions(sym)
+    sym = (sym.repartition(n_parts, "_u") if n_parts
+           else sym.repartition("_u")).persist(StorageLevel.MEMORY_AND_DISK)
     visited = (
         sym.sparkSession.createDataFrame([(source, 0)], ["node", "depth"])
         .localCheckpoint(eager=False))
@@ -475,7 +484,15 @@ def kcore(
         .where(F.col("_u") != F.col("_v"))
     sym = canon.unionAll(
         canon.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
-    ).distinct().repartition("_u")
+    ).distinct()
+    # size-derived partition count for the persisted peel relation —
+    # every round's degree aggregate maps over these partitions, and
+    # one per core at bench scale is pure scheduling floor (guide §2;
+    # measured 1.44 → 1.12 s; see partitioning.py)
+    from bigdata_tag_system_spark.partitioning import sized_partitions
+
+    n_parts = sized_partitions(sym)
+    sym = sym.repartition(n_parts, "_u") if n_parts else sym.repartition("_u")
     live = sym.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n_prev = None
