@@ -514,7 +514,33 @@ def project_pca(
     expression — no join, no broadcast table, whole-stage codegen'd;
     the corpus pass pipelines with the scan like every other embedding
     transform here.
+
+    The whole projection is rendered as ONE parsed SQL expression when
+    the literals have an exact SQL form (r14, guide §5 — the same
+    ``repr``+``D`` idiom as ``lit_double_array``): the Column-API fold
+    paid one py4j round-trip per ±/× node — ~5,400 round-trips (~0.6 s
+    driver-blocked) for a 2×64 projection. The string renders the
+    identical left-fold tree (``0.0 + (e−m)·w + …``), so plan and
+    values are unchanged; non-finite literals fall back to Column ops.
     """
+    import math
+
+    flat = [float(x) for comp in components for x in comp] + \
+        [float(m) for m in mean]
+    if (components and isinstance(vec_col, str)
+            and all(math.isfinite(x) for x in flat)):
+        v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+        comps_sql = []
+        for comp in components:
+            term = "0.0D"
+            for i, (m, w) in enumerate(zip(mean, comp)):
+                if float(w) == 0.0:
+                    continue
+                term = (f"{term} + (element_at({v}, {i + 1}) - "
+                        f"{float(m)!r}D) * {float(w)!r}D")
+            comps_sql.append(term)
+        return df.withColumn(
+            out_col, F.expr("array(" + ", ".join(comps_sql) + ")"))
     v = _vec(vec_col)
     outs = []
     for comp in components:

@@ -1004,23 +1004,25 @@ def periodogram(
     mean = series.agg(F.avg(y).alias("_mu"))
     base = series.crossJoin(F.broadcast(mean)).select(
         (y - F.col("_mu")).alias("_y"), t.alias("_t"))
+    # each projection sum and each spectrum struct is rendered as ONE
+    # parsed SQL expression (r14, guide §5): the Column-API build paid
+    # a py4j round-trip per ±/×/trig node — ~4,000 round-trips for the
+    # 9-period spectrum. repr()+D double literals keep the angular
+    # frequencies bit-identical to the former F.lit floats; operator
+    # association order is unchanged, so plan and values are equal.
     aggs = []
     for p in periods:
-        w = 2.0 * math.pi / float(p)
-        aggs.append(F.sum(F.col("_y")
-                          * F.cos(F.col("_t") * w)).alias(f"_c{p}"))
-        aggs.append(F.sum(F.col("_y")
-                          * F.sin(F.col("_t") * w)).alias(f"_s{p}"))
+        w = repr(2.0 * math.pi / float(p)) + "D"
+        aggs.append(F.expr(f"sum(_y * cos(_t * {w}))").alias(f"_c{p}"))
+        aggs.append(F.expr(f"sum(_y * sin(_t * {w}))").alias(f"_s{p}"))
     row = base.agg(F.count(F.lit(1)).alias("_n"), *aggs)
-    spec = row.select(F.explode(F.array(*[
-        F.struct(
-            F.lit(int(p)).alias("period"),
-            ((F.col(f"_c{p}") * F.col(f"_c{p}")
-              + F.col(f"_s{p}") * F.col(f"_s{p}"))
-             * 2.0 / F.col("_n")).alias("power"))
-        for p in periods
-    ])).alias("s")).select("s.period", F.round("s.power", 4)
-                           .alias("power"))
+    structs = ", ".join(
+        f"struct({int(p)} AS period, (_c{p} * _c{p} + _s{p} * _s{p})"
+        f" * 2.0D / _n AS power)"
+        for p in periods)
+    spec = row.select(
+        F.expr(f"explode(array({structs}))").alias("s")
+    ).select("s.period", F.round("s.power", 4).alias("power"))
     return spec.orderBy("period")
 
 
