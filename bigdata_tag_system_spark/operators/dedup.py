@@ -919,8 +919,6 @@ def connected_components(
     def _sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
 
-    from pyspark.sql import Window as _W
-
     # Per-neighborhood minima are computed with a WINDOW over the
     # partition key instead of groupBy + join-back (r13, guide §2.4):
     # the join-back formulation shuffles the symmetrized edges TWICE
@@ -936,37 +934,36 @@ def connected_components(
     # after round one, so the exposure window is a single round. Each
     # star step measured ~2× fewer exchanges and the CC-dominated
     # entries ~1.5× end-to-end at sf0.1.
-    def _large_star(e: DataFrame) -> DataFrame:
-        # for each u: m = min(Γ(u) ∪ {u}); connect every LARGER neighbor
-        # to m. Keeps high-degree hubs from ever growing: big neighbors
-        # re-point at the local minimum.
-        # NO trailing distinct (r14, guide §2.4): this output feeds
-        # only _small_star, whose window-min is duplicate-invariant and
-        # whose own trailing distinct restores set semantics — the
-        # inter-star distinct was a pure extra exchange per round
-        # (measured: per-round 0.66→0.45 s, loop total 4.8→2.7 s at
-        # sf0.1, identical fixed point).
-        sym = _sym(e)
-        m = F.least(F.min("d").over(_W.partitionBy("s")), F.col("s"))
-        return (
-            sym.withColumn("m", m)
-            .where(F.col("d") > F.col("s"))
-            .select(F.col("d").alias("s"), F.col("m").alias("d"))
-            .where(F.col("s") != F.col("d"))
-        )
-
-    def _small_star(e: DataFrame) -> DataFrame:
-        # orient edges high→low, then for each u: m = min of its smaller
-        # neighborhood ∪ {u}; re-point u and every smaller neighbor at m.
-        lo = _sym(e).where(F.col("d") < F.col("s")).withColumn(
-            "m", F.min("d").over(_W.partitionBy("s")))
-        out = (
-            lo.select(F.col("d").alias("s"), F.col("m").alias("d"))
-            .union(lo.select("s", F.col("m").alias("d")))
-            .where(F.col("s") != F.col("d"))
-            .distinct()
-        )
-        return out
+    #
+    # Both star steps are rendered as ONE parsed SQL statement per
+    # round (r14, guide §5): the Column-API construction paid ~800 py4j
+    # round-trips per round (~0.4 s driver-blocked over a 5-round
+    # loop). The CTE bodies are verbatim transcriptions of the former
+    # per-step transformations — large-star: m = least(min(d) OVER
+    # (PARTITION BY s), s) over the symmetrized edges, re-point every
+    # LARGER neighbor at m, no trailing distinct (its only consumer is
+    # small-star, whose window-min is duplicate-invariant; r14);
+    # small-star: orient high→low, m = min of the smaller neighborhood
+    # ∪ {u}, re-point u and every smaller neighbor at m, one trailing
+    # DISTINCT restoring set semantics — so the analyzed plan and the
+    # fixed point are unchanged; only the driver RPC count drops.
+    _round_sql = """
+        WITH ls_sym AS (SELECT s, d FROM {cur}
+                        UNION ALL SELECT d AS s, s AS d FROM {cur}),
+        ls_w AS (SELECT s, d,
+                        least(min(d) OVER (PARTITION BY s), s) AS m
+                 FROM ls_sym),
+        ls_f AS (SELECT d AS s, m AS d FROM ls_w WHERE d > s),
+        ls AS (SELECT s, d FROM ls_f WHERE s != d),
+        ss_sym AS (SELECT s, d FROM ls
+                   UNION ALL SELECT d AS s, s AS d FROM ls),
+        ss_lo AS (SELECT s, d, min(d) OVER (PARTITION BY s) AS m
+                  FROM ss_sym WHERE d < s),
+        ss_u AS (SELECT d AS s, m AS d FROM ss_lo
+                 UNION ALL SELECT s, m AS d FROM ss_lo)
+        SELECT DISTINCT s, d FROM ss_u WHERE s != d
+    """
+    spark = pairs.sparkSession
 
     def _checksum(e: DataFrame) -> tuple:
         row = e.agg(
@@ -989,7 +986,7 @@ def connected_components(
         # (Two alternations per checkpoint was tried and measured ~2×
         # SLOWER — the doubled uncheckpointed stage graph costs more
         # than the saved convergence aggregates.)
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        nxt = spark.sql(_round_sql, cur=cur).localCheckpoint(eager=False)
         sig = _checksum(nxt)
         # checksum equality is necessary but a (count, xor) collision
         # could accept a non-fixed-point — confirm exactly ONCE at the
