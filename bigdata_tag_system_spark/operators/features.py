@@ -1033,6 +1033,82 @@ def abc_xyz_classes(
     """
     from pyspark.sql import Window
 
+    a_bp, b_bp = abc_fences_bp
+    x_pct, y_pct = xyz_fences_pct
+    # When the measure expressions arrive as SQL text, the whole
+    # classification is rendered as TWO parsed statements split at the
+    # lazy checkpoint (r14, guide §5): the Column-API build paid ~1,300
+    # py4j round-trips (~1 s driver-blocked). The SQL transcribes the
+    # Column expressions verbatim — same two-level aggregation, same
+    # decimal widenings, same fence comparisons — so the analyzed plan
+    # and every class decision are unchanged. Column-typed measures
+    # keep the original path below.
+    if all(isinstance(c, str) for c in
+           (key_col, revenue_cents, qty_col, period_col)):
+        spark = facts.sparkSession
+        kq = "`" + key_col.replace("`", "``") + "`"
+        per_item = spark.sql(
+            f"""
+            WITH pp AS (SELECT {kq} AS _k, {period_col} AS _p,
+                               sum({revenue_cents}) AS _rev,
+                               sum({qty_col}) AS _q
+                        FROM {{facts}} GROUP BY 1, 2)
+            SELECT _k, sum(_rev) AS rev, count(1) AS _n,
+                   sum(_q) AS _sq, sum(_q * _q) AS _sq2
+            FROM pp GROUP BY _k
+            """,
+            facts=facts,
+            # the per-item moments feed the revenue total AND the
+            # ranked window — lazy-checkpoint so the two-level fact
+            # aggregation runs once, not per consumer
+        ).localCheckpoint(eager=False)
+        tot = per_item.agg(F.sum("rev").alias("_tot"))
+        return spark.sql(
+            f"""
+            WITH ranked AS (
+              SELECT /*+ BROADCAST(t) */ _k, rev, _n, _sq, _sq2, _tot,
+                     sum(rev) OVER (ORDER BY rev DESC, _k
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS _cum
+              FROM {{per_item}} CROSS JOIN {{t}} t),
+            classed AS (
+              SELECT _k, rev, _tot,
+                CASE WHEN CAST(_cum AS DECIMAL(38,0)) * 10000
+                          <= CAST(_tot AS DECIMAL(38,0)) * {int(a_bp)}
+                     THEN 'A'
+                     WHEN CAST(_cum AS DECIMAL(38,0)) * 10000
+                          <= CAST(_tot AS DECIMAL(38,0)) * {int(b_bp)}
+                     THEN 'B' ELSE 'C' END AS abc,
+                CASE WHEN _sq <= 0 THEN 'Z'
+                     WHEN CAST(10000 AS DECIMAL(19,0))
+                          * (CAST(_n AS DECIMAL(19,0))
+                             * CAST(_sq2 AS DECIMAL(19,0))
+                             - CAST(_sq AS DECIMAL(19,0))
+                               * CAST(_sq AS DECIMAL(19,0)))
+                          < CAST({int(x_pct * x_pct)} AS DECIMAL(19,0))
+                            * (CAST(_sq AS DECIMAL(19,0))
+                               * CAST(_sq AS DECIMAL(19,0)))
+                     THEN 'X'
+                     WHEN CAST(10000 AS DECIMAL(19,0))
+                          * (CAST(_n AS DECIMAL(19,0))
+                             * CAST(_sq2 AS DECIMAL(19,0))
+                             - CAST(_sq AS DECIMAL(19,0))
+                               * CAST(_sq AS DECIMAL(19,0)))
+                          < CAST({int(y_pct * y_pct)} AS DECIMAL(19,0))
+                            * (CAST(_sq AS DECIMAL(19,0))
+                               * CAST(_sq AS DECIMAL(19,0)))
+                     THEN 'Y' ELSE 'Z' END AS xyz
+              FROM ranked)
+            SELECT abc, xyz, count(1) AS n_items,
+                   sum(rev) AS revenue_cents,
+                   (10000 * CAST(sum(rev) AS DECIMAL(38,0)))
+                   DIV CAST(first(_tot) AS DECIMAL(38,0))
+                   AS revenue_share_bp
+            FROM classed GROUP BY abc, xyz ORDER BY abc, xyz
+            """,
+            per_item=per_item, t=tot,
+        )
+
     per_period = facts.groupBy(
         F.col(key_col).alias("_k"),
         period_col.alias("_p")).agg(
@@ -1053,8 +1129,6 @@ def abc_xyz_classes(
     ranked = per_item.crossJoin(F.broadcast(tot)).select(
         "_k", "rev", "_n", "_sq", "_sq2", "_tot",
         F.sum("rev").over(w).alias("_cum"))
-    a_bp, b_bp = abc_fences_bp
-    x_pct, y_pct = xyz_fences_pct
     # every cents·bp / qty²·pct² cross-product widens to decimal BEFORE
     # multiplying: cum·10000 wraps int64 once total revenue cents pass
     # ~9.2e14 (≈ $9T — within reach of a decade of a large retailer at
@@ -1377,54 +1451,78 @@ def markov_attribution(
     the conversion opens the session); a non-converting session keeps
     every event and terminates in NULL.
     """
-    from pyspark.sql import Window
+    # the fact-scale sessionize→truncate→transition-count chain is
+    # rendered as TWO parsed SQL statements split at the checkpoint
+    # (r14, guide §5): the Column-API build paid ~1,500 py4j
+    # round-trips (~0.5 s driver-blocked). The CTE bodies transcribe
+    # the former windows verbatim (same partitioning, same ordering,
+    # same gap/truncation rules), so the analyzed plan, the journey
+    # semantics and the transition counts are unchanged. `kept` is
+    # inlined per consumer from fresh-id parameters (sqlrender rules).
+    from bigdata_tag_system_spark.functions.sqlrender import (
+        fresh_ids,
+        ident,
+    )
 
-    mics = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w_u = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    new_sess = (
-        (mics - F.lag(mics).over(w_u)) > F.lit(gap_seconds * 1_000_000)
-    ).cast("int")
-    sess = events.select(
-        F.col(user_col).alias("_u"), F.col(type_col).alias("_t"),
-        F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"),
-        F.coalesce(new_sess, F.lit(0)).alias("_brk"))
-    w_ru = Window.partitionBy("_u").orderBy("_ts", "_id")
-    sess = sess.withColumn(
-        "_sid", F.sum("_brk").over(
-            w_ru.rowsBetween(Window.unboundedPreceding, 0)))
-    w_s = Window.partitionBy("_u", "_sid").orderBy("_ts", "_id")
-    w_s_all = Window.partitionBy("_u", "_sid")
-    rn = F.row_number().over(w_s)
-    conv_rn = F.min(F.when(F.col("_t") == conv_type, F.col("_rn"))) \
-        .over(w_s_all)
-    rows = sess.select("_u", "_sid", "_t", "_ts", "_id",
-                       rn.alias("_rn"))
-    # rows feeds the kept prefix (twice, via step/last edges) and the
-    # empty-conversion probe — lazy-checkpoint so the three-window
-    # sessionize chain over the fact table runs once, not three times
-    rows = rows.select("*", conv_rn.alias("_conv_rn")) \
-        .localCheckpoint(eager=False)
-    kept = rows.where(F.col("_conv_rn").isNull()
-                      | (F.col("_rn") < F.col("_conv_rn")))
-    term = F.when(F.col("_conv_rn").isNotNull(), F.lit("CONV")) \
-        .otherwise(F.lit("NULL"))
-    w_k = Window.partitionBy("_u", "_sid").orderBy("_rn")
-    w_k_all = Window.partitionBy("_u", "_sid")
-    step_edges = kept.select(
-        F.coalesce(F.lag("_t").over(w_k), F.lit("START")).alias("_from"),
-        F.col("_t").alias("_to"))
-    last_edges = (kept
-                  .withColumn("_max_rn", F.max("_rn").over(w_k_all))
-                  .where(F.col("_rn") == F.col("_max_rn"))
-                  .select(F.col("_t").alias("_from"), term.alias("_to")))
-    # a session whose FIRST event converts keeps no rows: START→CONV
-    empty_conv = (rows.where(F.col("_conv_rn") == 1)
-                  .where(F.col("_rn") == 1)
-                  .select(F.lit("START").alias("_from"),
-                          F.lit("CONV").alias("_to")))
-    edges = step_edges.unionByName(last_edges).unionByName(empty_conv)
-    counts = edges.groupBy("_from", "_to").agg(
-        F.count(F.lit(1)).alias("_n"))
+    spark = events.sparkSession
+    u, t = ident(user_col), ident(type_col)
+    ts, i = ident(ts_col), ident(id_col)
+    conv = "'" + str(conv_type).replace("'", "''") + "'"
+    gap_us = int(gap_seconds) * 1_000_000
+    rows = spark.sql(
+        f"""
+        WITH sess AS (
+          SELECT {u} AS _u, {t} AS _t, {ts} AS _ts, {i} AS _id,
+                 coalesce(CAST((unix_micros(CAST({ts} AS TIMESTAMP)) -
+                                lag(unix_micros(CAST({ts} AS TIMESTAMP)))
+                                OVER (PARTITION BY {u}
+                                      ORDER BY {ts}, {i}))
+                               > {gap_us} AS INT), 0) AS _brk
+          FROM {{events}}),
+        s2 AS (SELECT _u, _t, _ts, _id,
+                      sum(_brk) OVER (PARTITION BY _u
+                                      ORDER BY _ts, _id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS _sid
+               FROM sess),
+        r AS (SELECT _u, _sid, _t, _ts, _id,
+                     row_number() OVER (PARTITION BY _u, _sid
+                                        ORDER BY _ts, _id) AS _rn
+              FROM s2)
+        SELECT _u, _sid, _t, _ts, _id, _rn,
+               min(CASE WHEN _t = {conv} THEN _rn END)
+               OVER (PARTITION BY _u, _sid) AS _conv_rn
+        FROM r
+        """,
+        events=events,
+        # rows feeds the kept prefix (twice, via step/last edges) and
+        # the empty-conversion probe — lazy-checkpoint so the
+        # three-window sessionize chain over the fact table runs once
+    ).localCheckpoint(eager=False)
+    counts = spark.sql(
+        """
+        WITH step AS (
+          SELECT coalesce(lag(_t) OVER (PARTITION BY _u, _sid
+                                        ORDER BY _rn), 'START') AS _from,
+                 _t AS _to
+          FROM {r1} WHERE _conv_rn IS NULL OR _rn < _conv_rn),
+        lastk AS (
+          SELECT _t AS _from,
+                 CASE WHEN _conv_rn IS NOT NULL THEN 'CONV'
+                      ELSE 'NULL' END AS _to
+          FROM (SELECT *, max(_rn) OVER (PARTITION BY _u, _sid)
+                          AS _max_rn
+                FROM {r2} WHERE _conv_rn IS NULL OR _rn < _conv_rn)
+          WHERE _rn = _max_rn),
+        emptyc AS (
+          SELECT 'START' AS _from, 'CONV' AS _to
+          FROM {r3} WHERE _conv_rn = 1 AND _rn = 1),
+        e AS (SELECT _from, _to FROM step
+              UNION ALL SELECT _from, _to FROM lastk
+              UNION ALL SELECT _from, _to FROM emptyc)
+        SELECT _from, _to, count(1) AS _n FROM e GROUP BY _from, _to
+        """,
+        r1=rows, r2=fresh_ids(rows), r3=fresh_ids(rows))
 
     # chain is dimension-bounded: collect, solve, ship back literal
     rows_c = counts.collect()

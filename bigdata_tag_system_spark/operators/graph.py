@@ -336,6 +336,21 @@ def resolve_hierarchy(
         roots.select("_n", F.col("_n").alias("_a"),
                      F.lit(0).cast("long").alias("_d")))
     root_set = roots.select(F.col("_n").alias("_r"))
+    # each doubling round is rendered as ONE parsed SQL statement (r14,
+    # guide §5): the Column-API self-join paid ~100 py4j round-trips
+    # per round; the SQL transcribes the former hop join verbatim
+    # (same join condition, same distance sum), so the analyzed plan
+    # and the resolved (root, depth) values are unchanged. The second
+    # reference of m goes through fresh_ids (see functions/sqlrender).
+    from bigdata_tag_system_spark.functions.sqlrender import fresh_ids
+
+    spark = edges.sparkSession
+    hop_sql = """
+        SELECT m._n AS _n, h._ha AS _a, m._d + h._hd AS _d
+        FROM {m} m JOIN (SELECT _n AS _h, _a AS _ha, _d AS _hd
+                         FROM {m2}) h
+        ON m._a = h._h
+    """
     for _ in range(max_rounds):
         pending = (
             m.join(root_set, m._a == F.col("_r"), "left_anti")
@@ -344,14 +359,8 @@ def resolve_hierarchy(
             return m.select(F.col("_n").alias("node"),
                             F.col("_a").alias("root"),
                             F.col("_d").alias("depth"))
-        hop = m.select(F.col("_n").alias("_h"), F.col("_a").alias("_ha"),
-                       F.col("_d").alias("_hd"))
-        m = (
-            m.join(hop, m._a == F.col("_h"))
-            .select("_n", F.col("_ha").alias("_a"),
-                    (F.col("_d") + F.col("_hd")).alias("_d"))
+        m = spark.sql(hop_sql, m=m, m2=fresh_ids(m)) \
             .localCheckpoint(eager=False)
-        )
     raise RuntimeError(
         f"hierarchy did not resolve in {max_rounds} pointer-doubling "
         f"rounds — a cycle in the parent edges, or depth > 2^{max_rounds}")
@@ -700,9 +709,22 @@ def degree_assortativity(
 
     e = loop_invariant_leaf(_canonical_edges(edges, src, dst))
     deg = _degrees(e).localCheckpoint(eager=False)
-    da = deg.select(F.col("_n").alias("_a"), F.col("_d").alias("_da"))
-    db = deg.select(F.col("_n").alias("_b"), F.col("_d").alias("_db"))
-    ed = loop_invariant_leaf(e.join(da, "_a").join(db, "_b"))
+    # the endpoint-degree join and the symmetrized moment aggregate are
+    # rendered as parsed SQL (r14, guide §5 — same expressions, ~½ the
+    # build's py4j round-trips); deg's second reference goes through
+    # fresh_ids, the moment sums read the checkpointed ed leaf twice
+    # via the DataFrame-API union (analyzer-deduplicated)
+    from bigdata_tag_system_spark.functions.sqlrender import fresh_ids
+
+    spark = edges.sparkSession
+    ed = loop_invariant_leaf(spark.sql(
+        """
+        SELECT e._a, e._b, da._da, db._db
+        FROM {e} e
+        JOIN (SELECT _n AS _a, _d AS _da FROM {deg1}) da USING (_a)
+        JOIN (SELECT _n AS _b, _d AS _db FROM {deg2}) db USING (_b)
+        """,
+        e=e, deg1=deg, deg2=fresh_ids(deg)))
     sym = ed.select(F.col("_da").alias("x"), F.col("_db").alias("y")) \
         .unionAll(ed.select(F.col("_db").alias("x"),
                             F.col("_da").alias("y")))
@@ -710,13 +732,14 @@ def degree_assortativity(
     # large graphs n·sxy and sx² overflow int64 and non-ANSI Spark
     # wraps silently while the DuckDB oracle's checked BIGINT errors —
     # decimal keeps both sides exact (the neyman_allocation discipline)
-    dx = F.col("x").cast("decimal(19,0)")
-    dy = F.col("y").cast("decimal(19,0)")
     sums = sym.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(dx).cast("decimal(38,0)").alias("sx"),
-        F.sum(dx * dx).cast("decimal(38,0)").alias("sxx"),
-        F.sum(dx * dy).cast("decimal(38,0)").alias("sxy"),
+        F.expr("CAST(count(1) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0))")
+        .alias("sx"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,0)) * "
+               "CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0))").alias("sxx"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(19,0)) * "
+               "CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0))").alias("sxy"),
     )
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     nedge = e.agg(F.count(F.lit(1)).alias("n_edges"))

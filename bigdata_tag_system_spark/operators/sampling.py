@@ -939,9 +939,11 @@ def corpus_build_plan(
     cardinality switch the selection to the two-level bucketed cumsum.
     Requires an integral ``id_col`` (portable hash order).
     """
-    from .dedup import _row_digest
     from .text import ngram_contamination
-    from bigdata_tag_system_spark.functions.text import token_count
+    from bigdata_tag_system_spark.functions.sqlrender import (
+        fresh_ids,
+        ident,
+    )
 
     if token_budget <= 0:
         raise ValueError(
@@ -957,27 +959,46 @@ def corpus_build_plan(
     # aggregates of five increasingly-filtered relations) re-derives
     # the scrub+decontaminate subplan once per ledger column branch,
     # which at corpus scale re-tokenizes the corpus ~4× for nothing.
-    base = docs.where(
-        F.col(text_col).isNotNull() & F.col(source_col).isNotNull()
-    ).select(
-        F.col(id_col), F.col(source_col).alias("source"),
-        F.col(text_col),
-        token_count(text_col).cast("long").alias("_ntok"),
-        _row_digest(text_col, id_col).alias("_dg"))
-
-    # base feeds the digest-winner aggregate AND the annotate join —
-    # lazy-checkpoint so the tokenize+digest projection runs once
-    base = base.localCheckpoint(eager=False)
-    winners = base.groupBy("_dg").agg(F.min(id_col).alias("_wid"))
-    ann = (
-        base.join(winners, "_dg")
-        .withColumn("_survivor", (F.col(id_col) == F.col("_wid"))
-                    .cast("int"))
-        .drop("_dg", "_wid")
+    #
+    # Each checkpoint segment is rendered as ONE parsed SQL statement
+    # (r14, guide §5): the Column-API build paid ~3,400 py4j
+    # round-trips (~1.4 s driver-blocked). The SQL transcribes the
+    # former expressions verbatim — token_count's empty-guard CASE,
+    # _row_digest's null-text coalesce, the knuth multiplicative hash
+    # (pre-reduction mod 2³¹ included), every flag and fence — so the
+    # analyzed plan and the whole ledger are unchanged; repeated
+    # relation references go through fresh_ids (sqlrender rules).
+    spark = docs.sparkSession
+    i, s, t = ident(id_col), ident(source_col), ident(text_col)
+    norm = f"trim(regexp_replace(lower({t}), '\\\\s+', ' '))"
+    base = spark.sql(
+        f"""
+        SELECT {i}, {s} AS source, {t},
+               CAST(CASE WHEN {norm} = '' THEN 0
+                         ELSE size(split({norm}, ' ')) END AS BIGINT)
+               AS _ntok,
+               coalesce(md5({norm}),
+                        concat('null-text:', CAST({i} AS STRING)))
+               AS _dg
+        FROM {{docs}}
+        WHERE {t} IS NOT NULL AND {s} IS NOT NULL
+        """,
+        docs=docs,
+        # base feeds the digest-winner aggregate AND the annotate join
+        # — lazy-checkpoint so the tokenize+digest projection runs once
+    ).localCheckpoint(eager=False)
+    ann = spark.sql(
+        f"""
+        WITH winners AS (SELECT _dg, min({i}) AS _wid
+                         FROM {{b1}} GROUP BY _dg)
+        SELECT {i}, source, {t}, _ntok,
+               CAST({i} = _wid AS INT) AS _survivor
+        FROM {{b2}} JOIN winners USING (_dg)
+        """,
+        b1=fresh_ids(base), b2=base,
         # ann feeds the contamination screen AND the clean-flag join —
         # checkpoint before forking (still carries text; dropped below)
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
     # contamination runs over SURVIVORS only (a dup loser's grams are
     # its winner's grams — screening it twice would double-charge)
     cont_ids = ngram_contamination(
@@ -985,26 +1006,29 @@ def corpus_build_plan(
         benchmark, n=contamination_ngram,
         text_col=text_col, id_col=id_col, min_overlap=min_overlap
     ).select(F.col(id_col), F.lit(1).alias("_cont"))
-    ann = (
-        ann.join(F.broadcast(cont_ids), id_col, "left")
-        .withColumn(
-            "_clean",
-            ((F.col("_survivor") == 1) & F.col("_cont").isNull())
-            .cast("int"))
-        .drop(text_col)
+    ann = spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(c) */
+               a.{i}, a.source, a._ntok, a._survivor, c._cont,
+               CAST(a._survivor = 1 AND c._cont IS NULL AS INT) AS _clean
+        FROM {{ann}} a LEFT JOIN {{c}} c ON a.{i} = c.{i}
+        """,
+        ann=ann, c=cont_ids,
         # the annotated (narrow, text-free) relation feeds the
         # allocator aggregate AND the selection window — checkpoint so
         # the scrub+decontaminate chain is computed once end to end
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
 
     # sources with ZERO clean docs stay out of the allocator (they
     # have no selectable mass; a Hamilton leftover seat parked on one
     # would be unfillable) — they re-enter the ledger with alloc 0
-    avail = ann.groupBy("source").agg(
-        F.sum("_clean").alias("_docs_clean"),
-        F.sum(F.col("_ntok") * F.col("_clean")).alias("tokens_avail"),
-    ).where(F.col("_docs_clean") > 0)
+    avail = spark.sql(
+        """
+        SELECT source, sum(_clean) AS _docs_clean,
+               sum(_ntok * _clean) AS tokens_avail
+        FROM {ann} GROUP BY source HAVING sum(_clean) > 0
+        """,
+        ann=ann)
     alloc = allocate_by_temperature(
         avail.select("source", F.col("tokens_avail").alias("n_docs")),
         token_budget, alpha, grp_col="source").select(
@@ -1013,44 +1037,40 @@ def corpus_build_plan(
     # flagged running sum ≡ the cumsum over the filtered clean relation
     # (dirty rows contribute 0), so selection needs no second filtered
     # window input — one shuffle on source covers annotate + select
-    w = (Window.partitionBy("source")
-         .orderBy(knuth_hash(F.col(id_col)), F.col(id_col))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    sel = (
-        ann.join(F.broadcast(alloc), "source", "left")
-        .withColumn("alloc_tokens",
-                    F.coalesce("alloc_tokens", F.lit(0)))
-        .withColumn("_cum",
-                    F.sum(F.col("_ntok") * F.col("_clean")).over(w))
-        .withColumn(
-            "_picked",
-            ((F.col("_clean") == 1)
-             & (F.col("_cum") <= F.col("alloc_tokens"))).cast("int"))
-    )
-
-    return (
-        sel.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_raw"),
-            F.sum(F.lit(1) - F.col("_survivor")).alias("n_exact_dups"),
-            F.sum(F.col("_survivor") - F.col("_clean"))
-            .alias("n_contaminated"),
-            F.sum("_clean").alias("docs_avail"),
-            F.sum(F.col("_ntok") * F.col("_clean"))
-            .alias("tokens_avail"),
-            F.first("alloc_tokens").alias("alloc_tokens"),
-            F.sum("_picked").alias("picked_docs"),
-            F.sum(F.col("_ntok") * F.col("_picked"))
-            .alias("picked_tokens"),
-            F.sum(F.col(id_col) * F.col("_picked"))
-            .alias("picked_id_sum"))
-        .select(
-            "source", "n_raw", "n_exact_dups", "n_contaminated",
-            "docs_avail", "tokens_avail", "alloc_tokens",
-            "picked_docs", "picked_tokens",
-            F.when(F.col("alloc_tokens") > 0,
-                   F.expr("picked_tokens * 10000 DIV alloc_tokens"))
-            .otherwise(F.lit(0)).cast("long").alias("fill_bp"),
-            "picked_id_sum")
-        .orderBy("source")
+    return spark.sql(
+        f"""
+        WITH j AS (
+          SELECT /*+ BROADCAST(al) */
+                 a.{i}, a.source, a._ntok, a._survivor, a._clean,
+                 coalesce(al.alloc_tokens, 0) AS alloc_tokens
+          FROM {{ann}} a LEFT JOIN {{al}} al ON a.source = al.source),
+        sel AS (
+          SELECT *,
+                 CAST(_clean = 1 AND _cum <= alloc_tokens AS INT)
+                 AS _picked
+          FROM (SELECT *,
+                       sum(_ntok * _clean) OVER (
+                         PARTITION BY source
+                         ORDER BY pmod(pmod(CAST({i} AS BIGINT) + 0,
+                                            2147483648) * 2654435761,
+                                       4294967296), {i}
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS _cum
+                FROM j))
+        SELECT source, count(1) AS n_raw,
+               sum(1 - _survivor) AS n_exact_dups,
+               sum(_survivor - _clean) AS n_contaminated,
+               sum(_clean) AS docs_avail,
+               sum(_ntok * _clean) AS tokens_avail,
+               first(alloc_tokens) AS alloc_tokens,
+               sum(_picked) AS picked_docs,
+               sum(_ntok * _picked) AS picked_tokens,
+               CAST(CASE WHEN first(alloc_tokens) > 0
+                         THEN sum(_ntok * _picked) * 10000
+                              DIV first(alloc_tokens)
+                         ELSE 0 END AS BIGINT) AS fill_bp,
+               sum({i} * _picked) AS picked_id_sum
+        FROM sel GROUP BY source ORDER BY source
+        """,
+        ann=fresh_ids(ann), al=alloc,
     )

@@ -1262,39 +1262,63 @@ def tfidf_cosine_topk(
     Output: ``(id, rank, other_id, cosine)``, rank 1..k per doc among
     docs sharing ≥1 surviving term.
     """
-    from pyspark.sql import Window
-
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
-    posts = (
-        tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
-        .where(F.col("df") / F.col("n_docs") <= F.lit(max_df_ratio))
-        .select(
-            F.col(id_col), "term",
-            F.expr(f"tf * ((n_docs * {int(idf_scale)}) DIV df)")
-            .alias("_w"),
-        )
+    # Each checkpoint segment is rendered as ONE parsed SQL statement
+    # (r14, guide §5): the Column-API build paid ~1,300 py4j
+    # round-trips (~1.2 s driver-blocked). The CTE bodies transcribe
+    # the former transformations verbatim — tokenize→tf→df→idf with
+    # the stop-term prune, the postings self-join, the IEEE cosine —
+    # so the analyzed plan and every value are unchanged; only the
+    # driver RPC count drops.
+    spark = df.sparkSession
+    i = "`" + id_col.replace("`", "``") + "`"
+    t = "`" + text_col.replace("`", "``") + "`"
+
+    def _fresh(rel):
+        # repeated references of ONE spark.sql DataFrame parameter
+        # share attribute ids across join/union branches, which trips
+        # Catalyst's constraint rewrites (key-not-found in
+        # AttributeMap, Spark 4.1); a same-name alias projection mints
+        # fresh ids per reference (the _cogroup_asof_prologue trick)
+        return rel.select(*[F.col(c).alias(c) for c in rel.columns])
+
+    posts = spark.sql(
+        f"""
+        WITH toks AS (
+          SELECT {i}, explode(split(trim(regexp_replace(lower({t}),
+                 '\\\\s+', ' ')), ' ')) AS term FROM {{d1}}),
+        tf AS (SELECT {i}, term, count(1) AS tf
+               FROM toks GROUP BY {i}, term),
+        dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(1) AS n_docs FROM {{d2}})
+        SELECT /*+ BROADCAST(nd) */
+               {i}, term, tf * ((n_docs * {int(idf_scale)}) DIV df) AS _w
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+        WHERE df / n_docs <= {float(max_df_ratio)!r}D
+        """,
+        d1=df, d2=_fresh(df),
         # postings feed THREE consumers (norms + both join sides) —
         # lazy-checkpoint so the tokenize→tf→df→idf chain is computed
         # and analyzed once, not per consumer (stays one job; the
         # checkpoint materializes inside the final action)
-        .localCheckpoint(eager=False)
-    )
-    norms = posts.groupBy(id_col).agg(
-        F.sum(F.col("_w") * F.col("_w")).alias("_norm"))
-    a = posts.select(F.col(id_col).alias("_ia"), "term",
-                     F.col("_w").alias("_wa"))
-    b = posts.select(F.col(id_col).alias("_ib"), "term",
-                     F.col("_w").alias("_wb"))
-    dots = (
-        a.join(b, "term").where(F.col("_ia") < F.col("_ib"))
-        .groupBy("_ia", "_ib")
-        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
-    )
+    ).localCheckpoint(eager=False)
+    # reuse points (norms feeding both cosine sides, the symmetric
+    # self-union below) stay on the DataFrame API, whose analyzer
+    # re-aliases duplicate relations; a multi-referenced CTE hits the
+    # same AttributeMap failure as a repeated parameter
+    norms = spark.sql(
+        f"SELECT {i}, sum(_w * _w) AS _norm FROM {{p}} GROUP BY {i}",
+        p=posts)
+    dots = spark.sql(
+        f"""
+        WITH a AS (SELECT {i} AS _ia, term, _w AS _wa FROM {{p1}}),
+        b AS (SELECT {i} AS _ib, term, _w AS _wb FROM {{p2}})
+        SELECT _ia, _ib, sum(_wa * _wb) AS _dot
+        FROM a JOIN b USING (term) WHERE _ia < _ib
+        GROUP BY _ia, _ib
+        """,
+        p1=_fresh(posts), p2=_fresh(posts))
     scored = (
         dots.join(norms.select(F.col(id_col).alias("_ia"),
                                F.col("_norm").alias("_na")), "_ia")
@@ -1306,10 +1330,15 @@ def tfidf_cosine_topk(
              / F.sqrt(F.col("_na").cast("double")
                       * F.col("_nb").cast("double"))).alias("_cos"),
         )
-    )
-    # scored is consumed twice (both orientations of the symmetric
-    # union) — checkpoint so the pair join+agg runs once
-    scored = scored.localCheckpoint(eager=False)
+        # scored is consumed twice (both orientations of the symmetric
+        # union) — checkpoint so the pair join+agg runs once
+    ).localCheckpoint(eager=False)
+    # the symmetric self-union stays on the Column API: a UNION ALL
+    # over two references of the same spark.sql DataFrame parameter
+    # trips Catalyst's Union constraint rewrite (key-not-found in
+    # AttributeMap on Spark 4.1); the segment is ~25 ops — negligible
+    from pyspark.sql import Window
+
     sym = scored.unionAll(scored.select(
         F.col("_ib").alias("_ia"), F.col("_ia").alias("_ib"), "_cos"))
     w = Window.partitionBy("_ia").orderBy(F.desc("_cos"), F.asc("_ib"))

@@ -814,3 +814,30 @@ class TestLabelNoiseReport:
         assert 0 < tot_part <= tot_full
         for r in part.collect():
             assert 0 <= r["mean_mismatch_bp"] <= 10000
+
+
+class TestAbcXyzSqlParity:
+    def test_sql_measures_equal_column_measures(self, spark):
+        # r14: string (SQL-text) measures take the single-parse path;
+        # it must classify identically to the Column path, fences and
+        # decimal widenings included
+        import random
+
+        import pyspark.sql.functions as F
+
+        from bigdata_tag_system_spark.operators.features import (
+            abc_xyz_classes,
+        )
+
+        random.seed(814)
+        rows = [(random.randrange(40), random.randrange(6),
+                 random.randrange(0, 5000), random.randrange(0, 12))
+                for _ in range(600)]
+        df = spark.createDataFrame(
+            rows, "item long, period int, cents long, qty long")
+        col_path = sorted(tuple(r) for r in abc_xyz_classes(
+            df, "item", F.col("cents"), F.col("qty"),
+            F.col("period")).collect())
+        sql_path = sorted(tuple(r) for r in abc_xyz_classes(
+            df, "item", "cents", "qty", "period").collect())
+        assert sql_path == col_path
