@@ -171,20 +171,44 @@ def _input_bytes(path: str) -> int:
     return sz
 
 
+_TABLE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Base-table DataFrame for ``name`` under ``sf_dir``.
+
+    The PLAN OBJECT is memoized per (session, sf_dir, table) — r14,
+    guide §5: ``spark.read.parquet`` costs 70–110 ms of driver-blocked
+    schema/footer work per call, and the bench builds ~400 table
+    references per pass. A DataFrame is an immutable logical plan, not
+    data: every execution still scans the parquet files, so nothing
+    computed is ever reused across runs (unlike the audited value
+    memos, there is no derived value here at all). Each call returns a
+    FRESH same-name alias projection of the memo so expression ids
+    stay unique per call site — exactly the id behavior separate
+    ``read.parquet`` calls had, keeping self-join entries analyzable.
+    """
     _prep(spark)
-    path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
-    if name == "events":
-        # parquet TIMESTAMP(NANOS) arrives as long under nanosAsLong
-        for f_ in df.schema.fields:
-            if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if name in _SPREAD_TABLES:
-        nbytes = _input_bytes(path)
-        if 0 <= nbytes <= _SPREAD_MAX_BYTES:
-            df = df.repartition(spark.sparkContext.defaultParallelism)
-    return df
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_PLAN_CACHE.get(key)
+    if df is None:
+        path = f"{sf_dir}/{name}.parquet"
+        df = spark.read.parquet(path)
+        if name == "events":
+            # parquet TIMESTAMP(NANOS) arrives as long under nanosAsLong
+            for f_ in df.schema.fields:
+                if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name in _SPREAD_TABLES:
+            nbytes = _input_bytes(path)
+            if 0 <= nbytes <= _SPREAD_MAX_BYTES:
+                df = df.repartition(spark.sparkContext.defaultParallelism)
+        _TABLE_PLAN_CACHE[key] = df
+    # one parsed projection (not per-column alias calls): each
+    # `c AS c` mints a fresh expression id, in a single py4j call
+    return df.selectExpr(*[
+        f"`{c}` AS `{c}`" for c in df.columns])
 
 
 _QVEC_CACHE: dict[str, tuple] = {}
@@ -7452,13 +7476,14 @@ def _build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         li = _t(spark, sf_dir, "lineitem")
+        # measures as SQL text → the operator renders the whole
+        # classification as two parsed statements (same expressions,
+        # ~1,300 fewer driver round-trips per build; features.py r14)
         return abc_xyz_classes(
             li, "l_partkey",
-            revenue_cents=F.round(F.col("l_extendedprice") * 100)
-            .cast("long"),
-            qty_col=F.col("l_quantity").cast("long"),
-            period_col=(F.year("l_shipdate") * 12
-                        + F.month("l_shipdate")))
+            revenue_cents="CAST(round(l_extendedprice * 100) AS BIGINT)",
+            qty_col="CAST(l_quantity AS BIGINT)",
+            period_col="year(l_shipdate) * 12 + month(l_shipdate)")
 
     q["orders_abc_xyz"] = orders_abc_xyz
 
