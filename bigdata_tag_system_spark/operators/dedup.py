@@ -142,10 +142,10 @@ def _sig_from_hashed(hs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     # lambda form pays ~5 py4j round-trips per permutation at build
     # time; the SQL int literal seed keeps xxhash64's second argument
     # IntegerType exactly like F.lit(int) did (hash-type-sensitive)
-    sig = F.array(*[
-        F.expr(f"array_min(transform(_hs, h -> xxhash64(h, {i})))")
-        for i in range(num_hashes)
-    ])
+    sig = F.expr(
+        "array(" + ",".join(
+            f"array_min(transform(_hs, h -> xxhash64(h, {i})))"
+            for i in range(num_hashes)) + ")")
     return hs.select(F.col(id_col), sig.alias("_sig"))
 
 
@@ -159,10 +159,10 @@ def _sketch_table(hs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     """
 
     # same parsed-SQL permutation minima as _sig_from_hashed (r13)
-    sig = F.array(*[
-        F.expr(f"array_min(transform(_hs, h -> xxhash64(h, {i})))")
-        for i in range(num_hashes)
-    ])
+    sig = F.expr(
+        "array(" + ",".join(
+            f"array_min(transform(_hs, h -> xxhash64(h, {i})))"
+            for i in range(num_hashes)) + ")")
     return hs.select(F.col(id_col), sig.alias("_sig"), F.col("_hs"))
 
 
@@ -221,15 +221,15 @@ def _band_join(
     if on_overflow not in ("truncate", "error"):
         raise ValueError(f"on_overflow must be 'truncate' or 'error', got {on_overflow!r}")
     r = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(F.slice("_sig", b * r + 1, r)).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
+    # ONE parsed expression for the whole band array (r14, guide §5):
+    # the per-band Column form paid ~10 py4j round-trips per band;
+    # named_struct/xxhash64/slice with int literals parse to the
+    # identical expression tree
+    band_structs = F.expr(
+        "array(" + ",".join(
+            f"named_struct('band_id', {b}, 'band_hash', "
+            f"xxhash64(slice(_sig, {b * r + 1}, {r})))"
+            for b in range(bands)) + ")")
     banded = sigs.select(
         F.col(id_col), *[F.col(c) for c in carry_cols],
         F.explode(band_structs).alias("b"),
