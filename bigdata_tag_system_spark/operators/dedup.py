@@ -1123,15 +1123,32 @@ def fuzzy_edit_pairs(
         F.length(text) - F.length(F.replace(text, F.lit(ch)))
         for ch in hist_chars
     ]
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.greatest(n - gram_k + 1, F.lit(1))),
-        lambda i: F.xxhash64(text.substr(i, F.lit(gram_k))),
-    ))
     base = df.where(text.isNotNull()).select(
         F.col(id_col), text.alias(text_col), n.alias("_n"),
-        F.array(*counts).alias("_h"), grams.alias("_g"),
+        F.array(*counts).alias("_h"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    ex = base.select(F.col(id_col), F.col("_n"), F.explode("_g").alias("_gr"))
+    # positional q-gram hashes via EXPLODE + whole-stage-codegen'd
+    # substr/xxhash, not a transform() lambda building a per-row array
+    # (r14, guide §1.2): higher-order-function lambdas evaluate
+    # interpreted, per element — measured 2.3× slower for the ~800
+    # hashes/doc this blocking needs. The per-doc DISTINCT the array
+    # form got from array_distinct comes back as dropDuplicates on
+    # (id, gram) — the identical gram set (pinned by the recall tests),
+    # one extra narrow exchange that the codegen win more than repays.
+    # Persisted: freq and the prefix ranking both consume it.
+    ex = (
+        base.select(
+            F.col(id_col), F.col("_n"),
+            F.explode(F.sequence(
+                F.lit(1), F.greatest(F.col("_n") - gram_k + 1, F.lit(1)))
+            ).alias("_i"),
+            F.col(text_col).alias("_t"))
+        .select(F.col(id_col), F.col("_n"),
+                F.xxhash64(F.expr(f"substr(_t, _i, {int(gram_k)})"))
+                .alias("_gr"))
+        .dropDuplicates([id_col, "_gr"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     freq = ex.groupBy("_gr").agg(F.count(F.lit(1)).alias("_f"))
     from pyspark.sql import Window as _W
 
