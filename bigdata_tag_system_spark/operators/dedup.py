@@ -1089,12 +1089,16 @@ def fuzzy_edit_pairs(
        (Gravano et al.'s count filter, set form; docs shorter than k
        contribute their whole text as the single gram, for which the
        bound holds trivially);
-    2. order all grams by (corpus df, gram hash) — a global total
-       order; take each doc's ``k·d + 1`` smallest (rarest) as its
-       PREFIX. For any true pair, the globally-smallest SHARED gram g*
-       is preceded in A's order only by non-shared grams (≤ k·d of
-       them), so g* sits inside A's prefix — and symmetrically B's:
-       every true pair collides on ≥ 1 prefix gram. No length cases,
+    2. order all grams by (corpus occurrence count, gram hash) — a
+       global total order; take each doc's ``k·d + 1`` smallest
+       (rarest) DISTINCT grams as its PREFIX. For any true pair, the
+       globally-smallest SHARED gram g* is preceded in A's order only
+       by non-shared grams (≤ k·d of them), so g* sits inside A's
+       prefix — and symmetrically B's: every true pair collides on
+       ≥ 1 prefix gram. The argument needs only SOME single global
+       total order (rare-first is the selectivity heuristic), so
+       occurrence count serves as well as distinct-doc df and needs
+       no gram dedup before the frequency aggregate. No length cases,
        no band boundaries;
     3. candidates join on the 8-byte gram hash — buckets hold only
        docs for which that gram is among their rarest, so hot grams
@@ -1131,11 +1135,12 @@ def fuzzy_edit_pairs(
     # substr/xxhash, not a transform() lambda building a per-row array
     # (r14, guide §1.2): higher-order-function lambdas evaluate
     # interpreted, per element — measured 2.3× slower for the ~800
-    # hashes/doc this blocking needs. The per-doc DISTINCT the array
-    # form got from array_distinct comes back as dropDuplicates on
-    # (id, gram) — the identical gram set (pinned by the recall tests),
-    # one extra narrow exchange that the codegen win more than repays.
-    # Persisted: freq and the prefix ranking both consume it.
+    # hashes/doc this blocking needs. No per-doc DISTINCT here: the
+    # r14 form fuses the gram dedup into the ranking window below
+    # (dense_rank + adjacent-duplicate drop), removing the
+    # dropDuplicates exchange of the full gram stream outright
+    # (guide §2.4; measured 2.2 → 1.1 s for the prefix phase at
+    # sf0.1). Persisted: freq and the prefix ranking both consume it.
     ex = (
         base.select(
             F.col(id_col), F.col("_n"),
@@ -1146,17 +1151,31 @@ def fuzzy_edit_pairs(
         .select(F.col(id_col), F.col("_n"),
                 F.xxhash64(F.expr(f"substr(_t, _i, {int(gram_k)})"))
                 .alias("_gr"))
-        .dropDuplicates([id_col, "_gr"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # _f counts gram OCCURRENCES (not distinct-doc df): the prefix
+    # argument in the docstring holds for ANY single global total
+    # order on grams — (occurrence count, hash) is one, keeps the
+    # rare-first selectivity (measured 49,664 vs 49,618 candidates at
+    # sf0.1), and lets freq run map-side-combinable over the raw gram
+    # stream with no prior dedup.
     freq = ex.groupBy("_gr").agg(F.count(F.lit(1)).alias("_f"))
     from pyspark.sql import Window as _W
 
+    # ONE window pass does both the per-doc gram dedup and the prefix
+    # ranking: duplicates of a gram are adjacent under the (_f, _gr)
+    # order, so `lag(_gr) != _gr` keeps exactly one row per distinct
+    # gram, and dense_rank (which counts distinct (_f, _gr) keys, i.e.
+    # distinct grams) caps the kept rows at the prefix_len smallest
+    # DISTINCT grams — the same prefix-filter completeness bound, one
+    # exchange instead of two.
     w = _W.partitionBy(id_col).orderBy("_f", "_gr")
     prefix = (
         ex.join(freq, "_gr")
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= prefix_len)
+        .withColumn("_dr", F.dense_rank().over(w))
+        .withColumn("_lg", F.lag("_gr").over(w))
+        .where((F.col("_dr") <= prefix_len)
+               & (F.col("_lg").isNull() | (F.col("_lg") != F.col("_gr"))))
         .select(id_col, "_n", "_gr")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
