@@ -695,51 +695,57 @@ def degree_assortativity(
     single float division happens once at the end. Returns one row:
     (n_nodes, n_edges, assortativity).
     """
-    # e feeds the degree agg, both endpoint joins and the edge count;
+    # e feeds the degree agg, the endpoint join and the edge count;
     # deg feeds both join sides and the node count — lazy-checkpoint
     # each so the canonical-edge distinct and the degree shuffle run
     # once instead of per consumer (one job either way; the r13
     # baseline plan re-derived the edge scan 26 times).
-    # §5 SIZE POLICY (r14): e and the joined pair relation ed are
-    # O(|E|) — they go through loop_invariant_leaf (reliable checkpoint
-    # when the cluster configures a dir, local blocks in bench mode);
-    # deg is O(|V|) degree rows — dimension-sized, plain localCheckpoint
+    # §5 SIZE POLICY (r14): e is O(|E|) — it goes through
+    # loop_invariant_leaf (reliable checkpoint when the cluster
+    # configures a dir, local blocks in bench mode); deg is O(|V|)
+    # degree rows — dimension-sized, plain localCheckpoint
     # (see bigdata_tag_system_spark/checkpoint.py).
     from bigdata_tag_system_spark.checkpoint import loop_invariant_leaf
 
     e = loop_invariant_leaf(_canonical_edges(edges, src, dst))
     deg = _degrees(e).localCheckpoint(eager=False)
-    # the endpoint-degree join and the symmetrized moment aggregate are
-    # rendered as parsed SQL (r14, guide §5 — same expressions, ~½ the
-    # build's py4j round-trips); deg's second reference goes through
-    # fresh_ids, the moment sums read the checkpointed ed leaf twice
-    # via the DataFrame-API union (analyzer-deduplicated)
+    # ONE pass computes the symmetric moments (r14, guide §2.4): the
+    # former shape materialized the joined pair relation ed to feed a
+    # symmetrizing unionAll — a checkpoint job plus a double read —
+    # but each (da, db) edge row contributes BOTH orientations, so the
+    # union folds into the aggregate algebraically: n = 2·count,
+    # sx = Σ(da+db), sxx = Σ(da²+db²), sxy = 2·Σ(da·db). Every term is
+    # exact decimal integer arithmetic, so the folded sums are
+    # VALUE-IDENTICAL to the unioned ones (no float association-order
+    # caveat; oracle replays the literal formula and agrees).
+    # Moments widen to decimal(38,0) BEFORE the cross products: on very
+    # large graphs n·sxy and sx² overflow int64 and non-ANSI Spark
+    # wraps silently while the DuckDB oracle's checked BIGINT errors —
+    # decimal keeps both sides exact (the neyman_allocation discipline).
+    # The endpoint-degree join is rendered as parsed SQL (guide §5);
+    # deg's second reference goes through fresh_ids.
     from bigdata_tag_system_spark.functions.sqlrender import fresh_ids
 
     spark = edges.sparkSession
-    ed = loop_invariant_leaf(spark.sql(
+    ed = spark.sql(
         """
         SELECT e._a, e._b, da._da, db._db
         FROM {e} e
         JOIN (SELECT _n AS _a, _d AS _da FROM {deg1}) da USING (_a)
         JOIN (SELECT _n AS _b, _d AS _db FROM {deg2}) db USING (_b)
         """,
-        e=e, deg1=deg, deg2=fresh_ids(deg)))
-    sym = ed.select(F.col("_da").alias("x"), F.col("_db").alias("y")) \
-        .unionAll(ed.select(F.col("_db").alias("x"),
-                            F.col("_da").alias("y")))
-    # moments widen to decimal(38,0) BEFORE the cross products: on very
-    # large graphs n·sxy and sx² overflow int64 and non-ANSI Spark
-    # wraps silently while the DuckDB oracle's checked BIGINT errors —
-    # decimal keeps both sides exact (the neyman_allocation discipline)
-    sums = sym.agg(
-        F.expr("CAST(count(1) AS DECIMAL(38,0))").alias("n"),
-        F.expr("CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0))")
+        e=e, deg1=deg, deg2=fresh_ids(deg))
+    sums = ed.agg(
+        F.expr("CAST(2 * count(1) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(sum(CAST(_da AS DECIMAL(19,0)) + "
+               "CAST(_db AS DECIMAL(19,0))) AS DECIMAL(38,0))")
         .alias("sx"),
-        F.expr("CAST(sum(CAST(x AS DECIMAL(19,0)) * "
-               "CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0))").alias("sxx"),
-        F.expr("CAST(sum(CAST(x AS DECIMAL(19,0)) * "
-               "CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0))").alias("sxy"),
+        F.expr("CAST(sum(CAST(_da AS DECIMAL(19,0)) * "
+               "CAST(_da AS DECIMAL(19,0)) + "
+               "CAST(_db AS DECIMAL(19,0)) * "
+               "CAST(_db AS DECIMAL(19,0))) AS DECIMAL(38,0))").alias("sxx"),
+        F.expr("CAST(2 * sum(CAST(_da AS DECIMAL(19,0)) * "
+               "CAST(_db AS DECIMAL(19,0))) AS DECIMAL(38,0))").alias("sxy"),
     )
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     nedge = e.agg(F.count(F.lit(1)).alias("n_edges"))
